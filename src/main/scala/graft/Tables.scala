@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -14,8 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and the
+    // long is converted here (values are micro-precision, so this is
+    // lossless). All downstream code sees a plain TimestampType.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+    else df
+  }
 
   /** Register every table as a temp view (for the spark.sql passthrough
     * path, reference fast_etl.py:300-304 "arbitrary query" source). */

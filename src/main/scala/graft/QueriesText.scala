@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.similarity.CosineSearch
+
+/** Beyond-reference query group: text analysis, deduplication, similarity
+  * search over `documents`/`embeddings` (the LLM-data-pipeline operators).
+  *
+  * The SQL oracles are generated from the same constants as the Column
+  * builders so both sides stay structurally identical (same arithmetic
+  * nesting => same IEEE results; md5-based hashing => engine-portable).
+  */
+object QueriesText {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --- SQL fragment builders mirroring TextFunctions -----------------
+  private def sqlCollapse(x: String) =
+    s"trim(regexp_replace($x, '\\s+', ' ', 'g'))"
+  private def sqlTokens(s: String) =
+    s"CASE WHEN $s = '' THEN 0 ELSE length($s) - length(replace($s, ' ', '')) + 1 END"
+  private def sqlOcc(p: String, m: String) =
+    s"((length($p) - length(replace($p, '$m', ''))) / ${m.length})"
+  private def sqlLangScore(p: String, ms: Seq[String]) =
+    ms.map(m => sqlOcc(p, m)).mkString(" + ")
+
+  // ----------------------------------------------------------- text stats
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val c = col("text")
+    docs.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(c).as("n_tokens"),
+      length(TextFunctions.collapseWs(c)).as("n_chars_norm"),
+      TextFunctions.langScore(lower(c), Seq(" the ", " a ", " of "))
+        .as("stop_hits"),
+      TextFunctions.qualityScore(c).as("quality"))
+  }
+
+  val qTextStatsSql: String = {
+    val s0 = sqlCollapse("text")
+    val sl = sqlCollapse("lower(text)")
+    val p = s"' ' || sl || ' '"
+    s"""WITH c AS (SELECT doc_id, $s0 AS s, $sl AS sl FROM documents),
+       |tok AS (SELECT doc_id, s, sl, ${sqlTokens("s")} AS n_tokens,
+       |        ${sqlLangScore("(' ' || sl || ' ')", Seq(" the ", " a ", " of "))} AS stop_hits
+       |        FROM c)
+       |SELECT doc_id, n_tokens, length(s) AS n_chars_norm, stop_hits,
+       |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
+       |  least(1.0, (stop_hits / (CAST(n_tokens AS DOUBLE) + 1.0)) * 5.0) * 0.3 +
+       |  CASE WHEN ((length(s) - (n_tokens - 1)) * 1.0 / (CAST(n_tokens AS DOUBLE) + 1.0))
+       |            BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END AS quality
+       |FROM tok""".stripMargin
+  }
+
+  // -------------------------------------------------------------- lang id
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang").as("lang_label"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+
+  val qLangIdSql: String = {
+    val scoreCols = TextFunctions.LangMarkers.map { case (lang, ms) =>
+      s"${sqlLangScore("p", ms)} AS s_$lang"
+    }.mkString(",\n        ")
+    val langs = TextFunctions.LangMarkers.map(_._1)
+    val greatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val arms = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH c AS (SELECT doc_id, lang,
+       |        ' ' || ${sqlCollapse("lower(text)")} || ' ' AS p FROM documents),
+       |sc AS (SELECT doc_id, lang, $scoreCols FROM c),
+       |mx AS (SELECT *, $greatest AS m FROM sc)
+       |SELECT doc_id, lang AS lang_label,
+       |  CASE WHEN m <= 0 THEN 'und' $arms END AS lang_pred
+       |FROM mx""".stripMargin
+  }
+
+  // ---------------------------------------------------------- fingerprint
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.fingerprintShort(col("text")).as("fp64"))
+
+  val qFingerprintSql: String =
+    s"""SELECT doc_id, md5(lower(${sqlCollapse("text")})) AS fp,
+       |  substr(md5(lower(${sqlCollapse("text")})), 1, 16) AS fp64
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- exact dedup
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+
+  val qDedupExactSql: String =
+    s"""SELECT md5(lower(${sqlCollapse("text")})) AS content_key,
+       |  min(doc_id) AS keeper_id, count(*) AS n_docs
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- shingle CTE(s)
+  private val shingleCte =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(${sqlCollapse("text")}, ' ') AS ws
+       |      FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM w CROSS JOIN range(1, 256) t(i) WHERE i <= len(ws) - 2)""".stripMargin
+
+  // --------------------------------------------------------- ngram dedup
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+
+  val qDedupNgramSql: String =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, x.n AS na, y.n AS nb,
+       |  CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5""".stripMargin
+
+  // ------------------------------------------------------ minhash family
+  private val MinhashK = 8
+  private val BandSize = 2
+
+  def qMinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingleTable(t(s, dir, "documents"), "doc_id", "text", 3),
+      "doc_id", MinhashK)
+    val bands = (0 until MinhashK / BandSize).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"mh_$i"))
+      md5(concat(cols: _*)).as(s"band_$b")
+    }
+    sig.select((col("doc_id") +:
+      (0 until MinhashK).map(i => col(s"mh_$i"))) ++ bands: _*)
+  }
+
+  private val sigSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min(md5('$i:' || shingle)) AS mh_$i").mkString(",\n        ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+  private val bandExprs = (0 until MinhashK / BandSize).map { b =>
+    val parts = (b * BandSize until (b + 1) * BandSize).map(i => s"mh_$i")
+    s"md5(${parts.mkString(" || ")}) AS band_$b"
+  }
+
+  val qMinhashSigSql: String =
+    s"""WITH $shingleCte,
+       |$sigSql
+       |SELECT doc_id, ${(0 until MinhashK).map("mh_" + _).mkString(", ")},
+       |  ${bandExprs.mkString(",\n  ")}
+       |FROM sig""".stripMargin
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingleTable(t(s, dir, "documents"), "doc_id", "text", 3),
+      "doc_id", MinhashK)
+    Dedup.minhashCandidates(sig, "doc_id", MinhashK, BandSize)
+  }
+
+  val qDedupMinhashSql: String = {
+    val bandCols = (0 until MinhashK / BandSize).map("band_" + _)
+    val on = bandCols.map(b => s"a.$b = b.$b").mkString(" OR ")
+    s"""WITH $shingleCte,
+       |$sigSql,
+       |banded AS (SELECT doc_id, ${bandExprs.mkString(", ")} FROM sig)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($on)""".stripMargin
+  }
+
+  // ------------------------------------------------- simhash (rows-only)
+  // xxhash64 bit planes are Spark-native — no DuckDB oracle; correctness
+  // is covered by unit tests (hamming symmetry, near-dup recall on the
+  // planted duplicates).
+  def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 12)
+
+  // ------------------------------------------------------ embedding topk
+  def qEmbedTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    CosineSearch.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 3)
+  }
+
+  // Norms/dots via exact decimal sums over the unnested element index —
+  // order-independent, so GROUP BY aggregation order can't perturb them.
+  private val normCte =
+    """n AS (SELECT vec_id, embedding,
+      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS norm_sq
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id, embedding)""".stripMargin
+
+  val qEmbedTopkSql: String =
+    s"""WITH $normCte,
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS dot,
+       |    any_value(q.norm_sq) AS qn, any_value(c.norm_sq) AS cn
+       |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY q.vec_id, c.vec_id),
+       |scored AS (
+       |  SELECT query_id, nn_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos_sim
+       |  FROM pairs)
+       |SELECT query_id, rank, nn_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------- IVF search
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    CosineSearch.ivfTopK(
+      vecs = e,
+      centroids = e.filter(col("vec_id") < 16),
+      queries = e.filter(col("vec_id") < 50),
+      idCol = "vec_id", vecCol = "embedding", centroidIdCol = "vec_id", k = 3)
+  }
+
+  val qAnnIvfSql: String =
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm_sq AS c_norm_sq
+       |          FROM n WHERE vec_id < 16),
+       |asg_scored AS (
+       |  SELECT v.vec_id, c.centroid_id,
+       |    CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(v.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(c.c_norm_sq) AS DOUBLE))) AS c_sim
+       |  FROM n v CROSS JOIN cents c CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY v.vec_id, c.centroid_id),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+       |    FROM asg_scored) WHERE rn = 1),
+       |cand AS (
+       |  SELECT qa.vec_id AS query_id, ca.vec_id AS nn_id, qa.centroid_id,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(q.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(c.norm_sq) AS DOUBLE))) AS cos_sim
+       |  FROM assigned qa
+       |  JOIN n q ON q.vec_id = qa.vec_id AND qa.vec_id < 50
+       |  JOIN assigned ca ON ca.centroid_id = qa.centroid_id AND ca.vec_id <> qa.vec_id
+       |  JOIN n c ON c.vec_id = ca.vec_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY qa.vec_id, ca.vec_id, qa.centroid_id)
+       |SELECT query_id, rank, nn_id, centroid_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
+       |  FROM cand) WHERE rank <= 3""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_minhash_sig" -> (qMinhashSig _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_embed_topk" -> (qEmbedTopk _),
+    "q_ann_ivf" -> (qAnnIvf _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_ngram" -> qDedupNgramSql,
+    "q_minhash_sig" -> qMinhashSigSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    // q_simhash_pairs: xxhash64-based, not SQL-expressible -> rows-only
+    "q_embed_topk" -> qEmbedTopkSql,
+    "q_ann_ivf" -> qAnnIvfSql,
+  )
+}

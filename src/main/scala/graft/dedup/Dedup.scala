@@ -1,0 +1,131 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the design target is ~100 TB of documents):
+  *  - Exact dedup is one hash-shuffle on a 32-char digest, not the text.
+  *  - MinHash/LSH: cost is |docs| x shingles x K hashes, embarrassingly
+  *    parallel; the only shuffles are the per-(doc,perm) min aggregation
+  *    and the band-bucket self-join, whose fan-out is bounded by bucket
+  *    size (band collisions), never all-pairs.
+  *  - N-gram Jaccard joins on the shingle, so frequency-skewed shingles
+  *    dominate the shuffle — cap or filter stop-shingles for heavy-tailed
+  *    corpora (documented; the synthetic corpus here is benign).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized content: one row per distinct
+    * content with the surviving (minimum) id and the duplicate count. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        TextFunctions.fingerprint(col(textCol)).as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Survivors of exact dedup (keep the minimum id per content group). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol)
+        .select(col("keeper_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** (id, shingle) pairs — distinct word n-gram shingles per document. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+        split(TextFunctions.collapseWs(col(textCol)), " ").as("ws"))
+      .select(col(idCol), explode(TextFunctions.wordShingles("ws", n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: K independent "permutations" realized as
+    * lexicographic minima of md5(k || ':' || shingle) — md5 hex strings
+    * order uniformly, and the construction is engine-portable (the DuckDB
+    * oracle computes the identical signature). One aggregation per doc. */
+  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh_$i"))
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures banded `bandSize` rows per band; docs
+    * sharing any band hash become a candidate pair (a < b, distinct). */
+  def minhashCandidates(
+      signatures: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
+    val bands = (0 until k / bandSize).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"mh_$i"))
+      md5(concat(cols: _*)).as(s"band_$b")
+    }
+    val banded = signatures.select(col(idCol) +: bands: _*)
+    (0 until k / bandSize).map { b =>
+      val l = banded.select(col(idCol).as("doc_a"), col(s"band_$b").as("band"))
+      val r = banded.select(col(idCol).as("doc_b"), col(s"band_$b").as("band"))
+      l.join(r, Seq("band")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** All-pairs n-gram Jaccard similarity >= `threshold`, computed by
+    * joining on shared shingles (no candidate enumeration beyond docs that
+    * actually share a shingle). */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 bit planes.
+    * Row-local (no shuffle): the 64 per-bit vote counters fold over the
+    * token array inside one projection. Not oracle-expressible (xxhash64
+    * is Spark-specific) — verified by rows-only check + unit tests. */
+  def simhash(textCol: Column): Column = {
+    val ws = split(TextFunctions.collapseWs(textCol), " ")
+    val bitCols = (0 until 64).map { j =>
+      // vote_j = sum over tokens of +-1 depending on hash bit j
+      val votes = aggregate(
+        ws, lit(0L),
+        (acc: Column, w: Column) =>
+          acc + (shiftright(xxhash64(w), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit hash into 4 x 16-bit
+    * keys (docs within hamming distance 3 share >= 1 exact band with high
+    * probability), then verify hamming distance on candidates. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val hashed = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"b_$b"))
+    val banded = hashed.select(Seq(col(idCol), col("sh")) ++ bandCols: _*)
+    (0 until 4).map { b =>
+      val l = banded.select(col(idCol).as("doc_a"), col("sh").as("sh_a"), col(s"b_$b").as("band"))
+      val r = banded.select(col(idCol).as("doc_b"), col("sh").as("sh_b"), col(s"b_$b").as("band"))
+      l.join(r, Seq("band")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+    }.reduce(_ unionByName _).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

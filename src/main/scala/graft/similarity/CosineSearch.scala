@@ -1,0 +1,127 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact, O(|queries| x |corpus|) — the
+  *    correctness baseline; fine when |queries| is small.
+  *  - IVF (inverted-file) bucketing: corpus assigned to nearest centroid
+  *    once, candidate generation restricted to the probe's bucket — the
+  *    scale path (search cost divided by #buckets; the corpus-sized
+  *    assignment is one map-side pass).
+  *
+  * Dot products fold the element pairs into a DECIMAL accumulator: decimal
+  * addition is associative-exact, so results are bit-identical regardless
+  * of engine or partitioning (double accumulation is not), which is what
+  * lets a DuckDB oracle hash-match these queries.
+  */
+object CosineSearch {
+
+  /** Exact decimal dot product of two float-array columns. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
+      lit(0).cast("decimal(30,12)"),
+      (acc, v) => (acc + v).cast("decimal(30,12)"))
+
+  /** Cosine similarity from decimal dot products (double output —
+    * deterministic given deterministic inputs). */
+  def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") /
+      (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Vectors augmented with their squared norm (one pass, no shuffle). */
+  def withNormSq(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs.withColumn("norm_sq", dotDecimal(col(vecCol), col(vecCol)))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), ranked desc with id tiebreak. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = withNormSq(corpus, vecCol)
+      .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+        col("norm_sq").as("nn_norm_sq"))
+    val q = withNormSq(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("norm_sq").as("q_norm_sq"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos_sim",
+        cosine(dotDecimal(col("q_vec"), col("nn_vec")),
+          col("q_norm_sq"), col("nn_norm_sq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cos_sim"))
+  }
+
+  /** IVF assignment: nearest centroid by cosine (centroids broadcast). */
+  def ivfAssign(
+      vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      centroidIdCol: String): DataFrame = {
+    val v = withNormSq(vecs, vecCol)
+    val c = broadcast(withNormSq(centroids, vecCol)
+      .select(col(centroidIdCol).as("centroid_id"), col(vecCol).as("c_vec"),
+        col("norm_sq").as("c_norm_sq")))
+    val scored = v.crossJoin(c)
+      .withColumn("c_sim",
+        cosine(dotDecimal(col(vecCol), col("c_vec")),
+          col("norm_sq"), col("c_norm_sq")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("norm_sq"), col("centroid_id"))
+  }
+
+  /** IVF-bucketed top-k search: each query vector is probed only against
+    * corpus vectors in its own bucket (1-probe IVF). Recall is traded for
+    * a |buckets|-fold candidate reduction — the standard ANN scale path. */
+  def ivfTopK(
+      vecs: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, centroidIdCol: String, k: Int): DataFrame = {
+    val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+    val q = queries.select(col(idCol).as("query_id"))
+      .join(assigned.withColumnRenamed(idCol, "query_id"), Seq("query_id"))
+      .select(col("query_id"), col("centroid_id"), col(vecCol).as("q_vec"),
+        col("norm_sq").as("q_norm_sq"))
+    val c = assigned.select(col("centroid_id"), col(idCol).as("nn_id"),
+      col(vecCol).as("nn_vec"), col("norm_sq").as("nn_norm_sq"))
+    val scored = q.join(c, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos_sim",
+        cosine(dotDecimal(col("q_vec"), col("nn_vec")),
+          col("q_norm_sq"), col("nn_norm_sq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("centroid_id"),
+        col("cos_sim"))
+  }
+
+  /** IVF-bucketed near-duplicate pairs: vectors sharing a bucket with
+    * cosine >= threshold. The self-join key is the bucket id, so the
+    * pair space is |bucket|^2, not |corpus|^2. */
+  def ivfNearDupPairs(
+      vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      centroidIdCol: String, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+    val l = assigned.select(col("centroid_id"), col(idCol).as("vec_a"),
+      col(vecCol).as("vec_av"), col("norm_sq").as("na"))
+    val r = assigned.select(col("centroid_id"), col(idCol).as("vec_b"),
+      col(vecCol).as("vec_bv"), col("norm_sq").as("nb"))
+    l.join(r, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        cosine(dotDecimal(col("vec_av"), col("vec_bv")), col("na"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("centroid_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,222 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.enrich.DistanceEnrichment
+import graft.functions.DateFunctions
+import graft.meta.LoadInfo
+import graft.multimodal.MultimodalOps
+import graft.streaming.StreamingSync
+
+/** Remaining operator families: audit log, external enrichment
+  * (mapPartitions), event-time windows (streaming-equivalent batch),
+  * multimodal frame sampling, date helpers, sorts/limits, set ops.
+  */
+object QueriesOps {
+
+  private val LoadAt = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // -------------------------------------------------------------- audit
+  // K10 (load_info.py:50-103): one audit row per load with the row count.
+  def qAudit(s: SparkSession, dir: String): DataFrame =
+    LoadInfo.audit(t(s, dir, "lineitem"),
+      vdb = "testdata", schema = "sf", table = "lineitem",
+      user = "graft", loadType = "full", at = LoadAt)
+
+  val qAuditSql: String =
+    """SELECT 'testdata' AS no_vdb, 'sf' AS no_schema,
+      |  'lineitem' AS no_tabela, 'graft' AS no_usuario, 'full' AS tp_carga,
+      |  TIMESTAMP '2026-01-01 00:00:00' AS dt_consumo,
+      |  count(*) AS qt_linhas
+      |FROM lineitem""".stripMargin
+
+  // ----------------------------------------------------------- enrichment
+  // P8 + §2.11 OSRM analog: candidate filter (coords present, distance
+  // still null), then per-partition service calls (mapPartitions) — the
+  // FlatEarthService keeps it deterministic so the oracle replicates it.
+  private def coordSynth(df: DataFrame): DataFrame = {
+    val id = col("event_id")
+    df.select(
+      id.as("event_id"),
+      ((id % 120).cast("double") / lit(10.0) - lit(6.0)).as("lat_a"),
+      ((id % 440).cast("double") / lit(10.0) - lit(73.0)).as("lon_a"),
+      when(id % 13 === 0, lit(null).cast("double"))
+        .otherwise((id % 90).cast("double") / lit(10.0) - lit(5.0)).as("lat_b"),
+      ((id % 460).cast("double") / lit(10.0) - lit(74.0)).as("lon_b"),
+      when(id % 10 === 0, lit(0.0)).otherwise(lit(null).cast("double"))
+        .as("dist_km"))
+  }
+
+  private val coordSynthSql =
+    """SELECT event_id,
+      |  CAST(event_id % 120 AS DOUBLE) / 10.0 - 6.0 AS lat_a,
+      |  CAST(event_id % 440 AS DOUBLE) / 10.0 - 73.0 AS lon_a,
+      |  CASE WHEN event_id % 13 = 0 THEN NULL
+      |       ELSE CAST(event_id % 90 AS DOUBLE) / 10.0 - 5.0 END AS lat_b,
+      |  CAST(event_id % 460 AS DOUBLE) / 10.0 - 74.0 AS lon_b,
+      |  CASE WHEN event_id % 10 = 0 THEN 0.0 ELSE NULL END AS dist_km
+      |FROM events""".stripMargin
+
+  def qDistance(s: SparkSession, dir: String): DataFrame = {
+    val src = coordSynth(t(s, dir, "events"))
+    val cand = DistanceEnrichment.candidates(src,
+      "lat_a", "lon_a", "lat_b", "lon_b", "dist_km", overwriteExisting = false)
+    DistanceEnrichment.enrich(cand, "lat_a", "lon_a", "lat_b", "lon_b",
+      "dist_out")
+      .select("event_id", "lat_a", "lon_a", "lat_b", "lon_b", "dist_out")
+  }
+
+  val qDistanceSql: String =
+    s"""WITH src AS ($coordSynthSql)
+       |SELECT event_id, lat_a, lon_a, lat_b, lon_b,
+       |  sqrt((lat_a - lat_b) * (lat_a - lat_b) +
+       |       (lon_a - lon_b) * (lon_a - lon_b)) * 111.32 AS dist_out
+       |FROM src
+       |WHERE lat_a IS NOT NULL AND lon_a IS NOT NULL
+       |  AND lat_b IS NOT NULL AND lon_b IS NOT NULL
+       |  AND dist_km IS NULL""".stripMargin
+
+  // --------------------------------------------------------- event window
+  // §2.12/§7.2-8: tumbling event-time window aggregation — the SAME code
+  // path serves Structured Streaming (withWatermark is analyzed away on
+  // batch input, so the batch oracle checks the streaming logic).
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    StreamingSync.windowedCounts(
+      t(s, dir, "events"), "ts", "5 minutes", "10 minutes", Seq("event_type"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val qEventsWindowSql: String =
+    """SELECT
+      |  make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w_start,
+      |  make_timestamp((epoch_us(ts) // 300000000) * 300000000 + 300000000) AS w_end,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------- frames
+  // Multimodal plumbing: binary payloads + synthesized metadata + frame
+  // sampling explode (one row per sampled frame).
+  def qFrames(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("payload", encode(substring(col("text"), 1, 64), "UTF-8"))
+    val withMeta = MultimodalOps.withMediaMeta(docs, "payload", "video")
+    MultimodalOps.sampleFrames(withMeta, "doc_id", "media_meta", 500L)
+  }
+
+  val qFramesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    octet_length(CAST(substr(text, 1, 64) AS BLOB)) * 997 % 30000 + 1000 AS duration_ms
+      |  FROM documents)
+      |SELECT doc_id, f AS frame_idx, f * 500 AS frame_ms
+      |FROM m CROSS JOIN range(0, 256) t(f)
+      |WHERE f * 500 <= duration_ms - 1""".stripMargin
+
+  // ----------------------------------------------------------- date funcs
+  // §2.11 date helpers (date.py): last-day-of-month family + strftime
+  // renders + watermark literal formatting (ms truncation).
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+    o.select(
+      col("o_orderkey"),
+      DateFunctions.lastDayOfMonth(col("o_orderdate")).as("ldom"),
+      DateFunctions.lastDayOfLastMonth(col("o_orderdate")).as("ldolm"),
+      DateFunctions.formatYm(col("o_orderdate")).as("ym"),
+      DateFunctions.formatYmd(col("o_orderdate")).as("ymd"),
+      DateFunctions.formatBr(col("o_orderdate")).as("br"),
+      DateFunctions.watermarkLiteral(col("o_orderdate"), isDate = false)
+        .as("wm_literal"))
+  }
+
+  val qDateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  last_day(o_orderdate) AS ldom,
+      |  last_day(o_orderdate - INTERVAL 1 MONTH) AS ldolm,
+      |  strftime(o_orderdate, '%Y%m') AS ym,
+      |  strftime(o_orderdate, '%Y%m%d') AS ymd,
+      |  strftime(o_orderdate, '%d/%m/%Y') AS br,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.' ||
+      |    lpad(CAST(epoch_us(o_orderdate) % 1000000 // 1000 AS VARCHAR), 3, '0')
+      |    AS wm_literal
+      |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
+
+  // ------------------------------------------------------------ top-k
+  // §2.7: orderBy/limit with deterministic tiebreak (bacen argmax family).
+  def qTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val qTopkSql: String =
+    "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+
+  // ----------------------------------------------------- running window
+  // §2.6 generalization: running decimal sum per customer (frame spec).
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("decimal(38,2)").as("running_total"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(38,2)) AS running_total
+      |FROM orders""".stripMargin
+
+  // -------------------------------------------------------- values union
+  // §2.8: UNION ALL with an inline values-table (J7's write-back pattern,
+  // osrm_distance_operator.py:179-187).
+  def qValuesUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inline = Seq((100, "INLINE"), (101, "INLINE2"))
+      .toDF("r_regionkey", "r_name")
+    t(s, dir, "region").unionByName(inline)
+  }
+
+  val qValuesUnionSql: String =
+    """SELECT * FROM region
+      |UNION ALL
+      |SELECT * FROM (VALUES (100, 'INLINE'), (101, 'INLINE2'))
+      |  t(r_regionkey, r_name)""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audit" -> (qAudit _),
+    "q_distance" -> (qDistance _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_frames" -> (qFrames _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_topk" -> (qTopk _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_values_union" -> (qValuesUnion _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_audit" -> qAuditSql,
+    "q_distance" -> qDistanceSql,
+    "q_events_window" -> qEventsWindowSql,
+    "q_frames" -> qFramesSql,
+    "q_date_funcs" -> qDateFuncsSql,
+    "q_topk" -> qTopkSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_values_union" -> qValuesUnionSql,
+  )
+}

@@ -1,0 +1,43 @@
+package graft.meta
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Load-audit log — the reference's `consumo_dados` table
+  * (utils/load_info.py:50-103, written per load at fast_etl.py:347-352):
+  * one row per load with (source, schema, table, user, load type,
+  * timestamp, row count).
+  *
+  * The row count comes from `df.observe` when attached to a live write
+  * (zero extra scan) or from `count()` for a standalone audit.
+  */
+object LoadInfo {
+
+  final case class Entry(
+      no_vdb: String,
+      no_schema: String,
+      no_tabela: String,
+      no_usuario: String,
+      tp_carga: String, // "full" | "incremental"
+      dt_consumo: Timestamp,
+      qt_linhas: Long)
+
+  def auditRow(
+      spark: SparkSession,
+      vdb: String, schema: String, table: String, user: String,
+      loadType: String, at: Timestamp, rowCount: Long): DataFrame = {
+    import spark.implicits._
+    Seq(Entry(vdb, schema, table, user, loadType, at, rowCount)).toDF()
+  }
+
+  /** Audit a copied DataFrame: counts with one aggregate (the scan is the
+    * copy's own scan when the caller reuses a cached plan). */
+  def audit(
+      df: DataFrame,
+      vdb: String, schema: String, table: String, user: String,
+      loadType: String, at: Timestamp): DataFrame =
+    auditRow(df.sparkSession, vdb, schema, table, user, loadType, at,
+      df.count())
+}

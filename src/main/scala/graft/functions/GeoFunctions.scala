@@ -19,29 +19,29 @@ object GeoFunctions {
   def parseCoord(c: Column): Column =
     translate(trim(c), ",", ".").cast("double")
 
-  // Brazil bounding bands used by the misscale fix (patchwork.py:490-544):
-  // a coordinate like -1579911 is -15.79911 recorded in 1e-5 degrees.
-  private val LatBand = (-34.0, 6.0)
-  private val LonBand = (-74.0, -28.0)
+  // Brazil misscale bands, raw-value space, exactly the reference's
+  // predicates (patchwork.py:492-544): a value like -1579911 is -15.79911
+  // recorded in 1e-5 degrees. Latitude: (-35e5, -90) or (90, 5e5);
+  // longitude: (-76e5, -29e5). Strict comparisons, like the reference.
+  private val Scale = 1e5
 
-  private def fixMisscale(d: Column, band: (Double, Double), limit: Double): Column = {
-    val scaled = d / 1e5
-    when(abs(d) > limit && scaled.between(band._1, band._2), scaled)
-      .otherwise(d)
-  }
-
-  /** Latitude pipeline: parse -> misscale (|lat|>90, scaled into Brazil's
-    * latitude band) -> range clamp [-90, 90] else null. */
+  /** Latitude pipeline: parse -> misscale fix -> range clamp
+    * ([-90, 90] inclusive; outside -> null — patchwork.py:546-564). */
   def cleanLat(c: Column): Column = {
-    val d = fixMisscale(parseCoord(c), LatBand, 90.0)
-    when(d.between(-90.0, 90.0), d).otherwise(lit(null))
+    val d = parseCoord(c)
+    val misscaled = (d > -35.0 * Scale && d < -90.0) ||
+                    (d > 90.0 && d < 5.0 * Scale)
+    val fixed = when(misscaled, d / Scale).otherwise(d)
+    when(fixed.between(-90.0, 90.0), fixed).otherwise(lit(null))
   }
 
-  /** Longitude pipeline: parse -> misscale (|lon|>180, scaled into Brazil's
-    * longitude band) -> range clamp [-180, 180] else null. */
+  /** Longitude pipeline: parse -> misscale fix (negative band only, like
+    * the reference) -> range clamp [-180, 180] else null. */
   def cleanLon(c: Column): Column = {
-    val d = fixMisscale(parseCoord(c), LonBand, 180.0)
-    when(d.between(-180.0, 180.0), d).otherwise(lit(null))
+    val d = parseCoord(c)
+    val misscaled = d > -76.0 * Scale && d < -29.0 * Scale
+    val fixed = when(misscaled, d / Scale).otherwise(d)
+    when(fixed.between(-180.0, 180.0), fixed).otherwise(lit(null))
   }
 
   /** WKT `POINT(lon lat)` at 5 decimal places (patchwork.py:591-605),

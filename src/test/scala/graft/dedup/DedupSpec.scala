@@ -1,0 +1,69 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different words entirely here now today friends")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the minimum id per content group") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() == 3)
+    val dupGroup = groups.filter(col("n_docs") === 2).collect().head
+    assert(dupGroup.getAs[Long]("keeper_id") == 1L)
+    val survivors = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 4L))
+  }
+
+  test("exact dedup normalizes whitespace and case") {
+    val messy = Seq((1L, "Hello  World"), (2L, "  hello world "))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactGroups(messy, "doc_id", "text").count() == 1)
+  }
+
+  test("ngram jaccard finds near dups above threshold only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signatures are identical for identical docs and LSH finds them") {
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8)
+    val s1 = sig.filter(col("doc_id") === 1L).drop("doc_id").collect().head
+    val s2 = sig.filter(col("doc_id") === 2L).drop("doc_id").collect().head
+    assert(s1 == s2)
+    val cands = Dedup.minhashCandidates(sig, "doc_id", 8, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash of identical docs is equal; near dups are close; pairs found") {
+    val hashed = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(hashed(1L) == hashed(2L))
+    val hammingNear = java.lang.Long.bitCount(hashed(1L) ^ hashed(3L))
+    val hammingFar = java.lang.Long.bitCount(hashed(1L) ^ hashed(4L))
+    assert(hammingNear < hammingFar)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("dedup is idempotent: re-running on survivors changes nothing") {
+    val once = Dedup.exactDedup(docs, "doc_id", "text")
+    val twice = Dedup.exactDedup(once, "doc_id", "text")
+    assert(once.count() == twice.count())
+  }
+}

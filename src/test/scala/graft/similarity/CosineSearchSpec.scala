@@ -1,0 +1,58 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CosineSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force topk ranks by cosine with deterministic tiebreak") {
+    val res = CosineSearch.bruteForceTopK(
+        vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
+      .orderBy("rank")
+      .select("rank", "nn_id").as[(Int, Long)].collect().toSeq
+    assert(res == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("cosine of identical vectors is 1.0 within decimal accumulation") {
+    val self = CosineSearch.withNormSq(vecs, "embedding")
+      .withColumn("cos", CosineSearch.cosine(
+        CosineSearch.dotDecimal(col("embedding"), col("embedding")),
+        col("norm_sq"), col("norm_sq")))
+      .select("cos").as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("ivf assignment puts every vector in exactly one bucket") {
+    val assigned = CosineSearch.ivfAssign(
+      vecs, vecs.filter(col("vec_id") < 2), "vec_id", "embedding", "vec_id")
+    assert(assigned.count() == vecs.count())
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    // vector 1 is nearest to centroid... itself (cos 1.0)
+    val own = assigned.filter(col("vec_id") === 1L)
+      .select("centroid_id").as[Long].collect().head
+    assert(own == 1L)
+  }
+
+  test("ivf topk only searches within the query's bucket") {
+    val res = CosineSearch.ivfTopK(
+      vecs, vecs.filter(col("vec_id") < 2), vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "vec_id", 10)
+    val neighbors = res.select("nn_id").as[Long].collect().toSet
+    // bucket of centroid 0 holds {0, 3} (3 is opposite but still nearest
+    // to 0 among the two centroids? no: cos(3,0)=-1 < cos(3,1)≈-0.99) —
+    // assert the structural property instead: all results share the
+    // query's bucket.
+    val assigned = CosineSearch.ivfAssign(
+      vecs, vecs.filter(col("vec_id") < 2), "vec_id", "embedding", "vec_id")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    neighbors.foreach(n => assert(assigned(n) == assigned(0L)))
+  }
+}

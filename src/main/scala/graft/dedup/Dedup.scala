@@ -52,20 +52,25 @@ object Dedup {
   }
 
   /** LSH candidate pairs: signatures banded `bandSize` rows per band; docs
-    * sharing any band hash become a candidate pair (a < b, distinct). */
+    * sharing any band hash become a candidate pair (a < b, distinct).
+    * Signatures are persisted before the self-join (the aggregation would
+    * otherwise run once per join leg), and all bands join in a single
+    * (band_idx, band_value) shuffle via posexplode. */
   def minhashCandidates(
       signatures: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
-    val bands = (0 until k / bandSize).map { b =>
+    val sig = signatures
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandVals = (0 until k / bandSize).map { b =>
       val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"mh_$i"))
-      md5(concat(cols: _*)).as(s"band_$b")
+      md5(concat(cols: _*))
     }
-    val banded = signatures.select(col(idCol) +: bands: _*)
-    (0 until k / bandSize).map { b =>
-      val l = banded.select(col(idCol).as("doc_a"), col(s"band_$b").as("band"))
-      val r = banded.select(col(idCol).as("doc_b"), col(s"band_$b").as("band"))
-      l.join(r, Seq("band")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-    }.reduce(_ unionByName _).distinct()
+    val banded = sig.select(col(idCol),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val l = banded.select(col(idCol).as("doc_a"), col("band_idx"), col("band_val"))
+    val r = banded.select(col(idCol).as("doc_b"), col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** All-pairs n-gram Jaccard similarity >= `threshold`, computed by
@@ -93,13 +98,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens using xxhash64 bit planes.
-    * Row-local (no shuffle): the 64 per-bit vote counters fold over the
-    * token array inside one projection. Not oracle-expressible (xxhash64
-    * is Spark-specific) — verified by rows-only check + unit tests. */
+    *
+    * Implementation: explode tokens, hash each token ONCE, then one
+    * hash-aggregation with 64 conditional-sum vote counters — all inside
+    * whole-stage codegen. (A per-row fold with 64 higher-order `aggregate`
+    * lambdas evaluates interpreted and re-hashes every token 64 times —
+    * measured ~10x slower at sf0.1.) One shuffle on the doc id.
+    * Not oracle-expressible (xxhash64 is Spark-specific) — verified by
+    * rows-only check + unit tests. */
+  /** Row-local SimHash Column (folds the token array in-row). Convenient
+    * for ad-hoc use on short arrays; for corpus-scale hashing prefer
+    * `simhashTable`, whose explode+aggregate form stays in codegen. */
   def simhash(textCol: Column): Column = {
     val ws = split(TextFunctions.collapseWs(textCol), " ")
     val bitCols = (0 until 64).map { j =>
-      // vote_j = sum over tokens of +-1 depending on hash bit j
       val votes = aggregate(
         ws, lit(0L),
         (acc: Column, w: Column) =>
@@ -109,21 +121,43 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs
+      .select(col(idCol),
+        explode(split(TextFunctions.collapseWs(col(textCol)), " ")).as("w"))
+      .select(col(idCol), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"v_$j")
+    }
+    val bits = (0 until 64).map(j =>
+      when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    tokens.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_ + _).as("sh"))
+  }
+
   /** SimHash near-dup candidates: band the 64-bit hash into 4 x 16-bit
-    * keys (docs within hamming distance 3 share >= 1 exact band with high
-    * probability), then verify hamming distance on candidates. */
+    * keys (docs within small hamming distance share >= 1 exact band with
+    * high probability), then verify hamming distance on candidates.
+    * Signatures are persisted before the self-join so the hash pass runs
+    * once, and the 4 bands join in a single (band_idx, band_value) join
+    * rather than 4 separate shuffles. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val hashed = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
-    val bandCols = (0 until 4).map(b =>
-      shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"b_$b"))
-    val banded = hashed.select(Seq(col(idCol), col("sh")) ++ bandCols: _*)
-    (0 until 4).map { b =>
-      val l = banded.select(col(idCol).as("doc_a"), col("sh").as("sh_a"), col(s"b_$b").as("band"))
-      val r = banded.select(col(idCol).as("doc_b"), col("sh").as("sh_b"), col(s"b_$b").as("band"))
-      l.join(r, Seq("band")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-    }.reduce(_ unionByName _).distinct()
+    val hashed = simhashTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed.select(col(idCol), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val l = banded.select(col(idCol).as("doc_a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val r = banded.select(col(idCol).as("doc_b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

@@ -52,6 +52,10 @@ class DedupSpec extends SparkSpec {
   test("simhash of identical docs is equal; near dups are close; pairs found") {
     val hashed = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
+    // The bulk (explode+aggregate) form must agree with the row-local fold.
+    val bulk = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(bulk == hashed)
     assert(hashed(1L) == hashed(2L))
     val hammingNear = java.lang.Long.bitCount(hashed(1L) ^ hashed(3L))
     val hammingFar = java.lang.Long.bitCount(hashed(1L) ^ hashed(4L))

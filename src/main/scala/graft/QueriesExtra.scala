@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHashExpr
+import graft.operators.CsvExtract
+import graft.similarity.CosineSearch
+
+/** Fourth query group: CSV-extract transform, BPE-ish token counting,
+  * IVF near-dup pairs, multi-join aggregate, native-Expression
+  * fingerprint. */
+object QueriesExtra {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------- csv extract
+  // K4 (db_to_csv_operator.py:74-109): column removal + nullable-int cast
+  // + character stripping, demonstrated on a synthesized dirty column.
+  def qCsvExtract(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "customer").withColumn("int_str",
+      when(col("c_custkey") % 5 === 0, lit(""))
+        .otherwise(col("c_custkey").cast("string")))
+    CsvExtract.prepare(src,
+      columnsToRemove = Seq("c_mktsegment"),
+      intColumns = Seq("int_str"),
+      charactersToRemove = "#0")
+  }
+
+  val qCsvExtractSql: String =
+    """SELECT c_custkey,
+      |  translate(c_name, '#0', '') AS c_name,
+      |  c_nationkey, c_acctbal,
+      |  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END AS int_str
+      |FROM customer""".stripMargin
+
+  // ------------------------------------------------------------ BPE-ish
+  // Token counting with a GPT-style pre-tokenizer regex: letter runs,
+  // single digits, punctuation (whitespace-count variant in q_text_stats).
+  private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  def qTokenBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
+        .as("n_bpe_tokens"))
+
+  val qTokenBpeSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- IVF near-dup
+  // Embedding-cosine near-duplicate pairs, bucketed by IVF centroid so the
+  // pair space is |bucket|^2 rather than |corpus|^2 (the dedup scale path).
+  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    CosineSearch.ivfNearDupPairs(e, e.filter(col("vec_id") < 16),
+      "vec_id", "embedding", "vec_id", threshold = 0.35)
+  }
+
+  private val normCte =
+    """n AS (SELECT vec_id, embedding,
+      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS norm_sq
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id, embedding)""".stripMargin
+
+  val qEmbedNeardupSql: String =
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm_sq AS c_norm_sq
+       |          FROM n WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |        / (sqrt(CAST(any_value(v.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(c.c_norm_sq) AS DOUBLE))) DESC,
+       |      c.centroid_id) AS rn
+       |    FROM n v CROSS JOIN cents c CROSS JOIN range(1, 65) t(i)
+       |    GROUP BY v.vec_id, c.centroid_id) WHERE rn = 1)
+       |SELECT vec_a, vec_b, centroid_id, cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.centroid_id,
+       |    CAST(SUM(CAST(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(x.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(y.norm_sq) AS DOUBLE))) AS cos_sim
+       |  FROM assigned a JOIN assigned b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  JOIN n x ON x.vec_id = a.vec_id
+       |  JOIN n y ON y.vec_id = b.vec_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY a.vec_id, b.vec_id, a.centroid_id)
+       |WHERE cos_sim >= 0.35""".stripMargin
+
+  // ----------------------------------------------------------- join agg
+  // TPC-H Q5-style multi-join aggregate: the canonical "would this plan
+  // survive 100x" query — dims broadcast, facts shuffle once on the join
+  // key, aggregation is partial->final.
+  def qJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("decimal(38,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qJoinAggSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DECIMAL(38,4)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  // ------------------------------------------------ rolling fingerprint
+  // Native Catalyst Expression with codegen (rows-only check: the hash is
+  // engine-specific by design; unit-tested against a reference loop).
+  def qRollingFp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      RollingHashExpr.rolling_hash(col("text")).as("fp_rolling"))
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_extract" -> (qCsvExtract _),
+    "q_token_bpe" -> (qTokenBpe _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_join_agg" -> (qJoinAgg _),
+    "q_rolling_fp" -> (qRollingFp _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_csv_extract" -> qCsvExtractSql,
+    "q_token_bpe" -> qTokenBpeSql,
+    "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_join_agg" -> qJoinAggSql,
+    // q_rolling_fp: custom Expression, rows-only by design
+  )
+}

@@ -22,8 +22,10 @@ object Tables {
     // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and the
     // long is converted here (values are micro-precision, so this is
     // lossless). All downstream code sees a plain TimestampType.
+    // Integer division: `/` would go through double and lose sub-us
+    // precision at e15 epoch magnitudes.
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

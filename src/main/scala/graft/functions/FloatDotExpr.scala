@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two float-array columns (double accumulator,
+  * element order) as a codegen'd Catalyst expression.
+  *
+  * The higher-order-function form (`aggregate(zip_with(...))`) evaluates
+  * interpreted — one lambda dispatch per element per row — which measured
+  * ~5x slower on the IVF near-dup candidate scoring at sf0.1. This
+  * expression compiles to a tight primitive loop over the unsafe array
+  * data. Used as the fast scoring path; the decimal-exact fold remains
+  * the oracle-parity path (CosineSearch.dotDecimal).
+  */
+object FloatDotExpr {
+  def float_dot(a: Column, b: Column): Column =
+    GraftShim.columnOf(FloatDot(GraftShim.expressionOf(a), GraftShim.expressionOf(b)))
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatDotExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.FloatDotExpr.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}

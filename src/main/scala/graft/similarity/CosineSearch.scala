@@ -108,7 +108,12 @@ object CosineSearch {
 
   /** IVF-bucketed near-duplicate pairs: vectors sharing a bucket with
     * cosine >= threshold. The self-join key is the bucket id, so the
-    * pair space is |bucket|^2, not |corpus|^2. */
+    * pair space is |bucket|^2, not |corpus|^2.
+    *
+    * Scoring is two-phase: a codegen'd native double dot product screens
+    * every candidate pair (cheap), then the exact decimal fold rescores
+    * only survivors of `threshold - 1e-6` (the double/decimal divergence
+    * is ~1e-15, so no true positive can be lost at that margin). */
   def ivfNearDupPairs(
       vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
       centroidIdCol: String, threshold: Double): DataFrame = {
@@ -119,6 +124,10 @@ object CosineSearch {
       col(vecCol).as("vec_bv"), col("norm_sq").as("nb"))
     l.join(r, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_approx",
+        graft.functions.FloatDotExpr.float_dot(col("vec_av"), col("vec_bv")) /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos_approx") >= threshold - 1e-6)
       .withColumn("cos_sim",
         cosine(dotDecimal(col("vec_av"), col("vec_bv")), col("na"), col("nb")))
       .filter(col("cos_sim") >= threshold)

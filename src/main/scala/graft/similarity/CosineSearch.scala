@@ -21,13 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object CosineSearch {
 
-  /** Exact decimal dot product of two float-array columns. */
+  /** Exact decimal dot product of two float-array columns — native
+    * codegen'd expression (graft.functions.DecimalDot); semantically
+    * identical to the aggregate(zip_with(...decimal cast...)) fold but
+    * without interpreted per-element lambda dispatch. */
   def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
-      lit(0).cast("decimal(30,12)"),
-      (acc, v) => (acc + v).cast("decimal(30,12)"))
+    graft.functions.DecimalDotExpr.decimal_dot(a, b)
 
   /** Cosine similarity from decimal dot products (double output —
     * deterministic given deterministic inputs). */

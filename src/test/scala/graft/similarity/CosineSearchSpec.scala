@@ -21,6 +21,23 @@ class CosineSearchSpec extends SparkSpec {
     assert(res == Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("native DecimalDot equals the expression-composed decimal fold on real embeddings") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = q.crossJoin(e.limit(50))
+    val hof = org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.zip_with(col("qv"), col("embedding"),
+        (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(20,12)")),
+      lit(0).cast("decimal(30,12)"),
+      (acc, v) => (acc + v).cast("decimal(30,12)"))
+    val diffs = pairs.select(
+        CosineSearch.dotDecimal(col("qv"), col("embedding")).as("native"),
+        hof.as("hofv"))
+      .filter(col("native") =!= col("hofv"))
+    assert(diffs.count() == 0)
+  }
+
   test("cosine of identical vectors is 1.0 within decimal accumulation") {
     val self = CosineSearch.withNormSq(vecs, "embedding")
       .withColumn("cos", CosineSearch.cosine(

@@ -55,7 +55,7 @@ object SparkEntry {
   // ignore list and a dest column absent from the source (skipped).
   private def qFullCopy(s: SparkSession, dir: String): DataFrame =
     FullCopy.align(
-      t(s, dir, "lineitem"),
+      Tables.load(s, dir, "lineitem", parallelize = false),
       destColumns = Seq("L_ORDERKEY", "l_partkey", "l_quantity",
         "l_shipdate", "l_extendedprice", "col_only_at_dest"),
       columnsToIgnore = Seq("l_extendedprice"))
@@ -82,7 +82,8 @@ object SparkEntry {
   // S3/P6: key-interval partitioned scan semantics — BETWEEN predicate
   // pushed to the scan (maps to JDBC partitionColumn bounds at the source).
   private def qKeyRange(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").filter(col("l_orderkey").between(100, 2000))
+    Tables.load(s, dir, "lineitem", parallelize = false)
+      .filter(col("l_orderkey").between(100, 2000))
 
   private val qKeyRangeSql =
     "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000"

@@ -16,8 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  /** The driver testdata ships one single-row-group parquet file per
+    * table, which Spark cannot split — every scan would otherwise run as
+    * ONE task and serialize all map-side work (cleaners, text analysis)
+    * onto a single core. A production 100 TB table arrives as thousands
+    * of splits; this round-robin repartition restores that layout's
+    * parallelism (one narrow shuffle of the compact columnar batch,
+    * amortized across every downstream expression). Disable per-call for
+    * pure scan->sink copies where the extra exchange buys nothing.
+    */
+  def load(spark: SparkSession, dir: String, name: String,
+      parallelize: Boolean = true): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (parallelize && raw.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
+        raw.repartition(spark.sparkContext.defaultParallelism)
+      else raw
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and the
     // long is converted here (values are micro-precision, so this is

@@ -43,30 +43,45 @@ final case class GeoPointCleaner(
     wktColumn: Option[String] = None) extends Cleaner {
 
   def clean(df: DataFrame): CleanResult = {
-    val lat = GeoFunctions.cleanLat(col(latColumn))
-    val lon = GeoFunctions.cleanLon(col(lonColumn))
+    // Materialize the cleaning pipeline once per coordinate in aliased
+    // columns: the QA projection references each result ~5 times, and
+    // inlining the full parse->misscale->clamp tree at every reference
+    // produced codegen large enough to hurt (CollapseProject keeps this
+    // boundary because the aliases are multiply-referenced and non-cheap).
+    // Persisted: three consumers (cleaned output + two QA arms) would
+    // otherwise each re-derive the pipeline, and predicate pushdown
+    // substitutes the aliases back into the QA filters — producing an
+    // expression tree large enough to overflow codegen's method limit
+    // (observed: whole plan fell back to interpreted execution).
+    val prep = df
+      .withColumn("__lat_fixed", GeoFunctions.cleanLat(col(latColumn)))
+      .withColumn("__lon_fixed", GeoFunctions.cleanLon(col(lonColumn)))
+      .withColumn("__lat_plain", trim(col(latColumn)).cast("double"))
+      .withColumn("__lon_plain", trim(col(lonColumn)).cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // A cell is QA-worthy when the value actually changed relative to a
     // plain numeric parse (comma fix / misscale / clamp) OR a non-empty
     // raw value was rejected to null (unparseable — both sides of the
     // plain-parse comparison are null there, so it needs its own arm;
     // reference logs it as CAST_NULL, patchwork.py:445-471).
-    def changed(raw: Column, fixed: Column): Column = {
-      val plain = trim(raw).cast("double")
+    def changed(raw: Column, plain: Column, fixed: Column): Column =
       (raw.isNotNull && trim(raw) =!= "" && fixed.isNull) || !(plain <=> fixed)
-    }
-    val qaLat = Cleaner.columnQa(df, meta, latColumn,
-      col(latColumn).cast("string"), lat.cast("string"),
+    val qaLat = Cleaner.columnQa(prep, meta, latColumn,
+      col(latColumn).cast("string"), col("__lat_fixed").cast("string"),
       "Coordenada corrigida", "Latitude invalida", verifiedAt,
-      fixedAsString = Some(lat.cast("decimal(12,5)").cast("string")),
-      changed = Some(changed(col(latColumn), lat)))
-    val qaLon = Cleaner.columnQa(df, meta, lonColumn,
-      col(lonColumn).cast("string"), lon.cast("string"),
+      fixedAsString = Some(col("__lat_fixed").cast("decimal(12,5)").cast("string")),
+      changed = Some(changed(col(latColumn), col("__lat_plain"), col("__lat_fixed"))))
+    val qaLon = Cleaner.columnQa(prep, meta, lonColumn,
+      col(lonColumn).cast("string"), col("__lon_fixed").cast("string"),
       "Coordenada corrigida", "Longitude invalida", verifiedAt,
-      fixedAsString = Some(lon.cast("decimal(12,5)").cast("string")),
-      changed = Some(changed(col(lonColumn), lon)))
-    val base = df.withColumn(latColumn, lat).withColumn(lonColumn, lon)
+      fixedAsString = Some(col("__lon_fixed").cast("decimal(12,5)").cast("string")),
+      changed = Some(changed(col(lonColumn), col("__lon_plain"), col("__lon_fixed"))))
+    val base = prep
+      .withColumn(latColumn, col("__lat_fixed"))
+      .withColumn(lonColumn, col("__lon_fixed"))
     val cleaned = wktColumn.fold(base)(w =>
-      base.withColumn(w, GeoFunctions.wktPoint(col(lonColumn), col(latColumn))))
+        base.withColumn(w, GeoFunctions.wktPoint(col(lonColumn), col(latColumn))))
+      .drop("__lat_fixed", "__lon_fixed", "__lat_plain", "__lon_plain")
     CleanResult(cleaned, qaLat.unionByName(qaLon))
   }
 }

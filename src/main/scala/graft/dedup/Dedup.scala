@@ -79,7 +79,10 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // The shingle table feeds three consumers (sizes + both join legs);
+    // persist so the explode+distinct pass runs once.
     val sh = shingleTable(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col(idCol).as("doc_a"), col("shingle"))
       .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))

@@ -35,10 +35,13 @@ object TypeMapper {
       case "float" | "real" => FloatType
       case "double" | "float8" => DoubleType
       case "decimal" | "bigdecimal" | "numeric" =>
-        // Cap (38,8) like the reference (types_mapping.yml decimal rows).
-        DecimalType(
-          math.min(precision.getOrElse(38), 38),
-          math.min(scale.getOrElse(8), 8))
+        // Cap (38,8) like the reference (types_mapping.yml decimal rows);
+        // additionally clamp to a VALID Spark decimal (precision >= 1,
+        // scale in [0, precision]) — source catalogs do report degenerate
+        // (0, s) shapes.
+        val p = math.max(1, math.min(precision.getOrElse(38), 38))
+        val s = math.max(0, math.min(math.min(scale.getOrElse(8), 8), p))
+        DecimalType(p, s)
       case "timestamp" | "datetime" | "datetime2" => TimestampType
       case "date" => DateType
       case "object" | "xml" | "blob" | "varbinary" | "bytea" => BinaryType

@@ -58,6 +58,24 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(result == Set(1L, 2L, 3L))
   }
 
+  test("merge is idempotent over randomized workloads (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val destR = (1 to 200).map(i =>
+      (i.toLong, s"v${rnd.nextInt(1000)}", ts("2024-01-01 00:00:00")))
+      .toDF("id", "payload", "updated_at")
+    val incR = (1 to 120).map(_ =>
+      (rnd.nextInt(300).toLong, s"n${rnd.nextInt(1000)}", ts("2024-02-01 00:00:00")))
+      .toDF("id", "payload", "updated_at").dropDuplicates("id")
+    val once = IncrementalSync.mergeBatch(destR, incR, Seq("id"))
+    val twice = IncrementalSync.mergeBatch(once, incR, Seq("id"))
+    assert(once.collect().toSet == twice.collect().toSet)
+    // keys are exactly the union of both sides
+    val keys = once.select("id").as[Long].collect().toSet
+    val expected = destR.select("id").as[Long].collect().toSet ++
+      incR.select("id").as[Long].collect().toSet
+    assert(keys == expected)
+  }
+
   test("duplicate keys in the increment replace the dest row with exactly those rows") {
     val inc = Seq(
       (2L, "dup-a", ts("2024-01-05 00:00:00")),

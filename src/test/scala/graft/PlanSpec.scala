@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-quality regression tests: the scale claims (pushdown, pruning,
+  * broadcast) are asserted against the actual physical plans so a
+  * refactor can't silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q_full_copy prunes the scan to the destination columns") {
+    val p = plan("q_full_copy")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_quantity:double,l_shipdate:timestamp"))
+    assert(!p.contains("l_comment") && !p.contains("l_tax"))
+  }
+
+  test("q_key_range pushes the BETWEEN predicate into the parquet scan") {
+    val p = plan("q_key_range")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_orderkey,100)") &&
+      p.contains("LessThanOrEqual(l_orderkey,2000)"))
+  }
+
+  test("q_mapping_join broadcasts the dimension side") {
+    assert(plan("q_mapping_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q_merge_incremental anti-join reads only the increment's key columns") {
+    val p = plan("q_merge_incremental")
+    assert(p.contains("LeftAnti"))
+    // the anti-join's build side scans just (o_orderkey, o_orderdate)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp"))
+  }
+
+  test("q_watermark_inc pushes the watermark predicate to the scan") {
+    val p = plan("q_watermark_inc")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_orderdate"))
+  }
+
+  test("q1_agg aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // formatted plans list operators leaves-first: a partial aggregate
+    // must exist below the exchange
+    assert(p.contains("partial_sum") || p.contains("partial_count") ||
+      p.split("Exchange").head.contains("HashAggregate") ||
+      p.indexOf("HashAggregate", exchange) != firstAgg)
+  }
+}

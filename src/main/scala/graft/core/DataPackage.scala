@@ -70,4 +70,30 @@ object DataPackage {
       .option("header", true)
       .schema(schemaFromFields(fields))
       .csv(s"$path/$name.csv")
+
+  /** Zip envelope (K5, patchwork.py:153-181): bundle the CSV part files
+    * and descriptor into one `<name>.zip` on the driver — the reference's
+    * transport format for patch/QA files. */
+  def zip(path: String, name: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    import scala.jdk.CollectionConverters._
+    val target = Paths.get(s"$path/$name.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(target))
+    try {
+      val csvDir = Paths.get(s"$path/$name.csv")
+      val parts = Files.list(csvDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".csv")).sortBy(_.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val suffix = if (parts.length == 1) "" else s"_$i"
+        zos.putNextEntry(new ZipEntry(s"$name$suffix.csv"))
+        Files.copy(p, zos)
+        zos.closeEntry()
+      }
+      zos.putNextEntry(new ZipEntry("datapackage.json"))
+      Files.copy(Paths.get(s"$path/datapackage.json"), zos)
+      zos.closeEntry()
+    } finally zos.close()
+    target
+  }
 }

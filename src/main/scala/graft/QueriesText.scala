@@ -112,6 +112,11 @@ object QueriesText {
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
 
+  // Lossless prefix-filtered variant (the heavy-tail scale path) — same
+  // output contract, so it shares the brute-force oracle.
+  def qDedupNgramPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+
   val qDedupNgramSql: String =
     s"""WITH $shingleCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -259,6 +264,7 @@ object QueriesText {
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -272,6 +278,7 @@ object QueriesText {
     "q_fingerprint" -> qFingerprintSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram" -> qDedupNgramSql,
+    "q_dedup_ngram_prefix" -> qDedupNgramSql,
     "q_minhash_sig" -> qMinhashSigSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     // q_simhash_pairs: xxhash64-based, not SQL-expressible -> rows-only

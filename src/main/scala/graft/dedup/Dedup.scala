@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -109,6 +110,55 @@ object Dedup {
     * measured ~10x slower at sf0.1.) One shuffle on the doc id.
     * Not oracle-expressible (xxhash64 is Spark-specific) — verified by
     * rows-only check + unit tests. */
+  /** Prefix-filtered n-gram Jaccard — the lossless scale path for
+    * similarity self-joins (Chaudhuri et al.'s prefix filtering, public
+    * SSJoin literature): under a global shingle order, two sets with
+    * Jaccard >= t must share a shingle inside each one's
+    * (n - ceil(t*n) + 1)-prefix (since J >= t implies overlap >= t*n for
+    * both sizes). Ordering by ascending document frequency puts the
+    * RAREST shingles in the prefix, so the candidate join never touches
+    * the stop-shingle buckets that make the naive self-join quadratic on
+    * heavy-tailed corpora. Candidates are then verified exactly.
+    *
+    * Output is identical to `ngramJaccardPairs` (spec-checked); cost is
+    * prefix-join + |candidates| x set-intersection instead of a full
+    * shingle self-join. */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, Seq("shingle"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
+    val sized = ranked
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    // prefix length p = n - ceil(t*n) + 1
+    val prefix = sized
+      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col(idCol), col("shingle"), col("n_sh"))
+    val cands = prefix.select(col(idCol).as("doc_a"), col("shingle"), col("n_sh").as("na"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"), col("n_sh").as("nb")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .distinct()
+    // exact verification: intersection size over the full shingle sets
+    val inter = cands
+      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("jaccard"))
+  }
+
   /** Row-local SimHash Column (folds the token array in-row). Convenient
     * for ad-hoc use on short arrays; for corpus-scale hashing prefer
     * `simhashTable`, whose explode+aggregate form stays in codegen. */

@@ -37,6 +37,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered jaccard equals brute force on the real corpus") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val brute = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(real, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(prefix == brute)
+    assert(brute.nonEmpty) // sf0.001 contains planted near-dups
+  }
+
   test("minhash signatures are identical for identical docs and LSH finds them") {
     val sig = Dedup.minhashSignatures(
       Dedup.shingleTable(docs, "doc_id", "text", 3), "doc_id", 8)

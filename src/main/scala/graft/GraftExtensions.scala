@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DecimalDot, FloatDot, RollingHash}
+
+/** SparkSessionExtensions entry point: registers the library's native
+  * expressions with the SQL function registry so plain SQL (and
+  * spark.sql-routed tools) can call them:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   -- or --
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * `GraftExtensions.register(spark)` does the same on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      info("rolling_hash", "rolling_hash(str) - polynomial rolling-hash fingerprint"),
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    ("float_dot",
+      info("float_dot", "float_dot(a, b) - native double dot product of float arrays"),
+      (args: Seq[Expression]) => FloatDot(args.head, args(1))),
+    ("decimal_dot",
+      info("decimal_dot", "decimal_dot(a, b) - exact decimal dot product of float arrays"),
+      (args: Seq[Expression]) => DecimalDot(args.head, args(1))))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

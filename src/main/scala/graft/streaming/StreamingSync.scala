@@ -49,10 +49,13 @@ object StreamingSync {
         val dest =
           try spark.read.parquet(destPath)
           catch { case _: Throwable => batch.limit(0) }
-        IncrementalSync.mergeBatch(dest, batch, keys)
-          .write.mode("overwrite").parquet(destPath + "_next")
-        // Atomic-swap emulation for a file sink (SURVEY §7.5.6): a real
-        // deployment uses a transactional table format for the commit.
-        ()
+        // Staged write + rename swap (AtomicParquet): the merge plan reads
+        // the current generation while the new one lands in staging, then
+        // the destination flips in one rename — the reference's
+        // single-transaction truncate+load contract for a file sink
+        // (SURVEY §7.5.6). A transactional table format replaces this in
+        // production deployments.
+        graft.core.AtomicParquet.overwrite(
+          IncrementalSync.mergeBatch(dest, batch, keys), destPath)
       }
 }

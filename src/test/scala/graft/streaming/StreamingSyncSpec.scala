@@ -60,7 +60,7 @@ class StreamingSyncSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val merged = spark.read.parquet(destPath + "_next")
+    val merged = spark.read.parquet(destPath)
       .as[(Long, String)].collect().toMap
     assert(merged == Map(1L -> "old", 2L -> "new", 3L -> "new"))
   }

@@ -89,6 +89,48 @@ object QueriesExtra {
        |  GROUP BY a.vec_id, b.vec_id, a.centroid_id)
        |WHERE cos_sim >= 0.35""".stripMargin
 
+  // ------------------------------------------------------ hyperplane LSH
+  // Signed-random-projection LSH (the LSH-bucketed ANN variant): seeded
+  // hyperplanes shipped as literals into BOTH the Spark plan and the
+  // oracle SQL, so the bucketing itself is hash-checked.
+  private val LshBits = 4
+  private val LshSeed = 7L
+  private val LshThreshold = 0.3
+
+  def qLshNeardup(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.HyperplaneLSH.nearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      LshBits, LshSeed, LshThreshold)
+
+  val qLshNeardupSql: String = {
+    val ps = graft.similarity.HyperplaneLSH.planes(LshBits, 64, LshSeed)
+    val values = graft.similarity.HyperplaneLSH.planesSqlValues(ps)
+    val powArm = (0 until LshBits).map(j => s"WHEN $j THEN ${1L << j}")
+      .mkString(" ")
+    s"""WITH $normCte,
+       |planes(bit, i, w) AS (VALUES
+       |$values),
+       |dots AS (
+       |  SELECT e.vec_id, p.bit,
+       |    CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE) * CAST(p.w AS DOUBLE) AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS dot
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.bit),
+       |sig AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN dot >= 0 THEN (CASE bit $powArm END) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |b AS (SELECT n.vec_id, n.embedding, n.norm_sq, sig.bucket
+       |      FROM n JOIN sig ON n.vec_id = sig.vec_id)
+       |SELECT vec_a, vec_b, bucket, cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b, a.bucket,
+       |    CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(a.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(bb.norm_sq) AS DOUBLE))) AS cos_sim
+       |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY a.vec_id, bb.vec_id, a.bucket)
+       |WHERE cos_sim >= $LshThreshold""".stripMargin
+  }
+
   // ----------------------------------------------------------- join agg
   // TPC-H Q5-style multi-join aggregate: the canonical "would this plan
   // survive 100x" query — dims broadcast, facts shuffle once on the join
@@ -134,6 +176,7 @@ object QueriesExtra {
     "q_csv_extract" -> (qCsvExtract _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_lsh_neardup" -> (qLshNeardup _),
     "q_join_agg" -> (qJoinAgg _),
     "q_rolling_fp" -> (qRollingFp _),
   )
@@ -142,6 +185,7 @@ object QueriesExtra {
     "q_csv_extract" -> qCsvExtractSql,
     "q_token_bpe" -> qTokenBpeSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_lsh_neardup" -> qLshNeardupSql,
     "q_join_agg" -> qJoinAggSql,
     // q_rolling_fp: custom Expression, rows-only by design
   )

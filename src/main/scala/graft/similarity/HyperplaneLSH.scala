@@ -1,0 +1,75 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DecimalDotExpr
+
+/** Signed-random-projection (hyperplane) LSH over embedding columns — the
+  * LSH-bucketed ANN variant: `nBits` fixed hyperplanes (seeded, shipped as
+  * literals so an external oracle can replicate them) map each vector to a
+  * bit signature; vectors sharing the signature bucket become candidates,
+  * verified exactly by cosine. Collision probability per bit is
+  * 1 - theta/pi, so near-parallel vectors share buckets with high
+  * probability while the candidate space shrinks by ~2^nBits.
+  *
+  * Bit rule: sign(decimal_dot(v, plane)) >= 0 — the decimal dot keeps the
+  * signature engine-exact (sum order cannot flip a near-zero projection
+  * differently on different engines).
+  */
+object HyperplaneLSH {
+
+  /** Deterministic planes: `nBits` x `dims` doubles from a seeded RNG. */
+  def planes(nBits: Int, dims: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
+
+  /** Signature bucket id in [0, 2^nBits). Planes are cast to float arrays
+    * so the same DecimalDot element rounding applies on both engines. */
+  def bucket(vecCol: Column, ps: Seq[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      when(DecimalDotExpr.decimal_dot(vecCol, planeLit(p)) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed near-neighbor pairs: same signature bucket, cosine >=
+    * threshold (exact verification via CosineSearch). */
+  def nearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, seed: Long, threshold: Double): DataFrame = {
+    val ps = planes(nBits, 64, seed)
+    val bucketed = CosineSearch.withNormSq(vecs, vecCol)
+      .withColumn("bucket", bucket(col(vecCol), ps))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = bucketed.select(col("bucket"), col(idCol).as("vec_a"),
+      col(vecCol).as("va"), col("norm_sq").as("na"))
+    val r = bucketed.select(col("bucket"), col(idCol).as("vec_b"),
+      col(vecCol).as("vb"), col("norm_sq").as("nb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      // codegen'd double screen, exact decimal rescore for survivors
+      .withColumn("cos_approx",
+        graft.functions.FloatDotExpr.float_dot(col("va"), col("vb")) /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos_approx") >= threshold - 1e-6)
+      .withColumn("cos_sim",
+        CosineSearch.cosine(CosineSearch.dotDecimal(col("va"), col("vb")),
+          col("na"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos_sim"))
+  }
+
+  /** The planes rendered as SQL VALUES rows `(bit, dim_index, weight)` —
+    * float-valued literals so the oracle's arithmetic matches `planeLit`.
+    * dim_index is 1-based for engines with 1-based array indexing. */
+  def planesSqlValues(ps: Seq[Array[Double]]): String =
+    ps.zipWithIndex.flatMap { case (p, j) =>
+      p.zipWithIndex.map { case (w, i) =>
+        s"($j, ${i + 1}, CAST(${w.toFloat} AS FLOAT))"
+      }
+    }.mkString(",\n")
+}

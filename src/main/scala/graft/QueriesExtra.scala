@@ -163,6 +163,62 @@ object QueriesExtra {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  // --------------------------------------------------------- q6 filter agg
+  // TPC-H Q6 shape: highly selective scan-side predicates + single scalar
+  // aggregate — tests that every predicate reaches the parquet scan.
+  def qFilterAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+             col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,4)").as("revenue"),
+        count(lit(1)).as("n"))
+
+  val qFilterAggSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------ q3 top revenue
+  // TPC-H Q3 shape: selective join + aggregate + top-k with tiebreaks.
+  def qTopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+        .cast("decimal(38,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val qTopRevenueSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   // ------------------------------------------------ rolling fingerprint
   // Native Catalyst Expression with codegen (rows-only check: the hash is
   // engine-specific by design; unit-tested against a reference loop).
@@ -178,6 +234,8 @@ object QueriesExtra {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_lsh_neardup" -> (qLshNeardup _),
     "q_join_agg" -> (qJoinAgg _),
+    "q_filter_agg" -> (qFilterAgg _),
+    "q_top_revenue" -> (qTopRevenue _),
     "q_rolling_fp" -> (qRollingFp _),
   )
 
@@ -187,6 +245,8 @@ object QueriesExtra {
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_lsh_neardup" -> qLshNeardupSql,
     "q_join_agg" -> qJoinAggSql,
+    "q_filter_agg" -> qFilterAggSql,
+    "q_top_revenue" -> qTopRevenueSql,
     // q_rolling_fp: custom Expression, rows-only by design
   )
 }

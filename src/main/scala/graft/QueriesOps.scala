@@ -151,6 +151,24 @@ object QueriesOps {
       |    AS wm_literal
       |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
 
+  // ------------------------------------------------------ top-k per group
+  // Typed Aggregator with bounded k-element map-side buffers — the scale
+  // alternative to window row_number (which sorts every group fully).
+  // Oracle is the window formulation: both must agree exactly.
+  def qTopkGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopKAggregator.topKPerGroup(
+      t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice")),
+      groupCols = Seq("o_orderpriority"),
+      idCol = "o_orderkey", scoreCol = "o_totalprice", k = 3)
+
+  val qTopkGroupSql: String =
+    """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+      |  FROM orders) WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------------------ top-k
   // §2.7: orderBy/limit with deterministic tiebreak (bacen argmax family).
   def qTopk(s: SparkSession, dir: String): DataFrame =
@@ -205,6 +223,7 @@ object QueriesOps {
     "q_frames" -> (qFrames _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_topk" -> (qTopk _),
+    "q_topk_group" -> (qTopkGroup _),
     "q_window_running" -> (qWindowRunning _),
     "q_values_union" -> (qValuesUnion _),
   )
@@ -216,6 +235,7 @@ object QueriesOps {
     "q_frames" -> qFramesSql,
     "q_date_funcs" -> qDateFuncsSql,
     "q_topk" -> qTopkSql,
+    "q_topk_group" -> qTopkGroupSql,
     "q_window_running" -> qWindowRunningSql,
     "q_values_union" -> qValuesUnionSql,
   )

@@ -79,6 +79,28 @@ object QueriesEvents {
       |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- as-of
+  // Point-in-time join of each event to its user's latest state update
+  // (state = every 10th event). The oracle uses DuckDB's native ASOF JOIN
+  // — a different algorithm than the union-window formulation, so
+  // agreement is strong evidence of correct semantics.
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val left = events.select(col("event_id"), col("user_id"), col("ts"))
+    val state = events.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("value").as("state_value"))
+    graft.operators.AsOfJoin.asof(left, state, "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("state_value"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH state AS (
+      |  SELECT user_id, ts, value AS state_value FROM events
+      |  WHERE event_id % 10 = 0)
+      |SELECT l.event_id, l.user_id, r.state_value
+      |FROM events l ASOF LEFT JOIN state r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
   // ------------------------------------------------------ distinct count
   def qDistinctUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").groupBy(col("event_type"))
@@ -96,6 +118,7 @@ object QueriesEvents {
     "q_json_extract" -> (qJsonExtract _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_distinct_users" -> (qDistinctUsers _),
+    "q_asof_join" -> (qAsofJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -103,5 +126,6 @@ object QueriesEvents {
     "q_json_extract" -> qJsonExtractSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_distinct_users" -> qDistinctUsersSql,
+    "q_asof_join" -> qAsofJoinSql,
   )
 }

@@ -219,6 +219,34 @@ object QueriesExtra {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- rollup
+  // Grouping-set aggregation (beyond the reference, trivial on Spark):
+  // ROLLUP over the q1 keys with grouping_id disambiguating total rows.
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("g"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  // ------------------------------------------------------ approx distinct
+  // HLL++ sketch counting — engine-specific by design (rows-only check);
+  // the spec bounds the relative error against the exact count.
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n"))
+
   // ------------------------------------------------ rolling fingerprint
   // Native Catalyst Expression with codegen (rows-only check: the hash is
   // engine-specific by design; unit-tested against a reference loop).
@@ -236,6 +264,8 @@ object QueriesExtra {
     "q_join_agg" -> (qJoinAgg _),
     "q_filter_agg" -> (qFilterAgg _),
     "q_top_revenue" -> (qTopRevenue _),
+    "q_rollup" -> (qRollup _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_rolling_fp" -> (qRollingFp _),
   )
 
@@ -247,6 +277,8 @@ object QueriesExtra {
     "q_join_agg" -> qJoinAggSql,
     "q_filter_agg" -> qFilterAggSql,
     "q_top_revenue" -> qTopRevenueSql,
+    "q_rollup" -> qRollupSql,
+    // q_approx_distinct: sketch values are engine-specific -> rows-only
     // q_rolling_fp: custom Expression, rows-only by design
   )
 }

@@ -75,6 +75,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("approx_count_distinct stays within its error bound vs exact") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val approx = graft.QueriesExtra.qApproxDistinct(spark, "/root/testdata/sf0.01")
+      .select("l_returnflag", "approx_orders").as[(String, Long)].collect().toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.1,
+        s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("dedup is idempotent: re-running on survivors changes nothing") {
     val once = Dedup.exactDedup(docs, "doc_id", "text")
     val twice = Dedup.exactDedup(once, "doc_id", "text")

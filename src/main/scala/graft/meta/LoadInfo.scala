@@ -40,4 +40,31 @@ object LoadInfo {
       loadType: String, at: Timestamp): DataFrame =
     auditRow(df.sparkSession, vdb, schema, table, user, loadType, at,
       df.count())
+
+  /** Zero-extra-scan variant: attach an `observe` metric to the load plan
+    * and register a QueryExecutionListener that invokes `onAudit` with
+    * the observed row count when the write completes — the reference's
+    * save_load_info epilogue (fast_etl.py:345-352) without a second pass
+    * over the data. Returns the instrumented DataFrame to write. */
+  def observed(
+      df: DataFrame, observationName: String,
+      onAudit: Long => Unit): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
+    val instrumented = df.observe(observationName, count(lit(1)).as("rows"))
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          qe.observedMetrics.get(observationName).foreach { row =>
+            onAudit(row.getAs[Long]("rows"))
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    instrumented
+  }
 }

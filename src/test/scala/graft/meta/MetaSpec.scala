@@ -18,6 +18,17 @@ class MetaSpec extends SparkSpec {
     assert(row.getAs[String]("tp_carga") == "full")
   }
 
+  test("LoadInfo.observed audits via observe metric, no second scan") {
+    val df = Seq(1, 2, 3, 4).toDF("x")
+    @volatile var audited = -1L
+    val instrumented = LoadInfo.observed(df, "load_audit_test", n => audited = n)
+    instrumented.write.format("noop").mode("overwrite").save()
+    // listener delivery is async; poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (audited < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(audited == 4L)
+  }
+
   test("CommentSync copies column comments case-insensitively") {
     val src = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row]),

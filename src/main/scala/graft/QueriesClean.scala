@@ -133,7 +133,10 @@ object QueriesClean {
   def qCleanCpf(s: SparkSession, dir: String): DataFrame = {
     val src = cpfSynth(t(s, dir, "customer"))
     val meta = TableMeta("src", "public", "customer", Seq("c_custkey"))
-    CpfCleaner(meta, "cpf_raw", VerifiedAt).clean(src).cleaned
+    // strict mode: null-on-checksum-failure (the CpfFunctions.cpfClean
+    // contract this query's oracle mirrors); the reference-faithful
+    // cascade incl. its kept-after-CAST_NULL quirk is covered by q_qa_cpf
+    CpfCleaner(meta, "cpf_raw", VerifiedAt, strict = true).clean(src).cleaned
       .withColumnRenamed("cpf_raw", "cpf_clean")
       .join(src, Seq("c_custkey"))
       .select(col("c_custkey"), col("cpf_raw"), col("cpf_clean"))
@@ -156,6 +159,70 @@ object QueriesClean {
        |SELECT c_custkey, cpf_raw,
        |  CASE WHEN n IS NOT NULL AND ($valid) THEN n END AS cpf_clean
        |FROM norm""".stripMargin
+  }
+
+  // ------------------------------------------------------------ CPF QA
+  // The reference's full _fix_cpf QA cascade (patchwork.py:623-711):
+  // up to two rows per cell (pad-fix + separator-fix, or checksum-null +
+  // separator-fix thanks to the reference's fall-through).
+  def qQaCpf(s: SparkSession, dir: String): DataFrame = {
+    val meta = TableMeta("src", "public", "customer", Seq("c_custkey"))
+    CpfCleaner(meta, "cpf_raw", VerifiedAt)
+      .clean(cpfSynth(t(s, dir, "customer"))).qa
+  }
+
+  val qQaCpfSql: String = {
+    def d(i: Int) = s"CAST(substr(x, $i, 1) AS INT)"
+    def checksum(n: Int) = (1 to n).map(i => s"${d(i)} * ${n + 2 - i}").mkString(" + ")
+    def okFor(x: String) =
+      s"""(x <> repeat(substr(x, 1, 1), 11)
+         | AND ((${checksum(9)}) * 10 % 11) % 10 = ${d(10)}
+         | AND ((${checksum(10)}) * 10 % 11) % 10 = ${d(11)})"""
+        .stripMargin.replace("x", x)
+    val padOk = okFor("padded")
+    val fullOk = okFor("digits")
+    def armSql(cond: String, nivel: Int, motivo: String, considered: String) =
+      s"""SELECT 'c_custkey' AS primary_keys_labels,
+         |  CAST(c_custkey AS VARCHAR) AS primary_keys_values,
+         |  'public' AS esquema, 'customer' AS tabela, 'cpf_raw' AS coluna,
+         |  cpf_raw AS valor_original, $considered AS valor_considerado,
+         |  $nivel AS nivel_erro, '$motivo' AS motivo,
+         |  $VerifiedAtSql AS datahora_verificacao
+         |FROM f WHERE $cond""".stripMargin
+    val arms = Seq(
+      armSql("has_garbage", 2,
+        "Valor desconsiderado por conter caracteres invalidos.",
+        "CAST(NULL AS VARCHAR)"),
+      armSql("NOT has_garbage AND zeroed", 2,
+        "Valor desconsiderado por estar zerado.", "CAST(NULL AS VARCHAR)"),
+      armSql("NOT has_garbage AND NOT zeroed AND allsame", 2,
+        "Valor desconsiderado por conter 11 digitos repetidos.",
+        "CAST(NULL AS VARCHAR)"),
+      armSql(s"NOT has_garbage AND NOT zeroed AND NOT allsame AND short AND NOT $padOk", 2,
+        "Valor desconsiderado por conter menos de 11 digitos.",
+        "CAST(NULL AS VARCHAR)"),
+      armSql(s"NOT has_garbage AND NOT zeroed AND NOT allsame AND short AND $padOk", 1,
+        "Preenchidos zeros a esquerda por conter menos de 11 digitos.",
+        "padded"),
+      armSql(s"NOT has_garbage AND NOT zeroed AND NOT allsame AND NOT short AND NOT $fullOk", 2,
+        "Valor desconsiderado pois os 2 digitos verificadores nao conferem.",
+        "CAST(NULL AS VARCHAR)"),
+      armSql(
+        s"""NOT has_garbage AND NOT zeroed AND NOT allsame
+           | AND ((short AND $padOk) OR NOT short)
+           | AND length(cpf_raw) > length(CASE WHEN short THEN padded ELSE digits END)""".stripMargin,
+        1, "Retirados separadores do valor do CPF.",
+        "CASE WHEN short THEN padded ELSE digits END"))
+    s"""WITH src AS ($cpfSynthSql),
+       |e AS (SELECT c_custkey, cpf_raw,
+       |    regexp_matches(replace(replace(cpf_raw, '.', ''), '-', ''), '[^0-9]') AS has_garbage,
+       |    substr(regexp_replace(cpf_raw, '[^0-9]', '', 'g'), 1, 11) AS digits
+       |  FROM src WHERE cpf_raw IS NOT NULL AND trim(cpf_raw) <> ''),
+       |f AS (SELECT *, TRY_CAST(digits AS BIGINT) < 2 AS zeroed,
+       |    digits = repeat(substr(digits, 1, 1), length(digits)) AS allsame,
+       |    length(digits) < 11 AS short, lpad(digits, 11, '0') AS padded
+       |  FROM e)
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   // ------------------------------------------------------------- UF clean
@@ -245,6 +312,7 @@ object QueriesClean {
     "q_clean_geo" -> (qCleanGeo _),
     "q_qa_geo" -> (qQaGeo _),
     "q_clean_cpf" -> (qCleanCpf _),
+    "q_qa_cpf" -> (qQaCpf _),
     "q_clean_uf" -> (qCleanUf _),
     "q_clean_textcrop" -> (qCleanTextcrop _),
     "q_patch_apply" -> (qPatchApply _),
@@ -255,6 +323,7 @@ object QueriesClean {
     "q_clean_geo" -> qCleanGeoSql,
     "q_qa_geo" -> qQaGeoSql,
     "q_clean_cpf" -> qCleanCpfSql,
+    "q_qa_cpf" -> qQaCpfSql,
     "q_clean_uf" -> qCleanUfSql,
     "q_clean_textcrop" -> qCleanTextcropSql,
     "q_patch_apply" -> qPatchApplySql,

@@ -86,19 +86,102 @@ final case class GeoPointCleaner(
   }
 }
 
-/** CPF repair (patchwork.py:607-726). */
+/** CPF repair (patchwork.py:607-726), with the reference's full QA
+  * cascade — one cell can log TWO rows (e.g. separator-strip CAST_FIX
+  * plus checksum CAST_NULL; SURVEY §7.5.3) — expressed as a union of
+  * filtered projections.
+  *
+  * `strict = false` (default) is bug-for-bug reference-faithful: an
+  * 11-digit value with bad check digits is QA-logged CAST_NULL but the
+  * digits are KEPT (patchwork.py:691-700 logs and falls through without
+  * returning None). `strict = true` nulls it, matching
+  * `CpfFunctions.cpfClean`.
+  */
 final case class CpfCleaner(
     meta: TableMeta,
     column: String,
-    verifiedAt: Timestamp) extends Cleaner {
+    verifiedAt: Timestamp,
+    strict: Boolean = false) extends Cleaner {
 
   def clean(df: DataFrame): CleanResult = {
-    val fixed = CpfFunctions.cpfClean(col(column))
-    val qa = Cleaner.columnQa(df, meta, column,
-      col(column), fixed,
-      "CPF normalizado", "CPF invalido", verifiedAt)
-    CleanResult(df.withColumn(column, fixed), qa)
+    val c = col(column)
+    // reference pipeline state (patchwork.py:634-711)
+    val stripped = translate(c, CpfCleaner.Separators, "")
+    val hasGarbage = c.isNotNull && trim(c) =!= "" &&
+      stripped.rlike("[^0-9]")
+    val digits = substring(regexp_replace(c, "[^0-9]", ""), 1, 11)
+    val zeroed = digits.cast("long") < 2
+    val allSame = digits === repeat(substring(digits, 1, 1), length(digits))
+    val short = length(digits) < 11
+    val padded = lpad(digits, 11, "0")
+    val padOk = CpfFunctions.cpfChecksumOk(padded)
+    val fullOk = CpfFunctions.cpfChecksumOk(digits)
+    val considered = c.isNotNull && trim(c) =!= ""
+    val nulled = hasGarbage ||
+      (considered && !hasGarbage && zeroed) ||
+      (considered && !hasGarbage && !zeroed && allSame) ||
+      (considered && !hasGarbage && !zeroed && !allSame && short && !padOk)
+    val keptValue = when(short, padded).otherwise(digits)
+    // null/empty input returns null immediately (patchwork.py:627-628)
+    val fixed0 =
+      if (strict)
+        when(nulled || (!short && !fullOk), lit(null)).otherwise(keptValue)
+      else
+        when(nulled, lit(null)).otherwise(keptValue)
+    val fixed = when(!considered, lit(null)).otherwise(fixed0)
+
+    val prep = df
+      .withColumn("__fixed", fixed)
+      .withColumn("__digits", digits)
+      .withColumn("__padded", padded)
+
+    def arm(cond: Column, nivel: Int, motivo: String,
+        consideredValue: Column): DataFrame =
+      Cleaner.columnQa(prep.filter(cond), meta, column,
+        c, consideredValue, motivo, motivo, verifiedAt,
+        changed = Some(lit(true)),
+        fixedAsString = Some(consideredValue))
+        .withColumn("nivel_erro", lit(nivel))
+        .withColumn("motivo", lit(motivo))
+
+    val nullLit = lit(null).cast("string")
+    val qa = Seq(
+      arm(hasGarbage, QaLevel.CastNull,
+        "Valor desconsiderado por conter caracteres invalidos.", nullLit),
+      arm(considered && !hasGarbage && zeroed, QaLevel.CastNull,
+        "Valor desconsiderado por estar zerado.", nullLit),
+      arm(considered && !hasGarbage && !zeroed && allSame, QaLevel.CastNull,
+        "Valor desconsiderado por conter 11 digitos repetidos.", nullLit),
+      arm(considered && !hasGarbage && !zeroed && !allSame && short && !padOk,
+        QaLevel.CastNull,
+        "Valor desconsiderado por conter menos de 11 digitos.", nullLit),
+      arm(considered && !hasGarbage && !zeroed && !allSame && short && padOk,
+        QaLevel.CastFix,
+        "Preenchidos zeros a esquerda por conter menos de 11 digitos.",
+        col("__padded")),
+      arm(considered && !hasGarbage && !zeroed && !allSame && !short && !fullOk,
+        QaLevel.CastNull,
+        "Valor desconsiderado pois os 2 digitos verificadores nao conferem.",
+        nullLit),
+      // separator strip logs CAST_FIX whenever the raw text was longer
+      // than the surviving digit string (patchwork.py:702-709)
+      arm(considered && !hasGarbage && !zeroed && !allSame &&
+          (short && padOk || !short) &&
+          length(c) > length(when(short, col("__padded")).otherwise(col("__digits"))),
+        QaLevel.CastFix,
+        "Retirados separadores do valor do CPF.",
+        when(short, col("__padded")).otherwise(col("__digits")))
+    ).reduce(_ unionByName _)
+
+    CleanResult(
+      prep.withColumn(column, col("__fixed"))
+        .drop("__fixed", "__digits", "__padded"),
+      qa)
   }
+}
+
+object CpfCleaner {
+  val Separators = ".-" // patchwork.py:609
 }
 
 /** Brazilian state (UF) validation (patchwork.py:728-758): uppercase then

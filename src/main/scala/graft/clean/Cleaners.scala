@@ -271,9 +271,20 @@ final case class MultiKeyMappingCleaner(
     val marked = broadcast(mapping.withColumn("__mapped", lit(true)))
     val joined = df.join(marked, keys, "left")
     val cleaned = joined.filter(col("__mapped").isNotNull).drop("__mapped")
-    val qa = Cleaner.dropLineQa(
+    val dropQa = Cleaner.dropLineQa(
       joined.filter(col("__mapped").isNull).select(df.columns.map(col): _*),
       meta, "Orgao nao mapeado", verifiedAt)
-    CleanResult(cleaned, qa)
+    // ADD_COLUMN QA (patchwork.py:989-1026): one row per added-column
+    // cell that received a mapped value.
+    val addedCols = mapping.columns.filterNot(keys.contains)
+    val addQa = addedCols.map { c =>
+      Cleaner.columnQa(
+        cleaned.filter(col(c).isNotNull), meta, c,
+        lit(null).cast("string"), col(c).cast("string"),
+        s"Coluna $c adicionada pelo mapeamento.", "", verifiedAt,
+        changed = Some(lit(true)))
+        .withColumn("nivel_erro", lit(QaLevel.AddColumn))
+    }
+    CleanResult(cleaned, addQa.foldLeft(dropQa)(_ unionByName _))
   }
 }

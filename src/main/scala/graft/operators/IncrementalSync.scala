@@ -33,11 +33,19 @@ object IncrementalSync {
     row.get(0)
   }
 
-  /** Source rows strictly past the watermark (P5). The filter is a plain
-    * Column predicate so it pushes down to the scan (parquet stats / JDBC
-    * WHERE clause). */
-  def increment(source: DataFrame, dateColumn: String, wm: Any): DataFrame =
-    source.filter(col(dateColumn) > lit(wm))
+  /** Source rows past the watermark (P5). The filter is a plain Column
+    * predicate so it pushes down to the scan (parquet stats / JDBC WHERE
+    * clause).
+    *
+    * `inclusive = false` (default) is the reference's strict `>`
+    * (fast_etl.py:422-425): rows stamped exactly at the watermark are
+    * missed — kept bug-for-bug. `inclusive = true` is the documented fix
+    * (`>=`): at-watermark rows are re-pulled and the merge makes the
+    * re-application idempotent. */
+  def increment(source: DataFrame, dateColumn: String, wm: Any,
+      inclusive: Boolean = false): DataFrame =
+    if (inclusive) source.filter(col(dateColumn) >= lit(wm))
+    else source.filter(col(dateColumn) > lit(wm))
 
   /** Merge an increment into the destination: update matched keys, insert
     * new ones (reference J1+J2, fast_etl.py:437-450) in one pass.

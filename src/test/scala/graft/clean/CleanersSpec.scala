@@ -62,7 +62,10 @@ class CleanersSpec extends SparkSpec {
     val r = MultiKeyMappingCleaner(meta, Seq("org", "unit"), mapping, at).clean(df)
     assert(r.cleaned.count() == 1)
     assert(r.cleaned.columns.contains("categoria")) // ADD_COLUMN semantics
-    assert(r.qa.count() == 1)
+    // 1 DROP_LINE (unmapped row) + 2 ADD_COLUMN (categoria, cod_siorg)
+    val byLevel = r.qa.groupBy("nivel_erro").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byLevel == Map(QaLevel.DropLine -> 1L, QaLevel.AddColumn -> 2L))
   }
 
   test("PatchMerge overwrites cells including explicit nulls (pandas .loc semantics)") {

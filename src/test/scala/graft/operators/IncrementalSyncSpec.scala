@@ -43,6 +43,14 @@ class IncrementalSyncSpec extends SparkSpec {
       4L -> "new-4"))  // inserted
   }
 
+  test("inclusive watermark (the documented >= fix) re-pulls boundary rows") {
+    val wm = IncrementalSync.watermark(dest, "updated_at")
+    val inc = IncrementalSync.increment(source, "updated_at", wm, inclusive = true)
+    val merged = IncrementalSync.mergeBatch(dest, inc, Seq("id"))
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(merged(3L) == "tie-3") // boundary row included with >=
+  }
+
   test("sinceOverride widens the increment like since_datetime") {
     val result = IncrementalSync.sync(source, dest, Seq("id"), "updated_at",
         sinceOverride = Some(ts("2024-01-02 23:59:59")))

@@ -39,6 +39,7 @@ object QueriesText {
       length(TextFunctions.collapseWs(c)).as("n_chars_norm"),
       TextFunctions.langScore(lower(c), Seq(" the ", " a ", " of "))
         .as("stop_hits"),
+      TextFunctions.punctRatio(c).as("punct_ratio"),
       TextFunctions.qualityScore(c).as("quality"))
   }
 
@@ -51,6 +52,9 @@ object QueriesText {
        |        ${sqlLangScore("(' ' || sl || ' ')", Seq(" the ", " a ", " of "))} AS stop_hits
        |        FROM c)
        |SELECT doc_id, n_tokens, length(s) AS n_chars_norm, stop_hits,
+       |  CASE WHEN length(s) = 0 THEN 0.0
+       |       ELSE CAST(length(s) - length(translate(s, '.,;:!?"''()-', '')) AS DOUBLE)
+       |            / CAST(length(s) AS DOUBLE) END AS punct_ratio,
        |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
        |  least(1.0, (stop_hits / (CAST(n_tokens AS DOUBLE) + 1.0)) * 5.0) * 0.3 +
        |  CASE WHEN ((length(s) - (n_tokens - 1)) * 1.0 / (CAST(n_tokens AS DOUBLE) + 1.0))

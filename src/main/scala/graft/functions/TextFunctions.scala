@@ -62,6 +62,18 @@ object TextFunctions {
     when(best._1 > 0, best._2).otherwise(lit("und"))
   }
 
+  /** Punctuation-character ratio of the collapsed text (0 for empty).
+    * Counted by removing the punctuation set with translate — portable
+    * (regex character-class semantics differ across engines). */
+  val PunctChars = ".,;:!?\"'()-"
+  def punctRatio(c: Column): Column = {
+    val s = collapseWs(c)
+    when(length(s) === 0, lit(0.0))
+      .otherwise(
+        (length(s) - length(translate(s, PunctChars, ""))).cast("double") /
+          length(s).cast("double"))
+  }
+
   /** Composite quality score in [0,1]: length credit, stopword credit,
     * token-shape credit. Deterministic double arithmetic. */
   def qualityScore(c: Column): Column = {

@@ -43,6 +43,21 @@ object MultimodalOps {
     transform(sequence(lit(0), lit(dims - 1)),
       i => pmod(xxhash64(binCol, i), lit(1000)).cast("double") / lit(1000.0))
 
+  /** STUB resize: recomputes the metadata struct for a target box
+    * (aspect-preserving fit) and marks the payload as resized. A real
+    * implementation transforms the bytes in the same projection seam. */
+  def resizeStub(df: DataFrame, metaCol: String, maxW: Int, maxH: Int): DataFrame = {
+    val w = col(s"$metaCol.width").cast("double")
+    val h = col(s"$metaCol.height").cast("double")
+    val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
+    df.withColumn(metaCol, struct(
+      col(s"$metaCol.media_type").as("media_type"),
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      col(s"$metaCol.duration_ms").as("duration_ms"),
+      concat(col(s"$metaCol.codec"), lit("+resized")).as("codec")))
+  }
+
   /** Frame sampling for video-like media: one output row per sampled
     * frame index (every `stepMs` across the duration). Pure relational
     * explode — this is the real scale mechanism (a 10-minute video at

@@ -70,6 +70,23 @@ class MetaSpec extends SparkSpec {
     assert(over.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("MultimodalOps resize stub fits within the box, preserves aspect") {
+    val df = Seq((1L, "x" * 2000)).toDF("id", "t")
+      .withColumn("payload", encode(col("t"), "UTF-8"))
+    val withMeta = MultimodalOps.withMediaMeta(df, "payload", "image")
+    val before = withMeta.select("media_meta.width", "media_meta.height")
+      .collect().head
+    val resized = MultimodalOps.resizeStub(withMeta, "media_meta", 64, 64)
+      .select("media_meta.width", "media_meta.height", "media_meta.codec")
+      .collect().head
+    assert(resized.getInt(0) <= 64 && resized.getInt(1) <= 64)
+    assert(resized.getString(2).endsWith("+resized"))
+    // aspect preserved within integer truncation
+    val r0 = before.getInt(0).toDouble / before.getInt(1)
+    val r1 = resized.getInt(0).toDouble / resized.getInt(1)
+    assert(math.abs(r0 - r1) / r0 < 0.1)
+  }
+
   test("MultimodalOps metadata + frame sampling shapes") {
     val df = Seq((1L, "hello world")).toDF("id", "t")
       .withColumn("payload", encode(col("t"), "UTF-8"))

@@ -263,6 +263,74 @@ object QueriesClean {
       |  lang, source, n_chars
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------- chain (§3.3)
+  // The patchwork DAG composition: UF cleaner then text cropper chained,
+  // QA unioned across stages; stage 2's QA reflects stage-1-cleaned data.
+  private def chainSynth(df: DataFrame): DataFrame = {
+    val m = col("c_custkey") % 4
+    df.select(col("c_custkey"),
+      when(m === 0, lit("sp")).when(m === 1, lit("XX"))
+        .when(m === 2, lit("RJ")).otherwise(lit(" mg ")).as("uf"),
+      when(col("c_custkey") % 3 === 0,
+        concat(lit("LONGTEXT-"), col("c_name"), lit("-"), col("c_name")))
+        .otherwise(col("c_name")).as("nm"))
+  }
+
+  private val chainSynthSql =
+    """SELECT c_custkey,
+      |  CASE c_custkey % 4 WHEN 0 THEN 'sp' WHEN 1 THEN 'XX'
+      |       WHEN 2 THEN 'RJ' ELSE ' mg ' END AS uf,
+      |  CASE WHEN c_custkey % 3 = 0
+      |       THEN 'LONGTEXT-' || c_name || '-' || c_name
+      |       ELSE c_name END AS nm
+      |FROM customer""".stripMargin
+
+  def qChainClean(s: SparkSession, dir: String): DataFrame = {
+    val meta = TableMeta("src", "public", "customer", Seq("c_custkey"))
+    Cleaner.chain(chainSynth(t(s, dir, "customer")), Seq(
+      UfCleaner(meta, "uf", VerifiedAt),
+      TextCropperCleaner(meta, "nm", 20, VerifiedAt))).cleaned
+  }
+
+  def qChainQa(s: SparkSession, dir: String): DataFrame = {
+    val meta = TableMeta("src", "public", "customer", Seq("c_custkey"))
+    Cleaner.chain(chainSynth(t(s, dir, "customer")), Seq(
+      UfCleaner(meta, "uf", VerifiedAt),
+      TextCropperCleaner(meta, "nm", 20, VerifiedAt))).qa
+  }
+
+  private val ufListSql = UfCleaner.ValidUfs.map(u => s"'$u'").mkString(", ")
+
+  val qChainCleanSql: String =
+    s"""WITH src AS ($chainSynthSql)
+       |SELECT c_custkey,
+       |  CASE WHEN upper(trim(uf)) IN ($ufListSql) THEN upper(trim(uf)) END AS uf,
+       |  CASE WHEN length(nm) > 20 THEN substr(nm, 1, 17) || '...' ELSE nm END AS nm
+       |FROM src""".stripMargin
+
+  val qChainQaSql: String =
+    s"""WITH src AS ($chainSynthSql),
+       |fixed AS (SELECT c_custkey, uf, nm,
+       |  CASE WHEN upper(trim(uf)) IN ($ufListSql) THEN upper(trim(uf)) END AS uf_f,
+       |  CASE WHEN length(nm) > 20 THEN substr(nm, 1, 17) || '...' ELSE nm END AS nm_f
+       |  FROM src)
+       |SELECT 'c_custkey' AS primary_keys_labels,
+       |  CAST(c_custkey AS VARCHAR) AS primary_keys_values,
+       |  'public' AS esquema, 'customer' AS tabela, 'uf' AS coluna,
+       |  uf AS valor_original, uf_f AS valor_considerado,
+       |  CASE WHEN uf_f IS NULL THEN 2 ELSE 1 END AS nivel_erro,
+       |  CASE WHEN uf_f IS NULL THEN 'UF invalida' ELSE 'UF normalizada' END AS motivo,
+       |  $VerifiedAtSql AS datahora_verificacao
+       |FROM fixed WHERE uf IS DISTINCT FROM uf_f
+       |UNION ALL
+       |SELECT 'c_custkey', CAST(c_custkey AS VARCHAR), 'public', 'customer', 'nm',
+       |  nm, nm_f,
+       |  CASE WHEN nm_f IS NULL THEN 2 ELSE 1 END,
+       |  CASE WHEN nm_f IS NULL THEN 'Texto invalido'
+       |       ELSE 'Texto truncado para 20 caracteres' END,
+       |  $VerifiedAtSql
+       |FROM fixed WHERE nm IS DISTINCT FROM nm_f""".stripMargin
+
   // ---------------------------------------------------------- patch merge
   // Patch overwrites cells (including null cells) for keyed rows; drop
   // lines remove rows whose key is in the QA drop set.
@@ -316,6 +384,8 @@ object QueriesClean {
     "q_clean_uf" -> (qCleanUf _),
     "q_clean_textcrop" -> (qCleanTextcrop _),
     "q_patch_apply" -> (qPatchApply _),
+    "q_chain_clean" -> (qChainClean _),
+    "q_chain_qa" -> (qChainQa _),
     "q_dedup_dropped" -> (qDedupDropped _),
   )
 
@@ -327,6 +397,8 @@ object QueriesClean {
     "q_clean_uf" -> qCleanUfSql,
     "q_clean_textcrop" -> qCleanTextcropSql,
     "q_patch_apply" -> qPatchApplySql,
+    "q_chain_clean" -> qChainCleanSql,
+    "q_chain_qa" -> qChainQaSql,
     "q_dedup_dropped" -> qDedupDroppedSql,
   )
 }

@@ -136,7 +136,12 @@ object QueriesOps {
       DateFunctions.formatYmd(col("o_orderdate")).as("ymd"),
       DateFunctions.formatBr(col("o_orderdate")).as("br"),
       DateFunctions.watermarkLiteral(col("o_orderdate"), isDate = false)
-        .as("wm_literal"))
+        .as("wm_literal"),
+      // gsheets ISO-string round trip (string_formatting.py:30-42):
+      // render then re-parse; survives exactly.
+      DateFunctions.parseIso(
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        .as("iso_roundtrip"))
   }
 
   val qDateFuncsSql: String =
@@ -148,7 +153,9 @@ object QueriesOps {
       |  strftime(o_orderdate, '%d/%m/%Y') AS br,
       |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.' ||
       |    lpad(CAST(epoch_us(o_orderdate) % 1000000 // 1000 AS VARCHAR), 3, '0')
-      |    AS wm_literal
+      |    AS wm_literal,
+      |  strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ'),
+      |           '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_roundtrip
       |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
 
   // ------------------------------------------------------ top-k per group

@@ -29,15 +29,23 @@ object FullCopy {
       Naming.resolveProjection(source, destColumns, columnsToIgnore): _*)
 
   /** Full copy into a file sink. `truncate = true` maps the reference's
-    * TRUNCATE-then-INSERT to mode Overwrite; `false` to Append. */
+    * TRUNCATE-then-INSERT to mode Overwrite; `false` to Append.
+    * `atomic = true` commits the overwrite through AtomicParquet's staged
+    * rename swap — the reference's single-transaction load contract
+    * (readers never observe a partial destination). */
   def copyToPath(
       source: DataFrame,
       destColumns: Seq[String],
       destPath: String,
       truncate: Boolean = true,
-      columnsToIgnore: Seq[String] = Nil): Unit =
-    align(source, destColumns, columnsToIgnore)
-      .write
-      .mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
-      .parquet(destPath)
+      columnsToIgnore: Seq[String] = Nil,
+      atomic: Boolean = false): Unit = {
+    val aligned = align(source, destColumns, columnsToIgnore)
+    if (atomic && truncate)
+      graft.core.AtomicParquet.overwrite(aligned, destPath)
+    else
+      aligned.write
+        .mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+        .parquet(destPath)
+  }
 }

@@ -18,6 +18,21 @@ class NamingSpec extends SparkSpec {
     assert(Naming.slugifyColumns(df).columns.toSeq == Seq("orgao", "valor_total"))
   }
 
+  test("htmlEncode replaces accented letters with entities (encode_html.py)") {
+    import graft.functions.StringUtils
+    assert(StringUtils.htmlEncode("relatório até ação") ==
+      "relat&oacute;rio at&eacute; a&ccedil;&atilde;o")
+    assert(StringUtils.htmlEncode("plain text") == "plain text")
+  }
+
+  test("vocativeNames joins first names with ' e ' tail (string_formatting.py:44-63)") {
+    import graft.functions.StringUtils
+    assert(StringUtils.vocativeNames(Seq("fulano.silva@x.org")) == "Fulano")
+    assert(StringUtils.vocativeNames(
+      Seq("fulano.a@x", "sicrano.b@x", "beltrano.c@x")) ==
+      "Fulano, Sicrano e Beltrano")
+  }
+
   test("resolveProjection is case-insensitive, ordered by dest, skips missing") {
     val df = Seq((1L, "x", 2.0)).toDF("Id", "Name", "Weight")
     val cols = Naming.resolveProjection(df,

@@ -41,17 +41,21 @@ object Bench {
     // steady-state throughput, which is what a long-running 100 TB job
     // experiences.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
       }
-      name -> times.min
+      // a failed query must be visible in the output, not reported as a
+      // suspiciously-fast success
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

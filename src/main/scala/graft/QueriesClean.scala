@@ -218,7 +218,7 @@ object QueriesClean {
        |    regexp_matches(replace(replace(cpf_raw, '.', ''), '-', ''), '[^0-9]') AS has_garbage,
        |    substr(regexp_replace(cpf_raw, '[^0-9]', '', 'g'), 1, 11) AS digits
        |  FROM src WHERE cpf_raw IS NOT NULL AND trim(cpf_raw) <> ''),
-       |f AS (SELECT *, TRY_CAST(digits AS BIGINT) < 2 AS zeroed,
+       |f AS (SELECT *, (digits = '' OR TRY_CAST(digits AS BIGINT) < 2) AS zeroed,
        |    digits = repeat(substr(digits, 1, 1), length(digits)) AS allsame,
        |    length(digits) < 11 AS short, lpad(digits, 11, '0') AS padded
        |  FROM e)

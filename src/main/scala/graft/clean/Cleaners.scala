@@ -110,7 +110,10 @@ final case class CpfCleaner(
     val hasGarbage = c.isNotNull && trim(c) =!= "" &&
       stripped.rlike("[^0-9]")
     val digits = substring(regexp_replace(c, "[^0-9]", ""), 1, 11)
-    val zeroed = digits.cast("long") < 2
+    // empty digit strings (separator-only input like "..") count as
+    // zeroed — a bare `cast < 2` yields NULL there, which would
+    // short-circuit the whole rejection cascade and emit "00000000000"
+    val zeroed = digits === "" || digits.cast("long") < 2
     val allSame = digits === repeat(substring(digits, 1, 1), length(digits))
     val short = length(digits) < 11
     val padded = lpad(digits, 11, "0")

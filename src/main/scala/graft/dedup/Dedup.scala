@@ -81,7 +81,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     // The shingle table feeds three consumers (sizes + both join legs);
-    // persist so the explode+distinct pass runs once.
+    // persist so the explode+distinct pass runs once. Cache lifecycle is
+    // caller-owned: unpersist (or spark.catalog.clearCache) after the
+    // consuming action when running many tables in one session.
     val sh = shingleTable(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -101,15 +103,6 @@ object Dedup {
         col("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens using xxhash64 bit planes.
-    *
-    * Implementation: explode tokens, hash each token ONCE, then one
-    * hash-aggregation with 64 conditional-sum vote counters — all inside
-    * whole-stage codegen. (A per-row fold with 64 higher-order `aggregate`
-    * lambdas evaluates interpreted and re-hashes every token 64 times —
-    * measured ~10x slower at sf0.1.) One shuffle on the doc id.
-    * Not oracle-expressible (xxhash64 is Spark-specific) — verified by
-    * rows-only check + unit tests. */
   /** Prefix-filtered n-gram Jaccard — the lossless scale path for
     * similarity self-joins (Chaudhuri et al.'s prefix filtering, public
     * SSJoin literature): under a global shingle order, two sets with
@@ -176,6 +169,15 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
+  /** 64-bit SimHash over whitespace tokens using xxhash64 bit planes.
+    *
+    * Implementation: explode tokens, hash each token ONCE, then one
+    * hash-aggregation with 64 conditional-sum vote counters — all inside
+    * whole-stage codegen. (A per-row fold with 64 higher-order `aggregate`
+    * lambdas evaluates interpreted and re-hashes every token 64 times —
+    * measured ~10x slower at sf0.1.) One shuffle on the doc id.
+    * Not oracle-expressible (xxhash64 is Spark-specific) — verified by
+    * rows-only check + unit tests. */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs
       .select(col(idCol),

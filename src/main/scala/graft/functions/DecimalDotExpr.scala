@@ -64,6 +64,19 @@ object DecimalDotExpr {
 case class DecimalDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DecimalDotExpr.ResultType
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"decimal_dot expects ARRAY<FLOAT> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DecimalDotExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

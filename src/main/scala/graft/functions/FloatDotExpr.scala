@@ -37,6 +37,19 @@ object FloatDotExpr {
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"float_dot expects ARRAY<FLOAT> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     FloatDotExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

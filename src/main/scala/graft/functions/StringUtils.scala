@@ -27,9 +27,12 @@ object StringUtils {
       t.replace(c.toString, s"&$e;")
     }
 
-  /** "Fulano, Sicrano e Beltrano" from name.lastname@host emails. */
+  /** "Fulano, Sicrano e Beltrano" from name.lastname@host emails.
+    * The local part is isolated before splitting on '.' so dotless local
+    * parts ("ana@example.com") don't leak the domain into the name. */
   def vocativeNames(emails: Seq[String]): String = {
-    val names = emails.map(_.split("\\.")(0).toLowerCase.capitalize)
+    val names = emails.map(
+      _.split("@")(0).split("\\.")(0).toLowerCase.capitalize)
     names match {
       case Seq(only) => only
       case init :+ last => init.mkString(", ") + " e " + last

@@ -52,19 +52,25 @@ object LoadInfo {
     val spark = df.sparkSession
     import org.apache.spark.sql.functions._
     val instrumented = df.observe(observationName, count(lit(1)).as("rows"))
-    spark.listenerManager.register(
+    // Self-unregistering: a long-lived session auditing many loads must
+    // not accumulate listeners (each would re-fire for every later query
+    // carrying the same observation name -> duplicate audit rows).
+    val listener: org.apache.spark.sql.util.QueryExecutionListener =
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit = {
           qe.observedMetrics.get(observationName).foreach { row =>
-            onAudit(row.getAs[Long]("rows"))
+            try onAudit(row.getAs[Long]("rows"))
+            finally spark.listenerManager.unregister(this)
           }
         }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
-      })
+            exception: Exception): Unit =
+          spark.listenerManager.unregister(this)
+      }
+    spark.listenerManager.register(listener)
     instrumented
   }
 }

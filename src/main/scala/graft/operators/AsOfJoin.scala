@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * (`last_value(..., ignoreNulls)` over unbounded-preceding). Cost is a
   * single sort-shuffle of |left| + |right| — the same lower bound a
   * native as-of merge join pays — and it inherits AQE/skew handling.
-  * Right rows at exactly left.ts match (<=), with the latest right row
-  * winning ties among themselves (ordered by ts, then right id order).
+  * Right rows at exactly left.ts match (<=).
+  *
+  * PRECONDITION: the right side must be unique per (key, ts). With
+  * duplicate right timestamps for a key, which payload wins is
+  * undefined (the window order has no further tiebreak) — dedup the
+  * state stream first (e.g. DuplicatedRowCleaner) if it can happen.
   */
 object AsOfJoin {
 

@@ -37,11 +37,13 @@ object HyperplaneLSH {
     }.reduce(_ + _)
 
   /** Bucketed near-neighbor pairs: same signature bucket, cosine >=
-    * threshold (exact verification via CosineSearch). */
+    * threshold (exact verification via CosineSearch). `dims` must match
+    * the embedding dimensionality — planes are generated at that length
+    * and the dot product silently truncates to the shorter side. */
   def nearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, seed: Long, threshold: Double): DataFrame = {
-    val ps = planes(nBits, 64, seed)
+      nBits: Int, seed: Long, threshold: Double, dims: Int = 64): DataFrame = {
+    val ps = planes(nBits, dims, seed)
     val bucketed = CosineSearch.withNormSq(vecs, vecCol)
       .withColumn("bucket", bucket(col(vecCol), ps))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -10,7 +10,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the batch lag+cumsum sessionizer (QueriesEvents.qSessionize):
   * `flatMapGroupsWithState` keeps (last event time, session index) per
   * user, incrementing the index when the inactivity gap exceeds the
-  * threshold. Event-time watermarking bounds the state.
+  * threshold.
+  *
+  * State lifecycle: pass `watermarkDelay` to bound state — the input gets
+  * an event-time watermark and idle users' state is evicted via
+  * EventTimeTimeout once the watermark passes their last event + gap.
+  * Without it (`None`, the test/default mode) state is per-user forever,
+  * which is only acceptable for bounded key populations.
   *
   * Semantics match the batch form exactly when events arrive in order;
   * the spec drives both paths over the same data and compares.
@@ -23,10 +29,15 @@ object SessionizeStream {
 
   val GapMicros: Long = 1800L * 1000000L // 30 min
 
-  def assign(
+  def assign(withTimeout: Boolean)(
       userId: Long,
       events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Sessionized] = {
+    if (withTimeout && state.hasTimedOut) {
+      // watermark passed last event + gap: the session can never continue
+      state.remove()
+      return Iterator.empty
+    }
     // Full microsecond precision: getTime truncates to ms, which would
     // disagree with the batch form's unix_micros at exact-gap boundaries.
     def micros(t: Timestamp): Long =
@@ -40,16 +51,23 @@ object SessionizeStream {
       Sessionized(e.event_id, e.user_id, st.sessionIdx)
     }
     state.update(st)
+    if (withTimeout)
+      state.setTimeoutTimestamp(st.lastMicros / 1000L + GapMicros / 1000L)
     out.iterator
   }
 
   /** Wire the stateful sessionizer onto a (streaming or batch) Dataset of
     * events. Output: one row per event with its session index. */
-  def sessionize(events: Dataset[Event]): Dataset[Sessionized] = {
+  def sessionize(events: Dataset[Event],
+      watermarkDelay: Option[String] = None): Dataset[Sessionized] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
+    val src = watermarkDelay.fold(events)(d =>
+      events.withWatermark("ts", d).as[Event])
+    val timeout =
+      if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(assign)
+        OutputMode.Append(), timeout)(assign(watermarkDelay.isDefined))
   }
 }

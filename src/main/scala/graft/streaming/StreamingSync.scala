@@ -46,9 +46,14 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // ONLY a missing destination means "first load": any other read
+        // failure must propagate — treating a transient error as an empty
+        // destination would atomically replace the accumulated data with
+        // just this micro-batch.
         val dest =
-          try spark.read.parquet(destPath)
-          catch { case _: Throwable => batch.limit(0) }
+          if (new java.io.File(destPath).exists() ||
+              destPath.contains("://")) spark.read.parquet(destPath)
+          else batch.limit(0)
         // Staged write + rename swap (AtomicParquet): the merge plan reads
         // the current generation while the new one lands in staging, then
         // the destination flips in one rename — the reference's

@@ -24,6 +24,18 @@ class CleanersSpec extends SparkSpec {
       "4" -> QaLevel.CastFix))
   }
 
+  test("CpfCleaner rejects separator-only and empty inputs (review regression)") {
+    val df = Seq((1L, "."), (2L, ".."), (3L, "-"), (4L, ""), (5L, null))
+      .asInstanceOf[Seq[(Long, String)]].toDF("id", "cpf")
+    val r = CpfCleaner(meta, "cpf", at).clean(df)
+    val cleaned = r.cleaned.select("id", "cpf")
+      .as[(Long, Option[String])].collect().toMap
+    // none may become "00000000000" — all null
+    assert(cleaned.values.forall(_.isEmpty), s"got $cleaned")
+    // separator-only inputs ARE QA-logged (zeroed arm); empty/null are not
+    assert(r.qa.count() == 3)
+  }
+
   test("TextCropperCleaner crops to size-3 plus ellipsis") {
     val df = Seq((1L, "x" * 20), (2L, "short")).toDF("id", "t")
     val r = TextCropperCleaner(meta, "t", 10, at).clean(df)

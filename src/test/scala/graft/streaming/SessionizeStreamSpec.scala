@@ -41,6 +41,32 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("watermark timeout evicts idle state (session index restarts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = SessionizeStream.sessionize(mem.toDS(), watermarkDelay = Some("1 minute"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_evict").start()
+
+    // batch 1: user 10 establishes session 1
+    mem.addData(Event(1L, 10L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    // batch 2: another user far in the future pushes the watermark past
+    // user 10's last event + gap -> user 10's state is evicted on timeout
+    mem.addData(Event(2L, 99L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    // batch 3: user 10 reappears; with state evicted the index restarts
+    mem.addData(Event(3L, 10L, ts("2024-01-02 00:30:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val byEvent = spark.table("sess_evict").as[Sessionized]
+      .collect().map(s => s.event_id -> s.session_idx).toMap
+    assert(byEvent(1L) == 1L)
+    // restart at 1 proves the state was removed rather than continued to 2
+    assert(byEvent(3L) == 1L, s"state not evicted: $byEvent")
+  }
+
   test("streaming sessionizer agrees with the batch lag+cumsum form") {
     val batch = graft.QueriesEvents.queries("q_sessionize")(
       spark, "/root/testdata/sf0.001")

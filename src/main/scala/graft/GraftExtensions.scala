@@ -28,16 +28,24 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name expects $n argument${if (n == 1) "" else "s"}, got ${args.length}")
+      build(args)
+    }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       info("rolling_hash", "rolling_hash(str) - polynomial rolling-hash fingerprint"),
-      (args: Seq[Expression]) => RollingHash(args.head)),
+      arity("rolling_hash", 1)(args => RollingHash(args.head))),
     ("float_dot",
       info("float_dot", "float_dot(a, b) - native double dot product of float arrays"),
-      (args: Seq[Expression]) => FloatDot(args.head, args(1))),
+      arity("float_dot", 2)(args => FloatDot(args.head, args(1)))),
     ("decimal_dot",
       info("decimal_dot", "decimal_dot(a, b) - exact decimal dot product of float arrays"),
-      (args: Seq[Expression]) => DecimalDot(args.head, args(1))))
+      arity("decimal_dot", 2)(args => DecimalDot(args.head, args(1)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

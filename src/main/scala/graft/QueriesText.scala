@@ -182,6 +182,33 @@ object QueriesText {
        |FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($on)""".stripMargin
   }
 
+  // --------------------------------------------------------------- tf-idf
+  // Keyword extraction: top-3 characteristic terms per document. ln() is
+  // evaluated by the same libm on both engines in this environment; ties
+  // (identical (tf, df) pairs) break on the term name.
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+
+  val qTfidfSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, ws[i] AS term FROM (
+       |    SELECT doc_id, regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |    FROM documents) d
+       |  CROSS JOIN range(1, 256) r(i)
+       |  WHERE i <= len(ws) AND ws[i] <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)) AS tfidf
+       |  FROM tf JOIN idf USING (term) CROSS JOIN n)
+       |SELECT doc_id, rank, term, tf, df,
+       |  CAST(tfidf AS DECIMAL(18,9)) AS tfidf FROM (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------- simhash (rows-only)
   // xxhash64 bit planes are Spark-native — no DuckDB oracle; correctness
   // is covered by unit tests (hamming symmetry, near-dup recall on the
@@ -270,6 +297,7 @@ object QueriesText {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_ngram_prefix" -> (qDedupNgramPrefix _),
     "q_minhash_sig" -> (qMinhashSig _),
+    "q_tfidf" -> (qTfidf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -284,6 +312,7 @@ object QueriesText {
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_ngram_prefix" -> qDedupNgramSql,
     "q_minhash_sig" -> qMinhashSigSql,
+    "q_tfidf" -> qTfidfSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     // q_simhash_pairs: xxhash64-based, not SQL-expressible -> rows-only
     "q_embed_topk" -> qEmbedTopkSql,

@@ -38,9 +38,9 @@ object QueriesEvents {
 
   val qSessionizeSql: String =
     """SELECT event_id, user_id,
-      |  sum(new_session) OVER
+      |  CAST(sum(new_session) OVER
       |    (PARTITION BY user_id ORDER BY ts, event_id
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |FROM (
       |  SELECT *, CASE WHEN prev_us IS NULL
       |                   OR epoch_us(ts) - prev_us > 1800000000 THEN 1
@@ -72,10 +72,12 @@ object QueriesEvents {
   def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
     Skew.saltedSumCount(t(s, dir, "events"), Seq("event_type"), "value",
       saltSeed = col("event_id"), buckets = 16)
+      // final render: decimal agg -> double (driver-compare parity)
+      .withColumn("sum_value", col("sum_value").cast("double"))
 
   val qSaltedAggSql: String =
     """SELECT event_type,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
       |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 

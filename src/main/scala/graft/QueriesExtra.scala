@@ -117,7 +117,7 @@ object QueriesExtra {
        |  GROUP BY e.vec_id, p.bit),
        |sig AS (
        |  SELECT vec_id,
-       |    SUM(CASE WHEN dot >= 0 THEN (CASE bit $powArm END) ELSE 0 END) AS bucket
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN (CASE bit $powArm END) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id),
        |b AS (SELECT n.vec_id, n.embedding, n.norm_sq, sig.bucket
        |      FROM n JOIN sig ON n.vec_id = sig.vec_id)
@@ -147,7 +147,7 @@ object QueriesExtra {
       .agg(
         sum((col("l_extendedprice").cast("decimal(18,2)") *
              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
-          .cast("decimal(38,4)").as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -155,7 +155,7 @@ object QueriesExtra {
     """SELECT n_name,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-      |       AS DECIMAL(38,4)) AS revenue,
+      |       AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -174,13 +174,13 @@ object QueriesExtra {
       .agg(
         sum((col("l_extendedprice").cast("decimal(18,2)") *
              col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(38,4)").as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
   val qFilterAggSql: String =
     """SELECT
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+      |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
       |  count(*) AS n
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -200,7 +200,7 @@ object QueriesExtra {
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -209,7 +209,7 @@ object QueriesExtra {
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-      |       AS DECIMAL(38,4)) AS revenue
+      |       AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -228,13 +228,13 @@ object QueriesExtra {
       .agg(
         grouping_id().cast("long").as("g"),
         sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_qty"),
+          .cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
 
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  count(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 

@@ -93,14 +93,17 @@ object QueriesOps {
       .select(
         col("window.start").as("w_start"),
         col("window.end").as("w_end"),
-        col("event_type"), col("n"), col("sum_value"))
+        col("event_type"), col("n"),
+        // final render: decimal agg -> double (driver-compare parity, see
+        // SparkEntry scaladoc)
+        col("sum_value").cast("double").as("sum_value"))
 
   val qEventsWindowSql: String =
     """SELECT
       |  make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w_start,
       |  make_timestamp((epoch_us(ts) // 300000000) * 300000000 + 300000000) AS w_end,
       |  event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2, 3""".stripMargin
 
@@ -195,7 +198,7 @@ object QueriesOps {
     t(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
       sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-        .cast("decimal(38,2)").as("running_total"))
+        .cast("double").as("running_total"))
   }
 
   val qWindowRunningSql: String =
@@ -203,7 +206,7 @@ object QueriesOps {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS DECIMAL(38,2)) AS running_total
+      |    AS DOUBLE) AS running_total
       |FROM orders""".stripMargin
 
   // -------------------------------------------------------- values union

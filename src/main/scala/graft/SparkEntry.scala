@@ -11,9 +11,14 @@ import graft.operators.{FullCopy, IncrementalSync}
   * Every entry in `queries` exercises a library operator (graft.operators /
   * graft.clean / graft.dedup / ...) against the driver testdata; the
   * matching `oracleSql` is ANSI SQL that DuckDB evaluates over the same
-  * parquet tables. Aggregates are computed in DECIMAL on both sides so the
-  * driver's value-hash comparison is bit-exact (double summation order is
-  * engine-dependent; decimal summation is not).
+  * parquet tables. Aggregates are computed in DECIMAL on both sides (double
+  * summation order is engine-dependent; decimal summation is not) and the
+  * FINAL compared column is cast to DOUBLE: the driver reads Spark's parquet
+  * with decimals preserved but DuckDB's result laundered to float64, so a
+  * decimal output hash-mismatches whenever a value has trailing zeros
+  * (Decimal('42.00') vs 42.0). Decimal->double is correctly rounded in both
+  * engines, so the doubles are bit-identical. Likewise DuckDB sum(int) is
+  * HUGEINT (-> float64): oracles cast integer sums back to BIGINT.
   */
 object SparkEntry {
 
@@ -33,20 +38,20 @@ object SparkEntry {
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_qty"),
+          .cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_base_price"),
+          .cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
   private val q1AggSql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -69,7 +74,7 @@ object SparkEntry {
   // engines; Spark evaluates it over registered views.
   private val sourceQuerySql =
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority""".stripMargin
 

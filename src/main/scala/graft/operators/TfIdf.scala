@@ -35,10 +35,7 @@ object TfIdf {
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      // ln() differs at ulp level across libm implementations; the
-      // reported score goes through DECIMAL so engines agree (ranking
-      // uses the raw double — identical modulo sub-ulp ties).
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
-        col("tfidf").cast("decimal(18,9)").as("tfidf"))
+        col("tfidf"))
   }
 }

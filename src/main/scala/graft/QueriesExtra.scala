@@ -239,21 +239,45 @@ object QueriesExtra {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   // ------------------------------------------------------ approx distinct
-  // HLL++ sketch counting — engine-specific by design (rows-only check);
-  // the spec bounds the relative error against the exact count.
+  // HLL++ sketch counting. The sketch estimate itself is engine-specific,
+  // so the compared output carries the exact count plus an in-query bound
+  // check on the estimate (|approx - exact| <= 10% — 5x the requested rsd;
+  // Spark's HLL++ is deterministic for fixed input, so this is a stable
+  // assertion, and the oracle's TRUE column hash-verifies it).
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("n_exact"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n_exact"), col("n"),
+        (abs(col("approx_orders") - col("n_exact")).cast("double") <=
+          lit(0.1) * col("n_exact").cast("double")).as("approx_ok"))
+
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+      |  count(*) AS n, TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // ------------------------------------------------ rolling fingerprint
-  // Native Catalyst Expression with codegen (rows-only check: the hash is
-  // engine-specific by design; unit-tested against a reference loop).
+  // Native Catalyst Expression with codegen. The oracle replays the byte
+  // fold as a pure-SQL list_reduce — valid because the corpus is ASCII
+  // (UTF-8 bytes == codepoints; non-ASCII corpora would need a byte-level
+  // oracle, the Spark side hashes raw UTF-8 either way).
   def qRollingFp(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
       RollingHashExpr.rolling_hash(col("text")).as("fp_rolling"))
+
+  val qRollingFpSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(text, ''),
+       |                     c -> CAST(unicode(c) AS BIGINT))),
+       |    (h, b) -> (h * ${RollingHashExpr.Base} + b) % ${RollingHashExpr.Mod})
+       |    AS fp_rolling
+       |FROM documents""".stripMargin
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,7 +302,7 @@ object QueriesExtra {
     "q_filter_agg" -> qFilterAggSql,
     "q_top_revenue" -> qTopRevenueSql,
     "q_rollup" -> qRollupSql,
-    // q_approx_distinct: sketch values are engine-specific -> rows-only
-    // q_rolling_fp: custom Expression, rows-only by design
+    "q_approx_distinct" -> qApproxDistinctSql,
+    "q_rolling_fp" -> qRollingFpSql,
   )
 }

@@ -211,12 +211,53 @@ object QueriesText {
        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
 
-  // ------------------------------------------------- simhash (rows-only)
-  // xxhash64 bit planes are Spark-native — no DuckDB oracle; correctness
-  // is covered by unit tests (hamming symmetry, near-dup recall on the
-  // planted duplicates).
+  // -------------------------------------------------------------- simhash
+  // md5-derived bit planes (two 32-bit halves) so the DuckDB oracle
+  // replays the identical hash -> votes -> bands -> hamming pipeline.
+  // The xxhash64 variant (Dedup.simhashPairs) stays the throughput path,
+  // spec-covered (hamming symmetry, planted near-dup recall).
   def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 12)
+    Dedup.simhashPairsMd5(t(s, dir, "documents"), "doc_id", "text", 12)
+
+  val qSimhashPairsSql: String = {
+    // parse 8 hex chars -> BIGINT with a pure-SQL fold (DuckDB has no
+    // hex-literal cast); matches Spark's conv(substring(md5,..),16,10)
+    def hexFold(sub: String) =
+      s"list_reduce(list_transform(regexp_split_to_array($sub, ''), " +
+        s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(ws[i]) AS m
+       |  FROM (SELECT doc_id, regexp_split_to_array(${sqlCollapse("text")}, ' ') AS ws
+       |        FROM documents) d
+       |  CROSS JOIN range(1, 256) r(i)
+       |  WHERE i <= len(ws) AND ws[i] <> ''),
+       |hx AS (SELECT doc_id, ${hexFold("substr(m, 1, 8)")} AS h1,
+       |              ${hexFold("substr(m, 9, 8)")} AS h2 FROM toks),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN ((h1 >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v1,
+       |    SUM(CASE WHEN ((h2 >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v2
+       |  FROM hx CROSS JOIN range(0, 32) r(j) GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v1 > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sh_lo,
+       |    CAST(SUM(CASE WHEN v2 > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sh_hi
+       |  FROM votes GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sh_lo, sh_hi, b.bi AS band_idx,
+       |    CASE b.bi WHEN 0 THEN sh_lo & 65535 WHEN 1 THEN (sh_lo >> 16) & 65535
+       |              WHEN 2 THEN sh_hi & 65535 ELSE (sh_hi >> 16) & 65535 END AS band_val
+       |  FROM sig CROSS JOIN range(0, 4) b(bi))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh_lo, b.sh_lo)) +
+       |       bit_count(xor(a.sh_hi, b.sh_hi)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) +
+       |      bit_count(xor(a.sh_hi, b.sh_hi)) <= 12""".stripMargin
+  }
 
   // ------------------------------------------------------ embedding topk
   def qEmbedTopk(s: SparkSession, dir: String): DataFrame = {
@@ -316,7 +357,7 @@ object QueriesText {
     "q_minhash_sig" -> qMinhashSigSql,
     "q_tfidf" -> qTfidfSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
-    // q_simhash_pairs: xxhash64-based, not SQL-expressible -> rows-only
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,
     "q_ann_ivf" -> qAnnIvfSql,
   )

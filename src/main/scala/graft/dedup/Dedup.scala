@@ -193,6 +193,71 @@ object Dedup {
       .select(col(idCol), bits.reduce(_ + _).as("sh"))
   }
 
+  /** Engine-portable SimHash table: md5-derived bit planes, emitted as two
+    * 32-bit halves (`sh_lo` = bits 0..31, `sh_hi` = bits 32..63) so every
+    * value and shift stays inside signed-64 range on any engine (1L << 63
+    * would wrap/overflow engine-dependently). Same explode+vote-aggregate
+    * shape as `simhashTable`; md5 costs ~3x xxhash64 per token but is
+    * identically computable by the DuckDB oracle, so the whole pipeline
+    * (hash -> votes -> signature) is hash-verified end to end. Prefer
+    * `simhashTable` when raw throughput matters more than cross-engine
+    * verification. */
+  def simhashTableMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs
+      .select(col(idCol),
+        explode(split(TextFunctions.collapseWs(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col(idCol), md5(col("w")).as("m"))
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+    val votes = (0 until 32).flatMap { j =>
+      Seq(
+        sum(shiftright(col("h1"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+          .as(s"v1_$j"),
+        sum(shiftright(col("h2"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+          .as(s"v2_$j"))
+    }
+    val lo = (0 until 32).map(j =>
+      when(col(s"v1_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hi = (0 until 32).map(j =>
+      when(col(s"v2_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokens.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), lo.as("sh_lo"), hi.as("sh_hi"))
+  }
+
+  /** Near-dup pairs over `simhashTableMd5` signatures: 4 x 16-bit bands in
+    * one posexplode join, exact hamming verification on candidates. Output
+    * contract matches `simhashPairs` (doc_a, doc_b, hamming). */
+  def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val hashed = simhashTableMd5(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandVals = Seq(
+      col("sh_lo").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("sh_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("sh_hi").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("sh_hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = hashed.select(col(idCol), col("sh_lo"), col("sh_hi"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val l = banded.select(col(idCol).as("doc_a"), col("sh_lo").as("lo_a"),
+      col("sh_hi").as("hi_a"), col("band_idx"), col("band_val"))
+    val r = banded.select(col(idCol).as("doc_b"), col("sh_lo").as("lo_b"),
+      col("sh_hi").as("hi_b"), col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+        bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** SimHash near-dup candidates: band the 64-bit hash into 4 x 16-bit
     * keys (docs within small hamming distance share >= 1 exact band with
     * high probability), then verify hamming distance on candidates.

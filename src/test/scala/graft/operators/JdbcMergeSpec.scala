@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.IO
+
+/** In-DB merge against embedded Derby — the reference's staged
+  * UPDATE+INSERT landing (fast_etl.py:601-610; round-trip pattern of the
+  * reference's tests/test_db_to_db_operator.py:241-249). */
+class JdbcMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:mergedb;create=true"
+
+  test("ANSI MERGE updates matched keys and inserts new ones") {
+    val dest = Seq(
+      (1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
+      .toDF("id", "name", "score")
+    IO.JdbcSink(url, "m_dest").write(dest, truncate = false)
+
+    val inc = Seq(
+      (2L, "TWO", 22.0),   // update
+      (3L, "THREE", 33.0), // update
+      (4L, "four", 40.0))  // insert
+      .toDF("id", "name", "score")
+    JdbcMerge.merge(inc, url, "m_dest", Seq("id"), JdbcMerge.AnsiMerge)
+
+    val back = IO.JdbcSource(url, table = Some("m_dest")).read(spark)
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == Set(
+      (1L, "one", 10.0), (2L, "TWO", 22.0), (3L, "THREE", 33.0),
+      (4L, "four", 40.0)))
+    // staging table dropped after the merge
+    val tables = IO.JdbcSource(url, query = Some(
+      "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'"))
+      .read(spark).as[String].collect().toSet
+    assert(!tables.exists(_.equalsIgnoreCase("m_dest_stage")))
+  }
+
+  test("in-DB merge result equals IncrementalSync.mergeBatch") {
+    val dest = (1 to 50).map(i => (i.toLong, s"v$i", i * 1.0))
+      .toDF("id", "v", "x")
+    val inc = (40 to 60).map(i => (i.toLong, s"new$i", i * 2.0))
+      .toDF("id", "v", "x")
+    IO.JdbcSink(url, "m_equiv").write(dest, truncate = false)
+    JdbcMerge.merge(inc, url, "m_equiv", Seq("id"))
+
+    val inDb = IO.JdbcSource(url, table = Some("m_equiv")).read(spark)
+      .as[(Long, String, Double)].collect().toSet
+    val inSpark = IncrementalSync.mergeBatch(dest, inc, Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(inDb == inSpark)
+  }
+
+  test("composite keys merge on every key column") {
+    val dest = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k1", "k2", "x")
+    val inc = Seq((1L, "b", 20.0), (2L, "a", 30.0)).toDF("k1", "k2", "x")
+    // string join keys must not land as LOBs (Derby CLOB is not comparable
+    // in a MERGE ON clause) — pin VARCHAR on both dest and stage
+    val varchar = Map("createTableColumnTypes" -> "k2 VARCHAR(64)")
+    IO.JdbcSink(url, "m_comp", options = varchar).write(dest, truncate = false)
+    JdbcMerge.merge(inc, url, "m_comp", Seq("k1", "k2"),
+      stageColumnTypes = Some("k2 VARCHAR(64)"))
+    val back = IO.JdbcSource(url, table = Some("m_comp")).read(spark)
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.0), (1L, "b", 20.0), (2L, "a", 30.0)))
+  }
+
+  test("syncToJdbc pulls past the destination watermark and merges") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val dest = Seq((1L, ts(1), "a"), (2L, ts(2), "b")).toDF("id", "ts", "v")
+    IO.JdbcSink(url, "m_sync").write(dest, truncate = false)
+    val source = Seq(
+      (1L, ts(1), "a"),        // before watermark: not pulled
+      (2L, ts(2), "b2"),       // AT watermark: strict > skips (bug-for-bug)
+      (3L, ts(5), "c"))        // new
+      .toDF("id", "ts", "v")
+    JdbcMerge.syncToJdbc(source, url, "m_sync", Seq("id"), "ts")
+    val back = IO.JdbcSource(url, table = Some("m_sync")).read(spark)
+      .as[(Long, java.sql.Timestamp, String)].collect().toSet
+    assert(back == Set((1L, ts(1), "a"), (2L, ts(2), "b"), (3L, ts(5), "c")))
+  }
+
+  test("syncToJdbc refuses an empty destination (reference contract)") {
+    IO.JdbcSink(url, "m_empty").write(
+      Seq.empty[(Long, java.sql.Timestamp, String)].toDF("id", "ts", "v"),
+      truncate = false)
+    val source = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      "a")).toDF("id", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      JdbcMerge.syncToJdbc(source, url, "m_empty", Seq("id"), "ts")
+    }
+    assert(e.getMessage.contains("full load required"))
+  }
+
+  test("UpdateFromInsert emits the reference's exact statement pair") {
+    val sqls = JdbcMerge.buildMergeSqls("d.t", "d.t_inc", Seq("id"),
+      Seq("id", "a", "b"), JdbcMerge.UpdateFromInsert)
+    assert(sqls.length == 2)
+    val Seq(upd, ins) = sqls
+    assert(upd.startsWith("UPDATE d.t SET"))
+    assert(upd.contains("\"a\" = orig.\"a\"") && upd.contains("FROM d.t_inc orig"))
+    assert(upd.contains("orig.\"id\" = d.t.\"id\""))
+    assert(ins.contains("WHERE NOT EXISTS"))
+    assert(ins.contains("atual.\"id\" = inc.\"id\""))
+    // key columns never appear in the UPDATE SET list
+    assert(!upd.contains("\"id\" = orig"))
+  }
+
+  test("merge with key-only schema degrades to insert-missing") {
+    val dest = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val inc = Seq(Tuple1(2L), Tuple1(3L)).toDF("id")
+    IO.JdbcSink(url, "m_keys").write(dest, truncate = false)
+    JdbcMerge.merge(inc, url, "m_keys", Seq("id"))
+    val back = IO.JdbcSource(url, table = Some("m_keys")).read(spark)
+      .as[Long].collect().toSet
+    assert(back == Set(1L, 2L, 3L))
+  }
+}

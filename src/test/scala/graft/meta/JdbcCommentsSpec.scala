@@ -1,0 +1,113 @@
+package graft.meta
+
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.JdbcComments._
+
+/** K11 catalog round-trip: live read/write against embedded Derby via the
+  * portable SideTable dialect, and SQL-shape checks for the MSSQL /
+  * Postgres / Teiid dialects against the reference's statements
+  * (table_comments.py:65-202, 314-417). */
+class JdbcCommentsSpec extends AnyFunSuite {
+
+  private val url = "jdbc:derby:memory:commentsdb;create=true"
+
+  private val sample = TableCommentSet(
+    tableComment = Some("Orders fact table"),
+    columnComments = Map(
+      "o_orderkey" -> "Primary key",
+      "o_comment" -> "Free text; quotes like 'this' must survive"))
+
+  test("SideTable dialect round-trips comments on live Derby") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      SideTable.write(conn, "dbo", "orders", sample)
+      val back = SideTable.read(conn, "", "dbo", "orders")
+      assert(back == sample)
+
+      // overwrite replaces, not appends (delete-then-insert)
+      val updated = sample.copy(tableComment = Some("v2"))
+      SideTable.write(conn, "dbo", "orders", updated)
+      assert(SideTable.read(conn, "", "dbo", "orders") == updated)
+
+      // isolation by (schema, table)
+      assert(SideTable.read(conn, "", "dbo", "other") ==
+        TableCommentSet(None, Map.empty))
+    } finally conn.close()
+  }
+
+  test("replicate copies source comments to a destination catalog") {
+    val srcUrl = "jdbc:derby:memory:commentsrc;create=true"
+    val dstUrl = "jdbc:derby:memory:commentdst;create=true"
+    val c1 = DriverManager.getConnection(srcUrl)
+    try SideTable.write(c1, "stage", "customer", sample) finally c1.close()
+
+    val copied = JdbcComments.replicate(
+      srcUrl, "sidetable", "", "stage", "customer",
+      dstUrl, "generic", "public", "customer")
+    assert(copied == sample)
+
+    val c2 = DriverManager.getConnection(dstUrl)
+    try assert(SideTable.read(c2, "", "public", "customer") == sample)
+    finally c2.close()
+  }
+
+  test("MSSQL read SQL matches fn_listextendedproperty shape") {
+    val Seq(t, c) = MsSql.readSqls("db", "dbo", "orders")
+    assert(t.contains("fn_listextendedproperty"))
+    assert(t.contains("'MS_DESCRIPTION', 'schema', 'dbo', 'table', 'orders', default, default"))
+    assert(c.contains("'COLUMN', default"))
+  }
+
+  test("MSSQL write picks add vs update per existence probe") {
+    val existing = TableCommentSet(Some("old"), Map("o_orderkey" -> "old"))
+    val sqls = MsSql.writeSqls("dbo", "orders", sample, existing)
+    // table + o_orderkey existed -> update; o_comment new -> add
+    assert(sqls.count(_.contains("sp_updateextendedproperty")) == 2)
+    assert(sqls.count(_.contains("sp_addextendedproperty")) == 1)
+    val add = sqls.find(_.contains("sp_addextendedproperty")).get
+    assert(add.contains("@level2type='column', @level2name='o_comment'"))
+    // single-quote escaping in values
+    assert(add.contains("quotes like ''this'' must survive"))
+    val tableStmt = sqls.head
+    assert(tableStmt.contains("@level1name='orders'") &&
+      !tableStmt.contains("@level2type"))
+  }
+
+  test("Postgres write emits COMMENT ON, read queries pg_catalog") {
+    val sqls = Postgres.writeSqls("public", "orders", sample,
+      TableCommentSet(None, Map.empty))
+    assert(sqls.head ==
+      """COMMENT ON TABLE "public"."orders" IS 'Orders fact table'""")
+    assert(sqls.exists(_.startsWith(
+      """COMMENT ON COLUMN "public"."orders"."o_orderkey"""")))
+    val Seq(t, c) = Postgres.readSqls("db", "public", "orders")
+    assert(t.contains("obj_description") && c.contains("col_description"))
+  }
+
+  test("Teiid reads SYS.Tables/SYS.Columns and refuses writes") {
+    val Seq(t, c) = Teiid.readSqls("vdb1", "stage", "orders")
+    assert(t.contains("FROM SYS.Tables") && t.contains("VDBName = 'vdb1'"))
+    assert(c.contains("FROM SYS.Columns") && c.contains("TableName = 'orders'"))
+    intercept[NotImplementedError] {
+      Teiid.writeSqls("s", "t", sample, TableCommentSet(None, Map.empty))
+    }
+  }
+
+  test("dialect dispatch mirrors the reference's provider map") {
+    assert(dialectFor("mssql") == MsSql)
+    assert(dialectFor("postgres") == Postgres)
+    assert(dialectFor("teiid") == Teiid)
+    assert(dialectFor("derby") == SideTable)
+    intercept[NotImplementedError] { dialectFor("oracle") }
+  }
+
+  test("TableCommentSet.rows matches the reference frame shape") {
+    assert(sample.rows("orders") == Seq(
+      ("table", "orders", "Orders fact table"),
+      ("column", "o_comment", "Free text; quotes like 'this' must survive"),
+      ("column", "o_orderkey", "Primary key")))
+  }
+}

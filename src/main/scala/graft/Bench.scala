@@ -36,13 +36,15 @@ object Bench {
 
     spark.catalog.clearCache() // drop warmup-phase persisted data
 
-    // Two timed runs, min reported: the per-run jitter (GC, cache churn
-    // from operators that persist intermediates) is noise relative to
-    // steady-state throughput, which is what a long-running 100 TB job
-    // experiences.
+    // Three timed runs, min reported: the per-run jitter (GC, AQE
+    // re-planning, cache churn from operators that persist intermediates)
+    // is noise relative to steady-state throughput, which is what a
+    // long-running 100 TB job experiences. Two runs proved insufficient —
+    // a GC-pressure episode can span both back-to-back runs of one query
+    // and misattribute multi-second costs to it.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

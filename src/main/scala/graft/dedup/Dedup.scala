@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -121,30 +120,59 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // document frequency via groupBy + join-back (measured faster than a
-    // count-over-window on the shingle: partial aggregation collapses the
-    // df table to |vocabulary| before the join)
+    // document frequency via groupBy + join-back (partial aggregation
+    // collapses the df table to |vocabulary| before the join)
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val ranked = sh.join(df, Seq("shingle")).join(sizes, Seq(idCol))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
-    val sized = ranked.withColumn("pos", row_number().over(w))
-    // prefix length p = n - ceil(t*n) + 1
-    val prefix = sized
-      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col(idCol), col("shingle"), col("n_sh"))
-    val cands = prefix.select(col(idCol).as("doc_a"), col("shingle"), col("n_sh").as("na"))
-      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"), col("n_sh").as("nb")),
-        Seq("shingle"))
+    // one row per document holding its shingle set ordered by ascending
+    // (df, shingle): in-row sort_array replaces a row_number window (no
+    // per-doc sort shuffle), and the array is reused for both the prefix
+    // slice and the exact verification. A document's shingle set is
+    // bounded by document length, so the row stays small at any corpus
+    // scale.
+    val docsets = sh.join(df, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("ranked"))
+      .select(col(idCol),
+        transform(col("ranked"), r => r.getField("shingle")).as("shingles"),
+        size(col("ranked")).as("n_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length p = n - ceil(t*n) + 1, rarest shingles first; keep the
+    // 1-based position of each prefix shingle for the positional filter
+    val prefix = docsets.select(col(idCol), col("n_sh"),
+      posexplode(slice(col("shingles"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
+        .as(Seq("pos0", "shingle")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    // candidate join with PPJoin pruning (Xiao et al., public SSJoin
+    // literature), both evaluated inside the codegen join output stream:
+    //  - length filter: J >= t forces t*na <= nb (and symmetrically)
+    //  - positional filter: overlap is at most 1 + min(remaining suffix on
+    //    each side), which must reach ceil(t/(1+t)*(na+nb))
+    val reqOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("na") + col("nb")))
+    val cands = prefix.select(col(idCol).as("doc_a"), col("shingle"),
+        col("n_sh").as("na"), col("pos").as("pa"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"),
+        col("n_sh").as("nb"), col("pos").as("pb")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("nb") >= ceil(lit(threshold) * col("na")) &&
+        col("na") >= ceil(lit(threshold) * col("nb")))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
+        >= reqOverlap)
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .distinct()
-    // exact verification: intersection size over the full shingle sets
+    // exact verification in-row: intersection of the two shingle arrays
+    // (candidate-pair shuffle with bounded array payloads — never the
+    // candidate x shingle expansion)
     val inter = cands
-      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(docsets.select(col(idCol).as("doc_a"), col("shingles").as("sa")),
+        Seq("doc_a"))
+      .join(docsets.select(col(idCol).as("doc_b"), col("shingles").as("sb")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"))
     inter
       .withColumn("jaccard",
         col("inter").cast("double") /

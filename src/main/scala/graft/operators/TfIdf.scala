@@ -13,10 +13,15 @@ import graft.functions.TextFunctions
   * score = tf * idf, ranked per document with a term-name tiebreak.
   *
   * Shuffle profile: one explode + (doc, term) aggregation, one term-level
-  * df aggregation (broadcast back — vocabulary is small relative to the
-  * corpus), one per-doc top-k window. At 100 TB the df table is the only
-  * broadcast risk; for open-ended vocabularies swap the window for
-  * TopKAggregator to keep per-doc state bounded map-side.
+  * df aggregation joined back on term, one per-doc top-k window. The
+  * df join is a plain shuffle join — the vocabulary is unbounded at
+  * 100 TB, so nothing forces it driver- or broadcast-side; AQE still
+  * converts it to a broadcast join at runtime when the df table turns
+  * out small. The corpus size N enters as a broadcast one-row scalar
+  * aggregate, keeping the whole operator a single lazy plan with no
+  * driver-side action. For open-ended vocabularies the per-doc window
+  * can be swapped for TopKAggregator to keep top-k state bounded
+  * map-side.
   */
 object TfIdf {
 
@@ -27,10 +32,13 @@ object TfIdf {
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
-    val scored = tf.join(broadcast(df), Seq("term"))
+    val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")))
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .drop("n_docs")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rank", row_number().over(w))

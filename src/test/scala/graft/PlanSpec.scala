@@ -43,6 +43,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_orderdate"))
   }
 
+  test("q_tfidf does not force a broadcast of the unbounded vocabulary") {
+    // the df (vocabulary) join must stay a shuffle join in the compiled
+    // plan — only the one-row corpus-size aggregate may carry a broadcast
+    // hint. AQE is free to convert the df join at runtime when it proves
+    // small; what's pinned here is that nothing FORCES it at any scale.
+    val analyzed = SparkEntry.queries("q_tfidf")(spark, dir)
+      .queryExecution.analyzed.toString
+    val hints = "(?m)ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints == 1, s"expected exactly the n_docs broadcast hint, got $hints:\n$analyzed")
+  }
+
   test("q1_agg aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q1_agg")
     val firstAgg = p.indexOf("HashAggregate")

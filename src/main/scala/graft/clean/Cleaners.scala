@@ -40,7 +40,9 @@ final case class GeoPointCleaner(
     latColumn: String,
     lonColumn: String,
     verifiedAt: Timestamp,
-    wktColumn: Option[String] = None) extends Cleaner {
+    wktColumn: Option[String] = None,
+    scope: graft.core.CacheScope = graft.core.CacheScope.session)
+  extends Cleaner {
 
   def clean(df: DataFrame): CleanResult = {
     // Materialize the cleaning pipeline once per coordinate in aliased
@@ -53,12 +55,12 @@ final case class GeoPointCleaner(
     // substitutes the aliases back into the QA filters — producing an
     // expression tree large enough to overflow codegen's method limit
     // (observed: whole plan fell back to interpreted execution).
-    val prep = df
+    // `scope` owns the release — see CacheScope.
+    val prep = scope.retain(df
       .withColumn("__lat_fixed", GeoFunctions.cleanLat(col(latColumn)))
       .withColumn("__lon_fixed", GeoFunctions.cleanLon(col(lonColumn)))
       .withColumn("__lat_plain", trim(col(latColumn)).cast("double"))
-      .withColumn("__lon_plain", trim(col(lonColumn)).cast("double"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__lon_plain", trim(col(lonColumn)).cast("double")))
     // A cell is QA-worthy when the value actually changed relative to a
     // plain numeric parse (comma fix / misscale / clamp) OR a non-empty
     // raw value was rejected to null (unparseable — both sides of the

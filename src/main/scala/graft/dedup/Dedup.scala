@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.functions.TextFunctions
 
 /** Document deduplication operators for training-data pipelines.
@@ -16,6 +17,11 @@ import graft.functions.TextFunctions
   *  - N-gram Jaccard joins on the shingle, so frequency-skewed shingles
   *    dominate the shuffle — cap or filter stop-shingles for heavy-tailed
   *    corpora (documented; the synthetic corpus here is benign).
+  *
+  * Cache lifecycle: operators that persist an intermediate (signature /
+  * shingle / docset tables) take a [[graft.core.CacheScope]]; the default
+  * `CacheScope.session` leaves caches to the session's end, while
+  * `CacheScope.withScope` releases them after the consuming action.
   */
 object Dedup {
 
@@ -57,9 +63,9 @@ object Dedup {
     * otherwise run once per join leg), and all bands join in a single
     * (band_idx, band_value) shuffle via posexplode. */
   def minhashCandidates(
-      signatures: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
-    val sig = signatures
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      signatures: DataFrame, idCol: String, k: Int, bandSize: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sig = scope.retain(signatures)
     val bandVals = (0 until k / bandSize).map { b =>
       val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"mh_$i"))
       md5(concat(cols: _*))
@@ -78,13 +84,12 @@ object Dedup {
     * actually share a shingle). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     // The shingle table feeds three consumers (sizes + both join legs);
-    // persist so the explode+distinct pass runs once. Cache lifecycle is
-    // caller-owned: unpersist (or spark.catalog.clearCache) after the
-    // consuming action when running many tables in one session.
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist so the explode+distinct pass runs once; `scope` owns the
+    // release (see CacheScope).
+    val sh = scope.retain(shingleTable(docs, idCol, textCol, n))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col(idCol).as("doc_a"), col("shingle"))
       .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
@@ -117,9 +122,9 @@ object Dedup {
     * shingle self-join. */
   def ngramJaccardPairsPrefix(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val sh = scope.retain(shingleTable(docs, idCol, textCol, n))
     // document frequency via groupBy + join-back (partial aggregation
     // collapses the df table to |vocabulary| before the join)
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -129,14 +134,13 @@ object Dedup {
     // slice and the exact verification. A document's shingle set is
     // bounded by document length, so the row stays small at any corpus
     // scale.
-    val docsets = sh.join(df, Seq("shingle"))
+    val docsets = scope.retain(sh.join(df, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
         .as("ranked"))
       .select(col(idCol),
         transform(col("ranked"), r => r.getField("shingle")).as("shingles"),
-        size(col("ranked")).as("n_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        size(col("ranked")).as("n_sh")))
     // prefix length p = n - ceil(t*n) + 1, rarest shingles first; keep the
     // 1-based position of each prefix shingle for the positional filter
     val prefix = docsets.select(col(idCol), col("n_sh"),
@@ -260,9 +264,8 @@ object Dedup {
     * one posexplode join, exact hamming verification on candidates. Output
     * contract matches `simhashPairs` (doc_a, doc_b, hamming). */
   def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    val hashed = simhashTableMd5(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      maxHamming: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    val hashed = scope.retain(simhashTableMd5(docs, idCol, textCol))
     val bandVals = Seq(
       col("sh_lo").bitwiseAND(lit(0xFFFFL)),
       shiftright(col("sh_lo"), 16).bitwiseAND(lit(0xFFFFL)),
@@ -293,9 +296,8 @@ object Dedup {
     * once, and the 4 bands join in a single (band_idx, band_value) join
     * rather than 4 separate shuffles. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    val hashed = simhashTable(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      maxHamming: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    val hashed = scope.retain(simhashTable(docs, idCol, textCol))
     val banded = hashed.select(col(idCol), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

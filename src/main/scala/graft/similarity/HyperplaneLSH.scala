@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.functions.DecimalDotExpr
 
 /** Signed-random-projection (hyperplane) LSH over embedding columns — the
@@ -39,14 +40,16 @@ object HyperplaneLSH {
   /** Bucketed near-neighbor pairs: same signature bucket, cosine >=
     * threshold (exact verification via CosineSearch). `dims` must match
     * the embedding dimensionality — planes are generated at that length
-    * and the dot product silently truncates to the shorter side. */
+    * and the dot product silently truncates to the shorter side.
+    * The bucketed table is persisted (it feeds both join legs); `scope`
+    * owns its release — see [[graft.core.CacheScope]]. */
   def nearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, seed: Long, threshold: Double, dims: Int = 64): DataFrame = {
+      nBits: Int, seed: Long, threshold: Double, dims: Int = 64,
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val ps = planes(nBits, dims, seed)
-    val bucketed = CosineSearch.withNormSq(vecs, vecCol)
-      .withColumn("bucket", bucket(col(vecCol), ps))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = scope.retain(CosineSearch.withNormSq(vecs, vecCol)
+      .withColumn("bucket", bucket(col(vecCol), ps)))
     val l = bucketed.select(col("bucket"), col(idCol).as("vec_a"),
       col(vecCol).as("va"), col("norm_sq").as("na"))
     val r = bucketed.select(col("bucket"), col(idCol).as("vec_b"),

@@ -1,51 +1,72 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Atomic truncate-then-load for file destinations (SURVEY §7.5.6): the
+/** Staged truncate-then-load for file destinations (SURVEY §7.5.6): the
   * reference does TRUNCATE + INSERT + single COMMIT in one destination
   * transaction; Spark's file committer alone leaves a window where the
   * destination is empty or partial. This utility writes to a staging
-  * directory and swaps via filesystem rename — readers see either the old
-  * or the new complete dataset, never an intermediate state.
+  * directory and swaps via two filesystem renames — readers see either
+  * the old or the new COMPLETE dataset, never a partial one.
   *
-  * (On a production deployment a transactional table format provides this;
-  * the swap protocol here covers plain-parquet destinations and is also
-  * what `StreamingSync.mergeStream` commits through.)
+  * Atomicity contract, precisely: each rename is atomic on the local FS
+  * and on HDFS, but the swap is two renames (dest -> .__old__, then
+  * staging -> dest), so there is a moment where `dest` does not exist. A
+  * reader in that window fails with path-not-found (and can retry); it
+  * can never observe partial data. A crash in that window strands the
+  * data in `.__old__` — both `overwrite` and `read` begin by restoring
+  * `.__old__` when `dest` is absent, so the next touch self-heals.
+  * Object stores without atomic rename (s3a renames are copies) get no
+  * guarantee from this protocol — use a transactional table format
+  * there; this utility covers local and HDFS paths, resolved through the
+  * Hadoop FileSystem API so any scheme with true renames works.
   */
 object AtomicParquet {
 
-  /** Write `df` as the new content of `destDir`, atomically. */
+  /** Write `df` as the new content of `destDir` via staged rename swap. */
   def overwrite(df: DataFrame, destDir: String): Unit = {
-    val dest = Paths.get(destDir)
-    val staging = Paths.get(destDir + ".__staging__")
-    val backup = Paths.get(destDir + ".__old__")
-    deleteRecursively(staging)
+    val spark = df.sparkSession
+    val fs = fileSystem(spark, destDir)
+    val dest = new HPath(destDir)
+    val staging = new HPath(destDir + ".__staging__")
+    val backup = new HPath(destDir + ".__old__")
+    recoverIfNeeded(fs, dest, backup)
+    fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
     // swap: dest -> backup, staging -> dest, drop backup
-    deleteRecursively(backup)
-    if (Files.exists(dest))
-      Files.move(dest, backup, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: Throwable =>
-        // roll back: restore the previous generation
-        if (Files.exists(backup) && !Files.exists(dest))
-          Files.move(backup, dest, StandardCopyOption.ATOMIC_MOVE)
-        throw e
+    fs.delete(backup, true)
+    if (fs.exists(dest) && !fs.rename(dest, backup))
+      sys.error(s"rename $dest -> $backup failed")
+    if (!fs.rename(staging, dest)) {
+      // roll back: restore the previous generation
+      if (fs.exists(backup) && !fs.exists(dest)) fs.rename(backup, dest)
+      sys.error(s"rename $staging -> $dest failed")
     }
-    deleteRecursively(backup)
+    fs.delete(backup, true)
   }
 
-  def read(spark: SparkSession, destDir: String): DataFrame =
+  /** Read the destination, first restoring `.__old__` if a crash between
+    * the swap renames left no current generation. */
+  def read(spark: SparkSession, destDir: String): DataFrame = {
+    val fs = fileSystem(spark, destDir)
+    recoverIfNeeded(fs, new HPath(destDir), new HPath(destDir + ".__old__"))
     spark.read.parquet(destDir)
+  }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
+  /** True when `destDir` currently exists (post-recovery) on its FS. */
+  def exists(spark: SparkSession, destDir: String): Boolean = {
+    val fs = fileSystem(spark, destDir)
+    val dest = new HPath(destDir)
+    recoverIfNeeded(fs, dest, new HPath(destDir + ".__old__"))
+    fs.exists(dest)
+  }
+
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def recoverIfNeeded(fs: FileSystem, dest: HPath, backup: HPath): Unit =
+    if (!fs.exists(dest) && fs.exists(backup) && !fs.rename(backup, dest))
+      sys.error(s"crash recovery rename $backup -> $dest failed")
 }

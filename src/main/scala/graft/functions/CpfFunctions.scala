@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object CpfFunctions {
 
-  /** Digits-only form: separators stripped, zero-padded to 11. Null when
-    * the stripped value still contains non-digits or is empty/too long. */
+  /** Digits-only form: separators stripped, zero-padded to 11; values
+    * longer than 11 digits keep the FIRST 11, matching the reference's
+    * `numeric_chars[:11]` truncation (patchwork.py:607-726) rather than
+    * rejecting. Null when the stripped value still contains non-digits
+    * or is empty. */
   def cpfNormalize(c: Column): Column = {
     val stripped = translate(c, ".-", "")
-    val digitsOnly = stripped.rlike("^[0-9]{1,11}$")
-    when(digitsOnly, lpad(stripped, 11, "0")).otherwise(lit(null))
+    val digitsOnly = stripped.rlike("^[0-9]+$")
+    when(digitsOnly, lpad(substring(stripped, 1, 11), 11, "0"))
+      .otherwise(lit(null))
   }
 
   private def digit(c: Column, i: Int): Column =

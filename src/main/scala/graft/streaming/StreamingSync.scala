@@ -49,10 +49,13 @@ object StreamingSync {
         // ONLY a missing destination means "first load": any other read
         // failure must propagate — treating a transient error as an empty
         // destination would atomically replace the accumulated data with
-        // just this micro-batch.
+        // just this micro-batch. The probe goes through the Hadoop
+        // FileSystem for destPath's scheme (local, hdfs://, ...), and
+        // AtomicParquet.exists also restores a crash-stranded .__old__
+        // generation before answering.
         val dest =
-          if (new java.io.File(destPath).exists() ||
-              destPath.contains("://")) spark.read.parquet(destPath)
+          if (graft.core.AtomicParquet.exists(spark, destPath))
+            spark.read.parquet(destPath)
           else batch.limit(0)
         // Staged write + rename swap (AtomicParquet): the merge plan reads
         // the current generation while the new one lands in staging, then

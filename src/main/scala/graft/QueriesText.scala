@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{ConnectedComponents, Dedup}
 import graft.functions.TextFunctions
 import graft.similarity.CosineSearch
 
@@ -182,6 +182,93 @@ object QueriesText {
        |FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($on)""".stripMargin
   }
 
+  // ----------------------------------------------------- dedup clustering
+  // Transitive closure of the minhash candidate pairs: pair detection
+  // alone under-deletes (A~B, B~C must drop two of three docs), so the
+  // cluster id = min reachable doc id is the actual dedup decision. The
+  // oracle computes the same closure with a recursive CTE — a completely
+  // independent algorithm (BFS fixpoint vs label propagation), so a match
+  // validates the operator, not the implementation.
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.labels(qDedupMinhash(s, dir), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$qDedupMinhashSql
+       |),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst)
+       |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""".stripMargin
+
+  // ------------------------------------------------- deterministic sample
+  // Corpus balancing: downsample over-represented strata (en to 20%, zh
+  // to 50%) with hash sampling — reproducible across runs, partitionings,
+  // and engines, unlike seeded per-partition RNG. The oracle replays the
+  // identical md5-bucket decision.
+  private val SampleBuckets = 10000
+
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", Map("en" -> 0.2, "zh" -> 0.5), 1.0, SampleBuckets)
+
+  val qSampleStratifiedSql: String = {
+    // 6 hex chars -> BIGINT (pure-SQL fold; same idiom as simhash oracle)
+    val hexFold =
+      "list_reduce(list_transform(regexp_split_to_array(" +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, $hexFold % $SampleBuckets AS b FROM documents)
+       |WHERE b < CAST((CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.5
+       |                ELSE 1.0 END) * $SampleBuckets AS BIGINT)""".stripMargin
+  }
+
+  // --------------------------------------------------------- pii redaction
+  // The synthetic corpus carries no PII, so the query plants a
+  // deterministic contact block per document (email + phone + CPF derived
+  // from doc_id) and scrubs it — both engines synthesize and redact the
+  // identical text, verifying the regex semantics end to end.
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Redaction
+    val synth = concat(
+      substring(col("text"), 1, 40),
+      lit(" Contact: user"), col("doc_id").cast("string"),
+      lit("@example.com or +55 11 98765-43"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+      lit(" CPF 123.456.789-0"), (col("doc_id") % 10).cast("string"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Redaction.countMatches(synth, Redaction.EmailPattern).as("n_emails"),
+      Redaction.countMatches(synth, Redaction.PhonePattern).as("n_phones"),
+      Redaction.countMatches(synth, Redaction.CpfPattern).as("n_cpfs"),
+      Redaction.redactAll(synth).as("redacted"))
+  }
+
+  val qPiiRedactSql: String = {
+    import graft.functions.Redaction
+    val synth =
+      "substr(text, 1, 40) || ' Contact: user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or +55 11 98765-43' || " +
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || " +
+        "' CPF 123.456.789-0' || CAST(doc_id % 10 AS VARCHAR)"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(s, '${Redaction.EmailPattern}')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(s, '${Redaction.PhonePattern}')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(s, '${Redaction.CpfPattern}')) AS INT) AS n_cpfs,
+       |  regexp_replace(regexp_replace(regexp_replace(s,
+       |    '${Redaction.EmailPattern}', '<EMAIL>', 'g'),
+       |    '${Redaction.PhonePattern}', '<PHONE>', 'g'),
+       |    '${Redaction.CpfPattern}', '<CPF>', 'g') AS redacted
+       |FROM (SELECT doc_id, $synth AS s FROM documents)""".stripMargin
+  }
+
   // --------------------------------------------------------------- tf-idf
   // Keyword extraction: top-3 characteristic terms per document. Ranking
   // uses the raw double score (ties on identical (tf, df) pairs break on
@@ -342,6 +429,9 @@ object QueriesText {
     "q_minhash_sig" -> (qMinhashSig _),
     "q_tfidf" -> (qTfidf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -357,6 +447,9 @@ object QueriesText {
     "q_minhash_sig" -> qMinhashSigSql,
     "q_tfidf" -> qTfidfSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,
     "q_ann_ivf" -> qAnnIvfSql,

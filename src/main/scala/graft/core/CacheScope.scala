@@ -32,7 +32,7 @@ import org.apache.spark.storage.StorageLevel
   * operator call. Interactive / multi-table sessions should pass an
   * explicit scope.
   */
-final class CacheScope private[core] (track: Boolean) extends AutoCloseable {
+final class CacheScope private[core] (tracking: Boolean) extends AutoCloseable {
   private val retained = ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` at `level` and register it for release when this scope
@@ -40,8 +40,17 @@ final class CacheScope private[core] (track: Boolean) extends AutoCloseable {
   def retain(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    if (track) retained.synchronized { retained += p }
+    if (tracking) retained.synchronized { retained += p }
     p
+  }
+
+  /** Register an ALREADY-persisted DataFrame for release on close,
+    * without touching its storage (used by iterative operators that
+    * manage persistence round-by-round and hand off the final
+    * generation). */
+  private[graft] def track(df: DataFrame): DataFrame = {
+    if (tracking) retained.synchronized { retained += df }
+    df
   }
 
   /** Release every retained cache (non-blocking — Spark reclaims blocks
@@ -56,14 +65,14 @@ object CacheScope {
   /** Session-lifetime scope: persists are never released by graft (the
     * SparkSession's own shutdown or `spark.catalog.clearCache()` is the
     * release). The default for every persisting operator. */
-  val session: CacheScope = new CacheScope(track = false)
+  val session: CacheScope = new CacheScope(tracking = false)
 
   /** Run `f` with a fresh scope; release its caches on exit (also on
     * failure). The consuming action must run inside `f` — the result of a
     * lazy transformation that escapes the scope will recompute its
     * unpersisted intermediates from lineage (correct, just slower). */
   def withScope[A](f: CacheScope => A): A = {
-    val scope = new CacheScope(track = true)
+    val scope = new CacheScope(tracking = true)
     try f(scope) finally scope.close()
   }
 }

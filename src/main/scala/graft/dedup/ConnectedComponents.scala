@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair table — the step that turns near-dup
+  * PAIRS (minhash/simhash/ngram/embedding candidates) into dedup
+  * CLUSTERS: every document gets the minimum reachable document id as its
+  * cluster id, so one representative per cluster survives and the rest
+  * are deletions. (The reference stops at pair detection; a training-data
+  * dedup pipeline needs the transitive closure — A~B and B~C must drop
+  * two of {A,B,C}, not one.)
+  *
+  * Algorithm: iterative min-label propagation. Each round every node
+  * takes the minimum label among itself and its neighbors (one join +
+  * one aggregation — ordinary shuffles on the node id), and the driver
+  * loop stops when a round changes no label. Rounds needed = the longest
+  * min-label path in any component; near-dup graphs are dense clusters
+  * with tiny diameters, so this converges in a handful of rounds at any
+  * corpus size (the alternating large-star/small-star algorithm from the
+  * public MapReduce-CC literature is the O(log n) upgrade path if a
+  * pathological chain-shaped graph ever matters).
+  *
+  * Iteration mechanics, learned the hard way: every generation is cut
+  * with `localCheckpoint` (eager). Persisting alone is NOT enough — the
+  * logical plan still grows by two joins per round, so Catalyst
+  * re-analyzes an ever-deeper tree and driver-side planning dominates
+  * (measured: round 3 cost 6x round 0 on an 853-node graph). The
+  * checkpoint truncates lineage to the materialized blocks. Trade-off:
+  * localCheckpoint blocks are not rebuildable after executor loss — on a
+  * long cluster job, set a checkpoint dir and swap to `checkpoint`; for
+  * the convergence loop's generation lifetime this is the standard
+  * iterative-graph pattern (GraphX does the same).
+  */
+object ConnectedComponents {
+
+  /** (id, cluster_id) for every node appearing in `edges`; cluster_id is
+    * the component's minimum id (min works for both string and numeric
+    * id types). Runs Spark actions internally (eager checkpoints + the
+    * per-round convergence count) — inherent to a fixpoint loop. */
+  def labels(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // one materialization of the upstream pair pipeline; every round
+    // reads these bounded blocks, never the lineage
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      // __changed rides inside the checkpointed generation so the
+      // convergence count reads the same blocks the next round joins
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("__changed"))
+        .localCheckpoint()
+      changed = next.filter(col("__changed")).count()
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster summary: representative (= cluster_id, the minimum member),
+    * member count. */
+  def clusters(labelsDf: DataFrame): DataFrame =
+    labelsDf.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+}

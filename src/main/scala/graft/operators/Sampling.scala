@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation.
+  *
+  * Training-data pipelines need samples that are REPRODUCIBLE — the same
+  * rows selected on every run, every partitioning, every engine — which
+  * rules out `df.sample()` (seeded per-partition RNG: the selection
+  * changes when the partitioning does). Hash sampling decides per ROW:
+  * keep iff bucket(md5(key)) < rate * buckets. Stateless map-side filter,
+  * no shuffle, no driver state; composable with any downstream plan; the
+  * md5 base makes an external engine replay the identical choice.
+  *
+  * Stratified form: per-stratum rates (e.g. downsample an over-represented
+  * language while keeping the tail) as a literal CASE — the 100 TB corpus
+  * balancing primitive.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the row key — first 6 md5 hex
+    * chars (24 bits) so the int fits every engine's signed types. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep iff the key's bucket falls under `rate` (0..1]. */
+  def hashSample(key: Column, rate: Double, buckets: Int = 10000): Column =
+    hashBucket(key, buckets) < (rate * buckets).toLong
+
+  /** Per-stratum rates with a default — rows keep their deterministic
+    * bucket decision within their stratum. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      buckets: Int = 10000): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.withColumn("__bucket", hashBucket(col(keyCol), buckets))
+      .filter(col("__bucket") <
+        (rate * lit(buckets.toDouble)).cast("long"))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, if (i % 5 == 0) "en" else "de"))
+      .toDF("id", "lang")
+  }
+
+  test("hash sampling is deterministic and partitioning-independent") {
+    val d = docs(2000)
+    val once = d.filter(Sampling.hashSample(col("id"), 0.3))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val again = d.repartition(13).filter(Sampling.hashSample(col("id"), 0.3))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(once == again)
+    assert(once.nonEmpty && once.size < 2000)
+  }
+
+  test("sample rate lands near the requested fraction") {
+    val kept = docs(5000).filter(Sampling.hashSample(col("id"), 0.3)).count()
+    assert(math.abs(kept / 5000.0 - 0.3) < 0.03, s"kept $kept of 5000")
+  }
+
+  test("stratified rates apply per stratum; default covers the rest") {
+    val d = docs(5000) // 1000 en, 4000 de
+    val s = Sampling.stratifiedSample(d, "id", "lang",
+      Map("en" -> 0.5), defaultRate = 1.0)
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 4000L) // default rate 1.0 keeps everything
+    assert(math.abs(byLang("en") / 1000.0 - 0.5) < 0.06)
+  }
+
+  test("rate 1.0 keeps every row") {
+    assert(docs(500).filter(Sampling.hashSample(col("id"), 1.0)).count() == 500)
+  }
+}

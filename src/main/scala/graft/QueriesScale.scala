@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomPrefilter, RangeJoin, RepetitionStats}
+import graft.similarity.Centroids
+
+/** Beyond-reference query group: the scale-technique operators — banded
+  * range join, Bloom-prefiltered semi-join, relational k-means centroids,
+  * repetition-based quality signals, and pivot. Each query's oracle is
+  * the *naive* relational form (plain BETWEEN join, plain IN-subquery),
+  * so the driver compare proves the scale-shaped plan is lossless.
+  */
+object QueriesScale {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------- range join
+  // Banded equi-join replacement for BETWEEN (RangeJoin.scala): lineitem
+  // prices within +-0.5 of a part's retail price. The oracle is the plain
+  // range join — the band decomposition must be invisible in the result.
+  private val Tol = 0.5
+  private val BandWidth = 1.0
+
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame =
+    RangeJoin.toleranceJoin(
+      t(s, dir, "lineitem"), t(s, dir, "part"),
+      "l_extendedprice", "p_retailprice", Tol, BandWidth)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        col("l_extendedprice"), col("p_retailprice"))
+
+  private val qRangeJoinSql =
+    s"""SELECT l_orderkey, l_linenumber, p_partkey,
+       |  l_extendedprice, p_retailprice
+       |FROM lineitem JOIN part
+       |  ON l_extendedprice BETWEEN p_retailprice - $Tol
+       |                         AND p_retailprice + $Tol""".stripMargin
+
+  // ------------------------------------------------------ bloom semi-join
+  // Bloom-prefiltered exact semi-join (BloomPrefilter.scala): lineitem
+  // rows restricted to high-value orders, then aggregated. The oracle is
+  // the plain IN-subquery — false positives must be gone from the result.
+  private val HighValue = 400000.0
+
+  private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir, "orders")
+      .filter(col("o_totalprice") > HighValue)
+      .select(col("o_orderkey"))
+    BloomPrefilter.semiJoin(
+      t(s, dir, "lineitem"), "l_orderkey", hot, "o_orderkey",
+      expectedItems = 1 << 20)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+  }
+
+  private val qBloomSemiSql =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM lineitem
+       |WHERE l_orderkey IN
+       |  (SELECT o_orderkey FROM orders WHERE o_totalprice > $HighValue)
+       |GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ centroids
+  // Relational k-means recompute step (Centroids.dimSumsFixedPoint):
+  // per-(label, dimension) sums in ulp-exact fixed point — floats scaled
+  // by 2^48 are exact integers (power-of-two scaling only shifts the
+  // exponent), so the sums are bit-equal on every engine with no decimal
+  // rounding step at all. True sum = dim_sum_fp / 2^48, losslessly.
+  private def qCentroids(s: SparkSession, dir: String): DataFrame =
+    Centroids.dimSumsFixedPoint(t(s, dir, "embeddings"), "label", "embedding")
+
+  private val qCentroidsSql =
+    """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 281474976710656.0 AS BIGINT))
+      |       AS BIGINT) AS dim_sum_fp,
+      |  count(*) AS n
+      |FROM embeddings CROSS JOIN range(1, 256) t(i)
+      |WHERE i <= len(embedding)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- repetition
+  // Gopher-style repetition quality signals (RepetitionStats.scala) —
+  // exact integer counts + ppm ratio, no float thresholds.
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    RepetitionStats.stats(t(s, dir, "documents"), "doc_id", "text")
+
+  private val qRepetitionSql =
+    """WITH c AS (SELECT doc_id,
+      |  regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents),
+      |u AS (SELECT doc_id, ws[i] AS w FROM c CROSS JOIN range(1, 256) t(i)
+      |      WHERE i <= len(ws) AND len(ws) > 0 AND ws[1] <> ''),
+      |uc AS (SELECT doc_id, w, count(*) AS cnt FROM u GROUP BY 1, 2),
+      |us AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+      |       count(*) AS n_distinct, max(cnt) AS top_word_cnt
+      |       FROM uc GROUP BY 1),
+      |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      |      FROM c CROSS JOIN range(1, 256) t(i) WHERE i <= len(ws) - 1),
+      |bc AS (SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, max(cnt) AS top_bigram_cnt FROM bc GROUP BY 1)
+      |SELECT us.doc_id, n_words, n_distinct, top_word_cnt, top_bigram_cnt,
+      |  CAST(top_word_cnt * 1000000 // n_words AS BIGINT) AS top_word_ppm
+      |FROM us JOIN bs ON us.doc_id = bs.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- pivot
+  // Wide-format corpus composition: documents per (source, lang) as a
+  // pivot with an explicit value list (no driver-side distinct scan).
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  private def qPivotLang(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source")).pivot("lang", Langs).count()
+      .na.fill(0L, Langs)
+
+  private val qPivotLangSql = {
+    val arms = Langs.map(l =>
+      s"count(CASE WHEN lang = '$l' THEN 1 END) AS $l").mkString(",\n  ")
+    s"SELECT source,\n  $arms\nFROM documents GROUP BY source"
+  }
+
+  // ------------------------------------------------------------------ maps
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin _),
+    "q_bloom_semi" -> (qBloomSemi _),
+    "q_centroids" -> (qCentroids _),
+    "q_repetition" -> (qRepetition _),
+    "q_pivot_lang" -> (qPivotLang _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_range_join" -> qRangeJoinSql,
+    "q_bloom_semi" -> qBloomSemiSql,
+    "q_centroids" -> qCentroidsSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_pivot_lang" -> qPivotLangSql,
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** RangeJoin, BloomPrefilter, RepetitionStats — the scale-technique
+  * operators: each must equal its naive relational form exactly. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- RangeJoin
+
+  test("bandJoin equals the naive BETWEEN join, including boundary hits") {
+    val points = Seq(0.0, 0.5, 1.0, 1.5, 2.5, 9.99, 10.0, -3.2)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("pid", "v")
+    val intervals = Seq(
+      (100L, 0.0, 1.0),    // inclusive both ends: catches 0.0, 0.5, 1.0
+      (101L, 1.0, 1.0),    // degenerate point interval
+      (102L, -4.0, -3.0),  // negative band arithmetic
+      (103L, 2.4, 9.99),   // spans many bands
+      (104L, 20.0, 30.0))  // matches nothing
+      .toDF("iid", "lo", "hi")
+
+    val banded = RangeJoin.bandJoin(points, intervals, "v", "lo", "hi", 1.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, $"v".between($"lo", $"hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(banded === naive)
+    assert(banded.contains((1L, 100L)) && banded.contains((2L, 101L)))
+    assert(!naive.exists(_._2 == 104L))
+  }
+
+  test("bandJoin emits each matching pair exactly once (no band dupes)") {
+    // interval spanning 5 bands, point interior to it
+    val points = Seq((1L, 2.5)).toDF("pid", "v")
+    val intervals = Seq((9L, 0.0, 5.0)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.bandJoin(points, intervals, "v", "lo", "hi", 1.0)
+    assert(out.count() === 1)
+  }
+
+  test("toleranceJoin matches |v - center| <= tol") {
+    val points = Seq((1L, 10.0), (2L, 10.6), (3L, 11.2)).toDF("pid", "v")
+    val centers = Seq((7L, 10.5)).toDF("cid", "c")
+    val got = RangeJoin.toleranceJoin(points, centers, "v", "c", 0.5, 1.0)
+      .select("pid").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+  }
+
+  // ------------------------------------------------------- BloomPrefilter
+
+  test("bloom prefilter passes every true key (no false negatives)") {
+    val probe = (1L to 2000L).toDF("k")
+    val build = (1L to 2000L by 3).toDF("bk")
+    val pre = BloomPrefilter.prefilter(probe, "k", build, "bk", 4096)
+    val preKeys = pre.as[Long].collect().toSet
+    val trueKeys = (1L to 2000L by 3).toSet
+    assert(trueKeys.subsetOf(preKeys), "bloom dropped a real key")
+  }
+
+  test("bloom semiJoin equals the exact semi-join") {
+    val probe = (1L to 5000L).map(i => (i, i % 7)).toDF("k", "payload")
+    val build = (1L to 5000L by 11).toDF("bk")
+    val got = BloomPrefilter.semiJoin(probe, "k", build, "bk", 4096)
+      .select("k").as[Long].collect().toSet
+    assert(got === (1L to 5000L by 11).toSet)
+  }
+
+  // ------------------------------------------------------ RepetitionStats
+
+  test("repetition stats: exact counts on a known document") {
+    // "a b a b a" -> 5 words, 2 distinct, top word "a" x3,
+    // bigrams: "a b","b a","a b","b a" -> top bigram x2
+    val docs = Seq((1L, "a b a b a"), (2L, "x y z w")).toDF("id", "txt")
+    val out = RepetitionStats.stats(docs, "id", "txt")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 5L, 2L, 3L, 2L, 600000L)))
+    assert(out(1) === ((2L, 4L, 4L, 1L, 1L, 250000L)))
+  }
+
+  test("repetition stats: whitespace-collapse and case normalization") {
+    val docs = Seq((1L, "  The   THE the  ")).toDF("id", "txt")
+    val out = RepetitionStats.stats(docs, "id", "txt")
+      .select("n_words", "n_distinct", "top_word_cnt").as[(Long, Long, Long)]
+      .head()
+    assert(out === ((3L, 1L, 3L)))
+  }
+
+  test("repetition stats: single-word and empty docs are excluded") {
+    val docs = Seq((1L, "word"), (2L, ""), (3L, "a b")).toDF("id", "txt")
+    val ids = RepetitionStats.stats(docs, "id", "txt")
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(3L)) // 1 has no bigram, 2 has no token
+  }
+}

@@ -65,4 +65,29 @@ class PlanSpec extends SparkSpec {
       p.split("Exchange").head.contains("HashAggregate") ||
       p.indexOf("HashAggregate", exchange) != firstAgg)
   }
+
+  test("q_range_join plans as an equi-join on bands, never a nested loop") {
+    // the whole point of the band decomposition: a plain BETWEEN join has
+    // no equi-key and Spark would plan BroadcastNestedLoopJoin/cartesian
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"band join regressed to a non-equi plan:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q_bloom_semi filters the probe side with might_contain before the join") {
+    val p = plan("q_bloom_semi")
+    assert(p.contains("might_contain"), "bloom prefilter missing from plan")
+    assert(p.contains("LeftSemi"), "exact semi-join missing from plan")
+  }
+
+  test("q_centroids aggregates partially before the (group, dim) shuffle") {
+    val p = plan("q_centroids")
+    assert(p.contains("Generate")) // posexplode fan-out
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0 &&
+      (p.contains("partial_sum") || p.contains("partial_count")),
+      "map-side combine missing — every element row would shuffle")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrefilter, RangeJoin, RepetitionStats}
+import graft.operators.{BloomPrefilter, Quantiles, RangeJoin, RepetitionStats}
 import graft.similarity.Centroids
 
 /** Beyond-reference query group: the scale-technique operators — banded
@@ -124,6 +124,60 @@ object QueriesScale {
     s"SELECT source,\n  $arms\nFROM documents GROUP BY source"
   }
 
+  // --------------------------------------------------------- overlap join
+  // Interval-overlap self-join via the banded first-shared-band trick
+  // (RangeJoin.overlapJoin): orders of the same customer whose 2-day
+  // activity windows intersect. Banding runs on exact integer epoch-days;
+  // the oracle is the naive non-equi self-join in timestamp arithmetic.
+  private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .withColumn("lo",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+      .withColumn("hi", col("lo") + lit(2))
+    val a = base.select(col("o_custkey"), col("o_orderkey").as("a_orderkey"),
+      col("o_orderdate").as("a_date"), col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = base.select(col("o_custkey"), col("o_orderkey").as("b_orderkey"),
+      col("o_orderdate").as("b_date"), col("lo").as("b_lo"), col("hi").as("b_hi"))
+    RangeJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+      width = 3.0, keys = Seq("o_custkey"))
+      .filter(col("a_orderkey") < col("b_orderkey"))
+      .select(col("o_custkey"), col("a_orderkey"), col("b_orderkey"),
+        col("a_date"), col("b_date"))
+  }
+
+  private val qOverlapJoinSql =
+    """SELECT a.o_custkey, a.o_orderkey AS a_orderkey,
+      |  b.o_orderkey AS b_orderkey,
+      |  a.o_orderdate AS a_date, b.o_orderdate AS b_date
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey
+      | AND a.o_orderkey < b.o_orderkey
+      | AND a.o_orderdate <= b.o_orderdate + INTERVAL 2 DAY
+      | AND b.o_orderdate <= a.o_orderdate + INTERVAL 2 DAY""".stripMargin
+
+  // ------------------------------------------------------------ quantiles
+  // Exact distributed quantiles by rank-select (Quantiles.exactQuantiles):
+  // integer ranks + passthrough values + deterministic tiebreak = engine-
+  // portable with no interpolation arithmetic. percentile_approx is the
+  // sketch-based scale path (spec-verified against these exact values).
+  private val Ps = Seq(0.25, 0.5, 0.75, 0.95)
+
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    Quantiles.exactQuantiles(
+      t(s, dir, "events"), "value", "event_id", Seq("event_type"), Ps)
+
+  private val qQuantilesSql = {
+    val vals = Ps.map(p => s"(CAST($p AS DOUBLE))").mkString(", ")
+    s"""WITH r AS (SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |p AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES $vals) t(p))
+       |SELECT event_type, p, value AS q
+       |FROM r CROSS JOIN p
+       |WHERE rn = CAST(ceil(p * n) AS BIGINT)""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
@@ -131,6 +185,8 @@ object QueriesScale {
     "q_centroids" -> (qCentroids _),
     "q_repetition" -> (qRepetition _),
     "q_pivot_lang" -> (qPivotLang _),
+    "q_overlap_join" -> (qOverlapJoin _),
+    "q_quantiles" -> (qQuantiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,5 +195,7 @@ object QueriesScale {
     "q_centroids" -> qCentroidsSql,
     "q_repetition" -> qRepetitionSql,
     "q_pivot_lang" -> qPivotLangSql,
+    "q_overlap_join" -> qOverlapJoinSql,
+    "q_quantiles" -> qQuantilesSql,
   )
 }

@@ -43,6 +43,33 @@ object RangeJoin {
       .drop("__band")
   }
 
+  /** Interval-overlap join: pairs where `[lLo,lHi]` and `[rLo,rHi]`
+    * intersect (inclusive), optionally restricted to equal `keys`.
+    *
+    * Both sides explode into their covering bands and equi-join on
+    * (keys, band). An overlapping pair shares every band in
+    * `[max(lo-bands), min(hi-bands)]`; emitting it only from the FIRST
+    * shared band (`band == greatest(left-lo-band, right-lo-band)`)
+    * reports each pair exactly once with no distinct pass. */
+  def overlapJoin(
+      left: DataFrame, right: DataFrame,
+      lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
+      width: Double, keys: Seq[String] = Nil): DataFrame = {
+    require(width > 0, s"band width must be positive, got $width")
+    val l = left
+      .withColumn("__l_lo_band", band(col(lLoCol), width))
+      .withColumn("__band",
+        explode(sequence(band(col(lLoCol), width), band(col(lHiCol), width))))
+    val r = right
+      .withColumn("__r_lo_band", band(col(rLoCol), width))
+      .withColumn("__band",
+        explode(sequence(band(col(rLoCol), width), band(col(rHiCol), width))))
+    l.join(r, keys :+ "__band")
+      .filter(col("__band") === greatest(col("__l_lo_band"), col("__r_lo_band")))
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      .drop("__band", "__l_lo_band", "__r_lo_band")
+  }
+
   /** Convenience for symmetric tolerance joins (`|v - center| <= tol`):
     * the interval side carries a center column instead of lo/hi. */
   def toleranceJoin(

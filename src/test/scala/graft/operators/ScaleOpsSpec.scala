@@ -48,6 +48,68 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === Set(1L, 2L))
   }
 
+  test("overlapJoin equals the naive interval-intersection join") {
+    // deterministic pseudo-random intervals; several span many bands
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 120).map { i =>
+      val lo = rnd.nextInt(200).toDouble; (i.toLong, lo, lo + rnd.nextInt(30))
+    }.toDF("lid", "llo", "lhi")
+    val right = (1 to 120).map { i =>
+      val lo = rnd.nextInt(200).toDouble; (i.toLong, lo, lo + rnd.nextInt(30))
+    }.toDF("rid", "rlo", "rhi")
+
+    val banded = RangeJoin
+      .overlapJoin(left, right, "llo", "lhi", "rlo", "rhi", width = 10.0)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val naive = left.join(right, $"llo" <= $"rhi" && $"rlo" <= $"lhi")
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(banded.length === banded.toSet.size, "duplicate pair emitted")
+    assert(banded.toSet === naive.toSet)
+  }
+
+  test("overlapJoin with equi-keys restricts pairs to matching keys") {
+    val left = Seq((1L, "a", 0.0, 10.0), (2L, "b", 0.0, 10.0))
+      .toDF("lid", "k", "llo", "lhi")
+    val right = Seq((7L, "a", 5.0, 15.0)).toDF("rid", "k", "rlo", "rhi")
+    val got = RangeJoin.overlapJoin(
+      left, right, "llo", "lhi", "rlo", "rhi", 8.0, keys = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 7L)))
+  }
+
+  // ------------------------------------------------------------ Quantiles
+
+  test("exactQuantiles picks the rank-ceil(p*n) value with tiebreaks") {
+    // values 1..100 in one group: p=0.25 -> rank 25 -> 25.0, etc.
+    val df = (1 to 100).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "v", "id")
+    val out = Quantiles
+      .exactQuantiles(df, "v", "id", Seq("grp"), Seq(0.25, 0.5, 1.0))
+      .orderBy("p").select("p", "q").as[(Double, Double)].collect()
+    assert(out.toSeq === Seq((0.25, 25.0), (0.5, 50.0), (1.0, 100.0)))
+  }
+
+  test("exactQuantiles: all-ties group still returns one row per p") {
+    val df = Seq.fill(10)(("g", 5.0)).zipWithIndex
+      .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("grp", "v", "id")
+    val out = Quantiles
+      .exactQuantiles(df, "v", "id", Seq("grp"), Seq(0.5, 0.9))
+      .select("q").as[Double].collect()
+    assert(out.toSeq === Seq(5.0, 5.0))
+  }
+
+  test("approxQuantiles tracks the exact quantiles within sketch error") {
+    val df = (1 to 10000).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "v", "id")
+    val approx = Quantiles
+      .approxQuantiles(df, "v", Seq("grp"), Seq(0.25, 0.5, 0.95))
+      .select("qs").as[Seq[Double]].head()
+    val exact = Seq(2500.0, 5000.0, 9500.0)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+    }
+  }
+
   // ------------------------------------------------------- BloomPrefilter
 
   test("bloom prefilter passes every true key (no false negatives)") {

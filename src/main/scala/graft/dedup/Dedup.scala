@@ -66,17 +66,50 @@ object Dedup {
       signatures: DataFrame, idCol: String, k: Int, bandSize: Int,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val sig = scope.retain(signatures)
-    val bandVals = (0 until k / bandSize).map { b =>
-      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"mh_$i"))
-      md5(concat(cols: _*))
-    }
-    val banded = sig.select(col(idCol),
-      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val banded = bandTable(sig, idCol, k, bandSize)
     val l = banded.select(col(idCol).as("doc_a"), col("band_idx"), col("band_val"))
     val r = banded.select(col(idCol).as("doc_b"), col("band_idx"), col("band_val"))
     l.join(r, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Signature rows exploded to (id, band_idx, band_val) — the persistable
+    * LSH bucket table. At scale this is what you KEEP between pipeline
+    * runs: incremental dedup joins new docs' bands against it instead of
+    * re-hashing the corpus. */
+  def bandTable(
+      signatures: DataFrame, idCol: String, k: Int, bandSize: Int): DataFrame = {
+    val bandVals = (0 until k / bandSize).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"mh_$i"))
+      md5(concat(cols: _*))
+    }
+    signatures.select(col(idCol),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Incremental LSH dedup: candidate pairs between a NEW batch of docs
+    * and an EXISTING corpus band table (from [[bandTable]], typically a
+    * parquet table maintained across runs), plus pairs within the new
+    * batch itself. Cost scales with the increment's band rows — the
+    * corpus is only touched through the (band_idx, band_val) join, never
+    * re-hashed: the continuous-ingest shape for corpus dedup at 100 TB.
+    * Returns (doc_new, doc_corpus|doc_new2) pairs, new-batch-internal
+    * pairs ordered a < b. */
+  def minhashCandidatesAgainst(
+      newSigs: DataFrame, corpusBands: DataFrame, idCol: String,
+      k: Int, bandSize: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val newBands = scope.retain(bandTable(newSigs, idCol, k, bandSize))
+    val n = newBands.select(col(idCol).as("doc_new"), col("band_idx"), col("band_val"))
+    val c = corpusBands.select(col(idCol).as("doc_match"), col("band_idx"), col("band_val"))
+    val vsCorpus = n.join(c, Seq("band_idx", "band_val"))
+      .select(col("doc_new"), col("doc_match"))
+    val n2 = newBands.select(col(idCol).as("doc_match"), col("band_idx"), col("band_val"))
+    val within = n.join(n2, Seq("band_idx", "band_val"))
+      .filter(col("doc_new") < col("doc_match"))
+      .select(col("doc_new"), col("doc_match"))
+    vsCorpus.unionByName(within).distinct()
   }
 
   /** All-pairs n-gram Jaccard similarity >= `threshold`, computed by

@@ -29,6 +29,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactGroups(messy, "doc_id", "text").count() == 1)
   }
 
+  test("incremental minhash equals full-corpus LSH for increment pairs") {
+    // corpus = docs 1..350, increment = docs 351..500 of the real corpus:
+    // candidatesAgainst(new, bandTable(corpus)) must produce exactly the
+    // full-run pairs that touch the increment
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = all.filter(col("doc_id") < 350)
+    val fresh = all.filter(col("doc_id") >= 350)
+    val (k, bandSize) = (12, 3)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(Dedup.shingleTable(df, "doc_id", "text", 3), "doc_id", k)
+
+    val corpusBands = Dedup.bandTable(sigs(corpus), "doc_id", k, bandSize)
+    val incremental = Dedup
+      .minhashCandidatesAgainst(sigs(fresh), corpusBands, "doc_id", k, bandSize)
+      .select("doc_new", "doc_match").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+
+    val full = Dedup.minhashCandidates(sigs(all), "doc_id", k, bandSize)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fullTouchingNew = full.filter { case (a, b) => a >= 350 || b >= 350 }
+    assert(incremental === fullTouchingNew)
+    assert(incremental.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
   test("ngram jaccard finds near dups above threshold only") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

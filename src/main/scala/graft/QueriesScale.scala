@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrefilter, Quantiles, RangeJoin, RepetitionStats}
+import graft.operators.{Boilerplate, BloomPrefilter, Quantiles, RangeJoin, RepetitionStats}
 import graft.similarity.Centroids
 
 /** Beyond-reference query group: the scale-technique operators — banded
@@ -178,6 +178,27 @@ object QueriesScale {
        |WHERE rn = CAST(ceil(p * n) AS BIGINT)""".stripMargin
   }
 
+  // ---------------------------------------------------------- boilerplate
+  // Corpus-common n-gram detection (Boilerplate.stats): per-doc fraction
+  // of 3-gram shingles whose corpus document frequency exceeds 2 — the
+  // C4-style template/boilerplate curation signal, integer-exact.
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Boilerplate.stats(t(s, dir, "documents"), "doc_id", "text", 3, 2)
+
+  private val qBoilerplateSql =
+    """WITH w AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |  FROM w CROSS JOIN range(1, 256) t(i) WHERE i <= len(ws) - 2),
+      |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+      |    AS common_ppm
+      |FROM sh JOIN df USING (shingle) GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
@@ -187,6 +208,7 @@ object QueriesScale {
     "q_pivot_lang" -> (qPivotLang _),
     "q_overlap_join" -> (qOverlapJoin _),
     "q_quantiles" -> (qQuantiles _),
+    "q_boilerplate" -> (qBoilerplate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,5 +219,6 @@ object QueriesScale {
     "q_pivot_lang" -> qPivotLangSql,
     "q_overlap_join" -> qOverlapJoinSql,
     "q_quantiles" -> qQuantilesSql,
+    "q_boilerplate" -> qBoilerplateSql,
   )
 }

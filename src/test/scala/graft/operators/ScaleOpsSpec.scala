@@ -129,6 +129,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === (1L to 5000L by 11).toSet)
   }
 
+  // ---------------------------------------------------------- Boilerplate
+
+  test("boilerplate stats: corpus-common shingles counted per doc") {
+    // "x y z" appears in docs 1,2,3 (df=3 > 2 -> common); everything
+    // else is unique to its doc
+    val docs = Seq(
+      (1L, "x y z a b c"),     // 4 shingles: xyz yza zab abc; 1 common
+      (2L, "x y z q r s"),
+      (3L, "p q x y z t"),
+      (4L, "unrelated words only here")).toDF("id", "txt")
+    val out = Boilerplate.stats(docs, "id", "txt", 3, 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 4L, 1L, 250000L)))
+    assert(out(1) === ((2L, 4L, 1L, 250000L)))
+    assert(out(2) === ((3L, 4L, 1L, 250000L)))
+    assert(out(3) === ((4L, 2L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------ RepetitionStats
 
   test("repetition stats: exact counts on a known document") {

@@ -199,6 +199,35 @@ object QueriesScale {
       |    AS common_ppm
       |FROM sh JOIN df USING (shingle) GROUP BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- contamination
+  // Train/eval n-gram leakage (Boilerplate.contamination): every 20th
+  // document plays the held-out eval set; each remaining (train) doc is
+  // scored by how many of its distinct 3-grams appear anywhere in eval.
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Boilerplate.contamination(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", 3)
+  }
+
+  private val qContaminationSql =
+    """WITH w AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |  FROM w CROSS JOIN range(1, 256) t(i) WHERE i <= len(ws) - 2),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+      |SELECT s.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |       // count(*) AS BIGINT) AS contaminated_ppm
+      |FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+      |WHERE s.doc_id % 20 <> 0
+      |GROUP BY s.doc_id""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
@@ -209,6 +238,7 @@ object QueriesScale {
     "q_overlap_join" -> (qOverlapJoin _),
     "q_quantiles" -> (qQuantiles _),
     "q_boilerplate" -> (qBoilerplate _),
+    "q_contamination" -> (qContamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -220,5 +250,6 @@ object QueriesScale {
     "q_overlap_join" -> qOverlapJoinSql,
     "q_quantiles" -> qQuantilesSql,
     "q_boilerplate" -> qBoilerplateSql,
+    "q_contamination" -> qContaminationSql,
   )
 }

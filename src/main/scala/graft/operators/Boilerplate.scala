@@ -34,4 +34,27 @@ object Boilerplate {
         sum(when(col("df") > dfThreshold, 1L).otherwise(0L)).as("n_common"))
       .withColumn("common_ppm", expr("n_common * 1000000L div n_shingles"))
   }
+
+  /** Train/eval contamination: per TRAIN document, how many of its
+    * distinct n-grams also occur anywhere in the EVAL corpus — the
+    * decontamination signal (drop or flag training documents that leak
+    * benchmark content). Same two-shuffle shape as [[stats]]: the eval
+    * shingle set is a distinct relational table joined on the shingle
+    * key, never a broadcast/driver-side set, so the eval corpus can be
+    * arbitrarily large. */
+  def contamination(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val trainSh = Dedup.shingleTable(train, idCol, textCol, n)
+    val evalSh = Dedup.shingleTable(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1L))
+    trainSh.join(evalSh, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contaminated_ppm",
+        expr("n_contaminated * 1000000L div n_shingles"))
+  }
 }

@@ -148,6 +148,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(3) === ((4L, 2L, 0L, 0L)))
   }
 
+  test("contamination counts train shingles that leak from the eval set") {
+    val train = Seq(
+      (1L, "x y z a b c"),   // "x y z" leaks (1 of 4 shingles)
+      (2L, "clean words all the way through")).toDF("id", "txt")
+    val eval_ = Seq((100L, "x y z unrelated tail")).toDF("id", "txt")
+    val out = Boilerplate.contamination(train, eval_, "id", "txt", 3)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 4L, 1L, 250000L)))
+    assert(out(1)._3 === 0L)
+  }
+
   // ------------------------------------------------------ RepetitionStats
 
   test("repetition stats: exact counts on a known document") {

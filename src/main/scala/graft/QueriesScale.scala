@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Boilerplate, BloomPrefilter, Quantiles, RangeJoin, RepetitionStats}
+import graft.functions.TextFunctions
+import graft.operators.{Boilerplate, BloomPrefilter, Packing, Quantiles, RangeJoin, RepetitionStats}
 import graft.similarity.Centroids
 
 /** Beyond-reference query group: the scale-technique operators — banded
@@ -228,6 +229,42 @@ object QueriesScale {
       |WHERE s.doc_id % 20 <> 0
       |GROUP BY s.doc_id""".stripMargin
 
+  // -------------------------------------------------------------- packing
+  // Token-stream sequence packing (Packing.streamPacking): md5-sharded,
+  // id-ordered exclusive prefix sums chunked into 2048-token packs —
+  // deterministic pretraining batch assembly as one window pass.
+  private val PackShards = 8
+  private val PackBudget = 2048L
+
+  private def qPacking(s: SparkSession, dir: String): DataFrame =
+    Packing.streamPacking(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks")),
+      "doc_id", "toks", PackShards, PackBudget)
+
+  private val qPackingSql = {
+    val hexFold =
+      "list_reduce(list_transform(regexp_split_to_array(" +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    val toks = "CASE WHEN s = '' THEN 0 ELSE length(s) - length(replace(s, ' ', '')) + 1 END"
+    s"""WITH c AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+       |  FROM documents),
+       |tk AS (SELECT doc_id, $hexFold % $PackShards AS shard,
+       |       CAST($toks AS BIGINT) AS n_tokens FROM c),
+       |pos AS (SELECT doc_id, shard, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
+       |  FROM tk)
+       |SELECT doc_id, shard, n_tokens, start_offset,
+       |  start_offset // $PackBudget AS pack_id,
+       |  start_offset % $PackBudget AS offset_in_pack
+       |FROM pos""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
@@ -239,6 +276,7 @@ object QueriesScale {
     "q_quantiles" -> (qQuantiles _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_contamination" -> (qContamination _),
+    "q_packing" -> (qPacking _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -251,5 +289,6 @@ object QueriesScale {
     "q_quantiles" -> qQuantilesSql,
     "q_boilerplate" -> qBoilerplateSql,
     "q_contamination" -> qContaminationSql,
+    "q_packing" -> qPackingSql,
   )
 }

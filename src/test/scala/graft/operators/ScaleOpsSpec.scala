@@ -129,6 +129,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === (1L to 5000L by 11).toSet)
   }
 
+  // -------------------------------------------------------------- Packing
+
+  test("streamPacking chunks each shard's token stream at the budget") {
+    // single shard (shards=1): offsets are a pure running sum in id order
+    val docs = Seq((1L, 100L), (2L, 50L), (3L, 80L), (4L, 40L))
+      .toDF("id", "toks")
+    val out = Packing.streamPacking(docs, "id", "toks", 1, 128L)
+      .orderBy("id")
+      .select("id", "start_offset", "pack_id", "offset_in_pack")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 0L, 0L, 0L)))
+    assert(out(1) === ((2L, 100L, 0L, 100L)))  // starts in pack 0, straddles
+    assert(out(2) === ((3L, 150L, 1L, 22L)))
+    assert(out(3) === ((4L, 230L, 1L, 102L)))
+  }
+
+  test("streamPacking is partitioning-independent (same packs any layout)") {
+    val docs = (1L to 200L).map(i => (i, (i % 37) + 1)).toDF("id", "toks")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.streamPacking(df, "id", "toks", 4, 64L)
+        .select("id", "shard", "pack_id", "offset_in_pack")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(docs.repartition(7)) === run(docs.coalesce(1)))
+  }
+
   // ---------------------------------------------------------- Boilerplate
 
   test("boilerplate stats: corpus-common shingles counted per doc") {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.dedup.Dedup
 
 /** Corpus-common n-gram ("boilerplate") detection — the curation signal
@@ -24,8 +25,12 @@ object Boilerplate {
     * (nothing to rate). */
   def stats(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, dfThreshold: Long): DataFrame = {
-    val sh = Dedup.shingleTable(docs, idCol, textCol, n)
+      n: Int, dfThreshold: Long,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    // persisted: the shingle table feeds BOTH the df aggregation and the
+    // join probe — without it the whole scan+explode+distinct pipeline
+    // runs twice. `scope` owns the release (see CacheScope).
+    val sh = scope.retain(Dedup.shingleTable(docs, idCol, textCol, n))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     sh.join(df, "shingle")
       .groupBy(col(idCol))

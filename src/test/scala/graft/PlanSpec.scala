@@ -82,6 +82,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "exact semi-join missing from plan")
   }
 
+  test("q_packing runs as one window sort per shard, no extra exchange") {
+    // exactly two exchanges may appear: the scan repartition and the
+    // hash partitioning feeding the per-shard window sort
+    val p = plan("q_packing")
+    assert(p.contains("Window"), "prefix sums must be a Window, not a join")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"unexpected exchanges ($exchanges):\n$p")
+  }
+
+  test("q_boilerplate reuses the shingle table across both aggregations") {
+    // the (doc, shingle) table feeds the df aggregation AND the join
+    // probe; it must be computed once (persisted) — not re-derived from
+    // a second parquet scan per consumer
+    val p = plan("q_boilerplate")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryRelation"),
+      s"shingle derivation duplicated ($scans scans):\n$p")
+  }
+
   test("q_centroids aggregates partially before the (group, dim) shuffle") {
     val p = plan("q_centroids")
     assert(p.contains("Generate")) // posexplode fan-out

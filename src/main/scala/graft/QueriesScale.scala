@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BloomPrefilter, Packing, Quantiles, RangeJoin, RepetitionStats}
+import graft.operators.{Boilerplate, BloomPrefilter, Packing, Quantiles, RangeJoin, RepetitionStats, Sampling}
 import graft.similarity.Centroids
 
 /** Beyond-reference query group: the scale-technique operators — banded
@@ -265,6 +265,40 @@ object QueriesScale {
        |FROM pos""".stripMargin
   }
 
+  // -------------------------------------------------------------- mixture
+  // Corpus-mixture rebalancing (Sampling.rebalanceToMixture): largest
+  // downsample honoring target language shares, keep-rates computed
+  // relationally from stratum counts, hash-deterministic keep decision.
+  private val MixWeights = Seq("en" -> 0.4, "fr" -> 0.3, "de" -> 0.3)
+  private val MixBuckets = 10000
+
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.rebalanceToMixture(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", MixWeights.toMap, MixBuckets)
+
+  private val qMixtureSql = {
+    val hexFold =
+      "list_reduce(list_transform(regexp_split_to_array(" +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    val wCase = MixWeights
+      .map { case (k, w) => s"WHEN '$k' THEN CAST($w AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+       |    CASE lang $wCase END AS w
+       |  FROM documents GROUP BY lang),
+       |nw AS (SELECT * FROM n WHERE w IS NOT NULL),
+       |t AS (SELECT min(n / w) AS t FROM nw),
+       |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), w * t.t / n) AS rate
+       |  FROM nw CROSS JOIN t)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE $hexFold % $MixBuckets <
+       |  CAST(floor(rate * $MixBuckets.0) AS BIGINT)""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
@@ -277,6 +311,7 @@ object QueriesScale {
     "q_boilerplate" -> (qBoilerplate _),
     "q_contamination" -> (qContamination _),
     "q_packing" -> (qPacking _),
+    "q_mixture" -> (qMixture _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -290,5 +325,6 @@ object QueriesScale {
     "q_boilerplate" -> qBoilerplateSql,
     "q_contamination" -> qContaminationSql,
     "q_packing" -> qPackingSql,
+    "q_mixture" -> qMixtureSql,
   )
 }

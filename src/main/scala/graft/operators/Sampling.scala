@@ -42,4 +42,38 @@ object Sampling {
         (rate * lit(buckets.toDouble)).cast("long"))
       .drop("__bucket")
   }
+
+  /** Downsample to a TARGET MIXTURE: given per-stratum weights (e.g.
+    * lang -> share of the output corpus), compute the largest output
+    * that honors them without upsampling — T = min over strata of
+    * (n_s / w_s) — and keep each stratum at rate w_s * T / n_s via the
+    * deterministic hash. Strata absent from `weights` are dropped.
+    *
+    * Everything is relational: stratum counts are an aggregation, the
+    * limiting ratio is a one-row aggregate joined back (both tiny,
+    * broadcast), and the keep decision is the same map-side hash filter
+    * as [[hashSample]] — no driver-side counting, reproducible on any
+    * partitioning. The corpus-mixture rebalancing primitive. */
+  def rebalanceToMixture(
+      df: DataFrame, keyCol: String, strataCol: String,
+      weights: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wCol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, w)) => when(col(strataCol) === k, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", wCol)
+      .filter(col("__w").isNotNull)
+    val limit = counts.agg(min(col("__n") / col("__w")).as("__t"))
+    val rates = counts.crossJoin(broadcast(limit))
+      .withColumn("__rate",
+        least(lit(1.0), col("__w") * col("__t") / col("__n")))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hashBucket(col(keyCol), buckets) <
+        floor(col("__rate") * lit(buckets.toDouble)))
+      .drop("__rate")
+  }
 }

@@ -40,4 +40,24 @@ class SamplingSpec extends SparkSpec {
   test("rate 1.0 keeps every row") {
     assert(docs(500).filter(Sampling.hashSample(col("id"), 1.0)).count() == 500)
   }
+
+  test("rebalanceToMixture hits the target shares at max output size") {
+    val d = docs(5000) // 1000 en, 4000 de
+    // target 50/50: en is limiting (1000/0.5 = 2000 = T) -> keep all en,
+    // downsample de to ~1000
+    val out = Sampling.rebalanceToMixture(d, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 1000L, "limiting stratum must keep everything")
+    assert(math.abs(byLang("de") - 1000.0) / 1000.0 < 0.06,
+      s"de should downsample to ~1000, got ${byLang("de")}")
+  }
+
+  test("rebalanceToMixture drops strata without a weight") {
+    val d = docs(1000)
+    val out = Sampling.rebalanceToMixture(d, "id", "lang", Map("en" -> 1.0))
+    assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("en"))
+  }
 }

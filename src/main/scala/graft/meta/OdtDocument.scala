@@ -121,8 +121,12 @@ object OdtDocument {
       "</manifest:manifest>"
 
   /** Write the ODF package: STORED, comment-free `mimetype` first (the
-    * spec's magic-sniffing rule), then manifest and content. */
-  def writeOdt(path: String, contentXml: String): Unit = {
+    * spec's magic-sniffing rule), then manifest and content. Builder-created
+    * documents carry the minimal manifest; template fills pass the
+    * template's own entries through `carry` so styles.xml, meta.xml,
+    * Pictures/ and the original manifest survive verbatim. */
+  def writeOdt(path: String, contentXml: String,
+      carry: Seq[(String, Array[Byte])] = Seq.empty): Unit = {
     val zos = new ZipOutputStream(new FileOutputStream(path))
     try {
       val mimeBytes = Mimetype.getBytes(UTF_8)
@@ -132,12 +136,17 @@ object OdtDocument {
       val crc = new CRC32(); crc.update(mimeBytes)
       mimeEntry.setCrc(crc.getValue)
       zos.putNextEntry(mimeEntry); zos.write(mimeBytes); zos.closeEntry()
-      def deflated(name: String, content: String): Unit = {
+      def deflated(name: String, content: Array[Byte]): Unit = {
         zos.putNextEntry(new ZipEntry(name))
-        zos.write(content.getBytes(UTF_8)); zos.closeEntry()
+        zos.write(content); zos.closeEntry()
       }
-      deflated("META-INF/manifest.xml", manifestXml)
-      deflated("content.xml", contentXml)
+      val carried = carry.filter { case (n, _) =>
+        n != "mimetype" && n != "content.xml"
+      }
+      if (!carried.exists(_._1 == "META-INF/manifest.xml"))
+        deflated("META-INF/manifest.xml", manifestXml.getBytes(UTF_8))
+      carried.foreach { case (n, b) => deflated(n, b) }
+      deflated("content.xml", contentXml.getBytes(UTF_8))
     } finally zos.close()
   }
 

@@ -142,7 +142,7 @@ object OdtDocument {
       }
       val carried = carry.filter { case (n, _) =>
         n != "mimetype" && n != "content.xml"
-      }
+      }.distinctBy(_._1)
       if (!carried.exists(_._1 == "META-INF/manifest.xml"))
         deflated("META-INF/manifest.xml", manifestXml.getBytes(UTF_8))
       carried.foreach { case (n, b) => deflated(n, b) }
@@ -213,6 +213,6 @@ object OdtDocument {
     val sw = new java.io.StringWriter()
     tf.transform(new javax.xml.transform.dom.DOMSource(doc),
       new javax.xml.transform.stream.StreamResult(sw))
-    writeOdt(outPath, sw.toString)
+    writeOdt(outPath, sw.toString, carry = entries)
   }
 }

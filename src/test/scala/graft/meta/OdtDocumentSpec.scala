@@ -114,6 +114,67 @@ class OdtDocumentSpec extends AnyFunSuite {
       .getLength == 1) // header only
   }
 
+  test("template fill carries styles.xml, Pictures/ and the template manifest") {
+    // a LibreOffice-style template: styles.xml, meta.xml, an embedded
+    // picture, and a manifest that lists them — none of which fillTemplate
+    // rewrites, so all must survive the fill byte-identical
+    val stylesXml = ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<office:document-styles xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" office:version="1.2"/>""")
+      .getBytes(UTF_8)
+    val metaXml = ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<office:document-meta xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" office:version="1.2"/>""")
+      .getBytes(UTF_8)
+    val picture = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val templateManifest = ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+      """<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0" manifest:version="1.2">""" +
+      s"""<manifest:file-entry manifest:full-path="/" manifest:media-type="${OdtDocument.Mimetype}"/>""" +
+      """<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>""" +
+      """<manifest:file-entry manifest:full-path="styles.xml" manifest:media-type="text/xml"/>""" +
+      """<manifest:file-entry manifest:full-path="meta.xml" manifest:media-type="text/xml"/>""" +
+      """<manifest:file-entry manifest:full-path="Pictures/p.bin" manifest:media-type="application/octet-stream"/>""" +
+      "</manifest:manifest>").getBytes(UTF_8)
+
+    val template = Files.createTempFile("tmpl", ".odt").toString
+    val contentXml = {
+      val tmp = Files.createTempFile("plain", ".odt").toString
+      OdtDocument.builder()
+        .table("users", Seq("field name", "type", "description"))
+        .save(tmp)
+      new String(
+        OdtDocument.readEntries(tmp).find(_._1 == "content.xml").get._2, UTF_8)
+    }
+    OdtDocument.writeOdt(template, contentXml, carry = Seq(
+      "META-INF/manifest.xml" -> templateManifest,
+      "styles.xml" -> stylesXml,
+      "meta.xml" -> metaXml,
+      "Pictures/p.bin" -> picture))
+
+    val out = Files.createTempFile("filled", ".odt").toString
+    OdtDocument.fillTemplate(template, out,
+      Map("users" -> Seq(Seq("id", "integer", "the key"))))
+
+    val entries = OdtDocument.readEntries(out)
+    val byName = entries.toMap
+    assert(entries.map(_._1).count(_ == "META-INF/manifest.xml") == 1)
+    assert(byName("META-INF/manifest.xml").sameElements(templateManifest))
+    assert(byName("styles.xml").sameElements(stylesXml))
+    assert(byName("meta.xml").sameElements(metaXml))
+    assert(byName("Pictures/p.bin").sameElements(picture))
+    // and the fill itself still happened
+    val doc = parse(byName("content.xml"))
+    assert(doc.getElementsByTagNameNS(tableNs, "table-row").getLength == 2)
+  }
+
+  test("writeOdt deduplicates carried entries by name (keep first)") {
+    val out = Files.createTempFile("dup", ".odt").toString
+    OdtDocument.writeOdt(out, "<x/>", carry = Seq(
+      "styles.xml" -> "first".getBytes(UTF_8),
+      "styles.xml" -> "second".getBytes(UTF_8)))
+    val entries = OdtDocument.readEntries(out)
+    assert(entries.map(_._1).count(_ == "styles.xml") == 1)
+    assert(new String(entries.toMap.apply("styles.xml"), UTF_8) == "first")
+  }
+
   test("template fill raises on a missing table name, like the reference") {
     val template = Files.createTempFile("tmpl", ".odt").toString
     OdtDocument.builder()

@@ -215,7 +215,8 @@ object QueriesText {
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedSample(
       t(s, dir, "documents").select(col("doc_id"), col("lang")),
-      "doc_id", "lang", Map("en" -> 0.2, "zh" -> 0.5), 1.0, SampleBuckets)
+      "doc_id", "lang", Map("en" -> 0.2, "zh" -> 0.5, "es" -> 0.33335),
+      1.0, SampleBuckets)
 
   val qSampleStratifiedSql: String = {
     // 6 hex chars -> BIGINT (pure-SQL fold; same idiom as simhash oracle)
@@ -224,10 +225,14 @@ object QueriesText {
         "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''), " +
         "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
         "(a, x) -> a * 16 + x)"
+    // FLOOR on both engines — a bare BIGINT cast rounds in DuckDB but
+    // truncates in Spark, diverging whenever rate*buckets is fractional
+    // (the 'es' rate makes it 3333.5 so the gate exercises this)
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang, $hexFold % $SampleBuckets AS b FROM documents)
-       |WHERE b < CAST((CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.5
-       |                ELSE 1.0 END) * $SampleBuckets AS BIGINT)""".stripMargin
+       |WHERE b < CAST(FLOOR((CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.5
+       |                WHEN 'es' THEN 0.33335
+       |                ELSE 1.0 END) * $SampleBuckets) AS BIGINT)""".stripMargin
   }
 
   // --------------------------------------------------------- pii redaction

@@ -68,6 +68,14 @@ object ConnectedComponents {
       labels = next.drop("__changed")
       iter += 1
     }
+    // A truncated fixpoint is indistinguishable from a converged one to
+    // the caller but yields silently WRONG cluster ids (a >maxIter-hop
+    // chain keeps multiple labels per component) — fail, don't return.
+    if (changed > 0)
+      sys.error(
+        s"ConnectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter — rounds needed " +
+          "equal the longest min-label path in any component.")
     labels
   }
 

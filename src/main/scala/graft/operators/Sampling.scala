@@ -37,9 +37,10 @@ object Sampling {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(col(strataCol) === k, lit(r)).otherwise(acc)
     }
+    // explicit floor, not cast: long-cast truncation is engine-dependent
+    // (Spark truncates, others round) the moment rate*buckets is fractional
     df.withColumn("__bucket", hashBucket(col(keyCol), buckets))
-      .filter(col("__bucket") <
-        (rate * lit(buckets.toDouble)).cast("long"))
+      .filter(col("__bucket") < floor(rate * lit(buckets.toDouble)))
       .drop("__bucket")
   }
 

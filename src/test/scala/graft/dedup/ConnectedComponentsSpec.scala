@@ -44,6 +44,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(sizes == Map("a" -> 3L, "x" -> 2L))
   }
 
+  test("maxIter truncation raises instead of returning wrong clusters") {
+    // n09-n08-...-n00 as a path with the minimum at one end: the min
+    // label travels one hop per round, so 3 rounds cannot finish and the
+    // truncated labels would be silently wrong — the loop must raise
+    val chain = (0 until 9).map(i => f"n$i%02d" -> f"n${i + 1}%02d")
+    val e = intercept[RuntimeException] {
+      ConnectedComponents.labels(edges(chain: _*), "doc_a", "doc_b",
+        maxIter = 3).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("maxIter"))
+    // with enough rounds the same graph converges to the chain head
+    val m = ConnectedComponents.labels(edges(chain: _*), "doc_a", "doc_b",
+      maxIter = 12).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.values.toSet == Set("n00"))
+    assert(m.size == 10)
+  }
+
   test("the iteration loop leaves nothing in the SQL cache") {
     // generations live as localCheckpoint block RDDs (freed by the
     // ContextCleaner when unreferenced), not CacheManager entries — a

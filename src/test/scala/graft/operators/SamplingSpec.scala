@@ -37,6 +37,22 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byLang("en") / 1000.0 - 0.5) < 0.06)
   }
 
+  test("fractional rate*buckets floors (never rounds) the bucket cutoff") {
+    // rate 0.15 at 10 buckets -> cutoff 1.5: floor keeps bucket {0} only,
+    // rounding would keep {0,1} — roughly double the sample
+    val d = docs(5000)
+    val kept = Sampling.stratifiedSample(d, "id", "lang",
+      Map("en" -> 0.15), defaultRate = 0.0, buckets = 10)
+    val expected = d.filter(col("lang") === "en")
+      .filter(Sampling.hashBucket(col("id"), 10) < 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    val ifRounded = d.filter(col("lang") === "en")
+      .filter(Sampling.hashBucket(col("id"), 10) < 2).count()
+    assert(ifRounded > got.size, "fixture must distinguish floor from round")
+  }
+
   test("rate 1.0 keeps every row") {
     assert(docs(500).filter(Sampling.hashSample(col("id"), 1.0)).count() == 500)
   }

@@ -43,6 +43,12 @@ object JdbcComments {
 
   private def esc(s: String): String = s.replace("'", "''")
 
+  /** Quoted identifier with embedded double quotes doubled — a schema,
+    * table, or column name must not be able to break out of the quoted
+    * position it is interpolated into (COMMENT ON takes identifiers, not
+    * string literals, so [[esc]] does not apply there). */
+  private def qid(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
   /** A provider dialect: how to read and write comments on one backend. */
   sealed trait Dialect {
     /** Queries whose results feed [[read]]; exposed for SQL-level tests. */
@@ -136,9 +142,9 @@ object JdbcComments {
       // COMMENT ON is add-or-replace; no existence probe needed (the
       // reference's Alembic ops behave identically)
       val t = comments.tableComment.map(c =>
-        s"""COMMENT ON TABLE "${schema}"."${table}" IS '${esc(c)}'""")
+        s"COMMENT ON TABLE ${qid(schema)}.${qid(table)} IS '${esc(c)}'")
       val cols = comments.columnComments.toSeq.sortBy(_._1).map { case (n, c) =>
-        s"""COMMENT ON COLUMN "${schema}"."${table}"."${n}" IS '${esc(c)}'"""
+        s"COMMENT ON COLUMN ${qid(schema)}.${qid(table)}.${qid(n)} IS '${esc(c)}'"
       }
       t.toSeq ++ cols
     }

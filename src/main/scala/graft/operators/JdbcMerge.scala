@@ -37,6 +37,34 @@ object JdbcMerge {
     * case-preserved). */
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
+  /** Split a possibly schema-qualified name on dots that are OUTSIDE
+    * quoted segments (`"my.table"` is one segment). */
+  private def splitQualified(name: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    name.foreach {
+      case '"' => inQ = !inQ; sb += '"'
+      case '.' if !inQ => out += sb.result(); sb.clear()
+      case c => sb += c
+    }
+    out += sb.result()
+    out.result()
+  }
+
+  /** Render a table name safely for interpolation into merge SQL. Plain
+    * identifier segments pass through verbatim (matching the unquoted
+    * names Spark's JDBC writer creates, so engine case folding still
+    * applies) and pre-quoted segments pass through untouched; anything
+    * else — e.g. a catalog name carrying a double quote — is quoted with
+    * embedded quotes doubled so it cannot break out of the statement. */
+  private[operators] def qTable(name: String): String =
+    splitQualified(name).map { seg =>
+      if (seg.matches("[A-Za-z_][A-Za-z0-9_]*")) seg
+      else if (seg.length >= 2 && seg.head == '"' && seg.last == '"') seg
+      else q(seg)
+    }.mkString(".")
+
   /** Pure SQL generation (unit-testable without a live database).
     *
     * @param columns every column of the staged increment, in order; must
@@ -50,6 +78,8 @@ object JdbcMerge {
       dialect: Dialect): Seq[String] = {
     require(keys.nonEmpty && keys.forall(columns.contains),
       s"keys $keys must be a subset of columns $columns")
+    val dest = qTable(destTable)
+    val stg = qTable(stageTable)
     val nonKeys = columns.filterNot(keys.contains)
     val on = keys.map(k => s"d.${q(k)} = s.${q(k)}").mkString(" AND ")
     dialect match {
@@ -60,13 +90,13 @@ object JdbcMerge {
         val matched =
           if (nonKeys.isEmpty) "" else s" WHEN MATCHED THEN UPDATE SET $set"
         Seq(
-          s"MERGE INTO $destTable d USING $stageTable s ON ($on)$matched" +
+          s"MERGE INTO $dest d USING $stg s ON ($on)$matched" +
           s" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)")
       case UpdateFromInsert =>
         // reference parity (fast_etl.py:437-450): UPDATE..FROM applies to
         // every matched row; the insert adds unmatched keys only
         val set = nonKeys.map(c => s"${q(c)} = orig.${q(c)}").mkString(", ")
-        val onDest = keys.map(k => s"orig.${q(k)} = $destTable.${q(k)}")
+        val onDest = keys.map(k => s"orig.${q(k)} = $dest.${q(k)}")
           .mkString(" AND ")
         val insCols = columns.map(q).mkString(", ")
         val notExists = keys.map(k => s"atual.${q(k)} = inc.${q(k)}")
@@ -74,11 +104,11 @@ object JdbcMerge {
         val update =
           if (nonKeys.isEmpty) Seq.empty
           else Seq(
-            s"UPDATE $destTable SET $set FROM $stageTable orig WHERE $onDest")
+            s"UPDATE $dest SET $set FROM $stg orig WHERE $onDest")
         update :+
-          (s"INSERT INTO $destTable ($insCols) SELECT $insCols " +
-           s"FROM $stageTable AS inc WHERE NOT EXISTS " +
-           s"(SELECT 1 FROM $destTable AS atual WHERE $notExists)")
+          (s"INSERT INTO $dest ($insCols) SELECT $insCols " +
+           s"FROM $stg AS inc WHERE NOT EXISTS " +
+           s"(SELECT 1 FROM $dest AS atual WHERE $notExists)")
     }
   }
 
@@ -135,7 +165,7 @@ object JdbcMerge {
       // staging cleanup is best-effort outside the merge transaction
       // (DDL commits implicitly on several backends)
       val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $stage")
+      try st.executeUpdate(s"DROP TABLE ${qTable(stage)}")
       catch { case _: java.sql.SQLException => () }
       finally st.close()
     }
@@ -158,7 +188,7 @@ object JdbcMerge {
     val spark = source.sparkSession
     var reader = spark.read.format("jdbc").option("url", url)
       .option("query",
-        s"SELECT MAX(${q(dateColumn)}) AS wm FROM $destTable")
+        s"SELECT MAX(${q(dateColumn)}) AS wm FROM ${qTable(destTable)}")
     options.foreach { case (k, v) => reader = reader.option(k, v) }
     val row = reader.load().head()
     require(!row.isNullAt(0),

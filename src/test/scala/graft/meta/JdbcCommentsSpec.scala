@@ -87,6 +87,18 @@ class JdbcCommentsSpec extends AnyFunSuite {
     assert(t.contains("obj_description") && c.contains("col_description"))
   }
 
+  test("Postgres identifiers with embedded quotes cannot break out") {
+    val sqls = Postgres.writeSqls("""pu"blic""", """ord"; DROP TABLE x; --""",
+      TableCommentSet(Some("c"), Map("""co"l""" -> "d")),
+      TableCommentSet(None, Map.empty))
+    // every identifier is quoted with embedded double quotes doubled, so
+    // the hostile table name stays one identifier token
+    assert(sqls.head ==
+      "COMMENT ON TABLE \"pu\"\"blic\".\"ord\"\"; DROP TABLE x; --\" IS 'c'")
+    assert(sqls(1) ==
+      "COMMENT ON COLUMN \"pu\"\"blic\".\"ord\"\"; DROP TABLE x; --\".\"co\"\"l\" IS 'd'")
+  }
+
   test("Teiid reads SYS.Tables/SYS.Columns and refuses writes") {
     val Seq(t, c) = Teiid.readSqls("vdb1", "stage", "orders")
     assert(t.contains("FROM SYS.Tables") && t.contains("VDBName = 'vdb1'"))

@@ -107,6 +107,39 @@ class JdbcMergeSpec extends SparkSpec {
     assert(!upd.contains("\"id\" = orig"))
   }
 
+  test("a table name carrying a double quote round-trips on Derby") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE "we""ird" ("id" BIGINT, "v" VARCHAR(20))""")
+      st.executeUpdate("""INSERT INTO "we""ird" VALUES (1, 'one')""")
+      st.executeUpdate("""INSERT INTO "we""ird" VALUES (2, 'two')""")
+      st.close()
+    } finally conn.close()
+    // the stage is created by Spark's JDBC writer, which interpolates
+    // dbtable verbatim — non-plain names are passed pre-quoted and our
+    // merge SQL must use them untouched
+    val inc = Seq((2L, "TWO"), (3L, "three")).toDF("id", "v")
+    JdbcMerge.merge(inc, url, "we\"ird", Seq("id"),
+      stageTable = Some("\"we\"\"ird_stage\""),
+      stageColumnTypes = Some("v VARCHAR(20)"))
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn2.createStatement()
+        .executeQuery("""SELECT "id", "v" FROM "we""ird"""")
+      val back = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(back == Set((1L, "one"), (2L, "TWO"), (3L, "three")))
+    } finally conn2.close()
+  }
+
+  test("generated SQL doubles embedded quotes in non-plain table names") {
+    val Seq(m) = JdbcMerge.buildMergeSqls("we\"ird", "s.plain_stage",
+      Seq("id"), Seq("id", "v"), JdbcMerge.AnsiMerge)
+    assert(m.startsWith("MERGE INTO \"we\"\"ird\" d USING s.plain_stage s"))
+  }
+
   test("merge with key-only schema degrades to insert-missing") {
     val dest = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
     val inc = Seq(Tuple1(2L), Tuple1(3L)).toDF("id")

@@ -77,13 +77,13 @@ object QueriesScale {
     Centroids.dimSumsFixedPoint(t(s, dir, "embeddings"), "label", "embedding")
 
   private val qCentroidsSql =
-    """SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 281474976710656.0 AS BIGINT))
+    """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+      |    unnest(embedding) AS x FROM embeddings)
+      |SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+      |  CAST(SUM(CAST(CAST(x AS DOUBLE) * 281474976710656.0 AS BIGINT))
       |       AS BIGINT) AS dim_sum_fp,
       |  count(*) AS n
-      |FROM embeddings CROSS JOIN range(1, 256) t(i)
-      |WHERE i <= len(embedding)
-      |GROUP BY 1, 2""".stripMargin
+      |FROM e GROUP BY 1, 2""".stripMargin
 
   // ----------------------------------------------------------- repetition
   // Gopher-style repetition quality signals (RepetitionStats.scala) —
@@ -95,14 +95,17 @@ object QueriesScale {
     """WITH c AS (SELECT doc_id,
       |  regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
       |  FROM documents),
-      |u AS (SELECT doc_id, ws[i] AS w FROM c CROSS JOIN range(1, 256) t(i)
-      |      WHERE i <= len(ws) AND len(ws) > 0 AND ws[1] <> ''),
+      |u AS (SELECT doc_id, unnest(ws) AS w FROM c
+      |      WHERE len(ws) > 0 AND ws[1] <> ''),
       |uc AS (SELECT doc_id, w, count(*) AS cnt FROM u GROUP BY 1, 2),
       |us AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
       |       count(*) AS n_distinct, max(cnt) AS top_word_cnt
       |       FROM uc GROUP BY 1),
-      |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
-      |      FROM c CROSS JOIN range(1, 256) t(i) WHERE i <= len(ws) - 1),
+      |bw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+      |       FROM c),
+      |b AS (SELECT doc_id,
+      |        w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      |      FROM bw QUALIFY g IS NOT NULL),
       |bc AS (SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY 1, 2),
       |bs AS (SELECT doc_id, max(cnt) AS top_bigram_cnt FROM bc GROUP BY 1)
       |SELECT us.doc_id, n_words, n_distinct, top_word_cnt, top_bigram_cnt,
@@ -190,9 +193,13 @@ object QueriesScale {
     """WITH w AS (SELECT doc_id,
       |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
       |  FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-      |  FROM w CROSS JOIN range(1, 256) t(i) WHERE i <= len(ws) - 2),
+      |sw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+      |  FROM w),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      w || ' ' || lead(w) OVER d || ' ' || lead(w, 2) OVER d AS shingle
+      |    FROM sw WINDOW d AS (PARTITION BY doc_id ORDER BY i))
+      |  WHERE shingle IS NOT NULL),
       |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
       |SELECT doc_id, count(*) AS n_shingles,
       |  CAST(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
@@ -216,9 +223,13 @@ object QueriesScale {
     """WITH w AS (SELECT doc_id,
       |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
       |  FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-      |  FROM w CROSS JOIN range(1, 256) t(i) WHERE i <= len(ws) - 2),
+      |sw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+      |  FROM w),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      w || ' ' || lead(w) OVER d || ' ' || lead(w, 2) OVER d AS shingle
+      |    FROM sw WINDOW d AS (PARTITION BY doc_id ORDER BY i))
+      |  WHERE shingle IS NOT NULL),
       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
       |SELECT s.doc_id, count(*) AS n_shingles,
       |  CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

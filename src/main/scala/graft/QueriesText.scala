@@ -109,8 +109,13 @@ object QueriesText {
   private val shingleCte =
     s"""w AS (SELECT doc_id, regexp_split_to_array(${sqlCollapse("text")}, ' ') AS ws
        |      FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-       |       FROM w CROSS JOIN range(1, 256) t(i) WHERE i <= len(ws) - 2)""".stripMargin
+       |sw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |       FROM w),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |         SELECT doc_id,
+       |           w || ' ' || lead(w) OVER d || ' ' || lead(w, 2) OVER d AS shingle
+       |         FROM sw WINDOW d AS (PARTITION BY doc_id ORDER BY i))
+       |       WHERE shingle IS NOT NULL)""".stripMargin
 
   // --------------------------------------------------------- ngram dedup
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
@@ -286,11 +291,11 @@ object QueriesText {
 
   val qTfidfSql: String =
     s"""WITH terms AS (
-       |  SELECT doc_id, ws[i] AS term FROM (
-       |    SELECT doc_id, regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
-       |    FROM documents) d
-       |  CROSS JOIN range(1, 256) r(i)
-       |  WHERE i <= len(ws) AND ws[i] <> ''),
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(ws) AS term FROM (
+       |      SELECT doc_id, regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |      FROM documents) d)
+       |  WHERE term <> ''),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
@@ -319,11 +324,11 @@ object QueriesText {
         s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
         "(a, x) -> a * 16 + x)"
     s"""WITH toks AS (
-       |  SELECT doc_id, md5(ws[i]) AS m
-       |  FROM (SELECT doc_id, regexp_split_to_array(${sqlCollapse("text")}, ' ') AS ws
-       |        FROM documents) d
-       |  CROSS JOIN range(1, 256) r(i)
-       |  WHERE i <= len(ws) AND ws[i] <> ''),
+       |  SELECT doc_id, md5(w) AS m FROM (
+       |    SELECT doc_id, unnest(ws) AS w
+       |    FROM (SELECT doc_id, regexp_split_to_array(${sqlCollapse("text")}, ' ') AS ws
+       |          FROM documents) d)
+       |  WHERE w <> ''),
        |hx AS (SELECT doc_id, ${hexFold("substr(m, 1, 8)")} AS h1,
        |              ${hexFold("substr(m, 9, 8)")} AS h2 FROM toks),
        |votes AS (

@@ -80,19 +80,42 @@ object CosineSearch {
   }
 
   /** IVF-bucketed top-k search: each query vector is probed only against
-    * corpus vectors in its own bucket (1-probe IVF). Recall is traded for
-    * a |buckets|-fold candidate reduction — the standard ANN scale path. */
+    * corpus vectors in its `nProbe` nearest centroid buckets (1-probe by
+    * default). Recall is traded for a |buckets|/nProbe-fold candidate
+    * reduction — the standard ANN scale path; raising nProbe is the
+    * recall knob (candidate cost grows linearly with it). Measure the
+    * trade with [[recallAtK]] against [[bruteForceTopK]] on a sample. */
   def ivfTopK(
       vecs: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, centroidIdCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, centroidIdCol: String, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
     val q = queries.select(col(idCol).as("query_id"))
-      .join(assigned.withColumnRenamed(idCol, "query_id"), Seq("query_id"))
-      .select(col("query_id"), col("centroid_id"), col(vecCol).as("q_vec"),
+      .join(assigned.withColumnRenamed(idCol, "query_id")
+        .drop("centroid_id"), Seq("query_id"))
+      .select(col("query_id"), col(vecCol).as("q_vec"),
         col("norm_sq").as("q_norm_sq"))
+    // probe set: the query's nProbe nearest centroids — same scoring and
+    // tiebreak as ivfAssign, so rank 1 IS the query's own bucket
+    val cents = broadcast(withNormSq(centroids, vecCol)
+      .select(col(centroidIdCol).as("centroid_id"), col(vecCol).as("c_vec"),
+        col("norm_sq").as("c_norm_sq")))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val probes = q.crossJoin(cents)
+      .withColumn("c_sim",
+        cosine(dotDecimal(col("q_vec"), col("c_vec")),
+          col("q_norm_sq"), col("c_norm_sq")))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("q_norm_sq"),
+        col("centroid_id"))
     val c = assigned.select(col("centroid_id"), col(idCol).as("nn_id"),
       col(vecCol).as("nn_vec"), col("norm_sq").as("nn_norm_sq"))
-    val scored = q.join(c, Seq("centroid_id"))
+    // a corpus vector lives in exactly one bucket, so probing several
+    // buckets cannot produce duplicate (query, nn) candidates
+    val scored = probes.join(c, Seq("centroid_id"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("cos_sim",
         cosine(dotDecimal(col("q_vec"), col("nn_vec")),
@@ -103,6 +126,22 @@ object CosineSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), col("centroid_id"),
         col("cos_sim"))
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of (query_id, nn_id) pairs in `exact` that `approx` also
+    * returned. Both inputs are the [[bruteForceTopK]]/[[ivfTopK]] output
+    * shape. The operational quality metric for the nProbe/#buckets trade —
+    * run it on a query sample before settling 100 TB search parameters. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val e = exact.select(col("query_id"), col("nn_id"))
+    val total = e.count()
+    if (total == 0) 1.0
+    else {
+      val hits = e.join(approx.select(col("query_id"), col("nn_id")),
+        Seq("query_id", "nn_id")).count()
+      hits.toDouble / total
+    }
   }
 
   /** IVF-bucketed near-duplicate pairs: vectors sharing a bucket with

@@ -58,6 +58,37 @@ class CosineSearchSpec extends SparkSpec {
     assert(own == 1L)
   }
 
+  test("IVF recall@10 on real embeddings; multi-probe recovers recall") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val centroids = e.filter(col("vec_id") < 16)
+    val exact = CosineSearch.bruteForceTopK(e, queries, "vec_id", "embedding", 10)
+      .localCheckpoint()
+    def recall(nProbe: Int): Double = CosineSearch.recallAtK(exact,
+      CosineSearch.ivfTopK(e, centroids, queries,
+        "vec_id", "embedding", "vec_id", k = 10, nProbe = nProbe))
+    val r1 = recall(1)
+    val r3 = recall(3)
+    val r5 = recall(5)
+    info(f"recall@10: 1-probe $r1%.3f, 3-probe $r3%.3f, 5-probe $r5%.3f" +
+      " (16 buckets, 500 vectors)")
+    assert(r1 >= 0.5, s"1-probe recall@10 $r1 below floor")
+    assert(r3 >= r1 && r5 >= r3, "more probes must never lose recall")
+    assert(r5 >= 0.8, s"5-probe recall@10 $r5 below floor")
+  }
+
+  test("nProbe=1 equals the original single-bucket search exactly") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val res = CosineSearch.ivfTopK(e, e.filter(col("vec_id") < 16),
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", "vec_id", 5)
+    // every returned neighbor shares the query's own assignment bucket
+    val assigned = CosineSearch.ivfAssign(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", "vec_id")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    res.select("query_id", "nn_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(assigned(n) == assigned(q)) }
+  }
+
   test("ivf topk only searches within the query's bucket") {
     val res = CosineSearch.ivfTopK(
       vecs, vecs.filter(col("vec_id") < 2), vecs.filter(col("vec_id") === 0L),

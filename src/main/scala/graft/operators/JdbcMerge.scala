@@ -52,18 +52,48 @@ object JdbcMerge {
     out.result()
   }
 
+  private val PlainIdent = "[A-Za-z_][A-Za-z0-9_]*"
+  // every interior quote doubled — the only pre-quoted form that is safe
+  // to interpolate verbatim (cannot terminate the quoted region early)
+  private val QuotedIdent = "\"([^\"]|\"\")*\""
+
+  /** Render one name segment safely for interpolation into merge SQL. */
+  private def qSegment(seg: String): String =
+    if (seg.matches(PlainIdent)) seg
+    else if (seg.matches(QuotedIdent)) seg
+    else q(seg)
+
   /** Render a table name safely for interpolation into merge SQL. Plain
     * identifier segments pass through verbatim (matching the unquoted
     * names Spark's JDBC writer creates, so engine case folding still
-    * applies) and pre-quoted segments pass through untouched; anything
-    * else — e.g. a catalog name carrying a double quote — is quoted with
-    * embedded quotes doubled so it cannot break out of the statement. */
+    * applies) and STRICTLY pre-quoted segments — interior quotes all
+    * doubled — pass through untouched; anything else is (re)quoted with
+    * embedded quotes doubled so it cannot break out of the statement.
+    * The strictness matters: a segment that merely starts and ends with
+    * `"` but carries a stray interior quote (`"x" d; DROP TABLE y; --"`)
+    * would otherwise be interpolated verbatim and terminate the quoted
+    * region mid-name. */
   private[operators] def qTable(name: String): String =
-    splitQualified(name).map { seg =>
-      if (seg.matches("[A-Za-z_][A-Za-z0-9_]*")) seg
-      else if (seg.length >= 2 && seg.head == '"' && seg.last == '"') seg
-      else q(seg)
-    }.mkString(".")
+    splitQualified(name).map(qSegment).mkString(".")
+
+  /** Strip strict quoting from a segment; non-quoted segments pass through. */
+  private def unquoteSegment(seg: String): String =
+    if (seg.matches(QuotedIdent))
+      seg.substring(1, seg.length - 1).replace("\"\"", "\"")
+    else seg
+
+  /** Default staging-table name: the destination's last segment, unquoted,
+    * with `_stage` appended, re-rendered safely (qualifier segments kept,
+    * so the stage lands in the destination's schema). Deriving from the
+    * RAW name (`destTable + "_stage"`) breaks for pre-quoted destinations:
+    * `"we""ird"` + `_stage` is neither a valid identifier for the Spark
+    * JDBC writer's verbatim `dbtable` interpolation nor quoted the same
+    * way by [[qTable]] in the merge SQL. */
+  private[operators] def defaultStageName(destTable: String): String = {
+    val segs = splitQualified(destTable)
+    val stage = unquoteSegment(segs.last) + "_stage"
+    (segs.init.map(qSegment) :+ qSegment(stage)).mkString(".")
+  }
 
   /** Pure SQL generation (unit-testable without a live database).
     *
@@ -138,7 +168,7 @@ object JdbcMerge {
       batchSize: Int = 10000,
       stageColumnTypes: Option[String] = None,
       options: Map[String, String] = Map.empty): Unit = {
-    val stage = stageTable.getOrElse(destTable + "_stage")
+    val stage = stageTable.getOrElse(defaultStageName(destTable))
     var w = increment.write.format("jdbc")
       .option("url", url)
       .option("dbtable", stage)

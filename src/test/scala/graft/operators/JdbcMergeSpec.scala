@@ -140,6 +140,55 @@ class JdbcMergeSpec extends SparkSpec {
     assert(m.startsWith("MERGE INTO \"we\"\"ird\" d USING s.plain_stage s"))
   }
 
+  test("a quote-delimited segment with stray interior quotes is re-quoted") {
+    // starts and ends with `"` but the interior quotes are NOT doubled —
+    // interpolated verbatim this would terminate the quoted region after
+    // "x" and splice `d; DROP TABLE y; --` into the statement
+    val hostile = "\"x\" d; DROP TABLE y; --\""
+    val rendered = JdbcMerge.qTable(hostile)
+    assert(rendered == "\"\"\"x\"\" d; DROP TABLE y; --\"\"\"")
+    // strictly-quoted segments (interior quotes doubled) still pass verbatim
+    assert(JdbcMerge.qTable("\"we\"\"ird\"") == "\"we\"\"ird\"")
+    assert(JdbcMerge.qTable("s.\"my.table\"") == "s.\"my.table\"")
+    // and the hostile name lands as ONE quoted identifier in the merge SQL
+    val Seq(m) = JdbcMerge.buildMergeSqls(hostile, "plain_stage",
+      Seq("id"), Seq("id", "v"), JdbcMerge.AnsiMerge)
+    assert(m.startsWith("MERGE INTO " + rendered + " d USING plain_stage s"))
+    assert(!m.contains("DROP TABLE y; --\" "))
+  }
+
+  test("default stage name is derived from the unquoted last segment") {
+    assert(JdbcMerge.defaultStageName("m_dest") == "m_dest_stage")
+    assert(JdbcMerge.defaultStageName("d.t") == "d.t_stage")
+    assert(JdbcMerge.defaultStageName("\"we\"\"ird\"") == "\"we\"\"ird_stage\"")
+    assert(JdbcMerge.defaultStageName("s.\"my.table\"") == "s.\"my.table_stage\"")
+    assert(JdbcMerge.defaultStageName("we\"ird") == "\"we\"\"ird_stage\"")
+  }
+
+  test("merge with a pre-quoted destTable and no explicit stage round-trips") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE "od""d2" ("id" BIGINT, "v" VARCHAR(20))""")
+      st.executeUpdate("""INSERT INTO "od""d2" VALUES (1, 'one')""")
+      st.close()
+    } finally conn.close()
+    val inc = Seq((1L, "ONE"), (2L, "two")).toDF("id", "v")
+    // no stageTable: the default must be a valid quoted identifier for
+    // both the Spark JDBC writer (verbatim dbtable) and the merge SQL
+    JdbcMerge.merge(inc, url, "\"od\"\"d2\"", Seq("id"),
+      stageColumnTypes = Some("v VARCHAR(20)"))
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn2.createStatement()
+        .executeQuery("""SELECT "id", "v" FROM "od""d2"""")
+      val back = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(back == Set((1L, "ONE"), (2L, "two")))
+    } finally conn2.close()
+  }
+
   test("merge with key-only schema degrades to insert-missing") {
     val dest = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
     val inc = Seq(Tuple1(2L), Tuple1(3L)).toDF("id")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
+
 /** Similarity search over embedding columns (Array[Float]).
   *
   * Two paths:
@@ -61,10 +63,17 @@ object CosineSearch {
       .select(col("query_id"), col("rank"), col("nn_id"), col("cos_sim"))
   }
 
-  /** IVF assignment: nearest centroid by cosine (centroids broadcast). */
+  /** IVF assignment: each vector's `nAssign` nearest centroids by cosine
+    * (centroids broadcast; one map-side pass over the corpus). The
+    * default single assignment puts every vector in exactly one bucket —
+    * the search/candidate side; multi-assignment (`nAssign > 1`) is the
+    * recall knob for symmetric pair detection ([[ivfNearDupPairs]]),
+    * where a pair straddling a bucket boundary is only found if the two
+    * vectors share at least one assigned bucket. */
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
-      centroidIdCol: String): DataFrame = {
+      centroidIdCol: String, nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
     val v = withNormSq(vecs, vecCol)
     val c = broadcast(withNormSq(centroids, vecCol)
       .select(col(centroidIdCol).as("centroid_id"), col(vecCol).as("c_vec"),
@@ -75,7 +84,7 @@ object CosineSearch {
           col("norm_sq"), col("c_norm_sq")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("c_sim").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nAssign)
       .select(col(idCol), col(vecCol), col("norm_sq"), col("centroid_id"))
   }
 
@@ -88,29 +97,39 @@ object CosineSearch {
   def ivfTopK(
       vecs: DataFrame, centroids: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, centroidIdCol: String, k: Int,
-      nProbe: Int = 1): DataFrame = {
+      nProbe: Int = 1, scope: CacheScope = CacheScope.session): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+    // assigned feeds both the probe derivation and the candidate side of
+    // the bucket join — retained so the centroid-scoring pass over the
+    // corpus runs once, not once per consumer
+    val assigned = scope.retain(
+      ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol))
     val q = queries.select(col(idCol).as("query_id"))
-      .join(assigned.withColumnRenamed(idCol, "query_id")
-        .drop("centroid_id"), Seq("query_id"))
+      .join(assigned.withColumnRenamed(idCol, "query_id"), Seq("query_id"))
       .select(col("query_id"), col(vecCol).as("q_vec"),
-        col("norm_sq").as("q_norm_sq"))
-    // probe set: the query's nProbe nearest centroids — same scoring and
-    // tiebreak as ivfAssign, so rank 1 IS the query's own bucket
-    val cents = broadcast(withNormSq(centroids, vecCol)
-      .select(col(centroidIdCol).as("centroid_id"), col(vecCol).as("c_vec"),
-        col("norm_sq").as("c_norm_sq")))
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
-    val probes = q.crossJoin(cents)
-      .withColumn("c_sim",
-        cosine(dotDecimal(col("q_vec"), col("c_vec")),
-          col("q_norm_sq"), col("c_norm_sq")))
-      .withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("q_vec"), col("q_norm_sq"),
-        col("centroid_id"))
+        col("norm_sq").as("q_norm_sq"), col("centroid_id"))
+    // probe set: the query's nProbe nearest centroids. The probe ranking
+    // uses the same scoring and tiebreak as ivfAssign, so rank 1 IS the
+    // query's own assignment bucket — at the default nProbe = 1 the
+    // assignment is reused directly and the per-query centroid
+    // crossJoin + window is skipped entirely.
+    val probes =
+      if (nProbe == 1) q
+      else {
+        val cents = broadcast(withNormSq(centroids, vecCol)
+          .select(col(centroidIdCol).as("centroid_id"),
+            col(vecCol).as("c_vec"), col("norm_sq").as("c_norm_sq")))
+        val pw = Window.partitionBy(col("query_id"))
+          .orderBy(col("c_sim").desc, col("centroid_id"))
+        q.drop("centroid_id").crossJoin(cents)
+          .withColumn("c_sim",
+            cosine(dotDecimal(col("q_vec"), col("c_vec")),
+              col("q_norm_sq"), col("c_norm_sq")))
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= nProbe)
+          .select(col("query_id"), col("q_vec"), col("q_norm_sq"),
+            col("centroid_id"))
+      }
     val c = assigned.select(col("centroid_id"), col(idCol).as("nn_id"),
       col(vecCol).as("nn_vec"), col("norm_sq").as("nn_norm_sq"))
     // a corpus vector lives in exactly one bucket, so probing several
@@ -148,20 +167,45 @@ object CosineSearch {
     * cosine >= threshold. The self-join key is the bucket id, so the
     * pair space is |bucket|^2, not |corpus|^2.
     *
+    * `nProbe` is the recall knob for pairs straddling a bucket boundary:
+    * each vector is assigned to its `nProbe` nearest centroids, so two
+    * near-identical vectors whose nearest centroids differ are still
+    * paired through any shared probe bucket (candidate cost grows
+    * linearly with nProbe; pairs sharing several buckets are scored
+    * once). At the default nProbe = 1 a boundary-straddling pair is
+    * missed — acceptable only when buckets are coarse relative to the
+    * dup threshold; measure on a labeled sample before settling 100 TB
+    * parameters.
+    *
     * Scoring is two-phase: a codegen'd native double dot product screens
     * every candidate pair (cheap), then the exact decimal fold rescores
     * only survivors of `threshold - 1e-6` (the double/decimal divergence
     * is ~1e-15, so no true positive can be lost at that margin). */
   def ivfNearDupPairs(
       vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
-      centroidIdCol: String, threshold: Double): DataFrame = {
-    val assigned = ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+      centroidIdCol: String, threshold: Double, nProbe: Int = 1,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    // both sides of the bucket self-join read the assignment — retain it
+    val assigned = scope.retain(
+      ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol, nProbe))
     val l = assigned.select(col("centroid_id"), col(idCol).as("vec_a"),
       col(vecCol).as("vec_av"), col("norm_sq").as("na"))
     val r = assigned.select(col("centroid_id"), col(idCol).as("vec_b"),
       col(vecCol).as("vec_bv"), col("norm_sq").as("nb"))
-    l.join(r, Seq("centroid_id"))
+    val cand = l.join(r, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
+    // multi-probe: a pair sharing several probed buckets must be scored
+    // once — keep the smallest shared bucket id (deterministic)
+    val uniq =
+      if (nProbe == 1) cand
+      else {
+        val w = Window.partitionBy(col("vec_a"), col("vec_b"))
+          .orderBy(col("centroid_id"))
+        cand.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    uniq
       .withColumn("cos_approx",
         graft.functions.FloatDotExpr.float_dot(col("vec_av"), col("vec_bv")) /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))

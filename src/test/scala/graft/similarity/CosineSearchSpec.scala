@@ -89,6 +89,36 @@ class CosineSearchSpec extends SparkSpec {
       .foreach { case (q, n) => assert(assigned(n) == assigned(q)) }
   }
 
+  test("multi-probe near-dup recovers boundary-straddling pairs, scored once") {
+    // centroids at 0° and 45°; two near-identical vectors at 20° and 25°
+    // fall on opposite sides of the 22.5° bucket boundary — invisible to
+    // the 1-probe bucket self-join, recovered when each vector is
+    // assigned to both of its nearest buckets
+    def at(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val cents = Seq((0L, at(0)), (1L, at(45))).toDF("vec_id", "embedding")
+    val vs = Seq((100L, at(20)), (101L, at(25)), (200L, at(90)))
+      .toDF("vec_id", "embedding")
+    def pairs(nProbe: Int) = CosineSearch.ivfNearDupPairs(
+        vs, cents, "vec_id", "embedding", "vec_id",
+        threshold = 0.99, nProbe = nProbe)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    assert(pairs(1) == Seq.empty, "1-probe must miss the straddling pair")
+    // 2-probe: both vectors probe both buckets; the pair appears in both
+    // candidate buckets but must be scored and returned exactly once
+    assert(pairs(2) == Seq((100L, 101L)))
+  }
+
+  test("multi-probe assignment puts each vector in nAssign buckets") {
+    val assigned = CosineSearch.ivfAssign(
+      vecs, vecs.filter(col("vec_id") < 2), "vec_id", "embedding", "vec_id",
+      nAssign = 2)
+    assert(assigned.count() == vecs.count() * 2)
+    assert(assigned.groupBy("vec_id").count()
+      .filter(col("count") =!= 2).count() == 0)
+  }
+
   test("ivf topk only searches within the query's bucket") {
     val res = CosineSearch.ivfTopK(
       vecs, vecs.filter(col("vec_id") < 2), vecs.filter(col("vec_id") === 0L),

@@ -6,8 +6,37 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are forced through the `noop` sink so the
   * full plan (projections included) executes — `.count()` would let Catalyst
   * prune away most of the work and time nothing.
+  *
+  * Host-sanity guard: three consecutive rounds of driver benchmarks have
+  * shown multi-x per-query swings with ZERO code change — the numbers are
+  * only as trustworthy as the host was idle. The run therefore brackets
+  * the timed pass with (a) /proc/loadavg snapshots and (b) a fixed-work
+  * in-memory calibration loop, and embeds both in the output JSON so a
+  * reader can tell "the code got slower" from "the host was busy". If the
+  * calibration drifts more than 2x across the pass, every query is re-run
+  * once and the per-query min is kept — one bounded repair pass, flagged
+  * in the JSON, never silent.
   */
 object Bench {
+
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim finally src.close()
+    } catch { case _: Throwable => "" }
+
+  /** Fixed-work calibration: a constant in-memory aggregation whose cost
+    * depends only on host conditions (CPU contention, thermal state),
+    * never on the code under test. Min of 3 — the same estimator the
+    * query timings use. */
+  private def calibrate(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 1000000000L, 1L, 32)
+        .selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,33 +65,63 @@ object Bench {
 
     spark.catalog.clearCache() // drop warmup-phase persisted data
 
+    val loadBefore = loadavg()
+    val calibBefore = calibrate(spark)
+
     // Three timed runs, min reported: the per-run jitter (GC, AQE
     // re-planning, cache churn from operators that persist intermediates)
     // is noise relative to steady-state throughput, which is what a
     // long-running 100 TB job experiences. Two runs proved insufficient —
     // a GC-pressure episode can span both back-to-back runs of one query
     // and misattribute multi-second costs to it.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var failed = false
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def timePass(runs: Int): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var failed = false
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          dt
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
+        // a failed query must be visible in the output, not reported as a
+        // suspiciously-fast success
+        name -> (if (failed) -1.0 else times.min)
       }
-      // a failed query must be visible in the output, not reported as a
-      // suspiciously-fast success
-      name -> (if (failed) -1.0 else times.min)
+
+    var results = timePass(3)
+
+    var calibAfter = calibrate(spark)
+    val loadAfter = loadavg()
+    val drift = math.max(calibBefore, calibAfter) /
+      math.max(1e-9, math.min(calibBefore, calibAfter))
+    // >2x calibration drift means the host changed underneath the pass —
+    // the numbers are not comparable across rounds. One repair pass,
+    // per-query min kept (min(-1, x) keeps failures visible).
+    val recalibrated = drift > 2.0
+    if (recalibrated) {
+      System.err.println(
+        f"[bench] calibration drifted ${drift}%.2fx across the pass " +
+          "(host interference) — re-running every query once")
+      val again = timePass(1).toMap
+      results = results.map { case (name, t) =>
+        name -> math.min(t, again.getOrElse(name, t))
+      }
+      calibAfter = calibrate(spark)
     }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val host =
+      s""""calibration":{"before_sec":$calibBefore,"after_sec":$calibAfter,""" +
+      s""""drift":$drift,"recalibrated":$recalibrated},""" +
+      s""""loadavg":{"before":"$loadBefore","after":"$loadAfter"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$host}""")
     spark.stop()
   }
 }

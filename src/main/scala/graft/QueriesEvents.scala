@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Skew
+import graft.streaming.DedupStream
 
 /** Event-pipeline query group: sessionization, semi-structured JSON
   * extraction, skew-safe salted aggregation, distinct counting.
@@ -103,6 +105,48 @@ object QueriesEvents {
       |FROM events l ASOF LEFT JOIN state r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  // ------------------------------------------------------- stream dedup
+  // The STREAMING dedup path (DedupStream.dedupForever) run end-to-end as
+  // a bounded AvailableNow job: documents plus a planted duplicate batch
+  // are staged as multiple files, streamed one file per micro-batch, and
+  // deduplicated by content fingerprint with cross-batch state. The
+  // output is (fp, n_emitted): n_emitted must be exactly 1 for every
+  // fingerprint — the planted duplicates arrive in a LATER micro-batch
+  // than their originals, so only real cross-batch dedup state satisfies
+  // the oracle (a stateless per-batch dropDuplicates would emit 2).
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents", parallelize = false)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    val staged = tmp.resolve("in").toString
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    // planted duplicates get doc_ids far above the originals, so the
+    // range split puts them in their own file(s) -> their own batch(es)
+    val dupes = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    docs.union(dupes).repartitionByRange(3, col("doc_id"))
+      .write.parquet(staged)
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+    val query = DedupStream.dedupForever(src, "text")
+      .select(col("fp"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out).groupBy(col("fp")).agg(count(lit(1)).as("n_emitted"))
+  }
+
+  val qStreamDedupSql: String =
+    """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |  CAST(1 AS BIGINT) AS n_emitted
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------ distinct count
   def qDistinctUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").groupBy(col("event_type"))
@@ -121,6 +165,7 @@ object QueriesEvents {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_stream_dedup" -> (qStreamDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -129,5 +174,6 @@ object QueriesEvents {
     "q_salted_agg" -> qSaltedAggSql,
     "q_distinct_users" -> qDistinctUsersSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_stream_dedup" -> qStreamDedupSql,
   )
 }

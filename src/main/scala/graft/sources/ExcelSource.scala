@@ -21,9 +21,9 @@ import graft.core.Naming
   * [[SheetSource]]): parse on the driver, hand Spark a typed DataFrame.
   * No POI on the classpath — this is a minimal, self-contained OOXML
   * (ECMA-376) reader on JDK-only APIs: `java.util.zip` for the container,
-  * StAX for the XML parts. Legacy binary `.xls` (BIFF) is NOT supported —
-  * callers convert, or land the data as CSV (the reference's other
-  * carrier).
+  * StAX for the XML parts. Legacy binary `.xls` (BIFF8) is handled by the
+  * companion [[XlsSource]], which shares this object's cell model and
+  * DataFrame assembly.
   *
   * Supported surface, mirroring the pd.read_excel defaults the reference
   * relies on:
@@ -41,12 +41,14 @@ import graft.core.Naming
   */
 object ExcelSource {
 
-  /** One parsed cell. Numbers stay double until column inference. */
-  private sealed trait Cell
-  private case class SCell(v: String) extends Cell
-  private case class NCell(v: Double) extends Cell
-  private case class BCell(v: Boolean) extends Cell
-  private case class TCell(v: java.sql.Timestamp) extends Cell
+  /** One parsed cell. Numbers stay double until column inference.
+    * Shared with [[XlsSource]] — both carriers produce the same typed
+    * cell matrix and reuse [[toDataFrame]]. */
+  private[sources] sealed trait Cell
+  private[sources] case class SCell(v: String) extends Cell
+  private[sources] case class NCell(v: Double) extends Cell
+  private[sources] case class BCell(v: Boolean) extends Cell
+  private[sources] case class TCell(v: java.sql.Timestamp) extends Cell
 
   /** Read one worksheet of an .xlsx into a DataFrame.
     *
@@ -64,8 +66,38 @@ object ExcelSource {
       path: String,
       sheet: Either[Int, String] = Left(0),
       header: Seq[Int] = Seq(0),
+      slugifyHeaders: Boolean = true): DataFrame =
+    toDataFrame(spark, readCells(path, sheet), header, slugifyHeaders)
+
+  /** Carrier-dispatching read — the full pd.read_excel surface: sniffs
+    * the container magic (PK zip -> .xlsx OOXML, D0CF OLE2 -> .xls BIFF8)
+    * instead of trusting the extension, then delegates to the matching
+    * reader. */
+  def readAny(
+      spark: SparkSession,
+      path: String,
+      sheet: Either[Int, String] = Left(0),
+      header: Seq[Int] = Seq(0),
       slugifyHeaders: Boolean = true): DataFrame = {
-    val rows = readCells(path, sheet)
+    val in = new java.io.FileInputStream(path)
+    val magic = try { val b = new Array[Byte](4); in.read(b); b }
+                finally in.close()
+    if (magic(0) == 'P' && magic(1) == 'K')
+      read(spark, path, sheet, header, slugifyHeaders)
+    else if ((magic(0) & 0xFF) == 0xD0 && (magic(1) & 0xFF) == 0xCF)
+      XlsSource.read(spark, path, sheet, header, slugifyHeaders)
+    else throw new IllegalArgumentException(
+      s"$path is neither an OOXML (.xlsx) nor an OLE2 (.xls) workbook")
+  }
+
+  /** Cell matrix -> typed DataFrame: header flattening, slugify, per-
+    * column dtype inference. Shared by the .xlsx and .xls readers (the
+    * pandas-surface half of pd.read_excel, independent of the carrier). */
+  private[sources] def toDataFrame(
+      spark: SparkSession,
+      rows: IndexedSeq[IndexedSeq[Option[Cell]]],
+      header: Seq[Int],
+      slugifyHeaders: Boolean): DataFrame = {
     val headerSet = header.toSet
     val nCols = rows.foldLeft(0)((m, r) => math.max(m, r.length))
     if (nCols == 0) return spark.emptyDataFrame
@@ -233,8 +265,9 @@ object ExcelSource {
     out.toIndexedSeq
   }
 
-  /** Built-in date/time number formats (ECMA-376 §18.8.30). */
-  private val builtinDateFmts: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
+  /** Built-in date/time number formats (ECMA-376 §18.8.30; same ids in
+    * BIFF8). */
+  private[sources] val builtinDateFmts: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
 
   /** Does a custom format code render as a date/time? Date tokens outside
     * quoted literals / color-condition brackets. */
@@ -287,10 +320,14 @@ object ExcelSource {
 
   /** Excel serial date → timestamp. Day 0 is 1899-12-30 (the 1900 leap-year
     * bug means serials ≥ 60 are shifted — using the -30 epoch matches what
-    * every modern producer emits for dates after Feb 1900). */
-  private def serialToTimestamp(serial: Double): java.sql.Timestamp = {
-    val epoch = java.time.LocalDate.of(1899, 12, 30).atStartOfDay(
-      java.time.ZoneOffset.UTC)
+    * every modern producer emits for dates after Feb 1900). Workbooks in
+    * the 1904 date system (a BIFF DATEMODE flag, Mac-origin files) count
+    * from 1904-01-01 instead. */
+  private[sources] def serialToTimestamp(serial: Double,
+      epoch1904: Boolean = false): java.sql.Timestamp = {
+    val day0 = if (epoch1904) java.time.LocalDate.of(1904, 1, 1)
+               else java.time.LocalDate.of(1899, 12, 30)
+    val epoch = day0.atStartOfDay(java.time.ZoneOffset.UTC)
     val micros = math.round(serial * 86400d * 1e6)
     java.sql.Timestamp.from(epoch.toInstant.plus(
       micros, java.time.temporal.ChronoUnit.MICROS))

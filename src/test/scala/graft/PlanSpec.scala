@@ -101,6 +101,29 @@ class PlanSpec extends SparkSpec {
       s"shingle derivation duplicated ($scans scans):\n$p")
   }
 
+  test("q_ann_ivf (nProbe=1) scores centroids once, not per consumer") {
+    // the fast path reuses the corpus assignment's own centroid_id for
+    // the probe side: exactly ONE centroid-scoring cross join (inside
+    // ivfAssign) may appear, and the shared assignment must be persisted
+    // (InMemoryRelation) instead of derived once per join side
+    // assert on the optimized logical plan, where the cached assignment
+    // is a leaf: no condition-less (cross) join may remain OUTSIDE it,
+    // and both consumers must read the SAME cache
+    val opt = SparkEntry.queries("q_ann_ivf")(spark, dir)
+      .queryExecution.optimizedPlan
+    val crosses = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.isEmpty => j
+    }
+    assert(crosses.isEmpty,
+      s"nProbe=1 probe re-scores centroids outside the cached assignment:\n$opt")
+    val caches = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.length >= 2 && caches.map(_.cacheBuilder).distinct.length == 1,
+      "shared IVF assignment not persisted once for both consumers")
+  }
+
   test("q_centroids aggregates partially before the (group, dim) shuffle") {
     val p = plan("q_centroids")
     assert(p.contains("Generate")) // posexplode fan-out

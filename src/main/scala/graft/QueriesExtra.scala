@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingHashExpr
-import graft.operators.CsvExtract
-import graft.similarity.CosineSearch
+import graft.operators.{CsvExtract, LineDedup, RareTokens}
+import graft.similarity.{CosineSearch, Quantize}
 
 /** Fourth query group: CSV-extract transform, BPE-ish token counting,
   * IVF near-dup pairs, multi-join aggregate, native-Expression
@@ -279,6 +279,89 @@ object QueriesExtra {
        |    AS fp_rolling
        |FROM documents""".stripMargin
 
+  // ----------------------------------------------------- line-level dedup
+  // RefinedWeb/CCNet-style repeated-fragment removal signal: the token
+  // stream chunked into 10-word pseudo-lines, each line fingerprinted,
+  // corpus occurrence counts joined back, per-doc duplicate share in ppm.
+  // The oracle rebuilds the identical chunking with ordered string_agg
+  // over (i-1)//10 groups — a different formulation of the same lines.
+  private val LineWords = 10
+
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    LineDedup.stats(t(s, dir, "documents"), "doc_id", "text", LineWords)
+
+  val qLineDedupSql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |  FROM c),
+       |l AS (SELECT doc_id, CAST((i - 1) // $LineWords AS BIGINT) AS line_no,
+       |        string_agg(w, ' ' ORDER BY i) AS line
+       |      FROM t GROUP BY 1, 2),
+       |d AS (SELECT md5(line) AS fp, count(*) AS line_df FROM l GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN line_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       |  CAST(sum(CASE WHEN line_df > 1 THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS dup_ppm
+       |FROM l JOIN d ON md5(l.line) = d.fp GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- unigram rarity
+  // CCNet-perplexity analogue with integer-exact arithmetic: documents
+  // scored against the corpus's own unigram counts. Every 10th document
+  // carries a planted unique token so the rare-token path is exercised
+  // at every scale factor.
+  private val RareBelow = 5
+
+  def qRareTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" u"), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+    RareTokens.rarity(docs, "doc_id", "text", RareBelow)
+  }
+
+  val qRareTokensSql: String =
+    s"""WITH src AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0
+       |         THEN text || ' u' || CAST(doc_id AS VARCHAR) ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w
+       |  FROM src),
+       |u AS (SELECT w, count(*) AS w_count FROM t GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(w_count) AS BIGINT) AS sum_df,
+       |  CAST(min(w_count) AS BIGINT) AS min_df,
+       |  CAST(sum(CASE WHEN w_count < $RareBelow THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(sum(CASE WHEN w_count < $RareBelow THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS rare_ppm
+       |FROM t JOIN u USING (w) GROUP BY doc_id""".stripMargin
+
+  // --------------------------------------------------- int8 quantization
+  // Symmetric max-abs int8 quantization digest: per-vector scale plus
+  // exact integer sums of the quantized components. Rounding is the
+  // explicit floor(+0.5) composition, so both engines quantize
+  // bit-identically (bare round() is half-even on one, half-away on the
+  // other).
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
+    Quantize.int8Digest(t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  val qEmbedQuantSql: String =
+    """WITH a AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS amax
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, amax, CAST(embedding[i] AS DOUBLE) AS x
+      |      FROM a CROSS JOIN range(1, 65) t(i))
+      |SELECT vec_id, any_value(amax) AS amax,
+      |  CAST(sum(CASE WHEN amax = 0 THEN 0 ELSE
+      |    (CASE WHEN x < 0 THEN -1 ELSE 1 END) *
+      |      floor(abs(x) * 127.0 / amax + 0.5) END) AS BIGINT) AS q_sum,
+      |  CAST(sum(CASE WHEN amax = 0 THEN 0 ELSE
+      |    floor(abs(x) * 127.0 / amax + 0.5) END) AS BIGINT) AS q_l1
+      |FROM e GROUP BY vec_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_extract" -> (qCsvExtract _),
@@ -291,6 +374,9 @@ object QueriesExtra {
     "q_rollup" -> (qRollup _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_rolling_fp" -> (qRollingFp _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_rare_tokens" -> (qRareTokens _),
+    "q_embed_quant" -> (qEmbedQuant _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -304,5 +390,8 @@ object QueriesExtra {
     "q_rollup" -> qRollupSql,
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_rolling_fp" -> qRollingFpSql,
+    "q_line_dedup" -> qLineDedupSql,
+    "q_rare_tokens" -> qRareTokensSql,
+    "q_embed_quant" -> qEmbedQuantSql,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BloomPrefilter, Packing, Quantiles, RangeJoin, RepetitionStats, Sampling}
+import graft.operators.{Boilerplate, BloomPrefilter, Packing, Quantiles, RangeJoin, RepeatedSpans, RepetitionStats, Sampling}
 import graft.similarity.Centroids
 
 /** Beyond-reference query group: the scale-technique operators — banded
@@ -310,8 +310,45 @@ object QueriesScale {
        |  CAST(floor(rate * $MixBuckets.0) AS BIGINT)""".stripMargin
   }
 
+  // ------------------------------------------------------- repeated spans
+  // Relational exact-substring dedup signal (suffix-array analogue):
+  // maximal runs of 5-gram shingles whose corpus occurrence exceeds 1,
+  // merged into (span_start, span_words) islands of >= 8 words. The
+  // oracle rebuilds the same spans from a lead()-window shingle table and
+  // a row_number gaps-and-islands — different formulation, same result.
+  private val SpanN = 5
+  private val SpanMinWords = 8
+
+  private def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    RepeatedSpans.spans(t(s, dir, "documents"), "doc_id", "text",
+      SpanN, SpanMinWords)
+
+  private val qRepeatedSpansSql: String = {
+    val leads = (1 until SpanN)
+      .map(j => s"lead(w, $j) OVER d").mkString(" || ' ' || ")
+    s"""WITH c AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |sw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |  FROM c),
+       |sh AS (SELECT doc_id, i - 1 AS pos, w || ' ' || $leads AS shingle
+       |       FROM sw WINDOW d AS (PARTITION BY doc_id ORDER BY i)
+       |       QUALIFY shingle IS NOT NULL),
+       |occ AS (SELECT md5(shingle) AS fp, count(*) AS occ FROM sh GROUP BY 1),
+       |dup AS (SELECT doc_id, pos FROM sh JOIN occ ON md5(sh.shingle) = occ.fp
+       |        WHERE occ > 1),
+       |isl AS (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM dup)
+       |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       |  CAST(count(*) + ${SpanN - 1} AS BIGINT) AS span_words
+       |FROM isl GROUP BY doc_id, island
+       |HAVING count(*) + ${SpanN - 1} >= $SpanMinWords""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repeated_spans" -> (qRepeatedSpans _),
     "q_range_join" -> (qRangeJoin _),
     "q_bloom_semi" -> (qBloomSemi _),
     "q_centroids" -> (qCentroids _),
@@ -326,6 +363,7 @@ object QueriesScale {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_repeated_spans" -> qRepeatedSpansSql,
     "q_range_join" -> qRangeJoinSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_centroids" -> qCentroidsSql,

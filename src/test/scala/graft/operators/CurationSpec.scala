@@ -48,6 +48,35 @@ class CurationSpec extends SparkSpec {
     // left-joins to keep empty documents)
   }
 
+  test("RepeatedSpans merges consecutive duplicated shingles into maximal spans") {
+    // docs 1 and 2 share the 6-word run "one two three four five six" at
+    // different offsets; with 3-gram shingles that is 4 consecutive
+    // duplicated starts -> one span of 6 words each. The surrounding
+    // words are unique, so no other span appears.
+    val d = Seq(
+      (1L, "one two three four five six p q r s"),
+      (2L, "x y one two three four five six z w")
+    ).toDF("doc_id", "text")
+    val s = RepeatedSpans.spans(d, "doc_id", "text", n = 3, minWords = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "span_start", "span_words")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(s == Seq((1L, 0, 6L), (2L, 2, 6L)))
+    // a higher floor filters the span out entirely
+    assert(RepeatedSpans.spans(d, "doc_id", "text", n = 3, minWords = 7)
+      .count() == 0)
+  }
+
+  test("RepeatedSpans counts within-document repetition as duplication") {
+    val d = Seq((1L, "a b c a b c z")).toDF("doc_id", "text")
+    // 3-gram "a b c" occurs at pos 0 and 3 in the same doc -> both are
+    // duplicated starts but NOT consecutive, so two 3-word spans
+    val s = RepeatedSpans.spans(d, "doc_id", "text", n = 3, minWords = 3)
+      .orderBy("span_start")
+      .select("span_start", "span_words").as[(Int, Long)].collect().toSeq
+    assert(s == Seq((0, 3L), (3, 3L)))
+  }
+
   test("RareTokens.rarity matches a hand computation") {
     val tiny = Seq(
       (1L, "a a b"),   // a x2, b

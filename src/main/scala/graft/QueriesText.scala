@@ -210,6 +210,35 @@ object QueriesText {
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst)
        |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""".stripMargin
 
+  // ------------------------------------------------- keeper selection
+  // The full dedup DECISION pipeline: minhash candidate pairs ->
+  // transitive clusters -> one keeper per cluster, chosen by content
+  // length (n_chars desc, doc_id tiebreak) — the curation rule that
+  // keeps the richest copy rather than an arbitrary one. Output is the
+  // per-document verdict for every clustered document. The oracle chains
+  // the recursive-CTE closure with the same window rank.
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val labels = ConnectedComponents
+      .labels(qDedupMinhash(s, dir), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels.join(docs, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("keep"))
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""WITH labels AS (
+       |$qDedupClustersSql
+       |)
+       |SELECT l.doc_id, l.cluster_id,
+       |  (row_number() OVER (PARTITION BY l.cluster_id
+       |     ORDER BY d.n_chars DESC, l.doc_id) = 1) AS keep
+       |FROM labels l JOIN documents d USING (doc_id)""".stripMargin
+
   // ------------------------------------------------- deterministic sample
   // Corpus balancing: downsample over-represented strata (en to 20%, zh
   // to 50%) with hash sampling — reproducible across runs, partitionings,
@@ -440,6 +469,7 @@ object QueriesText {
     "q_tfidf" -> (qTfidf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keepbest" -> (qDedupKeepBest _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -458,6 +488,7 @@ object QueriesText {
     "q_tfidf" -> qTfidfSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_keepbest" -> qDedupKeepBestSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,

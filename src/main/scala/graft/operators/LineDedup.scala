@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.functions.TextFunctions
 
 /** Line-level corpus deduplication — the web-curation step popularized
@@ -41,9 +42,12 @@ object LineDedup {
     * occurrence count exceeds `dupThreshold`, and the duplicate share in
     * ppm (integer-exact). */
   def stats(docs: DataFrame, idCol: String, textCol: String,
-      wordsPerLine: Int, dupThreshold: Long = 1L): DataFrame = {
-    val l = lines(docs, idCol, textCol, wordsPerLine)
-      .withColumn("fp", md5(col("line")))
+      wordsPerLine: Int, dupThreshold: Long = 1L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    // the line table feeds BOTH the occurrence aggregation and the join
+    // probe — retained so the scan+chunk pipeline runs once
+    val l = scope.retain(lines(docs, idCol, textCol, wordsPerLine)
+      .withColumn("fp", md5(col("line"))))
     val lineDf = l.groupBy(col("fp")).agg(count(lit(1)).as("line_df"))
     l.join(lineDf, Seq("fp"))
       .groupBy(col(idCol))
@@ -61,9 +65,10 @@ object LineDedup {
     * via an in-group sort of (line_no, line) structs — deterministic
     * regardless of partitioning. */
   def removeCommonLines(docs: DataFrame, idCol: String, textCol: String,
-      wordsPerLine: Int, dupThreshold: Long = 1L): DataFrame = {
-    val l = lines(docs, idCol, textCol, wordsPerLine)
-      .withColumn("fp", md5(col("line")))
+      wordsPerLine: Int, dupThreshold: Long = 1L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val l = scope.retain(lines(docs, idCol, textCol, wordsPerLine)
+      .withColumn("fp", md5(col("line"))))
     val lineDf = l.groupBy(col("fp")).agg(count(lit(1)).as("line_df"))
     l.join(lineDf, Seq("fp"))
       .filter(col("line_df") <= dupThreshold)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.functions.TextFunctions
 
 /** Unigram-rarity quality scoring — the integer-exact analogue of the
@@ -31,10 +32,13 @@ object RareTokens {
     * frequency of its tokens, tokens rarer than `rareBelow`, and the
     * rare share in ppm — all BIGINT, hash-stable on any engine. */
   def rarity(docs: DataFrame, idCol: String, textCol: String,
-      rareBelow: Long): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(TextFunctions.collapseWs(col(textCol)), " ")).as("w"))
-    toks.join(unigramCounts(docs, textCol), Seq("w"))
+      rareBelow: Long, scope: CacheScope = CacheScope.session): DataFrame = {
+    // the token table feeds BOTH the unigram aggregation and the join
+    // probe — retained so the scan+explode pipeline runs once
+    val toks = scope.retain(docs.select(col(idCol),
+      explode(split(TextFunctions.collapseWs(col(textCol)), " ")).as("w")))
+    toks.join(
+        toks.groupBy(col("w")).agg(count(lit(1)).as("w_count")), Seq("w"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),

@@ -124,6 +124,18 @@ class PlanSpec extends SparkSpec {
       "shared IVF assignment not persisted once for both consumers")
   }
 
+  test("q_line_dedup and q_rare_tokens derive their exploded table once") {
+    // same property as q_boilerplate: the line/token table feeds both
+    // the occurrence aggregation and the join probe — one scan, one
+    // persisted intermediate, never a second scan+explode pipeline
+    Seq("q_line_dedup", "q_rare_tokens").foreach { q =>
+      val p = plan(q)
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(scans <= 1 && p.contains("InMemoryRelation"),
+        s"$q derives its exploded table per consumer ($scans scans)")
+    }
+  }
+
   test("q_centroids aggregates partially before the (group, dim) shuffle") {
     val p = plan("q_centroids")
     assert(p.contains("Generate")) // posexplode fan-out

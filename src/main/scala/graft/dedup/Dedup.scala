@@ -14,9 +14,11 @@ import graft.functions.TextFunctions
   *    parallel; the only shuffles are the per-(doc,perm) min aggregation
   *    and the band-bucket self-join, whose fan-out is bounded by bucket
   *    size (band collisions), never all-pairs.
-  *  - N-gram Jaccard joins on the shingle, so frequency-skewed shingles
-  *    dominate the shuffle — cap or filter stop-shingles for heavy-tailed
-  *    corpora (documented; the synthetic corpus here is benign).
+  *  - N-gram Jaccard: the naive form joins on the shingle, so
+  *    frequency-skewed shingles dominate the shuffle on heavy-tailed
+  *    corpora. [[ngramJaccardPairsPrefix]] is the skew-safe path — its
+  *    rarest-first prefixes never join on stop-shingles, losslessly.
+  *    Keep the naive form for oracle cross-checks and benign corpora.
   *
   * Cache lifecycle: operators that persist an intermediate (signature /
   * shingle / docset tables) take a [[graft.core.CacheScope]]; the default

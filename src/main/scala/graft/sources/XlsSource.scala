@@ -78,7 +78,10 @@ object XlsSource {
     private val firstDifatSector = u32(68)
     private val maxSectors = (bytes.length / sectorSize) + 1
 
-    private def sectorOff(sect: Long): Int = 512 + sect.toInt * sectorSize
+    // sector 0 starts at one sector-size from the file start: offset 512
+    // for the common v3 (512-byte sectors), 4096 for v4 (4096-byte
+    // sectors, whose 512-byte header is padded out to a full sector)
+    private def sectorOff(sect: Long): Int = (sect.toInt + 1) * sectorSize
 
     /** FAT sector list: 109 header DIFAT slots, then the DIFAT chain. */
     private val fatSectors: Seq[Long] = {

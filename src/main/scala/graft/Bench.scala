@@ -95,31 +95,39 @@ object Bench {
 
     var results = timePass(3)
 
-    var calibAfter = calibrate(spark)
+    val calibAfter = calibrate(spark)
     val loadAfter = loadavg()
     val drift = math.max(calibBefore, calibAfter) /
       math.max(1e-9, math.min(calibBefore, calibAfter))
     // >2x calibration drift means the host changed underneath the pass —
     // the numbers are not comparable across rounds. One repair pass,
-    // per-query min kept (min(-1, x) keeps failures visible).
+    // per-query min kept. A query that failed all original runs stays
+    // failed (-1), and a transient failure in the single repair run never
+    // overwrites a valid 3-run measurement.
     val recalibrated = drift > 2.0
+    var calibFinal = calibAfter
     if (recalibrated) {
       System.err.println(
         f"[bench] calibration drifted ${drift}%.2fx across the pass " +
           "(host interference) — re-running every query once")
       val again = timePass(1).toMap
       results = results.map { case (name, t) =>
-        name -> math.min(t, again.getOrElse(name, t))
+        val a = again.getOrElse(name, t)
+        name -> (if (t < 0 || a < 0) t else math.min(t, a))
       }
-      calibAfter = calibrate(spark)
+      calibFinal = calibrate(spark)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // after_sec is the reading that decided `drift`; final_sec (emitted
+    // only after a repair pass) is the post-repair re-measurement
+    val finalField =
+      if (recalibrated) s""","final_sec":$calibFinal""" else ""
     val host =
       s""""calibration":{"before_sec":$calibBefore,"after_sec":$calibAfter,""" +
-      s""""drift":$drift,"recalibrated":$recalibrated},""" +
+      s""""drift":$drift,"recalibrated":$recalibrated$finalField},""" +
       s""""loadavg":{"before":"$loadBefore","after":"$loadAfter"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$host}""")
     spark.stop()

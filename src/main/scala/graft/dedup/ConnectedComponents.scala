@@ -69,7 +69,10 @@ object ConnectedComponents {
     var eCount = e.count()
     var iter = 0
     var converged = eCount == 0L
-    while (!converged && iter < maxIter) {
+    // `<= maxIter`: a graph whose LAST edge-set change lands exactly in
+    // round maxIter still gets the confirmation round that observes the
+    // fixpoint (same edge as labelsPropagation's confirmation round)
+    while (!converged && iter <= maxIter) {
       // large-star: every node u links its STRICTLY LARGER neighbors to
       // the minimum of its full neighborhood (m <= u < v, so the emitted
       // (v, m) pairs stay big->small oriented)

@@ -193,23 +193,27 @@ object CosineSearch {
       col(vecCol).as("vec_av"), col("norm_sq").as("na"))
     val r = assigned.select(col("centroid_id"), col(idCol).as("vec_b"),
       col(vecCol).as("vec_bv"), col("norm_sq").as("nb"))
-    val cand = l.join(r, Seq("centroid_id"))
+    val screened = l.join(r, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
-    // multi-probe: a pair sharing several probed buckets must be scored
-    // once — keep the smallest shared bucket id (deterministic)
-    val uniq =
-      if (nProbe == 1) cand
-      else {
-        val w = Window.partitionBy(col("vec_a"), col("vec_b"))
-          .orderBy(col("centroid_id"))
-        cand.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
-    uniq
       .withColumn("cos_approx",
         graft.functions.FloatDotExpr.float_dot(col("vec_av"), col("vec_bv")) /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cos_approx") >= threshold - 1e-6)
+    // multi-probe: a pair sharing several probed buckets must be emitted
+    // once — keep the smallest shared bucket id (deterministic). The
+    // dedup window runs AFTER the double-dot screen: scoring a duplicate
+    // candidate twice is one cheap codegen'd dot product, while the
+    // window's (vec_a, vec_b) shuffle carries both full vectors — only
+    // screen survivors may pay it.
+    val uniq =
+      if (nProbe == 1) screened
+      else {
+        val w = Window.partitionBy(col("vec_a"), col("vec_b"))
+          .orderBy(col("centroid_id"))
+        screened.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    uniq
       .withColumn("cos_sim",
         cosine(dotDecimal(col("vec_av"), col("vec_bv")), col("na"), col("nb")))
       .filter(col("cos_sim") >= threshold)

@@ -80,8 +80,11 @@ object ExcelSource {
       header: Seq[Int] = Seq(0),
       slugifyHeaders: Boolean = true): DataFrame = {
     val in = new java.io.FileInputStream(path)
-    val magic = try { val b = new Array[Byte](4); in.read(b); b }
-                finally in.close()
+    val magic = new Array[Byte](4)
+    val got = try in.read(magic) finally in.close()
+    if (got < 4) throw new IllegalArgumentException(
+      s"$path is neither an OOXML (.xlsx) nor an OLE2 (.xls) workbook " +
+        "(shorter than a container magic)")
     if (magic(0) == 'P' && magic(1) == 'K')
       read(spark, path, sheet, header, slugifyHeaders)
     else if ((magic(0) & 0xFF) == 0xD0 && (magic(1) & 0xFF) == 0xCF)

@@ -116,6 +116,8 @@ object XlsSource {
       var s = start
       var guard = 0
       while (s != EndOfChain && s != FreeSect && guard < maxSectors) {
+        require(sectorOff(s) + sectorSize <= bytes.length,
+          s"truncated compound file: sector $s out of bounds")
         out.write(bytes, sectorOff(s), sectorSize)
         s = fat(s)
         guard += 1
@@ -160,6 +162,9 @@ object XlsSource {
       var guard = 0
       val maxMini = miniContainer.length / miniSize + 1
       while (s != EndOfChain && s != FreeSect && guard < maxMini) {
+        require(s.toInt * miniSize + miniSize <= miniContainer.length &&
+          s.toInt < miniFat.length,
+          s"truncated compound file: mini sector $s out of bounds")
         out.write(miniContainer, s.toInt * miniSize, miniSize)
         s = miniFat(s.toInt)
         guard += 1
@@ -198,6 +203,8 @@ object XlsSource {
   private val RLabel = 0x0204; private val RBoolErr = 0x0205
   private val RBlank = 0x0201; private val RMulBlank = 0x00BE
   private val RFormula = 0x0006; private val RString = 0x0207
+  private val RShrFmla = 0x04BC; private val RArray = 0x0221
+  private val RTable = 0x0236
 
   /** One raw record: id + data slice. */
   private case class Rec(id: Int, data: Array[Byte])
@@ -377,19 +384,24 @@ object XlsSource {
         else NCell(d))
 
     var pendingStringCell: Option[(Int, Int)] = None
-    records(wb, pos).foreach { rec =>
+    val it = records(wb, pos).buffered
+    while (it.hasNext) {
+      val rec = it.next()
       rec.id match {
         case RString =>
-          // cached string result of the immediately preceding FORMULA
+          // cached string result of the preceding FORMULA; a long value
+          // overflows into CONTINUE records, each character-array resume
+          // re-declaring its own flag byte (same rule as SST strings)
+          val parts = mutable.ArrayBuffer(rec.data)
+          while (it.hasNext && it.head.id == RContinue) parts += it.next().data
           pendingStringCell.foreach { rc =>
-            val cch = u16(rec.data, 0)
-            val wide = (rec.data(2) & 1) != 0
-            val s =
-              if (wide) new String(rec.data, 3, cch * 2, "UTF-16LE")
-              else new String(rec.data.slice(3, 3 + cch).map(b => (b & 0xFF).toChar))
-            cells(rc) = Some(SCell(s))
+            cells(rc) = Some(SCell(new SstCursor(parts.toIndexedSeq).readString()))
           }
           pendingStringCell = None
+        case RShrFmla | RArray | RTable | RContinue =>
+          // these legitimately sit between a FORMULA and its STRING
+          // record — the pending cell must survive them
+          ()
         case other =>
           pendingStringCell = None
           other match {

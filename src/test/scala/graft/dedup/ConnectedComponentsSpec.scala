@@ -103,6 +103,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.size == 10)
   }
 
+  test("star loop accepts a graph whose last change lands in round maxIter") {
+    val chain = (0 until 9).map(i => f"n$i%02d" -> f"n${i + 1}%02d")
+    val (_, rounds) = ConnectedComponents.labelsWithRounds(
+      edges(chain: _*), "doc_a", "doc_b")
+    // `rounds` includes the confirmation round, so the last edge-set
+    // change happened in round rounds-1 — maxIter = rounds-1 must still
+    // succeed via its confirmation round instead of raising
+    val m = ConnectedComponents.labels(edges(chain: _*), "doc_a", "doc_b",
+      maxIter = rounds - 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.values.toSet == Set("n00"))
+  }
+
   test("a graph converging in exactly maxIter rounds is accepted") {
     // n00-..-n09 path: the last label change lands in round 9 — with
     // maxIter = 9 the loop must still run the confirmation round instead

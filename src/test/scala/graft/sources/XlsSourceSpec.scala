@@ -87,6 +87,13 @@ class XlsSourceSpec extends SparkSpec {
     }
   private def stringRec(s: String) =
     rec(0x0207)(b => b.u16(s.length).u8(0).ascii(s))
+  // SHRFMLA legitimately sits between a FORMULA and its STRING record
+  private def shrFmla() = rec(0x04BC)(b => b.pad(10))
+  // a STRING record split into a CONTINUE mid-character-array, switching
+  // from compressed to UTF-16 at the resume (same rule as SST strings)
+  private def stringSplit(first: String, second: String) = cat(
+    rec(0x0207)(b => b.u16(first.length + second.length).u8(0).ascii(first)),
+    rec(0x003C)(b => b.u8(1).utf16(second)))
   private def format(ifmt: Int, code: String) =
     rec(0x041E)(b => b.u16(ifmt).u16(code.length).u8(0).ascii(code))
   private def boundSheet(pos: Int, name: String) =
@@ -153,6 +160,9 @@ class XlsSourceSpec extends SparkSpec {
     val sheet2 = cat(
       bof(0x0010),
       mulRk(0, 0, Seq(0x3FF80000L, (2L << 2) | 2, 0x400A0000L)),
+      // cached string result with an interposed SHRFMLA and the STRING
+      // itself split across a CONTINUE with a width change
+      formulaStr(1, 3), shrFmla(), stringSplit("SSS", "ZZZ"),
       eof())
     val size1 = globals(0, 0).length
     cat(globals(size1, size1 + sheet1.length), sheet1, sheet2)
@@ -294,15 +304,19 @@ class XlsSourceSpec extends SparkSpec {
     assert(bsb.getString(4) == "7.5")     // FORMULA cached numeric
   }
 
-  test("sheet by name: MULRK decodes float, int, and x100 variants") {
+  test("sheet by name: MULRK decodes; FORMULA string survives SHRFMLA + split") {
     val df = XlsSource.read(spark, xlsSmall, sheet = Right("Extras"),
       header = Seq.empty)
-    assert(df.columns.toSeq == Seq("col_0", "col_1", "col_2"))
-    val r = df.collect().head
+    assert(df.columns.toSeq == Seq("col_0", "col_1", "col_2", "col_3"))
+    val rows = df.collect()
+    val r = rows(0)
     // whole-number column infers Long, fractional ones Double (same
     // per-column inference as the .xlsx reader)
     assert(r.getDouble(0) == 1.5 && r.getLong(1) == 2L &&
-      r.getDouble(2) == 3.25)
+      r.getDouble(2) == 3.25 && r.isNullAt(3))
+    // the cached string: FORMULA -> SHRFMLA (must not clear the pending
+    // cell) -> STRING split across a CONTINUE with a width change
+    assert(rows(1).getString(3) == "SSSZZZ")
   }
 
   test("FAT-path CFB + 1904 date system") {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Skew
-import graft.streaming.DedupStream
+import graft.streaming.{DedupStream, StreamJoin}
 
 /** Event-pipeline query group: sessionization, semi-structured JSON
   * extraction, skew-safe salted aggregation, distinct counting.
@@ -156,6 +156,64 @@ object QueriesEvents {
       |  CAST(1 AS BIGINT) AS n_emitted
       |FROM documents""".stripMargin
 
+  // -------------------------------------------------------- stream join
+  // Stream-stream event-time interval join (click -> purchase attribution
+  // within 4 hours) run end-to-end: both sides stream from the same
+  // staged multi-file source one file per micro-batch, so pairs
+  // straddling micro-batches exist only if watermarked join state is
+  // retained correctly; each pair must be emitted exactly once. The
+  // oracle is the plain batch interval join.
+  private val AttributionWindow = "4 hours"
+
+  private val stagedJoinInput =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_join")
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val staged = stagedJoinInput.computeIfAbsent(dir, { d =>
+      val target = tmp.resolve("in").toString
+      // event_id split scatters each user's timeline across batches
+      Tables.load(s, d, "events", parallelize = false)
+        .repartitionByRange(3, col("event_id"))
+        .write.parquet(target)
+      target
+    })
+    val schema = Tables.load(s, dir, "events", parallelize = false).schema
+    def src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    // watermark delay covers the corpus's full disorder (batches are
+    // event_id-ordered, not time-ordered) so nothing is dropped and the
+    // result equals the batch join exactly
+    val joined = StreamJoin.attributionJoin(clicks, purchases,
+        "user_id", "p_user", "click_ts", "purchase_ts",
+        AttributionWindow, watermarkDelay = "40 days")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val q = joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  val qStreamJoinSql: String =
+    s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+       |FROM events c JOIN events p
+       |  ON c.user_id = p.user_id
+       | AND c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR""".stripMargin
+
   // ------------------------------------------------------ distinct count
   def qDistinctUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").groupBy(col("event_type"))
@@ -175,6 +233,7 @@ object QueriesEvents {
     "q_distinct_users" -> (qDistinctUsers _),
     "q_asof_join" -> (qAsofJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_join" -> (qStreamJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,5 +243,6 @@ object QueriesEvents {
     "q_distinct_users" -> qDistinctUsersSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_stream_dedup" -> qStreamDedupSql,
+    "q_stream_join" -> qStreamJoinSql,
   )
 }

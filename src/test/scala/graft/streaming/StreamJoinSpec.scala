@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("attribution pairs match across micro-batch boundaries, once each") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoin.attributionJoin(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("p_user", "purchase_id", "purchase_ts"),
+      "user_id", "p_user", "click_ts", "purchase_ts",
+      window = "30 minutes", watermarkDelay = "1 hour")
+      .select("user_id", "click_id", "purchase_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+
+    // batch 1: a click with no purchase yet — pair must wait in state
+    clicks.addData((7L, 100L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: in-window purchase (cross-batch match), out-of-window
+    // purchase, and a purchase BEFORE the click (must not match)
+    purchases.addData(
+      (7L, 500L, ts("2024-01-01 10:20:00")),  // within 30 min -> pair
+      (7L, 501L, ts("2024-01-01 11:30:00")),  // past the window
+      (7L, 502L, ts("2024-01-01 09:50:00")))  // before the click
+    q.processAllAvailable()
+    // batch 3: same-batch match for another user
+    clicks.addData((8L, 101L, ts("2024-01-01 12:00:00")))
+    purchases.addData((8L, 503L, ts("2024-01-01 12:05:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attr_out")
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq((7L, 100L, 500L), (8L, 101L, 503L)))
+  }
+
+  test("streaming result equals the batch join on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    // one event every 9 minutes, users round-robin: click i pairs with
+    // purchase i+5 (same user, 45 minutes later — exactly on the bound)
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    val events = (0 until 40).map { i =>
+      (i % 5L, i.toLong,
+        java.sql.Timestamp.valueOf(base.plusMinutes(9L * i)),
+        if (i % 2 == 0) "click" else "purchase")
+    }
+    val batchDf = events.toDF("user_id", "event_id", "ts", "kind")
+    val bClicks = batchDf.filter($"kind" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val bPurch = batchDf.filter($"kind" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val expected = StreamJoin.attributionJoin(bClicks, bPurch,
+        "user_id", "p_user", "click_ts", "purchase_ts", "45 minutes", "1 hour")
+      .select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val src = mem.toDF().toDF("user_id", "event_id", "ts", "kind")
+    val joined = StreamJoin.attributionJoin(
+      src.filter($"kind" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts")),
+      src.filter($"kind" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+          $"ts".as("purchase_ts")),
+      "user_id", "p_user", "click_ts", "purchase_ts", "45 minutes", "1 hour")
+      .select("click_id", "purchase_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_eq_out").start()
+    events.grouped(13).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("attr_eq_out")
+      .as[(Long, Long)].collect()
+    assert(got.toSet == expected)
+    assert(got.length == got.toSet.size, "every pair emitted exactly once")
+    assert(expected.nonEmpty)
+  }
+}

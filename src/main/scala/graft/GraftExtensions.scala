@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecimalDot, FloatDot, RollingHash}
+import graft.functions.{DecimalDot, FloatDot, IntDot, RollingHash}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * expressions with the SQL function registry so plain SQL (and
@@ -45,7 +45,10 @@ object GraftExtensions {
       arity("float_dot", 2)(args => FloatDot(args.head, args(1)))),
     ("decimal_dot",
       info("decimal_dot", "decimal_dot(a, b) - exact decimal dot product of float arrays"),
-      arity("decimal_dot", 2)(args => DecimalDot(args.head, args(1)))))
+      arity("decimal_dot", 2)(args => DecimalDot(args.head, args(1)))),
+    ("int_dot",
+      info("int_dot", "int_dot(a, b) - exact long dot product of int arrays"),
+      arity("int_dot", 2)(args => IntDot(args.head, args(1)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -56,12 +56,11 @@ object Quantize {
 
   /** Integer dot product of two quantized vectors, rescaled to the
     * original space: `amaxA * amaxB / (127 * 127) * sum(qa_i * qb_i)`.
-    * The integer sum is exact; only the final rescale is floating. */
+    * The integer sum is exact (codegen'd native loop — see
+    * [[graft.functions.IntDotExpr]]); only the final rescale is
+    * floating. */
   def dequantizedDot(quantA: Column, quantB: Column, amaxA: Column,
-      amaxB: Column): Column = {
-    val intDot = aggregate(
-      zip_with(quantA, quantB, (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, v) => acc + v)
-    amaxA * amaxB / lit(127.0 * 127.0) * intDot.cast("double")
-  }
+      amaxB: Column): Column =
+    amaxA * amaxB / lit(127.0 * 127.0) *
+      graft.functions.IntDotExpr.int_dot(quantA, quantB).cast("double")
 }

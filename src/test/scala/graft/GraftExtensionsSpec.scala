@@ -11,13 +11,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .toDF("id", "s", "a", "b").createOrReplaceTempView("ext_t")
     val row = spark.sql(
       """SELECT rolling_hash(s) AS rh, float_dot(a, b) AS fd,
-        |       decimal_dot(a, b) AS dd FROM ext_t""".stripMargin)
+        |       decimal_dot(a, b) AS dd,
+        |       int_dot(array(2, 3), array(5, 7)) AS qd FROM ext_t""".stripMargin)
       .collect().head
     assert(row.getAs[Long]("rh") ==
       functions.RollingHashExpr.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString("hello")))
     assert(row.getAs[Double]("fd") == 11.0)
     assert(row.getAs[java.math.BigDecimal]("dd").doubleValue() == 11.0)
+    assert(row.getAs[Long]("qd") == 31L)
   }
 
   test("withExtensions wiring registers the functions at session build") {
@@ -26,6 +28,6 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     e.apply(ext) // must not throw; function injection is deferred to build
     assert(GraftExtensions.functions.map(_._1) ==
-      Seq("rolling_hash", "float_dot", "decimal_dot"))
+      Seq("rolling_hash", "float_dot", "decimal_dot", "int_dot"))
   }
 }

@@ -163,7 +163,7 @@ object QueriesEvents {
   // straddling micro-batches exist only if watermarked join state is
   // retained correctly; each pair must be emitted exactly once. The
   // oracle is the plain batch interval join.
-  private val AttributionWindow = "4 hours"
+  private val AttributionHours = 4
 
   private val stagedJoinInput =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -174,9 +174,14 @@ object QueriesEvents {
     val ckpt = tmp.resolve("ckpt").toString
     val staged = stagedJoinInput.computeIfAbsent(dir, { d =>
       val target = tmp.resolve("in").toString
-      // event_id split scatters each user's timeline across batches
+      // split on event_id MOD 3 — event_id is almost perfectly
+      // time-correlated, so a range split would yield time-contiguous
+      // files and nearly every pair would complete within one
+      // micro-batch; the mod split interleaves each user's timeline
+      // across all three files, making retained join state load-bearing
+      // for most pairs
       Tables.load(s, d, "events", parallelize = false)
-        .repartitionByRange(3, col("event_id"))
+        .repartition(3, pmod(col("event_id"), lit(3)))
         .write.parquet(target)
       target
     })
@@ -194,7 +199,7 @@ object QueriesEvents {
     // result equals the batch join exactly
     val joined = StreamJoin.attributionJoin(clicks, purchases,
         "user_id", "p_user", "click_ts", "purchase_ts",
-        AttributionWindow, watermarkDelay = "40 days")
+        s"$AttributionHours hours", watermarkDelay = "40 days")
       .select(col("user_id"), col("click_id"), col("purchase_id"))
     val q = joined.writeStream
       .trigger(Trigger.AvailableNow())
@@ -207,12 +212,19 @@ object QueriesEvents {
     s.read.parquet(out)
   }
 
+  // the window bound is compared in epoch MICROSECONDS on both engines:
+  // Spark's ts is micro-truncated (Tables.load) while DuckDB reads the
+  // raw ns values, so a raw-timestamp comparison could disagree within
+  // 1 us of the bound; epoch_us makes both sides integer-exact, and the
+  // constant derives from the same AttributionHours as the Spark path
   val qStreamJoinSql: String =
     s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
        |FROM events c JOIN events p
        |  ON c.user_id = p.user_id
        | AND c.event_type = 'click' AND p.event_type = 'purchase'
-       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR""".stripMargin
+       | AND epoch_us(p.ts) >= epoch_us(c.ts)
+       | AND epoch_us(p.ts) <= epoch_us(c.ts) +
+       |     ${AttributionHours}::BIGINT * 3600000000""".stripMargin
 
   // ------------------------------------------------------ distinct count
   def qDistinctUsers(s: SparkSession, dir: String): DataFrame =

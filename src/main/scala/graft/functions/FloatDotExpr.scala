@@ -21,16 +21,22 @@ object FloatDotExpr {
   def float_dot(a: Column, b: Column): Column =
     GraftShim.columnOf(FloatDot(GraftShim.expressionOf(a), GraftShim.expressionOf(b)))
 
-  /** Static helper shared by interpreted eval and generated code. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Static helper shared by interpreted eval and generated code.
+    * Returns null (boxed) on a length mismatch or a null element —
+    * matching the null-poisoning `aggregate(zip_with(...))` fold this
+    * expression replaces, instead of silently truncating or reading
+    * null slots as 0. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -50,12 +56,18 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     FloatDotExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.FloatDotExpr.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dot")
+      s"""java.lang.Double $r = graft.functions.FloatDotExpr.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatDot =

@@ -22,16 +22,22 @@ object IntDotExpr {
   def int_dot(a: Column, b: Column): Column =
     GraftShim.columnOf(IntDot(GraftShim.expressionOf(a), GraftShim.expressionOf(b)))
 
-  /** Static helper shared by interpreted eval and generated code. */
-  def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Static helper shared by interpreted eval and generated code.
+    * Returns null (boxed) on a length mismatch or a null element —
+    * matching the null-poisoning `aggregate(zip_with(...))` fold this
+    * expression replaces, instead of silently truncating or reading
+    * null slots as 0. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getInt(i).toLong * b.getInt(i).toLong
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 }
 
@@ -51,12 +57,18 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     IntDotExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.IntDotExpr.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dot")
+      s"""java.lang.Long $r = graft.functions.IntDotExpr.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntDot =

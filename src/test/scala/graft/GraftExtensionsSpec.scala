@@ -22,6 +22,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("qd") == 31L)
   }
 
+  test("dot products null-poison on length mismatch or null elements") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT int_dot(array(1, 2, 3), array(1, 2)) AS mismatch,
+        |       int_dot(array(1, CAST(NULL AS INT)), array(1, 1)) AS nullel,
+        |       float_dot(CAST(array(1, 2) AS ARRAY<FLOAT>),
+        |                 CAST(array(1) AS ARRAY<FLOAT>)) AS fmismatch
+        |""".stripMargin).collect().head
+    // a ragged or null-carrying pair must surface as NULL, not a silently
+    // truncated/zero-padded "exact" result
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("withExtensions wiring registers the functions at session build") {
     // the extensions instance applies cleanly to a fresh builder
     val e = new GraftExtensions

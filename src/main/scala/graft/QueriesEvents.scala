@@ -83,6 +83,28 @@ object QueriesEvents {
       |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------------- salted join
+  // Skew-safe equi-join == plain join (the oracle is the plain form):
+  // fact keys salted into 8 buckets, dim replicated once per bucket, so
+  // no reducer receives more than ~1/8 of a hot key. The manual fallback
+  // for plans AQE skew splitting does not cover.
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("orderkey"), col("l_linenumber"),
+      col("l_extendedprice"))
+    val dim = t(s, dir, "orders").select(
+      col("o_orderkey").as("orderkey"), col("o_totalprice"))
+    Skew.saltedJoin(fact, dim, Seq("orderkey"),
+        saltSeed = col("orderkey") + col("l_linenumber"), buckets = 8)
+      .select(col("orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("o_totalprice"))
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT l_orderkey AS orderkey, l_linenumber, l_extendedprice,
+      |  o_totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- as-of
   // Point-in-time join of each event to its user's latest state update
   // (state = every 10th event). The oracle uses DuckDB's native ASOF JOIN
@@ -242,6 +264,7 @@ object QueriesEvents {
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_asof_join" -> (qAsofJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -252,6 +275,7 @@ object QueriesEvents {
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_distinct_users" -> qDistinctUsersSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_stream_dedup" -> qStreamDedupSql,

@@ -36,4 +36,37 @@ object Skew {
         sum(col("__psum")).cast("decimal(38,2)").as(s"sum_$valueCol"),
         sum(col("__pcount")).cast("long").as("n"))
   }
+
+  /** Skew-safe equi-join: the FACT side's hot keys are spread across
+    * `buckets` salted partitions (salt derived deterministically from
+    * `saltSeed`, e.g. a row id — never rand(), which breaks retries and
+    * reproducibility), and the DIM side is replicated once per bucket via
+    * one `explode` of a literal range. Semantically identical to
+    * `fact.join(dim, keys, joinType)` — the oracle-checkable property —
+    * with the shuffle key widened to (keys, salt) so no reducer receives
+    * more than ~1/buckets of any hot key.
+    *
+    * This is the manual fallback for the cases AQE skew-join splitting
+    * does not cover (non-sort-merge plans, stateful downstream stages,
+    * deterministic layout requirements); replication multiplies the DIM
+    * side by `buckets`, so keep it for genuinely small-to-medium dims.
+    * `joinType` supports inner/left: right/full would need the UNSALTED
+    * dim row to survive when no fact row matches, which replication
+    * breaks by design. */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltSeed: Column, buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "leftouter")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    // int salt on both sides (sequence() yields array<int>; a long salt
+    // would force a join-key cast)
+    val saltedFact = fact.withColumn("__salt",
+      salt(saltSeed, buckets).cast("int"))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(replicatedDim, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
 }

@@ -211,4 +211,38 @@ class ScaleOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(ids === Set(3L)) // 1 has no bigram, 2 has no token
   }
+
+  // ---------------------------------------------------------- saltedJoin
+
+  test("saltedJoin equals the plain join for inner and left") {
+    val fact = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "orphan"))
+      .toDF("k", "fv")
+    val dim = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "dv")
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val inner = Skew.saltedJoin(fact, dim, Seq("k"),
+      saltSeed = col("k") + length(col("fv")), buckets = 4)
+    assert(bag(inner.select("k", "fv", "dv")) ==
+      bag(fact.join(dim, Seq("k")).select("k", "fv", "dv")))
+    // left join: the orphan fact row survives with a null dim side
+    val left = Skew.saltedJoin(fact, dim, Seq("k"),
+      saltSeed = col("k"), buckets = 4, joinType = "left")
+    assert(bag(left.select("k", "fv", "dv")) ==
+      bag(fact.join(dim, Seq("k"), "left").select("k", "fv", "dv")))
+    // unsupported join types are refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, Seq("k"), col("k"), 4, joinType = "full")
+    }
+  }
+
+  test("saltedJoin spreads a hot key across salt buckets") {
+    val hot = (0 until 400).map(i => (1L, i)).toDF("k", "i")
+    val dim = Seq((1L, "x")).toDF("k", "dv")
+    val salted = hot.withColumn("__salt",
+      Skew.salt(col("i"), 8).cast("int"))
+    // the fact side's shuffle key (k, salt) takes 8 distinct values for
+    // the single hot key - the property that divides reducer load
+    assert(salted.select("k", "__salt").distinct().count() == 8)
+    assert(Skew.saltedJoin(hot, dim, Seq("k"), col("i"), 8).count() == 400)
+  }
 }

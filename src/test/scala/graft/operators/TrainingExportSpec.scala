@@ -1,0 +1,68 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.Tables.load(
+    spark, "/root/testdata/sf0.001", "documents", parallelize = false)
+    .select("doc_id", "text", "lang")
+
+  test("export produces the requested shard count, all rows, in order") {
+    val out = Files.createTempDirectory("graft_export").toString
+    TrainingExport.exportJsonl(docs, out, shards = 3, orderCol = "doc_id")
+    val lines = spark.read.format("text").load(out)
+      .select(input_file_name().as("f"), col("value"))
+    assert(lines.select("f").distinct().count() == 3)
+    assert(lines.count() == docs.count())
+    // in-shard ordering: doc_id is non-decreasing within every file
+    val disorder = lines
+      .select(col("f"),
+        get_json_object(col("value"), "$.doc_id").cast("long").as("id"))
+      .withColumn("prev", lag("id", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev").isNotNull && col("prev") > col("id"))
+    assert(disorder.count() == 0)
+    // every row round-trips as JSON with its fields intact
+    val back = spark.read.json(out)
+    assert(back.select("doc_id", "text", "lang").except(docs).count() == 0)
+  }
+
+  test("re-export of the same input is manifest-identical (deterministic)") {
+    val a = Files.createTempDirectory("graft_export_a").toString
+    val b = Files.createTempDirectory("graft_export_b").toString
+    TrainingExport.exportJsonl(docs, a, shards = 4, orderCol = "doc_id")
+    TrainingExport.exportJsonl(docs, b, shards = 4, orderCol = "doc_id")
+    def m(p: String) = TrainingExport.manifest(spark, p)
+      .select("n_rows", "checksum").as[(Long, Long)].collect().toSet
+    assert(m(a) == m(b))
+    assert(m(a).map(_._1).sum == docs.count())
+  }
+
+  test("writeManifest lands _MANIFEST.json that Spark readers skip") {
+    val out = Files.createTempDirectory("graft_export_m").toString
+    TrainingExport.exportJsonl(docs, out, shards = 2, orderCol = "doc_id")
+    TrainingExport.writeManifest(spark, out)
+    val manifestFile = new java.io.File(out, "_MANIFEST.json")
+    assert(manifestFile.exists())
+    val text = new String(Files.readAllBytes(manifestFile.toPath), "UTF-8")
+    assert(text.contains("\"n_rows\"") && text.contains("\"checksum\""))
+    // underscore file is invisible to the JSON reader: row count unchanged
+    assert(spark.read.json(out).count() == docs.count())
+  }
+
+  test("gzip export round-trips") {
+    val out = Files.createTempDirectory("graft_export_gz").toString
+    TrainingExport.exportJsonl(docs, out, shards = 2, orderCol = "doc_id",
+      compress = true)
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    assert(spark.read.json(out).count() == docs.count())
+  }
+}

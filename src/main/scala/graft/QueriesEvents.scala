@@ -196,14 +196,16 @@ object QueriesEvents {
     val ckpt = tmp.resolve("ckpt").toString
     val staged = stagedJoinInput.computeIfAbsent(dir, { d =>
       val target = tmp.resolve("in").toString
-      // split on event_id MOD 3 — event_id is almost perfectly
+      // hash-split on event_id — event_id is almost perfectly
       // time-correlated, so a range split would yield time-contiguous
       // files and nearly every pair would complete within one
-      // micro-batch; the mod split interleaves each user's timeline
-      // across all three files, making retained join state load-bearing
-      // for most pairs
+      // micro-batch; hashing the raw id scatters adjacent events across
+      // all three files, making retained join state load-bearing for
+      // most pairs. (Hashing a pre-computed mod-3 value would feed only
+      // 3 distinct values into the partitioner and can collide them into
+      // fewer than 3 partitions.)
       Tables.load(s, d, "events", parallelize = false)
-        .repartition(3, pmod(col("event_id"), lit(3)))
+        .repartition(3, col("event_id"))
         .write.parquet(target)
       target
     })

@@ -57,13 +57,16 @@ object Skew {
       fact: DataFrame, dim: DataFrame, keys: Seq[String],
       saltSeed: Column, buckets: Int,
       joinType: String = "inner"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(Seq("inner", "left", "left_outer", "leftouter")
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins, got $joinType")
     // int salt on both sides (sequence() yields array<int>; a long salt
-    // would force a join-key cast)
+    // would force a join-key cast); a null seed falls back to bucket 0 —
+    // a null __salt would match NO replicated dim row and silently break
+    // the plain-join equivalence for nullable seed columns
     val saltedFact = fact.withColumn("__salt",
-      salt(saltSeed, buckets).cast("int"))
+      coalesce(salt(saltSeed, buckets), lit(0)).cast("int"))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(replicatedDim, keys :+ "__salt", joinType)

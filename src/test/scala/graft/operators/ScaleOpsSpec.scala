@@ -233,6 +233,14 @@ class ScaleOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Skew.saltedJoin(fact, dim, Seq("k"), col("k"), 4, joinType = "full")
     }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, Seq("k"), col("k"), 0)
+    }
+    // a NULL salt seed must not lose rows (null falls back to bucket 0)
+    val nullSeed = when(col("fv") === "b", lit(null)).otherwise(col("k"))
+    assert(bag(Skew.saltedJoin(fact, dim, Seq("k"), nullSeed, 4)
+        .select("k", "fv", "dv")) ==
+      bag(fact.join(dim, Seq("k")).select("k", "fv", "dv")))
   }
 
   test("saltedJoin spreads a hot key across salt buckets") {

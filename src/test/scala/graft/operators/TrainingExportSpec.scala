@@ -40,7 +40,7 @@ class TrainingExportSpec extends SparkSpec {
     TrainingExport.exportJsonl(docs, a, shards = 4, orderCol = "doc_id")
     TrainingExport.exportJsonl(docs, b, shards = 4, orderCol = "doc_id")
     def m(p: String) = TrainingExport.manifest(spark, p)
-      .select("n_rows", "checksum").as[(Long, Long)].collect().toSet
+      .select("n_rows", "checksum").as[(Long, BigDecimal)].collect().toSet
     assert(m(a) == m(b))
     assert(m(a).map(_._1).sum == docs.count())
   }

@@ -127,6 +127,20 @@ object QueriesEvents {
       |FROM events l ASOF LEFT JOIN state r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  // Stateful streaming queries pin their shuffle-partition count for the
+  // query's lifetime: state-store instances (and per-micro-batch commit
+  // overhead) scale with partition count, and a batch-session default
+  // sized for table scans (32) costs ~4x the wall time of a count sized
+  // to the stream's actual volume. Production tuning rule: partitions ~
+  // stream rate, not cluster width. Restored afterwards — queries run
+  // sequentially in the driver harness.
+  private def withStreamPartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   // ------------------------------------------------------- stream dedup
   // The STREAMING dedup path (DedupStream.dedupForever) run end-to-end as
   // a bounded AvailableNow job: documents plus a planted duplicate batch
@@ -160,16 +174,18 @@ object QueriesEvents {
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged)
-    val query = DedupStream.dedupForever(src, "text")
-      .select(col("fp"))
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    query.awaitTermination()
+    withStreamPartitions(s, 8) {
+      val query = DedupStream.dedupForever(src, "text")
+        .select(col("fp"))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      query.awaitTermination()
+    }
     s.read.parquet(out).groupBy(col("fp")).agg(count(lit(1)).as("n_emitted"))
   }
 
@@ -225,14 +241,16 @@ object QueriesEvents {
         "user_id", "p_user", "click_ts", "purchase_ts",
         s"$AttributionHours hours", watermarkDelay = "40 days")
       .select(col("user_id"), col("click_id"), col("purchase_id"))
-    val q = joined.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(s, 8) {
+      val q = joined.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(out)
   }
 

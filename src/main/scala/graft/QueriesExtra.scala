@@ -279,6 +279,61 @@ object QueriesExtra {
        |    AS fp_rolling
        |FROM documents""".stripMargin
 
+  // ----------------------------------------------------- amplified LSH
+  // OR-amplified hyperplane LSH (2 independent tables, 6 bits each): a
+  // pair is a candidate by sharing a bucket in ANY table. Narrower
+  // buckets than q_lsh_neardup trade per-table recall for selectivity;
+  // amplification buys the recall back. The oracle rebuilds both plane
+  // tables and unions candidates before one exact rescore per pair.
+  private val AmpBits = 6
+  private val AmpTables = 2
+  private val AmpSeed = 11L
+  private val AmpThreshold = 0.3
+
+  def qLshAmplified(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.HyperplaneLSH.nearDupPairsAmplified(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      AmpBits, AmpTables, AmpSeed, AmpThreshold)
+
+  val qLshAmplifiedSql: String = {
+    import graft.similarity.HyperplaneLSH
+    val values = (0 until AmpTables).flatMap { tb =>
+      HyperplaneLSH.planes(AmpBits, 64, AmpSeed + tb).zipWithIndex.flatMap {
+        case (p, j) => p.zipWithIndex.map { case (w, i) =>
+          s"($tb, $j, ${i + 1}, CAST(${w.toFloat} AS FLOAT))"
+        }
+      }
+    }.mkString(",\n")
+    val powArm = (0 until AmpBits).map(j => s"WHEN $j THEN ${1L << j}")
+      .mkString(" ")
+    s"""WITH $normCte,
+       |planes(tbl, bit, i, w) AS (VALUES
+       |$values),
+       |dots AS (
+       |  SELECT e.vec_id, p.tbl, p.bit,
+       |    CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE) * CAST(p.w AS DOUBLE) AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS dot
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.tbl, p.bit),
+       |sig AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN (CASE bit $powArm END) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
+       |  FROM sig a JOIN sig bb
+       |    ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |    CAST(SUM(CAST(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(x.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(y.norm_sq) AS DOUBLE))) AS cos_sim
+       |  FROM cand c
+       |  JOIN n x ON x.vec_id = c.vec_a
+       |  JOIN n y ON y.vec_id = c.vec_b
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY c.vec_a, c.vec_b)
+       |WHERE cos_sim >= $AmpThreshold""".stripMargin
+  }
+
   // ----------------------------------------------------- line-level dedup
   // RefinedWeb/CCNet-style repeated-fragment removal signal: the token
   // stream chunked into 10-word pseudo-lines, each line fingerprinted,
@@ -368,6 +423,7 @@ object QueriesExtra {
     "q_token_bpe" -> (qTokenBpe _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_lsh_neardup" -> (qLshNeardup _),
+    "q_lsh_amplified" -> (qLshAmplified _),
     "q_join_agg" -> (qJoinAgg _),
     "q_filter_agg" -> (qFilterAgg _),
     "q_top_revenue" -> (qTopRevenue _),
@@ -384,6 +440,7 @@ object QueriesExtra {
     "q_token_bpe" -> qTokenBpeSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_lsh_neardup" -> qLshNeardupSql,
+    "q_lsh_amplified" -> qLshAmplifiedSql,
     "q_join_agg" -> qJoinAggSql,
     "q_filter_agg" -> qFilterAggSql,
     "q_top_revenue" -> qTopRevenueSql,

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.CacheScope
@@ -66,6 +67,56 @@ object HyperplaneLSH {
           col("na"), col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos_sim"))
+  }
+
+  /** OR-amplified (multi-table) LSH pairs — the recall knob: `nTables`
+    * independent plane sets (seeds `seed .. seed + nTables - 1`); a pair
+    * becomes a candidate by sharing a bucket in ANY table, so the
+    * per-pair miss probability drops from `1 - p^nBits` to
+    * `(1 - p^nBits)^nTables` while candidate cost grows linearly with
+    * nTables. With the same seed, table 0 IS the single-table family:
+    * the returned pair set grows monotonically in nTables (spec-pinned).
+    *
+    * A pair sharing buckets in several tables is screened by the cheap
+    * double dot wherever it appears but decimal-rescored once — the
+    * dedup window runs AFTER the screen so its (vec_a, vec_b) shuffle
+    * carries only screen survivors (same shape as
+    * CosineSearch.ivfNearDupPairs). Output: unique (vec_a, vec_b,
+    * cos_sim). */
+  def nearDupPairsAmplified(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, nTables: Int, seed: Long, threshold: Double,
+      dims: Int = 64, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    val tables = (0 until nTables).map(t => planes(nBits, dims, seed + t))
+    val buckets = array(tables.map(ps => bucket(col(vecCol), ps)): _*)
+    val bucketed = scope.retain(CosineSearch.withNormSq(vecs, vecCol)
+      .select(col(idCol), col(vecCol), col("norm_sq"),
+        posexplode(buckets).as(Seq("table_idx", "bucket"))))
+    val l = bucketed.select(col("table_idx"), col("bucket"),
+      col(idCol).as("vec_a"), col(vecCol).as("va"), col("norm_sq").as("na"))
+    val r = bucketed.select(col("table_idx"), col("bucket"),
+      col(idCol).as("vec_b"), col(vecCol).as("vb"), col("norm_sq").as("nb"))
+    val screened = l.join(r, Seq("table_idx", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_approx",
+        graft.functions.FloatDotExpr.float_dot(col("va"), col("vb")) /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos_approx") >= threshold - 1e-6)
+    val uniq =
+      if (nTables == 1) screened // one bucket per vector: no duplicates
+      else {
+        val w = Window.partitionBy(col("vec_a"), col("vec_b"))
+          .orderBy(col("table_idx"), col("bucket"))
+        screened.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    uniq
+      .withColumn("cos_sim",
+        CosineSearch.cosine(CosineSearch.dotDecimal(col("va"), col("vb")),
+          col("na"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
   /** The planes rendered as SQL VALUES rows `(bit, dim_index, weight)` —

@@ -119,6 +119,27 @@ class CosineSearchSpec extends SparkSpec {
       .filter(col("count") =!= 2).count() == 0)
   }
 
+  test("LSH amplification: recall grows monotonically with tables") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(nTables: Int) = HyperplaneLSH.nearDupPairsAmplified(
+        e, "vec_id", "embedding", nBits = 8, nTables = nTables,
+        seed = 11L, threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val one = pairs(1)
+    val four = pairs(4)
+    // table 0 of the 4-table family IS the 1-table family (same seed):
+    // the amplified pair set must be a superset, and with 8-bit buckets
+    // (256 buckets over 500 vectors) extra tables recover real pairs
+    assert(one.subsetOf(four))
+    info(s"1 table: ${one.size} pairs; 4 tables: ${four.size} pairs")
+    assert(four.size > one.size, "amplification recovered nothing")
+    // single-table amplified equals the plain single-table operator
+    val plain = HyperplaneLSH.nearDupPairs(
+        e, "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(one == plain)
+  }
+
   test("ivf topk only searches within the query's bucket") {
     val res = CosineSearch.ivfTopK(
       vecs, vecs.filter(col("vec_id") < 2), vecs.filter(col("vec_id") === 0L),

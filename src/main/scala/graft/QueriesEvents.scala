@@ -130,10 +130,10 @@ object QueriesEvents {
   // Stateful streaming queries pin their shuffle-partition count for the
   // query's lifetime: state-store instances (and per-micro-batch commit
   // overhead) scale with partition count, and a batch-session default
-  // sized for table scans (32) costs ~4x the wall time of a count sized
-  // to the stream's actual volume. Production tuning rule: partitions ~
-  // stream rate, not cluster width. Restored afterwards — queries run
-  // sequentially in the driver harness.
+  // sized for table scans (32) measured ~2.3x the wall time of a count
+  // sized to the stream's actual volume. Production tuning rule:
+  // partitions ~ stream rate, not cluster width. Restored afterwards —
+  // queries run sequentially in the driver harness.
   private def withStreamPartitions[A](s: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)

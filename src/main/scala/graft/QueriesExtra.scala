@@ -105,8 +105,7 @@ object QueriesExtra {
   val qLshNeardupSql: String = {
     val ps = graft.similarity.HyperplaneLSH.planes(LshBits, 64, LshSeed)
     val values = graft.similarity.HyperplaneLSH.planesSqlValues(ps)
-    val powArm = (0 until LshBits).map(j => s"WHEN $j THEN ${1L << j}")
-      .mkString(" ")
+    val powArm = graft.similarity.HyperplaneLSH.powArmSql(LshBits)
     s"""WITH $normCte,
        |planes(bit, i, w) AS (VALUES
        |$values),
@@ -297,15 +296,11 @@ object QueriesExtra {
 
   val qLshAmplifiedSql: String = {
     import graft.similarity.HyperplaneLSH
-    val values = (0 until AmpTables).flatMap { tb =>
-      HyperplaneLSH.planes(AmpBits, 64, AmpSeed + tb).zipWithIndex.flatMap {
-        case (p, j) => p.zipWithIndex.map { case (w, i) =>
-          s"($tb, $j, ${i + 1}, CAST(${w.toFloat} AS FLOAT))"
-        }
-      }
+    val values = (0 until AmpTables).map { tb =>
+      HyperplaneLSH.planesSqlValues(
+        HyperplaneLSH.planes(AmpBits, 64, AmpSeed + tb), table = Some(tb))
     }.mkString(",\n")
-    val powArm = (0 until AmpBits).map(j => s"WHEN $j THEN ${1L << j}")
-      .mkString(" ")
+    val powArm = HyperplaneLSH.powArmSql(AmpBits)
     s"""WITH $normCte,
        |planes(tbl, bit, i, w) AS (VALUES
        |$values),

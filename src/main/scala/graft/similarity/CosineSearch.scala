@@ -147,6 +147,35 @@ object CosineSearch {
         col("cos_sim"))
   }
 
+  /** Shared candidate-pair scoring tail for the bucketed near-dup
+    * operators (IVF and hyperplane LSH): a codegen'd double dot screens
+    * every candidate at `threshold - 1e-6` (the double/decimal divergence
+    * is ~1e-15, so no true positive is lost at that margin), an optional
+    * one-per-pair dedup runs AFTER the screen (the (vec_a, vec_b) window
+    * shuffle carries both full vectors — only screen survivors may pay
+    * it), and survivors are rescored with the exact decimal fold.
+    * Expects columns vec_a/vec_b/va/vb/na/nb; appends cos_sim. */
+  private[similarity] def scorePairs(
+      cand: DataFrame, threshold: Double,
+      dedupOrder: Option[Seq[Column]]): DataFrame = {
+    val screened = cand
+      .withColumn("cos_approx",
+        graft.functions.FloatDotExpr.float_dot(col("va"), col("vb")) /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos_approx") >= threshold - 1e-6)
+    val uniq = dedupOrder match {
+      case None => screened
+      case Some(ord) =>
+        val w = Window.partitionBy(col("vec_a"), col("vec_b")).orderBy(ord: _*)
+        screened.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+    uniq
+      .withColumn("cos_sim",
+        cosine(dotDecimal(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one: the
     * fraction of (query_id, nn_id) pairs in `exact` that `approx` also
     * returned. Both inputs are the [[bruteForceTopK]]/[[ivfTopK]] output
@@ -190,33 +219,15 @@ object CosineSearch {
     val assigned = scope.retain(
       ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol, nProbe))
     val l = assigned.select(col("centroid_id"), col(idCol).as("vec_a"),
-      col(vecCol).as("vec_av"), col("norm_sq").as("na"))
+      col(vecCol).as("va"), col("norm_sq").as("na"))
     val r = assigned.select(col("centroid_id"), col(idCol).as("vec_b"),
-      col(vecCol).as("vec_bv"), col("norm_sq").as("nb"))
-    val screened = l.join(r, Seq("centroid_id"))
+      col(vecCol).as("vb"), col("norm_sq").as("nb"))
+    val cand = l.join(r, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_approx",
-        graft.functions.FloatDotExpr.float_dot(col("vec_av"), col("vec_bv")) /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      .filter(col("cos_approx") >= threshold - 1e-6)
-    // multi-probe: a pair sharing several probed buckets must be emitted
-    // once — keep the smallest shared bucket id (deterministic). The
-    // dedup window runs AFTER the double-dot screen: scoring a duplicate
-    // candidate twice is one cheap codegen'd dot product, while the
-    // window's (vec_a, vec_b) shuffle carries both full vectors — only
-    // screen survivors may pay it.
-    val uniq =
-      if (nProbe == 1) screened
-      else {
-        val w = Window.partitionBy(col("vec_a"), col("vec_b"))
-          .orderBy(col("centroid_id"))
-        screened.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
-    uniq
-      .withColumn("cos_sim",
-        cosine(dotDecimal(col("vec_av"), col("vec_bv")), col("na"), col("nb")))
-      .filter(col("cos_sim") >= threshold)
+    // multi-probe: a pair sharing several probed buckets is emitted once
+    // — smallest shared bucket id kept (deterministic)
+    scorePairs(cand, threshold,
+        if (nProbe == 1) None else Some(Seq(col("centroid_id"))))
       .select(col("vec_a"), col("vec_b"), col("centroid_id"), col("cos_sim"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.CacheScope
@@ -55,17 +54,10 @@ object HyperplaneLSH {
       col(vecCol).as("va"), col("norm_sq").as("na"))
     val r = bucketed.select(col("bucket"), col(idCol).as("vec_b"),
       col(vecCol).as("vb"), col("norm_sq").as("nb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      // codegen'd double screen, exact decimal rescore for survivors
-      .withColumn("cos_approx",
-        graft.functions.FloatDotExpr.float_dot(col("va"), col("vb")) /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      .filter(col("cos_approx") >= threshold - 1e-6)
-      .withColumn("cos_sim",
-        CosineSearch.cosine(CosineSearch.dotDecimal(col("va"), col("vb")),
-          col("na"), col("nb")))
-      .filter(col("cos_sim") >= threshold)
+    // shared screen + exact-rescore tail (CosineSearch.scorePairs)
+    CosineSearch.scorePairs(
+        l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b")),
+        threshold, dedupOrder = None)
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos_sim"))
   }
 
@@ -90,42 +82,43 @@ object HyperplaneLSH {
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
     val tables = (0 until nTables).map(t => planes(nBits, dims, seed + t))
     val buckets = array(tables.map(ps => bucket(col(vecCol), ps)): _*)
+    // retained BEFORE the per-table explode: the cache holds one row per
+    // vector (vector + norm + bucket array), not nTables copies of the
+    // full vector; each join leg explodes the cached array
     val bucketed = scope.retain(CosineSearch.withNormSq(vecs, vecCol)
       .select(col(idCol), col(vecCol), col("norm_sq"),
-        posexplode(buckets).as(Seq("table_idx", "bucket"))))
-    val l = bucketed.select(col("table_idx"), col("bucket"),
-      col(idCol).as("vec_a"), col(vecCol).as("va"), col("norm_sq").as("na"))
-    val r = bucketed.select(col("table_idx"), col("bucket"),
-      col(idCol).as("vec_b"), col(vecCol).as("vb"), col("norm_sq").as("nb"))
-    val screened = l.join(r, Seq("table_idx", "bucket"))
+        buckets.as("__buckets")))
+    val l = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+      col("norm_sq").as("na"),
+      posexplode(col("__buckets")).as(Seq("table_idx", "bucket")))
+    val r = bucketed.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      col("norm_sq").as("nb"),
+      posexplode(col("__buckets")).as(Seq("table_idx", "bucket")))
+    val cand = l.join(r, Seq("table_idx", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_approx",
-        graft.functions.FloatDotExpr.float_dot(col("va"), col("vb")) /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      .filter(col("cos_approx") >= threshold - 1e-6)
-    val uniq =
-      if (nTables == 1) screened // one bucket per vector: no duplicates
-      else {
-        val w = Window.partitionBy(col("vec_a"), col("vec_b"))
-          .orderBy(col("table_idx"), col("bucket"))
-        screened.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
-    uniq
-      .withColumn("cos_sim",
-        CosineSearch.cosine(CosineSearch.dotDecimal(col("va"), col("vb")),
-          col("na"), col("nb")))
-      .filter(col("cos_sim") >= threshold)
+    // shared tail; pairs found in several tables rescored once
+    CosineSearch.scorePairs(cand, threshold,
+        if (nTables == 1) None
+        else Some(Seq(col("table_idx"), col("bucket"))))
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
   /** The planes rendered as SQL VALUES rows `(bit, dim_index, weight)` —
-    * float-valued literals so the oracle's arithmetic matches `planeLit`.
-    * dim_index is 1-based for engines with 1-based array indexing. */
-  def planesSqlValues(ps: Seq[Array[Double]]): String =
+    * or `(table, bit, dim_index, weight)` when `table` is given (the
+    * amplified oracle's shape) — float-valued literals so the oracle's
+    * arithmetic matches `planeLit`. dim_index is 1-based for engines
+    * with 1-based array indexing. */
+  def planesSqlValues(ps: Seq[Array[Double]], table: Option[Int] = None): String = {
+    val prefix = table.map(t => s"$t, ").getOrElse("")
     ps.zipWithIndex.flatMap { case (p, j) =>
       p.zipWithIndex.map { case (w, i) =>
-        s"($j, ${i + 1}, CAST(${w.toFloat} AS FLOAT))"
+        s"($prefix$j, ${i + 1}, CAST(${w.toFloat} AS FLOAT))"
       }
     }.mkString(",\n")
+  }
+
+  /** CASE arm mapping a bit index to its power of two — the oracle-SQL
+    * rendering of the signature fold. */
+  def powArmSql(nBits: Int): String =
+    (0 until nBits).map(j => s"WHEN $j THEN ${1L << j}").mkString(" ")
 }

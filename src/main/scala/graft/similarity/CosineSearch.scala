@@ -69,23 +69,46 @@ object CosineSearch {
     * the search/candidate side; multi-assignment (`nAssign > 1`) is the
     * recall knob for symmetric pair detection ([[ivfNearDupPairs]]),
     * where a pair straddling a bucket boundary is only found if the two
-    * vectors share at least one assigned bucket. */
+    * vectors share at least one assigned bucket.
+    *
+    * The nearest-centroid selection is strictly map-side: the centroid
+    * set is collected into ONE broadcast row (an array of (id, vec,
+    * norm) structs), and each corpus row picks its `nAssign` best
+    * centroids with array expressions over that broadcast array —
+    * `array_min` (nAssign = 1) / `array_sort` + `slice` (nAssign > 1)
+    * over (-c_sim, centroid_id) structs. No window, no aggregation, no
+    * exchange, no sort of the |corpus| x |centroids| fan-out: the
+    * assignment literally is one pass over the corpus, and the scored
+    * fan-out never materializes outside a per-row array. Ordering matches
+    * the window formulation this replaces: (c_sim DESC, centroid_id ASC)
+    * = ascending (-c_sim, centroid_id). A null similarity (null vector)
+    * sorts last, as the window's descending null-ordering did. */
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
       centroidIdCol: String, nAssign: Int = 1): DataFrame = {
     require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
     val v = withNormSq(vecs, vecCol)
-    val c = broadcast(withNormSq(centroids, vecCol)
-      .select(col(centroidIdCol).as("centroid_id"), col(vecCol).as("c_vec"),
-        col("norm_sq").as("c_norm_sq")))
-    val scored = v.crossJoin(c)
-      .withColumn("c_sim",
-        cosine(dotDecimal(col(vecCol), col("c_vec")),
-          col("norm_sq"), col("c_norm_sq")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nAssign)
-      .select(col(idCol), col(vecCol), col("norm_sq"), col("centroid_id"))
+    val centArr = broadcast(withNormSq(centroids, vecCol)
+      .agg(collect_list(struct(col(centroidIdCol).as("cid"),
+        col(vecCol).as("c_vec"), col("norm_sq").as("c_norm_sq"))).as("cents")))
+    // per-row scored centroid array; the struct order IS the ranking order
+    val scoredArr = transform(col("cents"), cn => struct(
+      coalesce(-cosine(dotDecimal(col(vecCol), cn.getField("c_vec")),
+          col("norm_sq"), cn.getField("c_norm_sq")),
+        lit(Double.PositiveInfinity)).as("neg_sim"),
+      cn.getField("cid").as("centroid_id")))
+    val joined = v.crossJoin(centArr)
+    if (nAssign == 1)
+      joined
+        .select(col(idCol), col(vecCol), col("norm_sq"),
+          array_min(scoredArr).getField("centroid_id").as("centroid_id"))
+        .filter(col("centroid_id").isNotNull)
+    else
+      joined
+        .select(col(idCol), col(vecCol), col("norm_sq"),
+          explode(slice(array_sort(scoredArr), 1, nAssign)).as("sc"))
+        .select(col(idCol), col(vecCol), col("norm_sq"),
+          col("sc.centroid_id").as("centroid_id"))
   }
 
   /** IVF-bucketed top-k search: each query vector is probed only against
@@ -115,21 +138,13 @@ object CosineSearch {
     // crossJoin + window is skipped entirely.
     val probes =
       if (nProbe == 1) q
-      else {
-        val cents = broadcast(withNormSq(centroids, vecCol)
-          .select(col(centroidIdCol).as("centroid_id"),
-            col(vecCol).as("c_vec"), col("norm_sq").as("c_norm_sq")))
-        val pw = Window.partitionBy(col("query_id"))
-          .orderBy(col("c_sim").desc, col("centroid_id"))
-        q.drop("centroid_id").crossJoin(cents)
-          .withColumn("c_sim",
-            cosine(dotDecimal(col("q_vec"), col("c_vec")),
-              col("q_norm_sq"), col("c_norm_sq")))
-          .withColumn("rn", row_number().over(pw))
-          .filter(col("rn") <= nProbe)
-          .select(col("query_id"), col("q_vec"), col("q_norm_sq"),
-            col("centroid_id"))
-      }
+      else
+        // the probe ranking is just a multi-assignment of the query
+        // vectors — same map-side argmin, no window
+        ivfAssign(q.select(col("query_id"), col("q_vec").as(vecCol)),
+            centroids, "query_id", vecCol, centroidIdCol, nAssign = nProbe)
+          .select(col("query_id"), col(vecCol).as("q_vec"),
+            col("norm_sq").as("q_norm_sq"), col("centroid_id"))
     val c = assigned.select(col("centroid_id"), col(idCol).as("nn_id"),
       col(vecCol).as("nn_vec"), col("norm_sq").as("nn_norm_sq"))
     // a corpus vector lives in exactly one bucket, so probing several

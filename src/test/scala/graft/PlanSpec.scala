@@ -136,6 +136,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivfAssign assigns centroids in one map-side pass — no window, no fan-out shuffle") {
+    // the round-6 plan shuffled |corpus| x |centroids| scored rows through
+    // a window exchange; the assignment is now an array argmin over one
+    // broadcast centroid row — the scored fan-out lives only inside a
+    // per-row array, so the plan may contain no Window, no Sort(Aggregate),
+    // and no hash-partitioned Exchange at any nAssign
+    val e = Tables.load(spark, dir, "embeddings")
+    val cents = e.filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+    Seq(1, 3).foreach { nAssign =>
+      val p = graft.similarity.CosineSearch.ivfAssign(
+          e, cents, "vec_id", "embedding", "vec_id", nAssign)
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("Window"),
+        s"nAssign=$nAssign ranks centroids with a window:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"nAssign=$nAssign shuffles the scored fan-out:\n$p")
+      assert("Sort(Aggregate)? \\(".r.findFirstIn(p).isEmpty,
+        s"nAssign=$nAssign sorts the scored fan-out:\n$p")
+    }
+  }
+
   test("q_centroids aggregates partially before the (group, dim) shuffle") {
     val p = plan("q_centroids")
     assert(p.contains("Generate")) // posexplode fan-out

@@ -43,6 +43,58 @@ class StreamJoinSpec extends SparkSpec {
     assert(rows == Seq((7L, 100L, 500L), (8L, 101L, 503L)))
   }
 
+  test("watermark evicts join state and drops too-late rows") {
+    // the operator's core claim (StreamJoin scaladoc): state is evicted as
+    // the watermark passes, so it tracks rate x (window + delay), not
+    // stream length. Observed here, not assumed: a tight 10-second delay,
+    // a watermark pushed 2 hours forward, then a purchase 10:02 that WOULD
+    // pair with the 10:00 click in the batch join — the streaming join
+    // must have already evicted that click and must drop the late row.
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoin.attributionJoin(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("p_user", "purchase_id", "purchase_ts"),
+      "user_id", "p_user", "click_ts", "purchase_ts",
+      window = "10 minutes", watermarkDelay = "10 seconds")
+      .select("user_id", "click_id", "purchase_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_evict_out").start()
+
+    // batch 1: an in-window pair at 10:00 — both rows enter join state
+    clicks.addData((1L, 100L, ts("2024-01-01 10:00:00")))
+    purchases.addData((1L, 500L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    val afterLoad = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // batch 2: both streams jump to 12:00 — end-of-batch watermark
+    // advances to ~11:59:50, far past the 10:00 state
+    clicks.addData((2L, 101L, ts("2024-01-01 12:00:00")))
+    purchases.addData((2L, 501L, ts("2024-01-01 12:01:00")))
+    q.processAllAvailable()
+    // batch 3: a late purchase that is in-window for click 100 — batch
+    // semantics would pair it; the stream must drop it (its event time is
+    // 2 hours behind the watermark) and evict the 10:00/10:05 state
+    purchases.addData((1L, 502L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    val finalState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+
+    val rows = spark.table("attr_evict_out")
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // the late pair (1, 100, 502) must NOT appear
+    assert(rows == Seq((1L, 100L, 500L), (2L, 101L, 501L)))
+    assert(afterLoad >= 2, s"batch-1 pair never entered join state ($afterLoad)")
+    assert(removed > 0, "watermark passing evicted nothing")
+    // only the two 12:00 rows may remain — the 10:00/10:05 rows are gone
+    // and the dropped late row never entered state
+    assert(finalState <= 2,
+      s"state grew past the watermark bound: $finalState rows retained")
+  }
+
   test("streaming result equals the batch join on the same data") {
     implicit val sqlCtx = spark.sqlContext
     // one event every 9 minutes, users round-robin: click i pairs with

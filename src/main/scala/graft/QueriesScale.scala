@@ -346,8 +346,52 @@ object QueriesScale {
        |HAVING count(*) + ${SpanN - 1} >= $SpanMinWords""".stripMargin
   }
 
+  // -------------------------------------------------------- span excision
+  // Detection chained to treatment: the spans found by q_repeated_spans
+  // are cut out of every document (word positions inside any span are
+  // dropped, remainder re-joined). The oracle excises with a word-level
+  // NOT EXISTS anti-join over the same span CTEs — different formulation,
+  // same cleaned text; a LEFT JOIN keeps fully-excised documents as
+  // empty strings on both sides.
+  private def qSpanExcise(s: SparkSession, dir: String): DataFrame =
+    RepeatedSpans.exciseSpans(t(s, dir, "documents"), "doc_id", "text",
+      SpanN, SpanMinWords)
+
+  private val qSpanExciseSql: String = {
+    val leads = (1 until SpanN)
+      .map(j => s"lead(w, $j) OVER d").mkString(" || ' ' || ")
+    s"""WITH c AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |sw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |  FROM c),
+       |sh AS (SELECT doc_id, i - 1 AS pos, w || ' ' || $leads AS shingle
+       |       FROM sw WINDOW d AS (PARTITION BY doc_id ORDER BY i)
+       |       QUALIFY shingle IS NOT NULL),
+       |occ AS (SELECT md5(shingle) AS fp, count(*) AS occ FROM sh GROUP BY 1),
+       |dup AS (SELECT doc_id, pos FROM sh JOIN occ ON md5(sh.shingle) = occ.fp
+       |        WHERE occ > 1),
+       |isl AS (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM dup),
+       |spans AS (SELECT doc_id, min(pos) AS s,
+       |            count(*) + ${SpanN - 1} AS w
+       |          FROM isl GROUP BY doc_id, island
+       |          HAVING count(*) + ${SpanN - 1} >= $SpanMinWords),
+       |kept AS (SELECT sw.doc_id, sw.i - 1 AS pos, sw.w FROM sw
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |           WHERE sp.doc_id = sw.doc_id
+       |             AND sw.i - 1 >= sp.s AND sw.i - 1 < sp.s + sp.w)),
+       |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS cleaned_text,
+       |          count(*) AS n FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
+       |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_words_kept
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_excise" -> (qSpanExcise _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_range_join" -> (qRangeJoin _),
     "q_bloom_semi" -> (qBloomSemi _),
@@ -363,6 +407,7 @@ object QueriesScale {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_span_excise" -> qSpanExciseSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
     "q_range_join" -> qRangeJoinSql,
     "q_bloom_semi" -> qBloomSemiSql,

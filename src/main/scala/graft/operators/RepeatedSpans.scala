@@ -63,4 +63,42 @@ object RepeatedSpans {
       .filter(col("span_words") >= minWords)
       .select(col(idCol), col("span_start"), col("span_words"))
   }
+
+  /** Documents with the given spans excised — the paper's treatment:
+    * every word whose 0-based position falls inside any (span_start,
+    * span_words) range is dropped, the rest re-joined with single
+    * spaces. Every input document survives (a fully-covered document
+    * comes back as an empty string), mirroring
+    * [[LineDedup.removeCommonLines]]'s keep-the-document contract.
+    *
+    * Scale shape: spans collapse to ONE array row per document, the join
+    * back to the corpus is id-keyed on |docs| rows, and the word-level
+    * work is array expressions inside each row — the |words| fan-out
+    * never shuffles. */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+      spansDf: DataFrame): DataFrame = {
+    val perDoc = spansDf.groupBy(col(idCol))
+      .agg(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_words").cast("long").as("w"))).as("__spans"))
+    docs
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("__toks", split(TextFunctions.collapseWs(col(textCol)), " "))
+      .withColumn("__kept", expr(
+        """filter(__toks, (t, i) ->
+          |  __spans IS NULL OR NOT exists(__spans,
+          |    sp -> i >= sp.s AND i < sp.s + sp.w))""".stripMargin))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("cleaned_text"),
+        size(col("__kept")).cast("long").as("n_words_kept"))
+  }
+
+  /** Detection chained to excision in one call: the corpus projection is
+    * retained so both the shingle derivation and the excision join read
+    * one scan. */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minWords: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    val d = scope.retain(docs.select(col(idCol), col(textCol)))
+    removeSpans(d, idCol, textCol, spans(d, idCol, textCol, n, minWords, scope))
+  }
 }

@@ -101,4 +101,43 @@ object CurationProperties extends Properties("Curation") {
       }
       got == model
     }
+
+  property("RepeatedSpans.exciseSpans equals the sequential model") =
+    forAll(corpusGen, Gen.choose(2, 3)) { (corpus, n) =>
+      val minWords = n + 1
+      // sequential spans (same model as above), then positional excision
+      val sh = corpus.flatMap { case (id, t) =>
+        val ws = toks(t)
+        if (ws.length >= n)
+          (0 to ws.length - n).map(p => (id, p, ws.slice(p, p + n).mkString(" ")))
+        else Nil
+      }
+      val occ = sh.groupBy(_._3).view.mapValues(_.size)
+      val spansById = sh.filter(s => occ(s._3) > 1)
+        .groupBy(_._1)
+        .map { case (id, ps) =>
+          val sorted = ps.map(_._2).sorted
+          val islands = sorted.foldLeft(List.empty[List[Int]]) {
+            case ((h @ (last :: _)) :: t, p) if p == last + 1 => (p :: h) :: t
+            case (acc, p) => List(p) :: acc
+          }
+          id -> islands.map(is => (is.min, is.size + n - 1))
+            .filter(_._2 >= minWords)
+        }.withDefaultValue(Nil)
+      val model = corpus.map { case (id, t) =>
+        val ws = toks(t)
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !spansById(id).exists {
+            case (s, len) => i >= s && i < s + len } => w
+        }
+        (id, kept.mkString(" "), kept.size.toLong)
+      }.toSet
+      val got = CacheScope.withScope { scope =>
+        import spark.implicits._
+        RepeatedSpans.exciseSpans(df(corpus), "doc_id", "text", n, minWords,
+            scope)
+          .as[(Long, String, Long)].collect().toSet
+      }
+      got == model
+    }
 }

@@ -77,6 +77,36 @@ class CurationSpec extends SparkSpec {
     assert(s == Seq((0, 3L), (3, 3L)))
   }
 
+  test("RepeatedSpans.removeSpans excises span words, keeps every document") {
+    val d = Seq(
+      (1L, "one two three four five six p q r s"),
+      (2L, "x y one two three four five six z w"),
+      (3L, "totally unique words only here"),
+      (4L, "one two three four five six")  // fully covered by its span
+    ).toDF("doc_id", "text")
+    val cleaned = RepeatedSpans.exciseSpans(d, "doc_id", "text",
+        n = 3, minWords = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "cleaned_text", "n_words_kept")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(cleaned == Seq(
+      (1L, "p q r s", 4L),
+      (2L, "x y z w", 4L),
+      (3L, "totally unique words only here", 5L),
+      (4L, "", 0L)))  // fully-excised doc survives as an empty string
+  }
+
+  test("RepeatedSpans.removeSpans handles overlapping spans") {
+    val d = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val spans = Seq((1L, 0, 3L), (1L, 2, 3L)).toDF(
+      "doc_id", "span_start", "span_words")
+    val cleaned = RepeatedSpans.removeSpans(d, "doc_id", "text", spans)
+      .select("cleaned_text", "n_words_kept")
+      .as[(String, Long)].collect().toSeq
+    // positions 0-2 and 2-4 covered -> only "f" (pos 5) survives
+    assert(cleaned == Seq(("f", 1L)))
+  }
+
   test("RareTokens.rarity matches a hand computation") {
     val tiny = Seq(
       (1L, "a a b"),   // a x2, b

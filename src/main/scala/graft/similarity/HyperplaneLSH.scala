@@ -37,6 +37,19 @@ object HyperplaneLSH {
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The persistable signature table: (id, vec, norm_sq, bucket). At
+    * scale this is what you KEEP between pipeline runs (typically as a
+    * parquet table): incremental dedup joins a new batch's buckets
+    * against it instead of re-projecting the corpus — see
+    * [[nearDupPairsIncremental]]. The (nBits, seed, dims) triple is part
+    * of the table's identity; joining tables built with different planes
+    * is meaningless. */
+  def bucketTable(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, seed: Long, dims: Int = 64): DataFrame =
+    CosineSearch.withNormSq(vecs, vecCol)
+      .withColumn("bucket", bucket(col(vecCol), planes(nBits, dims, seed)))
+
   /** Bucketed near-neighbor pairs: same signature bucket, cosine >=
     * threshold (exact verification via CosineSearch). `dims` must match
     * the embedding dimensionality — planes are generated at that length
@@ -47,9 +60,8 @@ object HyperplaneLSH {
       vecs: DataFrame, idCol: String, vecCol: String,
       nBits: Int, seed: Long, threshold: Double, dims: Int = 64,
       scope: CacheScope = CacheScope.session): DataFrame = {
-    val ps = planes(nBits, dims, seed)
-    val bucketed = scope.retain(CosineSearch.withNormSq(vecs, vecCol)
-      .withColumn("bucket", bucket(col(vecCol), ps)))
+    val bucketed = scope.retain(
+      bucketTable(vecs, idCol, vecCol, nBits, seed, dims))
     val l = bucketed.select(col("bucket"), col(idCol).as("vec_a"),
       col(vecCol).as("va"), col("norm_sq").as("na"))
     val r = bucketed.select(col("bucket"), col(idCol).as("vec_b"),
@@ -58,6 +70,41 @@ object HyperplaneLSH {
     CosineSearch.scorePairs(
         l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b")),
         threshold, dedupOrder = None)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos_sim"))
+  }
+
+  /** Incremental bucketed near-dup pairs: a NEW batch of vectors against
+    * an EXISTING corpus bucket table (from [[bucketTable]], built with
+    * the SAME (nBits, seed, dims) and maintained across runs — append
+    * the new batch's rows after each call), plus pairs within the new
+    * batch itself. A daily-ingest pipeline re-projects only the
+    * increment; the corpus is touched through the bucket join alone,
+    * never re-hashed — the continuous-ingest shape at 100 TB.
+    *
+    * Equivalence contract (spec-pinned): with ids disjoint between batch
+    * and corpus, the result is exactly [[nearDupPairs]] over
+    * (corpus + batch) restricted to pairs touching at least one new
+    * vector. Output: (vec_a = new id, vec_b = matched id, bucket,
+    * cos_sim); batch-internal pairs ordered vec_a < vec_b. */
+  def nearDupPairsIncremental(
+      newVecs: DataFrame, corpusBuckets: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, seed: Long, threshold: Double,
+      dims: Int = 64, scope: CacheScope = CacheScope.session): DataFrame = {
+    // the increment feeds both the corpus probe and its own self-join
+    val newBucketed = scope.retain(
+      bucketTable(newVecs, idCol, vecCol, nBits, seed, dims))
+    val n = newBucketed.select(col("bucket"), col(idCol).as("vec_a"),
+      col(vecCol).as("va"), col("norm_sq").as("na"))
+    val c = corpusBuckets.select(col("bucket"), col(idCol).as("vec_b"),
+      col(vecCol).as("vb"), col("norm_sq").as("nb"))
+    val vsCorpus = n.join(c, Seq("bucket"))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val n2 = newBucketed.select(col("bucket"), col(idCol).as("vec_b"),
+      col(vecCol).as("vb"), col("norm_sq").as("nb"))
+    val within = n.join(n2, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+    CosineSearch.scorePairs(vsCorpus.unionByName(within), threshold,
+        dedupOrder = None)
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos_sim"))
   }
 

@@ -140,6 +140,40 @@ class CosineSearchSpec extends SparkSpec {
     assert(one == plain)
   }
 
+  test("incremental LSH equals the full-corpus pairs restricted to new docs") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = e.filter(col("vec_id") >= 100)
+    val batch1 = e.filter(col("vec_id") < 50)
+    val batch2 = e.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+    // the persisted corpus bucket table, built once and reused across
+    // ingest calls (localCheckpoint stands in for the parquet round-trip)
+    val stored = HyperplaneLSH.bucketTable(
+      corpus, "vec_id", "embedding", nBits = 8, seed = 11L).localCheckpoint()
+    def norm(p: (Long, Long)) = if (p._1 < p._2) p else p.swap
+    def full(batch: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      HyperplaneLSH.nearDupPairs(corpus.unionByName(batch),
+          "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    def inc(batch: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      HyperplaneLSH.nearDupPairsIncremental(batch, stored,
+          "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    // batch 1: exactly the full-corpus pairs touching a new id
+    val expected1 = full(batch1)
+      .filter(p => p._1 < 50 || p._2 < 50).map(norm)
+    val got1 = inc(batch1)
+    assert(expected1.nonEmpty)
+    assert(got1.map(norm).toSet == expected1)
+    assert(got1.length == got1.toSet.size, "pair emitted twice")
+    // the SAME stored table serves the next batch unchanged
+    val expected2 = full(batch2)
+      .filter(p => p._1 >= 50 && p._1 < 100 || p._2 >= 50 && p._2 < 100)
+      .map(norm)
+    val got2 = inc(batch2)
+    assert(expected2.nonEmpty)
+    assert(got2.map(norm).toSet == expected2)
+  }
+
   test("ivf topk only searches within the query's bucket") {
     val res = CosineSearch.ivfTopK(
       vecs, vecs.filter(col("vec_id") < 2), vecs.filter(col("vec_id") === 0L),

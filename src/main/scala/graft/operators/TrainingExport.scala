@@ -69,4 +69,48 @@ object TrainingExport {
     val out = fs.create(target, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
+
+  /** Validate a delivered export against its own `_MANIFEST.json`:
+    * recompute [[manifest]] from the shard files on disk and compare per
+    * shard in BOTH directions. Returns the discrepancies — empty means
+    * verified: `missing_shard` (in the manifest, not on disk),
+    * `unexpected_shard` (on disk, not in the manifest),
+    * `row_count_mismatch`, and `checksum_mismatch` (any corrupted line
+    * shifts the per-shard xxhash64 sum). The manifest itself is a
+    * #shards-row file read through the Hadoop FS (underscore files are
+    * hidden from Spark path listings by design); the recompute is the
+    * same single aggregation the manifest was built from. */
+  def verifyExport(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val target = new HPath(new HPath(path), "_MANIFEST.json")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val text = {
+      val in = fs.open(target)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val schema = StructType(Seq(
+      StructField("shard", StringType),
+      StructField("n_rows", LongType),
+      StructField("checksum", DecimalType(38, 0))))
+    val expected = spark.read.schema(schema)
+      .json(spark.createDataset(Seq(text))(
+        org.apache.spark.sql.Encoders.STRING))
+      .select(col("shard"), col("n_rows").as("expected_rows"),
+        col("checksum").as("expected_checksum"))
+    val actual = manifest(spark, path)
+      .select(col("shard"), col("n_rows").as("actual_rows"),
+        col("checksum").as("actual_checksum"))
+    expected.join(actual, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("expected_rows").isNull, lit("unexpected_shard"))
+          .when(col("actual_rows").isNull, lit("missing_shard"))
+          .when(col("expected_rows") =!= col("actual_rows"),
+            lit("row_count_mismatch"))
+          .when(col("expected_checksum") =!= col("actual_checksum"),
+            lit("checksum_mismatch")))
+      .filter(col("status").isNotNull)
+      .select(col("shard"), col("status"), col("expected_rows"),
+        col("actual_rows"), col("expected_checksum"), col("actual_checksum"))
+  }
 }

@@ -57,6 +57,39 @@ class TrainingExportSpec extends SparkSpec {
     assert(spark.read.json(out).count() == docs.count())
   }
 
+  test("verifyExport passes a clean delivery and catches every tamper kind") {
+    val out = Files.createTempDirectory("graft_export_v").toString
+    TrainingExport.exportJsonl(docs, out, shards = 2, orderCol = "doc_id")
+    TrainingExport.writeManifest(spark, out)
+    assert(TrainingExport.verifyExport(spark, out).isEmpty)
+
+    // corrupt ONE line in one shard without changing the line count —
+    // only the content checksum can notice
+    val shard = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".json")).minBy(_.getName)
+    val lines = Files.readAllLines(shard.toPath)
+    lines.set(0, lines.get(0).replaceFirst("\\{", "{\"__corrupt\":1,"))
+    Files.write(shard.toPath, lines)
+    // drop RawLocalFileSystem's CRC sidecar so the tamper reaches the
+    // manifest layer (object stores have no such sidecar)
+    new java.io.File(out, s".${shard.getName}.crc").delete()
+    val bad = TrainingExport.verifyExport(spark, out)
+      .select("shard", "status").as[(String, String)].collect().toSeq
+    assert(bad == Seq((shard.getName, "checksum_mismatch")))
+
+    // a shard the manifest doesn't know, and a manifest entry with no
+    // file behind it (both directions of the compare)
+    Files.write(new java.io.File(out, "part-rogue.json").toPath,
+      java.util.List.of("""{"doc_id":-1}"""))
+    assert(shard.delete())
+    val statuses = TrainingExport.verifyExport(spark, out)
+      .select("shard", "status").as[(String, String)].collect().toMap
+    assert(statuses(shard.getName) == "missing_shard")
+    assert(statuses("part-rogue.json") == "unexpected_shard")
+    assert(statuses.size == 2)
+  }
+
   test("gzip export round-trips") {
     val out = Files.createTempDirectory("graft_export_gz").toString
     TrainingExport.exportJsonl(docs, out, shards = 2, orderCol = "doc_id",

@@ -323,10 +323,13 @@ object QueriesScale {
     RepeatedSpans.spans(t(s, dir, "documents"), "doc_id", "text",
       SpanN, SpanMinWords)
 
-  private val qRepeatedSpansSql: String = {
+  /** Shared span-detection CTE chain (word table `sw` through islands
+    * `isl`) — ONE copy feeding both the detection oracle and the
+    * excision oracle, so the two can never drift apart. */
+  private val spanCtes: String = {
     val leads = (1 until SpanN)
       .map(j => s"lead(w, $j) OVER d").mkString(" || ' ' || ")
-    s"""WITH c AS (SELECT doc_id,
+    s"""c AS (SELECT doc_id,
        |    regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
        |  FROM documents),
        |sw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
@@ -339,12 +342,15 @@ object QueriesScale {
        |        WHERE occ > 1),
        |isl AS (SELECT doc_id, pos,
        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |        FROM dup)
+       |        FROM dup)""".stripMargin
+  }
+
+  private val qRepeatedSpansSql: String =
+    s"""WITH $spanCtes
        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
        |  CAST(count(*) + ${SpanN - 1} AS BIGINT) AS span_words
        |FROM isl GROUP BY doc_id, island
        |HAVING count(*) + ${SpanN - 1} >= $SpanMinWords""".stripMargin
-  }
 
   // -------------------------------------------------------- span excision
   // Detection chained to treatment: the spans found by q_repeated_spans
@@ -357,23 +363,8 @@ object QueriesScale {
     RepeatedSpans.exciseSpans(t(s, dir, "documents"), "doc_id", "text",
       SpanN, SpanMinWords)
 
-  private val qSpanExciseSql: String = {
-    val leads = (1 until SpanN)
-      .map(j => s"lead(w, $j) OVER d").mkString(" || ' ' || ")
-    s"""WITH c AS (SELECT doc_id,
-       |    regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
-       |  FROM documents),
-       |sw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
-       |  FROM c),
-       |sh AS (SELECT doc_id, i - 1 AS pos, w || ' ' || $leads AS shingle
-       |       FROM sw WINDOW d AS (PARTITION BY doc_id ORDER BY i)
-       |       QUALIFY shingle IS NOT NULL),
-       |occ AS (SELECT md5(shingle) AS fp, count(*) AS occ FROM sh GROUP BY 1),
-       |dup AS (SELECT doc_id, pos FROM sh JOIN occ ON md5(sh.shingle) = occ.fp
-       |        WHERE occ > 1),
-       |isl AS (SELECT doc_id, pos,
-       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |        FROM dup),
+  private val qSpanExciseSql: String =
+    s"""WITH $spanCtes,
        |spans AS (SELECT doc_id, min(pos) AS s,
        |            count(*) + ${SpanN - 1} AS w
        |          FROM isl GROUP BY doc_id, island
@@ -387,7 +378,6 @@ object QueriesScale {
        |SELECT d.doc_id, coalesce(a.cleaned_text, '') AS cleaned_text,
        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_words_kept
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
-  }
 
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

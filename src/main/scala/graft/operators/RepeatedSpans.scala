@@ -83,7 +83,12 @@ object RepeatedSpans {
         col("span_words").cast("long").as("w"))).as("__spans"))
     docs
       .join(perDoc, Seq(idCol), "left")
-      .withColumn("__toks", split(TextFunctions.collapseWs(col(textCol)), " "))
+      // a NULL text has no words to keep: coalesce to an empty token
+      // array so the document still survives as ("", 0) — the same shape
+      // the oracle's LEFT JOIN + coalesce produces
+      .withColumn("__toks", coalesce(
+        split(TextFunctions.collapseWs(col(textCol)), " "),
+        expr("CAST(array() AS ARRAY<STRING>)")))
       .withColumn("__kept", expr(
         """filter(__toks, (t, i) ->
           |  __spans IS NULL OR NOT exists(__spans,

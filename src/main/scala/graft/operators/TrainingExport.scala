@@ -97,17 +97,21 @@ object TrainingExport {
       .json(spark.createDataset(Seq(text))(
         org.apache.spark.sql.Encoders.STRING))
       .select(col("shard"), col("n_rows").as("expected_rows"),
-        col("checksum").as("expected_checksum"))
+        col("checksum").as("expected_checksum"),
+        lit(true).as("__in_manifest"))
     val actual = manifest(spark, path)
       .select(col("shard"), col("n_rows").as("actual_rows"),
-        col("checksum").as("actual_checksum"))
+        col("checksum").as("actual_checksum"), lit(true).as("__on_disk"))
+    // presence flags discriminate the sides; value compares are null-SAFE
+    // (<=>) so a manifest entry with a null or absent field FAILS
+    // verification instead of nulling out the when() chain
     expected.join(actual, Seq("shard"), "full_outer")
       .withColumn("status",
-        when(col("expected_rows").isNull, lit("unexpected_shard"))
-          .when(col("actual_rows").isNull, lit("missing_shard"))
-          .when(col("expected_rows") =!= col("actual_rows"),
+        when(col("__in_manifest").isNull, lit("unexpected_shard"))
+          .when(col("__on_disk").isNull, lit("missing_shard"))
+          .when(!(col("expected_rows") <=> col("actual_rows")),
             lit("row_count_mismatch"))
-          .when(col("expected_checksum") =!= col("actual_checksum"),
+          .when(!(col("expected_checksum") <=> col("actual_checksum")),
             lit("checksum_mismatch")))
       .filter(col("status").isNotNull)
       .select(col("shard"), col("status"), col("expected_rows"),

@@ -80,9 +80,13 @@ object CosineSearch {
     * exchange, no sort of the |corpus| x |centroids| fan-out: the
     * assignment literally is one pass over the corpus, and the scored
     * fan-out never materializes outside a per-row array. Ordering matches
-    * the window formulation this replaces: (c_sim DESC, centroid_id ASC)
-    * = ascending (-c_sim, centroid_id). A null similarity (null vector)
-    * sorts last, as the window's descending null-ordering did. */
+    * the window formulation this replaces — (c_sim DESC, centroid_id
+    * ASC) = ascending (-c_sim, centroid_id) — including the degenerate
+    * end: a zero-norm centroid or vector yields a NULL similarity (Spark
+    * and DuckDB both return NULL for 0/0 double division; NaN cannot
+    * reach the cosine because the decimal dot rejects NaN elements),
+    * which the descending window ranked last (desc_nulls_last) and which
+    * maps to +Infinity here. */
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
       centroidIdCol: String, nAssign: Int = 1): DataFrame = {

@@ -48,7 +48,8 @@ object HyperplaneLSH {
       vecs: DataFrame, idCol: String, vecCol: String,
       nBits: Int, seed: Long, dims: Int = 64): DataFrame =
     CosineSearch.withNormSq(vecs, vecCol)
-      .withColumn("bucket", bucket(col(vecCol), planes(nBits, dims, seed)))
+      .select(col(idCol), col(vecCol), col("norm_sq"),
+        bucket(col(vecCol), planes(nBits, dims, seed)).as("bucket"))
 
   /** Bucketed near-neighbor pairs: same signature bucket, cosine >=
     * threshold (exact verification via CosineSearch). `dims` must match

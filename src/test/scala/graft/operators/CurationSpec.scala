@@ -82,7 +82,8 @@ class CurationSpec extends SparkSpec {
       (1L, "one two three four five six p q r s"),
       (2L, "x y one two three four five six z w"),
       (3L, "totally unique words only here"),
-      (4L, "one two three four five six")  // fully covered by its span
+      (4L, "one two three four five six"),  // fully covered by its span
+      (5L, null.asInstanceOf[String])       // null text
     ).toDF("doc_id", "text")
     val cleaned = RepeatedSpans.exciseSpans(d, "doc_id", "text",
         n = 3, minWords = 4)
@@ -93,7 +94,8 @@ class CurationSpec extends SparkSpec {
       (1L, "p q r s", 4L),
       (2L, "x y z w", 4L),
       (3L, "totally unique words only here", 5L),
-      (4L, "", 0L)))  // fully-excised doc survives as an empty string
+      (4L, "", 0L),    // fully-excised doc survives as an empty string
+      (5L, "", 0L)))   // as does a null-text doc
   }
 
   test("RepeatedSpans.removeSpans handles overlapping spans") {

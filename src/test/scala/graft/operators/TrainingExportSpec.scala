@@ -90,6 +90,23 @@ class TrainingExportSpec extends SparkSpec {
     assert(statuses.size == 2)
   }
 
+  test("verifyExport fails a manifest entry with a nulled checksum") {
+    // a null field must FAIL verification (null-safe compare), never
+    // null out the status chain and report the export clean
+    val out = Files.createTempDirectory("graft_export_nc").toString
+    TrainingExport.exportJsonl(docs, out, shards = 2, orderCol = "doc_id")
+    TrainingExport.writeManifest(spark, out)
+    val mf = new java.io.File(out, "_MANIFEST.json")
+    val text = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+    Files.write(mf.toPath,
+      text.replaceFirst("\"checksum\":-?\\d+", "\"checksum\":null")
+        .getBytes("UTF-8"))
+    new java.io.File(out, "._MANIFEST.json.crc").delete()
+    val statuses = TrainingExport.verifyExport(spark, out)
+      .select("status").as[String].collect().toSeq
+    assert(statuses == Seq("checksum_mismatch"))
+  }
+
   test("gzip export round-trips") {
     val out = Files.createTempDirectory("graft_export_gz").toString
     TrainingExport.exportJsonl(docs, out, shards = 2, orderCol = "doc_id",

@@ -110,6 +110,20 @@ class CosineSearchSpec extends SparkSpec {
     assert(pairs(2) == Seq((100L, 101L)))
   }
 
+  test("zero-norm centroid ranks last, as under the descending window") {
+    // 0/0 double division is NULL in Spark (and DuckDB) — not NaN — so
+    // the old window's c_sim DESC ordering put a zero-norm centroid last
+    // (desc_nulls_last); the array argmin maps the null to +Infinity and
+    // must agree: every vector goes to the real centroid
+    val cents = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val assigned = CosineSearch.ivfAssign(
+        vecs, cents, "vec_id", "embedding", "vec_id")
+      .select("centroid_id").as[Long].collect()
+    assert(assigned.length == 4 && assigned.forall(_ == 1L))
+  }
+
   test("multi-probe assignment puts each vector in nAssign buckets") {
     val assigned = CosineSearch.ivfAssign(
       vecs, vecs.filter(col("vec_id") < 2), "vec_id", "embedding", "vec_id",

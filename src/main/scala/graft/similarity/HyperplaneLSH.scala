@@ -127,15 +127,11 @@ object HyperplaneLSH {
       vecs: DataFrame, idCol: String, vecCol: String,
       nBits: Int, nTables: Int, seed: Long, threshold: Double,
       dims: Int = 64, scope: CacheScope = CacheScope.session): DataFrame = {
-    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
-    val tables = (0 until nTables).map(t => planes(nBits, dims, seed + t))
-    val buckets = array(tables.map(ps => bucket(col(vecCol), ps)): _*)
     // retained BEFORE the per-table explode: the cache holds one row per
     // vector (vector + norm + bucket array), not nTables copies of the
     // full vector; each join leg explodes the cached array
-    val bucketed = scope.retain(CosineSearch.withNormSq(vecs, vecCol)
-      .select(col(idCol), col(vecCol), col("norm_sq"),
-        buckets.as("__buckets")))
+    val bucketed = scope.retain(bucketTableAmplified(
+      vecs, idCol, vecCol, nBits, nTables, seed, dims))
     val l = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
       col("norm_sq").as("na"),
       posexplode(col("__buckets")).as(Seq("table_idx", "bucket")))
@@ -146,6 +142,54 @@ object HyperplaneLSH {
       .filter(col("vec_a") < col("vec_b"))
     // shared tail; pairs found in several tables rescored once
     CosineSearch.scorePairs(cand, threshold,
+        if (nTables == 1) None
+        else Some(Seq(col("table_idx"), col("bucket"))))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** The persistable multi-table signature table: one row per vector
+    * with the per-table bucket ARRAY — (id, vec, norm_sq, __buckets).
+    * Stored un-exploded so the kept table carries each vector once, not
+    * `nTables` copies; consumers explode per join leg. Same
+    * (nBits, nTables, seed, dims) identity rule as [[bucketTable]]. */
+  def bucketTableAmplified(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, nTables: Int, seed: Long, dims: Int = 64): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    val tables = (0 until nTables).map(t => planes(nBits, dims, seed + t))
+    CosineSearch.withNormSq(vecs, vecCol)
+      .select(col(idCol), col(vecCol), col("norm_sq"),
+        array(tables.map(ps => bucket(col(vecCol), ps)): _*).as("__buckets"))
+  }
+
+  /** Incremental OR-amplified pairs: a NEW batch against an EXISTING
+    * multi-table bucket table (from [[bucketTableAmplified]], same plane
+    * family), plus pairs within the batch. Same contract as
+    * [[nearDupPairsIncremental]] — the full-corpus amplified pair set
+    * restricted to pairs touching a new vector — with the multi-table
+    * recall. Pairs colliding in several tables are screened wherever
+    * they appear but decimal-rescored once (dedup after the screen, as
+    * in [[nearDupPairsAmplified]]). Output: (vec_a = new id,
+    * vec_b = matched id, cos_sim). */
+  def nearDupPairsIncrementalAmplified(
+      newVecs: DataFrame, corpusBuckets: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, nTables: Int, seed: Long,
+      threshold: Double, dims: Int = 64,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val newBucketed = scope.retain(bucketTableAmplified(
+      newVecs, idCol, vecCol, nBits, nTables, seed, dims))
+    def explodeSide(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"vec_$side"), col(vecCol).as(s"v$side"),
+        col("norm_sq").as(s"n$side"),
+        posexplode(col("__buckets")).as(Seq("table_idx", "bucket")))
+    val n = explodeSide(newBucketed, "a")
+    val vsCorpus = n.join(explodeSide(corpusBuckets, "b"),
+        Seq("table_idx", "bucket"))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val within = n.join(explodeSide(newBucketed, "b"),
+        Seq("table_idx", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+    CosineSearch.scorePairs(vsCorpus.unionByName(within), threshold,
         if (nTables == 1) None
         else Some(Seq(col("table_idx"), col("bucket"))))
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))

@@ -188,6 +188,34 @@ class CosineSearchSpec extends SparkSpec {
     assert(got2.map(norm).toSet == expected2)
   }
 
+  test("incremental amplified LSH equals full-corpus amplified pairs on new docs") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = e.filter(col("vec_id") >= 100)
+    val batch = e.filter(col("vec_id") < 100)
+    val stored = HyperplaneLSH.bucketTableAmplified(corpus,
+      "vec_id", "embedding", nBits = 8, nTables = 4, seed = 11L)
+      .localCheckpoint()
+    def norm(p: (Long, Long)) = if (p._1 < p._2) p else p.swap
+    val full = HyperplaneLSH.nearDupPairsAmplified(e,
+        "vec_id", "embedding", nBits = 8, nTables = 4, seed = 11L,
+        threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 < 100 || p._2 < 100).map(norm)
+    val got = HyperplaneLSH.nearDupPairsIncrementalAmplified(batch, stored,
+        "vec_id", "embedding", nBits = 8, nTables = 4, seed = 11L,
+        threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    assert(expected.nonEmpty)
+    assert(got.map(norm).toSet == expected)
+    assert(got.length == got.toSet.size, "pair emitted twice")
+    // amplification contributes: strictly more than the 1-table family
+    val oneTable = HyperplaneLSH.nearDupPairsIncremental(batch,
+        HyperplaneLSH.bucketTable(corpus, "vec_id", "embedding", 8, 11L),
+        "vec_id", "embedding", 8, 11L, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(oneTable.map(norm).subsetOf(got.map(norm).toSet))
+  }
+
   test("ivf topk only searches within the query's bucket") {
     val res = CosineSearch.ivfTopK(
       vecs, vecs.filter(col("vec_id") < 2), vecs.filter(col("vec_id") === 0L),

@@ -295,25 +295,24 @@ object Dedup {
       .select(col(idCol), lo.as("sh_lo"), hi.as("sh_hi"))
   }
 
-  /** Near-dup pairs over `simhashTableMd5` signatures: 4 x 16-bit bands in
-    * one posexplode join, exact hamming verification on candidates. Output
-    * contract matches `simhashPairs` (doc_a, doc_b, hamming). */
-  def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, scope: CacheScope = CacheScope.session): DataFrame = {
-    val hashed = scope.retain(simhashTableMd5(docs, idCol, textCol))
+  /** (doc_<side>, lo/hi_<side>, band_idx, band_val) — one join leg of the
+    * 4 x 16-bit band self-join over split md5-simhash signatures. */
+  private def simhashBandsMd5(
+      hashed: DataFrame, idCol: String, side: String): DataFrame = {
     val bandVals = Seq(
       col("sh_lo").bitwiseAND(lit(0xFFFFL)),
       shiftright(col("sh_lo"), 16).bitwiseAND(lit(0xFFFFL)),
       col("sh_hi").bitwiseAND(lit(0xFFFFL)),
       shiftright(col("sh_hi"), 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = hashed.select(col(idCol), col("sh_lo"), col("sh_hi"),
+    hashed.select(col(idCol).as(s"doc_$side"), col("sh_lo").as(s"lo_$side"),
+      col("sh_hi").as(s"hi_$side"),
       posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
-    val l = banded.select(col(idCol).as("doc_a"), col("sh_lo").as("lo_a"),
-      col("sh_hi").as("hi_a"), col("band_idx"), col("band_val"))
-    val r = banded.select(col(idCol).as("doc_b"), col("sh_lo").as("lo_b"),
-      col("sh_hi").as("hi_b"), col("band_idx"), col("band_val"))
-    l.join(r, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Pair dedup (a candidate sharing several bands appears once) + exact
+    * split-signature hamming verification. */
+  private def hammingVerifyMd5(cand: DataFrame, maxHamming: Int): DataFrame =
+    cand
       .select(col("doc_a"), col("doc_b"), col("lo_a"), col("hi_a"),
         col("lo_b"), col("hi_b"))
       .distinct()
@@ -322,6 +321,46 @@ object Dedup {
         bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  /** Near-dup pairs over `simhashTableMd5` signatures: 4 x 16-bit bands in
+    * one posexplode join, exact hamming verification on candidates. Output
+    * contract matches `simhashPairs` (doc_a, doc_b, hamming). */
+  def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    val hashed = scope.retain(simhashTableMd5(docs, idCol, textCol))
+    hammingVerifyMd5(
+      simhashBandsMd5(hashed, idCol, "a")
+        .join(simhashBandsMd5(hashed, idCol, "b"), Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b")),
+      maxHamming)
+  }
+
+  /** Incremental SimHash near-dup pairs: a NEW batch of documents against
+    * an EXISTING signature table (from [[simhashTableMd5]], typically a
+    * parquet table maintained across runs — append the new batch's
+    * signatures after each call), plus pairs within the batch. Only the
+    * increment is tokenized and hashed; the corpus is touched through the
+    * 16-bit band join alone — the same continuous-ingest shape as
+    * [[minhashCandidatesAgainst]] and the incremental hyperplane-LSH
+    * paths. With ids disjoint between batch and corpus, the result is
+    * exactly [[simhashPairsMd5]] over (corpus + batch) restricted to
+    * pairs touching a new document (spec-pinned). Output: (doc_a = new
+    * id, doc_b = matched id, hamming); batch-internal pairs a < b. */
+  def simhashPairsMd5Against(
+      newDocs: DataFrame, corpusHashes: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val newHashes = scope.retain(simhashTableMd5(newDocs, idCol, textCol))
+    val n = simhashBandsMd5(newHashes, idCol, "a")
+    val vsCorpus = n
+      .join(simhashBandsMd5(corpusHashes, idCol, "b"),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val within = n
+      .join(simhashBandsMd5(newHashes, idCol, "b"),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+    hammingVerifyMd5(vsCorpus.unionByName(within), maxHamming)
   }
 
   /** SimHash near-dup candidates: band the 64-bit hash into 4 x 16-bit

@@ -53,6 +53,27 @@ class DedupSpec extends SparkSpec {
     assert(incremental.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("incremental simhash equals full-corpus pairs for increment pairs") {
+    // same contract as the incremental minhash path: new batch vs the
+    // stored signature table == the full run restricted to pairs that
+    // touch the increment; the stored table is never re-hashed
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = all.filter(col("doc_id") < 350)
+    val fresh = all.filter(col("doc_id") >= 350)
+    val stored = Dedup.simhashTableMd5(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val incremental = Dedup
+      .simhashPairsMd5Against(fresh, stored, "doc_id", "text", maxHamming = 12)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (math.min(a, b), math.max(a, b), h) }.toSet
+    val full = Dedup.simhashPairsMd5(all, "doc_id", "text", maxHamming = 12)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val fullTouchingNew = full.filter { case (a, b, _) => a >= 350 || b >= 350 }
+    assert(incremental === fullTouchingNew)
+    assert(incremental.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
   test("ngram jaccard finds near dups above threshold only") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group embedding centroids as relational aggregation — the building
@@ -78,5 +79,66 @@ object Centroids {
     meanCentroids(assigned, "centroid_id", vecCol)
       .withColumnRenamed("centroid_id", centroidIdCol)
       .withColumnRenamed("centroid", vecCol)
+  }
+
+  /** Deterministic seeding for [[kmeans]]: the `k` vectors with the
+    * smallest md5(id ":" seed), labeled 0..k-1 in that hash order — a
+    * partitioning-independent pseudo-random sample taken as a bounded
+    * top-k (never a full sort of the corpus). */
+  def kmeansInit(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int, seed: Long,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val picked = vecs.select(col(idCol), col(vecCol))
+      .withColumn("__r", md5(concat(col(idCol).cast("string"), lit(s":$seed"))))
+      .orderBy(col("__r"), col(idCol)).limit(k)
+    // the k survivors fit one partition; the global window is bounded
+    picked
+      .withColumn(centroidIdCol,
+        row_number().over(Window.orderBy(col("__r"), col(idCol)))
+          .cast("long") - 1)
+      .select(col(centroidIdCol), col(vecCol))
+  }
+
+  /** Full Lloyd training by cosine: [[kmeansInit]] then `iters` rounds of
+    * [[kmeansStep]]. Each round's centroid table (<= k rows) is
+    * localCheckpoint'd so lineage stays one round deep — the per-round
+    * cost is one broadcast argmin pass over the corpus plus the
+    * (group, dim) mean shuffle, independent of the round count. Clusters
+    * that lose every member disappear (standard Lloyd degeneracy), so
+    * the result may hold fewer than `k` centroids. Assignment against
+    * the mean equals assignment against the normalized mean (cosine is
+    * scale-invariant), so this is spherical k-means and [[objective]] is
+    * non-decreasing over rounds (spec-pinned). */
+  def kmeans(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      seed: Long = 42L, centroidIdCol: String = "centroid_id"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cents = kmeansInit(vecs, idCol, vecCol, k, seed, centroidIdCol)
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      cents = kmeansStep(vecs, cents, idCol, vecCol, centroidIdCol)
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Mean cosine of every vector to its assigned centroid — the
+    * spherical k-means objective. One assignment pass + one broadcast
+    * join + one scalar aggregation; evaluate between rounds to pick
+    * `iters` before an expensive full run. */
+  def objective(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centroidIdCol: String): Double = {
+    val assigned =
+      CosineSearch.ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+    val c = broadcast(CosineSearch.withNormSq(centroids, vecCol)
+      .select(col(centroidIdCol).as("centroid_id"), col(vecCol).as("c_vec"),
+        col("norm_sq").as("c_norm_sq")))
+    assigned.join(c, Seq("centroid_id"))
+      .select(CosineSearch.cosine(
+        CosineSearch.dotDecimal(col(vecCol), col("c_vec")),
+        col("norm_sq"), col("c_norm_sq")).as("cos"))
+      .agg(avg(col("cos"))).head().getDouble(0)
   }
 }

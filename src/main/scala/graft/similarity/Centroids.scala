@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
+
 /** Per-group embedding centroids as relational aggregation — the building
   * block for IVF (re)training: a k-means iteration is `ivfAssign` (assign
   * to nearest centroid, CosineSearch.scala) + `meanCentroids` (recompute),
@@ -84,7 +86,10 @@ object Centroids {
   /** Deterministic seeding for [[kmeans]]: the `k` vectors with the
     * smallest md5(id ":" seed), labeled 0..k-1 in that hash order — a
     * partitioning-independent pseudo-random sample taken as a bounded
-    * top-k (never a full sort of the corpus). */
+    * top-k (never a full sort of the corpus). Ids must be unique and
+    * non-null (the module-wide contract): a null id hashes to a null
+    * sort key and duplicate ids produce tied keys, either of which makes
+    * the picked sample layout-dependent. */
   def kmeansInit(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int, seed: Long,
       centroidIdCol: String = "centroid_id"): DataFrame = {
@@ -101,44 +106,44 @@ object Centroids {
   }
 
   /** Full Lloyd training by cosine: [[kmeansInit]] then `iters` rounds of
-    * [[kmeansStep]]. Each round's centroid table (<= k rows) is
-    * localCheckpoint'd so lineage stays one round deep — the per-round
-    * cost is one broadcast argmin pass over the corpus plus the
-    * (group, dim) mean shuffle, independent of the round count. Clusters
-    * that lose every member disappear (standard Lloyd degeneracy), so
-    * the result may hold fewer than `k` centroids. Assignment against
-    * the mean equals assignment against the normalized mean (cosine is
+    * [[kmeansStep]]. The corpus projection WITH its norms is computed
+    * once and retained (`scope` owns the release) — every round's argmin
+    * pass reads the cache instead of re-scanning and re-deriving the
+    * decimal self-dots. Each round's centroid table (<= k rows) is
+    * localCheckpoint'd so lineage stays one round deep. Clusters that
+    * lose every member disappear (standard Lloyd degeneracy), so the
+    * result may hold fewer than `k` centroids. Assignment against the
+    * mean equals assignment against the normalized mean (cosine is
     * scale-invariant), so this is spherical k-means and [[objective]] is
     * non-decreasing over rounds (spec-pinned). */
   def kmeans(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
-      seed: Long = 42L, centroidIdCol: String = "centroid_id"): DataFrame = {
+      seed: Long = 42L, centroidIdCol: String = "centroid_id",
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    var cents = kmeansInit(vecs, idCol, vecCol, k, seed, centroidIdCol)
+    val normed = scope.retain(
+      CosineSearch.withNormSq(vecs.select(col(idCol), col(vecCol)), vecCol))
+    var cents = kmeansInit(normed, idCol, vecCol, k, seed, centroidIdCol)
       .localCheckpoint()
     (1 to iters).foreach { _ =>
-      cents = kmeansStep(vecs, cents, idCol, vecCol, centroidIdCol)
+      cents = kmeansStep(normed, cents, idCol, vecCol, centroidIdCol)
         .localCheckpoint()
     }
     cents
   }
 
   /** Mean cosine of every vector to its assigned centroid — the
-    * spherical k-means objective. One assignment pass + one broadcast
-    * join + one scalar aggregation; evaluate between rounds to pick
-    * `iters` before an expensive full run. */
+    * spherical k-means objective. Exactly one assignment pass: the
+    * winning similarity is already in ivfAssign's output, so this is a
+    * scalar average over it; NULL (no vectors, or every similarity
+    * null) comes back as Double.NaN rather than a driver NPE. Evaluate
+    * between rounds to pick `iters` before an expensive full run. */
   def objective(
       vecs: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, centroidIdCol: String): Double = {
-    val assigned =
-      CosineSearch.ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
-    val c = broadcast(CosineSearch.withNormSq(centroids, vecCol)
-      .select(col(centroidIdCol).as("centroid_id"), col(vecCol).as("c_vec"),
-        col("norm_sq").as("c_norm_sq")))
-    assigned.join(c, Seq("centroid_id"))
-      .select(CosineSearch.cosine(
-        CosineSearch.dotDecimal(col(vecCol), col("c_vec")),
-        col("norm_sq"), col("c_norm_sq")).as("cos"))
-      .agg(avg(col("cos"))).head().getDouble(0)
+    val row = CosineSearch
+      .ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol)
+      .agg(avg(col("c_sim"))).head()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
   }
 }

@@ -86,12 +86,21 @@ object CosineSearch {
     * and DuckDB both return NULL for 0/0 double division; NaN cannot
     * reach the cosine because the decimal dot rejects NaN elements),
     * which the descending window ranked last (desc_nulls_last) and which
-    * maps to +Infinity here. */
+    * maps to +Infinity here.
+    *
+    * Output: (idCol, vecCol, norm_sq, centroid_id, c_sim) — the winning
+    * similarity rides along for free (null when it was the null-vector
+    * sentinel), so consumers like [[Centroids.objective]] never re-derive
+    * it. An input already carrying a `norm_sq` column is trusted as-is —
+    * the hook for iterative callers ([[Centroids.kmeans]]) to compute and
+    * cache the corpus norms once instead of once per round. */
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
       centroidIdCol: String, nAssign: Int = 1): DataFrame = {
     require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
-    val v = withNormSq(vecs, vecCol)
+    val v =
+      if (vecs.columns.contains("norm_sq")) vecs
+      else withNormSq(vecs, vecCol)
     val centArr = broadcast(withNormSq(centroids, vecCol)
       .agg(collect_list(struct(col(centroidIdCol).as("cid"),
         col(vecCol).as("c_vec"), col("norm_sq").as("c_norm_sq"))).as("cents")))
@@ -101,18 +110,25 @@ object CosineSearch {
           col("norm_sq"), cn.getField("c_norm_sq")),
         lit(Double.PositiveInfinity)).as("neg_sim"),
       cn.getField("cid").as("centroid_id")))
+    // the +Infinity null sentinel must not surface as a similarity
+    def sim(negSim: Column): Column =
+      when(negSim === lit(Double.PositiveInfinity), lit(null)
+        .cast("double")).otherwise(-negSim)
     val joined = v.crossJoin(centArr)
     if (nAssign == 1)
       joined
+        .withColumn("__best", array_min(scoredArr))
         .select(col(idCol), col(vecCol), col("norm_sq"),
-          array_min(scoredArr).getField("centroid_id").as("centroid_id"))
+          col("__best.centroid_id").as("centroid_id"),
+          sim(col("__best.neg_sim")).as("c_sim"))
         .filter(col("centroid_id").isNotNull)
     else
       joined
         .select(col(idCol), col(vecCol), col("norm_sq"),
           explode(slice(array_sort(scoredArr), 1, nAssign)).as("sc"))
         .select(col(idCol), col(vecCol), col("norm_sq"),
-          col("sc.centroid_id").as("centroid_id"))
+          col("sc.centroid_id").as("centroid_id"),
+          sim(col("sc.neg_sim")).as("c_sim"))
   }
 
   /** IVF-bucketed top-k search: each query vector is probed only against

@@ -132,13 +132,9 @@ object HyperplaneLSH {
     // full vector; each join leg explodes the cached array
     val bucketed = scope.retain(bucketTableAmplified(
       vecs, idCol, vecCol, nBits, nTables, seed, dims))
-    val l = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
-      col("norm_sq").as("na"),
-      posexplode(col("__buckets")).as(Seq("table_idx", "bucket")))
-    val r = bucketed.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
-      col("norm_sq").as("nb"),
-      posexplode(col("__buckets")).as(Seq("table_idx", "bucket")))
-    val cand = l.join(r, Seq("table_idx", "bucket"))
+    val cand = explodeTables(bucketed, idCol, vecCol, "a")
+      .join(explodeTables(bucketed, idCol, vecCol, "b"),
+        Seq("table_idx", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
     // shared tail; pairs found in several tables rescored once
     CosineSearch.scorePairs(cand, threshold,
@@ -162,6 +158,17 @@ object HyperplaneLSH {
         array(tables.map(ps => bucket(col(vecCol), ps)): _*).as("__buckets"))
   }
 
+  /** One join leg over a multi-table bucket table: the bucket array
+    * exploded to (vec_<side>, v<side>, n<side>, table_idx, bucket) —
+    * shared by the full and incremental amplified operators so their
+    * candidate shapes cannot drift. */
+  private def explodeTables(
+      bucketed: DataFrame, idCol: String, vecCol: String,
+      side: String): DataFrame =
+    bucketed.select(col(idCol).as(s"vec_$side"), col(vecCol).as(s"v$side"),
+      col("norm_sq").as(s"n$side"),
+      posexplode(col("__buckets")).as(Seq("table_idx", "bucket")))
+
   /** Incremental OR-amplified pairs: a NEW batch against an EXISTING
     * multi-table bucket table (from [[bucketTableAmplified]], same plane
     * family), plus pairs within the batch. Same contract as
@@ -178,15 +185,13 @@ object HyperplaneLSH {
       scope: CacheScope = CacheScope.session): DataFrame = {
     val newBucketed = scope.retain(bucketTableAmplified(
       newVecs, idCol, vecCol, nBits, nTables, seed, dims))
-    def explodeSide(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"vec_$side"), col(vecCol).as(s"v$side"),
-        col("norm_sq").as(s"n$side"),
-        posexplode(col("__buckets")).as(Seq("table_idx", "bucket")))
-    val n = explodeSide(newBucketed, "a")
-    val vsCorpus = n.join(explodeSide(corpusBuckets, "b"),
+    val n = explodeTables(newBucketed, idCol, vecCol, "a")
+    val vsCorpus = n
+      .join(explodeTables(corpusBuckets, idCol, vecCol, "b"),
         Seq("table_idx", "bucket"))
       .filter(col("vec_a") =!= col("vec_b"))
-    val within = n.join(explodeSide(newBucketed, "b"),
+    val within = n
+      .join(explodeTables(newBucketed, idCol, vecCol, "b"),
         Seq("table_idx", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
     CosineSearch.scorePairs(vsCorpus.unionByName(within), threshold,

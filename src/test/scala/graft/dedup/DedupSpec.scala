@@ -62,9 +62,11 @@ class DedupSpec extends SparkSpec {
     val fresh = all.filter(col("doc_id") >= 350)
     val stored = Dedup.simhashTableMd5(corpus, "doc_id", "text")
       .localCheckpoint()
-    val incremental = Dedup
+    val raw = Dedup
       .simhashPairsMd5Against(fresh, stored, "doc_id", "text", maxHamming = 12)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(raw.length == raw.toSet.size, "pair emitted twice")
+    val incremental = raw
       .map { case (a, b, h) => (math.min(a, b), math.max(a, b), h) }.toSet
     val full = Dedup.simhashPairsMd5(all, "doc_id", "text", maxHamming = 12)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)]

@@ -1,0 +1,205 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+import graft.functions.FloatDotExpr
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) search — the
+  * memory-compressed ANN scale path (Jegou et al., "Product Quantization
+  * for Nearest Neighbor Search", public paper): each vector is split
+  * into `m` subvectors, each subvector encoded as the id of its nearest
+  * subspace centroid (L2), so a `dims`-float vector compresses to `m`
+  * small codes. A query is NOT quantized (the "asymmetric" part): its
+  * exact dot product with every subspace centroid is tabulated once, and
+  * each candidate scores as `m` table lookups instead of `dims`
+  * multiplies.
+  *
+  * Spark shapes, corpus-pass by corpus-pass:
+  *  - training: ONE pass per Lloyd round for ALL subspaces — the
+  *    codebook set collapses to one broadcast array row (the ivfAssign
+  *    pattern), every row encodes all `m` subspaces in-row, and the mean
+  *    update is a (subspace, code, pos) hash aggregation with map-side
+  *    combine. Per-round codebooks (m x ksub rows) localCheckpoint so
+  *    lineage stays one round deep.
+  *  - encode: the same in-row argmin, zero shuffle.
+  *  - search: candidates score via per-row map lookups against the
+  *    broadcast query LUTs; ranking is a per-query top-k window (Spark
+  *    plans it as Sort + WindowGroupLimit rank-limit pushdown).
+  *
+  * Scores are float_dot doubles (fast path, deterministic element
+  * order) — PQ is an approximation by construction, so the decimal
+  * oracle-parity machinery has nothing exact to pin; verification is
+  * sequential-model equality + recall floors (spec).
+  *
+  * Codebook schema: (subspace INT, cid INT, centroid ARRAY<FLOAT>) with
+  * `dims % m == 0` and subvector width `dims / m`. Ids must be unique
+  * and non-null (module contract). */
+object ProductQuantizer {
+
+  private def subvec(vec: Column, s: Column, w: Int): Column =
+    slice(vec, s * w + 1, lit(w))
+
+  /** Codebooks collapsed to one broadcast row: cb = array of
+    * (subspace, cid, c_vec, c_norm) structs. */
+  private def cbArr(codebooks: DataFrame): DataFrame =
+    broadcast(codebooks.agg(collect_list(struct(
+      col("subspace"), col("cid"), col("centroid").as("c_vec"),
+      FloatDotExpr.float_dot(col("centroid"), col("centroid")).as("c_norm")))
+      .as("cb")))
+
+  /** Per-row code for subspace `s`: argmin over that subspace's
+    * centroids of the L2 surrogate `||c||^2 - 2 <x_s, c>` (the `||x_s||^2`
+    * term is constant within the argmin), cid ascending on ties. */
+  private def codeFor(vec: Column, s: Column, w: Int): Column =
+    aggregate(
+      filter(col("cb"), e => e.getField("subspace") === s),
+      struct(lit(Double.PositiveInfinity).as("score"), lit(-1).as("cid")),
+      (acc, e) => {
+        val sc = e.getField("c_norm") -
+          lit(2.0) * FloatDotExpr.float_dot(subvec(vec, s, w), e.getField("c_vec"))
+        when(sc < acc.getField("score") ||
+            (sc === acc.getField("score") &&
+              e.getField("cid") < acc.getField("cid")),
+          struct(sc.as("score"), e.getField("cid").as("cid")))
+          .otherwise(acc)
+      }).getField("cid")
+
+  /** (id, codes ARRAY<INT> of length m) — one in-row pass, no shuffle. */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dims: Int, m: Int): DataFrame =
+    encodeWith(vecs, idCol, vecCol, codebooks, dims, m)
+      .select(col(idCol), col("codes"))
+
+  private def encodeWith(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
+    val w = dims / m
+    vecs.crossJoin(cbArr(codebooks))
+      .select(col(idCol), col(vecCol),
+        transform(sequence(lit(0), lit(m - 1)),
+          s => codeFor(col(vecCol), s, w)).as("codes"))
+  }
+
+  /** Deterministic init: the `ksub` vectors with the smallest
+    * md5(id ":" seed) (bounded top-k, layout-independent), sliced into
+    * every subspace. */
+  def initCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, seed: Long): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    val w = dims / m
+    val picked = vecs.select(col(idCol), col(vecCol))
+      .withColumn("__r", md5(concat(col(idCol).cast("string"), lit(s":$seed"))))
+      .orderBy(col("__r"), col(idCol)).limit(ksub)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("__r"), col(idCol))) - 1)
+          .cast("int"))
+    picked.select(col("cid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => subvec(col(vecCol), s, w))).as(Seq("subspace", "centroid")))
+      .select(col("subspace").cast("int"), col("cid"), col("centroid"))
+  }
+
+  /** One Lloyd round for ALL subspaces in one corpus pass: in-row encode,
+    * then per-(subspace, code, dimension) means repacked as float
+    * centroids. Codes that lose every member disappear (standard Lloyd
+    * degeneracy). */
+  def pqStep(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
+    val w = dims / m
+    encodeWith(vecs, idCol, vecCol, codebooks, dims, m)
+      .select(col(vecCol), posexplode(col("codes")).as(Seq("subspace", "cid")))
+      .select(col("subspace"), col("cid"),
+        posexplode(subvec(col(vecCol), col("subspace"), w)).as(Seq("pos", "x")))
+      .groupBy(col("subspace"), col("cid"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("mval"))
+      .groupBy(col("subspace"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mval")))),
+        p => p.getField("mval").cast("float")).as("centroid"))
+      .select(col("subspace").cast("int"), col("cid"), col("centroid"))
+  }
+
+  /** Full training: [[initCodebooks]] + `iters` rounds of [[pqStep]].
+    * The corpus projection is retained once (`scope` owns release). */
+  def train(vecs: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int, seed: Long = 42L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val v = scope.retain(vecs.select(col(idCol), col(vecCol)))
+    var cb = initCodebooks(v, idCol, vecCol, dims, m, ksub, seed)
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      cb = pqStep(v, idCol, vecCol, cb, dims, m).localCheckpoint()
+    }
+    cb
+  }
+
+  /** Mean L2 quantization surrogate over the corpus:
+    * avg(sum_s (||c_s||^2 - 2 <x_s, c_s>)) for each row's best codes —
+    * the Lloyd objective minus the constant avg ||x||^2 term, so it is
+    * non-increasing over [[train]] rounds (spec-pinned, float-repack
+    * tolerance). NaN on an empty corpus. */
+  def inertiaSurrogate(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dims: Int, m: Int): Double = {
+    val w = dims / m
+    val best = aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + aggregate(
+        filter(col("cb"), e => e.getField("subspace") === s),
+        lit(Double.PositiveInfinity),
+        (a, e) => least(a, e.getField("c_norm") - lit(2.0) *
+          FloatDotExpr.float_dot(subvec(col(vecCol), s, w),
+            e.getField("c_vec")))))
+    val row = vecs.crossJoin(cbArr(codebooks))
+      .select(best.as("sc")).agg(avg(col("sc"))).head()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
+  /** ADC scores of every (query, candidate) pair: the query's exact
+    * subspace-centroid dots are tabulated once per query (the LUT map,
+    * broadcast), and each encoded candidate scores as `m` lookups.
+    * Output: (query_id, nn_id, adc_score ~ <q, reconstruction(x)>). */
+  def adcScores(encoded: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
+    val w = dims / m
+    val luts = queries.crossJoin(cbArr(codebooks))
+      .select(col(idCol).as("query_id"),
+        map_from_arrays(
+          transform(col("cb"),
+            e => e.getField("subspace") * ksub + e.getField("cid")),
+          transform(col("cb"),
+            e => FloatDotExpr.float_dot(
+              subvec(col(vecCol), e.getField("subspace"), w),
+              e.getField("c_vec")))).as("lut"))
+    encoded.select(col(idCol).as("nn_id"), col("codes"))
+      .crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc +
+            element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1)))
+          .as("adc_score"))
+  }
+
+  /** Approximate dot-product top-k per query over the encoded corpus —
+    * same output shape as [[CosineSearch.bruteForceTopK]] (rank by score
+    * desc, id tiebreak); measure the quantization trade with
+    * [[CosineSearch.recallAtK]]. */
+  def adcTopK(encoded: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dims: Int, m: Int, ksub: Int,
+      k: Int): DataFrame = {
+    val scored =
+      adcScores(encoded, codebooks, queries, idCol, vecCol, dims, m, ksub)
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("adc_score"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 64
+  private def e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("training is deterministic and codes stay in bounds") {
+    def cb() = ProductQuantizer.train(e, "vec_id", "embedding",
+        dims, m = 8, ksub = 16, iters = 2, seed = 7L)
+      .orderBy("subspace", "cid")
+      .select("subspace", "cid", "centroid")
+      .as[(Int, Int, Array[Float])].collect()
+      .map { case (s, c, v) => (s, c, v.toSeq) }
+    val a = cb()
+    assert(a.toSeq == cb().toSeq, "re-training with the same seed diverged")
+    assert(a.map(_._1).toSet == (0 until 8).toSet)
+    assert(a.forall { case (_, c, v) => c >= 0 && c < 16 && v.length == 8 })
+
+    val codebooks = ProductQuantizer.train(e, "vec_id", "embedding",
+      dims, m = 8, ksub = 16, iters = 2, seed = 7L)
+    val enc = ProductQuantizer.encode(e, "vec_id", "embedding",
+      codebooks, dims, m = 8)
+    assert(enc.count() == e.count())
+    val bad = enc.filter(
+      size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 16))
+    assert(bad.count() == 0)
+  }
+
+  test("Lloyd rounds never increase the quantization objective") {
+    def surrogate(iters: Int): Double = {
+      val cb = ProductQuantizer.train(e, "vec_id", "embedding",
+        dims, m = 8, ksub = 16, iters = iters, seed = 7L)
+      ProductQuantizer.inertiaSurrogate(e, "vec_id", "embedding",
+        cb, dims, m = 8)
+    }
+    val s0 = surrogate(0)
+    val s1 = surrogate(1)
+    val s3 = surrogate(3)
+    info(f"quantization surrogate: init $s0%.5f, 1 round $s1%.5f, 3 rounds $s3%.5f")
+    // float-repacked means can wiggle at ~1e-6; Lloyd still descends
+    assert(s1 <= s0 + 1e-6 && s3 <= s1 + 1e-6,
+      s"objective increased: $s0 -> $s1 -> $s3")
+    assert(s3 < s0, "training never improved the objective")
+  }
+
+  test("ADC scores equal the sequential lookup model exactly") {
+    val codebooks = ProductQuantizer.train(e, "vec_id", "embedding",
+      dims, m = 8, ksub = 16, iters = 2, seed = 7L)
+    val corpus = e.filter(col("vec_id") < 120)
+    val queries = e.filter(col("vec_id") < 15)
+    val encoded = ProductQuantizer.encode(corpus, "vec_id", "embedding",
+      codebooks, dims, m = 8)
+
+    // sequential model from collected artifacts, replicating float_dot's
+    // in-order double accumulation and the s-ascending lookup sum
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cb = codebooks.select("subspace", "cid", "centroid")
+      .as[(Int, Int, Array[Float])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val codes = encoded.as[(Long, Array[Int])].collect().toMap
+    val qvecs = queries.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val model = (for {
+      (qid, qv) <- qvecs.toSeq
+      (nid, cs) <- codes.toSeq if nid != qid
+    } yield {
+      val score = (0 until 8).foldLeft(0.0) { (acc, s) =>
+        acc + fdot(qv.slice(s * 8, s * 8 + 8), cb((s, cs(s))))
+      }
+      (qid, nid) -> score
+    }).toMap
+
+    val got = ProductQuantizer.adcScores(encoded, codebooks, queries,
+        "vec_id", "embedding", dims, m = 8, ksub = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == model.size)
+    got.foreach { case (q, n, sc) =>
+      assert(sc == model((q, n)), s"score mismatch for ($q, $n)")
+    }
+  }
+
+  test("ADC top-k recall against the exact dot ranking clears the floor") {
+    // ADC approximates the DOT product, so the honest baseline is the
+    // exact dot-product top-k (bruteForceTopK ranks by cosine — a
+    // different metric when corpus norms vary)
+    val queries = e.filter(col("vec_id") < 25)
+    val exactDot = {
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nn_id"), col("embedding").as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("nn_id"))
+      q.crossJoin(c).filter(col("query_id") =!= col("nn_id"))
+        .withColumn("dot",
+          graft.functions.FloatDotExpr.float_dot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("query_id", "nn_id")
+    }
+    def recall(m: Int, iters: Int): Double = {
+      val codebooks = ProductQuantizer.train(e, "vec_id", "embedding",
+        dims, m = m, ksub = 16, iters = iters, seed = 7L)
+      val encoded = ProductQuantizer.encode(e, "vec_id", "embedding",
+        codebooks, dims, m = m)
+      CosineSearch.recallAtK(exactDot,
+        ProductQuantizer.adcTopK(encoded, codebooks, queries,
+          "vec_id", "embedding", dims, m = m, ksub = 16, k = 10))
+    }
+    val r8 = recall(8, 3)
+    val r32 = recall(32, 3)
+    info(f"ADC recall@10 vs exact dot: m=8 $r8%.3f, m=32 $r32%.3f" +
+      " (25 queries, 500 vectors; near-random embeddings are PQ's" +
+      " worst case — measured grid: 8/16 .284, 8/64 .440, 16/16 .388," +
+      " 16/64 .620, 32/16 .664)")
+    // lossy by construction (8 vs 256 bytes); the floors guard a broken
+    // LUT or codebook, and finer subspaces must help materially
+    assert(r8 >= 0.2, s"m=8 recall@10 $r8 below floor")
+    assert(r32 >= r8 + 0.2, s"m=32 ($r32) should clearly beat m=8 ($r8)")
+    assert(r32 >= 0.55, s"m=32 recall@10 $r32 below floor")
+  }
+}

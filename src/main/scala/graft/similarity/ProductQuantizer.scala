@@ -202,4 +202,57 @@ object ProductQuantizer {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), col("adc_score"))
   }
+
+  /** IVF-PQ top-k — the canonical billion-scale ANN layout: the corpus
+    * is bucketed by coarse centroids ([[CosineSearch.ivfAssign]], one
+    * map-side pass) and queries probe only their own bucket, where
+    * candidates score by ADC lookups. The candidate space shrinks by
+    * ~|buckets| AND each candidate costs `m` lookups instead of `dims`
+    * multiplies — the two standard ANN levers composed. Queries must be
+    * part of the corpus (probed through their own assignment, as in
+    * ivfTopK's nProbe = 1 fast path); recall trades against both
+    * bucketing and quantization — measure with
+    * [[CosineSearch.recallAtK]] before settling parameters. */
+  def ivfAdcTopK(vecs: DataFrame, coarseCentroids: DataFrame,
+      codebooks: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroidIdCol: String, dims: Int, m: Int, ksub: Int,
+      k: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    val w = dims / m
+    // one retained pass carrying BOTH indexes: coarse bucket + PQ codes
+    val assigned = scope.retain(
+      CosineSearch.ivfAssign(vecs, coarseCentroids, idCol, vecCol,
+          centroidIdCol)
+        .crossJoin(cbArr(codebooks))
+        .select(col(idCol), col("centroid_id"),
+          transform(sequence(lit(0), lit(m - 1)),
+            s => codeFor(col(vecCol), s, w)).as("codes")))
+    val luts = queries.select(col(idCol).as("query_id"))
+      .join(assigned.withColumnRenamed(idCol, "query_id"), Seq("query_id"))
+      .select(col("query_id"), col("centroid_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol)),
+        Seq("query_id"))
+      .crossJoin(cbArr(codebooks))
+      .select(col("query_id"), col("centroid_id"),
+        map_from_arrays(
+          transform(col("cb"),
+            e => e.getField("subspace") * ksub + e.getField("cid")),
+          transform(col("cb"),
+            e => FloatDotExpr.float_dot(
+              subvec(col(vecCol), e.getField("subspace"), w),
+              e.getField("c_vec")))).as("lut"))
+    val cand = assigned.select(col("centroid_id"), col(idCol).as("nn_id"),
+      col("codes"))
+    val scored = broadcast(luts).join(cand, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc +
+            element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1)))
+          .as("adc_score"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("adc_score"))
+  }
 }

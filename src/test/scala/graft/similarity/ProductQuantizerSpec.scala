@@ -129,4 +129,30 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(r32 >= r8 + 0.2, s"m=32 ($r32) should clearly beat m=8 ($r8)")
     assert(r32 >= 0.55, s"m=32 recall@10 $r32 below floor")
   }
+
+  test("IVF-PQ searches only the query's bucket, scored by ADC") {
+    val coarse = e.filter(col("vec_id") < 8)
+    val codebooks = ProductQuantizer.train(e, "vec_id", "embedding",
+      dims, m = 32, ksub = 16, iters = 2, seed = 7L)
+    val queries = e.filter(col("vec_id") < 20)
+    val res = ProductQuantizer.ivfAdcTopK(e, coarse, codebooks, queries,
+      "vec_id", "embedding", "vec_id", dims, m = 32, ksub = 16, k = 5)
+    // structural: every neighbor shares the query's coarse bucket
+    val assigned = CosineSearch.ivfAssign(e, coarse,
+        "vec_id", "embedding", "vec_id")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    val rows = res.select("query_id", "nn_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n) => assert(assigned(n) == assigned(q)) }
+    // scoring: within a bucket, ranking equals plain ADC restricted to it
+    val enc = ProductQuantizer.encode(e, "vec_id", "embedding",
+      codebooks, dims, m = 32)
+    val adcAll = ProductQuantizer.adcScores(enc, codebooks, queries,
+        "vec_id", "embedding", dims, m = 32, ksub = 16)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    val got = res.select("query_id", "nn_id", "adc_score")
+      .as[(Long, Long, Double)].collect()
+    got.foreach { case (q, n, s) => assert(s == adcAll((q, n))) }
+  }
 }

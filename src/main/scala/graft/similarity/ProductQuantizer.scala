@@ -50,22 +50,24 @@ object ProductQuantizer {
       FloatDotExpr.float_dot(col("centroid"), col("centroid")).as("c_norm")))
       .as("cb")))
 
-  /** Per-row code for subspace `s`: argmin over that subspace's
-    * centroids of the L2 surrogate `||c||^2 - 2 <x_s, c>` (the `||x_s||^2`
-    * term is constant within the argmin), cid ascending on ties. */
+  /** Per-centroid L2 surrogate `||c||^2 - 2 <x_s, c>` (the `||x_s||^2`
+    * term is constant within a per-subspace argmin); a null-poisoned dot
+    * (null vector element) maps to +Infinity so it can never win. */
+  private def l2Surrogate(vec: Column, s: Column, w: Int, e: Column): Column =
+    coalesce(
+      e.getField("c_norm") - lit(2.0) *
+        FloatDotExpr.float_dot(subvec(vec, s, w), e.getField("c_vec")),
+      lit(Double.PositiveInfinity))
+
+  /** Per-row code for subspace `s`: the array_min argmin over that
+    * subspace's centroids (the ivfAssign pattern — each score computed
+    * once, cid-ascending tiebreak from the struct ordering; null only
+    * when the subspace has no centroids at all). */
   private def codeFor(vec: Column, s: Column, w: Int): Column =
-    aggregate(
+    array_min(transform(
       filter(col("cb"), e => e.getField("subspace") === s),
-      struct(lit(Double.PositiveInfinity).as("score"), lit(-1).as("cid")),
-      (acc, e) => {
-        val sc = e.getField("c_norm") -
-          lit(2.0) * FloatDotExpr.float_dot(subvec(vec, s, w), e.getField("c_vec"))
-        when(sc < acc.getField("score") ||
-            (sc === acc.getField("score") &&
-              e.getField("cid") < acc.getField("cid")),
-          struct(sc.as("score"), e.getField("cid").as("cid")))
-          .otherwise(acc)
-      }).getField("cid")
+      e => struct(l2Surrogate(vec, s, w, e).as("score"),
+        e.getField("cid").as("cid")))).getField("cid")
 
   /** (id, codes ARRAY<INT> of length m) — one in-row pass, no shuffle. */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
@@ -83,23 +85,17 @@ object ProductQuantizer {
           s => codeFor(col(vecCol), s, w)).as("codes"))
   }
 
-  /** Deterministic init: the `ksub` vectors with the smallest
-    * md5(id ":" seed) (bounded top-k, layout-independent), sliced into
-    * every subspace. */
+  /** Deterministic init: [[Centroids.kmeansInit]]'s md5 top-k sample
+    * (bounded, layout-independent, same id-uniqueness contract), sliced
+    * into every subspace. */
   def initCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int, ksub: Int, seed: Long): DataFrame = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
-    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
     val w = dims / m
-    val picked = vecs.select(col(idCol), col(vecCol))
-      .withColumn("__r", md5(concat(col(idCol).cast("string"), lit(s":$seed"))))
-      .orderBy(col("__r"), col(idCol)).limit(ksub)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("__r"), col(idCol))) - 1)
-          .cast("int"))
-    picked.select(col("cid"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => subvec(col(vecCol), s, w))).as(Seq("subspace", "centroid")))
+    Centroids.kmeansInit(vecs, idCol, vecCol, ksub, seed, "cid")
+      .select(col("cid").cast("int").as("cid"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => subvec(col(vecCol), s, w))).as(Seq("subspace", "centroid")))
       .select(col("subspace").cast("int"), col("cid"), col("centroid"))
   }
 
@@ -145,18 +141,44 @@ object ProductQuantizer {
     * tolerance). NaN on an empty corpus. */
   def inertiaSurrogate(vecs: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, dims: Int, m: Int): Double = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
     val w = dims / m
     val best = aggregate(
       sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => acc + aggregate(
+      (acc, s) => acc + array_min(transform(
         filter(col("cb"), e => e.getField("subspace") === s),
-        lit(Double.PositiveInfinity),
-        (a, e) => least(a, e.getField("c_norm") - lit(2.0) *
-          FloatDotExpr.float_dot(subvec(col(vecCol), s, w),
-            e.getField("c_vec")))))
+        e => l2Surrogate(col(vecCol), s, w, e))))
     val row = vecs.crossJoin(cbArr(codebooks))
       .select(best.as("sc")).agg(avg(col("sc"))).head()
     if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
+  /** The per-query lookup table: a map from the (subspace, cid) struct
+    * key to the exact dot of the query's subvector with that centroid.
+    * Struct keys make a stale or mistyped `ksub` impossible by
+    * construction — there is no packed-integer stride to collide. */
+  private def lutCol(vec: Column, w: Int): Column =
+    map_from_arrays(
+      transform(col("cb"), e => struct(e.getField("subspace").as("s"),
+        e.getField("cid").as("c"))),
+      transform(col("cb"), e => FloatDotExpr.float_dot(
+        subvec(vec, e.getField("subspace"), w), e.getField("c_vec"))))
+
+  /** Sum of the `m` LUT lookups selected by the row's codes. */
+  private def adcSum(m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(col("lut"),
+        struct(s.cast("int").as("s"),
+          element_at(col("codes"), s + 1).as("c"))))
+
+  /** Per-query rank-k by score desc, nn_id tiebreak (Spark plans the
+    * rank filter as Sort + WindowGroupLimit rank-limit pushdown). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("adc_score"))
   }
 
   /** ADC scores of every (query, candidate) pair: the query's exact
@@ -165,26 +187,15 @@ object ProductQuantizer {
     * Output: (query_id, nn_id, adc_score ~ <q, reconstruction(x)>). */
   def adcScores(encoded: DataFrame, codebooks: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
-      dims: Int, m: Int, ksub: Int): DataFrame = {
+      dims: Int, m: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
     val w = dims / m
     val luts = queries.crossJoin(cbArr(codebooks))
-      .select(col(idCol).as("query_id"),
-        map_from_arrays(
-          transform(col("cb"),
-            e => e.getField("subspace") * ksub + e.getField("cid")),
-          transform(col("cb"),
-            e => FloatDotExpr.float_dot(
-              subvec(col(vecCol), e.getField("subspace"), w),
-              e.getField("c_vec")))).as("lut"))
+      .select(col(idCol).as("query_id"), lutCol(col(vecCol), w).as("lut"))
     encoded.select(col(idCol).as("nn_id"), col("codes"))
       .crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc +
-            element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1)))
-          .as("adc_score"))
+      .select(col("query_id"), col("nn_id"), adcSum(m).as("adc_score"))
   }
 
   /** Approximate dot-product top-k per query over the encoded corpus —
@@ -192,16 +203,9 @@ object ProductQuantizer {
     * desc, id tiebreak); measure the quantization trade with
     * [[CosineSearch.recallAtK]]. */
   def adcTopK(encoded: DataFrame, codebooks: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, dims: Int, m: Int, ksub: Int,
-      k: Int): DataFrame = {
-    val scored =
-      adcScores(encoded, codebooks, queries, idCol, vecCol, dims, m, ksub)
-    val win = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_score").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nn_id"), col("adc_score"))
-  }
+      idCol: String, vecCol: String, dims: Int, m: Int, k: Int): DataFrame =
+    rankTopK(
+      adcScores(encoded, codebooks, queries, idCol, vecCol, dims, m), k)
 
   /** IVF-PQ top-k — the canonical billion-scale ANN layout: the corpus
     * is bucketed by coarse centroids ([[CosineSearch.ivfAssign]], one
@@ -215,44 +219,30 @@ object ProductQuantizer {
     * [[CosineSearch.recallAtK]] before settling parameters. */
   def ivfAdcTopK(vecs: DataFrame, coarseCentroids: DataFrame,
       codebooks: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, centroidIdCol: String, dims: Int, m: Int, ksub: Int,
+      vecCol: String, centroidIdCol: String, dims: Int, m: Int,
       k: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
     val w = dims / m
+    val cb = cbArr(codebooks)
     // one retained pass carrying BOTH indexes: coarse bucket + PQ codes
     val assigned = scope.retain(
       CosineSearch.ivfAssign(vecs, coarseCentroids, idCol, vecCol,
           centroidIdCol)
-        .crossJoin(cbArr(codebooks))
+        .crossJoin(cb)
         .select(col(idCol), col("centroid_id"),
           transform(sequence(lit(0), lit(m - 1)),
             s => codeFor(col(vecCol), s, w)).as("codes")))
-    val luts = queries.select(col(idCol).as("query_id"))
-      .join(assigned.withColumnRenamed(idCol, "query_id"), Seq("query_id"))
-      .select(col("query_id"), col("centroid_id"))
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol)),
+    val luts = queries.select(col(idCol).as("query_id"), col(vecCol))
+      .join(assigned.select(col(idCol).as("query_id"), col("centroid_id")),
         Seq("query_id"))
-      .crossJoin(cbArr(codebooks))
+      .crossJoin(cb)
       .select(col("query_id"), col("centroid_id"),
-        map_from_arrays(
-          transform(col("cb"),
-            e => e.getField("subspace") * ksub + e.getField("cid")),
-          transform(col("cb"),
-            e => FloatDotExpr.float_dot(
-              subvec(col(vecCol), e.getField("subspace"), w),
-              e.getField("c_vec")))).as("lut"))
+        lutCol(col(vecCol), w).as("lut"))
     val cand = assigned.select(col("centroid_id"), col(idCol).as("nn_id"),
       col("codes"))
     val scored = broadcast(luts).join(cand, Seq("centroid_id"))
       .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc +
-            element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1)))
-          .as("adc_score"))
-    val win = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_score").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nn_id"), col("adc_score"))
+      .select(col("query_id"), col("nn_id"), adcSum(m).as("adc_score"))
+    rankTopK(scored, k)
   }
 }

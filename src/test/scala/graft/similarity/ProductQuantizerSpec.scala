@@ -82,7 +82,7 @@ class ProductQuantizerSpec extends SparkSpec {
     }).toMap
 
     val got = ProductQuantizer.adcScores(encoded, codebooks, queries,
-        "vec_id", "embedding", dims, m = 8, ksub = 16)
+        "vec_id", "embedding", dims, m = 8)
       .as[(Long, Long, Double)].collect()
     assert(got.length == model.size)
     got.foreach { case (q, n, sc) =>
@@ -115,7 +115,7 @@ class ProductQuantizerSpec extends SparkSpec {
         codebooks, dims, m = m)
       CosineSearch.recallAtK(exactDot,
         ProductQuantizer.adcTopK(encoded, codebooks, queries,
-          "vec_id", "embedding", dims, m = m, ksub = 16, k = 10))
+          "vec_id", "embedding", dims, m = m, k = 10))
     }
     val r8 = recall(8, 3)
     val r32 = recall(32, 3)
@@ -136,7 +136,7 @@ class ProductQuantizerSpec extends SparkSpec {
       dims, m = 32, ksub = 16, iters = 2, seed = 7L)
     val queries = e.filter(col("vec_id") < 20)
     val res = ProductQuantizer.ivfAdcTopK(e, coarse, codebooks, queries,
-      "vec_id", "embedding", "vec_id", dims, m = 32, ksub = 16, k = 5)
+      "vec_id", "embedding", "vec_id", dims, m = 32, k = 5)
     // structural: every neighbor shares the query's coarse bucket
     val assigned = CosineSearch.ivfAssign(e, coarse,
         "vec_id", "embedding", "vec_id")
@@ -148,7 +148,7 @@ class ProductQuantizerSpec extends SparkSpec {
     val enc = ProductQuantizer.encode(e, "vec_id", "embedding",
       codebooks, dims, m = 32)
     val adcAll = ProductQuantizer.adcScores(enc, codebooks, queries,
-        "vec_id", "embedding", dims, m = 32, ksub = 16)
+        "vec_id", "embedding", dims, m = 32)
       .as[(Long, Long, Double)].collect()
       .map { case (q, n, s) => (q, n) -> s }.toMap
     val got = res.select("query_id", "nn_id", "adc_score")

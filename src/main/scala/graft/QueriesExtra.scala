@@ -89,6 +89,48 @@ object QueriesExtra {
        |  GROUP BY a.vec_id, b.vec_id, a.centroid_id)
        |WHERE cos_sim >= 0.35""".stripMargin
 
+  // ------------------------------------------------------------ PQ encode
+  // Product-quantization codes over the deterministic md5-sample init
+  // codebook (training is iterative — not SQL-expressible — but the init
+  // + argmin encode is): the DECIMAL-scored encodeExact path makes the
+  // per-subspace L2 argmin bit-identical across engines, so the full
+  // code assignment is hash-checked. m=8 subspaces of width 8, ksub=4.
+  def qPqEncode(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cb = graft.similarity.ProductQuantizer.initCodebooks(
+      e, "vec_id", "embedding", dims = 64, m = 8, ksub = 4, seed = 13L)
+    graft.similarity.ProductQuantizer.encodeExact(
+        e, "vec_id", "embedding", cb, dims = 64, m = 8)
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+  }
+
+  val qPqEncodeSql: String =
+    """WITH picked AS (
+      |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR) || ':13') AS r
+      |  FROM embeddings ORDER BY r, vec_id LIMIT 4),
+      |cents AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cid,
+      |    embedding AS c
+      |  FROM picked),
+      |sub AS (SELECT CAST(s.s AS INT) AS subspace, c.cid, c.c
+      |  FROM cents c CROSS JOIN range(0, 8) s(s)),
+      |dots AS (
+      |  SELECT v.vec_id, sc.subspace, sc.cid,
+      |    CAST(SUM(CAST(CAST(v.embedding[sc.subspace*8 + i] AS DOUBLE)
+      |      * CAST(sc.c[sc.subspace*8 + i] AS DOUBLE) AS DECIMAL(20,12)))
+      |      AS DECIMAL(30,12)) AS dot,
+      |    CAST(SUM(CAST(CAST(sc.c[sc.subspace*8 + i] AS DOUBLE)
+      |      * CAST(sc.c[sc.subspace*8 + i] AS DOUBLE) AS DECIMAL(20,12)))
+      |      AS DECIMAL(30,12)) AS c_norm
+      |  FROM embeddings v CROSS JOIN sub sc CROSS JOIN range(1, 9) t(i)
+      |  GROUP BY v.vec_id, sc.subspace, sc.cid)
+      |SELECT vec_id, subspace, cid AS code FROM (
+      |  SELECT vec_id, subspace, cid,
+      |    row_number() OVER (PARTITION BY vec_id, subspace
+      |      ORDER BY c_norm - 2*dot, cid) AS rn
+      |  FROM dots) WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------------ hyperplane LSH
   // Signed-random-projection LSH (the LSH-bucketed ANN variant): seeded
   // hyperplanes shipped as literals into BOTH the Spark plan and the
@@ -428,6 +470,7 @@ object QueriesExtra {
     "q_line_dedup" -> (qLineDedup _),
     "q_rare_tokens" -> (qRareTokens _),
     "q_embed_quant" -> (qEmbedQuant _),
+    "q_pq_encode" -> (qPqEncode _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -445,5 +488,6 @@ object QueriesExtra {
     "q_line_dedup" -> qLineDedupSql,
     "q_rare_tokens" -> qRareTokensSql,
     "q_embed_quant" -> qEmbedQuantSql,
+    "q_pq_encode" -> qPqEncodeSql,
   )
 }

@@ -75,6 +75,32 @@ object ProductQuantizer {
     encodeWith(vecs, idCol, vecCol, codebooks, dims, m)
       .select(col(idCol), col("codes"))
 
+  /** Engine-exact encode: the same per-subspace argmin with the DECIMAL
+    * dot fold instead of the double kernel, so the surrogate scores —
+    * and therefore the chosen codes — are bit-identical on any engine
+    * (the dotDecimal-vs-float_dot split, see [[CosineSearch]]): the
+    * oracle-parity path behind `q_pq_encode`. Slower than [[encode]];
+    * use it to certify a deployment, not in the training loop. */
+  def encodeExact(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
+    val w = dims / m
+    val cbDec = broadcast(codebooks.agg(collect_list(struct(
+      col("subspace"), col("cid"), col("centroid").as("c_vec"),
+      CosineSearch.dotDecimal(col("centroid"), col("centroid"))
+        .as("c_norm"))).as("cb")))
+    def codeDec(s: Column): Column =
+      array_min(transform(
+        filter(col("cb"), e => e.getField("subspace") === s),
+        e => struct(
+          (e.getField("c_norm") - lit(2) * CosineSearch.dotDecimal(
+            subvec(col(vecCol), s, w), e.getField("c_vec"))).as("score"),
+          e.getField("cid").as("cid")))).getField("cid")
+    vecs.crossJoin(cbDec)
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), s => codeDec(s)).as("codes"))
+  }
+
   private def encodeWith(vecs: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")

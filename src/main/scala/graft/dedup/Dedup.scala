@@ -142,6 +142,50 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Incremental n-gram Jaccard pairs: a NEW batch of documents against
+    * an EXISTING corpus shingle table (a stored [[shingleTable]] output,
+    * maintained across runs — append the new batch's shingles after each
+    * call), plus pairs within the batch. Only the increment is tokenized
+    * and shingled; the corpus is touched through the shared-shingle join
+    * and one size aggregation over the STORED table, never re-shingled —
+    * completing the incremental-ingest family (minhash bands, simhash,
+    * hyperplane LSH). With ids disjoint between batch and corpus, the
+    * result is exactly [[ngramJaccardPairs]] over (corpus + batch)
+    * restricted to pairs touching a new document (spec-pinned). Output
+    * shape matches [[ngramJaccardPairs]] with doc_a = the new id;
+    * batch-internal pairs a < b. */
+  def ngramJaccardPairsAgainst(
+      newDocs: DataFrame, corpusShingles: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val newSh = scope.retain(shingleTable(newDocs, idCol, textCol, n))
+    val sizes = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      .unionByName(
+        corpusShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
+    val a = newSh.select(col(idCol).as("doc_a"), col("shingle"))
+    val vsCorpus = a
+      .join(corpusShingles.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val within = a
+      .join(newSh.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+    vsCorpus.unionByName(within)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("jaccard"))
+  }
+
   /** Prefix-filtered n-gram Jaccard — the lossless scale path for
     * similarity self-joins (Chaudhuri et al.'s prefix filtering, public
     * SSJoin literature): under a global shingle order, two sets with

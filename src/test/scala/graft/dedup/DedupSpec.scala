@@ -76,6 +76,27 @@ class DedupSpec extends SparkSpec {
     assert(incremental.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("incremental ngram jaccard equals full-corpus pairs for increment pairs") {
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = all.filter(col("doc_id") < 350)
+    val fresh = all.filter(col("doc_id") >= 350)
+    val stored = Dedup.shingleTable(corpus, "doc_id", "text", 3)
+      .localCheckpoint()
+    def norm(t: (Long, Long, Long, Long, Long, Double)) =
+      if (t._1 < t._2) t else (t._2, t._1, t._3, t._5, t._4, t._6)
+    val raw = Dedup
+      .ngramJaccardPairsAgainst(fresh, stored, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(raw.length == raw.toSet.size, "pair emitted twice")
+    val full = Dedup.ngramJaccardPairs(all, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val fullTouchingNew = full.filter(t => t._1 >= 350 || t._2 >= 350)
+    assert(raw.map(norm).toSet === fullTouchingNew.map(norm))
+    assert(raw.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
   test("ngram jaccard finds near dups above threshold only") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -114,6 +114,18 @@ object Dedup {
     vsCorpus.unionByName(within).distinct()
   }
 
+  /** Shared final scoring: jaccard from (doc_a, doc_b, inter, na, nb),
+    * threshold filter, canonical column order — ONE copy behind every
+    * jaccard operator so they cannot drift. */
+  private def scoreJaccard(inter: DataFrame, threshold: Double): DataFrame =
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("jaccard"))
+
   /** All-pairs n-gram Jaccard similarity >= `threshold`, computed by
     * joining on shared shingles (no candidate enumeration beyond docs that
     * actually share a shingle). */
@@ -131,15 +143,9 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
-        col("jaccard"))
+    scoreJaccard(inter, threshold)
   }
 
   /** Incremental n-gram Jaccard pairs: a NEW batch of documents against
@@ -147,21 +153,24 @@ object Dedup {
     * maintained across runs — append the new batch's shingles after each
     * call), plus pairs within the batch. Only the increment is tokenized
     * and shingled; the corpus is touched through the shared-shingle join
-    * and one size aggregation over the STORED table, never re-shingled —
-    * completing the incremental-ingest family (minhash bands, simhash,
-    * hyperplane LSH). With ids disjoint between batch and corpus, the
-    * result is exactly [[ngramJaccardPairs]] over (corpus + batch)
-    * restricted to pairs touching a new document (spec-pinned). Output
-    * shape matches [[ngramJaccardPairs]] with doc_a = the new id;
-    * batch-internal pairs a < b. */
+    * plus one size aggregation RESTRICTED to matched documents. With ids
+    * disjoint between batch and corpus, the result is exactly
+    * [[ngramJaccardPairs]] over (corpus + batch) restricted to pairs
+    * touching a new document (spec-pinned). Output shape matches
+    * [[ngramJaccardPairs]] with doc_a = the new id; batch-internal pairs
+    * a < b.
+    *
+    * Same caveat as [[ngramJaccardPairs]]: the raw-shingle join is
+    * quadratic on stop-shingles (the module header's heavy-tail hazard).
+    * For continuous ingest at corpus scale use
+    * [[ngramJaccardPairsAgainstPrefix]], whose stored artifact carries a
+    * FIXED global shingle order and therefore prunes losslessly across
+    * ingests. */
   def ngramJaccardPairsAgainst(
       newDocs: DataFrame, corpusShingles: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val newSh = scope.retain(shingleTable(newDocs, idCol, textCol, n))
-    val sizes = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-      .unionByName(
-        corpusShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     val a = newSh.select(col(idCol).as("doc_a"), col("shingle"))
     val vsCorpus = a
       .join(corpusShingles.select(col(idCol).as("doc_b"), col("shingle")),
@@ -171,19 +180,25 @@ object Dedup {
       .join(newSh.select(col(idCol).as("doc_b"), col("shingle")),
         Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-    vsCorpus.unionByName(within)
+    // the pair-count table feeds the matched-doc derivation AND the
+    // size joins — retained so the shingle join runs once
+    val inter = scope.retain(vsCorpus.unionByName(within)
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter")))
+    // corpus sizes only for documents that actually matched (semi-join
+    // keeps the aggregation proportional to the result, not the corpus)
+    val matched = inter.select(col("doc_b")).distinct()
+    val sizes = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      .unionByName(corpusShingles
+        .join(matched, corpusShingles(idCol) === matched("doc_b"),
+          "left_semi")
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
+    scoreJaccard(inter
       .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")),
         Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")),
-        Seq("doc_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
-        col("jaccard"))
+        Seq("doc_b")),
+      threshold)
   }
 
   /** Prefix-filtered n-gram Jaccard — the lossless scale path for
@@ -220,49 +235,105 @@ object Dedup {
       .select(col(idCol),
         transform(col("ranked"), r => r.getField("shingle")).as("shingles"),
         size(col("ranked")).as("n_sh")))
-    // prefix length p = n - ceil(t*n) + 1, rarest shingles first; keep the
-    // 1-based position of each prefix shingle for the positional filter
-    val prefix = docsets.select(col(idCol), col("n_sh"),
+    scoreJaccard(verifyCandidates(
+      ppjoinCandidates(prefixLeg(docsets, idCol, threshold, "a"),
+        prefixLeg(docsets, idCol, threshold, "b"), threshold,
+        col("doc_a") < col("doc_b")),
+      docsets, docsets, idCol), threshold)
+  }
+
+  /** One PPJoin prefix leg over a (id, shingles, n_sh) docset table:
+    * prefix length p = n_sh - ceil(t*n_sh) + 1 under the table's global
+    * shingle order, with the 1-based prefix position kept for the
+    * positional filter. */
+  private def prefixLeg(docsets: DataFrame, idCol: String,
+      threshold: Double, side: String): DataFrame =
+    docsets.select(col(idCol).as(s"doc_$side"), col("n_sh").as(s"n$side"),
       posexplode(slice(col("shingles"), lit(1),
         (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int")))
         .as(Seq("pos0", "shingle")))
-      .withColumn("pos", col("pos0") + 1).drop("pos0")
-    // candidate join with PPJoin pruning (Xiao et al., public SSJoin
-    // literature), both evaluated inside the codegen join output stream:
-    //  - length filter: J >= t forces t*na <= nb (and symmetrically)
-    //  - positional filter: overlap is at most 1 + min(remaining suffix on
-    //    each side), which must reach ceil(t/(1+t)*(na+nb))
+      .withColumn(s"p$side", col("pos0") + 1).drop("pos0")
+
+  /** Candidate join with PPJoin pruning (Xiao et al., public SSJoin
+    * literature), both filters evaluated inside the codegen join output
+    * stream:
+    *  - length filter: J >= t forces t*na <= nb (and symmetrically)
+    *  - positional filter: overlap is at most 1 + min(remaining suffix
+    *    on each side), which must reach ceil(t/(1+t)*(na+nb))
+    * Both legs MUST share one global shingle order or the pruning is
+    * lossy. */
+  private def ppjoinCandidates(a: DataFrame, b: DataFrame,
+      threshold: Double,
+      pairFilter: org.apache.spark.sql.Column): DataFrame = {
     val reqOverlap = ceil(lit(threshold / (1 + threshold)) *
       (col("na") + col("nb")))
-    val cands = prefix.select(col(idCol).as("doc_a"), col("shingle"),
-        col("n_sh").as("na"), col("pos").as("pa"))
-      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"),
-        col("n_sh").as("nb"), col("pos").as("pb")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    a.join(b, Seq("shingle"))
+      .filter(pairFilter)
       .filter(col("nb") >= ceil(lit(threshold) * col("na")) &&
         col("na") >= ceil(lit(threshold) * col("nb")))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))
         >= reqOverlap)
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .distinct()
-    // exact verification in-row: intersection of the two shingle arrays
-    // (candidate-pair shuffle with bounded array payloads — never the
-    // candidate x shingle expansion)
-    val inter = cands
-      .join(docsets.select(col(idCol).as("doc_a"), col("shingles").as("sa")),
+  }
+
+  /** Exact verification in-row: intersection of the two shingle arrays
+    * (candidate-pair shuffle with bounded array payloads — never the
+    * candidate x shingle expansion). */
+  private def verifyCandidates(cands: DataFrame, aSets: DataFrame,
+      bSets: DataFrame, idCol: String): DataFrame =
+    cands
+      .join(aSets.select(col(idCol).as("doc_a"), col("shingles").as("sa")),
         Seq("doc_a"))
-      .join(docsets.select(col(idCol).as("doc_b"), col("shingles").as("sb")),
+      .join(bSets.select(col(idCol).as("doc_b"), col("shingles").as("sb")),
         Seq("doc_b"))
       .withColumn("inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"))
-    inter
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
-        col("jaccard"))
+
+  /** Hash-ordered document shingle sets — the persistable artifact for
+    * INCREMENTAL prefix-filtered Jaccard: (id, shingles ascending by
+    * md5(shingle), n_sh). The md5 order is FIXED and corpus-independent,
+    * so prefixes computed today remain a valid global order as the
+    * stored table grows across ingests — unlike
+    * [[ngramJaccardPairsPrefix]]'s df-ranked order, which is a per-run
+    * pruning heuristic that would go stale (and lossy) between runs. */
+  def docShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleTable(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(md5(col("shingle")).as("h"),
+        col("shingle").as("shingle")))).as("ranked"))
+      .select(col(idCol),
+        transform(col("ranked"), r => r.getField("shingle")).as("shingles"),
+        size(col("ranked")).as("n_sh"))
+
+  /** Incremental prefix-filtered n-gram Jaccard — the continuous-ingest
+    * scale path: a NEW batch against an EXISTING [[docShingleSets]]
+    * table (append the batch's sets after each call), plus pairs within
+    * the batch. The shared md5 shingle order makes the PPJoin pruning
+    * lossless across ingests, and the prefix join never touches the
+    * stop-shingle buckets that make [[ngramJaccardPairsAgainst]]
+    * quadratic on heavy-tailed corpora; sizes ride in the stored sets,
+    * so no corpus-wide aggregation runs per batch. Same restriction
+    * contract and output shape as the other incremental operators
+    * (spec-pinned). */
+  def ngramJaccardPairsAgainstPrefix(
+      newDocs: DataFrame, corpusSets: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val newSets = scope.retain(docShingleSets(newDocs, idCol, textCol, n))
+    val a = prefixLeg(newSets, idCol, threshold, "a")
+    val vsCorpus = ppjoinCandidates(a,
+      prefixLeg(corpusSets, idCol, threshold, "b"), threshold,
+      col("doc_a") =!= col("doc_b"))
+    val within = ppjoinCandidates(a,
+      prefixLeg(newSets, idCol, threshold, "b"), threshold,
+      col("doc_a") < col("doc_b"))
+    val bSets = newSets.select(col(idCol), col("shingles"))
+      .unionByName(corpusSets.select(col(idCol), col("shingles")))
+    scoreJaccard(verifyCandidates(vsCorpus.unionByName(within),
+      newSets, bSets, idCol), threshold)
   }
 
   /** Row-local SimHash Column (folds the token array in-row). Convenient

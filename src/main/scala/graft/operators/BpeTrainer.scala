@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.{CacheScope, Checkpoints}
 import graft.functions.TextFunctions
 
 /** Byte-pair-encoding tokenizer training (Sennrich et al., "Neural
@@ -17,21 +18,25 @@ import graft.functions.TextFunctions
   * explode + aggregation over the small table), the argmax pair becomes
   * the round's merge, and the word table is rewritten with an in-row
   * greedy left-to-right fold. 100 TB of text with a 1M-word vocabulary
-  * trains on a 1M-row table after the single corpus pass.
+  * trains on a 1M-row table after the single corpus pass; superseded
+  * word-table generations are released as training advances
+  * ([[graft.core.Checkpoints]]), so storage stays one generation deep
+  * at any merge count.
   *
   * Determinism: the argmax tiebreak is (count DESC, left ASC, right
   * ASC), so retraining on the same corpus yields the same merge
   * sequence regardless of partitioning.
   *
   * Encoding at corpus scale is a JOIN, not a per-word merge replay: the
-  * trained word table already holds each word's final segmentation, so
-  * [[encodeTokens]] joins exploded corpus words against it
-  * (out-of-vocabulary words fall back to character symbols). */
+  * trained word table already holds each word's final segmentation.
+  * Out-of-vocabulary words get true BPE treatment — their DISTINCT set
+  * (bounded, never the corpus) replays the merge list per word
+  * ([[segmentWords]]), exactly what a runtime tokenizer does. */
 object BpeTrainer {
 
   /** (word, freq) — the single corpus pass: whitespace tokenization
     * (the repo-wide collapseWs convention), empty tokens dropped. */
-  def wordCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(split(TextFunctions.collapseWs(col(textCol)), " "))
         .as("word"))
@@ -72,15 +77,15 @@ object BpeTrainer {
     *  - merges: (rank, left, right) — the ordered merge table;
     *  - vocabWords: (word, freq, syms) — every training word's final
     *    segmentation, the join-side encoder input.
-    * The word table is localCheckpoint'd per round (|vocabulary| rows —
+    * Each round's word table is localCheckpoint'd (|vocabulary| rows —
     * materialized, so the corpus pass runs exactly once and lineage
-    * stays one round deep). Training stops early if no adjacent pair
-    * remains. */
-  def train(docs: DataFrame, idCol: String, textCol: String,
+    * stays one round deep) and the superseded generation's blocks are
+    * released. Training stops early if no adjacent pair remains. */
+  def train(docs: DataFrame, textCol: String,
       nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     val spark = docs.sparkSession
-    var words = wordCounts(docs, idCol, textCol)
+    var words = wordCounts(docs, textCol)
       .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
@@ -94,10 +99,12 @@ object BpeTrainer {
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((rank, l, r))
-        words = words
+        val next = words
           .select(col("word"), col("freq"),
             applyMerge(col("syms"), l, r).as("syms"))
-          .localCheckpoint()
+          .localCheckpoint() // eager: materialized before the release below
+        Checkpoints.releaseLocal(words)
+        words = next
         rank += 1
       }
     }
@@ -105,18 +112,82 @@ object BpeTrainer {
     (merges.toSeq.toDF("rank", "left", "right"), words)
   }
 
+  /** Reference BPE encode of one word: repeatedly merge the
+    * lowest-ranked applicable pair (all its occurrences, left to right)
+    * until none applies. Equivalent to replaying the merge list in rank
+    * order: merging never creates a new adjacency between two
+    * pre-existing symbols, so earlier ranks cannot become applicable
+    * again after later ones. */
+  private[operators] def segmentOne(
+      word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.split("").filter(_.nonEmpty).toVector
+    var done = syms.length < 2
+    while (!done) {
+      val best = syms.indices.dropRight(1)
+        .flatMap(i => ranks.get((syms(i), syms(i + 1)))
+          .map(r => (r, syms(i), syms(i + 1))))
+        .minByOption(_._1)
+      best match {
+        case None => done = true
+        case Some((_, a, b)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+          done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** (word, syms) segmentations for arbitrary words by merge replay —
+    * the runtime path for words outside the trained vocabulary. The
+    * merge table (driver-bounded: one row per merge) is broadcast and
+    * each word runs [[segmentOne]]. Implemented as a typed map over the
+    * word set: per-word merge replay is a data-dependent loop no
+    * relational expression can express at realistic merge counts, and
+    * the intended input is a DISTINCT out-of-vocabulary word set —
+    * bounded, never the corpus. */
+  def segmentWords(words: DataFrame, merges: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ranks = merges.select("left", "right", "rank")
+      .as[(String, String, Int)].collect()
+      .map { case (l, r, k) => (l, r) -> k }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    words.select(col("word")).as[String]
+      .mapPartitions { it => it.map(w => (w, segmentOne(w, bc.value))) }
+      .toDF("word", "syms")
+  }
+
   /** Token stream of a corpus under a trained vocabulary: words join
-    * their stored segmentation; out-of-vocabulary words fall back to
-    * character symbols. Output: (idCol, token) rows in no particular
-    * order — aggregate downstream (counts, histograms, packing). */
+    * their stored segmentation; the DISTINCT out-of-vocabulary words are
+    * segmented by merge replay ([[segmentWords]]) and joined back, so
+    * unseen words tokenize exactly as a runtime BPE tokenizer would.
+    * Output: (idCol, token) rows in no particular order — aggregate
+    * downstream (counts, histograms, packing). */
   def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
-      vocabWords: DataFrame): DataFrame =
-    docs
+      vocabWords: DataFrame, merges: DataFrame,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    // the word stream feeds the OOV derivation AND the final join
+    val words = scope.retain(docs
       .select(col(idCol),
         explode(split(TextFunctions.collapseWs(col(textCol)), " "))
           .as("word"))
-      .filter(col("word") =!= "")
-      .join(vocabWords.select(col("word"), col("syms")), Seq("word"), "left")
+      .filter(col("word") =!= ""))
+    val vocab = vocabWords.select(col("word"), col("syms"))
+    val oovSegs = segmentWords(
+      words.select(col("word")).distinct().join(vocab, Seq("word"),
+        "left_anti"),
+      merges).withColumnRenamed("syms", "oov_syms")
+    words
+      .join(vocab, Seq("word"), "left")
+      .join(oovSegs, Seq("word"), "left")
       .select(col(idCol),
-        explode(coalesce(col("syms"), charSyms(col("word")))).as("token"))
+        explode(coalesce(col("syms"), col("oov_syms"))).as("token"))
+  }
 }

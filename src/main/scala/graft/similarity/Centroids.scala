@@ -126,8 +126,10 @@ object Centroids {
     var cents = kmeansInit(normed, idCol, vecCol, k, seed, centroidIdCol)
       .localCheckpoint()
     (1 to iters).foreach { _ =>
-      cents = kmeansStep(normed, cents, idCol, vecCol, centroidIdCol)
-        .localCheckpoint()
+      val next = kmeansStep(normed, cents, idCol, vecCol, centroidIdCol)
+        .localCheckpoint() // eager: materialized before the release below
+      graft.core.Checkpoints.releaseLocal(cents)
+      cents = next
     }
     cents
   }

@@ -155,7 +155,10 @@ object ProductQuantizer {
     var cb = initCodebooks(v, idCol, vecCol, dims, m, ksub, seed)
       .localCheckpoint()
     (1 to iters).foreach { _ =>
-      cb = pqStep(v, idCol, vecCol, cb, dims, m).localCheckpoint()
+      val next = pqStep(v, idCol, vecCol, cb, dims, m)
+        .localCheckpoint() // eager: materialized before the release below
+      graft.core.Checkpoints.releaseLocal(cb)
+      cb = next
     }
     cb
   }

@@ -78,23 +78,50 @@ class DedupSpec extends SparkSpec {
 
   test("incremental ngram jaccard equals full-corpus pairs for increment pairs") {
     val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val corpus = all.filter(col("doc_id") < 350)
-    val fresh = all.filter(col("doc_id") >= 350)
+    val corpus = all.filter(col("doc_id") < 300)
+    val batch1 = all.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val batch2 = all.filter(col("doc_id") >= 400)
     val stored = Dedup.shingleTable(corpus, "doc_id", "text", 3)
       .localCheckpoint()
     def norm(t: (Long, Long, Long, Long, Long, Double)) =
       if (t._1 < t._2) t else (t._2, t._1, t._3, t._5, t._4, t._6)
-    val raw = Dedup
-      .ngramJaccardPairsAgainst(fresh, stored, "doc_id", "text", 3, 0.5)
-      .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
-      .as[(Long, Long, Long, Long, Long, Double)].collect()
-    assert(raw.length == raw.toSet.size, "pair emitted twice")
-    val full = Dedup.ngramJaccardPairs(all, "doc_id", "text", 3, 0.5)
+    def full(batch: org.apache.spark.sql.DataFrame) = Dedup
+      .ngramJaccardPairs(corpus.unionByName(batch), "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
-    val fullTouchingNew = full.filter(t => t._1 >= 350 || t._2 >= 350)
-    assert(raw.map(norm).toSet === fullTouchingNew.map(norm))
-    assert(raw.nonEmpty, "fixture should contain near-dup pairs")
+    def inc(batch: org.apache.spark.sql.DataFrame) = Dedup
+      .ngramJaccardPairsAgainst(batch, stored, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val raw1 = inc(batch1)
+    assert(raw1.length == raw1.toSet.size, "pair emitted twice")
+    val exp1 = full(batch1).filter(t =>
+      t._1 >= 300 && t._1 < 400 || t._2 >= 300 && t._2 < 400)
+    assert(raw1.map(norm).toSet === exp1.map(norm))
+    assert(raw1.nonEmpty, "fixture should contain near-dup pairs")
+    // the SAME stored table serves the next batch unchanged
+    val raw2 = inc(batch2)
+    val exp2 = full(batch2).filter(t => t._1 >= 400 || t._2 >= 400)
+    assert(raw2.map(norm).toSet === exp2.map(norm))
+    assert(raw2.nonEmpty)
+  }
+
+  test("incremental prefix jaccard equals the naive incremental path") {
+    // the md5-ordered PPJoin path must be lossless: same pairs, same
+    // values as the raw shingle join, from the same stored corpus
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = all.filter(col("doc_id") < 350)
+    val fresh = all.filter(col("doc_id") >= 350)
+    val naive = Dedup.ngramJaccardPairsAgainst(fresh,
+        Dedup.shingleTable(corpus, "doc_id", "text", 3).localCheckpoint(),
+        "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    val prefix = Dedup.ngramJaccardPairsAgainstPrefix(fresh,
+        Dedup.docShingleSets(corpus, "doc_id", "text", 3).localCheckpoint(),
+        "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(prefix == naive)
+    assert(prefix.nonEmpty)
   }
 
   test("ngram jaccard finds near dups above threshold only") {

@@ -8,17 +8,19 @@ class BpeTrainerSpec extends SparkSpec {
   import spark.implicits._
 
   // the classic BPE walkthrough corpus: hug x10, pug x5, pun x12,
-  // bun x4, hugs x5 — merge order is hand-computable
+  // bun x4, hugs x5 — merge order is hand-computable. One row per word
+  // occurrence, so repartitioning genuinely redistributes the data the
+  // pair-count aggregation consumes.
   private def corpus = {
-    val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
-      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
-      .mkString(" ")
-    Seq((1L, text)).toDF("doc_id", "text")
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
   }
 
   test("merge sequence matches the hand computation") {
     // pair counts: (u,g)=20 -> ug; then (u,n)=16 -> un; then (h,ug)=15
-    val (merges, vocab) = BpeTrainer.train(corpus, "doc_id", "text", 3)
+    val (merges, vocab) = BpeTrainer.train(corpus, "text", 3)
     val got = merges.orderBy("rank")
       .as[(Int, String, String)].collect().toSeq
     assert(got == Seq((0, "u", "g"), (1, "u", "n"), (2, "h", "ug")))
@@ -37,7 +39,7 @@ class BpeTrainerSpec extends SparkSpec {
 
   test("training is deterministic across layouts") {
     def run(df: org.apache.spark.sql.DataFrame) = {
-      val (m, _) = BpeTrainer.train(df, "doc_id", "text", 4)
+      val (m, _) = BpeTrainer.train(df, "text", 4)
       m.orderBy("rank").as[(Int, String, String)].collect().toSeq
     }
     assert(run(corpus) == run(corpus.repartition(7)))
@@ -46,7 +48,7 @@ class BpeTrainerSpec extends SparkSpec {
   test("merge application is greedy left-to-right") {
     // "aaaa" under (a,a) must become [aa, aa], never [aa, a, a]
     val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
-    val (merges, vocab) = BpeTrainer.train(d, "doc_id", "text", 1)
+    val (merges, vocab) = BpeTrainer.train(d, "text", 1)
     assert(merges.as[(Int, String, String)].collect().toSeq ==
       Seq((0, "a", "a")))
     val syms = vocab.select("syms").as[Seq[String]].collect().head
@@ -55,23 +57,36 @@ class BpeTrainerSpec extends SparkSpec {
 
   test("training stops early when no pair remains") {
     val d = Seq((1L, "a b c a")).toDF("doc_id", "text")
-    val (merges, _) = BpeTrainer.train(d, "doc_id", "text", 5)
+    val (merges, _) = BpeTrainer.train(d, "text", 5)
     assert(merges.count() == 0) // all words are single symbols
   }
 
-  test("encodeTokens joins trained segmentations, chars for OOV") {
-    val (_, vocab) = BpeTrainer.train(corpus, "doc_id", "text", 3)
-    val doc = Seq((9L, "hug pun xy")).toDF("doc_id", "text")
-    val toks = BpeTrainer.encodeTokens(doc, "doc_id", "text", vocab)
+  test("segmentWords replays merges: trained words reproduce their stored syms") {
+    val (merges, vocab) = BpeTrainer.train(corpus, "text", 3)
+    val replayed = BpeTrainer.segmentWords(
+        vocab.select("word"), merges)
+      .as[(String, Seq[String])].collect().toMap
+    val stored = vocab.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(replayed == stored)
+  }
+
+  test("encodeTokens gives OOV words true BPE treatment, not char soup") {
+    val (merges, vocab) = BpeTrainer.train(corpus, "text", 3)
+    // "ugs" never appeared in training, but its subwords did: the merge
+    // replay must produce [ug, s], and wholly-unknown "xy" falls through
+    // to characters because no merge applies
+    val doc = Seq((9L, "hug pun ugs xy")).toDF("doc_id", "text")
+    val toks = BpeTrainer.encodeTokens(doc, "doc_id", "text", vocab, merges)
       .select("token").as[String].collect().sorted.toSeq
-    assert(toks == Seq("hug", "p", "un", "x", "y").sorted)
+    assert(toks == Seq("hug", "p", "un", "ug", "s", "x", "y").sorted)
   }
 
   test("token counts over the real corpus shrink as merges accumulate") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def total(nMerges: Int): Long = {
-      val (_, vocab) = BpeTrainer.train(docs, "doc_id", "text", nMerges)
-      BpeTrainer.encodeTokens(docs, "doc_id", "text", vocab).count()
+      val (merges, vocab) = BpeTrainer.train(docs, "text", nMerges)
+      BpeTrainer.encodeTokens(docs, "doc_id", "text", vocab, merges).count()
     }
     val t0 = total(0)
     val t10 = total(10)

@@ -157,6 +157,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_span_excise reads the corpus once for detection and excision") {
+    // exciseSpans retains the docs projection so the shingle derivation
+    // and the excision join share one parquet scan
+    val p = plan("q_span_excise")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryRelation"),
+      s"span excision re-scans the corpus ($scans scans):\n$p")
+  }
+
   test("q_centroids aggregates partially before the (group, dim) shuffle") {
     val p = plan("q_centroids")
     assert(p.contains("Generate")) // posexplode fan-out

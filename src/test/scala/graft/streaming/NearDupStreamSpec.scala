@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.similarity.HyperplaneLSH
+
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed pairs equal the batch operator over the full corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val dir = Files.createTempDirectory("graft_neardup_stream").toString
+    val (buckets, pairs, ckpt) =
+      (s"$dir/buckets", s"$dir/pairs", s"$dir/ckpt")
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = NearDupStream.start(
+      mem.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3,
+      bucketsPath = buckets, pairsPath = pairs, checkpointDir = ckpt,
+      // AvailableNow would stop before the addData loop below feeds it
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    e.grouped(170).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+
+    def norm(p: (Long, Long)) = if (p._1 < p._2) p else p.swap
+    val streamed = spark.read.parquet(pairs)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    // every pair completes exactly once — in the batch where its second
+    // member arrives — so the union over batches IS the full pair set
+    assert(streamed.length == streamed.toSet.size, "pair emitted twice")
+    val full = HyperplaneLSH.nearDupPairs(
+        graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+        "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(streamed.map(norm).toSet == full.map(norm))
+    assert(full.nonEmpty)
+    // the grown bucket table is the batch artifact, usable directly
+    assert(spark.read.parquet(buckets).count() == e.length)
+
+    // restart safety: replaying the LAST batch is a no-op (dynamic
+    // partition overwrite + the pre-batch corpus filter)
+    val lastBatch = spark.createDataset(e.takeRight(e.length % 170 match {
+      case 0 => 170
+      case r => r
+    })).toDF("vec_id", "embedding")
+    val lastId = spark.read.parquet(pairs)
+      .select(max(col("__batch_id")).cast("long")).head().getLong(0)
+    NearDupStream.processBatch(lastBatch, lastId,
+      "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3,
+      bucketsPath = buckets, pairsPath = pairs)
+    val replayed = spark.read.parquet(pairs)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    assert(replayed.map(norm).toSet == full.map(norm))
+    assert(replayed.length == replayed.toSet.size)
+    assert(spark.read.parquet(buckets).count() == e.length)
+  }
+}

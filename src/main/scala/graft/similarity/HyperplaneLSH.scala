@@ -90,10 +90,20 @@ object HyperplaneLSH {
   def nearDupPairsIncremental(
       newVecs: DataFrame, corpusBuckets: DataFrame, idCol: String,
       vecCol: String, nBits: Int, seed: Long, threshold: Double,
-      dims: Int = 64, scope: CacheScope = CacheScope.session): DataFrame = {
-    // the increment feeds both the corpus probe and its own self-join
-    val newBucketed = scope.retain(
-      bucketTable(newVecs, idCol, vecCol, nBits, seed, dims))
+      dims: Int = 64, scope: CacheScope = CacheScope.session): DataFrame =
+    nearDupPairsIncrementalBucketed(
+      // the increment feeds both the corpus probe and its own self-join
+      scope.retain(bucketTable(newVecs, idCol, vecCol, nBits, seed, dims)),
+      corpusBuckets, idCol, vecCol, threshold)
+
+  /** [[nearDupPairsIncremental]] over an ALREADY-bucketed new batch —
+    * for callers that derive the batch's bucket table once and also
+    * persist it (the streaming sink): the single derivation becomes
+    * structural instead of relying on cache-plan matching. Both inputs
+    * must come from [[bucketTable]] with the same plane family. */
+  def nearDupPairsIncrementalBucketed(
+      newBucketed: DataFrame, corpusBuckets: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
     val n = newBucketed.select(col("bucket"), col(idCol).as("vec_a"),
       col(vecCol).as("va"), col("norm_sq").as("na"))
     val c = corpusBuckets.select(col("bucket"), col(idCol).as("vec_b"),

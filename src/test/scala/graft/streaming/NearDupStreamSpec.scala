@@ -51,7 +51,9 @@ class NearDupStreamSpec extends SparkSpec {
       case 0 => 170
       case r => r
     })).toDF("vec_id", "embedding")
-    val lastId = spark.read.parquet(pairs)
+    // buckets (not pairs) are written by EVERY batch, so their newest
+    // partition is always the true last batch
+    val lastId = spark.read.parquet(buckets)
       .select(max(col("__batch_id")).cast("long")).head().getLong(0)
     NearDupStream.processBatch(lastBatch, lastId,
       "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3,
@@ -61,5 +63,43 @@ class NearDupStreamSpec extends SparkSpec {
     assert(replayed.map(norm).toSet == full.map(norm))
     assert(replayed.length == replayed.toSet.size)
     assert(spark.read.parquet(buckets).count() == e.length)
+
+    // lost-checkpoint guard: a batch id behind the stored table must
+    // fail loudly instead of hiding the corpus and clobbering partitions
+    val boom = intercept[IllegalArgumentException] {
+      NearDupStream.processBatch(lastBatch, 0L,
+        "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3,
+        bucketsPath = buckets, pairsPath = pairs)
+    }
+    assert(boom.getMessage.contains("behind the stored bucket table"))
+
+    // plane-family guard: different (nBits, seed, dims) against the
+    // same stored table must refuse, not silently find nothing
+    val mismatch = intercept[IllegalArgumentException] {
+      NearDupStream.processBatch(lastBatch, lastId + 1,
+        "vec_id", "embedding", nBits = 8, seed = 99L, threshold = 0.3,
+        bucketsPath = buckets, pairsPath = pairs)
+    }
+    assert(mismatch.getMessage.contains("plane family"))
+  }
+
+  test("a torn or empty bucket directory reads as an empty corpus") {
+    val dir = Files.createTempDirectory("graft_neardup_torn").toString
+    val (buckets, pairs) = (s"$dir/buckets", s"$dir/pairs")
+    // simulate a torn first write: the directory exists with no data
+    Files.createDirectories(java.nio.file.Paths.get(buckets))
+    Files.write(java.nio.file.Paths.get(s"$buckets/_SUCCESS"),
+      Array.empty[Byte])
+    val batch = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    NearDupStream.processBatch(batch, 0L, "vec_id", "embedding",
+      nBits = 4, seed = 3L, threshold = 0.9,
+      bucketsPath = buckets, pairsPath = pairs, dims = 2)
+    // within-batch pair found; no crash loop on schema inference
+    val got = spark.read.parquet(pairs)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+    assert(spark.read.parquet(buckets).count() == 2)
   }
 }

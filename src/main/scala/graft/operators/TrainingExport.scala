@@ -66,8 +66,7 @@ object TrainingExport {
     }.mkString("[\n", ",\n", "\n]")
     val target = new HPath(new HPath(path), "_MANIFEST.json")
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(target, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    graft.core.SmallFiles.write(fs, target, json)
   }
 
   /** Validate a delivered export against its own `_MANIFEST.json`:
@@ -84,11 +83,7 @@ object TrainingExport {
     import org.apache.spark.sql.types._
     val target = new HPath(new HPath(path), "_MANIFEST.json")
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val text = {
-      val in = fs.open(target)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    }
+    val text = graft.core.SmallFiles.read(fs, target)
     val schema = StructType(Seq(
       StructField("shard", StringType),
       StructField("n_rows", LongType),

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.DataFrame
@@ -9,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.LongType
 
-import graft.core.CacheScope
+import graft.core.{CacheScope, SmallFiles}
 import graft.similarity.HyperplaneLSH
 
 /** Continuous embedding near-duplicate detection — the streaming form of
@@ -52,36 +50,42 @@ object NearDupStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(path)
 
-  private def paramsTag(nBits: Int, seed: Long, dims: Int): String =
-    s"""{"nBits":$nBits,"seed":$seed,"dims":$dims}"""
+  /** The table's identity: plane family AND column names — a restart
+    * with a renamed id/vector column would otherwise resolve the stored
+    * files against the wrong schema and silently null out every
+    * batch-vs-corpus pair. */
+  private def paramsTag(idCol: String, vecCol: String, nBits: Int,
+      seed: Long, dims: Int): String =
+    s"""{"nBits":$nBits,"seed":$seed,"dims":$dims,""" +
+      s""""id":"$idCol","vec":"$vecCol"}"""
 
-  /** Write-once plane-family marker; refuses a mismatch on re-entry. */
+  /** Verify the identity marker if present; refuses a mismatch. Written
+    * AFTER a batch's successful data writes ([[stampParams]]), so a
+    * failed first batch never pins mistaken parameters. */
   private def checkParams(fs: FileSystem, bucketsPath: String,
       tag: String): Unit = {
     val marker = new HPath(new HPath(bucketsPath), "_LSH_PARAMS")
     if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val stored =
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
+      val stored = SmallFiles.read(fs, marker)
       require(stored == tag,
-        s"bucket table at $bucketsPath was built with plane family " +
-          s"$stored; refusing to join with $tag — joining tables from " +
-          "different plane families finds nothing")
-    } else {
-      val out = fs.create(marker, false)
-      try out.write(tag.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+        s"bucket table at $bucketsPath was built as plane family/layout " +
+          s"$stored; refusing to join with $tag — mismatched planes or " +
+          "columns silently find nothing")
     }
   }
 
+  private def stampParams(fs: FileSystem, bucketsPath: String,
+      tag: String): Unit =
+    SmallFiles.write(fs, new HPath(new HPath(bucketsPath), "_LSH_PARAMS"),
+      tag)
+
   /** Newest stored batch partition, from directory names only (no data
-    * read). */
+    * read). Non-partition entries (snapshots, backups) are ignored. */
   private def maxStoredBatch(fs: FileSystem, path: HPath): Option[Long] =
     if (!fs.exists(path)) None
     else fs.listStatus(path).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("__batch_id="))
-      .map(_.stripPrefix("__batch_id=").toLong)
+      .flatMap(_.stripPrefix("__batch_id=").toLongOption)
       .maxOption
 
   /** One micro-batch: pairs completed by `batch` written to
@@ -95,12 +99,21 @@ object NearDupStream {
     val spark = batch.sparkSession
     val target = new HPath(bucketsPath)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    maxStoredBatch(fs, target).foreach(m => require(batchId >= m,
-      s"batch $batchId is behind the stored bucket table (newest " +
-        s"partition $m) at $bucketsPath — a lost or foreign checkpoint " +
-        "would silently hide the corpus and clobber old partitions; " +
-        "refusing"))
-    checkParams(fs, bucketsPath, paramsTag(nBits, seed, dims))
+    maxStoredBatch(fs, target).foreach { m =>
+      require(batchId >= m,
+        s"batch $batchId is behind the stored bucket table (newest " +
+          s"partition $m) at $bucketsPath — a lost or foreign checkpoint " +
+          "would silently hide the corpus and clobber old partitions; " +
+          "refusing")
+      require(batchId <= m + 1,
+        s"batch $batchId skips past the stored bucket table (newest " +
+          s"partition $m) at $bucketsPath — the intervening batches' " +
+          "vectors are missing from the corpus (restored from an old " +
+          "backup?); their pairs would silently never be emitted")
+    }
+    val tag = paramsTag(idCol, vecCol, nBits, seed, dims)
+    checkParams(fs, bucketsPath, tag)
+    fs.mkdirs(target) // the explicit-schema read below needs a valid path
     CacheScope.withScope { scope =>
       // derived once: feeds the pair join AND the bucket write
       val bucketsNow = scope.retain(
@@ -117,6 +130,9 @@ object NearDupStream {
       writePartitioned(pairs, pairsPath, batchId)
       writePartitioned(bucketsNow, bucketsPath, batchId)
     }
+    // pinned only after the batch's writes succeeded: a failed first
+    // batch cannot freeze mistaken parameters onto an empty table
+    stampParams(fs, bucketsPath, tag)
   }
 
   /** Attach the sink to a streaming vector source and start it. */

@@ -81,6 +81,15 @@ class NearDupStreamSpec extends SparkSpec {
         bucketsPath = buckets, pairsPath = pairs)
     }
     assert(mismatch.getMessage.contains("plane family"))
+
+    // gap guard: a batch id that skips past the stored table means the
+    // intervening batches' vectors are missing — refuse loudly
+    val gap = intercept[IllegalArgumentException] {
+      NearDupStream.processBatch(lastBatch, lastId + 5,
+        "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3,
+        bucketsPath = buckets, pairsPath = pairs)
+    }
+    assert(gap.getMessage.contains("skips past the stored bucket table"))
   }
 
   test("a torn or empty bucket directory reads as an empty corpus") {

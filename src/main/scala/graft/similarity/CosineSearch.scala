@@ -265,4 +265,38 @@ object CosineSearch {
         if (nProbe == 1) None else Some(Seq(col("centroid_id"))))
       .select(col("vec_a"), col("vec_b"), col("centroid_id"), col("cos_sim"))
   }
+
+  /** Incremental IVF near-dup pairs: a NEW batch against an EXISTING
+    * corpus assignment table (an [[ivfAssign]] output — with the SAME
+    * centroids and nProbe — maintained across runs; append the batch's
+    * assignment after each call), plus pairs within the batch. Only the
+    * increment is scored against the centroids; the corpus is touched
+    * through the bucket join alone — the same continuous-ingest shape
+    * as the LSH/simhash/minhash/jaccard incremental operators, with the
+    * same contract (spec-pinned): ids disjoint, result = [[ivfNearDupPairs]]
+    * over (corpus + batch) restricted to pairs touching a new vector.
+    * Output: (vec_a = new id, vec_b = matched id, centroid_id,
+    * cos_sim); batch-internal pairs a < b. */
+  def ivfNearDupPairsIncremental(
+      newVecs: DataFrame, corpusAssigned: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centroidIdCol: String,
+      threshold: Double, nProbe: Int = 1,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val newAssigned = scope.retain(
+      ivfAssign(newVecs, centroids, idCol, vecCol, centroidIdCol, nProbe))
+    val n = newAssigned.select(col("centroid_id"), col(idCol).as("vec_a"),
+      col(vecCol).as("va"), col("norm_sq").as("na"))
+    val c = corpusAssigned.select(col("centroid_id"), col(idCol).as("vec_b"),
+      col(vecCol).as("vb"), col("norm_sq").as("nb"))
+    val vsCorpus = n.join(c, Seq("centroid_id"))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val n2 = newAssigned.select(col("centroid_id"), col(idCol).as("vec_b"),
+      col(vecCol).as("vb"), col("norm_sq").as("nb"))
+    val within = n.join(n2, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+    scorePairs(vsCorpus.unionByName(within), threshold,
+        if (nProbe == 1) None else Some(Seq(col("centroid_id"))))
+      .select(col("vec_a"), col("vec_b"), col("centroid_id"), col("cos_sim"))
+  }
 }

@@ -188,6 +188,29 @@ class CosineSearchSpec extends SparkSpec {
     assert(got2.map(norm).toSet == expected2)
   }
 
+  test("incremental IVF near-dup equals full-corpus pairs on new docs") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = e.filter(col("vec_id") < 16)
+    val corpus = e.filter(col("vec_id") >= 100)
+    val batch = e.filter(col("vec_id") < 100)
+    // the persisted corpus assignment, built once with the same
+    // centroids and reused across ingest calls
+    val stored = CosineSearch.ivfAssign(
+      corpus, cents, "vec_id", "embedding", "vec_id", nAssign = 2)
+      .localCheckpoint()
+    def norm(p: (Long, Long)) = if (p._1 < p._2) p else p.swap
+    val full = CosineSearch.ivfNearDupPairs(e, cents,
+        "vec_id", "embedding", "vec_id", threshold = 0.3, nProbe = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 < 100 || p._2 < 100).map(norm)
+    val got = CosineSearch.ivfNearDupPairsIncremental(batch, stored, cents,
+        "vec_id", "embedding", "vec_id", threshold = 0.3, nProbe = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    assert(expected.nonEmpty)
+    assert(got.map(norm).toSet == expected)
+    assert(got.length == got.toSet.size, "pair emitted twice")
+  }
+
   test("incremental amplified LSH equals full-corpus amplified pairs on new docs") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = e.filter(col("vec_id") >= 100)

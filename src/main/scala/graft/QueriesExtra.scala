@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingHashExpr
-import graft.operators.{CsvExtract, LineDedup, RareTokens}
+import graft.operators.{CsvExtract, LineDedup, QualityFilter, RareTokens}
 import graft.similarity.{CosineSearch, Quantize}
 
 /** Fourth query group: CSV-extract transform, BPE-ish token counting,
@@ -398,6 +398,94 @@ object QueriesExtra {
        |       // count(*) AS BIGINT) AS dup_ppm
        |FROM l JOIN d ON md5(l.line) = d.fp GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- C4 line filter
+  // C4-style line rules over the same 10-word pseudo-line chunking as
+  // q_line_dedup: short lines and lines containing a blacklisted phrase
+  // are removed, documents are re-assembled in line order, documents left
+  // with too few lines are dropped whole. The terminal-punctuation rule
+  // is off (the synthetic corpus has no sentence punctuation) and is
+  // exercised by the spec's punctuated fixtures instead.
+  private val C4Rules = QualityFilter.LineRules(
+    minWordsPerLine = 6, requireTerminalPunct = false,
+    blacklist = Seq("slow"), minKeptLines = 3)
+
+  def qC4Lines(s: SparkSession, dir: String): DataFrame =
+    QualityFilter.cleanLines(t(s, dir, "documents"), "doc_id", "text",
+      LineWords, C4Rules)
+
+  val qC4LinesSql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |  FROM c),
+       |l AS (SELECT doc_id, CAST((i - 1) // $LineWords AS BIGINT) AS line_no,
+       |        string_agg(w, ' ' ORDER BY i) AS line
+       |      FROM t GROUP BY 1, 2),
+       |k AS (SELECT doc_id, line_no, line FROM l
+       |      WHERE (CASE WHEN line = '' THEN 0
+       |             ELSE length(line) - length(replace(line, ' ', '')) + 1 END)
+       |              >= ${C4Rules.minWordsPerLine}
+       |        AND NOT contains(lower(line), '${C4Rules.blacklist.head}'))
+       |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS cleaned_text,
+       |       count(*) AS n_lines_kept
+       |FROM k GROUP BY doc_id
+       |HAVING count(*) >= ${C4Rules.minKeptLines}""".stripMargin
+
+  // ------------------------------------------------------------- semdedup
+  // SemDeDup composite: IVF cluster assignment -> within-cluster cosine
+  // near-dup pairs -> transitive closure -> keep the member FARTHEST from
+  // its centroid (the paper's keeper rule). The oracle chains the
+  // assignment/pair SQL with a recursive-CTE closure and the same keeper
+  // window — an independent BFS-fixpoint formulation of the clustering.
+  private val SemDedupThreshold = 0.35
+
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.similarity.SemDedup.verdicts(e, e.filter(col("vec_id") < 16),
+      "vec_id", "embedding", "vec_id", SemDedupThreshold)
+  }
+
+  val qSemDedupSql: String =
+    s"""WITH RECURSIVE $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm_sq AS c_norm_sq
+       |          FROM n WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, centroid_id, c_sim FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |        / (sqrt(CAST(any_value(v.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(c.c_norm_sq) AS DOUBLE))) AS c_sim,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |          / (sqrt(CAST(any_value(v.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(c.c_norm_sq) AS DOUBLE))) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM n v CROSS JOIN cents c CROSS JOIN range(1, 65) t(i)
+       |    GROUP BY v.vec_id, c.centroid_id) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      CAST(SUM(CAST(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |        / (sqrt(CAST(any_value(x.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(y.norm_sq) AS DOUBLE))) AS cos_sim
+       |    FROM asg a JOIN asg b
+       |      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |    JOIN n x ON x.vec_id = a.vec_id
+       |    JOIN n y ON y.vec_id = b.vec_id
+       |    CROSS JOIN range(1, 65) t(i)
+       |    GROUP BY a.vec_id, b.vec_id)
+       |  WHERE cos_sim >= $SemDedupThreshold),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION SELECT vec_b, vec_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+       |labels AS (SELECT node AS vec_id, MIN(r) AS cluster_id
+       |           FROM reach GROUP BY node)
+       |SELECT l.vec_id, l.cluster_id, a.c_sim AS centroid_sim,
+       |  (row_number() OVER (PARTITION BY l.cluster_id
+       |     ORDER BY a.c_sim ASC NULLS FIRST, l.vec_id) = 1) AS keep
+       |FROM labels l JOIN asg a USING (vec_id)""".stripMargin
+
   // ------------------------------------------------------- unigram rarity
   // CCNet-perplexity analogue with integer-exact arithmetic: documents
   // scored against the corpus's own unigram counts. Every 10th document
@@ -468,6 +556,8 @@ object QueriesExtra {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_rolling_fp" -> (qRollingFp _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_c4_lines" -> (qC4Lines _),
+    "q_semdedup" -> (qSemDedup _),
     "q_rare_tokens" -> (qRareTokens _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_pq_encode" -> (qPqEncode _),
@@ -486,6 +576,8 @@ object QueriesExtra {
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_rolling_fp" -> qRollingFpSql,
     "q_line_dedup" -> qLineDedupSql,
+    "q_c4_lines" -> qC4LinesSql,
+    "q_semdedup" -> qSemDedupSql,
     "q_rare_tokens" -> qRareTokensSql,
     "q_embed_quant" -> qEmbedQuantSql,
     "q_pq_encode" -> qPqEncodeSql,

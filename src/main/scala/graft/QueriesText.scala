@@ -417,6 +417,52 @@ object QueriesText {
        |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
 
+  // ------------------------------------------------------- gopher quality
+  // Gopher-style document-quality rules (public paper thresholds narrowed
+  // so both keep outcomes occur on the synthetic corpus): word-count
+  // bounds, mean word length, symbol density, alphabetic-word fraction,
+  // stopword floor. Metrics ride along with the verdict so the oracle
+  // hash checks the arithmetic, not just the final booleans.
+  private val Gopher = graft.operators.QualityFilter.GopherThresholds(
+    minWords = 30, maxWords = 90, minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+    maxSymbolRatio = 0.1, minAlphaFrac = 0.8, minStopHits = 2)
+
+  def qGopherQuality(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.gopherStats(
+      t(s, dir, "documents"), "doc_id", "text", Gopher)
+
+  val qGopherQualitySql: String = {
+    val stopScore = sqlLangScore("(' ' || sl || ' ')",
+      graft.operators.QualityFilter.StopMarkers)
+    s"""WITH c AS (SELECT doc_id, ${sqlCollapse("text")} AS s,
+       |             ${sqlCollapse("lower(text)")} AS sl FROM documents),
+       |m AS (SELECT doc_id, s, ${sqlTokens("s")} AS n_words,
+       |        $stopScore AS stop_hits
+       |      FROM c),
+       |g AS (SELECT doc_id, n_words, stop_hits,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |       ELSE CAST(length(s) - (n_words - 1) AS DOUBLE)
+       |            / CAST(n_words AS DOUBLE) END AS mean_word_len,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |       ELSE CAST((length(s) - length(replace(s, '#', ''))) / 1
+       |               + (length(s) - length(replace(s, '...', ''))) / 3 AS DOUBLE)
+       |            / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |       ELSE CAST(len(list_filter(regexp_split_to_array(s, ' '),
+       |                    w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+       |            / CAST(n_words AS DOUBLE) END AS alpha_frac
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |  stop_hits,
+       |  (n_words BETWEEN ${Gopher.minWords} AND ${Gopher.maxWords})
+       |   AND (mean_word_len BETWEEN ${Gopher.minMeanWordLen}
+       |          AND ${Gopher.maxMeanWordLen})
+       |   AND symbol_ratio <= ${Gopher.maxSymbolRatio}
+       |   AND alpha_frac >= ${Gopher.minAlphaFrac}
+       |   AND stop_hits >= ${Gopher.minStopHits} AS keep
+       |FROM g""".stripMargin
+  }
+
   // ---------------------------------------------------------- IVF search
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -475,6 +521,7 @@ object QueriesText {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_gopher_quality" -> (qGopherQuality _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -494,5 +541,6 @@ object QueriesText {
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_gopher_quality" -> qGopherQualitySql,
   )
 }

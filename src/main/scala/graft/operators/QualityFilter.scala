@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document-quality filtering for training-data curation — the two
+  * rule families every public web-corpus pipeline applies before dedup:
+  *
+  *  - Gopher-style document rules (Rae et al. 2021, "Scaling Language
+  *    Models"): word-count bounds, mean-word-length bounds, symbol-to-word
+  *    ratio, alphabetic-word fraction, minimum stopword hits. A document
+  *    failing any rule is dropped whole.
+  *  - C4-style line rules (Raffel et al. 2020, "Exploring the Limits of
+  *    Transfer Learning"): per-line minimum word count, terminal
+  *    punctuation, and a phrase blacklist; offending lines are removed and
+  *    documents left with too few lines are dropped.
+  *
+  * Both are pure Column expressions over the scan projection — zero
+  * shuffles for the Gopher path (per-document metrics only); the line
+  * path shuffles once on the document key for re-assembly, exactly like
+  * [[LineDedup.removeCommonLines]]. All arithmetic is the
+  * replace-and-measure / array idiom from [[TextFunctions]], so the same
+  * numbers fall out of any engine (the DuckDB oracle hash-matches the
+  * metrics, not just the verdicts).
+  *
+  * Reference scope: fastETL has no quality filtering (its unit is the
+  * relational row); these operators are part of the beyond-reference
+  * LLM-pipeline layer, like `graft.dedup` and `graft.similarity`.
+  */
+object QualityFilter {
+
+  /** Gopher rule thresholds. Defaults follow the published paper; the
+    * oracle query narrows them to values that discriminate on the test
+    * corpus. */
+  final case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2) {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    require(maxWords >= minWords, "maxWords must be >= minWords")
+    require(maxMeanWordLen >= minMeanWordLen,
+      "maxMeanWordLen must be >= minMeanWordLen")
+  }
+
+  /** Symbols whose density marks machine-generated text: '#' and the
+    * three-dot ellipsis (the paper's hash-and-ellipsis rule). */
+  private val SymbolMarkers: Seq[String] = Seq("#", "...")
+
+  /** Stopwords for the minimum-stopword rule — the English marker set
+    * already used by [[TextFunctions.langScore]]. */
+  val StopMarkers: Seq[String] = Seq(" the ", " a ", " of ")
+
+  /** Per-document Gopher metrics and verdict:
+    * (idCol, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+    * keep). Metrics are emitted alongside the verdict so downstream
+    * mixture/repair decisions can re-threshold without a second corpus
+    * pass. Single map-side pass; no shuffle, no UDFs. */
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String,
+      th: GopherThresholds = GopherThresholds()): DataFrame = {
+    val s = TextFunctions.collapseWs(col(textCol))
+    val nWords = TextFunctions.tokenCount(col(textCol))
+    // total word chars = collapsed length minus the (n-1) separators
+    val meanWordLen = when(nWords === 0, lit(0.0)).otherwise(
+      (length(s) - (nWords - lit(1))).cast("double") / nWords.cast("double"))
+    val symbolHits = SymbolMarkers.map(m =>
+      (length(s) - length(replace(s, lit(m), lit("")))) / lit(m.length))
+      .reduce(_ + _)
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(symbolHits.cast("double") / nWords.cast("double"))
+    // a word counts as alphabetic if it contains at least one letter
+    val alphaWords = size(filter(split(s, " "), w => w.rlike("[a-zA-Z]")))
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(alphaWords.cast("double") / nWords.cast("double"))
+    val stopHits = TextFunctions.langScore(lower(col(textCol)), StopMarkers)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("keep",
+        col("n_words").between(th.minWords, th.maxWords) &&
+        col("mean_word_len").between(th.minMeanWordLen, th.maxMeanWordLen) &&
+        (col("symbol_ratio") <= th.maxSymbolRatio) &&
+        (col("alpha_frac") >= th.minAlphaFrac) &&
+        (col("stop_hits") >= th.minStopHits))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("stop_hits"), col("keep"))
+  }
+
+  /** The surviving documents (original columns), Gopher rules applied. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+      th: GopherThresholds = GopherThresholds()): DataFrame = {
+    val verdicts = gopherStats(docs, idCol, textCol, th)
+      .filter(col("keep")).select(col(idCol))
+    docs.join(verdicts, Seq(idCol))
+  }
+
+  /** C4 line-rule thresholds. `requireTerminalPunct` is off by default
+    * because corpora without sentence punctuation (like the synthetic
+    * test corpus) would be dropped whole; the spec covers it with
+    * punctuated fixtures. */
+  final case class LineRules(
+      minWordsPerLine: Int = 3,
+      requireTerminalPunct: Boolean = false,
+      blacklist: Seq[String] = Seq("lorem ipsum", "javascript", "cookie"),
+      minKeptLines: Int = 3) {
+    require(minWordsPerLine >= 1,
+      s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    require(minKeptLines >= 1, s"minKeptLines must be >= 1, got $minKeptLines")
+  }
+
+  private val TerminalPunct = Seq(".", "!", "?", "\"")
+
+  /** True when the line passes every C4 rule. Blacklist matching is
+    * case-insensitive substring containment (the paper's rule); word
+    * counting reuses the replace-and-measure idiom. */
+  private def lineKeep(line: Column, rules: LineRules): Column = {
+    val words = when(line === "", lit(0)).otherwise(
+      length(line) - length(replace(line, lit(" "), lit(""))) + 1)
+    val punctOk =
+      if (!rules.requireTerminalPunct) lit(true)
+      else TerminalPunct.map(p => line.endsWith(p)).reduce(_ || _)
+    val blackOk = rules.blacklist
+      .map(b => !lower(line).contains(b.toLowerCase))
+      .foldLeft(lit(true))(_ && _)
+    (words >= rules.minWordsPerLine) && punctOk && blackOk
+  }
+
+  /** C4-style line filtering over the [[LineDedup.lines]] chunking:
+    * offending lines removed, documents re-assembled in original line
+    * order, documents left with fewer than `minKeptLines` lines dropped.
+    * Output: (idCol, cleaned_text, n_lines_kept).
+    *
+    * One keyed shuffle (the per-document re-assembly aggregation);
+    * line verdicts are evaluated map-side inside the same stage as the
+    * chunking, so the corpus is scanned once. */
+  def cleanLines(docs: DataFrame, idCol: String, textCol: String,
+      wordsPerLine: Int, rules: LineRules = LineRules()): DataFrame =
+    LineDedup.lines(docs, idCol, textCol, wordsPerLine)
+      .filter(lineKeep(col("line"), rules))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("line_no"), col("line"))).as("__kept"))
+      .filter(size(col("__kept")) >= rules.minKeptLines)
+      .select(col(idCol),
+        expr("array_join(transform(array_sort(__kept), x -> x.line), ' ')")
+          .as("cleaned_text"),
+        size(col("__kept")).as("n_lines_kept"))
+}

@@ -253,6 +253,16 @@ object CosineSearch {
     // both sides of the bucket self-join read the assignment — retain it
     val assigned = scope.retain(
       ivfAssign(vecs, centroids, idCol, vecCol, centroidIdCol, nProbe))
+    pairsFromAssigned(assigned, idCol, vecCol, threshold, nProbe)
+  }
+
+  /** The bucket self-join + scoring tail of [[ivfNearDupPairs]], over an
+    * already-materialized [[ivfAssign]] output — shared with consumers
+    * that need the assignment for their own purposes as well
+    * ([[SemDedup.verdicts]]) so the corpus-scoring pass isn't re-run. */
+  private[similarity] def pairsFromAssigned(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int): DataFrame = {
     val l = assigned.select(col("centroid_id"), col(idCol).as("vec_a"),
       col(vecCol).as("va"), col("norm_sq").as("na"))
     val r = assigned.select(col("centroid_id"), col(idCol).as("vec_b"),

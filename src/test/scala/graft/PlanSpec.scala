@@ -166,6 +166,51 @@ class PlanSpec extends SparkSpec {
       s"span excision re-scans the corpus ($scans scans):\n$p")
   }
 
+  test("q_gopher_quality is one map-side pass over a pruned scan") {
+    // five document rules, zero shuffles: any Exchange here means a rule
+    // got rewritten as an aggregation/window; the scan must read only
+    // (doc_id, text)
+    // (the loader's round-robin spread of the single-file test parquet
+    // is the one allowed exchange — it carries no key and no data growth)
+    val p = plan("q_gopher_quality")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    val roundRobin = "RoundRobinPartitioning".r.findAllIn(p).length
+    assert(exchanges == roundRobin, s"gopher rules shuffle on a key:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      s"gopher rules aggregate/rank:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"gopher scan not pruned to (doc_id, text):\n$p")
+  }
+
+  test("q_c4_lines shuffles once — the reassembly aggregation only") {
+    // chunking + line verdicts are array arithmetic inside the scan
+    // stage; the single KEYED exchange is the per-document reassembly
+    // groupBy (the loader's round-robin spread rides in front of it)
+    val p = plan("q_c4_lines")
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected 1 keyed exchange, got $keyed:\n$p")
+    assert(!p.contains("Window"), s"line rules rank with a window:\n$p")
+  }
+
+  test("q_semdedup derives the corpus assignment once for pairs and keeper") {
+    // the IVF assignment feeds the pair join (both sides) AND the keeper
+    // scoring — it must be persisted, and no centroid cross join may
+    // remain outside the cached leaf
+    val opt = SparkEntry.queries("q_semdedup")(spark, dir)
+      .queryExecution.optimizedPlan
+    val crosses = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.isEmpty => j
+    }
+    assert(crosses.isEmpty,
+      s"semdedup re-scores centroids outside the cached assignment:\n$opt")
+    val caches = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.nonEmpty && caches.map(_.cacheBuilder).distinct.length == 1,
+      "shared IVF assignment not persisted once for all consumers")
+  }
+
   test("q_centroids aggregates partially before the (group, dim) shuffle") {
     val p = plan("q_centroids")
     assert(p.contains("Generate")) // posexplode fan-out

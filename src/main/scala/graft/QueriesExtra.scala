@@ -426,7 +426,8 @@ object QueriesExtra {
        |      WHERE (CASE WHEN line = '' THEN 0
        |             ELSE length(line) - length(replace(line, ' ', '')) + 1 END)
        |              >= ${C4Rules.minWordsPerLine}
-       |        AND NOT contains(lower(line), '${C4Rules.blacklist.head}'))
+       |        ${C4Rules.blacklist.map(b => "AND NOT contains(lower(line), '" +
+                   b.toLowerCase.replace("'", "''") + "')").mkString(" ")})
        |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS cleaned_text,
        |       count(*) AS n_lines_kept
        |FROM k GROUP BY doc_id

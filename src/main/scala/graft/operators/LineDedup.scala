@@ -59,24 +59,32 @@ object LineDedup {
         expr("CAST(n_dup_lines * 1000000 DIV n_lines AS BIGINT)"))
   }
 
-  /** Documents with their over-represented lines removed (every copy of
-    * a line whose corpus count exceeds `dupThreshold` is dropped, the
-    * RefinedWeb treatment). Re-assembly keeps the original line order
+  /** Per-document reassembly of surviving (idCol, line_no, line) rows:
+    * (idCol, cleaned_text, n_lines_kept). Original line order is kept
     * via an in-group sort of (line_no, line) structs — deterministic
-    * regardless of partitioning. */
-  def removeCommonLines(docs: DataFrame, idCol: String, textCol: String,
-      wordsPerLine: Int, dupThreshold: Long = 1L,
-      scope: CacheScope = CacheScope.session): DataFrame = {
-    val l = scope.retain(lines(docs, idCol, textCol, wordsPerLine)
-      .withColumn("fp", md5(col("line"))))
-    val lineDf = l.groupBy(col("fp")).agg(count(lit(1)).as("line_df"))
-    l.join(lineDf, Seq("fp"))
-      .filter(col("line_df") <= dupThreshold)
+    * regardless of partitioning. Shared by [[removeCommonLines]] and
+    * [[QualityFilter.cleanLines]] (one keyed shuffle each). */
+  private[operators] def reassemble(keptLines: DataFrame,
+      idCol: String): DataFrame =
+    keptLines
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("line_no"), col("line"))).as("__kept"))
       .select(col(idCol),
         expr("array_join(transform(array_sort(__kept), x -> x.line), ' ')")
           .as("cleaned_text"),
         size(col("__kept")).as("n_lines_kept"))
+
+  /** Documents with their over-represented lines removed (every copy of
+    * a line whose corpus count exceeds `dupThreshold` is dropped, the
+    * RefinedWeb treatment). */
+  def removeCommonLines(docs: DataFrame, idCol: String, textCol: String,
+      wordsPerLine: Int, dupThreshold: Long = 1L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val l = scope.retain(lines(docs, idCol, textCol, wordsPerLine)
+      .withColumn("fp", md5(col("line"))))
+    val lineDf = l.groupBy(col("fp")).agg(count(lit(1)).as("line_df"))
+    reassemble(
+      l.join(lineDf, Seq("fp")).filter(col("line_df") <= dupThreshold),
+      idCol)
   }
 }

@@ -56,6 +56,35 @@ object QualityFilter {
     * already used by [[TextFunctions.langScore]]. */
   val StopMarkers: Seq[String] = Seq(" the ", " a ", " of ")
 
+  /** The five Gopher metric expressions over a text column — pure Column
+    * arithmetic shared by [[gopherStats]] (emits them) and
+    * [[gopherFilter]] (folds them straight into a filter predicate, so
+    * the verdict never needs a join back to the corpus). */
+  private final case class Metrics(textCol: String) {
+    private val s = TextFunctions.collapseWs(col(textCol))
+    val nWords: Column = TextFunctions.tokenCount(col(textCol))
+    // total word chars = collapsed length minus the (n-1) separators
+    val meanWordLen: Column = when(nWords === 0, lit(0.0)).otherwise(
+      (length(s) - (nWords - lit(1))).cast("double") / nWords.cast("double"))
+    private val symbolHits = SymbolMarkers.map(m =>
+      (length(s) - length(replace(s, lit(m), lit("")))) / lit(m.length))
+      .reduce(_ + _)
+    val symbolRatio: Column = when(nWords === 0, lit(0.0))
+      .otherwise(symbolHits.cast("double") / nWords.cast("double"))
+    // a word counts as alphabetic if it contains at least one letter
+    private val alphaWords = size(filter(split(s, " "), w => w.rlike("[a-zA-Z]")))
+    val alphaFrac: Column = when(nWords === 0, lit(0.0))
+      .otherwise(alphaWords.cast("double") / nWords.cast("double"))
+    val stopHits: Column =
+      TextFunctions.langScore(lower(col(textCol)), StopMarkers)
+    def keep(th: GopherThresholds): Column =
+      nWords.between(th.minWords, th.maxWords) &&
+        meanWordLen.between(th.minMeanWordLen, th.maxMeanWordLen) &&
+        (symbolRatio <= th.maxSymbolRatio) &&
+        (alphaFrac >= th.minAlphaFrac) &&
+        (stopHits >= th.minStopHits)
+  }
+
   /** Per-document Gopher metrics and verdict:
     * (idCol, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
     * keep). Metrics are emitted alongside the verdict so downstream
@@ -63,44 +92,19 @@ object QualityFilter {
     * pass. Single map-side pass; no shuffle, no UDFs. */
   def gopherStats(docs: DataFrame, idCol: String, textCol: String,
       th: GopherThresholds = GopherThresholds()): DataFrame = {
-    val s = TextFunctions.collapseWs(col(textCol))
-    val nWords = TextFunctions.tokenCount(col(textCol))
-    // total word chars = collapsed length minus the (n-1) separators
-    val meanWordLen = when(nWords === 0, lit(0.0)).otherwise(
-      (length(s) - (nWords - lit(1))).cast("double") / nWords.cast("double"))
-    val symbolHits = SymbolMarkers.map(m =>
-      (length(s) - length(replace(s, lit(m), lit("")))) / lit(m.length))
-      .reduce(_ + _)
-    val symbolRatio = when(nWords === 0, lit(0.0))
-      .otherwise(symbolHits.cast("double") / nWords.cast("double"))
-    // a word counts as alphabetic if it contains at least one letter
-    val alphaWords = size(filter(split(s, " "), w => w.rlike("[a-zA-Z]")))
-    val alphaFrac = when(nWords === 0, lit(0.0))
-      .otherwise(alphaWords.cast("double") / nWords.cast("double"))
-    val stopHits = TextFunctions.langScore(lower(col(textCol)), StopMarkers)
-    docs
-      .withColumn("n_words", nWords)
-      .withColumn("mean_word_len", meanWordLen)
-      .withColumn("symbol_ratio", symbolRatio)
-      .withColumn("alpha_frac", alphaFrac)
-      .withColumn("stop_hits", stopHits)
-      .withColumn("keep",
-        col("n_words").between(th.minWords, th.maxWords) &&
-        col("mean_word_len").between(th.minMeanWordLen, th.maxMeanWordLen) &&
-        (col("symbol_ratio") <= th.maxSymbolRatio) &&
-        (col("alpha_frac") >= th.minAlphaFrac) &&
-        (col("stop_hits") >= th.minStopHits))
-      .select(col(idCol), col("n_words"), col("mean_word_len"),
-        col("symbol_ratio"), col("alpha_frac"), col("stop_hits"), col("keep"))
+    val m = Metrics(textCol)
+    docs.select(col(idCol), m.nWords.as("n_words"),
+      m.meanWordLen.as("mean_word_len"), m.symbolRatio.as("symbol_ratio"),
+      m.alphaFrac.as("alpha_frac"), m.stopHits.as("stop_hits"),
+      m.keep(th).as("keep"))
   }
 
-  /** The surviving documents (original columns), Gopher rules applied. */
-  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
-      th: GopherThresholds = GopherThresholds()): DataFrame = {
-    val verdicts = gopherStats(docs, idCol, textCol, th)
-      .filter(col("keep")).select(col(idCol))
-    docs.join(verdicts, Seq(idCol))
-  }
+  /** The surviving documents (original columns), Gopher rules applied —
+    * the verdict is evaluated inline in the filter, so this stays a
+    * single map-side scan (no join, no second pass). */
+  def gopherFilter(docs: DataFrame, textCol: String,
+      th: GopherThresholds = GopherThresholds()): DataFrame =
+    docs.filter(Metrics(textCol).keep(th))
 
   /** C4 line-rule thresholds. `requireTerminalPunct` is off by default
     * because corpora without sentence punctuation (like the synthetic
@@ -143,13 +147,9 @@ object QualityFilter {
     * chunking, so the corpus is scanned once. */
   def cleanLines(docs: DataFrame, idCol: String, textCol: String,
       wordsPerLine: Int, rules: LineRules = LineRules()): DataFrame =
-    LineDedup.lines(docs, idCol, textCol, wordsPerLine)
-      .filter(lineKeep(col("line"), rules))
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("line_no"), col("line"))).as("__kept"))
-      .filter(size(col("__kept")) >= rules.minKeptLines)
-      .select(col(idCol),
-        expr("array_join(transform(array_sort(__kept), x -> x.line), ' ')")
-          .as("cleaned_text"),
-        size(col("__kept")).as("n_lines_kept"))
+    LineDedup.reassemble(
+        LineDedup.lines(docs, idCol, textCol, wordsPerLine)
+          .filter(lineKeep(col("line"), rules)),
+        idCol)
+      .filter(col("n_lines_kept") >= rules.minKeptLines)
 }

@@ -47,11 +47,17 @@ object SemDedup {
       CosineSearch.pairsFromAssigned(assigned, idCol, vecCol, threshold, nProbe)
     val labels = ConnectedComponents.labels(pairs, "vec_a", "vec_b")
       .select(col("id").as(idCol), col("cluster_id"))
-    val sims = assigned.groupBy(col(idCol))
+    // restrict to clustered vectors BEFORE aggregating the per-probe
+    // minimum: labels is tiny (duplicate-group members only) and
+    // broadcastable, so the corpus-sized assignment never pays a keyed
+    // exchange just to score vectors the window will not see
+    val memberSims = labels
+      .join(assigned.select(col(idCol), col("c_sim")), Seq(idCol))
+      .groupBy(col(idCol), col("cluster_id"))
       .agg(min(col("c_sim")).as("centroid_sim"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("centroid_sim").asc_nulls_first, col(idCol))
-    labels.join(sims, Seq(idCol))
+    memberSims
       .withColumn("keep", row_number().over(w) === 1)
       .select(col(idCol), col("cluster_id"), col("centroid_sim"), col("keep"))
   }

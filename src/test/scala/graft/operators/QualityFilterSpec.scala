@@ -60,7 +60,7 @@ class QualityFilterSpec extends SparkSpec {
   test("gopherFilter keeps original columns for surviving docs only") {
     val docs = Seq((1L, "the quick brown fox", "x"), (2L, "the cat", "y"))
       .toDF("doc_id", "text", "extra")
-    val kept = QualityFilter.gopherFilter(docs, "doc_id", "text", th)
+    val kept = QualityFilter.gopherFilter(docs, "text", th)
     assert(kept.columns.toSeq == Seq("doc_id", "text", "extra"))
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }

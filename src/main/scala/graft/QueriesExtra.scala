@@ -413,25 +413,70 @@ object QueriesExtra {
     QualityFilter.cleanLines(t(s, dir, "documents"), "doc_id", "text",
       LineWords, C4Rules)
 
-  val qC4LinesSql: String =
-    s"""WITH c AS (SELECT doc_id,
+  /** The C4 chunk/filter/reassemble stages as CTEs over a document
+    * source relation — ends with `rw` = (doc_id, cleaned_text,
+    * n_lines_kept). Shared by q_c4_lines and the curation-pipeline
+    * composite (distinct CTE names so callers can prepend their own). */
+  private def c4KeptSql(sourceRel: String): String =
+    s"""cw AS (SELECT doc_id,
        |    regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
-       |  FROM documents),
-       |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
-       |  FROM c),
-       |l AS (SELECT doc_id, CAST((i - 1) // $LineWords AS BIGINT) AS line_no,
+       |  FROM $sourceRel),
+       |tw AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+       |  FROM cw),
+       |lw AS (SELECT doc_id, CAST((i - 1) // $LineWords AS BIGINT) AS line_no,
        |        string_agg(w, ' ' ORDER BY i) AS line
-       |      FROM t GROUP BY 1, 2),
-       |k AS (SELECT doc_id, line_no, line FROM l
+       |      FROM tw GROUP BY 1, 2),
+       |kw AS (SELECT doc_id, line_no, line FROM lw
        |      WHERE (CASE WHEN line = '' THEN 0
        |             ELSE length(line) - length(replace(line, ' ', '')) + 1 END)
        |              >= ${C4Rules.minWordsPerLine}
        |        ${C4Rules.blacklist.map(b => "AND NOT contains(lower(line), '" +
-                   b.toLowerCase.replace("'", "''") + "')").mkString(" ")})
-       |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS cleaned_text,
+                   b.toLowerCase.replace("'", "''") + "')").mkString(" ")}),
+       |rw AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS cleaned_text,
        |       count(*) AS n_lines_kept
-       |FROM k GROUP BY doc_id
-       |HAVING count(*) >= ${C4Rules.minKeptLines}""".stripMargin
+       |       FROM kw GROUP BY doc_id
+       |       HAVING count(*) >= ${C4Rules.minKeptLines})""".stripMargin
+
+  val qC4LinesSql: String =
+    s"""WITH ${c4KeptSql("documents")}
+       |SELECT doc_id, cleaned_text, n_lines_kept FROM rw""".stripMargin
+
+  // ------------------------------------------------------ curation pipeline
+  // The end-to-end curation composite a training-data pipeline runs
+  // before token export: Gopher document rules -> C4 line rules ->
+  // soft quality-weighted sampling of the CLEANED text. Each stage is
+  // individually oracled (q_gopher_quality, q_c4_lines,
+  // q_weighted_sample); this query pins their composition.
+  def qCuratePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = QualityFilter.gopherFilter(docs, "text", QueriesText.Gopher)
+    val cleaned = QualityFilter.cleanLines(kept, "doc_id", "text",
+      LineWords, C4Rules)
+    graft.operators.Sampling.weightedSample(cleaned, "doc_id",
+        graft.functions.TextFunctions.qualityScore(col("cleaned_text")))
+      .select(col("doc_id"), col("cleaned_text"), col("n_lines_kept"))
+  }
+
+  val qCuratePipelineSql: String = {
+    import QueriesText.{sqlCollapse, sqlTokens, sqlLangScore, sqlQuality, sqlHexFold}
+    s"""WITH keepset AS (SELECT doc_id FROM (
+       |${QueriesText.qGopherQualitySql}
+       |) WHERE keep),
+       |${c4KeptSql("documents JOIN keepset USING (doc_id)")},
+       |sw AS (SELECT doc_id, cleaned_text, n_lines_kept,
+       |         ${sqlCollapse("cleaned_text")} AS s,
+       |         ${sqlCollapse("lower(cleaned_text)")} AS sl FROM rw),
+       |tokw AS (SELECT doc_id, cleaned_text, n_lines_kept, s,
+       |        ${sqlTokens("s")} AS n_tokens,
+       |        ${sqlLangScore("(' ' || sl || ' ')", Seq(" the ", " a ", " of "))} AS stop_hits
+       |        FROM sw),
+       |qw AS (SELECT doc_id, cleaned_text, n_lines_kept,
+       |  ${sqlQuality("s", "n_tokens", "stop_hits")} AS qual
+       |  FROM tokw)
+       |SELECT doc_id, cleaned_text, n_lines_kept FROM qw
+       |WHERE ${sqlHexFold("doc_id")} % 10000 <
+       |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * 10000) AS BIGINT)""".stripMargin
+  }
 
   // ------------------------------------------------------------- semdedup
   // SemDeDup composite: IVF cluster assignment -> within-cluster cosine
@@ -558,6 +603,7 @@ object QueriesExtra {
     "q_rolling_fp" -> (qRollingFp _),
     "q_line_dedup" -> (qLineDedup _),
     "q_c4_lines" -> (qC4Lines _),
+    "q_curate_pipeline" -> (qCuratePipeline _),
     "q_semdedup" -> (qSemDedup _),
     "q_rare_tokens" -> (qRareTokens _),
     "q_embed_quant" -> (qEmbedQuant _),
@@ -578,6 +624,7 @@ object QueriesExtra {
     "q_rolling_fp" -> qRollingFpSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_c4_lines" -> qC4LinesSql,
+    "q_curate_pipeline" -> qCuratePipelineSql,
     "q_semdedup" -> qSemDedupSql,
     "q_rare_tokens" -> qRareTokensSql,
     "q_embed_quant" -> qEmbedQuantSql,

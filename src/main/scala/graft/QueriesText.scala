@@ -20,14 +20,33 @@ object QueriesText {
     Tables.load(s, dir, name)
 
   // --- SQL fragment builders mirroring TextFunctions -----------------
-  private def sqlCollapse(x: String) =
+  // (private[graft]: QueriesExtra's composite queries reuse them)
+  private[graft] def sqlCollapse(x: String) =
     s"trim(regexp_replace($x, '\\s+', ' ', 'g'))"
-  private def sqlTokens(s: String) =
+  private[graft] def sqlTokens(s: String) =
     s"CASE WHEN $s = '' THEN 0 ELSE length($s) - length(replace($s, ' ', '')) + 1 END"
   private def sqlOcc(p: String, m: String) =
     s"((length($p) - length(replace($p, '$m', ''))) / ${m.length})"
-  private def sqlLangScore(p: String, ms: Seq[String]) =
+  private[graft] def sqlLangScore(p: String, ms: Seq[String]) =
     ms.map(m => sqlOcc(p, m)).mkString(" + ")
+
+  /** TextFunctions.qualityScore over pre-computed column names (the
+    * collapsed text `s`, token count, stopword hits) — identical
+    * arithmetic shape on both engines. */
+  private[graft] def sqlQuality(s: String, nTokens: String,
+      stopHits: String): String =
+    s"""least(1.0, CAST($nTokens AS DOUBLE) / 50.0) * 0.4 +
+       |  least(1.0, ($stopHits / (CAST($nTokens AS DOUBLE) + 1.0)) * 5.0) * 0.3 +
+       |  CASE WHEN ((length($s) - ($nTokens - 1)) * 1.0 / (CAST($nTokens AS DOUBLE) + 1.0))
+       |            BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END""".stripMargin
+
+  /** Sampling.hashBucket as a DuckDB fold: first 6 md5 hex chars of the
+    * key to BIGINT (pure-SQL hex fold, engine-portable). */
+  private[graft] def sqlHexFold(key: String): String =
+    s"list_reduce(list_transform(regexp_split_to_array(" +
+      s"substr(md5(CAST($key AS VARCHAR)), 1, 6), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      "(a, x) -> a * 16 + x)"
 
   // ----------------------------------------------------------- text stats
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
@@ -55,10 +74,7 @@ object QueriesText {
        |  CASE WHEN length(s) = 0 THEN 0.0
        |       ELSE CAST(length(s) - length(translate(s, '.,;:!?"''()-', '')) AS DOUBLE)
        |            / CAST(length(s) AS DOUBLE) END AS punct_ratio,
-       |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
-       |  least(1.0, (stop_hits / (CAST(n_tokens AS DOUBLE) + 1.0)) * 5.0) * 0.3 +
-       |  CASE WHEN ((length(s) - (n_tokens - 1)) * 1.0 / (CAST(n_tokens AS DOUBLE) + 1.0))
-       |            BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END AS quality
+       |  ${sqlQuality("s", "n_tokens", "stop_hits")} AS quality
        |FROM tok""".stripMargin
   }
 
@@ -254,11 +270,7 @@ object QueriesText {
 
   val qSampleStratifiedSql: String = {
     // 6 hex chars -> BIGINT (pure-SQL fold; same idiom as simhash oracle)
-    val hexFold =
-      "list_reduce(list_transform(regexp_split_to_array(" +
-        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''), " +
-        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
-        "(a, x) -> a * 16 + x)"
+    val hexFold = sqlHexFold("doc_id")
     // FLOOR on both engines — a bare BIGINT cast rounds in DuckDB but
     // truncates in Spark, diverging whenever rate*buckets is fractional
     // (the 'es' rate makes it 3333.5 so the gate exercises this)
@@ -417,13 +429,40 @@ object QueriesText {
        |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
 
+  // ------------------------------------------------------ weighted sample
+  // Soft quality filtering: each document survives with probability equal
+  // to its quality score (clamped [0,1]) via the deterministic md5-bucket
+  // decision — the softer curation rule used when a hard threshold hurts
+  // corpus diversity. The oracle replays the identical score arithmetic
+  // (the q_text_stats quality fragment) and bucket fold.
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("text"))
+    graft.operators.Sampling.weightedSample(
+        docs, "doc_id", TextFunctions.qualityScore(col("text")), SampleBuckets)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val qWeightedSampleSql: String =
+    s"""WITH c AS (SELECT doc_id, lang, ${sqlCollapse("text")} AS s,
+       |             ${sqlCollapse("lower(text)")} AS sl FROM documents),
+       |tok AS (SELECT doc_id, lang, s, ${sqlTokens("s")} AS n_tokens,
+       |        ${sqlLangScore("(' ' || sl || ' ')", Seq(" the ", " a ", " of "))} AS stop_hits
+       |        FROM c),
+       |q AS (SELECT doc_id, lang,
+       |  ${sqlQuality("s", "n_tokens", "stop_hits")} AS qual
+       |  FROM tok)
+       |SELECT doc_id, lang FROM q
+       |WHERE ${sqlHexFold("doc_id")} % $SampleBuckets <
+       |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * $SampleBuckets) AS BIGINT)""".stripMargin
+
   // ------------------------------------------------------- gopher quality
   // Gopher-style document-quality rules (public paper thresholds narrowed
   // so both keep outcomes occur on the synthetic corpus): word-count
   // bounds, mean word length, symbol density, alphabetic-word fraction,
   // stopword floor. Metrics ride along with the verdict so the oracle
   // hash checks the arithmetic, not just the final booleans.
-  private val Gopher = graft.operators.QualityFilter.GopherThresholds(
+  private[graft] val Gopher = graft.operators.QualityFilter.GopherThresholds(
     minWords = 30, maxWords = 90, minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
     maxSymbolRatio = 0.1, minAlphaFrac = 0.8, minStopHits = 2)
 
@@ -522,6 +561,7 @@ object QueriesText {
     "q_embed_topk" -> (qEmbedTopk _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_gopher_quality" -> (qGopherQuality _),
+    "q_weighted_sample" -> (qWeightedSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -542,5 +582,6 @@ object QueriesText {
     "q_embed_topk" -> qEmbedTopkSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_gopher_quality" -> qGopherQualitySql,
+    "q_weighted_sample" -> qWeightedSampleSql,
   )
 }

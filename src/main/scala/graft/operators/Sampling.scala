@@ -44,6 +44,21 @@ object Sampling {
       .drop("__bucket")
   }
 
+  /** Per-ROW keep probability — soft quality filtering: instead of a
+    * hard threshold on a quality score, each row survives with
+    * probability `rateCol` (clamped to [0, 1]; NULL scores drop the
+    * row), so borderline documents are downweighted rather than
+    * cliff-dropped — the softer curation rule public pipelines use when
+    * a hard cut measurably hurts corpus diversity. The decision is the
+    * same deterministic hash as [[hashSample]]: same key + same score =>
+    * same verdict on every run, partitioning, and engine. Map-side
+    * filter; zero shuffles. */
+  def weightedSample(df: DataFrame, keyCol: String, rateCol: Column,
+      buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(col(keyCol), buckets) <
+      floor(least(lit(1.0), greatest(lit(0.0), rateCol)) *
+        lit(buckets.toDouble)))
+
   /** Downsample to a TARGET MIXTURE: given per-stratum weights (e.g.
     * lang -> share of the output corpus), compute the largest output
     * that honors them without upsampling — T = min over strata of

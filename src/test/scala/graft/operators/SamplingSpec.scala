@@ -76,4 +76,30 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq
       === Seq("en"))
   }
+
+  test("weightedSample keeps per-row probability, clamped, null-dropping") {
+    val d = docs(1000)
+    // rate 1 keeps all; rate 0 and NULL drop all; rates above 1 clamp
+    assert(Sampling.weightedSample(d, "id", lit(1.0)).count() == 1000)
+    assert(Sampling.weightedSample(d, "id", lit(5.0)).count() == 1000)
+    assert(Sampling.weightedSample(d, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(d, "id", lit(-3.0)).count() == 0)
+    assert(Sampling.weightedSample(d, "id",
+      lit(null).cast("double")).count() == 0)
+    // a 30% rate lands near 30% (hash-uniformity, not exactness)
+    val n = Sampling.weightedSample(d, "id", lit(0.3)).count()
+    assert(math.abs(n - 300.0) / 300.0 < 0.15, s"expected ~300, got $n")
+  }
+
+  test("weightedSample is deterministic and monotone in the rate") {
+    val d = docs(800)
+    val a = Sampling.weightedSample(d, "id", lit(0.4))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(d, "id", lit(0.4))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same rate must select the same rows")
+    val wider = Sampling.weightedSample(d, "id", lit(0.7))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider), "raising the rate must only add rows")
+  }
 }

@@ -453,29 +453,21 @@ object QueriesExtra {
     val cleaned = QualityFilter.cleanLines(kept, "doc_id", "text",
       LineWords, C4Rules)
     graft.operators.Sampling.weightedSample(cleaned, "doc_id",
-        graft.functions.TextFunctions.qualityScore(col("cleaned_text")))
+        graft.functions.TextFunctions.qualityScore(col("cleaned_text")),
+        QueriesText.SampleBuckets)
       .select(col("doc_id"), col("cleaned_text"), col("n_lines_kept"))
   }
 
   val qCuratePipelineSql: String = {
-    import QueriesText.{sqlCollapse, sqlTokens, sqlLangScore, sqlQuality, sqlHexFold}
+    import QueriesText.{sqlQualityCtes, sqlHexFold, SampleBuckets}
     s"""WITH keepset AS (SELECT doc_id FROM (
        |${QueriesText.qGopherQualitySql}
        |) WHERE keep),
        |${c4KeptSql("documents JOIN keepset USING (doc_id)")},
-       |sw AS (SELECT doc_id, cleaned_text, n_lines_kept,
-       |         ${sqlCollapse("cleaned_text")} AS s,
-       |         ${sqlCollapse("lower(cleaned_text)")} AS sl FROM rw),
-       |tokw AS (SELECT doc_id, cleaned_text, n_lines_kept, s,
-       |        ${sqlTokens("s")} AS n_tokens,
-       |        ${sqlLangScore("(' ' || sl || ' ')", Seq(" the ", " a ", " of "))} AS stop_hits
-       |        FROM sw),
-       |qw AS (SELECT doc_id, cleaned_text, n_lines_kept,
-       |  ${sqlQuality("s", "n_tokens", "stop_hits")} AS qual
-       |  FROM tokw)
+       |${sqlQualityCtes("rw", "cleaned_text", Seq("cleaned_text", "n_lines_kept"))}
        |SELECT doc_id, cleaned_text, n_lines_kept FROM qw
-       |WHERE ${sqlHexFold("doc_id")} % 10000 <
-       |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * 10000) AS BIGINT)""".stripMargin
+       |WHERE ${sqlHexFold("doc_id")} % $SampleBuckets <
+       |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * $SampleBuckets) AS BIGINT)""".stripMargin
   }
 
   // ------------------------------------------------------------- semdedup

@@ -40,6 +40,23 @@ object QueriesText {
        |  CASE WHEN ((length($s) - ($nTokens - 1)) * 1.0 / (CAST($nTokens AS DOUBLE) + 1.0))
        |            BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END""".stripMargin
 
+  /** The quality-score CTE chain over a text expression: emits CTEs
+    * `sw`/`tokw` ending in `qw` = (doc_id, <carryCols>, qual). Shared by
+    * q_weighted_sample and the curation-pipeline composite so the score
+    * arithmetic (and the stop-marker list) exists once per side. */
+  private[graft] def sqlQualityCtes(sourceRel: String, textExpr: String,
+      carryCols: Seq[String]): String = {
+    val carry = (Seq("doc_id") ++ carryCols).mkString(", ")
+    s"""sw AS (SELECT $carry, ${sqlCollapse(textExpr)} AS s,
+       |         ${sqlCollapse(s"lower($textExpr)")} AS sl FROM $sourceRel),
+       |tokw AS (SELECT $carry, s, ${sqlTokens("s")} AS n_tokens,
+       |        ${sqlLangScore("(' ' || sl || ' ')", TextFunctions.QualityStopMarkers)} AS stop_hits
+       |        FROM sw),
+       |qw AS (SELECT $carry,
+       |  ${sqlQuality("s", "n_tokens", "stop_hits")} AS qual
+       |  FROM tokw)""".stripMargin
+  }
+
   /** Sampling.hashBucket as a DuckDB fold: first 6 md5 hex chars of the
     * key to BIGINT (pure-SQL hex fold, engine-portable). */
   private[graft] def sqlHexFold(key: String): String =
@@ -56,7 +73,7 @@ object QueriesText {
       col("doc_id"),
       TextFunctions.tokenCount(c).as("n_tokens"),
       length(TextFunctions.collapseWs(c)).as("n_chars_norm"),
-      TextFunctions.langScore(lower(c), Seq(" the ", " a ", " of "))
+      TextFunctions.langScore(lower(c), TextFunctions.QualityStopMarkers)
         .as("stop_hits"),
       TextFunctions.punctRatio(c).as("punct_ratio"),
       TextFunctions.qualityScore(c).as("quality"))
@@ -68,7 +85,7 @@ object QueriesText {
     val p = s"' ' || sl || ' '"
     s"""WITH c AS (SELECT doc_id, $s0 AS s, $sl AS sl FROM documents),
        |tok AS (SELECT doc_id, s, sl, ${sqlTokens("s")} AS n_tokens,
-       |        ${sqlLangScore("(' ' || sl || ' ')", Seq(" the ", " a ", " of "))} AS stop_hits
+       |        ${sqlLangScore("(' ' || sl || ' ')", TextFunctions.QualityStopMarkers)} AS stop_hits
        |        FROM c)
        |SELECT doc_id, n_tokens, length(s) AS n_chars_norm, stop_hits,
        |  CASE WHEN length(s) = 0 THEN 0.0
@@ -260,7 +277,7 @@ object QueriesText {
   // to 50%) with hash sampling — reproducible across runs, partitionings,
   // and engines, unlike seeded per-partition RNG. The oracle replays the
   // identical md5-bucket decision.
-  private val SampleBuckets = 10000
+  private[graft] val SampleBuckets = 10000
 
   def qSampleStratified(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedSample(
@@ -444,15 +461,8 @@ object QueriesText {
   }
 
   val qWeightedSampleSql: String =
-    s"""WITH c AS (SELECT doc_id, lang, ${sqlCollapse("text")} AS s,
-       |             ${sqlCollapse("lower(text)")} AS sl FROM documents),
-       |tok AS (SELECT doc_id, lang, s, ${sqlTokens("s")} AS n_tokens,
-       |        ${sqlLangScore("(' ' || sl || ' ')", Seq(" the ", " a ", " of "))} AS stop_hits
-       |        FROM c),
-       |q AS (SELECT doc_id, lang,
-       |  ${sqlQuality("s", "n_tokens", "stop_hits")} AS qual
-       |  FROM tok)
-       |SELECT doc_id, lang FROM q
+    s"""WITH ${sqlQualityCtes("documents", "text", Seq("lang"))}
+       |SELECT doc_id, lang FROM qw
        |WHERE ${sqlHexFold("doc_id")} % $SampleBuckets <
        |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * $SampleBuckets) AS BIGINT)""".stripMargin
 

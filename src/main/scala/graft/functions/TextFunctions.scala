@@ -74,11 +74,16 @@ object TextFunctions {
           length(s).cast("double"))
   }
 
+  /** Stopword markers used by [[qualityScore]] and the Gopher stopword
+    * floor (`QualityFilter.StopMarkers`) — one constant so the Spark
+    * expressions and every SQL oracle fragment stay in lockstep. */
+  val QualityStopMarkers: Seq[String] = Seq(" the ", " a ", " of ")
+
   /** Composite quality score in [0,1]: length credit, stopword credit,
     * token-shape credit. Deterministic double arithmetic. */
   def qualityScore(c: Column): Column = {
     val tokens = tokenCount(c)
-    val stopRatio = langScore(lower(c), Seq(" the ", " a ", " of ")) /
+    val stopRatio = langScore(lower(c), QualityStopMarkers) /
       (tokens.cast("double") + lit(1.0))
     val s = collapseWs(c)
     val avgTokLen = (length(s) - (tokens - lit(1))).cast("double") /

@@ -52,9 +52,9 @@ object QualityFilter {
     * three-dot ellipsis (the paper's hash-and-ellipsis rule). */
   private val SymbolMarkers: Seq[String] = Seq("#", "...")
 
-  /** Stopwords for the minimum-stopword rule — the English marker set
-    * already used by [[TextFunctions.langScore]]. */
-  val StopMarkers: Seq[String] = Seq(" the ", " a ", " of ")
+  /** Stopwords for the minimum-stopword rule — the same marker set the
+    * quality score uses, shared so the two rules can't drift. */
+  val StopMarkers: Seq[String] = TextFunctions.QualityStopMarkers
 
   /** The five Gopher metric expressions over a text column — pure Column
     * arithmetic shared by [[gopherStats]] (emits them) and

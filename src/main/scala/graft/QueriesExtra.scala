@@ -470,6 +470,43 @@ object QueriesExtra {
        |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * $SampleBuckets) AS BIGINT)""".stripMargin
   }
 
+  // ---------------------------------------------------------- corpus diff
+  // Snapshot change detection: both engines synthesize the same "next
+  // crawl" from the documents table (every 10th doc deleted, every 7th
+  // surviving doc revised, every 13th doc re-added under a shifted id)
+  // and diff it against the original by content fingerprint.
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val retained = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev")))
+          .otherwise(col("text")))
+    val added = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    graft.operators.CorpusDiff.diff(
+      docs, retained.unionByName(added), "doc_id", "text")
+  }
+
+  val qCorpusDiffSql: String = {
+    val fp = s"md5(lower(${QueriesText.sqlCollapse("text")}))"
+    s"""WITH oldc AS (SELECT doc_id, $fp AS fp FROM documents),
+       |newdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 13 = 0),
+       |newc AS (SELECT doc_id, $fp AS fp FROM newdocs)
+       |SELECT doc_id, status FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN o.fp IS NULL THEN 'added'
+       |         WHEN n.fp IS NULL THEN 'removed'
+       |         WHEN o.fp <> n.fp THEN 'changed' END AS status
+       |  FROM oldc o FULL JOIN newc n USING (doc_id))
+       |WHERE status IS NOT NULL""".stripMargin
+  }
+
   // ------------------------------------------------------------- semdedup
   // SemDeDup composite: IVF cluster assignment -> within-cluster cosine
   // near-dup pairs -> transitive closure -> keep the member FARTHEST from
@@ -596,6 +633,7 @@ object QueriesExtra {
     "q_line_dedup" -> (qLineDedup _),
     "q_c4_lines" -> (qC4Lines _),
     "q_curate_pipeline" -> (qCuratePipeline _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "q_semdedup" -> (qSemDedup _),
     "q_rare_tokens" -> (qRareTokens _),
     "q_embed_quant" -> (qEmbedQuant _),
@@ -617,6 +655,7 @@ object QueriesExtra {
     "q_line_dedup" -> qLineDedupSql,
     "q_c4_lines" -> qC4LinesSql,
     "q_curate_pipeline" -> qCuratePipelineSql,
+    "q_corpus_diff" -> qCorpusDiffSql,
     "q_semdedup" -> qSemDedupSql,
     "q_rare_tokens" -> qRareTokensSql,
     "q_embed_quant" -> qEmbedQuantSql,

@@ -58,6 +58,32 @@ class SemDedupSpec extends SparkSpec {
     assert(kept.columns.toSeq == vecs.columns.toSeq)
   }
 
+  test("end-to-end with kmeans-trained centroids on real embeddings") {
+    // the production composition: train coarse centroids, then semdedup
+    // against them — no hand-picked buckets anywhere
+    import graft.core.CacheScope
+    CacheScope.withScope { scope =>
+      val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      val cents = Centroids.kmeans(e, "vec_id", "embedding", k = 8,
+        iters = 2, scope = scope)
+      val v = SemDedup.verdicts(e, cents, "vec_id", "embedding",
+        "centroid_id", threshold = 0.35, scope = scope)
+        .select($"vec_id", $"cluster_id", $"keep")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(v.nonEmpty, "expected duplicate groups at threshold 0.35")
+      // exactly one keeper per group, and every group has >= 2 members
+      v.groupBy(_._2).foreach { case (cid, members) =>
+        assert(members.size >= 2, s"cluster $cid has a lone member")
+        assert(members.count(_._3) == 1, s"cluster $cid keeper count != 1")
+      }
+      // keepers = corpus minus the voted-out members
+      val dropped = v.count(!_._3)
+      val kept = SemDedup.keepers(e, cents, "vec_id", "embedding",
+        "centroid_id", threshold = 0.35, scope = scope).count()
+      assert(kept == e.count() - dropped)
+    }
+  }
+
   test("nProbe=2 joins a boundary-straddling pair into one group") {
     // g/h hug the 45-degree boundary from opposite sides: near-identical
     // (cos ~.999) but primary-assigned to different centroids

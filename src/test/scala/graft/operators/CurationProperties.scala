@@ -102,6 +102,29 @@ object CurationProperties extends Properties("Curation") {
       got == model
     }
 
+  property("CorpusDiff.diff equals the sequential model") =
+    forAll(corpusGen, corpusGen) { (oldC, newC) =>
+      // overlap the id spaces so added/removed/changed/unchanged all occur
+      val oldM = oldC.toMap
+      val newM = newC.map { case (id, t) => (id + oldC.size / 2) -> t }.toMap
+      val norm = (t: String) => t.trim.replaceAll("\\s+", " ").toLowerCase
+      val model = (oldM.keySet ++ newM.keySet).flatMap { id =>
+        (oldM.get(id), newM.get(id)) match {
+          case (None, Some(_)) => Some(id -> "added")
+          case (Some(_), None) => Some(id -> "removed")
+          case (Some(o), Some(n)) if norm(o) != norm(n) =>
+            Some(id -> "changed")
+          case _ => None
+        }
+      }
+      val got = {
+        import spark.implicits._
+        CorpusDiff.diff(df(oldM.toList), df(newM.toList), "doc_id", "text")
+          .as[(Long, String)].collect().toSet
+      }
+      got == model
+    }
+
   property("RepeatedSpans.exciseSpans equals the sequential model") =
     forAll(corpusGen, Gen.choose(2, 3)) { (corpus, n) =>
       val minWords = n + 1

@@ -466,6 +466,32 @@ object QueriesText {
        |WHERE ${sqlHexFold("doc_id")} % $SampleBuckets <
        |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * $SampleBuckets) AS BIGINT)""".stripMargin
 
+  // --------------------------------------------------------- top fraction
+  // Calibrated per-stratum selection: keep the best half of every
+  // language by quality score (FineWeb-style "top X% per domain").
+  // frac = 0.5 is exact in binary so ceil(frac * n) cannot diverge
+  // between engines on representation noise.
+  private val TopFrac = 0.5
+
+  def qTopFraction(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextFunctions.qualityScore(col("text")).as("qual"))
+    graft.operators.Sampling.keepTopFraction(
+        scored, "doc_id", "qual", Seq("lang"), TopFrac)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val qTopFractionSql: String =
+    s"""WITH ${sqlQualityCtes("documents", "text", Seq("lang"))}
+       |SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY qual DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM qw)
+       |WHERE rn <= ceil($TopFrac * n)""".stripMargin
+
   // ------------------------------------------------------- gopher quality
   // Gopher-style document-quality rules (public paper thresholds narrowed
   // so both keep outcomes occur on the synthetic corpus): word-count
@@ -572,6 +598,7 @@ object QueriesText {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_top_fraction" -> (qTopFraction _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -593,5 +620,6 @@ object QueriesText {
     "q_ann_ivf" -> qAnnIvfSql,
     "q_gopher_quality" -> qGopherQualitySql,
     "q_weighted_sample" -> qWeightedSampleSql,
+    "q_top_fraction" -> qTopFractionSql,
   )
 }

@@ -59,6 +59,44 @@ object Sampling {
       floor(least(lit(1.0), greatest(lit(0.0), rateCol)) *
         lit(buckets.toDouble)))
 
+  /** Keep the best `frac` of every stratum by score — calibrated
+    * quality selection ("top X% per language/domain"): rows are ranked
+    * inside their stratum by (score DESC, id ASC — deterministic under
+    * score ties) and the top `ceil(frac * n_stratum)` survive. Exact
+    * keep counts per stratum; cost is one per-stratum sort window, fine
+    * wherever the stratum fits a distributed sort. When even that sort
+    * is the bottleneck at 100 TB, calibrate a CUTOFF on a sketch instead
+    * ([[cutoffForKeepRate]]) and filter map-side — approximate keep
+    * rate, zero sorts. */
+  def keepTopFraction(df: DataFrame, idCol: String, scoreCol: String,
+      strataCols: Seq[String], frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val n = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .drop("__rn", "__n")
+  }
+
+  /** Per-stratum score cutoffs achieving ~`keepRate` via a mergeable
+    * quantile sketch (no sort): the (1 - keepRate) percentile of the
+    * score. Join the result back (broadcast — one row per stratum) and
+    * filter `score >= cutoff` map-side. The approximate-scale companion
+    * to [[keepTopFraction]]. */
+  def cutoffForKeepRate(df: DataFrame, scoreCol: String,
+      strataCols: Seq[String], keepRate: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepRate > 0 && keepRate < 1,
+      s"keepRate must be in (0, 1), got $keepRate")
+    Quantiles.approxQuantiles(df, scoreCol, strataCols,
+        Seq(1.0 - keepRate), accuracy)
+      .select(strataCols.map(col) :+ element_at(col("qs"), 1).as("cutoff"): _*)
+  }
+
   /** Downsample to a TARGET MIXTURE: given per-stratum weights (e.g.
     * lang -> share of the output corpus), compute the largest output
     * that honors them without upsampling — T = min over strata of

@@ -91,6 +91,40 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(n - 300.0) / 300.0 < 0.15, s"expected ~300, got $n")
   }
 
+  test("keepTopFraction keeps exactly ceil(frac*n) per stratum, best first") {
+    import spark.implicits._
+    val d = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.8), ("en", 3L, 0.7), ("en", 4L, 0.6),
+      ("en", 5L, 0.5),
+      ("de", 6L, 0.4), ("de", 7L, 0.3), ("de", 8L, 0.2)
+    ).toDF("lang", "id", "score")
+    val kept = Sampling.keepTopFraction(d, "id", "score", Seq("lang"), 0.5)
+      .select($"id").as[Long].collect().toSet
+    // en: ceil(0.5*5)=3 -> ids 1,2,3; de: ceil(0.5*3)=2 -> ids 6,7
+    assert(kept == Set(1L, 2L, 3L, 6L, 7L))
+  }
+
+  test("keepTopFraction breaks score ties by id, deterministically") {
+    import spark.implicits._
+    val d = Seq(("x", 10L, 1.0), ("x", 11L, 1.0), ("x", 12L, 1.0))
+      .toDF("lang", "id", "score")
+    val kept = Sampling.keepTopFraction(d, "id", "score", Seq("lang"), 0.34)
+      .select($"id").as[Long].collect().toSeq
+    // ceil(0.34*3)=2: lowest ids win among equal scores
+    assert(kept.sorted == Seq(10L, 11L))
+  }
+
+  test("cutoffForKeepRate's cutoff filters to roughly the target rate") {
+    import spark.implicits._
+    val d = (1 to 1000).map(i => ("en", i.toLong, i / 1000.0))
+      .toDF("lang", "id", "score")
+    val cut = Sampling.cutoffForKeepRate(d, "score", Seq("lang"), 0.25)
+    val c = cut.select($"cutoff").as[Double].head()
+    val kept = d.filter($"score" >= c).count()
+    assert(math.abs(kept - 250.0) / 250.0 < 0.05,
+      s"cutoff $c kept $kept of 1000, wanted ~250")
+  }
+
   test("weightedSample is deterministic and monotone in the rate") {
     val d = docs(800)
     val a = Sampling.weightedSample(d, "id", lit(0.4))

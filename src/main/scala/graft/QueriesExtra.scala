@@ -489,7 +489,7 @@ object QueriesExtra {
 
   val qCorpusDiffSql: String = {
     val fp = s"md5(lower(${QueriesText.sqlCollapse("text")}))"
-    s"""WITH oldc AS (SELECT doc_id, $fp AS fp FROM documents),
+    s"""WITH oldc AS (SELECT doc_id, $fp AS fp, TRUE AS in_old FROM documents),
        |newdocs AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev' ELSE text END AS text
@@ -497,12 +497,13 @@ object QueriesExtra {
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
        |  WHERE doc_id % 13 = 0),
-       |newc AS (SELECT doc_id, $fp AS fp FROM newdocs)
+       |newc AS (SELECT doc_id, $fp AS fp, TRUE AS in_new FROM newdocs)
        |SELECT doc_id, status FROM (
        |  SELECT doc_id,
-       |    CASE WHEN o.fp IS NULL THEN 'added'
-       |         WHEN n.fp IS NULL THEN 'removed'
-       |         WHEN o.fp <> n.fp THEN 'changed' END AS status
+       |    CASE WHEN o.in_old IS NULL THEN 'added'
+       |         WHEN n.in_new IS NULL THEN 'removed'
+       |         WHEN NOT (o.fp IS NOT DISTINCT FROM n.fp) THEN 'changed'
+       |    END AS status
        |  FROM oldc o FULL JOIN newc n USING (doc_id))
        |WHERE status IS NOT NULL""".stripMargin
   }

@@ -62,23 +62,30 @@ object Sampling {
   /** Keep the best `frac` of every stratum by score — calibrated
     * quality selection ("top X% per language/domain"): rows are ranked
     * inside their stratum by (score DESC, id ASC — deterministic under
-    * score ties) and the top `ceil(frac * n_stratum)` survive. Exact
-    * keep counts per stratum; cost is one per-stratum sort window, fine
-    * wherever the stratum fits a distributed sort. When even that sort
-    * is the bottleneck at 100 TB, calibrate a CUTOFF on a sketch instead
-    * ([[cutoffForKeepRate]]) and filter map-side — approximate keep
-    * rate, zero sorts. */
+    * score ties) and the top `ceil(frac * n_stratum)` survive. The
+    * threshold is computed in DECIMAL from the frac's decimal rendering,
+    * not double (0.07 * 100 in IEEE is 7.000000000000001 and would ceil
+    * to 8 — the same representation hazard stratifiedSample guards
+    * against), so keep counts are exact for every frac. NULL-score rows
+    * are excluded from both the count and the keep set (the same
+    * contract as [[weightedSample]]). Cost is one per-stratum sort
+    * window, fine wherever the stratum fits a distributed sort; when
+    * even that sort is the bottleneck at 100 TB, calibrate a CUTOFF on
+    * a sketch instead ([[cutoffForKeepRate]]) and filter map-side. */
   def keepTopFraction(df: DataFrame, idCol: String, scoreCol: String,
       strataCols: Seq[String], frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    // Double.toString-based: 0.07 -> decimal 0.07 exactly
+    val fracDec = lit(java.math.BigDecimal.valueOf(frac))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
       .orderBy(col(scoreCol).desc, col(idCol))
     val n = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(n))
-      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .filter(col("__rn") <= ceil(fracDec * col("__n")))
       .drop("__rn", "__n")
   }
 
@@ -86,7 +93,15 @@ object Sampling {
     * quantile sketch (no sort): the (1 - keepRate) percentile of the
     * score. Join the result back (broadcast — one row per stratum) and
     * filter `score >= cutoff` map-side. The approximate-scale companion
-    * to [[keepTopFraction]]. */
+    * to [[keepTopFraction]].
+    *
+    * The realized keep rate is approximate on TWO axes: the sketch's
+    * rank error (tightened by `accuracy`), and — independently — tie
+    * mass at the cutoff: every row tying the cutoff score passes the
+    * `>=` filter, so a score distribution with heavy mass at one value
+    * (clamped or coarse scores) can over-keep far beyond the target,
+    * and no accuracy setting fixes that. Use [[keepTopFraction]] when
+    * scores are coarse and the keep count must hold. */
   def cutoffForKeepRate(df: DataFrame, scoreCol: String,
       strataCols: Seq[String], keepRate: Double,
       accuracy: Int = 10000): DataFrame = {

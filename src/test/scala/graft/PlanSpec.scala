@@ -211,6 +211,34 @@ class PlanSpec extends SparkSpec {
       "shared IVF assignment not persisted once for all consumers")
   }
 
+  test("q_weighted_sample's verdict is a map-side filter — no keyed exchange") {
+    val p = plan("q_weighted_sample")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    val roundRobin = "RoundRobinPartitioning".r.findAllIn(p).length
+    assert(exchanges == roundRobin, s"weighted sample shuffles on a key:\n$p")
+    assert(!p.contains("Window") && !p.contains("HashAggregate"),
+      s"weighted sample aggregates/ranks:\n$p")
+  }
+
+  test("q_curate_pipeline shuffles once — the C4 reassembly only") {
+    // gopher rules and the sampling verdict are filters in the scan
+    // stage; the single keyed exchange is cleanLines' reassembly groupBy
+    val p = plan("q_curate_pipeline")
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected 1 keyed exchange, got $keyed:\n$p")
+  }
+
+  test("q_corpus_diff shuffles fingerprints, never document text") {
+    // the join key exchange must carry (id, 32-hex fp) — if a refactor
+    // moves fingerprinting above the join, text columns appear here
+    val p = plan("q_corpus_diff")
+    val exchanges = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+    val keyed = exchanges.filter(_.contains("hashpartitioning"))
+    assert(keyed.nonEmpty, s"expected a keyed join exchange:\n$p")
+    keyed.foreach(b => assert(!b.contains("text#"),
+      s"diff shuffles document text:\n$b"))
+  }
+
   test("q_centroids aggregates partially before the (group, dim) shuffle") {
     val p = plan("q_centroids")
     assert(p.contains("Generate")) // posexplode fan-out

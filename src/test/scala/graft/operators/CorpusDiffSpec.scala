@@ -41,6 +41,20 @@ class CorpusDiffSpec extends SparkSpec {
       (2L, "delta epsilon REVISED"), (5L, "brand new doc")))
   }
 
+  test("NULL text is presence, not absence") {
+    val o = Seq((1L, Option("alpha")), (2L, Option.empty[String]),
+      (3L, Option("gamma")), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val n = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (4L, Option("now real")))
+      .toDF("doc_id", "text")
+    val d = CorpusDiff.diff(o, n, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    // 1: text -> NULL is a CHANGE (not a removal); 2: NULL in both is
+    // unchanged; 3: removed; 4: NULL -> text is a change
+    assert(d == Set((1L, "changed"), (3L, "removed"), (4L, "changed")))
+  }
+
   test("empty old snapshot marks everything added; empty new marks removed") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val allAdded = CorpusDiff.diff(empty, newSnap, "doc_id", "text")

@@ -85,12 +85,12 @@ class IncrementalPipelineSpec extends SparkSpec {
     CacheScope.withScope { scope =>
       val bands0 = Dedup.bandTable(
         sigs(curate(day0), scope), "doc_id", K, BandSize)
+      // ONE diff feeds both the stale-id eviction and the increment
+      // (the overload exists so this doesn't recompute the join)
       val d = CorpusDiff.diff(day0, day1, "doc_id", "text")
-      // maintenance: drop bands of removed AND changed ids, append the
-      // curated increment's bands (changed docs re-enter with new text)
       val stale = d.filter($"status" =!= CorpusDiff.Added)
         .select($"doc_id").as[Long].collect().toSet
-      val inc = curate(CorpusDiff.changedRows(day0, day1, "doc_id", "text"))
+      val inc = curate(CorpusDiff.changedRows(d, day1, "doc_id"))
       val bands1 = bands0.filter(!$"doc_id".isin(stale.toSeq: _*))
         .unionByName(Dedup.bandTable(sigs(inc, scope), "doc_id", K, BandSize))
       val rebuilt = Dedup.bandTable(

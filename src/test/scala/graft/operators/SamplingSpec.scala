@@ -114,6 +114,44 @@ class SamplingSpec extends SparkSpec {
     assert(kept.sorted == Seq(10L, 11L))
   }
 
+  test("keepTopFraction threshold is decimal-exact, not double-noisy") {
+    import spark.implicits._
+    // 0.07 * 100 in IEEE double is 7.000000000000001 -> a double ceil
+    // keeps 8; the decimal threshold must keep exactly 7
+    val d = (1 to 100).map(i => ("en", i.toLong, (101 - i) / 100.0))
+      .toDF("lang", "id", "score")
+    val kept = Sampling.keepTopFraction(d, "id", "score", Seq("lang"), 0.07)
+    assert(kept.count() == 7, s"expected ceil(0.07*100)=7, got ${kept.count()}")
+  }
+
+  test("keepTopFraction excludes NULL scores from count and keep set") {
+    import spark.implicits._
+    val d = Seq(
+      ("en", 1L, Some(0.9)), ("en", 2L, Some(0.8)), ("en", 3L, Some(0.7)),
+      ("en", 4L, Some(0.6)),
+      ("en", 5L, None), ("en", 6L, None), ("en", 7L, None),
+      ("en", 8L, None), ("en", 9L, None), ("en", 10L, None)
+    ).toDF("lang", "id", "score")
+    val kept = Sampling.keepTopFraction(d, "id", "score", Seq("lang"), 0.5)
+      .select($"id").as[Long].collect().toSet
+    // n = 4 scored rows (not 10): ceil(0.5*4) = 2, and no unscored row
+    // may pass a quality selection
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("cutoffForKeepRate over-keeps under tie mass at the cutoff (documented)") {
+    import spark.implicits._
+    // 90% of scores are the clamped max: the 0.9-quantile IS that value
+    // and >= keeps everything — the documented failure mode that argues
+    // for keepTopFraction when scores are coarse
+    val d = (1 to 1000).map(i =>
+      ("en", i.toLong, if (i <= 100) i / 1000.0 else 1.0))
+      .toDF("lang", "id", "score")
+    val c = Sampling.cutoffForKeepRate(d, "score", Seq("lang"), 0.1)
+      .select($"cutoff").as[Double].head()
+    assert(d.filter($"score" >= c).count() >= 900)
+  }
+
   test("cutoffForKeepRate's cutoff filters to roughly the target rate") {
     import spark.implicits._
     val d = (1 to 1000).map(i => ("en", i.toLong, i / 1000.0))

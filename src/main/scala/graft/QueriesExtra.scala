@@ -470,6 +470,40 @@ object QueriesExtra {
        |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * $SampleBuckets) AS BIGINT)""".stripMargin
   }
 
+  // ------------------------------------------------------ sliding chunks
+  // Context-window preparation: 12-word windows advancing by 9 (3 words
+  // of shared context between consecutive chunks). The oracle rebuilds
+  // the identical layout with integer chunk-count arithmetic and
+  // 1-based inclusive list slicing.
+  private val ChunkWords = 12
+  private val ChunkOverlap = 3
+
+  def qChunkSliding(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingChunks(
+      t(s, dir, "documents"), "doc_id", "text", ChunkWords, ChunkOverlap)
+
+  val qChunkSlidingSql: String = {
+    val stride = ChunkWords - ChunkOverlap
+    s"""WITH c AS (SELECT doc_id,
+       |    regexp_split_to_array(${QueriesText.sqlCollapse("text")}, ' ') AS ws
+       |  FROM documents),
+       |n AS (SELECT doc_id, ws, len(ws) AS nw FROM c),
+       |k AS (SELECT doc_id, ws,
+       |        unnest(range(GREATEST((nw - $ChunkOverlap + ${stride - 1}) // $stride, 1)))
+       |          AS chunk_no
+       |      FROM n),
+       |x AS (SELECT doc_id, chunk_no,
+       |        array_to_string(
+       |          ws[chunk_no * $stride + 1 : chunk_no * $stride + $ChunkWords],
+       |          ' ') AS chunk_text
+       |      FROM k)
+       |SELECT doc_id, chunk_no, chunk_text,
+       |  CASE WHEN chunk_text = '' THEN 0
+       |       ELSE length(chunk_text) - length(replace(chunk_text, ' ', '')) + 1
+       |  END AS n_chunk_words
+       |FROM x""".stripMargin
+  }
+
   // ---------------------------------------------------------- corpus diff
   // Snapshot change detection: both engines synthesize the same "next
   // crawl" from the documents table (every 10th doc deleted, every 7th
@@ -635,6 +669,7 @@ object QueriesExtra {
     "q_c4_lines" -> (qC4Lines _),
     "q_curate_pipeline" -> (qCuratePipeline _),
     "q_corpus_diff" -> (qCorpusDiff _),
+    "q_chunk_sliding" -> (qChunkSliding _),
     "q_semdedup" -> (qSemDedup _),
     "q_rare_tokens" -> (qRareTokens _),
     "q_embed_quant" -> (qEmbedQuant _),
@@ -657,6 +692,7 @@ object QueriesExtra {
     "q_c4_lines" -> qC4LinesSql,
     "q_curate_pipeline" -> qCuratePipelineSql,
     "q_corpus_diff" -> qCorpusDiffSql,
+    "q_chunk_sliding" -> qChunkSlidingSql,
     "q_semdedup" -> qSemDedupSql,
     "q_rare_tokens" -> qRareTokensSql,
     "q_embed_quant" -> qEmbedQuantSql,

@@ -102,6 +102,29 @@ object CurationProperties extends Properties("Curation") {
       got == model
     }
 
+  property("Chunking.slidingChunks equals the sequential model") =
+    forAll(corpusGen, Gen.choose(2, 5), Gen.choose(0, 1)) {
+      (corpus, maxW, ov) =>
+        val stride = maxW - ov
+        val model = corpus.flatMap { case (id, t) =>
+          val ws = toks(t)
+          val n = ws.length
+          val nc = math.max((n - ov + stride - 1) / stride, 1)
+          (0 until nc).map { i =>
+            val slice = ws.slice(i * stride, i * stride + maxW)
+            val text = slice.mkString(" ")
+            val words = if (text.isEmpty) 0 else text.count(_ == ' ') + 1
+            (id, i, text, words)
+          }
+        }.toSet
+        val got = {
+          import spark.implicits._
+          Chunking.slidingChunks(df(corpus), "doc_id", "text", maxW, ov)
+            .as[(Long, Int, String, Int)].collect().toSet
+        }
+        got == model
+    }
+
   property("CorpusDiff.diff equals the sequential model") =
     forAll(corpusGen, corpusGen) { (oldC, newC) =>
       // overlap the id spaces so added/removed/changed/unchanged all occur

@@ -466,6 +466,50 @@ object QueriesText {
        |WHERE ${sqlHexFold("doc_id")} % $SampleBuckets <
        |  CAST(FLOOR(least(1.0, greatest(0.0, qual)) * $SampleBuckets) AS BIGINT)""".stripMargin
 
+  // ----------------------------------------------------- quality histogram
+  // The measurement pass before thresholding: 20-bin histogram of the
+  // quality score over [0, 1). Bin arithmetic is the same double
+  // expression on both engines; integer bin indices, occupied bins only.
+  private val HistBins = 20
+
+  def qQualityHist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusReport.scoreHistogram(
+      t(s, dir, "documents"),
+      TextFunctions.qualityScore(col("text")), HistBins)
+
+  val qQualityHistSql: String = {
+    val w = 1.0 / HistBins
+    s"""WITH ${sqlQualityCtes("documents", "text", Nil)}
+       |SELECT bin, 0.0 + CAST(bin AS DOUBLE) * $w AS lo_edge,
+       |       count(*) AS n
+       |FROM (SELECT LEAST(${HistBins - 1}, GREATEST(0,
+       |        CAST(floor((qual - 0.0) / 1.0 * $HistBins) AS BIGINT))) AS bin
+       |      FROM qw WHERE qual IS NOT NULL)
+       |GROUP BY bin""".stripMargin
+  }
+
+  // ------------------------------------------------------- strata report
+  // Per-language curation report: doc count, total tokens, decimal-exact
+  // mean quality (summed in DECIMAL so aggregation order cannot perturb
+  // the mean the filters would then be calibrated against).
+  def qStrataReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusReport.strataReport(
+      t(s, dir, "documents"), "lang", "text")
+
+  val qStrataReportSql: String =
+    s"""WITH c AS (SELECT lang, ${sqlCollapse("text")} AS s,
+       |             ${sqlCollapse("lower(text)")} AS sl FROM documents),
+       |tok AS (SELECT lang, s, ${sqlTokens("s")} AS n_tokens,
+       |        ${sqlLangScore("(' ' || sl || ' ')", TextFunctions.QualityStopMarkers)} AS stop_hits
+       |        FROM c),
+       |q AS (SELECT lang, n_tokens,
+       |        CAST(${sqlQuality("s", "n_tokens", "stop_hits")} AS DECIMAL(20,12)) AS qd
+       |      FROM tok)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(qd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_quality
+       |FROM q GROUP BY lang""".stripMargin
+
   // --------------------------------------------------------- top fraction
   // Calibrated per-stratum selection: keep the best half of every
   // language by quality score (FineWeb-style "top X% per domain").
@@ -599,6 +643,8 @@ object QueriesText {
     "q_gopher_quality" -> (qGopherQuality _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_top_fraction" -> (qTopFraction _),
+    "q_quality_hist" -> (qQualityHist _),
+    "q_strata_report" -> (qStrataReport _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -621,5 +667,7 @@ object QueriesText {
     "q_gopher_quality" -> qGopherQualitySql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_top_fraction" -> qTopFractionSql,
+    "q_quality_hist" -> qQualityHistSql,
+    "q_strata_report" -> qStrataReportSql,
   )
 }

@@ -35,15 +35,17 @@ object QueriesText {
     * arithmetic shape on both engines. */
   private[graft] def sqlQuality(s: String, nTokens: String,
       stopHits: String): String =
-    s"""least(1.0, CAST($nTokens AS DOUBLE) / 50.0) * 0.4 +
+    s"""CASE WHEN $s IS NULL THEN NULL ELSE
+       |  least(1.0, CAST($nTokens AS DOUBLE) / 50.0) * 0.4 +
        |  least(1.0, ($stopHits / (CAST($nTokens AS DOUBLE) + 1.0)) * 5.0) * 0.3 +
        |  CASE WHEN ((length($s) - ($nTokens - 1)) * 1.0 / (CAST($nTokens AS DOUBLE) + 1.0))
-       |            BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END""".stripMargin
+       |            BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END END""".stripMargin
 
   /** The quality-score CTE chain over a text expression: emits CTEs
-    * `sw`/`tokw` ending in `qw` = (doc_id, <carryCols>, qual). Shared by
-    * q_weighted_sample and the curation-pipeline composite so the score
-    * arithmetic (and the stop-marker list) exists once per side. */
+    * `sw`/`tokw` ending in `qw` = (doc_id, <carryCols>, n_tokens, qual).
+    * Shared by q_weighted_sample, the curation-pipeline composite, and
+    * the profiling oracles so the score arithmetic (and the stop-marker
+    * list) exists once per side. */
   private[graft] def sqlQualityCtes(sourceRel: String, textExpr: String,
       carryCols: Seq[String]): String = {
     val carry = (Seq("doc_id") ++ carryCols).mkString(", ")
@@ -52,7 +54,7 @@ object QueriesText {
        |tokw AS (SELECT $carry, s, ${sqlTokens("s")} AS n_tokens,
        |        ${sqlLangScore("(' ' || sl || ' ')", TextFunctions.QualityStopMarkers)} AS stop_hits
        |        FROM sw),
-       |qw AS (SELECT $carry,
+       |qw AS (SELECT $carry, n_tokens,
        |  ${sqlQuality("s", "n_tokens", "stop_hits")} AS qual
        |  FROM tokw)""".stripMargin
   }
@@ -497,17 +499,12 @@ object QueriesText {
       t(s, dir, "documents"), "lang", "text")
 
   val qStrataReportSql: String =
-    s"""WITH c AS (SELECT lang, ${sqlCollapse("text")} AS s,
-       |             ${sqlCollapse("lower(text)")} AS sl FROM documents),
-       |tok AS (SELECT lang, s, ${sqlTokens("s")} AS n_tokens,
-       |        ${sqlLangScore("(' ' || sl || ' ')", TextFunctions.QualityStopMarkers)} AS stop_hits
-       |        FROM c),
+    s"""WITH ${sqlQualityCtes("documents", "text", Seq("lang"))},
        |q AS (SELECT lang, n_tokens,
-       |        CAST(${sqlQuality("s", "n_tokens", "stop_hits")} AS DECIMAL(20,12)) AS qd
-       |      FROM tok)
+       |        CAST(qual AS DECIMAL(20,12)) AS qd FROM qw)
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-       |  CAST(sum(qd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_quality
+       |  CAST(sum(qd) AS DOUBLE) / CAST(count(qd) AS DOUBLE) AS avg_quality
        |FROM q GROUP BY lang""".stripMargin
 
   // --------------------------------------------------------- top fraction

@@ -23,11 +23,15 @@ object TextFunctions {
   def normalize(c: Column): Column = lower(collapseWs(c))
 
   /** Whitespace token count of the collapsed form. */
-  def tokenCount(c: Column): Column = {
-    val s = collapseWs(c)
+  def tokenCount(c: Column): Column = tokenCountCollapsed(collapseWs(c))
+
+  /** Token count of an ALREADY-collapsed string (single spaces, no
+    * leading/trailing whitespace) — the one copy of the
+    * replace-and-measure idiom, for callers whose input is collapsed by
+    * construction (chunker output, pseudo-lines). */
+  def tokenCountCollapsed(s: Column): Column =
     when(s === "", lit(0))
       .otherwise(length(s) - length(replace(s, lit(" "), lit(""))) + 1)
-  }
 
   /** Number of non-overlapping occurrences of literal `m` in ` s `
     * (space-padded so word markers match at both ends). */
@@ -80,7 +84,10 @@ object TextFunctions {
   val QualityStopMarkers: Seq[String] = Seq(" the ", " a ", " of ")
 
   /** Composite quality score in [0,1]: length credit, stopword credit,
-    * token-shape credit. Deterministic double arithmetic. */
+    * token-shape credit. Deterministic double arithmetic. NULL text
+    * scores NULL — without the guard, `least(1.0, NULL)` SKIPS the null
+    * (Spark and DuckDB both follow the Postgres rule), so an unscorable
+    * document would silently earn the maximum length+stopword credits. */
   def qualityScore(c: Column): Column = {
     val tokens = tokenCount(c)
     val stopRatio = langScore(lower(c), QualityStopMarkers) /
@@ -88,9 +95,11 @@ object TextFunctions {
     val s = collapseWs(c)
     val avgTokLen = (length(s) - (tokens - lit(1))).cast("double") /
       (tokens.cast("double") + lit(1.0))
-    least(lit(1.0), tokens.cast("double") / lit(50.0)) * lit(0.4) +
-      least(lit(1.0), stopRatio * lit(5.0)) * lit(0.3) +
-      when(avgTokLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0))
+    val score =
+      least(lit(1.0), tokens.cast("double") / lit(50.0)) * lit(0.4) +
+        least(lit(1.0), stopRatio * lit(5.0)) * lit(0.3) +
+        when(avgTokLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0))
+    when(c.isNull, lit(null).cast("double")).otherwise(score)
   }
 
   /** Content fingerprint: md5 of the normalized form (hex, engine-stable);

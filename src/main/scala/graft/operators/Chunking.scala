@@ -42,8 +42,6 @@ object Chunking {
           .stripMargin))
         .as(Seq("chunk_no", "chunk_text")))
       .withColumn("n_chunk_words",
-        when(col("chunk_text") === "", lit(0)).otherwise(
-          length(col("chunk_text")) -
-            length(replace(col("chunk_text"), lit(" "), lit(""))) + 1))
+        TextFunctions.tokenCountCollapsed(col("chunk_text")))
   }
 }

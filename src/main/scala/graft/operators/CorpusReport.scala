@@ -25,12 +25,15 @@ object CorpusReport {
       lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(hi > lo, s"hi must be > lo, got [$lo, $hi)")
-    // NULL scores are dropped BEFORE clamping: Spark's greatest/least
-    // skip nulls (a NULL score would clamp into bin 0), ANSI engines
-    // propagate them — filtering first gives one semantics everywhere
+    // NULL and NaN scores are dropped BEFORE clamping: Spark's
+    // greatest/least skip nulls (a NULL score would clamp into bin 0)
+    // and floor(NaN).cast(long) is 0 (a NaN would masquerade as a
+    // bottom-bin document) — filtering first gives the documented
+    // semantics on every engine
     val raw = floor((col("__score") - lit(lo)) / lit(hi - lo) * lit(bins))
     val bin = least(lit(bins - 1L), greatest(lit(0L), raw.cast("long")))
-    df.select(scoreCol.as("__score")).filter(col("__score").isNotNull)
+    df.select(scoreCol.cast("double").as("__score"))
+      .filter(col("__score").isNotNull && !isnan(col("__score")))
       .select(bin.as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -41,8 +44,11 @@ object CorpusReport {
 
   /** Per-stratum curation report: document count, total token count, and
     * the decimal-exact mean quality score (summed in DECIMAL so the
-    * aggregation order cannot perturb the mean; divided as double).
-    * One hash aggregation; output is |strata| rows. */
+    * aggregation order cannot perturb the mean; divided as double). The
+    * mean divides by the count of SCORED documents — a NULL-text row
+    * counts toward n_docs but cannot deflate the mean the filters are
+    * calibrated against (NULL when the stratum has no scored rows at
+    * all). One hash aggregation; output is |strata| rows. */
   def strataReport(docs: DataFrame, strataCol: String,
       textCol: String): DataFrame =
     docs
@@ -54,6 +60,6 @@ object CorpusReport {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__tok")).cast("bigint").as("sum_tokens"),
-        (sum(col("__q")).cast("double") / count(lit(1)).cast("double"))
+        (sum(col("__q")).cast("double") / count(col("__q")).cast("double"))
           .as("avg_quality"))
 }

@@ -126,8 +126,7 @@ object QualityFilter {
     * case-insensitive substring containment (the paper's rule); word
     * counting reuses the replace-and-measure idiom. */
   private def lineKeep(line: Column, rules: LineRules): Column = {
-    val words = when(line === "", lit(0)).otherwise(
-      length(line) - length(replace(line, lit(" "), lit(""))) + 1)
+    val words = TextFunctions.tokenCountCollapsed(line)
     val punctOk =
       if (!rules.requireTerminalPunct) lit(true)
       else TerminalPunct.map(p => line.endsWith(p)).reduce(_ || _)

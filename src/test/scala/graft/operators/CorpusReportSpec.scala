@@ -36,6 +36,29 @@ class CorpusReportSpec extends SparkSpec {
     assert(h == Seq((0L, 10.0, 2L), (3L, 25.0, 1L)))
   }
 
+  test("scoreHistogram drops NaN scores instead of binning them low") {
+    val d = Seq(Double.NaN, 0.5).toDF("s")
+    val h = CorpusReport.scoreHistogram(d, col("s"), bins = 20)
+      .select($"bin", $"n").as[(Long, Long)].collect().toSeq
+    assert(h == Seq((10L, 1L)))
+  }
+
+  test("strataReport's mean divides by scored docs, not all docs") {
+    val d = Seq(
+      ("en", Option("the quick brown fox")),
+      ("en", Option.empty[String]),
+      ("en", Option("the quick brown fox"))
+    ).toDF("lang", "text")
+    val r = CorpusReport.strataReport(d, "lang", "text")
+      .select($"n_docs", $"avg_quality").as[(Long, Double)].head()
+    // NULL-text doc counts as a document but not against the mean
+    val one = CorpusReport.strataReport(
+        Seq(("en", "the quick brown fox")).toDF("lang", "text"),
+        "lang", "text")
+      .select($"avg_quality").as[Double].head()
+    assert(r._1 == 3 && r._2 == one)
+  }
+
   test("strataReport aggregates exactly per stratum") {
     val d = Seq(
       ("en", "the quick brown fox"),

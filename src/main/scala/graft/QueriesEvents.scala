@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.Skew
+import graft.operators.{Scd2, Skew}
 import graft.streaming.{DedupStream, StreamJoin}
 
 /** Event-pipeline query group: sessionization, semi-structured JSON
@@ -279,6 +279,109 @@ object QueriesEvents {
       |  count(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
+  // -------------------------------------------------------- scd2 history
+  // Type-2 history of each user's event_type from the event log. Validity
+  // bounds are emitted in epoch MICROSECONDS (qSessionize's rule: the
+  // engines canonicalize sub-us precision differently; integers do not).
+  def qScd2History(s: SparkSession, dir: String): DataFrame =
+    Scd2.fromChangeLog(t(s, dir, "events"),
+        Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("n_events"))
+
+  val qScd2HistorySql: String =
+    """WITH runs AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+      |         THEN 0 ELSE 1 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |vers AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM runs),
+      |hist AS (
+      |  SELECT user_id, version, event_type, min(ts_us) AS valid_from_us,
+      |    count(*) AS n_events
+      |  FROM vers GROUP BY user_id, version, event_type)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+      |  valid_from_us,
+      |  lead(valid_from_us) OVER
+      |    (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+      |  n_events
+      |FROM hist""".stripMargin
+
+  // ---------------------------------------------------------- scd2 apply
+  // Daily-load path: history built from the first half of the log,
+  // advanced by one snapshot of each user's LATEST event_type — exercising
+  // all four applySnapshot outcomes (carry, close+reopen, delete-close,
+  // insert) against the same relational logic spelled out in SQL.
+  def qScd2Apply(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val hist = Scd2.fromChangeLog(ev.filter(col("ts") < cutoff),
+        Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snap = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("user_id"), col("event_type"))
+    Scd2.applySnapshot(hist, snap, Seq("user_id"), Seq("event_type"),
+        lit("2024-01-30 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"))
+  }
+
+  val qScd2ApplySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+      |runs AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM
+      |    event_type THEN 0 ELSE 1 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |vers AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM runs),
+      |hist AS (
+      |  SELECT user_id, version, event_type, min(ts_us) AS vf
+      |  FROM vers GROUP BY user_id, version, event_type),
+      |hist2 AS (
+      |  SELECT user_id, event_type, vf,
+      |    lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt
+      |  FROM hist),
+      |snap AS (
+      |  SELECT user_id, event_type FROM (
+      |    SELECT user_id, event_type, row_number() OVER
+      |      (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC)
+      |      AS rn
+      |    FROM events) WHERE rn = 1),
+      |j AS (
+      |  SELECT h.user_id AS hk, h.event_type AS hv, h.vf AS hvf,
+      |         s.user_id AS sk, s.event_type AS sv,
+      |         epoch_us(TIMESTAMP '2024-01-30 00:00:00') AS load_us
+      |  FROM (SELECT * FROM hist2 WHERE vt IS NULL) h
+      |  FULL OUTER JOIN snap s ON h.user_id = s.user_id)
+      |SELECT hk AS user_id, hv AS event_type, hvf AS valid_from_us,
+      |  load_us AS valid_to_us
+      |FROM j WHERE hk IS NOT NULL AND (sk IS NULL OR hv IS DISTINCT FROM sv)
+      |UNION ALL
+      |SELECT hk, hv, hvf, NULL FROM j
+      |WHERE hk IS NOT NULL AND sk IS NOT NULL AND hv IS NOT DISTINCT FROM sv
+      |UNION ALL
+      |SELECT sk, sv, load_us, NULL FROM j
+      |WHERE sk IS NOT NULL AND (hk IS NULL OR hv IS DISTINCT FROM sv)
+      |UNION ALL
+      |SELECT user_id, event_type, vf, vt FROM hist2 WHERE vt IS NOT NULL"""
+      .stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
@@ -289,6 +392,8 @@ object QueriesEvents {
     "q_asof_join" -> (qAsofJoin _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_scd2_history" -> (qScd2History _),
+    "q_scd2_apply" -> (qScd2Apply _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -300,5 +405,7 @@ object QueriesEvents {
     "q_asof_join" -> qAsofJoinSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_stream_join" -> qStreamJoinSql,
+    "q_scd2_history" -> qScd2HistorySql,
+    "q_scd2_apply" -> qScd2ApplySql,
   )
 }

@@ -619,6 +619,79 @@ object QueriesText {
        |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
        |  FROM cand) WHERE rank <= 3""".stripMargin
 
+  // ----------------------------------------------------------------- bm25
+  // Ranked retrieval over the corpus for a fixed query bag. The compared
+  // projection is the ranking plus the integer match profile; the ln-based
+  // score itself is dropped (qTfidf's rule — sub-ulp libm differences) and
+  // pinned by Bm25Spec instead.
+  private val Bm25Terms = Seq("merge", "window", "dup")
+  private val Bm25TopK = 100
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.search(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, Bm25TopK, Bm25K1, Bm25B)
+      .drop("score")
+
+  val qBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, ${sqlCollapse("lower(text)")} AS sl
+       |           FROM documents),
+       |dd AS (SELECT doc_id, sl, ${sqlTokens("sl")} AS dl FROM d),
+       |m AS (SELECT doc_id, dl, w AS term FROM (
+       |        SELECT doc_id, dl, unnest(string_split(sl, ' ')) AS w
+       |        FROM dd)
+       |      WHERE w IN ($terms)),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM m GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+       |       FROM dd),
+       |sc AS (SELECT doc_id, tf,
+       |        CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |                      / (CAST(df AS DOUBLE) + 0.5)) *
+       |          (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} /
+       |           (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} +
+       |             $Bm25B * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+       |               CAST(sum_dl AS DOUBLE))))
+       |          AS DECIMAL(20,12)) AS s_term
+       |       FROM tf JOIN df USING (term) CROSS JOIN st),
+       |agg AS (SELECT doc_id, sum(s_term) AS sd, count(*) AS n_terms,
+       |          CAST(sum(tf) AS BIGINT) AS sum_tf
+       |        FROM sc GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS INT)
+       |    AS rank,
+       |  doc_id, n_terms, sum_tf
+       |FROM agg ORDER BY sd DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ------------------------------------------------------------ bigram lm
+  // Bigram-LM self-scoring: the compared projection is the integer count
+  // profile (bigram counts, context totals, unseen count) — every join
+  // and aggregation in the operator is checked exactly; the ln-based
+  // avg_logprob is dropped (qTfidf's rule) and pinned by NgramLmSpec.
+  def qNgramLm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.selfScore(t(s, dir, "documents"),
+        "doc_id", "text")
+      .drop("avg_logprob")
+
+  val qNgramLmSql: String =
+    s"""WITH c AS (SELECT doc_id, ${sqlCollapse("lower(text)")} AS sl
+       |           FROM documents),
+       |bg AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+       |        unnest(list_transform(range(1, len(a)), i -> a[i+1])) AS w2
+       |       FROM (SELECT doc_id, string_split(sl, ' ') AS a FROM c)),
+       |m AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m GROUP BY w1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(c12) AS BIGINT) AS sum_c12,
+       |  CAST(sum(c1) AS BIGINT) AS sum_c1,
+       |  CAST(0 AS BIGINT) AS n_unseen
+       |FROM bg JOIN m USING (w1, w2) JOIN ctx USING (w1)
+       |GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
@@ -642,6 +715,8 @@ object QueriesText {
     "q_top_fraction" -> (qTopFraction _),
     "q_quality_hist" -> (qQualityHist _),
     "q_strata_report" -> (qStrataReport _),
+    "q_bm25" -> (qBm25 _),
+    "q_ngram_lm" -> (qNgramLm _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -666,5 +741,7 @@ object QueriesText {
     "q_top_fraction" -> qTopFractionSql,
     "q_quality_hist" -> qQualityHistSql,
     "q_strata_report" -> qStrataReportSql,
+    "q_bm25" -> qBm25Sql,
+    "q_ngram_lm" -> qNgramLmSql,
   )
 }

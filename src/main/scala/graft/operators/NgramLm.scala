@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+import graft.functions.TextFunctions
+
+/** Bigram language-model scoring — the conditional-probability step up
+  * from [[RareTokens]]' unigram rarity: score each document by its
+  * average add-k-smoothed bigram log-probability under a model trained
+  * on a (possibly different) corpus. This is the relational form of the
+  * CCNet-style LM perplexity filter (public paper): fluent text scores
+  * near the corpus average; shuffled/garbled text with improbable token
+  * TRANSITIONS — which unigram counts cannot see — scores far below it.
+  *
+  * p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), V = |distinct successor
+  * vocabulary|; a document's score is the mean ln p over its bigrams
+  * (documents with fewer than two tokens have no bigrams and are
+  * absent — unscorable, the caller's policy decision).
+  *
+  * Shape at scale: the model is one (w1,w2)-keyed aggregation; context
+  * counts c(w1) derive from the model table (never a second corpus
+  * pass); V enters as a broadcast one-row aggregate. Scoring is two
+  * token-keyed shuffle joins — the count tables are vocabulary-sized
+  * and therefore NEVER broadcast (TfIdf/RareTokens design rule). Each
+  * bigram's log-probability is rounded into DECIMAL(20,12) before the
+  * per-document sum so the aggregation order cannot perturb the mean.
+  */
+object NgramLm {
+
+  /** Interior bigrams of the normalized token stream as
+    * array<struct<w1,w2>> — empty (not NULL-poisoned) for texts with
+    * fewer than two tokens. */
+  private def bigramPairs(textCol: Column): Column = {
+    val a = split(TextFunctions.normalize(textCol), " ")
+    val idx = when(size(a) >= 2, sequence(lit(1), size(a) - 1))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => struct(element_at(a, i).as("w1"),
+      element_at(a, i + 1).as("w2")))
+  }
+
+  /** Train: corpus bigram counts (w1, w2, c12). One token-pair shuffle. */
+  def model(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+
+  /** Score `docs` under a trained `model`: (doc_id, n_bigrams,
+    * avg_logprob). Bigrams unseen in training count c12 = 0 (the add-k
+    * floor keeps the probability finite). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      bigrams: DataFrame, addK: Double = 0.1): DataFrame =
+    scoreBigrams(
+      docs.select(col(idCol).as("doc_id"),
+          explode(bigramPairs(col(textCol))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2")),
+      bigrams, addK)
+
+  /** Scoring core over a pre-exploded (doc_id, w1, w2) bigram stream. */
+  private def scoreBigrams(docBg: DataFrame, bigrams: DataFrame,
+      addK: Double): DataFrame = {
+    require(addK > 0.0, s"addK must be > 0 (smoothing floor), got $addK")
+    val ctx = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = bigrams.agg(count_distinct(col("w2")).as("v"))
+    docBg
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(addK) * col("v").cast("double")))
+          .cast("decimal(20,12)"))
+      // the integer count profile rides along with the float score: the
+      // counts are bit-reproducible on any engine (the oracle compares
+      // them), while avg_logprob is libm territory (spec-pinned instead)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("c12"), lit(0L))).as("sum_c12"),
+        sum(coalesce(col("c1"), lit(0L))).as("sum_c1"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_c12"),
+        col("sum_c1"), col("n_unseen"),
+        (col("slp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+  }
+
+  /** Self-scoring convenience (train and score on the same corpus): the
+    * exploded bigram stream is retained so the scan+tokenize pipeline
+    * feeds both the model aggregation and the scoring probe once. */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.1,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val docBg = scope.retain(docs
+      .select(col(idCol).as("doc_id"),
+        explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2")))
+    val m = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    scoreBigrams(docBg, m, addK)
+  }
+}

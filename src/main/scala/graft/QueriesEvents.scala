@@ -291,10 +291,16 @@ object QueriesEvents {
         unix_micros(col("valid_to")).as("valid_to_us"),
         col("n_events"))
 
+  // the change flag compares STRUCT-WRAPPED values on both engines: the
+  // Spark side's lag(struct(tracked)) is NULL only on a key's first row
+  // (a struct of NULLs is not NULL), so versions are always 1-based even
+  // when the first tracked value is NULL — a bare-scalar lag comparison
+  // would silently number such keys from 0
   val qScd2HistorySql: String =
     """WITH runs AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
-      |    CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+      |    CASE WHEN lag(struct_pack(v := event_type)) OVER w
+      |           IS NOT DISTINCT FROM struct_pack(v := event_type)
       |         THEN 0 ELSE 1 END AS chg
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
@@ -316,19 +322,24 @@ object QueriesEvents {
 
   // ---------------------------------------------------------- scd2 apply
   // Daily-load path: history built from the first half of the log,
-  // advanced by one snapshot of each user's LATEST event_type — exercising
-  // all four applySnapshot outcomes (carry, close+reopen, delete-close,
-  // insert) against the same relational logic spelled out in SQL.
+  // advanced by one snapshot of each user's LATEST event_type. Every
+  // user is active in every time window of the synthetic log, so the
+  // delete/insert outcomes are driven by modular key filters instead:
+  // user_id % 5 = 0 is absent from history (snapshot INSERTs it),
+  // user_id % 7 = 0 is absent from the snapshot (apply CLOSEs it) —
+  // all four applySnapshot outcomes fire against the SQL twin.
   def qScd2Apply(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
-    val hist = Scd2.fromChangeLog(ev.filter(col("ts") < cutoff),
+    val hist = Scd2.fromChangeLog(
+        ev.filter(col("ts") < cutoff && col("user_id") % 5 =!= 0),
         Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))
       .select(col("user_id"), col("event_type"),
         col("valid_from"), col("valid_to"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    val snap = ev.withColumn("rn", row_number().over(w))
+    val snap = ev.filter(col("user_id") % 7 =!= 0)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select(col("user_id"), col("event_type"))
     Scd2.applySnapshot(hist, snap, Seq("user_id"), Seq("event_type"),
         lit("2024-01-30 00:00:00").cast("timestamp"))
@@ -340,10 +351,12 @@ object QueriesEvents {
   val qScd2ApplySql: String =
     """WITH ev AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
-      |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      |    AND user_id % 5 <> 0),
       |runs AS (
-      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM
-      |    event_type THEN 0 ELSE 1 END AS chg
+      |  SELECT *, CASE WHEN lag(struct_pack(v := event_type)) OVER w
+      |      IS NOT DISTINCT FROM struct_pack(v := event_type)
+      |    THEN 0 ELSE 1 END AS chg
       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |vers AS (
       |  SELECT *, sum(chg) OVER (PARTITION BY user_id
@@ -362,7 +375,7 @@ object QueriesEvents {
       |    SELECT user_id, event_type, row_number() OVER
       |      (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC)
       |      AS rn
-      |    FROM events) WHERE rn = 1),
+      |    FROM events WHERE user_id % 7 <> 0) WHERE rn = 1),
       |j AS (
       |  SELECT h.user_id AS hk, h.event_type AS hv, h.vf AS hvf,
       |         s.user_id AS sk, s.event_type AS sv,

@@ -49,19 +49,26 @@ object NgramLm {
 
   /** Score `docs` under a trained `model`: (doc_id, n_bigrams,
     * avg_logprob). Bigrams unseen in training count c12 = 0 (the add-k
-    * floor keeps the probability finite). */
+    * floor keeps the probability finite). An EMPTY model (no training
+    * document had two tokens) has no vocabulary to smooth over, so every
+    * avg_logprob is NULL — deliberate, guarded, and spec-pinned rather
+    * than an accidental ln(x/0) artifact. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      bigrams: DataFrame, addK: Double = 0.1): DataFrame =
+      bigrams: DataFrame, addK: Double = 0.1,
+      scope: CacheScope = CacheScope.session): DataFrame =
     scoreBigrams(
       docs.select(col(idCol).as("doc_id"),
           explode(bigramPairs(col(textCol))).as("bg"))
         .select(col("doc_id"), col("bg.w1"), col("bg.w2")),
-      bigrams, addK)
+      bigrams, addK, scope)
 
   /** Scoring core over a pre-exploded (doc_id, w1, w2) bigram stream. */
-  private def scoreBigrams(docBg: DataFrame, bigrams: DataFrame,
-      addK: Double): DataFrame = {
+  private def scoreBigrams(docBg: DataFrame, model: DataFrame,
+      addK: Double, scope: CacheScope): DataFrame = {
     require(addK > 0.0, s"addK must be > 0 (smoothing floor), got $addK")
+    // the model feeds three consumers (join probe, context counts, V) —
+    // retained so its aggregation lineage runs once, not per consumer
+    val bigrams = scope.retain(model)
     val ctx = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = bigrams.agg(count_distinct(col("w2")).as("v"))
     docBg
@@ -69,9 +76,11 @@ object NgramLm {
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("lp",
-        log((coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
-          (coalesce(col("c1"), lit(0L)).cast("double") +
-            lit(addK) * col("v").cast("double")))
+        when(col("v") > 0,
+          log((coalesce(col("c12"), lit(0L)).cast("double") + lit(addK)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              lit(addK) * col("v").cast("double"))))
+          .otherwise(lit(null).cast("double"))
           .cast("decimal(20,12)"))
       // the integer count profile rides along with the float score: the
       // counts are bit-reproducible on any engine (the oracle compares
@@ -99,6 +108,6 @@ object NgramLm {
         explode(bigramPairs(col(textCol))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2")))
     val m = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    scoreBigrams(docBg, m, addK)
+    scoreBigrams(docBg, m, addK, scope)
   }
 }

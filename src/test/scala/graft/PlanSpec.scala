@@ -247,4 +247,44 @@ class PlanSpec extends SparkSpec {
       (p.contains("partial_sum") || p.contains("partial_count")),
       "map-side combine missing — every element row would shuffle")
   }
+
+  test("q_bm25 filters terms pre-shuffle, broadcasts only bounded sides, " +
+      "and takes the top-k without a global sort") {
+    val p = plan("q_bm25")
+    // per-partition heaps, not a corpus-wide sort exchange
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k regressed to a global sort:\n$p")
+    // the query-vocabulary filter sits DIRECTLY on the explode output —
+    // map-side by construction, so only matching tokens ever shuffle
+    assert("Filter \\(\\d+\\)\\n[^\\n]*Generate \\(".r.findFirstIn(p).nonEmpty,
+      s"term filter no longer sits on the explode:\n$p")
+    assert("Condition : term#\\d+ IN \\(merge,window,dup\\)".r
+        .findFirstIn(p).nonEmpty,
+      "query-vocabulary IN filter missing from the plan")
+    // exactly two forced broadcasts: the |queryTerms|-bounded df table
+    // and the one-row corpus stats — nothing corpus-sized
+    val analyzed = SparkEntry.queries("q_bm25")(spark, dir)
+      .queryExecution.analyzed.toString
+    val hints = "(?m)ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints == 2, s"expected df + stats broadcast hints, got $hints")
+  }
+
+  test("q_ngram_lm never forces a broadcast of the vocabulary-sized tables") {
+    // the (w1,w2) model and the context counts are unbounded at 100 TB —
+    // only the one-row successor-vocabulary aggregate may carry a hint
+    // (q_tfidf's rule); AQE remains free to convert at runtime
+    val analyzed = SparkEntry.queries("q_ngram_lm")(spark, dir)
+      .queryExecution.analyzed.toString
+    val hints = "(?m)ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints == 1, s"expected only the V broadcast hint, got $hints")
+  }
+
+  test("q_scd2_history reuses one key exchange across flag, run, and lead") {
+    // the change-flag window, the run aggregation, and the interval
+    // window all cluster on user_id — EnsureRequirements must satisfy
+    // them with a single hash exchange
+    val p = plan("q_scd2_history")
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected 1 keyed exchange, got $keyed:\n$p")
+  }
 }

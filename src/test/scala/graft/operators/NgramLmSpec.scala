@@ -48,6 +48,14 @@ class NgramLmSpec extends SparkSpec {
     assert(s == Seq(1L))
   }
 
+  test("an empty model yields NULL avg_logprob, not an Infinity artifact") {
+    val noModel = NgramLm.model(Seq((1L, "solo")).toDF("doc_id", "text"), "text")
+    val probe = Seq((9L, "two tokens here")).toDF("doc_id", "text")
+    val s = NgramLm.score(probe, "doc_id", "text", noModel)
+      .select($"n_bigrams", $"avg_logprob").as[(Long, Option[Double])].head()
+    assert(s._1 == 2L && s._2.isEmpty)
+  }
+
   test("scoring against a foreign model floors unseen bigrams at add-k") {
     val model = NgramLm.model(corpus, "text")
     val probe = Seq((9L, "zzz qqq")).toDF("doc_id", "text")

@@ -379,6 +379,63 @@ object QueriesScale {
        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_words_kept
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
+  // -------------------------------------------------------------- pagerank
+  // Link-graph centrality by relational power iteration over the
+  // bidirectional customer<->supplier co-purchase graph (keys are
+  // prefix-namespaced — custkey 5 and suppkey 5 are different nodes).
+  // Three rounds; the oracle replays them as a CTE chain. Every step is
+  // IEEE division/multiply-add with contributions float-quantized into
+  // 2^48 fixed-point BIGINTs (NOTES rule 7: a raw double cast to DECIMAL
+  // ties at the scale digit ~1/30k values — 35 rows diverged here before
+  // the fixed-point form) — no libm, no decimal rounding, so the rank
+  // doubles hash-compare exactly. Damping literals are interpolated from
+  // the SAME Scala doubles the operator uses (1.0 - 0.85 is
+  // 0.15000000000000002, not the 0.15 a hand-written literal parses to).
+  private val PrDamping = 0.85
+  private val PrIters = 3
+
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.PageRank.run(edges, "src", "dst", PrIters, PrDamping)
+  }
+
+  val qPageRankSql: String = {
+    val base = 1.0 - PrDamping
+    val fp = graft.operators.PageRank.FpScale
+    def round(prev: String, out: String) =
+      s"""$out AS (SELECT n.node,
+         |    $base + $PrDamping *
+         |      (CAST(coalesce(c.s, 0) AS DOUBLE) / $fp) AS rank,
+         |    n.outdeg
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.dst, sum(CAST(CAST(CAST(rank / CAST(outdeg AS DOUBLE)
+         |        AS FLOAT) AS DOUBLE) * $fp AS BIGINT)) AS s
+         |    FROM e JOIN $prev r ON e.src = r.node GROUP BY e.dst) c
+         |  ON n.node = c.dst)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |      UNION ALL SELECT b, a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank, outdeg
+       |       FROM nodes LEFT JOIN deg ON node = src),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, rank FROM r$PrIters""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_excise" -> (qSpanExcise _),
@@ -394,6 +451,7 @@ object QueriesScale {
     "q_contamination" -> (qContamination _),
     "q_packing" -> (qPacking _),
     "q_mixture" -> (qMixture _),
+    "q_pagerank" -> (qPageRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -410,5 +468,6 @@ object QueriesScale {
     "q_contamination" -> qContaminationSql,
     "q_packing" -> qPackingSql,
     "q_mixture" -> qMixtureSql,
+    "q_pagerank" -> qPageRankSql,
   )
 }

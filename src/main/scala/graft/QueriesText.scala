@@ -692,6 +692,57 @@ object QueriesText {
        |FROM bg JOIN m USING (w1, w2) JOIN ctx USING (w1)
        |GROUP BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- leakage-free split
+  // Train/val/test assignment keyed on the content FINGERPRINT, not the
+  // document id: exact duplicates share a fingerprint, so they land in
+  // the same split and cannot leak training text into evaluation.
+  // Boundaries come from Splits.boundaries (exact decimal — shared with
+  // this oracle string so both engines cut at identical integers).
+  private val SplitFracs =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .withColumn("split",
+        graft.operators.Splits.label(col("fp"), SplitFracs))
+  }
+
+  val qSplitLeakfreeSql: String = {
+    val bounds = graft.operators.Splits.boundaries(SplitFracs, 10000)
+    val cases = SplitFracs.map(_._1).zip(bounds).dropRight(1)
+      .map { case (n, b) => s"WHEN b < $b THEN '$n'" }.mkString(" ")
+    s"""SELECT doc_id, fp,
+       |  CASE $cases ELSE '${SplitFracs.last._1}' END AS split
+       |FROM (SELECT doc_id, fp, ${sqlHexFold("fp")} % 10000 AS b
+       |      FROM (SELECT doc_id, md5(${sqlCollapse("lower(text)")}) AS fp
+       |            FROM documents))""".stripMargin
+  }
+
+  // ------------------------------------------------------ percentile rank
+  // Per-language percentile normalization of the quality score — the
+  // cross-stratum-comparable form. (rank-1)/(n-1) is integer-derived
+  // IEEE division, so unlike the ln-based scores the pct doubles ARE
+  // hash-compared; ordering by qual is engine-safe because qualityScore
+  // is built from exact-rounded ops only (q_top_fraction's precedent).
+  def qPctRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusReport.percentileRank(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("qual")),
+        col("qual"), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("pct"))
+
+  val qPctRankSql: String =
+    s"""WITH ${sqlQualityCtes("documents", "text", Seq("lang"))}
+       |SELECT doc_id, lang,
+       |  CASE WHEN n = 1 THEN 0.0
+       |       ELSE CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+       |FROM (SELECT doc_id, lang,
+       |        rank() OVER (PARTITION BY lang ORDER BY qual ASC) AS r,
+       |        count(*) OVER (PARTITION BY lang) AS n
+       |      FROM qw)""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
@@ -717,6 +768,8 @@ object QueriesText {
     "q_strata_report" -> (qStrataReport _),
     "q_bm25" -> (qBm25 _),
     "q_ngram_lm" -> (qNgramLm _),
+    "q_split_leakfree" -> (qSplitLeakfree _),
+    "q_pct_rank" -> (qPctRank _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -743,5 +796,7 @@ object QueriesText {
     "q_strata_report" -> qStrataReportSql,
     "q_bm25" -> qBm25Sql,
     "q_ngram_lm" -> qNgramLmSql,
+    "q_split_leakfree" -> qSplitLeakfreeSql,
+    "q_pct_rank" -> qPctRankSql,
   )
 }

@@ -42,6 +42,35 @@ object CorpusReport {
       .select(col("bin"), col("lo_edge"), col("n"))
   }
 
+  /** Per-stratum percentile-rank normalization of a score — the
+    * transform that makes quality scores COMPARABLE across strata with
+    * incompatible scales (an English-corpus score distribution says
+    * nothing about the Chinese one; their percentiles do). pct =
+    * (rank - 1) / (n - 1) in [0, 1] ascending (higher score => higher
+    * pct), ties share a rank (percent_rank semantics), singleton strata
+    * get 0.0. Rows with NULL scores are dropped — their placement in
+    * the ranking is engine-dependent (NULLS FIRST vs LAST defaults)
+    * and a NULL has no percentile. The division is integer-derived IEEE
+    * arithmetic, so pct is bit-reproducible on any engine. One
+    * per-stratum sort window. */
+  def percentileRank(df: DataFrame, scoreCol: Column,
+      strataCols: Seq[String], outCol: String = "pct"): DataFrame = {
+    val strata = strataCols.map(col)
+    val ranked = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(col("__score").asc)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*)
+    df.withColumn("__score", scoreCol)
+      .filter(col("__score").isNotNull)
+      .withColumn("__r", rank().over(ranked))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn(outCol,
+        when(col("__n") === 1, lit(0.0)).otherwise(
+          (col("__r") - lit(1)).cast("double") /
+            (col("__n") - lit(1)).cast("double")))
+      .drop("__score", "__r", "__n")
+  }
+
   /** Per-stratum curation report: document count, total token count, and
     * the decimal-exact mean quality score (summed in DECIMAL so the
     * aggregation order cannot perturb the mean; divided as double). The

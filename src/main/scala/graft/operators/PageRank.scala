@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank by relational power iteration — link-graph centrality
+  * for corpus curation (rank web documents by the crawl's own link
+  * structure, or rank documents inside a similarity graph built from the
+  * near-dup pair operators).
+  *
+  * The unnormalized "1 unit per node" form: rank(v) starts at 1.0 and
+  * each round becomes (1-d) + d * Σ rank(u)/outdeg(u) over in-neighbors
+  * u. Dangling mass is NOT redistributed (the leaked-mass variant — a
+  * documented, cheaper choice; redistribution would add a one-row
+  * aggregate join per round).
+  *
+  * Engine-exact by construction: every per-edge contribution is IEEE
+  * division (correctly rounded, unlike transcendentals) quantized to
+  * FLOAT — 24 significand bits, so scaling by 2^48 yields an exactly
+  * integral double — and summed as BIGINT fixed-point (the repo's
+  * established parity idiom: a raw double cast to DECIMAL ties at the
+  * scale digit ~1/30k values, but power-of-two scaling only shifts the
+  * exponent). The damping update is one correctly-rounded multiply-add.
+  * No libm call and no decimal rounding anywhere, so ranks are
+  * bit-reproducible across engines and a DuckDB oracle replays
+  * iterations exactly. Capacity note: the BIGINT sum holds ~32k units
+  * of incoming rank mass per node per round (2^63 / 2^48) — far above
+  * any damped-rank concentration short of a pathological star over a
+  * >30k-mass graph.
+  *
+  * Shape at scale: per round, one shuffle join of edges against the
+  * rank table on src and one dst-keyed aggregation — the standard
+  * join-agg PageRank; the rank/degree table is node-sized, edges are
+  * never widened. Each generation is localCheckpoint'd and its
+  * predecessor's blocks released ([[graft.core.Checkpoints]]), so
+  * lineage stays one round deep at any iteration count.
+  */
+object PageRank {
+
+  /** (node, rank) after `iters` rounds. `edges` are directed (src, dst)
+    * pairs; duplicate edge rows act as parallel edges (each contributes).
+    * Nodes must be non-null. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // rank table carries outdeg (NULL for dangling nodes) so the
+    // per-round contribution join needs no third table
+    var rank = nodes
+      .join(deg, nodes("node") === deg("src"), "left")
+      .select(col("node"), lit(1.0).as("rank"), col("outdeg"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val next = step(e, rank, damping)
+        .localCheckpoint() // eager: materialized before the release below
+      graft.core.Checkpoints.releaseLocal(rank)
+      rank = next
+    }
+    rank.select(col("node"), col("rank"))
+  }
+
+  /** 2^48 — the fixed-point scale shared with the SQL oracle. */
+  private[graft] val FpScale: Double = 281474976710656.0
+
+  /** One power-iteration round over the (node, rank, outdeg) table. */
+  private def step(e: DataFrame, rank: DataFrame,
+      damping: Double): DataFrame = {
+    val contribs = e
+      .join(rank, e("src") === rank("node"))
+      .select(col("dst"),
+        ((col("rank") / col("outdeg").cast("double"))
+          .cast("float").cast("double") * lit(FpScale))
+          .cast("long").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    rank.join(contribs, rank("node") === contribs("dst"), "left")
+      .select(col("node"),
+        (lit(1.0 - damping) + lit(damping) *
+          (coalesce(col("s"), lit(0L)).cast("double") / lit(FpScale)))
+          .as("rank"),
+        col("outdeg"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/validation/test split assignment.
+  *
+  * The split key decides everything: pass a DOCUMENT key and you get a
+  * plain random-looking split; pass a dedup CLUSTER key (connected
+  * component, content fingerprint, URL host…) and every member of the
+  * cluster lands in the SAME split — the leakage-free split a
+  * deduplicated corpus needs, since near-duplicates straddling
+  * train/test would leak training text into evaluation. Assignment is
+  * the md5 bucket of the key ([[Sampling.hashBucket]]): stateless,
+  * map-side, no shuffle, reproducible on any engine/partitioning, and
+  * stable under corpus growth (a key's split never changes when other
+  * documents appear — the property a refreshed corpus needs to keep its
+  * eval set frozen).
+  */
+object Splits {
+
+  /** Append `outCol` labelling each row with its split. `fracs` are
+    * (name, fraction) in priority order and must sum to 1; boundaries
+    * are computed in exact decimal from each fraction's decimal
+    * rendering (0.07 * 10000 in IEEE is 699.99…, which would floor into
+    * the wrong bucket — the [[Sampling.stratifiedSample]] hazard). */
+  def assign(df: DataFrame, splitKey: Column, fracs: Seq[(String, Double)],
+      outCol: String = "split", buckets: Int = 10000): DataFrame = {
+    df.withColumn(outCol, label(splitKey, fracs, buckets))
+  }
+
+  /** The split label as a standalone Column (composable into selects). */
+  def label(splitKey: Column, fracs: Seq[(String, Double)],
+      buckets: Int = 10000): Column = {
+    require(fracs.nonEmpty, "at least one split required")
+    require(fracs.map(_._1).distinct.size == fracs.size,
+      s"duplicate split names in ${fracs.map(_._1)}")
+    require(fracs.forall(_._2 > 0.0), s"fractions must be > 0: $fracs")
+    val total = fracs.map(f => BigDecimal(f._2.toString)).sum
+    require((total - 1).abs < BigDecimal("1e-9"),
+      s"fractions must sum to 1, got $total")
+    val bounds = boundaries(fracs, buckets)
+    val b = Sampling.hashBucket(splitKey, buckets)
+    fracs.map(_._1).zip(bounds).dropRight(1)
+      .foldRight(lit(fracs.last._1): Column) { case ((name, bnd), acc) =>
+        when(b < bnd, lit(name)).otherwise(acc)
+      }
+  }
+
+  /** Cumulative bucket boundaries in exact decimal — shared with the SQL
+    * oracle so both engines cut at identical integers. */
+  private[graft] def boundaries(fracs: Seq[(String, Double)],
+      buckets: Int): Seq[Long] =
+    fracs.scanLeft(BigDecimal(0)) { case (acc, (_, f)) =>
+      acc + BigDecimal(f.toString)
+    }.tail.map(c => (c * buckets).setScale(0, BigDecimal.RoundingMode.FLOOR)
+      .toLong)
+}

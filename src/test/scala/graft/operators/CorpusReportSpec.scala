@@ -59,6 +59,28 @@ class CorpusReportSpec extends SparkSpec {
     assert(r._1 == 3 && r._2 == one)
   }
 
+  test("percentileRank normalizes per stratum with shared tie ranks") {
+    val d = Seq(
+      ("en", 1L, 0.2), ("en", 2L, 0.5), ("en", 3L, 0.5), ("en", 4L, 0.9),
+      ("zh", 5L, 7.0) // singleton stratum, incomparable scale
+    ).toDF("lang", "id", "score")
+    val r = CorpusReport.percentileRank(d, col("score"), Seq("lang"))
+      .select($"id", $"pct").as[(Long, Double)].collect().toMap
+    // en ranks asc: 0.2 -> 1, 0.5 -> 2 (tie), 0.9 -> 4; n = 4
+    assert(r(1L) == 0.0)
+    assert(r(2L) == 1.0 / 3.0 && r(3L) == 1.0 / 3.0)
+    assert(r(4L) == 1.0)
+    assert(r(5L) == 0.0) // singleton
+  }
+
+  test("percentileRank drops NULL scores instead of ranking them") {
+    val d = Seq(("en", 1L, Option(0.5)), ("en", 2L, Option.empty[Double]))
+      .toDF("lang", "id", "score")
+    val r = CorpusReport.percentileRank(d, col("score"), Seq("lang"))
+      .select($"id", $"pct").as[(Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 0.0)))
+  }
+
   test("strataReport aggregates exactly per stratum") {
     val d = Seq(
       ("en", "the quick brown fox"),

@@ -430,9 +430,7 @@ object QueriesScale {
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank, outdeg
        |       FROM nodes LEFT JOIN deg ON node = src),
-       |${round("r0", "r1")},
-       |${round("r1", "r2")},
-       |${round("r2", "r3")}
+       |${(1 to PrIters).map(i => round(s"r${i - 1}", s"r$i")).mkString(",\n")}
        |SELECT node, rank FROM r$PrIters""".stripMargin
   }
 

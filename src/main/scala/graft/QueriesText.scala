@@ -714,7 +714,8 @@ object QueriesText {
     val cases = SplitFracs.map(_._1).zip(bounds).dropRight(1)
       .map { case (n, b) => s"WHEN b < $b THEN '$n'" }.mkString(" ")
     s"""SELECT doc_id, fp,
-       |  CASE $cases ELSE '${SplitFracs.last._1}' END AS split
+       |  CASE WHEN b IS NULL THEN NULL
+       |       $cases ELSE '${SplitFracs.last._1}' END AS split
        |FROM (SELECT doc_id, fp, ${sqlHexFold("fp")} % 10000 AS b
        |      FROM (SELECT doc_id, md5(${sqlCollapse("lower(text)")}) AS fp
        |            FROM documents))""".stripMargin
@@ -733,15 +734,14 @@ object QueriesText {
         col("qual"), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("pct"))
 
+  // percent_rank() is the same (rank-1)/(n-1) IEEE division with the
+  // same singleton-0.0 guard in both engines; the NULL filter mirrors
+  // percentileRank's drop contract (q_quality_hist's precedent)
   val qPctRankSql: String =
     s"""WITH ${sqlQualityCtes("documents", "text", Seq("lang"))}
        |SELECT doc_id, lang,
-       |  CASE WHEN n = 1 THEN 0.0
-       |       ELSE CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
-       |FROM (SELECT doc_id, lang,
-       |        rank() OVER (PARTITION BY lang ORDER BY qual ASC) AS r,
-       |        count(*) OVER (PARTITION BY lang) AS n
-       |      FROM qw)""".stripMargin
+       |  percent_rank() OVER (PARTITION BY lang ORDER BY qual ASC) AS pct
+       |FROM qw WHERE qual IS NOT NULL""".stripMargin
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

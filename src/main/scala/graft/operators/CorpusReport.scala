@@ -50,25 +50,18 @@ object CorpusReport {
     * pct), ties share a rank (percent_rank semantics), singleton strata
     * get 0.0. Rows with NULL scores are dropped — their placement in
     * the ranking is engine-dependent (NULLS FIRST vs LAST defaults)
-    * and a NULL has no percentile. The division is integer-derived IEEE
-    * arithmetic, so pct is bit-reproducible on any engine. One
-    * per-stratum sort window. */
+    * and a NULL has no percentile. The built-in percent_rank computes
+    * the same integer-derived IEEE division (with the same singleton
+    * 0.0 guard) in Spark and DuckDB, so pct is bit-reproducible on any
+    * engine. One per-stratum sort window. */
   def percentileRank(df: DataFrame, scoreCol: Column,
       strataCols: Seq[String], outCol: String = "pct"): DataFrame = {
-    val strata = strataCols.map(col)
     val ranked = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata: _*).orderBy(col("__score").asc)
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata: _*)
+      .partitionBy(strataCols.map(col): _*).orderBy(col("__score").asc)
     df.withColumn("__score", scoreCol)
       .filter(col("__score").isNotNull)
-      .withColumn("__r", rank().over(ranked))
-      .withColumn("__n", count(lit(1)).over(whole))
-      .withColumn(outCol,
-        when(col("__n") === 1, lit(0.0)).otherwise(
-          (col("__r") - lit(1)).cast("double") /
-            (col("__n") - lit(1)).cast("double")))
-      .drop("__score", "__r", "__n")
+      .withColumn(outCol, percent_rank().over(ranked))
+      .drop("__score")
   }
 
   /** Per-stratum curation report: document count, total token count, and

@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * exponent). The damping update is one correctly-rounded multiply-add.
   * No libm call and no decimal rounding anywhere, so ranks are
   * bit-reproducible across engines and a DuckDB oracle replays
-  * iterations exactly. Capacity note: the BIGINT sum holds ~32k units
+  * iterations exactly. Capacity notes: the BIGINT sum holds ~32k units
   * of incoming rank mass per node per round (2^63 / 2^48) — far above
   * any damped-rank concentration short of a pathological star over a
-  * >30k-mass graph.
+  * >30k-mass graph — and the float-scaling integrality argument needs
+  * contributions >= 2^-25 (~3e-8): with the (1-d) rank floor that means
+  * out-degrees up to ~5M per node; beyond that Spark's truncating long
+  * cast and a rounding engine could disagree by one fixed-point unit.
   *
   * Shape at scale: per round, one shuffle join of edges against the
   * rank table on src and one dst-keyed aggregation — the standard
@@ -45,7 +48,11 @@ object PageRank {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
+    // the edge table is read every round (plus nodes/deg below) — pin it
+    // once so the caller's derivation (joins, distinct, unions…) is not
+    // re-executed per iteration (ConnectedComponents' precedent)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

@@ -40,11 +40,21 @@ object Splits {
     require((total - 1).abs < BigDecimal("1e-9"),
       s"fractions must sum to 1, got $total")
     val bounds = boundaries(fracs, buckets)
+    // a fraction below 1/buckets floors onto its predecessor's boundary
+    // (or onto 0) — the caller asked for a split that would silently
+    // never receive a row; fail fast instead
+    require(bounds.zip(0L +: bounds).forall { case (b, prev) => b > prev },
+      s"fractions below 1/$buckets produce empty splits: $fracs -> $bounds")
     val b = Sampling.hashBucket(splitKey, buckets)
-    fracs.map(_._1).zip(bounds).dropRight(1)
+    val labelled = fracs.map(_._1).zip(bounds).dropRight(1)
       .foldRight(lit(fracs.last._1): Column) { case ((name, bnd), acc) =>
         when(b < bnd, lit(name)).otherwise(acc)
       }
+    // a NULL key hashes to a NULL bucket: without the guard every
+    // comparison is NULL and the fold falls through to the LAST split —
+    // silently seeding the eval set with every null-keyed row. NULL key
+    // => NULL label; routing is the caller's explicit decision.
+    when(b.isNull, lit(null).cast("string")).otherwise(labelled)
   }
 
   /** Cumulative bucket boundaries in exact decimal — shared with the SQL

@@ -44,6 +44,20 @@ class SplitsSpec extends SparkSpec {
     assert(Splits.boundaries(fracs, 10000) == Seq(8000L, 9000L, 10000L))
   }
 
+  test("NULL keys get a NULL label, never the last split") {
+    val d = Seq(Option("k1"), Option.empty[String]).toDF("k")
+    val r = Splits.assign(d, col("k"), fracs)
+      .select($"k", $"split").as[(Option[String], Option[String])]
+      .collect().toMap
+    assert(r(None).isEmpty && r(Some("k1")).nonEmpty)
+  }
+
+  test("a fraction below one bucket is rejected, not silently empty") {
+    intercept[IllegalArgumentException] {
+      Splits.label(col("k"), Seq("holdout" -> 0.00004, "train" -> 0.99996))
+    }
+  }
+
   test("invalid fraction sets are rejected") {
     intercept[IllegalArgumentException] {
       Splits.label(col("k"), Seq("a" -> 0.5, "b" -> 0.4))

@@ -395,6 +395,68 @@ object QueriesEvents {
       |SELECT user_id, event_type, vf, vt FROM hist2 WHERE vt IS NOT NULL"""
       .stripMargin
 
+  // ---------------------------------------------------------------- funnel
+  // Ordered-conversion funnel view -> click -> purchase. The operator
+  // compares Spark's micro-truncated timestamps; the oracle compares
+  // epoch_us integers — the same micro-domain ordering (qStreamJoin's
+  // rule), and the output is epoch-us for the same reason.
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.earliest(t(s, dir, "events"),
+        "user_id", "ts", "event_type", FunnelSteps)
+      .select(col("user_id"),
+        unix_micros(col("t1")).as("t1_us"),
+        unix_micros(col("t2")).as("t2_us"),
+        unix_micros(col("t3")).as("t3_us"),
+        col("steps_completed"))
+
+  val qFunnelSql: String = {
+    val Seq(s1, s2, s3) = FunnelSteps
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+       |            FROM events),
+       |c1 AS (SELECT user_id, min(us) AS t1 FROM ev
+       |       WHERE event_type = '$s1' GROUP BY user_id),
+       |c2 AS (SELECT c1.user_id, t1,
+       |         min(CASE WHEN e.us > c1.t1 THEN e.us END) AS t2
+       |       FROM c1 LEFT JOIN ev e
+       |         ON e.user_id = c1.user_id AND e.event_type = '$s2'
+       |       GROUP BY c1.user_id, t1),
+       |c3 AS (SELECT c2.user_id, t1, t2,
+       |         min(CASE WHEN e.us > c2.t2 THEN e.us END) AS t3
+       |       FROM c2 LEFT JOIN ev e
+       |         ON e.user_id = c2.user_id AND e.event_type = '$s3'
+       |       GROUP BY c2.user_id, t1, t2)
+       |SELECT user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+       |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+       |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+       |    AS steps_completed
+       |FROM c3""".stripMargin
+  }
+
+  // ------------------------------------------------------------- retention
+  // Weekly cohort retention triangle. Period indices are FLOOR division
+  // of epoch-us on both sides (the operator pmod-adjusts Spark's
+  // truncating DIV; DuckDB's // floors natively).
+  private val RetentionDays = 7
+  private val RetentionPeriodUs =
+    graft.operators.Retention.periodUs(RetentionDays)
+
+  def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.cohorts(t(s, dir, "events"),
+      "user_id", "ts", RetentionDays)
+
+  val qRetentionSql: String =
+    s"""WITH act AS (SELECT DISTINCT user_id,
+       |               epoch_us(ts) // $RetentionPeriodUs AS period
+       |             FROM events),
+       |coh AS (SELECT user_id, min(period) AS cohort_period
+       |        FROM act GROUP BY user_id)
+       |SELECT cohort_period, period - cohort_period AS period_offset,
+       |  count(*) AS n_active
+       |FROM act JOIN coh USING (user_id)
+       |GROUP BY cohort_period, period - cohort_period""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
@@ -407,6 +469,8 @@ object QueriesEvents {
     "q_stream_join" -> (qStreamJoin _),
     "q_scd2_history" -> (qScd2History _),
     "q_scd2_apply" -> (qScd2Apply _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -420,5 +484,7 @@ object QueriesEvents {
     "q_stream_join" -> qStreamJoinSql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_scd2_apply" -> qScd2ApplySql,
+    "q_funnel" -> qFunnelSql,
+    "q_retention" -> qRetentionSql,
   )
 }

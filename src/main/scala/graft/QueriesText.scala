@@ -634,21 +634,25 @@ object QueriesText {
         Bm25Terms, Bm25TopK, Bm25K1, Bm25B)
       .drop("score")
 
-  val qBm25Sql: String = {
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id, ${sqlCollapse("lower(text)")} AS sl
-       |           FROM documents),
+  /** Shared BM25 oracle scoring chain (d/dd/m/tf/df/st/sc) — ONE
+    * definition of the formula so the single-query and batch oracles
+    * can never desynchronize. `matchPred` filters the token stream to
+    * the query vocabulary; `scCols` is the sc key projection (the batch
+    * form keeps `term` for the per-query join). */
+  private def bm25ScoringCtes(matchPred: String, scCols: String): String =
+    s"""d AS (SELECT doc_id, ${sqlCollapse("lower(text)")} AS sl
+       |      FROM documents),
        |dd AS (SELECT doc_id, sl, ${sqlTokens("sl")} AS dl FROM d),
        |m AS (SELECT doc_id, dl, w AS term FROM (
        |        SELECT doc_id, dl, unnest(string_split(sl, ' ')) AS w
        |        FROM dd)
-       |      WHERE w IN ($terms)),
+       |      WHERE $matchPred),
        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
        |       FROM m GROUP BY doc_id, dl, term),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
        |       FROM dd),
-       |sc AS (SELECT doc_id, tf,
+       |sc AS (SELECT $scCols,
        |        CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
        |                      / (CAST(df AS DOUBLE) + 0.5)) *
        |          (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} /
@@ -656,7 +660,11 @@ object QueriesText {
        |             $Bm25B * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
        |               CAST(sum_dl AS DOUBLE))))
        |          AS DECIMAL(20,12)) AS s_term
-       |       FROM tf JOIN df USING (term) CROSS JOIN st),
+       |       FROM tf JOIN df USING (term) CROSS JOIN st)""".stripMargin
+
+  val qBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${bm25ScoringCtes(s"w IN ($terms)", "doc_id, tf")},
        |agg AS (SELECT doc_id, sum(s_term) AS sd, count(*) AS n_terms,
        |          CAST(sum(tf) AS BIGINT) AS sum_tf
        |        FROM sc GROUP BY doc_id)
@@ -664,6 +672,37 @@ object QueriesText {
        |    AS rank,
        |  doc_id, n_terms, sum_tf
        |FROM agg ORDER BY sd DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ------------------------------------------------------------ bm25 multi
+  // Batch retrieval: two standing queries answered in one corpus pass,
+  // per-query ranking. Same compared projection rule as q_bm25.
+  private val Bm25Queries =
+    Seq(("qa", "merge"), ("qa", "window"), ("qa", "dup"),
+      ("qb", "spark"), ("qb", "stream"))
+  private val Bm25MultiTopK = 20
+
+  def qBm25Multi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Bm25Queries.toDF("qid", "term")
+    graft.operators.Bm25.searchMany(t(s, dir, "documents"), "doc_id",
+        "text", q, "qid", "term", Bm25MultiTopK, Bm25K1, Bm25B)
+      .drop("score")
+  }
+
+  val qBm25MultiSql: String = {
+    val values = Bm25Queries.map { case (q, t) => s"('$q', '$t')" }
+      .mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $values),
+       |${bm25ScoringCtes("w IN (SELECT DISTINCT term FROM q)",
+          "doc_id, term, tf")},
+       |agg AS (SELECT qid, doc_id, sum(s_term) AS sd, count(*) AS n_terms,
+       |          CAST(sum(tf) AS BIGINT) AS sum_tf
+       |        FROM sc JOIN q USING (term) GROUP BY qid, doc_id)
+       |SELECT qid AS query_id, rank, doc_id, n_terms, sum_tf FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY sd DESC, doc_id) AS INT) AS rank
+       |  FROM agg) WHERE rank <= $Bm25MultiTopK""".stripMargin
   }
 
   // ------------------------------------------------------------ bigram lm
@@ -770,6 +809,7 @@ object QueriesText {
     "q_ngram_lm" -> (qNgramLm _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_pct_rank" -> (qPctRank _),
+    "q_bm25_multi" -> (qBm25Multi _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -798,5 +838,6 @@ object QueriesText {
     "q_ngram_lm" -> qNgramLmSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_pct_rank" -> qPctRankSql,
+    "q_bm25_multi" -> qBm25MultiSql,
   )
 }

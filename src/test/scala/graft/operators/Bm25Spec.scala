@@ -43,6 +43,38 @@ class Bm25Spec extends SparkSpec {
     assert(r.size == 1)
   }
 
+  test("searchMany with a single query equals search") {
+    val q = Seq(("q1", "cat"), ("q1", "dog")).toDF("qid", "term")
+    val many = Bm25.searchMany(docs, "doc_id", "text", q, "qid", "term",
+        topK = 10)
+      .select($"rank", $"doc_id", $"n_terms", $"sum_tf", $"score")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq.sorted
+    val one = Bm25.search(docs, "doc_id", "text", Seq("cat", "dog"),
+        topK = 10)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(many == one)
+  }
+
+  test("searchMany keeps queries independent") {
+    val q = Seq(("q1", "cat"), ("q2", "dog")).toDF("qid", "term")
+    val r = Bm25.searchMany(docs, "doc_id", "text", q, "qid", "term",
+        topK = 10)
+      .select($"query_id", $"doc_id").as[(String, Long)].collect().toSet
+    // cat matches docs 1-2 only, dog matches doc 3 only
+    assert(r == Set(("q1", 1L), ("q1", 2L), ("q2", 3L)))
+  }
+
+  test("searchMany dedups repeated (query, term) rows") {
+    val qDup = Seq(("q1", "cat"), ("q1", "cat"), ("q1", "dog"))
+      .toDF("qid", "term")
+    val q = Seq(("q1", "cat"), ("q1", "dog")).toDF("qid", "term")
+    val run = (d: org.apache.spark.sql.DataFrame) =>
+      Bm25.searchMany(docs, "doc_id", "text", d, "qid", "term", topK = 10)
+        .select($"rank", $"doc_id", $"n_terms", $"sum_tf", $"score")
+        .as[(Int, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(run(qDup) == run(q))
+  }
+
   test("idf is the always-positive Lucene form") {
     // a term in EVERY doc still scores > 0 (classic idf would be ln(1)=0
     // or negative for df > N/2)

@@ -457,6 +457,30 @@ object QueriesEvents {
        |FROM act JOIN coh USING (user_id)
        |GROUP BY cohort_period, period - cohort_period""".stripMargin
 
+  // ----------------------------------------------------------- transitions
+  // First-order next-event transition matrix. Ordering is (ts,
+  // event_id) within each user — micro-domain ts on both engines
+  // (qStreamJoin's rule); p is a long/long double division, IEEE-exact.
+  def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Transitions.matrix(t(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type")
+
+  val qTransitionsSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |              event_type
+      |            FROM events),
+      |st AS (SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY us, event_id) AS to_type
+      |       FROM ev),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM st
+      |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c
+      |      GROUP BY from_type)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      |FROM c JOIN t USING (from_type)""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
@@ -471,6 +495,7 @@ object QueriesEvents {
     "q_scd2_apply" -> (qScd2Apply _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
+    "q_transitions" -> (qTransitions _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -486,5 +511,6 @@ object QueriesEvents {
     "q_scd2_apply" -> qScd2ApplySql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
+    "q_transitions" -> qTransitionsSql,
   )
 }

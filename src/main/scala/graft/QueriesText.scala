@@ -731,6 +731,106 @@ object QueriesText {
        |FROM bg JOIN m USING (w1, w2) JOIN ctx USING (w1)
        |GROUP BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- pmi
+  // PMI collocation mining: top adjacent pairs by pointwise mutual
+  // information. The compared projection is the ranking plus the
+  // integer count profile; the ln-based pmi is dropped (qBm25's rule,
+  // decimal-rounded before ranking on both engines).
+  private val PmiMinPairCount = 2L
+  private val PmiTopK = 50
+
+  def qPmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cooccurrence.pmi(t(s, dir, "documents"), "text",
+        PmiMinPairCount, PmiTopK)
+      .drop("pmi")
+
+  val qPmiSql: String =
+    s"""WITH c AS (SELECT ${sqlCollapse("lower(text)")} AS sl
+       |           FROM documents),
+       |a AS (SELECT string_split(sl, ' ') AS a FROM c),
+       |u AS (SELECT w, count(*) AS c FROM
+       |        (SELECT unnest(a) AS w FROM a) GROUP BY w),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM u),
+       |bg AS (SELECT
+       |        unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+       |        unnest(list_transform(range(1, len(a)), i -> a[i+1])) AS w2
+       |       FROM a),
+       |p AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+       |      HAVING count(*) >= $PmiMinPairCount),
+       |sc AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+       |         CAST(ln(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE) /
+       |              (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+       |           AS DECIMAL(20,12)) AS pmi
+       |       FROM p JOIN u u1 ON u1.w = p.w1
+       |         JOIN u u2 ON u2.w = p.w2 CROSS JOIN n)
+       |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT)
+       |    AS rank,
+       |  w1, w2, c12, c1, c2
+       |FROM sc ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
+  // ------------------------------------------------------------- dsir
+  // DSIR importance reweighting: hashed-ngram LLR against the English
+  // subset as the target distribution, then top-quarter selection per
+  // language ([[Sampling.keepTopFraction]]). Compared projection is the
+  // selected set with its integer feature profile; the ln-based score
+  // is decimal-rounded per bucket before any sum (qBm25's rule).
+  private val DsirHexDigits = 3
+  private val DsirAlpha = 1.0
+  private val DsirFrac = 0.25
+  private val DsirTargetLang = "en"
+
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.ImportanceWeights.scoreAgainstTarget(
+      t(s, dir, "documents"), "doc_id", "text",
+      col("lang") === DsirTargetLang, DsirHexDigits, DsirAlpha,
+      carry = Seq("lang"))
+    graft.operators.Sampling.keepTopFraction(
+        scored, "doc_id", "score", Seq("lang"), DsirFrac)
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("n_scored"))
+  }
+
+  val qDsirSql: String = {
+    val b = math.pow(16.0, DsirHexDigits)
+    val aB = DsirAlpha * b
+    s"""WITH c AS (SELECT doc_id, lang, ${sqlCollapse("lower(text)")} AS sl
+       |           FROM documents),
+       |t AS (SELECT doc_id, lang, string_split(sl, ' ') AS a FROM c),
+       |fb AS (SELECT doc_id, lang, substr(md5(feat), 1, $DsirHexDigits)
+       |           AS bucket
+       |       FROM (SELECT doc_id, lang, unnest(list_concat(a,
+       |               list_transform(range(1, len(a)),
+       |                 i -> a[i] || ' ' || a[i+1]))) AS feat
+       |             FROM t)),
+       |tc AS (SELECT bucket, count(*) AS tcnt FROM fb
+       |       WHERE lang = '$DsirTargetLang' GROUP BY bucket),
+       |rc AS (SELECT bucket, count(*) AS rcnt FROM fb GROUP BY bucket),
+       |tot AS (SELECT
+       |          COALESCE((SELECT CAST(sum(tcnt) AS BIGINT) FROM tc), 0)
+       |            AS tt,
+       |          COALESCE((SELECT CAST(sum(rcnt) AS BIGINT) FROM rc), 0)
+       |            AS rt),
+       |lr AS (SELECT bucket,
+       |         CAST(ln((CAST(COALESCE(tcnt, 0) AS DOUBLE) + $DsirAlpha) /
+       |                 (CAST(tt AS DOUBLE) + $aB)) -
+       |              ln((CAST(COALESCE(rcnt, 0) AS DOUBLE) + $DsirAlpha) /
+       |                 (CAST(rt AS DOUBLE) + $aB))
+       |           AS DECIMAL(20,12)) AS llr
+       |       FROM tc FULL OUTER JOIN rc USING (bucket) CROSS JOIN tot),
+       |db AS (SELECT doc_id, lang, bucket, count(*) AS nb FROM fb
+       |       GROUP BY doc_id, lang, bucket),
+       |sc AS (SELECT doc_id, lang, CAST(sum(nb) AS BIGINT) AS n_feats,
+       |         CAST(sum(nb) AS BIGINT) AS n_scored,
+       |         CAST(sum(CAST(nb AS DECIMAL(10,0)) * llr)
+       |           AS DECIMAL(38,12)) AS score
+       |       FROM db JOIN lr USING (bucket) GROUP BY doc_id, lang),
+       |sel AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |            ORDER BY score DESC, doc_id) AS rn,
+       |          count(*) OVER (PARTITION BY lang) AS nl
+       |        FROM sc)
+       |SELECT doc_id, lang, n_feats, n_scored FROM sel
+       |WHERE rn <= ceil($DsirFrac * nl)""".stripMargin
+  }
+
   // ----------------------------------------------------- leakage-free split
   // Train/val/test assignment keyed on the content FINGERPRINT, not the
   // document id: exact duplicates share a fingerprint, so they land in
@@ -810,6 +910,8 @@ object QueriesText {
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_pct_rank" -> (qPctRank _),
     "q_bm25_multi" -> (qBm25Multi _),
+    "q_pmi" -> (qPmi _),
+    "q_dsir" -> (qDsir _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -839,5 +941,7 @@ object QueriesText {
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_pct_rank" -> qPctRankSql,
     "q_bm25_multi" -> qBm25MultiSql,
+    "q_pmi" -> qPmiSql,
+    "q_dsir" -> qDsirSql,
   )
 }

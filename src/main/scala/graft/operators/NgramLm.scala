@@ -32,8 +32,12 @@ object NgramLm {
   /** Interior bigrams of the normalized token stream as
     * array<struct<w1,w2>> — empty (not NULL-poisoned) for texts with
     * fewer than two tokens. */
-  private def bigramPairs(textCol: Column): Column = {
-    val a = split(TextFunctions.normalize(textCol), " ")
+  private def bigramPairs(textCol: Column): Column =
+    bigramsOfTokens(split(TextFunctions.normalize(textCol), " "))
+
+  /** Bigram core over an already-tokenized array — shared with
+    * [[Cooccurrence]] so both operators agree on what a bigram is. */
+  private[operators] def bigramsOfTokens(a: Column): Column = {
     val idx = when(size(a) >= 2, sequence(lit(1), size(a) - 1))
       .otherwise(array().cast("array<int>"))
     transform(idx, i => struct(element_at(a, i).as("w1"),

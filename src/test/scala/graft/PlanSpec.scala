@@ -136,6 +136,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_dsir scans and feature-explodes the corpus once") {
+    // the retained (doc_id, lang, bucket) stream feeds the target
+    // counts, the raw counts, and the per-document counts — the naive
+    // composition re-explodes the corpus per consumer (3x md5 explosion,
+    // 4x parquet scan)
+    val p = plan("q_dsir")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryRelation"),
+      s"q_dsir derives its feature stream per consumer ($scans scans)")
+  }
+
   test("ivfAssign assigns centroids in one map-side pass — no window, no fan-out shuffle") {
     // the round-6 plan shuffled |corpus| x |centroids| scored rows through
     // a window exchange; the assignment is now an array argmin over one

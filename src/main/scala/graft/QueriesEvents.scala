@@ -481,6 +481,96 @@ object QueriesEvents {
       |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
       |FROM c JOIN t USING (from_type)""".stripMargin
 
+  // ----------------------------------------------------------- decay
+  // Exponentially time-decayed engagement per user, reference date = the
+  // newest event date. The one transcendental (pow) is decimal-rounded
+  // per row before the multiply (qBm25's rule); value is exact at two
+  // decimals; the sum runs entirely in decimal. DECIMAL(12,2) keeps the
+  // product precision at 33 — below Spark's 38 cap, so neither engine
+  // rescales it.
+  private val DecayLambda = 0.9
+
+  def qDecay(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DecayScore.scoreFromMaxDate(
+        t(s, dir, "events"), "user_id", "ts", "value", DecayLambda)
+      // compared projection: decimal -> double via a scale-6 waypoint
+      // (unscaled fits 2^53 exactly, so the one division is correctly
+      // rounded on both engines); a raw scale-14 cast has a >2^53
+      // unscaled value and can diverge by an ulp
+      .withColumn("score", col("score").cast("decimal(24,6)").cast("double"))
+
+  val qDecaySql: String =
+    s"""WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  -- round(), not a decimal cast: DuckDB's decimal->decimal cast
+       |  -- TRUNCATES while Spark's rounds HALF_UP; round() half-away
+       |  -- matches Spark for the positive scores here
+       |  CAST(round(CAST(sum(CAST(value AS DECIMAL(12,2)) *
+       |      CAST(pow($DecayLambda, greatest(
+       |        date_diff('day', CAST(ts AS DATE), ref), 0))
+       |        AS DECIMAL(20,12)))
+       |    AS DECIMAL(38,14)), 6) AS DOUBLE) AS score
+       |FROM events CROSS JOIN r
+       |GROUP BY user_id""".stripMargin
+
+  // --------------------------------------------------------- anomaly
+  // Per-user daily-activity z-score outliers: mean/σ derive from exact
+  // integer sums with one double division each, and IEEE sqrt is
+  // correctly rounded, so z is engine-identical before the boundary
+  // decimal rounding.
+  private val AnomalyThreshold = 2.0
+  private val AnomalyMinDays = 5
+
+  def qAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.dailyOutliers(
+        t(s, dir, "events"), "user_id", "ts", AnomalyThreshold, AnomalyMinDays)
+      // compared projection: |z| < 10 so the scale-12 unscaled value fits
+      // 2^53 — the decimal->double cast is correctly rounded on both sides
+      .withColumn("z", col("z").cast("double"))
+
+  val qAnomalySql: String =
+    s"""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+       |             CAST(count(*) AS BIGINT) AS n
+       |           FROM events GROUP BY 1, 2),
+       |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+       |         CAST(sum(n) AS BIGINT) AS s,
+       |         CAST(sum(n * n) AS BIGINT) AS q
+       |       FROM d GROUP BY user_id),
+       |z AS (SELECT d.user_id, d.day, d.n,
+       |        CAST((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) /
+       |            CAST(nd AS DOUBLE)) /
+       |          sqrt(CAST(nd * q - s * s AS DOUBLE) /
+       |            CAST(nd * nd AS DOUBLE)) AS DECIMAL(20,12)) AS z
+       |      FROM d JOIN st USING (user_id)
+       |      WHERE nd >= $AnomalyMinDays AND nd * q - s * s > 0)
+       |SELECT user_id, day, n, CAST(z AS DOUBLE) AS z FROM z
+       |WHERE abs(z) >= $AnomalyThreshold""".stripMargin
+
+  // ------------------------------------------------------ heavy hitters
+  // Misra-Gries sketch in the EXACT regime (k far above the event-type
+  // cardinality: no decrement ever fires), so the estimates equal plain
+  // group counts and err_bound is 0 — which is precisely what the oracle
+  // asserts. The approximate regime is property-checked in the spec.
+  private val HeavyK = 32
+
+  def qHeavy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.heavyHitters(
+      t(s, dir, "events"), Nil, "event_type", HeavyK)
+
+  val qHeavySql: String =
+    """SELECT event_type AS item, count(*) AS est,
+      |  CAST(0 AS BIGINT) AS err_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
+  def qHeavyUser(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.heavyHitters(
+      t(s, dir, "events"), Seq("user_id"), "event_type", HeavyK)
+
+  val qHeavyUserSql: String =
+    """SELECT user_id, event_type AS item, count(*) AS est,
+      |  CAST(0 AS BIGINT) AS err_bound
+      |FROM events GROUP BY user_id, event_type""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (qSessionize _),
@@ -496,6 +586,10 @@ object QueriesEvents {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_transitions" -> (qTransitions _),
+    "q_decay" -> (qDecay _),
+    "q_anomaly" -> (qAnomaly _),
+    "q_heavy" -> (qHeavy _),
+    "q_heavy_user" -> (qHeavyUser _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -512,5 +606,9 @@ object QueriesEvents {
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_transitions" -> qTransitionsSql,
+    "q_decay" -> qDecaySql,
+    "q_anomaly" -> qAnomalySql,
+    "q_heavy" -> qHeavySql,
+    "q_heavy_user" -> qHeavyUserSql,
   )
 }

@@ -136,6 +136,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_decay derives the reference date lazily from a ts-only pruned pre-pass") {
+    val p = plan("q_decay")
+    // the 1-row max broadcasts into a cross join — no eager driver job,
+    // and its scan reads nothing but the timestamp column
+    assert(p.contains("ReadSchema: struct<ts:bigint>\n"),
+      "max-date pre-pass must prune to the ts column alone")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("partial_max"))
+    // the corpus aggregates map-side before its shuffle
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q_anomaly windows over the collapsed daily table in one pass") {
+    val p = plan("q_anomaly")
+    // scan prunes to (ts, user_id); the corpus collapses via groupBy
+    // BEFORE any window, and all three frame aggregates share ONE window
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1)
+    val windows = "\\(\\d+\\) Window\n".r.findAllIn(p).length
+    assert(windows == 1, s"expected one Window node, got $windows")
+    assert(p.contains("partial_count"))
+  }
+
+  test("q_heavy combines Misra-Gries summaries map-side") {
+    val p = plan("q_heavy")
+    // the sketch partial-aggregates below the exchange — each partition
+    // ships one bounded summary, never its raw rows
+    assert("partial_misragries".r.findAllIn(p.toLowerCase).nonEmpty,
+      s"expected a partial sketch aggregate below the shuffle")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)]"))
+  }
+
   test("q_dsir scans and feature-explodes the corpus once") {
     // the retained (doc_id, lang, bucket) stream feeds the target
     // counts, the raw counts, and the per-document counts — the naive

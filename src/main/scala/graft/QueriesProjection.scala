@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{HyperplaneLSH, RandomProjection}
+
+/** Random-projection queries over `embeddings`: the raw reduced vectors
+  * (q_rand_proj) and the screened-then-exactly-rescored top-k
+  * (q_proj_topk). The oracles rebuild the seeded planes as VALUES
+  * literals (the hyperplane-LSH treatment) and replay the fixed-shape
+  * reduced arithmetic, so the hash compare pins projection values AND
+  * the screen's candidate cut bit-for-bit.
+  */
+object QueriesProjection {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val RDims = 8
+  private val Seed = 29L
+  private val K = 3
+  private val CandK = 20
+  private val NQueries = 10
+
+  private def planesValues: String =
+    HyperplaneLSH.planesSqlValues(HyperplaneLSH.planes(RDims, 64, Seed))
+
+  // Projection CTE shared by both oracles: exact decimal sums per (vec,
+  // plane), cast to double — the same value DecimalDotExpr produces.
+  // Each product is routed through VARCHAR before the decimal cast:
+  // DuckDB renders the shortest round-trip representation, so the scale-12
+  // rounding happens on the same digits BigDecimal.valueOf sees on the
+  // Spark side (Double.toString semantics). A direct double->decimal cast
+  // rounds the exact binary value instead, which lands on the other side
+  // of a half-boundary for ~1 in 4000 products.
+  private def projCte: String =
+    s"""planes(dim, i, w) AS (VALUES
+       |$planesValues),
+       |proj AS (
+       |  SELECT e.vec_id, p.dim,
+       |    CAST(SUM(CAST(CAST(CAST(e.embedding[p.i] AS DOUBLE) * CAST(p.w AS DOUBLE)
+       |      AS VARCHAR) AS DECIMAL(20,12))) AS DOUBLE) AS v
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.dim)""".stripMargin
+
+  // ------------------------------------------------- reduced vectors
+  def qRandProj(s: SparkSession, dir: String): DataFrame =
+    RandomProjection.project(t(s, dir, "embeddings"), "embedding", RDims, Seed)
+      .select(col("vec_id"), posexplode(col("rvec")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+
+  val qRandProjSql: String =
+    s"""WITH $projCte
+       |SELECT vec_id, CAST(dim AS BIGINT) AS dim, v FROM proj""".stripMargin
+
+  // ------------------------------------- screened + rescored top-k
+  def qProjTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    RandomProjection.topKViaProjection(
+      e, e.filter(col("vec_id") < NQueries), "vec_id", "embedding",
+      K, CandK, RDims, Seed)
+  }
+
+  val qProjTopkSql: String = {
+    // Fixed-shape reduced arithmetic: left-associated sums, identical
+    // expression tree to RandomProjection.rDot.
+    def rdot(a: String, b: String) =
+      (0 until RDims).map(j => s"$a.v$j * $b.v$j").mkString(" + ")
+    val pivots = (0 until RDims)
+      .map(j => s"max(CASE WHEN dim = $j THEN v END) AS v$j").mkString(", ")
+    val sq = (0 until RDims).map(j => s"v$j * v$j").mkString(" + ")
+    s"""WITH $projCte,
+       |pv AS (SELECT vec_id, $pivots FROM proj GROUP BY vec_id),
+       |rn AS (SELECT *, sqrt($sq) AS r_norm FROM pv),
+       |rsim AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |    (${rdot("q", "c")}) / (q.r_norm * c.r_norm) AS r_sim
+       |  FROM rn q JOIN rn c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |cand AS (
+       |  SELECT query_id, nn_id FROM rsim WHERE r_sim IS NOT NULL
+       |  QUALIFY row_number()
+       |    OVER (PARTITION BY query_id ORDER BY r_sim DESC, nn_id) <= $CandK),
+       |n AS (SELECT vec_id, embedding,
+       |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |    AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS norm_sq
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id, embedding),
+       |res AS (
+       |  SELECT cand.query_id, cand.nn_id,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |      AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS dot,
+       |    any_value(q.norm_sq) AS qn, any_value(c.norm_sq) AS cn
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n c ON c.vec_id = cand.nn_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY cand.query_id, cand.nn_id),
+       |scored AS (
+       |  SELECT query_id, nn_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+       |      AS cos_sim
+       |  FROM res)
+       |SELECT query_id, rank, nn_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
+       |  FROM scored) WHERE rank <= $K""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rand_proj" -> (qRandProj _),
+    "q_proj_topk" -> (qProjTopk _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rand_proj" -> qRandProjSql,
+    "q_proj_topk" -> qProjTopkSql,
+  )
+}

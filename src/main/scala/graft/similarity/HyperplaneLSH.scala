@@ -26,7 +26,7 @@ object HyperplaneLSH {
     Seq.fill(nBits)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
-  private def planeLit(p: Array[Double]): Column =
+  private[similarity] def planeLit(p: Array[Double]): Column =
     array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
 
   /** Signature bucket id in [0, 2^nBits). Planes are cast to float arrays
@@ -219,7 +219,10 @@ object HyperplaneLSH {
     val prefix = table.map(t => s"$t, ").getOrElse("")
     ps.zipWithIndex.flatMap { case (p, j) =>
       p.zipWithIndex.map { case (w, i) =>
-        s"($prefix$j, ${i + 1}, CAST(${w.toFloat} AS FLOAT))"
+        // double-routed literal: DuckDB parses a bare decimal literal as
+        // DECIMAL and its DECIMAL->FLOAT conversion is off by 1 ulp for
+        // some values; DOUBLE parse + narrowing cast is correctly rounded
+        s"($prefix$j, ${i + 1}, CAST(CAST(${w.toFloat} AS DOUBLE) AS FLOAT))"
       }
     }.mkString(",\n")
   }

@@ -329,4 +329,32 @@ class PlanSpec extends SparkSpec {
     val keyed = "hashpartitioning".r.findAllIn(p).length
     assert(keyed == 1, s"expected 1 keyed exchange, got $keyed:\n$p")
   }
+
+  test("q_geo_nearest joins on cells — no cartesian, no nested-loop join") {
+    // the whole point of the cell screen: the candidate join must compile
+    // to an equi-join on (cx, cy), never an all-pairs product
+    val p = plan("q_geo_nearest")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop join:\n$p")
+  }
+
+  test("q_proj_topk screens with bounded aggregation — no window over the fan-out") {
+    // the ivfAssign lesson, pinned for the JL screen: candidate cut and
+    // final rank are TopKAggregator partial aggregations, so the
+    // |queries| x |corpus| scored fan-out is never window-sorted through
+    // an exchange
+    val p = plan("q_proj_topk")
+    assert(!p.contains("Window"), s"screen ranks with a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k aggregator:\n$p")
+  }
+
+  test("q_containment derives the signature-set table once") {
+    // sizes, the hot-fp screen, and both self-join legs all read the
+    // retained (id, fp) table — one winnowing pass over one corpus scan
+    val p = plan("q_containment")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryRelation"),
+      s"containment re-derives signatures ($scans scans):\n$p")
+  }
 }

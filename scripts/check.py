@@ -61,9 +61,22 @@ def main(outdir, sfdir, only):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # Queries that threw during Verify are recorded in _FAILURES.json —
+    # report them as explicit FAIL rows (round-7 lesson: a missing output
+    # dir is easy to miss; an exception line is not).
+    fail_path = os.path.join(outdir, "_FAILURES.json")
+    failed_at_run = json.load(open(fail_path)) if os.path.exists(fail_path) else {}
+    for name, info in sorted(failed_at_run.items()):
+        if only and name not in only:
+            continue
+        print(f"FAIL {name}: THREW at run time: "
+              f"{info.get('exception')}: {info.get('message')}")
+        n_fail += 1
     for name in sorted(oracles):
         if only and name not in only:
             continue
+        if name in failed_at_run:
+            continue  # already reported above
         pq = os.path.join(outdir, name)
         if not glob.glob(pq + "/*.parquet"):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue

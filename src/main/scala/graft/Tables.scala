@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -32,15 +32,33 @@ object Tables {
       if (parallelize && raw.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
         raw.repartition(spark.sparkContext.defaultParallelism)
       else raw
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and the
-    // long is converted here (values are micro-precision, so this is
-    // lossless). All downstream code sees a plain TimestampType.
-    // Integer division: `/` would go through double and lose sub-us
-    // precision at e15 epoch magnitudes.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    normalizeTimestamps(df, name)
+  }
+
+  /** The driver's testdata has shipped `events.ts` under two different
+    * parquet physical types across rounds: TIMESTAMP(NANOS) (read as
+    * LongType under spark.sql.legacy.parquet.nanosAsLong=true) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TimestampNTZType).
+    * Downstream operators (sessionize, funnel, retention, SCD2, streaming
+    * event-time) all require a true TimestampType, so normalize every
+    * variant here — ONE place, so the next silent testdata regeneration
+    * breaks loudly in TablesSpec instead of in five queries.
+    *
+    * The NTZ→LTZ cast is lossless and micro-exact because every session
+    * in this repo pins spark.sql.session.timeZone=UTC (Verify.scala,
+    * Bench.scala, the spec harness); DuckDB oracles compare epoch_us and
+    * are unaffected. The nanos long uses integer `div` (double would lose
+    * sub-us precision at e15 epoch magnitudes).
+    */
+  private[graft] def normalizeTimestamps(df: DataFrame, name: String): DataFrame = {
+    val ntzCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    val ntzFixed = ntzCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast("timestamp")))
+    if (name == "events" && ntzFixed.schema("ts").dataType == LongType)
+      ntzFixed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else ntzFixed
   }
 
   /** Register every table as a temp view (for the spark.sql passthrough

@@ -19,11 +19,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are collected into _FAILURES.json (not only stderr): a
+    // query that throws must surface as an explicit FAIL row in the local
+    // gate, not as a silently-missing output dir (round-7 lesson — five
+    // dead queries shipped unnoticed because the throw was swallowed).
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += ((name, e.getClass.getName,
+          Option(e.getMessage).getOrElse("").take(500)))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +48,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (n, cls, msg) =>
+        s"${q(n)}: {${q("exception")}: ${q(cls)}, ${q("message")}: ${q(msg)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_FAILURES.json"), failJson)
     spark.stop()
   }
 }

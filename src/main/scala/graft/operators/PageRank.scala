@@ -46,6 +46,25 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    iterate(edges, srcCol, dstCol, iters, damping, tolerance = None)
+  }
+
+  /** Convergence-stopped variant: iterate until the L1 rank delta
+    * Σ|rank_i - rank_{i-1}| drops below `tolerance`, or `maxIters`
+    * rounds, whichever first. Production knob for large graphs — a
+    * fixed iteration budget pays the full per-round shuffle even on an
+    * already-converged graph, while the stop costs one extra node-sized
+    * aggregate (a scalar driver round-trip) per round, only when
+    * requested. The fixed-iteration [[run]] path is untouched. */
+  def runConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int, tolerance: Double, damping: Double = 0.85): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(tolerance > 0.0, s"tolerance must be > 0, got $tolerance")
+    iterate(edges, srcCol, dstCol, maxIters, damping, Some(tolerance))
+  }
+
+  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double, tolerance: Option[Double]): DataFrame = {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
     // the edge table is read every round (plus nodes/deg below) — pin it
@@ -62,11 +81,23 @@ object PageRank {
       .join(deg, nodes("node") === deg("src"), "left")
       .select(col("node"), lit(1.0).as("rank"), col("outdeg"))
       .localCheckpoint()
-    (1 to iters).foreach { _ =>
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
       val next = step(e, rank, damping)
         .localCheckpoint() // eager: materialized before the release below
+      // the L1 delta reads two ALREADY-CHECKPOINTED node-sized tables —
+      // no recomputation, one co-partitioned join + scalar aggregate
+      converged = tolerance.exists { tol =>
+        val prev = rank.select(col("node").as("__pn"),
+          col("rank").as("__prev"))
+        next.join(prev, col("node") === col("__pn"))
+          .agg(sum(abs(col("rank") - col("__prev"))).as("l1"))
+          .head().getDouble(0) < tol
+      }
       graft.core.Checkpoints.releaseLocal(rank)
       rank = next
+      i += 1
     }
     rank.select(col("node"), col("rank"))
   }

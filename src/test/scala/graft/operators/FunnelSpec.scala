@@ -49,6 +49,17 @@ class FunnelSpec extends SparkSpec {
     assert(f == 1L)
   }
 
+  test("entities with ONLY later-step events never enter the funnel") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "buy"),
+      (2L, ts("2024-01-01 10:00:00"), "buy")
+    ).toDF("u", "t", "kind")
+    val f = Funnel.earliest(ev, "u", "t", "kind", steps)
+    assert(f.count() == 0L,
+      "a funnel row requires step 1; later-step-only entities must be absent")
+  }
+
   test("earliest completion is picked per step") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),

@@ -46,6 +46,37 @@ class PageRankSpec extends SparkSpec {
     assert(r == Map("a" -> 1.0, "b" -> 1.0))
   }
 
+  test("convergence stop yields ranks within tolerance of the full run") {
+    // ring + chord graph converges fast; a tight budget of 20 rounds with
+    // tolerance 1e-6 must stop early yet agree with the full 20-round run
+    // to within the declared L1 tolerance per node
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("s", "d")
+    val full = PageRank.run(e, "s", "d", iters = 20)
+      .as[(Long, Double)].collect().toMap
+    val early = PageRank.runConverged(e, "s", "d", maxIters = 20,
+      tolerance = 1e-6).as[(Long, Double)].collect().toMap
+    assert(early.keySet == full.keySet)
+    // the stop fires when the per-round L1 delta < 1e-6; from there the
+    // damped iteration is a 0.85-contraction, so the distance to the
+    // fixed point (and hence to any later iterate) is < tol/(1-d)
+    early.foreach { case (n, r) =>
+      assert(math.abs(r - full(n)) < 1e-6 / (1.0 - 0.85),
+        s"node $n: early=$r full=${full(n)}")
+    }
+  }
+
+  test("convergence stop on a fixed-point graph stops after one round") {
+    // symmetric 2-cycle is AT the fixed point: round 1's delta is 0, so
+    // the loop must not pay rounds 2..maxIters (behaviorally observable:
+    // ranks stay exactly 1.0 and the call returns quickly even with a
+    // large budget)
+    val e = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val r = PageRank.runConverged(e, "s", "d", maxIters = 50,
+      tolerance = 1e-12).as[(String, Double)].collect().toMap
+    assert(r("a") == 1.0 && r("b") == 1.0)
+  }
+
   test("the center of an in-star outranks the spokes") {
     val e = (1L to 9L).map(i => (i, 0L)).toDF("s", "d")
     val r = PageRank.run(e, "s", "d", iters = 3)

@@ -53,6 +53,21 @@ class RetentionSpec extends SparkSpec {
     assert(r == Set((-1L, 0L, 1L), (-1L, 1L, 1L)))
   }
 
+  test("single-period cohort yields exactly one offset-0 row") {
+    // every event of every user lands in the same 7-day period (the
+    // epoch-anchored period containing 2023-12-28..2024-01-03): the
+    // whole triangle degenerates to one (cohort, 0, n_users) row
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00")),
+      (1L, ts("2024-01-03 02:00:00")),
+      (2L, ts("2024-01-02 03:00:00")),
+      (3L, ts("2024-01-03 04:00:00"))
+    ).toDF("u", "t")
+    val r = Retention.cohorts(ev, "u", "t", periodDays = 7)
+      .select($"period_offset", $"n_active").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 3L)))
+  }
+
   test("offset-0 counts equal cohort sizes") {
     val ev = (1L to 50L).map(i =>
       (i, ts(f"2024-01-${i % 9 + 1}%02d 12:00:00"))).toDF("u", "t")

@@ -37,12 +37,23 @@ import graft.operators.TopKAggregator
 object RandomProjection {
 
   /** Adds `rvec` (array<double>, length rDims): the exact-decimal
-    * projections of `vecCol` onto the seeded planes. Map-side only. */
+    * projections of `vecCol` onto the seeded planes. Map-side only.
+    *
+    * Guards the one parameter the caller must get right: a row whose
+    * embedding length differs from `dims` raises instead of silently
+    * projecting against a prefix of each plane (DecimalDot iterates
+    * min(len, dims) — a wrong-answer-not-error shape without the check).
+    * NULL embeddings pass through as NULL (DecimalDot null-poisons). */
   def project(vecs: DataFrame, vecCol: String,
       rDims: Int, seed: Long, dims: Int = 64): DataFrame = {
     val ps = HyperplaneLSH.planes(rDims, dims, seed)
+    val checked = when(col(vecCol).isNull, col(vecCol))
+      .when(size(col(vecCol)) === dims, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"RandomProjection.project: embedding length != dims=$dims (got "),
+        size(col(vecCol)).cast("string"), lit(")"))))
     vecs.withColumn("rvec", array(ps.map(p =>
-      DecimalDotExpr.decimal_dot(col(vecCol), HyperplaneLSH.planeLit(p))
+      DecimalDotExpr.decimal_dot(checked, HyperplaneLSH.planeLit(p))
         .cast("double")): _*))
   }
 
@@ -56,8 +67,14 @@ object RandomProjection {
     * reduced space: candK reduced-cosine candidates per query (bounded
     * aggregation), then exact decimal-dot rescore and final rank. With
     * candK >= |corpus| - 1 this IS brute force (the equivalence law the
-    * spec pins); smaller candK trades recall for an (dims/rDims)x cheaper
-    * screen. Output: (query_id, rank, nn_id, cos_sim). */
+    * spec pins) — PRECONDITION: the law assumes non-zero-norm vectors.
+    * Zero-norm rows have no reduced cosine and are dropped by the screen,
+    * while [[CosineSearch.bruteForceTopK]] keeps NULL-cosine candidates
+    * ranked last; on a corpus containing zero vectors (or a zero-norm
+    * query) this returns fewer rows than brute force once non-zero
+    * candidates run out. Smaller candK trades recall for an
+    * (dims/rDims)x cheaper screen. Output: (query_id, rank, nn_id,
+    * cos_sim). */
   def topKViaProjection(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, candK: Int, rDims: Int, seed: Long, dims: Int = 64,

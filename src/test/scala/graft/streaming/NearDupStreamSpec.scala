@@ -92,6 +92,49 @@ class NearDupStreamSpec extends SparkSpec {
     assert(gap.getMessage.contains("skips past the stored bucket table"))
   }
 
+  test("3-batch ingest with a kill/restart between every batch equals the single-batch run") {
+    // The continuous-ingest contract end-to-end: each batch arrives AFTER
+    // the previous streaming query was stopped, so a brand-new query
+    // (same checkpoint) must resume from the stored bucket table + offsets
+    // and still complete every cross-batch pair exactly once. This is the
+    // composition the incremental dedup families claim — state lives in
+    // the parquet bucket table, not in any in-memory structure that dies
+    // with the query.
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val dir = Files.createTempDirectory("graft_neardup_restart").toString
+    val (in, buckets, pairs, ckpt) =
+      (s"$dir/in", s"$dir/buckets", s"$dir/pairs", s"$dir/ckpt")
+    val schema = spark.createDataset(e.take(1)).toDF("vec_id", "embedding")
+      .schema
+    val thirds = e.grouped((e.length + 2) / 3).toSeq
+    assert(thirds.length == 3)
+    thirds.zipWithIndex.foreach { case (third, i) =>
+      // the batch lands as a new file AFTER the previous query died
+      spark.createDataset(third).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(in)
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = NearDupStream.start(src, "vec_id", "embedding",
+        nBits = 8, seed = 11L, threshold = 0.3,
+        bucketsPath = buckets, pairsPath = pairs, checkpointDir = ckpt)
+      q.awaitTermination() // AvailableNow: drains the new file, then dies
+      assert(!q.isActive, s"query $i should have terminated")
+    }
+    def norm(p: (Long, Long)) = if (p._1 < p._2) p else p.swap
+    val streamed = spark.read.parquet(pairs)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    assert(streamed.length == streamed.toSet.size, "pair emitted twice")
+    val full = HyperplaneLSH.nearDupPairs(
+        graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+        "vec_id", "embedding", nBits = 8, seed = 11L, threshold = 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    assert(streamed.map(norm).toSet == full.map(norm))
+    assert(spark.read.parquet(buckets).count() == e.length)
+  }
+
   test("a torn or empty bucket directory reads as an empty corpus") {
     val dir = Files.createTempDirectory("graft_neardup_torn").toString
     val (buckets, pairs) = (s"$dir/buckets", s"$dir/pairs")

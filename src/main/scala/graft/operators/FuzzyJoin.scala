@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+
+/** Edit-distance (Levenshtein) similarity join with lossless q-gram
+  * prefix pruning — the entity-resolution / record-linkage staple
+  * (fuzzy key matching across government registries is the reference's
+  * own problem domain; the algorithmic shape is ED-Join, Xiao et al.,
+  * VLDB'08, re-expressed relationally).
+  *
+  * Pruning chain, every step lossless for distance <= d with q-grams:
+  *  1. LENGTH: |len(a) - len(b)| <= d (each edit changes length by <= 1).
+  *  2. PREFIX: one edit disturbs at most q distinct q-grams, so a
+  *     qualifying pair's distinct-gram sets satisfy |A \ B| <= d*q; by
+  *     the standard prefix-filter lemma the (d*q + 1)-prefixes of A and
+  *     B under ONE global gram order must intersect whenever
+  *     max(|A|,|B|) > d*q. The order is ascending (document frequency,
+  *     gram) — rarest grams first, computed over the corpus (for
+  *     [[bestMatch]], over the UNION of both sides: the lemma needs one
+  *     shared total order), the same choice as
+  *     [[graft.dedup.Dedup.ngramJaccardPairsPrefix]]. The candidate
+  *     join therefore never touches the stop-gram buckets that make a
+  *     shared-gram join quadratic on common substrings.
+  *  3. VERIFY: banded levenshtein with the built-in threshold form
+  *     (O(d * len) per candidate, codegen'd).
+  *
+  * Pairs where BOTH sides have <= d*q grams (strings shorter than
+  * q + d*q chars) carry no prefix guarantee; they are routed through a
+  * dedicated short-string bucket joined all-pairs. That bucket is
+  * bounded by the alphabet (strings under ~q(d+1) chars), so the one
+  * cross join in the plan is over a filtered, tiny input — the
+  * corpus-sized path is the gram equi-join.
+  *
+  * Shape at scale: grams are derived in-row; the df table collapses to
+  * |distinct grams| via partial aggregation before the join-back; the
+  * candidate join shuffles (gram, id, string) for the d*q + 1 rarest
+  * grams per string only — never the full gram table, never a cross
+  * product. Candidates dedup on the pair key before the verify, so a
+  * pair sharing several prefix grams verifies once.
+  */
+object FuzzyJoin {
+
+  /** In-row distinct q-grams of `strCol` (empty array when the string is
+    * shorter than q; NULL propagates). */
+  private[operators] def qgrams(strCol: Column, q: Int): Column =
+    when(strCol.isNull, lit(null).cast("array<string>"))
+      .when(length(strCol) < q, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(strCol) - (q - 1)),
+        i => strCol.substr(i, lit(q)))))
+
+  /** (id, s, gramCount) plus the exploded (id, s, gram) table. */
+  private def gramBase(df: DataFrame, idCol: String, strCol: String,
+      q: Int, scope: CacheScope): DataFrame =
+    scope.retain(df
+      .filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__grams", qgrams(col("__s"), q))
+      .withColumn("__n", size(col("__grams"))))
+
+  /** The df-rarest `pfxLen` grams per string, exploded:
+    * (__id, __s, __g). `dfTable` supplies the shared global order. */
+  private def prefixLeg(base: DataFrame, dfTable: DataFrame,
+      pfxLen: Int): DataFrame =
+    base.select(col("__id"), col("__s"), explode(col("__grams")).as("__g"))
+      .join(dfTable, Seq("__g"))
+      .groupBy(col("__id"), col("__s"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g"))))
+        .as("__ranked"))
+      .select(col("__id"), col("__s"),
+        explode(transform(slice(col("__ranked"), 1, pfxLen),
+          r => r.getField("__g"))).as("__g"))
+
+  private def gramDf(bases: Seq[DataFrame]): DataFrame =
+    bases.map(_.select(explode(col("__grams")).as("__g")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+
+  /** All pairs within `maxDist` edits: (id_a, id_b, dist), id_a < id_b.
+    * NULL strings never match. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    selfCandidates(df, idCol, strCol, maxDist, q, scope)
+      .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("__dist") =!= -1)
+      .select(col("id_a"), col("id_b"),
+        col("__dist").cast("long").as("dist"))
+
+  /** The deduped candidate pairs the verify stage sees — exposed to the
+    * spec so the screen's selectivity is asserted, not just claimed. */
+  private[operators] def selfCandidates(df: DataFrame, idCol: String,
+      strCol: String, maxDist: Int, q: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val pfxLen = maxDist * q + 1
+    val base = gramBase(df, idCol, strCol, q, scope)
+    val pfx = scope.retain(prefixLeg(base, gramDf(Seq(base)), pfxLen))
+    val viaPrefix = pfx.select(col("__id").as("id_a"),
+        col("__s").as("__sa"), col("__g"))
+      .join(pfx.select(col("__id").as("id_b"), col("__s").as("__sb"),
+        col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+    // both-short pairs have no prefix guarantee: all-pairs over the
+    // bounded short bucket (strings under q + d*q chars)
+    val short = base.filter(col("__n") <= maxDist * q)
+    val viaShort = short.select(col("__id").as("id_a"), col("__s").as("__sa"))
+      .crossJoin(short.select(col("__id").as("id_b"), col("__s").as("__sb")))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+    viaPrefix.select(col("id_a"), col("__sa"),
+        col("id_b"), col("__sb"))
+      .union(viaShort.select(col("id_a"), col("__sa"),
+        col("id_b"), col("__sb")))
+      .distinct() // a pair sharing several prefix grams verifies ONCE
+  }
+
+  /** Each left row's best match on the right within `maxDist` edits:
+    * (id_l, id_r, dist), ties broken by smallest right id
+    * (deterministic). Left rows with no match are absent. The "match
+    * incoming records against a master table" form. */
+  def bestMatch(left: DataFrame, right: DataFrame, leftId: String,
+      rightId: String, strCol: String, maxDist: Int, q: Int = 2,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val pfxLen = maxDist * q + 1
+    val l = gramBase(left, leftId, strCol, q, scope)
+    val r = gramBase(right, rightId, strCol, q, scope)
+    // ONE order for both sides — df over the union
+    val dfTable = gramDf(Seq(l, r))
+    val viaPrefix = prefixLeg(l, dfTable, pfxLen)
+      .select(col("__id").as("id_l"), col("__s").as("__sl"), col("__g"))
+      .join(prefixLeg(r, dfTable, pfxLen)
+        .select(col("__id").as("id_r"), col("__s").as("__sr"), col("__g")),
+        Seq("__g"))
+      .filter(abs(length(col("__sl")) - length(col("__sr"))) <= maxDist)
+    val viaShort = l.filter(col("__n") <= maxDist * q)
+      .select(col("__id").as("id_l"), col("__s").as("__sl"))
+      .crossJoin(r.filter(col("__n") <= maxDist * q)
+        .select(col("__id").as("id_r"), col("__s").as("__sr")))
+      .filter(abs(length(col("__sl")) - length(col("__sr"))) <= maxDist)
+    val scored = viaPrefix.select(col("id_l"), col("__sl"),
+        col("id_r"), col("__sr"))
+      .union(viaShort.select(col("id_l"), col("__sl"),
+        col("id_r"), col("__sr")))
+      .distinct()
+      .withColumn("__dist", levenshtein(col("__sl"), col("__sr"), maxDist))
+      .filter(col("__dist") =!= -1)
+    // bounded per-left argmin: min over (dist, right id) structs — no
+    // window over the candidate fan-out
+    scored.groupBy(col("id_l"))
+      .agg(min(struct(col("__dist"), col("id_r"))).as("__best"))
+      .select(col("id_l"), col("__best")("id_r").as("id_r"),
+        col("__best")("__dist").cast("long").as("dist"))
+  }
+}

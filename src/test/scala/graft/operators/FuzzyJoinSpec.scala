@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(df: DataFrame, d: Int): Set[(Long, Long, Long)] = {
+    val a = df.select(col("id").as("id_a"), col("s").as("sa"))
+    val b = df.select(col("id").as("id_b"), col("s").as("sb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("sa"), col("sb")) <= d)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  private def pruned(df: DataFrame, d: Int, q: Int = 2) =
+    FuzzyJoin.editDistancePairs(df, "id", "s", d, q)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("equals brute force on real customer names, d=1 and d=2") {
+    val c = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    Seq(1, 2).foreach { d =>
+      val got = pruned(c, d)
+      val expected = brute(c, d)
+      assert(got == expected, s"d=$d mismatch")
+      assert(expected.nonEmpty, s"d=$d: fixture should produce pairs")
+    }
+  }
+
+  test("short strings (below the prefix guarantee) fall back losslessly") {
+    // every string here has <= d*q grams at q=2, d=2 — the prefix lemma
+    // gives no guarantee, so the short bucket must carry all of them,
+    // including the empty string and strings shorter than q
+    val df = Seq(
+      (1L, ""), (2L, "a"), (3L, "b"), (4L, "ab"), (5L, "ba"),
+      (6L, "abc"), (7L, "xy"), (8L, "abcd")).toDF("id", "s")
+    Seq(1, 2).foreach { d =>
+      assert(pruned(df, d) == brute(df, d), s"d=$d mismatch")
+    }
+  }
+
+  test("mixed short and long strings cross the bucket boundary") {
+    // "abcde" (4 grams > d*q=2 at d=1) vs "abcd" (3 grams) vs "abc"
+    // (2 grams, short): short x long pairs must come via the prefix
+    // join (the longer side's guarantee), short x short via the bucket
+    val df = Seq(
+      (1L, "abc"), (2L, "abcd"), (3L, "abcde"), (4L, "bbcde"),
+      (5L, "zzzzz"), (6L, "ab")).toDF("id", "s")
+    Seq(1, 2).foreach { d =>
+      assert(pruned(df, d) == brute(df, d), s"d=$d mismatch")
+    }
+  }
+
+  test("NULL strings never match") {
+    val df = Seq((1L, "abc"), (2L, "abc")).toDF("id", "s")
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("id", "s"))
+    assert(pruned(df, 2) == Set((1L, 2L, 0L)))
+  }
+
+  test("bestMatch picks the closest right row, smallest id on ties") {
+    val master = Seq(
+      (10L, "alpha"), (11L, "alphb"), (12L, "gamma")).toDF("id", "s")
+    val dirty = Seq(
+      (1L, "alpha"),  // exact: dist 0 to 10
+      (2L, "alphc"),  // dist 1 to BOTH 10 and 11 -> tie, pick 10
+      (3L, "gamm"),   // dist 1 to 12
+      (4L, "zzzzzz")  // no match within 2
+    ).toDF("id", "s")
+    val got = FuzzyJoin.bestMatch(dirty, master, "id", "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 0L), (2L, 10L, 1L), (3L, 12L, 1L)))
+  }
+
+  test("prefix pruning screens candidates well below the quadratic") {
+    // on realistic varied text (part names: random word combinations)
+    // the df-rarest-gram prefixes must cut the verify set by orders of
+    // magnitude. (Customer names are the pruning worst case — every
+    // name is within a handful of edits of every other, so most pairs
+    // are genuine candidates; the equivalence tests keep that fixture.)
+    val p = graft.Tables.load(spark, "/root/testdata/sf0.001", "part")
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val n = p.count()
+    val total = n * (n - 1) / 2
+    val candidates = FuzzyJoin.selfCandidates(p, "id", "s",
+      maxDist = 1, q = 2).count()
+    assert(candidates * 10 < total,
+      s"prefix join screened $candidates of $total pairs — not pruning")
+  }
+}

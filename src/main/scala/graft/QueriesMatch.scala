@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.FuzzyJoin
+import graft.operators.{AsOfJoin, FuzzyJoin, IncrementalAgg, Scd2}
 
-/** Round-8 query group: fuzzy entity matching (edit-distance joins).
+/** Round-8 query group: fuzzy entity matching (edit-distance joins),
+  * incremental aggregation state, temporal joins against SCD2 history.
   */
 object QueriesMatch {
 
@@ -68,14 +69,88 @@ object QueriesMatch {
       |      FROM scored)
       |WHERE rn = 1""".stripMargin
 
+  // --------------------------------------------------- incremental agg
+  // The events log arrives as 3 ingests (split by event_id mod); each
+  // batch folds into per-type partial state and the merged state's
+  // finals must equal the direct one-shot aggregation (the oracle) —
+  // the incremental-materialized-view contract. Decimal partials make
+  // the fold order-independent.
+  def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val states = (0 to 2).map(i =>
+      IncrementalAgg.state(ev.filter(pmod(col("event_id"), lit(3)) === i),
+        Seq("event_type"), "value"))
+    IncrementalAgg.finalize(
+      IncrementalAgg.merge(states, Seq("event_type")), Seq("event_type"))
+  }
+
+  val qIncrAggSql: String =
+    """SELECT event_type, count(*) AS n_rows, count(value) AS n_vals,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+      |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+      |    AS avg_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------- scd2 temporal join
+  // Point-in-time join against SCD2 history: every 7th event resolves to
+  // the history version valid AT its timestamp. The Spark side composes
+  // Scd2.fromChangeLog with AsOfJoin (as-of on valid_from == interval
+  // containment for gap-free history); the oracle rebuilds the history
+  // relationally and uses DuckDB's NATIVE ASOF JOIN — an independent
+  // algorithm, so agreement is strong evidence of correct temporal
+  // semantics.
+  def qScd2Join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hist = Scd2.fromChangeLog(ev,
+        Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))
+      .select(col("user_id"), col("valid_from"),
+        col("version"), col("event_type").as("state_type"))
+    val probes = ev.filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.asof(probes, hist, "user_id", "ts", "valid_from")
+      .select(col("event_id"), col("user_id"), col("version"),
+        col("state_type"))
+  }
+
+  val qScd2JoinSql: String =
+    """WITH runs AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    CASE WHEN lag(struct_pack(v := event_type)) OVER w
+      |           IS NOT DISTINCT FROM struct_pack(v := event_type)
+      |         THEN 0 ELSE 1 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |vers AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM runs),
+      |hist AS (
+      |  SELECT user_id, version, event_type AS state_type,
+      |    min(ts_us) AS valid_from_us
+      |  FROM vers GROUP BY user_id, version, event_type),
+      |probes AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_id % 7 = 0)
+      |SELECT p.event_id, p.user_id, CAST(h.version AS BIGINT) AS version,
+      |  h.state_type
+      |FROM probes p ASOF LEFT JOIN hist h
+      |  ON p.user_id = h.user_id AND p.ts_us >= h.valid_from_us""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_pairs" -> (qFuzzyPairs _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_incr_agg" -> (qIncrAgg _),
+    "q_scd2_join" -> (qScd2Join _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_fuzzy_pairs" -> qFuzzyPairsSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
+    "q_incr_agg" -> qIncrAggSql,
+    "q_scd2_join" -> qScd2JoinSql,
   )
 }

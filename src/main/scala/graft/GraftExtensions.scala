@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecimalDot, FloatDot, IntDot, RollingHash}
+import graft.functions.{DecimalDot, FloatDot, IntDot, JaroWinkler, RollingHash}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * expressions with the SQL function registry so plain SQL (and
@@ -48,7 +48,11 @@ object GraftExtensions {
       arity("decimal_dot", 2)(args => DecimalDot(args.head, args(1)))),
     ("int_dot",
       info("int_dot", "int_dot(a, b) - exact long dot product of int arrays"),
-      arity("int_dot", 2)(args => IntDot(args.head, args(1)))))
+      arity("int_dot", 2)(args => IntDot(args.head, args(1)))),
+    ("jaro_winkler",
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (byte-oriented)"),
+      arity("jaro_winkler", 2)(args => JaroWinkler(args.head, args(1)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

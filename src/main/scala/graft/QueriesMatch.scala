@@ -93,6 +93,58 @@ object QueriesMatch {
       |    AS avg_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------------ jaro rescore
+  // The full record-linkage pipeline: the dirty feed (q_fuzzy_match's
+  // synthesis) blocks against the master via the edit-distance-2 ball
+  // (FuzzyJoin candidates — lossless for the block), then Jaro-Winkler
+  // RANKS the candidates (transposition-tolerant, prefix-weighted) and
+  // the best-scoring master wins (ties to the smaller key). jaro_winkler
+  // is the native codegen expression, bit-compatible with DuckDB's
+  // jaro_winkler_similarity, so the oracle compares raw doubles.
+  def qJaroRescore(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val master = customer
+      .select(col("c_custkey").as("mid"), col("c_name").as("ms"))
+    val dirty = customer.select(col("c_custkey").as("qid"),
+      when(col("c_custkey") % 2 === 0,
+        concat(substring(col("c_name"), 1, 9), expr("substring(c_name, 11)")))
+        .otherwise(col("c_name")).as("qs"))
+    val candidates = FuzzyJoin.editDistanceJoin(
+        dirty.withColumnRenamed("qs", "s"),
+        master.withColumnRenamed("ms", "s"),
+        "qid", "mid", "s", maxDist = 2)
+      .select(col("id_l").as("qid"), col("id_r").as("mid"))
+      .join(dirty, Seq("qid")).join(master, Seq("mid"))
+      .withColumn("sim",
+        graft.functions.JaroWinklerExpr.jaro_winkler(col("qs"), col("ms")))
+    // bounded per-query argmax over (sim DESC, mid ASC): max of
+    // (sim, -mid) structs — no window over the candidate fan-out
+    candidates.groupBy(col("qid"))
+      .agg(max(struct(col("sim"), (-col("mid")).as("neg"))).as("best"))
+      .select(col("qid").as("query_id"),
+        (-col("best")("neg")).as("match_id"),
+        col("best")("sim").as("sim"))
+  }
+
+  val qJaroRescoreSql: String =
+    """WITH dirty AS (
+      |  SELECT c_custkey AS query_id,
+      |    CASE WHEN c_custkey % 2 = 0
+      |         THEN substring(c_name, 1, 9) || substring(c_name, 11)
+      |         ELSE c_name END AS qs
+      |  FROM customer),
+      |cand AS (
+      |  SELECT d.query_id, m.c_custkey AS match_id,
+      |    jaro_winkler_similarity(d.qs, m.c_name) AS sim
+      |  FROM dirty d JOIN customer m
+      |    ON abs(length(d.qs) - length(m.c_name)) <= 2
+      |  WHERE levenshtein(d.qs, m.c_name) <= 2)
+      |SELECT query_id, match_id, sim
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rn
+      |      FROM cand)
+      |WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------- scd2 temporal join
   // Point-in-time join against SCD2 history: every 7th event resolves to
   // the history version valid AT its timestamp. The Spark side composes
@@ -145,6 +197,7 @@ object QueriesMatch {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_scd2_join" -> (qScd2Join _),
+    "q_jaro_rescore" -> (qJaroRescore _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -152,5 +205,6 @@ object QueriesMatch {
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_incr_agg" -> qIncrAggSql,
     "q_scd2_join" -> qScd2JoinSql,
+    "q_jaro_rescore" -> qJaroRescoreSql,
   )
 }

@@ -120,6 +120,16 @@ object FuzzyJoin {
       .distinct() // a pair sharing several prefix grams verifies ONCE
   }
 
+  /** All (left, right) pairs within `maxDist` edits:
+    * (id_l, id_r, dist). The two-table block form — feeds downstream
+    * rescoring (e.g. Jaro-Winkler ranking) or [[bestMatch]]. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame, leftId: String,
+      rightId: String, strCol: String, maxDist: Int, q: Int = 2,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    crossScored(left, right, leftId, rightId, strCol, maxDist, q, scope)
+      .select(col("id_l"), col("id_r"),
+        col("__dist").cast("long").as("dist"))
+
   /** Each left row's best match on the right within `maxDist` edits:
     * (id_l, id_r, dist), ties broken by smallest right id
     * (deterministic). Left rows with no match are absent. The "match
@@ -127,6 +137,20 @@ object FuzzyJoin {
   def bestMatch(left: DataFrame, right: DataFrame, leftId: String,
       rightId: String, strCol: String, maxDist: Int, q: Int = 2,
       scope: CacheScope = CacheScope.session): DataFrame = {
+    val scored = crossScored(left, right, leftId, rightId, strCol,
+      maxDist, q, scope)
+    // bounded per-left argmin: min over (dist, right id) structs — no
+    // window over the candidate fan-out
+    scored.groupBy(col("id_l"))
+      .agg(min(struct(col("__dist"), col("id_r"))).as("__best"))
+      .select(col("id_l"), col("__best")("id_r").as("id_r"),
+        col("__best")("__dist").cast("long").as("dist"))
+  }
+
+  /** Verified two-table candidates: (id_l, id_r, __dist). */
+  private def crossScored(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String, strCol: String, maxDist: Int,
+      q: Int, scope: CacheScope): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val pfxLen = maxDist * q + 1
@@ -145,18 +169,11 @@ object FuzzyJoin {
       .crossJoin(r.filter(col("__n") <= maxDist * q)
         .select(col("__id").as("id_r"), col("__s").as("__sr")))
       .filter(abs(length(col("__sl")) - length(col("__sr"))) <= maxDist)
-    val scored = viaPrefix.select(col("id_l"), col("__sl"),
-        col("id_r"), col("__sr"))
+    viaPrefix.select(col("id_l"), col("__sl"), col("id_r"), col("__sr"))
       .union(viaShort.select(col("id_l"), col("__sl"),
         col("id_r"), col("__sr")))
       .distinct()
       .withColumn("__dist", levenshtein(col("__sl"), col("__sr"), maxDist))
       .filter(col("__dist") =!= -1)
-    // bounded per-left argmin: min over (dist, right id) structs — no
-    // window over the candidate fan-out
-    scored.groupBy(col("id_l"))
-      .agg(min(struct(col("__dist"), col("id_r"))).as("__best"))
-      .select(col("id_l"), col("__best")("id_r").as("id_r"),
-        col("__best")("__dist").cast("long").as("dist"))
   }
 }

@@ -41,6 +41,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     e.apply(ext) // must not throw; function injection is deferred to build
     assert(GraftExtensions.functions.map(_._1) ==
-      Seq("rolling_hash", "float_dot", "decimal_dot", "int_dot"))
+      Seq("rolling_hash", "float_dot", "decimal_dot", "int_dot",
+        "jaro_winkler"))
   }
 }

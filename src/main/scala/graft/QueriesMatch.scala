@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, FuzzyJoin, IncrementalAgg, Scd2}
+import graft.dedup.ConnectedComponents
+import graft.operators.{AsOfJoin, FuzzyJoin, IncrementalAgg, Resample, Scd2}
 
 /** Round-8 query group: fuzzy entity matching (edit-distance joins),
   * incremental aggregation state, temporal joins against SCD2 history.
@@ -13,23 +14,35 @@ object QueriesMatch {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The fuzzy-family queries run on customers with c_custkey below this
+    * cap (a no-op at sf0.01's 1500 rows; bounds sf0.1 at 2000).
+    * Fixed-format keys over a 10-digit alphabet are q-gram blocking's
+    * documented WORST case — the gram vocabulary is ~100 strings, so df
+    * ranking cannot isolate rare grams and most pairs are genuine
+    * distance-1/2 candidates (they really are within a few edits of each
+    * other). Production linkage on such keys blocks on a domain key
+    * first (the operator composes with any pre-filter); the oracle's job
+    * here is CORRECTNESS of the screen, which the cap preserves. */
+  private val FuzzyKeyCap = 2000
+
   // ------------------------------------------------------- fuzzy pairs
   // All customer-name pairs within one edit. The oracle is the NAIVE
   // quadratic join (length filter + full levenshtein), so the hash
   // compare proves the q-gram prefix screen lossless on real data.
   def qFuzzyPairs(s: SparkSession, dir: String): DataFrame =
     FuzzyJoin.editDistancePairs(
-      t(s, dir, "customer")
+      t(s, dir, "customer").filter(col("c_custkey") < FuzzyKeyCap)
         .select(col("c_custkey").as("id"), col("c_name").as("s")),
       "id", "s", maxDist = 1)
 
   val qFuzzyPairsSql: String =
-    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-      |FROM customer a JOIN customer b
-      |  ON a.c_custkey < b.c_custkey
-      | AND abs(length(a.c_name) - length(b.c_name)) <= 1
-      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+    s"""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+       |FROM customer a JOIN customer b
+       |  ON a.c_custkey < b.c_custkey
+       | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+       |WHERE a.c_custkey < $FuzzyKeyCap AND b.c_custkey < $FuzzyKeyCap
+       |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
   // ------------------------------------------------------- fuzzy match
   // Record linkage: a synthesized "dirty" feed (every even custkey's
@@ -39,6 +52,7 @@ object QueriesMatch {
   // the naive scoring with a row_number argmin.
   def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val customer = t(s, dir, "customer")
+      .filter(col("c_custkey") < FuzzyKeyCap)
     val master = customer
       .select(col("c_custkey").as("mid"), col("c_name").as("s"))
     val dirty = customer.select(col("c_custkey").as("qid"),
@@ -51,18 +65,19 @@ object QueriesMatch {
   }
 
   val qFuzzyMatchSql: String =
-    """WITH dirty AS (
-      |  SELECT c_custkey AS query_id,
-      |    CASE WHEN c_custkey % 2 = 0
-      |         THEN substring(c_name, 1, 9) || substring(c_name, 11)
-      |         ELSE c_name END AS s
-      |  FROM customer),
-      |scored AS (
-      |  SELECT d.query_id, m.c_custkey AS match_id,
-      |    levenshtein(d.s, m.c_name) AS dist
-      |  FROM dirty d JOIN customer m
-      |    ON abs(length(d.s) - length(m.c_name)) <= 2
-      |  WHERE levenshtein(d.s, m.c_name) <= 2)
+    s"""WITH dirty AS (
+       |  SELECT c_custkey AS query_id,
+       |    CASE WHEN c_custkey % 2 = 0
+       |         THEN substring(c_name, 1, 9) || substring(c_name, 11)
+       |         ELSE c_name END AS s
+       |  FROM customer WHERE c_custkey < $FuzzyKeyCap),
+       |scored AS (
+       |  SELECT d.query_id, m.c_custkey AS match_id,
+       |    levenshtein(d.s, m.c_name) AS dist
+       |  FROM dirty d JOIN customer m
+       |    ON abs(length(d.s) - length(m.c_name)) <= 2
+       |  WHERE m.c_custkey < $FuzzyKeyCap
+       |    AND levenshtein(d.s, m.c_name) <= 2)
       |SELECT query_id, match_id, CAST(dist AS BIGINT) AS dist
       |FROM (SELECT *, row_number() OVER
       |        (PARTITION BY query_id ORDER BY dist, match_id) AS rn
@@ -103,6 +118,7 @@ object QueriesMatch {
   // jaro_winkler_similarity, so the oracle compares raw doubles.
   def qJaroRescore(s: SparkSession, dir: String): DataFrame = {
     val customer = t(s, dir, "customer")
+      .filter(col("c_custkey") < FuzzyKeyCap)
     val master = customer
       .select(col("c_custkey").as("mid"), col("c_name").as("ms"))
     val dirty = customer.select(col("c_custkey").as("qid"),
@@ -127,23 +143,96 @@ object QueriesMatch {
   }
 
   val qJaroRescoreSql: String =
-    """WITH dirty AS (
-      |  SELECT c_custkey AS query_id,
-      |    CASE WHEN c_custkey % 2 = 0
-      |         THEN substring(c_name, 1, 9) || substring(c_name, 11)
-      |         ELSE c_name END AS qs
-      |  FROM customer),
-      |cand AS (
-      |  SELECT d.query_id, m.c_custkey AS match_id,
-      |    jaro_winkler_similarity(d.qs, m.c_name) AS sim
-      |  FROM dirty d JOIN customer m
-      |    ON abs(length(d.qs) - length(m.c_name)) <= 2
-      |  WHERE levenshtein(d.qs, m.c_name) <= 2)
+    s"""WITH dirty AS (
+       |  SELECT c_custkey AS query_id,
+       |    CASE WHEN c_custkey % 2 = 0
+       |         THEN substring(c_name, 1, 9) || substring(c_name, 11)
+       |         ELSE c_name END AS qs
+       |  FROM customer WHERE c_custkey < $FuzzyKeyCap),
+       |cand AS (
+       |  SELECT d.query_id, m.c_custkey AS match_id,
+       |    jaro_winkler_similarity(d.qs, m.c_name) AS sim
+       |  FROM dirty d JOIN customer m
+       |    ON abs(length(d.qs) - length(m.c_name)) <= 2
+       |  WHERE m.c_custkey < $FuzzyKeyCap
+       |    AND levenshtein(d.qs, m.c_name) <= 2)
       |SELECT query_id, match_id, sim
       |FROM (SELECT *, row_number() OVER
       |        (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rn
       |      FROM cand)
       |WHERE rn = 1""".stripMargin
+
+  // ----------------------------------------------------- entity groups
+  // Entity resolution end to end: distance-1 name pairs -> transitive
+  // closure (large-star/small-star CC) -> every record labeled with its
+  // entity and whether it is the canonical (minimum-key) member.
+  // Singletons label themselves. The oracle closes the same pair set
+  // with a recursive CTE — an independent BFS algorithm.
+  def qEntityGroups(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "customer")
+      .filter(col("c_custkey") < FuzzyKeyCap)
+      .select(col("c_custkey").as("id"))
+    val pairs = qFuzzyPairs(s, dir)
+    val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+      .select(col("id"), col("cluster_id"))
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("entity_id"))
+      .withColumn("is_canonical", col("id") === col("entity_id"))
+  }
+
+  val qEntityGroupsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$qFuzzyPairsSql
+       |),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+       |labels AS (SELECT node AS id, MIN(r) AS entity_id FROM reach
+       |           GROUP BY node)
+       |SELECT c.c_custkey AS id,
+       |  COALESCE(l.entity_id, c.c_custkey) AS entity_id,
+       |  (c.c_custkey = COALESCE(l.entity_id, c.c_custkey)) AS is_canonical
+       |FROM customer c LEFT JOIN labels l ON l.id = c.c_custkey
+       |WHERE c.c_custkey < $FuzzyKeyCap""".stripMargin
+
+  // ---------------------------------------------------------- resample
+  // Event log -> dense daily panel per user: per-day count and decimal
+  // value sum, absent days as (n=0, NULL, forward-filled last sum). The
+  // Spark side forward-fills with last(ignoreNulls); the oracle uses
+  // the portable count-partition trick (grp = running non-null count,
+  // fill = max per (key, grp)) — different formulations agreeing.
+  def qResample(s: SparkSession, dir: String): DataFrame =
+    Resample.dailyPanel(t(s, dir, "events"), "user_id", "ts",
+      sum(col("value").cast("decimal(18,2)")).cast("double"))
+
+  val qResampleSql: String =
+    """WITH obs AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS agg_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs
+      |  GROUP BY user_id),
+      |cal AS (
+      |  SELECT user_id, CAST(unnest(generate_series(
+      |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |dense AS (
+      |  SELECT c.user_id, c.day, COALESCE(o.n, 0) AS n, o.agg_value
+      |  FROM cal c LEFT JOIN obs o
+      |    ON o.user_id = c.user_id AND o.day = c.day),
+      |g AS (SELECT *, count(agg_value) OVER
+      |        (PARTITION BY user_id ORDER BY day) AS grp
+      |      FROM dense)
+      |SELECT user_id, day, CAST(n AS BIGINT) AS n, agg_value,
+      |  max(agg_value) OVER (PARTITION BY user_id, grp) AS ffill_value
+      |FROM g""".stripMargin
 
   // ---------------------------------------------------- scd2 temporal join
   // Point-in-time join against SCD2 history: every 7th event resolves to
@@ -198,6 +287,8 @@ object QueriesMatch {
     "q_incr_agg" -> (qIncrAgg _),
     "q_scd2_join" -> (qScd2Join _),
     "q_jaro_rescore" -> (qJaroRescore _),
+    "q_entity_groups" -> (qEntityGroups _),
+    "q_resample" -> (qResample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -206,5 +297,7 @@ object QueriesMatch {
     "q_incr_agg" -> qIncrAggSql,
     "q_scd2_join" -> qScd2JoinSql,
     "q_jaro_rescore" -> qJaroRescoreSql,
+    "q_entity_groups" -> qEntityGroupsSql,
+    "q_resample" -> qResampleSql,
   )
 }

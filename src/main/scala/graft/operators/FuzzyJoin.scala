@@ -52,25 +52,30 @@ object FuzzyJoin {
         sequence(lit(1), length(strCol) - (q - 1)),
         i => strCol.substr(i, lit(q)))))
 
-  /** (id, s, gramCount) plus the exploded (id, s, gram) table. */
+  /** (id, s, len, grams, gramCount) — the retained per-string table. */
   private def gramBase(df: DataFrame, idCol: String, strCol: String,
       q: Int, scope: CacheScope): DataFrame =
     scope.retain(df
       .filter(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__len", length(col("__s")))
       .withColumn("__grams", qgrams(col("__s"), q))
       .withColumn("__n", size(col("__grams"))))
 
   /** The df-rarest `pfxLen` grams per string, exploded:
-    * (__id, __s, __g). `dfTable` supplies the shared global order. */
+    * (__id, __len, __g) — ids and lengths only, so the candidate join
+    * shuffles narrow rows; strings are joined back by key for the
+    * DISTINCT survivors alone. `dfTable` supplies the shared global
+    * order. */
   private def prefixLeg(base: DataFrame, dfTable: DataFrame,
       pfxLen: Int): DataFrame =
-    base.select(col("__id"), col("__s"), explode(col("__grams")).as("__g"))
+    base.select(col("__id"), col("__len"),
+        explode(col("__grams")).as("__g"))
       .join(dfTable, Seq("__g"))
-      .groupBy(col("__id"), col("__s"))
+      .groupBy(col("__id"), col("__len"))
       .agg(sort_array(collect_list(struct(col("__df"), col("__g"))))
         .as("__ranked"))
-      .select(col("__id"), col("__s"),
+      .select(col("__id"), col("__len"),
         explode(transform(slice(col("__ranked"), 1, pfxLen),
           r => r.getField("__g"))).as("__g"))
 
@@ -101,23 +106,28 @@ object FuzzyJoin {
     val base = gramBase(df, idCol, strCol, q, scope)
     val pfx = scope.retain(prefixLeg(base, gramDf(Seq(base)), pfxLen))
     val viaPrefix = pfx.select(col("__id").as("id_a"),
-        col("__s").as("__sa"), col("__g"))
-      .join(pfx.select(col("__id").as("id_b"), col("__s").as("__sb"),
+        col("__len").as("__la"), col("__g"))
+      .join(pfx.select(col("__id").as("id_b"), col("__len").as("__lb"),
         col("__g")), Seq("__g"))
       .filter(col("id_a") < col("id_b") &&
-        abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
     // both-short pairs have no prefix guarantee: all-pairs over the
     // bounded short bucket (strings under q + d*q chars)
     val short = base.filter(col("__n") <= maxDist * q)
-    val viaShort = short.select(col("__id").as("id_a"), col("__s").as("__sa"))
-      .crossJoin(short.select(col("__id").as("id_b"), col("__s").as("__sb")))
+    val viaShort = short.select(col("__id").as("id_a"), col("__len").as("__la"))
+      .crossJoin(short.select(col("__id").as("id_b"), col("__len").as("__lb")))
       .filter(col("id_a") < col("id_b") &&
-        abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-    viaPrefix.select(col("id_a"), col("__sa"),
-        col("id_b"), col("__sb"))
-      .union(viaShort.select(col("id_a"), col("__sa"),
-        col("id_b"), col("__sb")))
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+    viaPrefix.union(viaShort)
       .distinct() // a pair sharing several prefix grams verifies ONCE
+      // strings re-join by key for the SURVIVORS only
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")),
+        Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("__sa"), col("id_b"), col("__sb"))
   }
 
   /** All (left, right) pairs within `maxDist` edits:
@@ -159,20 +169,25 @@ object FuzzyJoin {
     // ONE order for both sides — df over the union
     val dfTable = gramDf(Seq(l, r))
     val viaPrefix = prefixLeg(l, dfTable, pfxLen)
-      .select(col("__id").as("id_l"), col("__s").as("__sl"), col("__g"))
+      .select(col("__id").as("id_l"), col("__len").as("__ll"), col("__g"))
       .join(prefixLeg(r, dfTable, pfxLen)
-        .select(col("__id").as("id_r"), col("__s").as("__sr"), col("__g")),
+        .select(col("__id").as("id_r"), col("__len").as("__lr"),
+          col("__g")),
         Seq("__g"))
-      .filter(abs(length(col("__sl")) - length(col("__sr"))) <= maxDist)
+      .filter(abs(col("__ll") - col("__lr")) <= maxDist)
+      .select(col("id_l"), col("id_r"))
     val viaShort = l.filter(col("__n") <= maxDist * q)
-      .select(col("__id").as("id_l"), col("__s").as("__sl"))
+      .select(col("__id").as("id_l"), col("__len").as("__ll"))
       .crossJoin(r.filter(col("__n") <= maxDist * q)
-        .select(col("__id").as("id_r"), col("__s").as("__sr")))
-      .filter(abs(length(col("__sl")) - length(col("__sr"))) <= maxDist)
-    viaPrefix.select(col("id_l"), col("__sl"), col("id_r"), col("__sr"))
-      .union(viaShort.select(col("id_l"), col("__sl"),
-        col("id_r"), col("__sr")))
+        .select(col("__id").as("id_r"), col("__len").as("__lr")))
+      .filter(abs(col("__ll") - col("__lr")) <= maxDist)
+      .select(col("id_l"), col("id_r"))
+    viaPrefix.union(viaShort)
       .distinct()
+      .join(l.select(col("__id").as("id_l"), col("__s").as("__sl")),
+        Seq("id_l"))
+      .join(r.select(col("__id").as("id_r"), col("__s").as("__sr")),
+        Seq("id_r"))
       .withColumn("__dist", levenshtein(col("__sl"), col("__sr"), maxDist))
       .filter(col("__dist") =!= -1)
   }

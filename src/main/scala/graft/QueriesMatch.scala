@@ -280,6 +280,51 @@ object QueriesMatch {
       |FROM probes p ASOF LEFT JOIN hist h
       |  ON p.user_id = h.user_id AND p.ts_us >= h.valid_from_us""".stripMargin
 
+  // ------------------------------------------------------- rolling 1h
+  // Trailing one-hour per-user value sum — a RANGE frame over epoch
+  // microseconds (integer range = engine-identical frame membership,
+  // including same-timestamp peers; an interval frame would hinge on
+  // each engine's timestamp comparison). Decimal sum, double render.
+  def qRolling1h(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("rolling_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("rolling_sum"))
+  }
+
+  val qRolling1hSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS rolling_sum
+      |FROM events""".stripMargin
+
+  // ----------------------------------------------------------- unpivot
+  // Wide -> long reshaping (Spark's native unpivot/melt); the oracle is
+  // the portable UNION ALL expansion. Metric values unify to DOUBLE.
+  private val UnpivotMetrics = Seq("l_quantity", "l_extendedprice",
+    "l_discount")
+
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey") +: col("l_linenumber") +:
+        UnpivotMetrics.map(m => col(m).cast("double").as(m)): _*)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        UnpivotMetrics.map(col).toArray,
+        "metric", "value")
+
+  val qUnpivotSql: String = UnpivotMetrics.map(m =>
+    s"""SELECT l_orderkey, l_linenumber, '$m' AS metric,
+       |  CAST($m AS DOUBLE) AS value FROM lineitem""".stripMargin)
+    .mkString("\nUNION ALL\n")
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_pairs" -> (qFuzzyPairs _),
@@ -289,6 +334,8 @@ object QueriesMatch {
     "q_jaro_rescore" -> (qJaroRescore _),
     "q_entity_groups" -> (qEntityGroups _),
     "q_resample" -> (qResample _),
+    "q_rolling_1h" -> (qRolling1h _),
+    "q_unpivot" -> (qUnpivot _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -299,5 +346,7 @@ object QueriesMatch {
     "q_jaro_rescore" -> qJaroRescoreSql,
     "q_entity_groups" -> qEntityGroupsSql,
     "q_resample" -> qResampleSql,
+    "q_rolling_1h" -> qRolling1hSql,
+    "q_unpivot" -> qUnpivotSql,
   )
 }

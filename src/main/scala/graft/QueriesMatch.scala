@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.ConnectedComponents
-import graft.operators.{AsOfJoin, FuzzyJoin, IncrementalAgg, Resample, Scd2}
+import graft.operators.{AsOfJoin, FuzzyJoin, IncrementalAgg, Intervals, Resample, Scd2}
 
 /** Round-8 query group: fuzzy entity matching (edit-distance joins),
   * incremental aggregation state, temporal joins against SCD2 history.
@@ -325,6 +325,185 @@ object QueriesMatch {
        |  CAST($m AS DOUBLE) AS value FROM lineitem""".stripMargin)
     .mkString("\nUNION ALL\n")
 
+  // ----------------------------------------------------- interval merge
+  // Gaps-and-islands: per-part shipment coverage windows
+  // [l_shipdate, l_shipdate + floor(l_quantity) days] (the testdata has
+  // no receipt date — the delivery window is derived with integer-day
+  // arithmetic, exact in both engines) collapsed to maximal disjoint
+  // spans (Intervals.merge — one sort-shuffle + combiner-reduced island
+  // agg). The oracle replays the same running-max-end island
+  // construction; island ids are tie-permutation invariant (see operator
+  // scaladoc), so the hash compare is stable across engine sort orders.
+  private def shipIntervals(s: SparkSession, dir: String, key: String): DataFrame =
+    t(s, dir, "lineitem").select(col(key), col("l_shipdate"),
+      expr("timestampadd(DAY, CAST(floor(l_quantity) AS INT), l_shipdate)")
+        .as("l_delivdate"))
+
+  def qIntervalMerge(s: SparkSession, dir: String): DataFrame =
+    Intervals.merge(shipIntervals(s, dir, "l_partkey"),
+      "l_partkey", "l_shipdate", "l_delivdate")
+
+  val qIntervalMergeSql: String =
+    """WITH base AS (
+      |  SELECT l_partkey AS k, l_shipdate AS s,
+      |         l_shipdate + to_days(CAST(floor(l_quantity) AS INT)) AS e
+      |  FROM lineitem),
+      |flagged AS (
+      |  SELECT k, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS nf
+      |  FROM base),
+      |isl AS (
+      |  SELECT k, s, e,
+      |    sum(nf) OVER (PARTITION BY k ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged)
+      |SELECT k AS l_partkey, CAST(island AS BIGINT) AS island,
+      |  min(s) AS span_start, max(e) AS span_end, count(*) AS n_rows
+      |FROM isl GROUP BY k, island""".stripMargin
+
+  // ----------------------------------------------------- max concurrency
+  // Peak simultaneous shipments per supplier (sweep-line over the same
+  // interval model as q_interval_merge). The running-sum peak is
+  // tie-order invariant, so both engines agree without a unique sort key.
+  def qConcurrency(s: SparkSession, dir: String): DataFrame =
+    Intervals.maxConcurrency(shipIntervals(s, dir, "l_suppkey"),
+      "l_suppkey", "l_shipdate", "l_delivdate")
+
+  val qConcurrencySql: String =
+    """WITH c AS (
+      |  SELECT l_suppkey AS k, l_shipdate AS s,
+      |         l_shipdate + to_days(CAST(floor(l_quantity) AS INT)) AS e
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT k, s AS ts, 1 AS delta FROM c
+      |  UNION ALL SELECT k, e, -1 FROM c),
+      |r AS (
+      |  SELECT k, sum(delta) OVER (PARTITION BY k ORDER BY ts, delta DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM d)
+      |SELECT k AS l_suppkey, CAST(max(running) AS BIGINT) AS max_concurrent
+      |FROM r GROUP BY k""".stripMargin
+
+  // --------------------------------------------------------- reconcile
+  // Post-sync audit: source orders vs a drifted destination (keys
+  // divisible by 97 missing, prices at keys divisible by 41 corrupted,
+  // phantom +10M keys added). Reconcile.diff classifies per key from
+  // map-side (key, md5 fingerprint) pairs — one slim full-outer join;
+  // the oracle replays the classification with direct value comparison,
+  // so the hash compare also proves the fingerprint faithful (no
+  // collision/cast ambiguity on this data).
+  def qReconcile(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val dst = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 41 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    graft.operators.Reconcile.diff(orders, dst, Seq("o_orderkey"))
+  }
+
+  val qReconcileSql: String =
+    """WITH dst AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 = 0)
+      |SELECT coalesce(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+      |  CASE WHEN s.o_orderkey IS NULL THEN 'missing_src'
+      |       WHEN d.o_orderkey IS NULL THEN 'missing_dst'
+      |       WHEN s.o_custkey IS NOT DISTINCT FROM d.o_custkey
+      |        AND s.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
+      |        AND s.o_totalprice IS NOT DISTINCT FROM d.o_totalprice
+      |        AND s.o_orderdate IS NOT DISTINCT FROM d.o_orderdate
+      |        AND s.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority
+      |       THEN 'ok' ELSE 'mismatch' END AS status
+      |FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey""".stripMargin
+
+  // --------------------------------------------------------- changelog
+  // Snapshot-diff CDC over the same drift scenario as q_reconcile:
+  // old = pristine orders, new = drifted copy. Reconcile.changelog emits
+  // I rows (new-only keys) and U rows (changed keys) with the NEW
+  // snapshot's values, D rows (dropped keys) with the OLD snapshot's —
+  // the merge-ready change stream for a source with no CDC feed.
+  def qChangelog(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val newSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 41 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    graft.operators.Reconcile.changelog(orders, newSnap, Seq("o_orderkey"))
+  }
+
+  val qChangelogSql: String =
+    """WITH dst AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 41 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |cls AS (
+      |  SELECT coalesce(s.o_orderkey, d.o_orderkey) AS k,
+      |    CASE WHEN s.o_orderkey IS NULL THEN 'I'
+      |         WHEN d.o_orderkey IS NULL THEN 'D'
+      |         WHEN NOT (s.o_custkey IS NOT DISTINCT FROM d.o_custkey
+      |               AND s.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
+      |               AND s.o_totalprice IS NOT DISTINCT FROM d.o_totalprice
+      |               AND s.o_orderdate IS NOT DISTINCT FROM d.o_orderdate
+      |               AND s.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority)
+      |         THEN 'U' END AS op
+      |  FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey)
+      |SELECT c.k AS o_orderkey, c.op, x.o_custkey, x.o_orderstatus,
+      |  x.o_totalprice, x.o_orderdate, x.o_orderpriority
+      |FROM cls c JOIN dst x ON c.k = x.o_orderkey WHERE c.op IN ('I', 'U')
+      |UNION ALL
+      |SELECT c.k, c.op, x.o_custkey, x.o_orderstatus,
+      |  x.o_totalprice, x.o_orderdate, x.o_orderpriority
+      |FROM cls c JOIN orders x ON c.k = x.o_orderkey WHERE c.op = 'D'""".stripMargin
+
+  // ------------------------------------------------------ forward as-of
+  // Next-state-change lookup with an SLA window: each event joined to the
+  // EARLIEST state row at-or-after it (forward as-of), discarded when the
+  // match is more than 2 hours ahead (tolerance). The oracle is DuckDB's
+  // native forward ASOF JOIN with the tolerance applied as a projection
+  // guard — a different algorithm than the union-window carry, so
+  // agreement is strong evidence of correct semantics.
+  def qAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val left = events.select(col("event_id"), col("user_id"), col("ts"))
+    val state = events.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("value").as("state_value"))
+    AsOfJoin.asofDirectional(left, state, "user_id", "ts", "ts",
+        forward = true, toleranceMicros = Some(2L * 3600L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("state_value"))
+  }
+
+  val qAsofFwdSql: String =
+    """WITH state AS (
+      |  SELECT user_id, ts, value AS state_value FROM events
+      |  WHERE event_id % 10 = 0)
+      |SELECT l.event_id, l.user_id,
+      |  CASE WHEN r.ts IS NOT NULL
+      |        AND epoch_us(r.ts) - epoch_us(l.ts) <= 7200000000
+      |       THEN r.state_value END AS state_value
+      |FROM events l ASOF LEFT JOIN state r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_pairs" -> (qFuzzyPairs _),
@@ -336,6 +515,11 @@ object QueriesMatch {
     "q_resample" -> (qResample _),
     "q_rolling_1h" -> (qRolling1h _),
     "q_unpivot" -> (qUnpivot _),
+    "q_interval_merge" -> (qIntervalMerge _),
+    "q_asof_fwd" -> (qAsofFwd _),
+    "q_concurrency" -> (qConcurrency _),
+    "q_reconcile" -> (qReconcile _),
+    "q_changelog" -> (qChangelog _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -348,5 +532,10 @@ object QueriesMatch {
     "q_resample" -> qResampleSql,
     "q_rolling_1h" -> qRolling1hSql,
     "q_unpivot" -> qUnpivotSql,
+    "q_interval_merge" -> qIntervalMergeSql,
+    "q_asof_fwd" -> qAsofFwdSql,
+    "q_concurrency" -> qConcurrencySql,
+    "q_reconcile" -> qReconcileSql,
+    "q_changelog" -> qChangelogSql,
   )
 }

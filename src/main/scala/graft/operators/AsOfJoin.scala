@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * native as-of merge join pays — and it inherits AQE/skew handling.
   * Right rows at exactly left.ts match (<=).
   *
+  * `asofDirectional` generalizes the same single-sort plan to the
+  * FORWARD direction (earliest right with right.ts >= left.ts — the
+  * "next state change" / label-lookahead join) and to a match-window
+  * TOLERANCE (a match further than `toleranceMicros` from the probe is
+  * discarded, payload null — the guard that keeps a feature join from
+  * silently using month-stale state at 100 TB, where out-of-SLA history
+  * is a data bug, not a match).
+  *
   * PRECONDITION: the right side must be unique per (key, ts). With
   * duplicate right timestamps for a key, which payload wins is
   * undefined (the window order has no further tiebreak) — dedup the
@@ -28,31 +36,72 @@ object AsOfJoin {
     * match yet) on the output. */
   def asof(
       left: DataFrame, right: DataFrame,
-      keyCol: String, leftTsCol: String, rightTsCol: String): DataFrame = {
+      keyCol: String, leftTsCol: String, rightTsCol: String): DataFrame =
+    asofDirectional(left, right, keyCol, leftTsCol, rightTsCol,
+      forward = false, toleranceMicros = None)
+
+  /** Directional, tolerance-bounded as-of.
+    *
+    *  - backward (forward=false): latest right with right.ts <= left.ts;
+    *  - forward  (forward=true):  earliest right with right.ts >= left.ts.
+    *
+    * `toleranceMicros` (TimestampType ts columns only) discards matches
+    * where |left.ts - right.ts| exceeds the bound: the payload columns
+    * come out null exactly as if no right row existed. The plan is the
+    * same single union + window sort-shuffle as `asof` — direction only
+    * flips the frame (preceding `last` vs following `first`), tolerance
+    * is a map-side conditional after the carry.
+    */
+  def asofDirectional(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      forward: Boolean, toleranceMicros: Option[Long] = None): DataFrame = {
     val payloadCols = right.columns.filterNot(c => c == keyCol || c == rightTsCol)
+    // At equal ts the left row must see the right row inside its frame:
+    // backward frame is (unboundedPreceding, current] so left sorts AFTER
+    // right; forward frame is [current, unboundedFollowing) so left sorts
+    // BEFORE right.
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
+    val rightTsType = right.schema(rightTsCol).dataType
     val lTagged = left
       .withColumn("__ts", col(leftTsCol))
-      .withColumn("__side", lit(1)) // left sorts AFTER right at equal ts (<=)
-      .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
+      .withColumn("__side", lit(leftSide))
+      .select(Seq(col(keyCol), col("__ts"), col("__side"),
+        lit(null).cast(rightTsType).as("__r_ts")) ++
         left.columns.filterNot(_ == keyCol).map(c => col(c).as(s"__l_$c")) ++
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
     val rTagged = right
       .withColumn("__ts", col(rightTsCol))
-      .withColumn("__side", lit(0))
-      .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
+      .withColumn("__side", lit(rightSide))
+      .select(Seq(col(keyCol), col("__ts"), col("__side"),
+        col(rightTsCol).as("__r_ts")) ++
         left.columns.filterNot(_ == keyCol).map(c =>
           lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
         payloadCols.map(c => col(c).as(s"__r_$c")): _*)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
+    val w =
+      if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(c: Column): Column =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
     val carried = lTagged.unionByName(rTagged)
-      .select(col("*") +: payloadCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__c_$c")): _*)
-    carried.filter(col("__side") === 1)
+      .select(col("*") +:
+        (payloadCols.map(c => pick(col(s"__r_$c")).as(s"__c_$c")) :+
+          pick(col("__r_ts")).as("__c_ts")): _*)
+    val inTolerance: Column = toleranceMicros match {
+      case None => col("__c_ts").isNotNull
+      case Some(tol) =>
+        val gap =
+          if (forward) unix_micros(col("__c_ts")) - unix_micros(col("__ts"))
+          else unix_micros(col("__ts")) - unix_micros(col("__c_ts"))
+        col("__c_ts").isNotNull && gap <= lit(tol)
+    }
+    carried.filter(col("__side") === leftSide)
       .select(
         (col(keyCol) +:
           left.columns.filterNot(_ == keyCol).map(c => col(s"__l_$c").as(c))) ++
-          payloadCols.map(c => col(s"__c_$c").as(c)): _*)
+          payloadCols.map(c =>
+            when(inTolerance, col(s"__c_$c")).as(c)): _*)
   }
 }

@@ -37,4 +37,68 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[String]("name") == "x")
     assert(row.getAs[Double]("score") == 42.0)
   }
+
+  test("forward asof matches earliest state at-or-after each left timestamp") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // before s1 -> "a"
+      (2L, 10L, ts("2024-01-01 00:30:00")), // exactly at s1 -> "a" (>=)
+      (3L, 10L, ts("2024-01-01 01:00:00")), // between -> "b"
+      (4L, 10L, ts("2024-01-01 03:00:00")), // after all state -> null
+      (5L, 20L, ts("2024-01-01 00:00:00"))  // other key, no state -> null
+    ).toDF("event_id", "user_id", "ts")
+    val state = Seq(
+      (10L, ts("2024-01-01 00:30:00"), "a"),
+      (10L, ts("2024-01-01 02:00:00"), "b")
+    ).toDF("user_id", "ts", "state")
+
+    val out = AsOfJoin.asofDirectional(left, state, "user_id", "ts", "ts",
+        forward = true)
+      .select("event_id", "state").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(1L -> Some("a"), 2L -> Some("a"), 3L -> Some("b"),
+      4L -> None, 5L -> None))
+  }
+
+  test("tolerance nulls matches beyond the bound, keeps those inside") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 01:00:00")), // 30 min after s1 -> inside 1h
+      (2L, 10L, ts("2024-01-01 02:00:00"))  // 90 min after s1 -> outside 1h
+    ).toDF("event_id", "user_id", "ts")
+    val state = Seq((10L, ts("2024-01-01 00:30:00"), "a"))
+      .toDF("user_id", "ts", "state")
+
+    val back = AsOfJoin.asofDirectional(left, state, "user_id", "ts", "ts",
+        forward = false, toleranceMicros = Some(3600L * 1000000L))
+      .select("event_id", "state").as[(Long, Option[String])]
+      .collect().toMap
+    assert(back == Map(1L -> Some("a"), 2L -> None))
+
+    // Forward with tolerance: probes before the state row.
+    val fleft = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // 30 min before s1 -> inside
+      (2L, 10L, ts("2023-12-31 22:00:00"))  // 2.5 h before s1 -> outside
+    ).toDF("event_id", "user_id", "ts")
+    val fwd = AsOfJoin.asofDirectional(fleft, state, "user_id", "ts", "ts",
+        forward = true, toleranceMicros = Some(3600L * 1000000L))
+      .select("event_id", "state").as[(Long, Option[String])]
+      .collect().toMap
+    assert(fwd == Map(1L -> Some("a"), 2L -> None))
+  }
+
+  test("backward via asofDirectional equals asof") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-01 01:00:00")),
+      (3L, 10L, ts("2024-01-01 02:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val state = Seq(
+      (10L, ts("2024-01-01 00:30:00"), "a"),
+      (10L, ts("2024-01-01 02:00:00"), "b")
+    ).toDF("user_id", "ts", "state")
+    val a = AsOfJoin.asof(left, state, "user_id", "ts", "ts")
+      .orderBy("event_id").collect().toSeq
+    val b = AsOfJoin.asofDirectional(left, state, "user_id", "ts", "ts",
+        forward = false).orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classifies ok / mismatch / missing on both sides") {
+    val src = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val dst = Seq((1L, "a", 10.0), (2L, "b", 21.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    val out = Reconcile.diff(src, dst, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "ok", 2L -> "mismatch", 3L -> "missing_dst",
+      4L -> "missing_src"))
+  }
+
+  test("null vs empty-string vs absent are distinct fingerprints") {
+    val src = Seq((1L, Some("")), (2L, Option.empty[String]), (3L, Some("x")))
+      .toDF("k", "v")
+    val dst = Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Some("x")))
+      .toDF("k", "v")
+    val out = Reconcile.diff(src, dst, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "mismatch", 2L -> "mismatch", 3L -> "ok"))
+  }
+
+  test("compare column subset ignores excluded drift") {
+    val src = Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+    val dst = Seq((1L, "a", 2.0)).toDF("k", "name", "v")
+    val only = Reconcile.diff(src, dst, Seq("k"), compareCols = Seq("name"))
+      .as[(Long, String)].collect().toMap
+    assert(only == Map(1L -> "ok"))
+  }
+
+  test("composite key and summary counts") {
+    val src = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k1", "k2", "v")
+    val dst = Seq((1L, 1L, "a"), (1L, 3L, "c")).toDF("k1", "k2", "v")
+    val sum = Reconcile.summary(src, dst, Seq("k1", "k2"))
+      .as[(String, Long)].collect().toMap
+    assert(sum == Map("ok" -> 1L, "missing_dst" -> 1L, "missing_src" -> 1L))
+  }
+
+  test("changelog emits I/U with new values, D with old values") {
+    val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val newSnap = Seq((1L, "a", 10.0), (2L, "b", 21.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    val out = Reconcile.changelog(oldSnap, newSnap, Seq("k"))
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(out == Set(
+      (2L, "U", "b", 21.0), // new value
+      (3L, "D", "c", 30.0), // old value
+      (4L, "I", "d", 40.0)))
+  }
+
+  test("changelog of identical snapshots is empty") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(Reconcile.changelog(snap, snap, Seq("k")).count() == 0L)
+  }
+
+  test("fingerprints shrink the join: plan projects only key + digest") {
+    val src = Seq((1L, "a", 1.0, "wide1"), (2L, "b", 2.0, "wide2"))
+      .toDF("k", "name", "v", "blob")
+    val dst = src
+    val plan = Reconcile.diff(src, dst, Seq("k"))
+      .queryExecution.executedPlan.toString
+    // The join output must not carry the raw value columns.
+    assert(!plan.contains("SortMergeJoin") ||
+      !plan.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("blob")),
+      plan)
+  }
+}

@@ -279,6 +279,56 @@ object QueriesExtra {
       |  count(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  // -------------------------------------------------------------- profile
+  // One-pass whole-table profile (nulls / exact distincts / numeric
+  // min-max per column) over orders — the per-load QA report
+  // generalization of the reference's single-column checks. The multiple
+  // exact count(DISTINCT)s plan as one Expand + two-phase aggregate: one
+  // scan, no per-column jobs. Timestamps render min/max as epoch micros.
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableProfile.profile(t(s, dir, "orders"))
+
+  val qProfileSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS "column", count(*) - count($c) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num,
+         |  CAST(max($c) AS DOUBLE) AS max_num FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', count(*) - count($c),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders""".stripMargin
+    def ts(c: String) =
+      s"""SELECT '$c', count(*) - count($c),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(epoch_us(min($c)) AS DOUBLE),
+         |  CAST(epoch_us(max($c)) AS DOUBLE) FROM orders""".stripMargin
+    Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+      num("o_totalprice"), ts("o_orderdate"), str("o_orderpriority"))
+      .mkString("\nUNION ALL\n")
+  }
+
+  // ----------------------------------------------------------------- cube
+  // Full grouping-set lattice (CUBE) over the q1 keys — the remaining
+  // grouping-set shape ROLLUP doesn't cover (the (l_linestatus)-only
+  // marginals). grouping_id disambiguates NULL-as-data from NULL-as-total
+  // identically in both engines.
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("g"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
   // ------------------------------------------------------ approx distinct
   // HLL++ sketch counting. The sketch estimate itself is engine-specific,
   // so the compared output carries the exact count plus an in-query bound
@@ -663,6 +713,8 @@ object QueriesExtra {
     "q_filter_agg" -> (qFilterAgg _),
     "q_top_revenue" -> (qTopRevenue _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_profile" -> (qProfile _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_rolling_fp" -> (qRollingFp _),
     "q_line_dedup" -> (qLineDedup _),
@@ -686,6 +738,8 @@ object QueriesExtra {
     "q_filter_agg" -> qFilterAggSql,
     "q_top_revenue" -> qTopRevenueSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_profile" -> qProfileSql,
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_rolling_fp" -> qRollingFpSql,
     "q_line_dedup" -> qLineDedupSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Boilerplate, BloomPrefilter, Packing, Quantiles, RangeJoin, RepeatedSpans, RepetitionStats, Sampling}
+import graft.operators.{Boilerplate, BloomPrefilter, Packing, Quantiles, RangeJoin, RepeatedSpans, RepetitionStats, Sampling, Triangles}
 import graft.similarity.Centroids
 
 /** Beyond-reference query group: the scale-technique operators — banded
@@ -434,6 +434,105 @@ object QueriesScale {
        |SELECT node, rank FROM r$PrIters""".stripMargin
   }
 
+  // ------------------------------------------------------------ triangles
+  // Per-node triangle counts + clustering coefficient on the parts
+  // co-order graph (parts appearing in the same order are linked). The
+  // operator runs degree-oriented wedge counting (O(m^1.5), skew-bounded);
+  // the oracle closes wedges in plain id order — counts are
+  // orientation-invariant, so agreement proves the oriented plan exact.
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    Triangles.perNode(edges, "src", "dst")
+  }
+
+  val qTrianglesSql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT node, count(*) AS degree FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |tpn AS (
+      |  SELECT node, count(*) AS n_tri FROM (
+      |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY node)
+      |SELECT d.node, d.degree, CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CASE WHEN d.degree < 2 THEN 0.0
+      |       ELSE 2.0 * CAST(coalesce(t.n_tri, 0) AS DOUBLE) /
+      |            (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+      |  END AS clustering
+      |FROM deg d LEFT JOIN tpn t ON d.node = t.node""".stripMargin
+
+  // --------------------------------------------------------- bucketed join
+  // Co-located join via catalog bucketing: both sides are written
+  // bucketed on the join key (the one-time shuffle), then the join runs
+  // exchange-free — scan → per-bucket sort → merge join (pinned in
+  // BucketingSpec). The merge hints keep the small side out of a
+  // broadcast so the query exercises the bucketed path the 100 TB
+  // fact-to-fact case needs. The oracle is the plain join + aggregate.
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Bucketing.writeBucketed(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+      "graft_orders_bucketed", Seq("o_custkey"), nBuckets = 8)
+    graft.core.Bucketing.writeBucketed(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+      "graft_customer_bucketed", Seq("c_custkey"), nBuckets = 8)
+    val o = s.table("graft_orders_bucketed").hint("merge")
+    val c = s.table("graft_customer_bucketed").hint("merge")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
+  val qBucketJoinSql: String =
+    """SELECT c_nationkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey""".stripMargin
+
+  // --------------------------------------------------------- epoch shuffle
+  // Deterministic training-order shuffle for epoch 7 into 8 shards: the
+  // oracle replays the md5 ordering with the pure-SQL hex fold, so the
+  // exact (shard, pos) permutation is hash-checked across engines.
+  private val EpochNo = 7L
+  private val EpochShards = 8
+
+  def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EpochShuffle.assign(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", EpochNo, EpochShards)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  val qEpochShuffleSql: String = {
+    val fold = "list_reduce(list_transform(regexp_split_to_array(" +
+      "substr(m, 1, 6), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      "(a, x) -> a * 16 + x)"
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('$EpochNo:' || CAST(doc_id AS VARCHAR)) AS m
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, m, $fold % $EpochShards AS shard FROM h)
+       |SELECT doc_id, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY m, doc_id) AS pos
+       |FROM sh""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_excise" -> (qSpanExcise _),
@@ -450,6 +549,9 @@ object QueriesScale {
     "q_packing" -> (qPacking _),
     "q_mixture" -> (qMixture _),
     "q_pagerank" -> (qPageRank _),
+    "q_triangles" -> (qTriangles _),
+    "q_bucket_join" -> (qBucketJoin _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -467,5 +569,8 @@ object QueriesScale {
     "q_packing" -> qPackingSql,
     "q_mixture" -> qMixtureSql,
     "q_pagerank" -> qPageRankSql,
+    "q_triangles" -> qTrianglesSql,
+    "q_bucket_join" -> qBucketJoinSql,
+    "q_epoch_shuffle" -> qEpochShuffleSql,
   )
 }

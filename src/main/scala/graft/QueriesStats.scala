@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Round-8 query group: grouped statistics with engine-exact contracts
+  * (decimal partial sums + fixed-shape double formulas — see
+  * operators.Stats scaladoc for why built-in corr/covar can't be
+  * oracle-checked).
+  */
+object QueriesStats {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------------------- corr
+  // Quantity↔price correlation per return flag. The oracle replays the
+  // identical decimal partials and double formula; hash agreement means
+  // bit-equal correlation coefficients.
+  def qCorr(s: SparkSession, dir: String): DataFrame =
+    Stats.corrByKey(t(s, dir, "lineitem"),
+      "l_returnflag", "l_quantity", "l_extendedprice")
+
+  val qCorrSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag AS k, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |        CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT k AS l_returnflag, n,
+      |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  END AS corr
+      |FROM a""".stripMargin
+
+  // ------------------------------------------------------------ chisq
+  // lang × source contingency cells with expected counts and chi²
+  // contributions. Per-cell output only: the total statistic is a
+  // double sum (reduction-order-dependent), so the exact contract stops
+  // at cells.
+  def qChisq(s: SparkSession, dir: String): DataFrame =
+    Stats.chiSquareCells(t(s, dir, "documents"), "lang", "source")
+
+  val qChisqSql: String = {
+    val e = "CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)" +
+      " / CAST(g.grand_total AS DOUBLE)"
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+       |rt AS (SELECT lang, sum(obs) AS row_total FROM cells GROUP BY 1),
+       |ct AS (SELECT source, sum(obs) AS col_total FROM cells GROUP BY 1),
+       |g AS (SELECT sum(obs) AS grand_total FROM cells)
+       |SELECT c.lang, c.source, CAST(c.obs AS BIGINT) AS obs,
+       |  $e AS expected,
+       |  (CAST(c.obs AS DOUBLE) - $e) * (CAST(c.obs AS DOUBLE) - $e)
+       |    / ($e) AS contrib
+       |FROM cells c
+       |JOIN rt ON c.lang = rt.lang
+       |JOIN ct ON c.source = ct.source
+       |CROSS JOIN g""".stripMargin
+  }
+
+  // ------------------------------------------------------------ trend
+  // Per-user OLS trend of event value over time (x = epoch day of ts):
+  // the engagement-drift detector. Same exactness contract as corr.
+  def qTrend(s: SparkSession, dir: String): DataFrame =
+    Stats.trendByKey(
+      t(s, dir, "events").withColumn("day_idx",
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))),
+      "user_id", "day_idx", "value")
+
+  val qTrendSql: String =
+    """WITH a AS (
+      |  SELECT user_id, count(*) AS n,
+      |    sum(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |        AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |        AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxy,
+      |    sum(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |        AS DECIMAL(18,2)) *
+      |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |        AS DECIMAL(18,2))) AS sxx
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n,
+      |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  END AS slope,
+      |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      |  THEN (CAST(sy AS DOUBLE)
+      |        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |          * CAST(sx AS DOUBLE))
+      |       / CAST(n AS DOUBLE)
+      |  END AS intercept
+      |FROM a""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr" -> (qCorr _),
+    "q_chisq" -> (qChisq _),
+    "q_trend" -> (qTrend _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_corr" -> qCorrSql,
+    "q_chisq" -> qChisqSql,
+    "q_trend" -> qTrendSql,
+  )
+}

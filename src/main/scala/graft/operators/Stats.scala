@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped statistics with ENGINE-EXACT results: correlation, chi-square
+  * contingency, and per-key OLS trend are all computed from DECIMAL
+  * partial sums (order-independent, so the shuffle's reduction order
+  * can't perturb the value) and finished with a fixed-shape double
+  * formula (each double op is IEEE correctly-rounded, so two engines
+  * evaluating the same expression tree agree bit-for-bit).
+  *
+  * Spark's built-in `corr`/`covar_samp` stream doubles through a merge
+  * whose result depends on partition boundaries — fine for exploration,
+  * unusable for a reproducibility contract. These forms cost the same
+  * single aggregation pass.
+  *
+  * All inputs are cast to DECIMAL(18,2) partials — callers with more
+  * fractional precision should pre-scale.
+  */
+object Stats {
+
+  private def d(c: Column) = c.cast("decimal(18,2)")
+
+  /** Per-key Pearson correlation of (x, y): one groupBy pass collecting
+    * n, Σx, Σy, Σxy, Σx², Σy² in decimal, then the textbook formula in
+    * doubles. Output: key, n, corr (null when either variance is 0). */
+  def corrByKey(df: DataFrame, keyCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val agg = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(d(col(xCol))).as("sx"),
+      sum(d(col(yCol))).as("sy"),
+      sum(d(col(xCol)) * d(col(yCol))).as("sxy"),
+      sum(d(col(xCol)) * d(col(xCol))).as("sxx"),
+      sum(d(col(yCol)) * d(col(yCol))).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    agg.select(col(keyCol), col("n"),
+      when(varX > 0.0 && varY > 0.0,
+        (n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY))).as("corr"))
+  }
+
+  /** Chi-square contingency cells for two categorical columns: observed
+    * count, expected count under independence, and the cell's chi²
+    * contribution. Emitted PER CELL — the total is a sum of doubles,
+    * which is reduction-order-dependent, so the exact contract stops at
+    * cells (callers needing the statistic sum the small cell table
+    * however they like). Margins join back via two broadcast-sized
+    * aggregates of the cell table itself — the input is scanned once. */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("obs")).as("row_total"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("obs")).as("col_total"))
+    val nT = cells.agg(sum(col("obs")).as("grand_total"))
+    val joined = cells.join(rowT, Seq(aCol)).join(colT, Seq(bCol))
+      .crossJoin(broadcast(nT))
+    val exp = col("row_total").cast("double") *
+      col("col_total").cast("double") / col("grand_total").cast("double")
+    joined.select(col(aCol), col(bCol), col("obs"),
+      exp.as("expected"),
+      ((col("obs").cast("double") - exp) * (col("obs").cast("double") - exp) /
+        exp).as("contrib"))
+  }
+
+  /** Per-key OLS trend y = slope * x + intercept: same decimal-partials
+    * pass as corrByKey. Output: key, n, slope, intercept (null slope
+    * when x is constant). */
+  def trendByKey(df: DataFrame, keyCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val agg = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(d(col(xCol))).as("sx"),
+      sum(d(col(yCol))).as("sy"),
+      sum(d(col(xCol)) * d(col(yCol))).as("sxy"),
+      sum(d(col(xCol)) * d(col(xCol))).as("sxx"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val denom = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / denom
+    agg.select(col(keyCol), col("n"),
+      when(denom > 0.0, slope).as("slope"),
+      when(denom > 0.0, (sy - slope * sx) / n).as("intercept"))
+  }
+}

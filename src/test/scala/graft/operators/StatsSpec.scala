@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect positive and negative correlation") {
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("b", 1.0, 3.0), ("b", 2.0, 2.0), ("b", 3.0, 1.0)
+    ).toDF("k", "x", "y")
+    val out = Stats.corrByKey(df, "k", "x", "y")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(out("a").get - 1.0) < 1e-12)
+    assert(math.abs(out("b").get - (-1.0)) < 1e-12)
+  }
+
+  test("zero variance yields null correlation") {
+    val df = Seq(("a", 5.0, 1.0), ("a", 5.0, 2.0)).toDF("k", "x", "y")
+    val out = Stats.corrByKey(df, "k", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head
+    assert(out._3.isEmpty)
+  }
+
+  test("trend recovers an exact linear relationship") {
+    // y = 3x + 10 per key
+    val df = (1 to 5).map(i => ("a", i.toDouble, 3.0 * i + 10.0))
+      .toDF("k", "x", "y")
+    val (_, n, slope, icept) = Stats.trendByKey(df, "k", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(n == 5L)
+    assert(math.abs(slope.get - 3.0) < 1e-12)
+    assert(math.abs(icept.get - 10.0) < 1e-12)
+    // constant x -> null slope
+    val flat = Seq(("b", 2.0, 1.0), ("b", 2.0, 5.0)).toDF("k", "x", "y")
+    val r = Stats.trendByKey(flat, "k", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(r._3.isEmpty && r._4.isEmpty)
+  }
+
+  test("chi-square cells: independent margins give zero contribution") {
+    // 2x2 perfectly independent: obs = row*col/N exactly
+    val rows = Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(4)(("y", "p")) ++ Seq.fill(4)(("y", "q"))
+    val out = Stats.chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(out.length == 4)
+    out.foreach { case (_, _, obs, exp, contrib) =>
+      assert(obs == 4L && exp == 4.0 && contrib == 0.0)
+    }
+  }
+
+  test("chi-square cells: known dependent table") {
+    // [[3,1],[1,3]]: N=8, margins all 4, expected all 2, contrib (±1)²/2
+    val rows = Seq.fill(3)(("x", "p")) ++ Seq.fill(1)(("x", "q")) ++
+      Seq.fill(1)(("y", "p")) ++ Seq.fill(3)(("y", "q"))
+    val out = Stats.chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("x", "p")) == ((3L, 2.0, 0.5)))
+    assert(out(("x", "q")) == ((1L, 2.0, 0.5)))
+    assert(out(("y", "p")) == ((1L, 2.0, 0.5)))
+    assert(out(("y", "q")) == ((3L, 2.0, 0.5)))
+  }
+}

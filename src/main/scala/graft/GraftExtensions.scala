@@ -17,10 +17,12 @@ import graft.functions.{DecimalDot, FloatDot, IntDot, JaroWinkler, RollingHash}
   * `GraftExtensions.register(spark)` does the same on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.GeoFilterRule)
+  }
 }
 
 object GraftExtensions {
@@ -52,7 +54,12 @@ object GraftExtensions {
     ("jaro_winkler",
       info("jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity (byte-oriented)"),
-      arity("jaro_winkler", 2)(args => JaroWinkler(args.head, args(1)))))
+      arity("jaro_winkler", 2)(args => JaroWinkler(args.head, args(1)))),
+    ("geo_dist",
+      info("geo_dist",
+        "geo_dist(latA, lonA, latB, lonB) - equirectangular distance in km"),
+      arity("geo_dist", 4)(args =>
+        graft.functions.GeoDist(args(0), args(1), args(2), args(3)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =
@@ -60,4 +67,12 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+
+  /** Install the library's optimizer rules on a live session
+    * (idempotent — rules already present are not re-added). */
+  def registerRules(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.GeoFilterRule))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.GeoFilterRule
+  }
 }

@@ -56,11 +56,44 @@ object QueriesSpatial {
        |QUALIFY row_number()
        |  OVER (PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) = 1""".stripMargin
 
+  // ----------------------------------------------------------- geo radius
+  // Point-radius query through the native geo_dist expression with
+  // plans.GeoFilterRule active: the rule conjoins a sargable lat/lon
+  // bounding box (scan-prunable at scale — GeoFilterRuleSpec pins the
+  // PushedFilters), and because the box strictly contains the disc the
+  // result set is IDENTICAL to the bare predicate — which is exactly
+  // what the oracle (bare-predicate SQL replay, exact IEEE arithmetic)
+  // verifies.
+  def qGeoRadius(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.registerRules(s)
+    probeSynth(s, dir)
+      .withColumn("dist_km",
+        graft.functions.GeoDistExpr.geo_dist(
+          lit(-3.0), lit(-10.0), col("plat"), col("plon")))
+      .filter(col("dist_km") <= lit(RadiusKm * 3))
+      .select(col("c_custkey"), col("plat"), col("plon"), col("dist_km"))
+  }
+
+  val qGeoRadiusSql: String =
+    s"""WITH p AS (SELECT c_custkey,
+       |    CAST(c_custkey % 190 AS DOUBLE) / 10.0 - 9.5 AS plat,
+       |    CAST(c_custkey % 370 AS DOUBLE) / 10.0 - 18.5 AS plon
+       |  FROM customer)
+       |SELECT c_custkey, plat, plon,
+       |  sqrt((-3.0 - plat) * (-3.0 - plat) +
+       |       (-10.0 - plon) * (-10.0 - plon)) * 111.32 AS dist_km
+       |FROM p
+       |WHERE sqrt((-3.0 - plat) * (-3.0 - plat) +
+       |           (-10.0 - plon) * (-10.0 - plon)) * 111.32
+       |      <= ${RadiusKm * 3}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_nearest" -> (qGeoNearest _),
+    "q_geo_radius" -> (qGeoRadius _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_geo_nearest" -> qGeoNearestSql,
+    "q_geo_radius" -> qGeoRadiusSql,
   )
 }

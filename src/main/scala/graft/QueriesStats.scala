@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Stats
+import graft.operators.{Imputation, Stats}
 
 /** Round-8 query group: grouped statistics with engine-exact contracts
   * (decimal partial sums + fixed-shape double formulas — see
@@ -117,16 +117,82 @@ object QueriesStats {
       |  END AS intercept
       |FROM a""".stripMargin
 
+  // -------------------------------------------------------- winsorize
+  // Per-flag price clipping to exact [p05, p95] rank-select quantiles
+  // (deterministic tie column keeps duplicate prices ordered). The
+  // oracle replays the rank-select and the greatest/least clip.
+  def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    Imputation.winsorize(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"))
+        .withColumn("lid", col("l_orderkey") * 8 + col("l_linenumber")),
+      "l_returnflag", "l_extendedprice", "lid", 0.05, 0.95)
+      .drop("lid")
+
+  val qWinsorizeSql: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |    l_orderkey * 8 + l_linenumber AS lid
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag AS k, l_extendedprice AS v, lid,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, lid) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM src),
+      |q AS (
+      |  SELECT k, p, v AS q FROM r CROSS JOIN (
+      |    SELECT CAST(p AS DOUBLE) AS p FROM (
+      |      VALUES (CAST(0.05 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) t(p))
+      |  WHERE rn = CAST(ceil(p * n) AS BIGINT)),
+      |b AS (
+      |  SELECT k, min(CASE WHEN p = 0.05 THEN q END) AS lo,
+      |         min(CASE WHEN p = 0.95 THEN q END) AS hi
+      |  FROM q GROUP BY k)
+      |SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag, s.l_extendedprice,
+      |  greatest(least(s.l_extendedprice, b.hi), b.lo) AS l_extendedprice_w
+      |FROM src s JOIN b ON s.l_returnflag = b.k""".stripMargin
+
+  // ----------------------------------------------------------- impute
+  // Mode imputation: market segments nulled for every 7th customer are
+  // refilled with the per-nation mode (ties to the smallest segment).
+  def qImpute(s: SparkSession, dir: String): DataFrame =
+    Imputation.imputeMode(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg")),
+      "c_nationkey", "seg")
+
+  val qImputeSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      |  FROM customer),
+      |m AS (
+      |  SELECT c_nationkey, seg AS mode_seg FROM (
+      |    SELECT c_nationkey, seg,
+      |      row_number() OVER (PARTITION BY c_nationkey
+      |        ORDER BY count(*) DESC, seg) AS rn
+      |    FROM src WHERE seg IS NOT NULL GROUP BY c_nationkey, seg)
+      |  WHERE rn = 1)
+      |SELECT s.c_custkey, s.c_nationkey, coalesce(s.seg, m.mode_seg) AS seg
+      |FROM src s LEFT JOIN m ON s.c_nationkey = m.c_nationkey""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr" -> (qCorr _),
     "q_chisq" -> (qChisq _),
     "q_trend" -> (qTrend _),
+    "q_winsorize" -> (qWinsorize _),
+    "q_impute" -> (qImpute _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_corr" -> qCorrSql,
     "q_chisq" -> qChisqSql,
     "q_trend" -> qTrendSql,
+    "q_winsorize" -> qWinsorizeSql,
+    "q_impute" -> qImputeSql,
   )
 }

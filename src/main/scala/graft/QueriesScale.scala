@@ -533,6 +533,35 @@ object QueriesScale {
        |FROM sh""".stripMargin
   }
 
+  // ------------------------------------------------------ partition prune
+  // Date-partitioned layout + planning-time pruning: orders written
+  // partitioned by order year, read back with a year filter — the scan
+  // lists ONE partition directory (PartitionFilters, pinned in
+  // PartitionedLayoutSpec) instead of the table. The oracle aggregates
+  // the same year from the flat table, proving the layout round-trips
+  // the data and the pruned read misses nothing.
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_orders_by_year")
+      .getAbsolutePath
+    graft.core.PartitionedLayout.writePartitioned(
+      t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+      path, Seq("o_year"))
+    graft.core.PartitionedLayout.read(s, path)
+      .filter(col("o_year") === 1997)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+  }
+
+  val qPartitionPruneSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE year(o_orderdate) = 1997
+      |GROUP BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_excise" -> (qSpanExcise _),
@@ -552,6 +581,7 @@ object QueriesScale {
     "q_triangles" -> (qTriangles _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
+    "q_partition_prune" -> (qPartitionPrune _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -572,5 +602,6 @@ object QueriesScale {
     "q_triangles" -> qTrianglesSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_epoch_shuffle" -> qEpochShuffleSql,
+    "q_partition_prune" -> qPartitionPruneSql,
   )
 }

@@ -26,7 +26,13 @@ object EpochShuffle {
     * never, but the determinism contract shouldn't hinge on it). */
   def assign(df: DataFrame, idCol: String, epoch: Long,
              nShards: Int): DataFrame = {
-    val ekey = concat_ws(":", lit(epoch.toString), col(idCol).cast("string"))
+    // A null id has no deterministic place in any permutation (and
+    // concat_ws would silently hash the bare epoch, colliding every
+    // null row) — fail loudly instead of shuffling garbage.
+    val id = when(col(idCol).isNull,
+        raise_error(lit(s"EpochShuffle: null $idCol — ids must be non-null")))
+      .otherwise(col(idCol).cast("string"))
+    val ekey = concat_ws(":", lit(epoch.toString), id)
     val w = Window.partitionBy(col("shard")).orderBy(col("__md5"), col(idCol))
     df.withColumn("__md5", md5(ekey))
       .withColumn("shard",

@@ -22,18 +22,28 @@ object Imputation {
   /** Clip `valueCol` to its per-key exact [pLo, pHi] quantiles; the
     * clipped value lands in `<valueCol>_w` beside the original.
     * `tieCol` must make (valueCol, tieCol) unique per key (quantile
-    * determinism under duplicate values). */
+    * determinism under duplicate values).
+    *
+    * Nulls are handled explicitly on both sides of the computation:
+    * they are excluded from the quantile ranks (a null is not a small
+    * value — Spark's nulls-first sort would otherwise occupy rank 1 and
+    * count toward n), and a null value winsorizes to null (Spark's
+    * least/greatest SKIP nulls, so the naive clip would fabricate the
+    * upper bound for missing data). Keys with only null values get null
+    * bounds via the left join and pass through untouched. */
   def winsorize(df: DataFrame, keyCol: String, valueCol: String,
                 tieCol: String, pLo: Double, pHi: Double): DataFrame = {
     require(pLo > 0 && pLo < pHi && pHi <= 1, s"need 0 < pLo < pHi <= 1")
-    val qs = Quantiles.exactQuantiles(df, valueCol, tieCol,
+    val qs = Quantiles.exactQuantiles(
+      df.filter(col(valueCol).isNotNull), valueCol, tieCol,
       Seq(keyCol), Seq(pLo, pHi))
     val bounds = qs.groupBy(col(keyCol)).agg(
       min(when(col("p") === pLo, col("q"))).as("__lo"),
       min(when(col("p") === pHi, col("q"))).as("__hi"))
-    df.join(bounds, Seq(keyCol))
+    df.join(bounds, Seq(keyCol), "left")
       .withColumn(s"${valueCol}_w",
-        greatest(least(col(valueCol), col("__hi")), col("__lo")))
+        when(col(valueCol).isNotNull,
+          greatest(least(col(valueCol), col("__hi")), col("__lo"))))
       .drop("__lo", "__hi")
   }
 

@@ -19,14 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
-  /** Null-safe row fingerprint over `cols` (order-sensitive): each value
-    * is tagged with its presence so ("a", null) != ("anull", null-free)
-    * and distinct columns can't concatenate ambiguously. */
-  private def fingerprint(cols: Seq[String]) =
-    md5(concat_ws("",
-      cols.map(c => concat(
-        when(col(c).isNull, lit("0")).otherwise(lit("1")),
-        coalesce(col(c).cast("string"), lit("")))): _*))
+  /** Null-safe row fingerprint over `cols` (order-sensitive). Each
+    * column renders as a SELF-DELIMITING block — "n;" for null,
+    * "v<len>:<value>" otherwise — so adjacent values can never
+    * re-segment into the same byte stream: ("a","1b") encodes
+    * "v1:av2:1b" while ("a1","b") encodes "v2:a1v1:b". (A bare
+    * presence tag + value concat is ambiguous exactly there.) */
+  private def fingerprint(cols: Seq[String]) = {
+    val blocks = cols.map { c =>
+      val s = col(c).cast("string")
+      when(col(c).isNull, lit("n;"))
+        .otherwise(concat(lit("v"), length(s), lit(":"), s))
+    }
+    md5(concat(blocks: _*))
+  }
 
   /** Per-key diff classification.
     * @param keyCols join key (must be unique per side — enforce upstream)

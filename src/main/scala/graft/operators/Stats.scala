@@ -24,10 +24,16 @@ object Stats {
 
   /** Per-key Pearson correlation of (x, y): one groupBy pass collecting
     * n, Σx, Σy, Σxy, Σx², Σy² in decimal, then the textbook formula in
-    * doubles. Output: key, n, corr (null when either variance is 0). */
+    * doubles. PAIRWISE-COMPLETE: rows where x or y is null are dropped
+    * up front (like the built-in corr) — without the filter, n would
+    * count rows the sums skip and the moments would silently disagree
+    * with each other. Output: key, n (complete pairs), corr (null when
+    * either variance is 0). */
   def corrByKey(df: DataFrame, keyCol: String, xCol: String,
                 yCol: String): DataFrame = {
-    val agg = df.groupBy(col(keyCol)).agg(
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol)).agg(
       count(lit(1)).as("n"),
       sum(d(col(xCol))).as("sx"),
       sum(d(col(yCol))).as("sy"),
@@ -49,13 +55,18 @@ object Stats {
 
   /** Chi-square contingency cells for two categorical columns: observed
     * count, expected count under independence, and the cell's chi²
-    * contribution. Emitted PER CELL — the total is a sum of doubles,
+    * contribution. Rows with a null category are excluded up front —
+    * otherwise they'd inflate the margins of cells the inner joins
+    * then drop, making every expected count inconsistent with the
+    * emitted table. Emitted PER CELL — the total is a sum of doubles,
     * which is reduction-order-dependent, so the exact contract stops at
     * cells (callers needing the statistic sum the small cell table
     * however they like). Margins join back via two broadcast-sized
     * aggregates of the cell table itself — the input is scanned once. */
   def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol), col(bCol))
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
       .agg(count(lit(1)).as("obs"))
     val rowT = cells.groupBy(col(aCol)).agg(sum(col("obs")).as("row_total"))
     val colT = cells.groupBy(col(bCol)).agg(sum(col("obs")).as("col_total"))
@@ -71,11 +82,13 @@ object Stats {
   }
 
   /** Per-key OLS trend y = slope * x + intercept: same decimal-partials
-    * pass as corrByKey. Output: key, n, slope, intercept (null slope
-    * when x is constant). */
+    * pass (and pairwise-complete null handling) as corrByKey. Output:
+    * key, n, slope, intercept (null slope when x is constant). */
   def trendByKey(df: DataFrame, keyCol: String, xCol: String,
                  yCol: String): DataFrame = {
-    val agg = df.groupBy(col(keyCol)).agg(
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol)).agg(
       count(lit(1)).as("n"),
       sum(d(col(xCol))).as("sx"),
       sum(d(col(yCol))).as("sy"),

@@ -61,10 +61,10 @@ object Triangles {
     val w2 = oriented.select(col("src"), col("dst").as("d2"))
     val wedges = w1.join(w2, "src").filter(col("d1") < col("d2"))
 
-    // Close each wedge against the canonical edge set.
+    // Close each wedge against the canonical edge set (d1 < d2 already
+    // holds, so the wedge pair is in canonical order).
     val tri = wedges.join(und,
-      least(col("d1"), col("d2")) === col("a") &&
-        greatest(col("d1"), col("d2")) === col("b"))
+      col("d1") === col("a") && col("d2") === col("b"))
       .select(col("src").as("x"), col("d1").as("y"), col("d2").as("z"))
 
     val triPerNode = tri.select(explode(array(col("x"), col("y"), col("z")))

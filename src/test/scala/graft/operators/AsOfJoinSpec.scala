@@ -85,6 +85,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd == Map(1L -> Some("a"), 2L -> None))
   }
 
+  test("nearest row with null payload wins — no fallback to older rows") {
+    // The match is the nearest ROW: its null payload must come through
+    // as null, not be papered over by an older row's value (DuckDB ASOF
+    // semantics; also keeps multi-column payloads from mixing rows).
+    val left = Seq((1L, 10L, ts("2024-01-01 02:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val state = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some("A"), Some(1.0)),
+      (10L, ts("2024-01-01 01:59:00"), Option.empty[String], Some(2.0))
+    ).toDF("user_id", "ts", "name", "score")
+    val row = AsOfJoin.asof(left, state, "user_id", "ts", "ts").collect().head
+    assert(row.isNullAt(row.fieldIndex("name"))) // nearest row's null
+    assert(row.getAs[Double]("score") == 2.0)    // same row's non-null
+
+    // and tolerance applies to that same row, not to a fallback
+    val tight = AsOfJoin.asofDirectional(left, state, "user_id", "ts", "ts",
+        forward = false, toleranceMicros = Some(60L * 1000000L))
+      .collect().head
+    assert(tight.isNullAt(tight.fieldIndex("name")))
+    // probe 02:00, nearest state 01:59 -> 60 s gap == tolerance -> kept
+    assert(tight.getAs[Double]("score") == 2.0)
+  }
+
   test("backward via asofDirectional equals asof") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00")),

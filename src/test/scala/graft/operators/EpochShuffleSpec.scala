@@ -28,6 +28,16 @@ class EpochShuffleSpec extends SparkSpec {
     assert(out.map(_._2).distinct.sorted == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("null ids fail loudly instead of hashing the bare epoch") {
+    val df = Seq(Some(1L), None).toDF("id")
+    val e = intercept[Exception] {
+      EpochShuffle.assign(df, "id", 1L, 4).collect()
+    }
+    assert(e.getMessage.contains("null id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null id")),
+      e.toString)
+  }
+
   test("different epochs produce different permutations") {
     val e1 = run(1L to 200L, 1L, 4).sortBy(_._1)
     val e2 = run(1L to 200L, 2L, 4).sortBy(_._1)

@@ -32,6 +32,23 @@ class ImputationSpec extends SparkSpec {
     assert(out(("b", 1L)) == 200.0 && out(("b", 10L)) == 800.0)
   }
 
+  test("winsorize keeps nulls null and out of the quantile ranks") {
+    // Without explicit handling, Spark's nulls-first sort puts the null
+    // at rank 1 (shifting both bounds) and least/greatest SKIP nulls,
+    // fabricating the upper bound for the null row.
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
+      ("a", 3L, Some(30.0)), ("a", 4L, Some(40.0)),
+      ("a", 5L, Option.empty[Double])
+    ).toDF("k", "id", "v")
+    val out = Imputation.winsorize(df, "k", "v", "id", 0.25, 0.75)
+      .select("id", "v_w").as[(Long, Option[Double])].collect().toMap
+    assert(out(5L).isEmpty) // null stays null
+    // bounds from the 4 non-null rows: p25 -> rank 1 -> 10, p75 -> rank 3 -> 30
+    assert(out(1L).contains(10.0))
+    assert(out(4L).contains(30.0))
+  }
+
   test("imputeMode fills nulls with the group mode, ties to smallest") {
     val df = Seq(
       (1L, Some("x")), (1L, Some("x")), (1L, Some("y")), (1L, None),

@@ -26,6 +26,16 @@ class ReconcileSpec extends SparkSpec {
     assert(out == Map(1L -> "mismatch", 2L -> "mismatch", 3L -> "ok"))
   }
 
+  test("adjacent values cannot re-segment into a colliding fingerprint") {
+    // ("a","1b") vs ("a1","b"): a tag-only concat encodes both as the
+    // same byte stream; the length-prefixed blocks must not.
+    val src = Seq((1L, "a", "1b")).toDF("k", "c1", "c2")
+    val dst = Seq((1L, "a1", "b")).toDF("k", "c1", "c2")
+    val out = Reconcile.diff(src, dst, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "mismatch"))
+  }
+
   test("compare column subset ignores excluded drift") {
     val src = Seq((1L, "a", 1.0)).toDF("k", "name", "v")
     val dst = Seq((1L, "a", 2.0)).toDF("k", "name", "v")

@@ -17,6 +17,38 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out("b").get - (-1.0)) < 1e-12)
   }
 
+  test("nulls are pairwise-complete dropped, not counted into n") {
+    // (1,1),(2,2) complete; (null,5) must not poison the moments.
+    val df = Seq(
+      ("a", Some(1.0), Some(1.0)), ("a", Some(2.0), Some(2.0)),
+      ("a", Option.empty[Double], Some(5.0))
+    ).toDF("k", "x", "y")
+    val (n, corr) = Stats.corrByKey(df, "k", "x", "y")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => (r._2, r._3)).head
+    assert(n == 2L)
+    assert(math.abs(corr.get - 1.0) < 1e-12)
+    val t = Stats.trendByKey(df, "k", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(t._2 == 2L && math.abs(t._3.get - 1.0) < 1e-12)
+  }
+
+  test("chi-square excludes null categories from cells AND margins") {
+    val rows = Seq(
+      (Some("x"), Some("p")), (Some("x"), Some("q")),
+      (Some("y"), Some("p")), (Some("y"), Some("q")),
+      (Some("x"), None), (None, Some("p")) // must not inflate margins
+    ).toDF("a", "b")
+    val out = Stats.chiSquareCells(rows, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(out.length == 4)
+    // 2x2 of ones: margins 2/2, N=4, expected 1, contrib 0 — only true
+    // if the null-category rows were excluded from the totals.
+    out.foreach { case (_, _, obs, exp, contrib) =>
+      assert(obs == 1L && exp == 1.0 && contrib == 0.0)
+    }
+  }
+
   test("zero variance yields null correlation") {
     val df = Seq(("a", 5.0, 1.0), ("a", 5.0, 2.0)).toDF("k", "x", "y")
     val out = Stats.corrByKey(df, "k", "x", "y")

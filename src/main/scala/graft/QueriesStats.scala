@@ -34,7 +34,9 @@ object QueriesStats {
       |        CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
       |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
-      |  FROM lineitem GROUP BY 1)
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  GROUP BY 1)
       |SELECT k AS l_returnflag, n,
       |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
@@ -61,7 +63,8 @@ object QueriesStats {
     val e = "CAST(rt.row_total AS DOUBLE) * CAST(ct.col_total AS DOUBLE)" +
       " / CAST(g.grand_total AS DOUBLE)"
     s"""WITH cells AS (
-       |  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+       |  SELECT lang, source, count(*) AS obs FROM documents
+       |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
        |rt AS (SELECT lang, sum(obs) AS row_total FROM cells GROUP BY 1),
        |ct AS (SELECT source, sum(obs) AS col_total FROM cells GROUP BY 1),
        |g AS (SELECT sum(obs) AS grand_total FROM cells)
@@ -96,7 +99,9 @@ object QueriesStats {
       |        AS DECIMAL(18,2)) *
       |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
       |        AS DECIMAL(18,2))) AS sxx
-      |  FROM events GROUP BY 1)
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1)
       |SELECT user_id, n,
       |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
@@ -179,6 +184,54 @@ object QueriesStats {
       |SELECT s.c_custkey, s.c_nationkey, coalesce(s.seg, m.mode_seg) AS seg
       |FROM src s LEFT JOIN m ON s.c_nationkey = m.c_nationkey""".stripMargin
 
+  // ------------------------------------------------------------ paths
+  // Product-analytics path mining: each user-day's ordered event-type
+  // sequence, counted corpus-wide, top-50 most common journeys. The
+  // per-day path is built with a deterministic in-group sort
+  // (array_sort over (ts, event_id) structs — no collect-order
+  // dependence); DuckDB replays with ORDER BY inside string_agg.
+  def qPaths(s: SparkSession, dir: String): DataFrame = {
+    val byDay = t(s, dir, "events")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("tsu"),
+            col("event_id").as("eid"),
+            col("event_type").as("et")))),
+          x => x.getField("et"))).as("path"))
+    byDay.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(50)
+  }
+
+  val qPathsSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM events GROUP BY 1, 2)
+      |SELECT path, count(*) AS n FROM p GROUP BY path
+      |ORDER BY n DESC, path LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------- histogram
+  // Equi-width histogram of document lengths: fixed literal origin and
+  // width make the bin function a one-pass map expression (no
+  // min/max pre-scan), integer arithmetic exact in both engines.
+  private val HistWidth = 500L
+
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(floor(col("n_chars") / HistWidth).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select((col("bin") * HistWidth).as("bin_lo"),
+        ((col("bin") + 1) * HistWidth).as("bin_hi"), col("n"))
+
+  val qHistogramSql: String =
+    s"""SELECT (n_chars // $HistWidth) * $HistWidth AS bin_lo,
+       |  ((n_chars // $HistWidth) + 1) * $HistWidth AS bin_hi,
+       |  count(*) AS n
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr" -> (qCorr _),
@@ -186,6 +239,8 @@ object QueriesStats {
     "q_trend" -> (qTrend _),
     "q_winsorize" -> (qWinsorize _),
     "q_impute" -> (qImpute _),
+    "q_paths" -> (qPaths _),
+    "q_histogram" -> (qHistogram _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -194,5 +249,7 @@ object QueriesStats {
     "q_trend" -> qTrendSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_impute" -> qImputeSql,
+    "q_paths" -> qPathsSql,
+    "q_histogram" -> qHistogramSql,
   )
 }

@@ -1,0 +1,357 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Benford, Expectations, Interpolate, NegativeSampling,
+  Robust, Skyline}
+
+/** Round-8 query group: declarative data-quality expectations, robust
+  * statistics, gap interpolation, audit screens, and curation-frontier /
+  * negative-sampling primitives.
+  */
+object QueriesQuality {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------------- expectations
+  // Declarative constraint suite over customer, one aggregation pass +
+  // one FK anti-join row. The oracle replays every check as independent
+  // SQL aggregates — an independent formulation of the same contract.
+  private val Segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+  private val NamePattern = "^Customer#[0-9]+$"
+
+  def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val cust = t(s, dir, "customer")
+    run(cust, Seq(
+      NotNull("c_name"),
+      Unique(Seq("c_custkey")),
+      InRange("c_acctbal", lit(-1000.0), lit(10000.0)),
+      AcceptedValues("c_mktsegment", Segments),
+      Matches("c_name", NamePattern)))
+      .unionByName(
+        foreignKey(cust, "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+  }
+
+  val qExpectationsSql: String = {
+    val seg = Segments.map(v => s"'$v'").mkString(", ")
+    s"""SELECT 'not_null:c_name' AS "check",
+       |  count(*) FILTER (WHERE c_name IS NULL) AS violations,
+       |  count(*) AS total,
+       |  count(*) FILTER (WHERE c_name IS NULL) = 0 AS passed
+       |FROM customer
+       |UNION ALL
+       |SELECT 'unique:c_custkey',
+       |  count(*) FILTER (WHERE c_custkey IS NOT NULL)
+       |    - count(DISTINCT c_custkey),
+       |  count(*),
+       |  count(*) FILTER (WHERE c_custkey IS NOT NULL)
+       |    = count(DISTINCT c_custkey)
+       |FROM customer
+       |UNION ALL
+       |SELECT 'in_range:c_acctbal',
+       |  count(*) FILTER (WHERE c_acctbal IS NOT NULL
+       |    AND (c_acctbal < -1000.0 OR c_acctbal > 10000.0)),
+       |  count(*),
+       |  count(*) FILTER (WHERE c_acctbal IS NOT NULL
+       |    AND (c_acctbal < -1000.0 OR c_acctbal > 10000.0)) = 0
+       |FROM customer
+       |UNION ALL
+       |SELECT 'accepted_values:c_mktsegment',
+       |  count(*) FILTER (WHERE c_mktsegment IS NOT NULL
+       |    AND c_mktsegment NOT IN ($seg)),
+       |  count(*),
+       |  count(*) FILTER (WHERE c_mktsegment IS NOT NULL
+       |    AND c_mktsegment NOT IN ($seg)) = 0
+       |FROM customer
+       |UNION ALL
+       |SELECT 'matches:c_name',
+       |  count(*) FILTER (WHERE c_name IS NOT NULL
+       |    AND NOT regexp_matches(c_name, '$NamePattern')),
+       |  count(*),
+       |  count(*) FILTER (WHERE c_name IS NOT NULL
+       |    AND NOT regexp_matches(c_name, '$NamePattern')) = 0
+       |FROM customer
+       |UNION ALL
+       |SELECT 'foreign_key:c_nationkey',
+       |  (SELECT count(*) FROM customer c
+       |   WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS (
+       |     SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+       |  (SELECT count(*) FROM customer),
+       |  (SELECT count(*) FROM customer c
+       |   WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS (
+       |     SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) = 0
+       |""".stripMargin
+  }
+
+  // -------------------------------------------------------- interpolate
+  // Every 5th event's value nulled, then linearly re-interpolated per
+  // user over event time. Oracle replays the bracketing windows with
+  // IGNORE NULLS and the identical double formula shape — bit-exact
+  // fills (see Interpolate scaladoc).
+  def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      when(col("event_id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("value"))
+    Interpolate.linear(ev, "user_id", "ts", "event_id", "value")
+      .select(col("event_id"), col("user_id"), col("value_interp"))
+  }
+
+  val qInterpolateSql: String =
+    """WITH src AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tu,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, tu, v,
+      |    last_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+      |    last_value(v IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+      |    first_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+      |    first_value(v IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+      |  FROM src)
+      |SELECT event_id, user_id,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN t0 IS NOT NULL AND t1 IS NOT NULL THEN
+      |         CASE WHEN t1 = t0 THEN v0
+      |              ELSE v0 + (v1 - v0) *
+      |                (CAST(tu - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+      |         END
+      |  END AS value_interp
+      |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------- mad
+  // MAD outlier screen on event values per event type, k = 3 (caller
+  // folds the 1.4826 normal-consistency constant into k if desired).
+  // Exact rank-select medians make every output column bit-replayable.
+  private val MadK = 3.0
+
+  def qMad(s: SparkSession, dir: String): DataFrame =
+    Robust.madOutliers(
+      t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("value")),
+      "event_type", "value", "event_id", MadK)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("absdev"), col("is_outlier"))
+
+  val qMadSql: String =
+    s"""WITH rows_ AS (
+       |  SELECT event_id, event_type, value FROM events
+       |  WHERE value IS NOT NULL),
+       |r1 AS (
+       |  SELECT event_type, value, event_id,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM rows_),
+       |med AS (
+       |  SELECT event_type, value AS med FROM r1
+       |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+       |wm AS (
+       |  SELECT r.event_id, r.event_type, r.value, m.med,
+       |    abs(r.value - m.med) AS absdev
+       |  FROM rows_ r JOIN med m ON r.event_type = m.event_type),
+       |r2 AS (
+       |  SELECT event_type, absdev, event_id,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY absdev, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM wm),
+       |mad AS (
+       |  SELECT event_type, absdev AS mad FROM r2
+       |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+       |SELECT w.event_id, w.event_type, w.value, w.med, d.mad, w.absdev,
+       |  w.absdev > $MadK * d.mad AS is_outlier
+       |FROM wm w JOIN mad d ON w.event_type = d.event_type""".stripMargin
+
+  // --------------------------------------------------------- neg sample
+  // Deterministic ring negatives: k=2 partners per document. Oracle
+  // replays the md5 bucket/ring/offset construction with the hex-fold
+  // idiom — same partner set on any engine, any partitioning.
+  private val NegK = 2
+  private val NegBuckets = 8
+
+  def qNegSample(s: SparkSession, dir: String): DataFrame =
+    NegativeSampling.ringNegatives(
+      t(s, dir, "documents"), "doc_id", NegK, NegBuckets)
+
+  val qNegSampleSql: String = {
+    def fold(e: String) = "list_reduce(list_transform(" +
+      s"regexp_split_to_array(substr($e, 1, 6), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      "(a, x) -> a * 16 + x)"
+    s"""WITH ring AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+       |b AS (
+       |  SELECT doc_id, m, ${fold("m")} % $NegBuckets AS bk FROM ring),
+       |p AS (
+       |  SELECT doc_id, m, bk,
+       |    row_number() OVER (PARTITION BY bk ORDER BY m, doc_id) AS pos,
+       |    count(*) OVER (PARTITION BY bk) AS n
+       |  FROM b),
+       |a AS (
+       |  SELECT doc_id, bk, pos, n, j AS draw,
+       |    1 + (${fold("md5(doc_id || ':' || j)")} % (n - 1)) AS off
+       |  FROM p CROSS JOIN (VALUES (1), (2)) t(j)
+       |  WHERE n > 1),
+       |x AS (
+       |  SELECT doc_id, bk, draw,
+       |    1 + ((pos - 1 + off) % n) AS negpos FROM a)
+       |SELECT x.doc_id AS anchor_id, x.draw, p2.doc_id AS neg_id
+       |FROM x JOIN p p2 ON x.bk = p2.bk AND x.negpos = p2.pos""".stripMargin
+  }
+
+  // -------------------------------------------------------------- pareto
+  // 2-D Pareto frontier of (quantity, price) over a bounded lineitem
+  // slice — both maximized. The oracle is the independent O(n²)
+  // dominance NOT EXISTS over the distinct points.
+  def qPareto(s: SparkSession, dir: String): DataFrame =
+    Skyline.pareto2d(
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_orderkey") % 13 === 0),
+      "l_quantity", "l_extendedprice")
+
+  val qParetoSql: String =
+    """WITH pts AS (
+      |  SELECT DISTINCT l_quantity, l_extendedprice FROM lineitem
+      |  WHERE l_returnflag = 'R' AND l_orderkey % 13 = 0
+      |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+      |SELECT l_quantity, l_extendedprice FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.l_quantity >= p.l_quantity
+      |    AND q.l_extendedprice >= p.l_extendedprice
+      |    AND (q.l_quantity > p.l_quantity
+      |         OR q.l_extendedprice > p.l_extendedprice))""".stripMargin
+
+  // ------------------------------------------------------------- benford
+  // First-digit distribution of prices vs Benford expectation. Expected
+  // frequencies are embedded as shortest-round-trip literals computed
+  // ONCE (Benford.expectedFreqs) — both engines parse the identical
+  // doubles, sidestepping libm log10 ulp differences.
+  def qBenford(s: SparkSession, dir: String): DataFrame =
+    Benford.firstDigit(t(s, dir, "lineitem"), "l_extendedprice", scale = 2)
+
+  val qBenfordSql: String = {
+    val values = Benford.expectedFreqs
+      // String literal, not bare numeric: DuckDB parses a bare decimal
+      // literal as DECIMAL first (double conversion then loses the last
+      // ulp); a VARCHAR cast is a correctly-rounded strtod.
+      .map { case (d, e) => s"($d, CAST('$e' AS DOUBLE))" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(round(abs(l_extendedprice)
+       |      * power(10, 2)) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+       |    AS digit
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |c AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1
+       |      GROUP BY 1),
+       |t AS (SELECT sum(n) AS total FROM c),
+       |e(digit, expected) AS (VALUES $values)
+       |SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+       |  CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS freq,
+       |  e.expected,
+       |  CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) - e.expected
+       |    AS deviation
+       |FROM c CROSS JOIN t JOIN e ON c.digit = e.digit""".stripMargin
+  }
+
+  // --------------------------------------------------------------- assoc
+  // Market-basket association rules over order baskets: parts that ship
+  // together, with support/confidence/lift. Pair work is bounded by
+  // basket size (≤ 13 items per order in this data) — see AssocRules.
+  private val AssocMinPairs = 3L
+
+  def qAssoc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AssocRules.pairRules(
+      t(s, dir, "lineitem"), "l_orderkey", "l_partkey", AssocMinPairs)
+
+  val qAssocSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |ic AS (SELECT i, count(*) AS n_item FROM items GROUP BY 1),
+       |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+       |p AS (
+       |  SELECT l.i AS ia, r.i AS ib, count(*) AS n_pair
+       |  FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinPairs),
+       |d AS (
+       |  SELECT ia AS antecedent, ib AS consequent, n_pair FROM p
+       |  UNION ALL
+       |  SELECT ib, ia, n_pair FROM p)
+       |SELECT d.antecedent, d.consequent,
+       |  CAST(d.n_pair AS BIGINT) AS n_pair,
+       |  CAST(a.n_item AS BIGINT) AS n_ante,
+       |  CAST(c.n_item AS BIGINT) AS n_cons,
+       |  CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+       |  CAST(d.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+       |  CAST(d.n_pair AS DOUBLE) / CAST(a.n_item AS DOUBLE) AS confidence,
+       |  CAST(d.n_pair AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+       |    / (CAST(a.n_item AS DOUBLE) * CAST(c.n_item AS DOUBLE)) AS lift
+       |FROM d
+       |JOIN ic a ON d.antecedent = a.i
+       |JOIN ic c ON d.consequent = c.i
+       |CROSS JOIN nb""".stripMargin
+
+  // ---------------------------------------------------------------- bins
+  // Equal-frequency decile binning of prices per return flag, with nulls
+  // kept out of the ranking. The oracle uses DuckDB's native ntile over
+  // the non-null subset — an independent formulation of Discretize's
+  // arithmetic ntile (see its scaladoc for why the arithmetic form).
+  def qBins(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Discretize.equalFrequency(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"))
+        .withColumn("lid", col("l_orderkey") * 8 + col("l_linenumber")),
+      "l_returnflag", "l_extendedprice", "lid", bins = 10)
+      .drop("lid")
+
+  val qBinsSql: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |    l_orderkey * 8 + l_linenumber AS lid
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  CAST(ntile(10) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice, lid) AS INTEGER) AS bin
+      |FROM src WHERE l_extendedprice IS NOT NULL
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  CAST(NULL AS INTEGER)
+      |FROM src WHERE l_extendedprice IS NULL""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc" -> (qAssoc _),
+    "q_bins" -> (qBins _),
+    "q_expectations" -> (qExpectations _),
+    "q_interpolate" -> (qInterpolate _),
+    "q_mad" -> (qMad _),
+    "q_neg_sample" -> (qNegSample _),
+    "q_pareto" -> (qPareto _),
+    "q_benford" -> (qBenford _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_assoc" -> qAssocSql,
+    "q_bins" -> qBinsSql,
+    "q_expectations" -> qExpectationsSql,
+    "q_interpolate" -> qInterpolateSql,
+    "q_mad" -> qMadSql,
+    "q_neg_sample" -> qNegSampleSql,
+    "q_pareto" -> qParetoSql,
+    "q_benford" -> qBenfordSql,
+  )
+}

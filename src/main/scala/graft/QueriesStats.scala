@@ -232,8 +232,57 @@ object QueriesStats {
        |  count(*) AS n
        |FROM documents GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- welch
+  // Daily A/B comparison of click vs purchase event values — Welch t
+  // and Welch–Satterthwaite df per day, decimal partials + fixed-shape
+  // double formulas (bit-replayable; see Stats.welchByKey).
+  def qWelch(s: SparkSession, dir: String): DataFrame =
+    Stats.welchByKey(
+      t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+      "day", "event_type", "click", "purchase", "value")
+
+  val qWelchSql: String =
+    """WITH src AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS dv
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+      |a AS (
+      |  SELECT day,
+      |    count(*) FILTER (WHERE event_type = 'click') AS na,
+      |    sum(dv) FILTER (WHERE event_type = 'click') AS sxa,
+      |    sum(dv * dv) FILTER (WHERE event_type = 'click') AS sxxa,
+      |    count(*) FILTER (WHERE event_type = 'purchase') AS nb,
+      |    sum(dv) FILTER (WHERE event_type = 'purchase') AS sxb,
+      |    sum(dv * dv) FILTER (WHERE event_type = 'purchase') AS sxxb
+      |  FROM src GROUP BY 1),
+      |m AS (
+      |  SELECT day, na, nb,
+      |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+      |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+      |    (CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)
+      |      - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+      |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+      |      / CAST(na AS DOUBLE) AS sea,
+      |    (CAST(nb AS DOUBLE) * CAST(sxxb AS DOUBLE)
+      |      - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
+      |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))
+      |      / CAST(nb AS DOUBLE) AS seb
+      |  FROM a)
+      |SELECT day, na AS n_a, nb AS n_b,
+      |  CASE WHEN na > 0 THEN ma END AS mean_a,
+      |  CASE WHEN nb > 0 THEN mb END AS mean_b,
+      |  CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0.0
+      |    THEN (ma - mb) / sqrt(sea + seb) END AS t,
+      |  CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0.0
+      |    THEN ((sea + seb) * (sea + seb))
+      |      / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+      |         + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) END AS df
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_welch" -> (qWelch _),
     "q_corr" -> (qCorr _),
     "q_chisq" -> (qChisq _),
     "q_trend" -> (qTrend _),
@@ -244,6 +293,7 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_welch" -> qWelchSql,
     "q_corr" -> qCorrSql,
     "q_chisq" -> qChisqSql,
     "q_trend" -> qTrendSql,

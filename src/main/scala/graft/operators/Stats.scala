@@ -105,4 +105,48 @@ object Stats {
       when(denom > 0.0, slope).as("slope"),
       when(denom > 0.0, (sy - slope * sx) / n).as("intercept"))
   }
+
+  /** Per-key Welch two-sample comparison (the A/B-test workhorse: unequal
+    * variances, unequal n): rows in group `a` vs group `b` of `groupCol`,
+    * compared on `valueCol` within each `keyCol`. Same exactness contract
+    * as corrByKey — ONE conditional-aggregation pass collects both
+    * groups' decimal partials (no join, no second scan), then fixed-shape
+    * double formulas: sample variance `(n·Σx² - (Σx)²) / (n·(n-1))`, the
+    * t statistic, and the Welch–Satterthwaite degrees of freedom. Output:
+    * key, n_a, n_b, mean_a, mean_b, t, df — t/df null unless both groups
+    * have n ≥ 2 and a positive combined standard error. */
+  def welchByKey(df: DataFrame, keyCol: String, groupCol: String,
+                 a: String, b: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    def side(g: String, suffix: String) = Seq(
+      count_if(col(groupCol) === g).as(s"n$suffix"),
+      sum(when(col(groupCol) === g, d(v))).as(s"sx$suffix"),
+      sum(when(col(groupCol) === g, d(v) * d(v))).as(s"sxx$suffix"))
+    val aggCols = side(a, "a") ++ side(b, "b")
+    val agg = df
+      .filter(v.isNotNull && col(groupCol).isin(a, b))
+      .groupBy(col(keyCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+    def stats(suffix: String) = {
+      val n = col(s"n$suffix").cast("double")
+      val sx = col(s"sx$suffix").cast("double")
+      val sxx = col(s"sxx$suffix").cast("double")
+      (n, sx / n, (n * sxx - sx * sx) / (n * (n - lit(1.0))))
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val sea = va / na
+    val seb = vb / nb
+    val se2 = sea + seb
+    val tStat = (ma - mb) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    val ok = col("na") >= 2 && col("nb") >= 2 && se2 > 0.0
+    agg.select(col(keyCol),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      when(col("na") > 0, ma).as("mean_a"),
+      when(col("nb") > 0, mb).as("mean_b"),
+      when(ok, tStat).as("t"),
+      when(ok, dfW).as("df"))
+  }
 }

@@ -96,4 +96,62 @@ class StatsSpec extends SparkSpec {
     assert(out(("y", "p")) == ((1L, 2.0, 0.5)))
     assert(out(("y", "q")) == ((3L, 2.0, 0.5)))
   }
+
+  test("welch: hand-computed t and df on a known pair of samples") {
+    // a = {1,2,3,4}: mean 2.5, var 5/3; b = {10,12}: mean 11, var 2.
+    // se2 = 5/12 + 1 ; t = -8.5/sqrt(17/12)
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 12.0)).map { case (g, v) => ("k", g, v) }
+    val r = Stats.welchByKey(rows.toDF("key", "g", "v"),
+      "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(r._2 == 4L && r._3 == 2L)
+    assert(r._4.contains(2.5) && r._5.contains(11.0))
+    val se2 = 5.0 / 3.0 / 4.0 + 2.0 / 2.0
+    assert(math.abs(r._6.get - (2.5 - 11.0) / math.sqrt(se2)) < 1e-12)
+    val dfW = se2 * se2 /
+      ((5.0 / 3.0 / 4.0) * (5.0 / 3.0 / 4.0) / 3.0 + 1.0 / 1.0)
+    assert(math.abs(r._7.get - dfW) < 1e-12)
+  }
+
+  test("welch: identical groups give t = 0; tiny groups gate to null") {
+    val same = Seq(("k", "a", 1.0), ("k", "a", 3.0),
+      ("k", "b", 1.0), ("k", "b", 3.0))
+    val r1 = Stats.welchByKey(same.toDF("key", "g", "v"),
+      "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(r1._6.contains(0.0))
+    // n_b = 1 -> no variance -> t/df null, means still reported
+    val tiny = Seq(("k", "a", 1.0), ("k", "a", 2.0), ("k", "b", 5.0))
+    val r2 = Stats.welchByKey(tiny.toDF("key", "g", "v"),
+      "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(r2._2 == 2L && r2._3 == 1L)
+    assert(r2._5.contains(5.0) && r2._6.isEmpty && r2._7.isEmpty)
+  }
+
+  test("welch: zero-variance both sides gates on se2 > 0, not n") {
+    val rows = Seq(("k", "a", 4.0), ("k", "a", 4.0),
+      ("k", "b", 9.0), ("k", "b", 9.0))
+    val r = Stats.welchByKey(rows.toDF("key", "g", "v"),
+      "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(r._4.contains(4.0) && r._5.contains(9.0) && r._6.isEmpty)
+  }
+
+  test("welch: other groups and null values are excluded") {
+    val rows = Seq(("k", "a", Some(1.0)), ("k", "a", Some(3.0)),
+      ("k", "a", None), ("k", "c", Some(100.0)),
+      ("k", "b", Some(2.0)), ("k", "b", Some(4.0)))
+    val r = Stats.welchByKey(rows.toDF("key", "g", "v"),
+      "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(r._2 == 2L && r._3 == 2L)
+    assert(r._4.contains(2.0) && r._5.contains(3.0))
+  }
 }

@@ -332,8 +332,139 @@ object QueriesQuality {
       |  CAST(NULL AS INTEGER)
       |FROM src WHERE l_extendedprice IS NULL""".stripMargin
 
+  // ---------------------------------------------------------- attribution
+  // First/last-touch conversion attribution: purchases attributed to the
+  // user's earliest and most recent click/view, last-touch voided beyond
+  // a 3-day lookback. One per-user sort; see Attribution.
+  private val TouchTypes = Seq("click", "view")
+  private val AttribLagUs = 3L * 86400L * 1000000L
+
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.singleTouch(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      TouchTypes, "purchase", Some(AttribLagUs))
+
+  val qAttributionSql: String =
+    s"""WITH src AS (
+       |  SELECT event_id, user_id, ts, epoch_us(ts) AS tu, event_type
+       |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+       |w AS (
+       |  SELECT *,
+       |    first_value(CASE WHEN event_type IN ('click', 'view')
+       |        THEN tu END IGNORE NULLS) OVER win AS ft_t,
+       |    first_value(CASE WHEN event_type IN ('click', 'view')
+       |        THEN event_id END IGNORE NULLS) OVER win AS ft_id,
+       |    last_value(CASE WHEN event_type IN ('click', 'view')
+       |        THEN tu END IGNORE NULLS) OVER win AS lt_t,
+       |    last_value(CASE WHEN event_type IN ('click', 'view')
+       |        THEN event_id END IGNORE NULLS) OVER win AS lt_id
+       |  FROM src
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY tu, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+       |  ft_id AS first_touch_id,
+       |  make_timestamp(ft_t) AS first_touch_ts,
+       |  CASE WHEN tu - lt_t <= $AttribLagUs THEN lt_id END
+       |    AS last_touch_id,
+       |  CASE WHEN tu - lt_t <= $AttribLagUs THEN make_timestamp(lt_t) END
+       |    AS last_touch_ts
+       |FROM w WHERE event_type = 'purchase'""".stripMargin
+
+  // ---------------------------------------------------------------- cusum
+  // CUSUM drift per event type over event time — integer-cents
+  // arithmetic end to end (see ChangeDetect), one double division at
+  // the end, bit-replayable.
+  private val CusumThreshold = 300.0
+
+  def qCusum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ChangeDetect.cusum(
+      t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("ts"), col("value")),
+      "event_type", "ts", "event_id", "value", CusumThreshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("cusum"), col("is_change"))
+
+  val qCusumSql: String =
+    s"""WITH src AS (
+       |  SELECT event_id, event_type, ts, value,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE value IS NOT NULL),
+       |t AS (
+       |  SELECT event_type, sum(cents) AS tot, count(*) AS n
+       |  FROM src GROUP BY 1),
+       |w AS (
+       |  SELECT s.event_id, s.event_type, s.value, t.n, t.tot,
+       |    sum(s.cents) OVER (PARTITION BY s.event_type
+       |      ORDER BY s.ts, s.event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runc,
+       |    CAST(row_number() OVER (PARTITION BY s.event_type
+       |      ORDER BY s.ts, s.event_id) AS BIGINT) AS rn
+       |  FROM src s JOIN t ON s.event_type = t.event_type)
+       |SELECT event_id, event_type, value,
+       |  CAST(n * runc - rn * tot AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 100.0) AS cusum,
+       |  abs(CAST(n * runc - rn * tot AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 100.0)) > $CusumThreshold AS is_change
+       |FROM w""".stripMargin
+
+  // ------------------------------------------------------------ quarantine
+  // Dead-letter routing: every customer row tagged with the row-level
+  // checks it fails (suite order, comma-joined), NULL when clean.
+  def qQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    Expectations.quarantine(t(s, dir, "customer"), Seq(
+      InRange("c_acctbal", lit(0.0), lit(8000.0)),
+      AcceptedValues("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),
+      Matches("c_name", NamePattern)))
+  }
+
+  val qQuarantineSql: String =
+    s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       |  NULLIF(concat_ws(',',
+       |    CASE WHEN c_acctbal IS NOT NULL
+       |      AND (c_acctbal < 0.0 OR c_acctbal > 8000.0)
+       |      THEN 'in_range:c_acctbal' END,
+       |    CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+       |      ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY')
+       |      THEN 'accepted_values:c_mktsegment' END,
+       |    CASE WHEN c_name IS NOT NULL
+       |      AND NOT regexp_matches(c_name, '$NamePattern')
+       |      THEN 'matches:c_name' END), '') AS reasons
+       |FROM customer""".stripMargin
+
+  // -------------------------------------------------------------- wmedian
+  // Quantity-weighted median price per return flag — exact decimal
+  // running-weight rank select (lower weighted median), engine-exact.
+  def qWmedian(s: SparkSession, dir: String): DataFrame =
+    Robust.weightedMedian(
+      t(s, dir, "lineitem")
+        .withColumn("lid", col("l_orderkey") * 8 + col("l_linenumber")),
+      "l_returnflag", "l_extendedprice", "l_quantity", "lid")
+
+  val qWmedianSql: String =
+    """WITH src AS (
+      |  SELECT l_returnflag AS k, l_extendedprice AS v,
+      |    l_orderkey * 8 + l_linenumber AS tie,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS dw
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL
+      |    AND CAST(l_quantity AS DECIMAL(18,2)) > 0),
+      |w AS (
+      |  SELECT k, v,
+      |    sum(dw) OVER (PARTITION BY k ORDER BY v, tie
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runw,
+      |    sum(dw) OVER (PARTITION BY k) AS totw
+      |  FROM src)
+      |SELECT k AS l_returnflag, min(v) AS wmedian
+      |FROM w WHERE runw * 2 >= totw GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
+    "q_cusum" -> (qCusum _),
+    "q_quarantine" -> (qQuarantine _),
+    "q_wmedian" -> (qWmedian _),
     "q_assoc" -> (qAssoc _),
     "q_bins" -> (qBins _),
     "q_expectations" -> (qExpectations _),
@@ -345,6 +476,10 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_attribution" -> qAttributionSql,
+    "q_cusum" -> qCusumSql,
+    "q_quarantine" -> qQuarantineSql,
+    "q_wmedian" -> qWmedianSql,
     "q_assoc" -> qAssocSql,
     "q_bins" -> qBinsSql,
     "q_expectations" -> qExpectationsSql,

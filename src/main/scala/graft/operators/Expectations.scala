@@ -98,18 +98,50 @@ object Expectations {
 
   /** Referential-integrity report row: rows of `df` whose non-null
     * `fkCol` has no match in `dim.pkCol`. The dimension side is reduced
-    * to its distinct keys (broadcast-sized for real dimension tables)
-    * before the anti join. Union with `run`'s output for a full report. */
+    * to its distinct keys (broadcast-sized for real dimension tables),
+    * then ONE broadcast left join + conditional count produces both the
+    * orphan count and the total — the fact table is scanned once (the
+    * join is against distinct keys, so row multiplicity is preserved).
+    * Union with `run`'s output for a full report. */
   def foreignKey(df: DataFrame, fkCol: String,
       dim: DataFrame, pkCol: String): DataFrame = {
     val keys = dim.select(col(pkCol).as("__pk")).distinct()
-    val orphan = df.filter(col(fkCol).isNotNull)
-      .join(broadcast(keys), col(fkCol) === col("__pk"), "left_anti")
-      .agg(count(lit(1)).as("violations"))
-    val total = df.agg(count(lit(1)).as("total"))
-    orphan.crossJoin(total)
+    df.join(broadcast(keys), col(fkCol) === col("__pk"), "left")
+      .agg(
+        count_if(col(fkCol).isNotNull && col("__pk").isNull).as("violations"),
+        count(lit(1)).as("total"))
       .select(lit(s"foreign_key:$fkCol").as("check"),
         col("violations"), col("total"),
         (col("violations") === 0L).as("passed"))
+  }
+
+  /** Row-level violation predicate (the per-row form of `violations`'
+    * conditional count). Aggregate-level checks (`Unique`) have no
+    * per-row verdict. */
+  private def rowViolation(c: Check): Column = c match {
+    case NotNull(col0) => col(col0).isNull
+    case InRange(col0, lo, hi) =>
+      col(col0).isNotNull && (col(col0) < lo || col(col0) > hi)
+    case AcceptedValues(col0, vals) =>
+      col(col0).isNotNull && !col(col0).isin(vals: _*)
+    case Matches(col0, p) => col(col0).isNotNull && !col(col0).rlike(p)
+    case _: Unique =>
+      throw new IllegalArgumentException(
+        "Unique is an aggregate-level check — no per-row verdict")
+  }
+
+  /** Dead-letter routing: tags every row with `reasons` — a
+    * comma-joined list of the row-level checks it fails, NULL when the
+    * row is clean. Callers split the stream (`reasons IS NULL` →
+    * destination, else quarantine table) without a second evaluation of
+    * the suite; the tagging is a pure map expression (no shuffle).
+    * `Unique` is rejected: membership in a duplicate group is an
+    * aggregate fact, not a row predicate — dedup operators own that. */
+  def quarantine(df: DataFrame, checks: Seq[Check],
+      reasonsCol: String = "reasons"): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val tags = checks.map(c => when(rowViolation(c), lit(c.name)))
+    val joined = concat_ws(",", tags: _*)
+    df.withColumn(reasonsCol, when(joined =!= "", joined))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust per-group outlier detection: median absolute deviation (MAD).
@@ -38,5 +39,28 @@ object Robust {
       .select(col(keyCol), col("q").as("mad"))
     withMed.join(mad, keyCol)
       .withColumn("is_outlier", col("absdev") > lit(k) * col("mad"))
+  }
+
+  /** Per-key weighted median: the smallest value v (ties broken by
+    * `tieCol`) whose running weight reaches half the key's total —
+    * `2·W_≤v ≥ W_total`, the lower weighted median. Weights go through
+    * decimal(18,2) so both window sums are exact and the comparison is
+    * engine-reproducible; rows with null/non-positive weight or null
+    * value are excluded. One per-key sort-shuffle (both window frames
+    * share it), then a min aggregation over the qualifying suffix.
+    * Output: key, wmedian. */
+  def weightedMedian(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, tieCol: String): DataFrame = {
+    val dw = col(weightCol).cast("decimal(18,2)")
+    val sortW = Window.partitionBy(col(keyCol))
+      .orderBy(col(valueCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(col(keyCol))
+    df.filter(col(valueCol).isNotNull && dw > 0)
+      .withColumn("__runw", sum(dw).over(sortW))
+      .withColumn("__totw", sum(dw).over(allW))
+      .filter(col("__runw") * 2 >= col("__totw"))
+      .groupBy(col(keyCol))
+      .agg(min(col(valueCol)).as("wmedian"))
   }
 }

@@ -75,4 +75,44 @@ class ExpectationsSpec extends SparkSpec {
       Expectations.run(df, Seq(NotNull("name"), NotNull("name")))
     }
   }
+
+  test("quarantine tags failing rows in suite order, clean rows NULL") {
+    val df = Seq(
+      (1L, Some("ok"), Some(5.0)),
+      (2L, None, Some(500.0)),
+      (3L, Some("BAD!"), Some(5.0)),
+      (4L, Some("ok"), Some(5.0)))
+      .toDF("id", "name", "bal")
+    val out = Expectations.quarantine(df, Seq(
+      NotNull("name"),
+      InRange("bal", lit(0.0), lit(100.0)),
+      Matches("name", "^[a-z]+$")))
+      .select("id", "reasons").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).isEmpty && out(4L).isEmpty)
+    assert(out(2L).contains("not_null:name,in_range:bal"))
+    assert(out(3L).contains("matches:name"))
+  }
+
+  test("quarantine rejects aggregate-level checks") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Expectations.quarantine(df, Seq(Unique(Seq("id"))))
+    }
+  }
+
+  test("quarantine agrees with run's violation counts") {
+    val df = Seq(
+      (1L, Some("aa"), Some(5.0)), (2L, None, Some(-1.0)),
+      (3L, Some("zz"), None), (4L, Some("!!"), Some(200.0)))
+      .toDF("id", "name", "bal")
+    val checks = Seq(NotNull("name"), InRange("bal", lit(0.0), lit(100.0)),
+      Matches("name", "^[a-z]+$"))
+    val tagged = Expectations.quarantine(df, checks)
+    val perCheck = checks.map { c =>
+      c.name -> tagged.filter(col("reasons").isNotNull &&
+        col("reasons").contains(c.name)).count()
+    }.toMap
+    val suite = report(df, checks)
+    assert(perCheck == suite.view.mapValues(_._1).toMap)
+  }
 }

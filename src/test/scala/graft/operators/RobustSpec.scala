@@ -41,4 +41,33 @@ class RobustSpec extends SparkSpec {
     assert(out(99L)) // 0.5 > 3*0 — MAD-0 groups flag every deviation
     assert(!out(0L))
   }
+
+  private def wmedian(rows: Seq[(String, Long, Double, Double)]) =
+    Robust.weightedMedian(rows.toDF("k", "id", "v", "w"),
+      "k", "v", "w", "id")
+      .as[(String, Double)].collect().toMap
+
+  test("weighted median: heavy weight drags the median") {
+    // unweighted median of {1,2,3} is 2; weight 10 on the 3 pulls it up:
+    // total 12, half 6 -> first v with runw*2 >= 12 is 3 (runw=12).
+    assert(wmedian(Seq(("k", 1L, 1.0, 1.0), ("k", 2L, 2.0, 1.0),
+      ("k", 3L, 3.0, 10.0))) == Map("k" -> 3.0))
+  }
+
+  test("weighted median: equal weights match the lower median") {
+    assert(wmedian(Seq(("k", 1L, 1.0, 1.0), ("k", 2L, 2.0, 1.0),
+      ("k", 3L, 3.0, 1.0), ("k", 4L, 4.0, 1.0))) == Map("k" -> 2.0))
+  }
+
+  test("weighted median: exact half boundary takes the lower value") {
+    // weights 1,1 on values 5,9: runw at 5 is 1, 2*1 >= 2 -> 5.
+    assert(wmedian(Seq(("k", 1L, 5.0, 1.0), ("k", 2L, 9.0, 1.0)))
+      == Map("k" -> 5.0))
+  }
+
+  test("weighted median: non-positive weights are excluded, keys split") {
+    val rows = Seq(("a", 1L, 1.0, 0.0), ("a", 2L, 2.0, 1.0),
+      ("a", 3L, 100.0, -5.0), ("b", 4L, 42.0, 2.5))
+    assert(wmedian(rows) == Map("a" -> 2.0, "b" -> 42.0))
+  }
 }

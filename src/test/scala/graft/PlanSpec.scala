@@ -361,4 +361,77 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1 && p.contains("InMemoryRelation"),
       s"containment re-derives signatures ($scans scans):\n$p")
   }
+
+  private def count(p: String, pat: String): Int =
+    pat.r.findAllIn(p).length
+
+  test("q_interpolate runs both bracket windows over one sort-shuffle") {
+    // forward last() and backward first() share partitioning+ordering,
+    // so Catalyst must plan ONE Sort and ONE hash Exchange for the two
+    // Window nodes — a second sort would double the operator's cost
+    val p = plan("q_interpolate")
+    assert(count(p, "\\(\\d+\\) Window") == 2, s"window count:\n$p")
+    assert(count(p, "\\(\\d+\\) Sort") == 1, s"sort count:\n$p")
+    assert(count(p, "hashpartitioning") == 1, s"exchanges:\n$p")
+  }
+
+  test("q_bins assigns bins with one sort — rank and count share it") {
+    val p = plan("q_bins")
+    assert(count(p, "\\(\\d+\\) Sort") == 1, s"sort count:\n$p")
+    assert(count(p, "hashpartitioning") == 1, s"exchanges:\n$p")
+  }
+
+  test("q_neg_sample joins on (bucket, position) — no cartesian, " +
+      "no global window") {
+    val p = plan("q_neg_sample")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"pair join degenerated:\n$p")
+    // every window must carry the bucket partition key — an empty
+    // partition spec would funnel the whole corpus into one task
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__b")),
+      s"window lost its bucket partitioning:\n$p")
+  }
+
+  test("q_pareto: bucketed local frontier first, single partition only " +
+      "for survivors") {
+    val p = plan("q_pareto")
+    // phase 1 shuffles by bucket hash, phase 2's SinglePartition input
+    // is the reduced survivor set — exactly one of each
+    assert(count(p, "hashpartitioning\\(__b") == 1, s"phase-1 exchange:\n$p")
+    assert(count(p, "SinglePartition") == 1, s"phase-2 exchange:\n$p")
+    assert(count(p, "\\(\\d+\\) Window") == 2, s"window count:\n$p")
+  }
+
+  test("q_expectations runs the suite in one scan and the FK row in one") {
+    // run(): every row-level check is a conditional count in a single
+    // aggregate over one customer scan; foreignKey(): one more customer
+    // scan with a broadcast nation join — 3 parquet scans total
+    // (customer x2 + nation), and the FK dimension side is broadcast
+    val p = plan("q_expectations")
+    assert(count(p, "\\(\\d+\\) Scan parquet") == 3, s"scan count:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"FK join not broadcast:\n$p")
+  }
+
+  test("q_cusum shares one sort between rank and running sum") {
+    val p = plan("q_cusum")
+    assert(count(p, "\\(\\d+\\) Window") == 1, s"window count:\n$p")
+    assert(count(p, "\\(\\d+\\) Sort") <= 2, s"sort count:\n$p")
+  }
+
+  test("q_attribution resolves both touch models over one sort-shuffle") {
+    val p = plan("q_attribution")
+    assert(count(p, "\\(\\d+\\) Window") == 2, s"window count:\n$p")
+    assert(count(p, "\\(\\d+\\) Sort") == 1, s"sort count:\n$p")
+    assert(count(p, "hashpartitioning") == 1, s"exchanges:\n$p")
+  }
+
+  test("q_quarantine tags rows without any exchange") {
+    val p = plan("q_quarantine")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      count(p, "\\(\\d+\\) Window") == 0 &&
+      count(p, "\\(\\d+\\) Sort") == 0,
+      s"quarantine tagging must stay map-side:\n$p")
+  }
 }

@@ -459,8 +459,29 @@ object QueriesQuality {
       |SELECT k AS l_returnflag, min(v) AS wmedian
       |FROM w WHERE runw * 2 >= totw GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- sketch
+  // Daily distinct users from persisted HLL sketch state — built per
+  // day, estimated from the state table alone (the corpus is never
+  // re-scanned for the rollup). At this cardinality the sketch is in
+  // its sparse-EXACT regime, so the DuckDB exact-distinct oracle
+  // hash-matches; the error-bounded large-cardinality path is spec'd
+  // in SketchStateSpec.
+  def qSketchUsers(s: SparkSession, dir: String): DataFrame = {
+    val state = graft.operators.SketchState.build(
+      t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+      Seq("day"), "user_id")
+    graft.operators.SketchState.estimate(state, Seq("day"))
+  }
+
+  val qSketchUsersSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  count(DISTINCT user_id) AS n_distinct
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_users" -> (qSketchUsers _),
     "q_attribution" -> (qAttribution _),
     "q_cusum" -> (qCusum _),
     "q_quarantine" -> (qQuarantine _),
@@ -476,6 +497,7 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sketch_users" -> qSketchUsersSql,
     "q_attribution" -> qAttributionSql,
     "q_cusum" -> qCusumSql,
     "q_quarantine" -> qQuarantineSql,

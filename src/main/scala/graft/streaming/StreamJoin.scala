@@ -42,4 +42,30 @@ object StreamJoin {
         r(rightTime) >= l(leftTime) &&
         r(rightTime) <= l(leftTime) + expr(s"INTERVAL $window"))
   }
+
+  /** LEFT OUTER variant: left rows that never find an in-window partner
+    * are still emitted, null-padded — the "clicks that did not convert"
+    * report as a stream. Outer semantics in streaming are
+    * watermark-DELAYED by construction: the null-padded row can only be
+    * emitted once the watermark proves no future partner can arrive (the
+    * left row's state expired), so unmatched rows surface
+    * (window + watermarkDelay) of event time after their own timestamp.
+    * Same bounded-state discipline as the inner form. */
+  def attributionJoinOuter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      window: String, watermarkDelay: String): DataFrame = {
+    val l =
+      if (left.isStreaming) left.withWatermark(leftTime, watermarkDelay)
+      else left
+    val r =
+      if (right.isStreaming) right.withWatermark(rightTime, watermarkDelay)
+      else right
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTime) >= l(leftTime) &&
+        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $window"),
+      "left_outer")
+  }
 }

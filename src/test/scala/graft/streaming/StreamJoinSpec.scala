@@ -137,4 +137,54 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.length == got.toSet.size, "every pair emitted exactly once")
     assert(expected.nonEmpty)
   }
+
+  test("left-outer join emits unmatched rows null-padded, only after " +
+      "the watermark proves no partner can come") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoin.attributionJoinOuter(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("p_user", "purchase_id", "purchase_ts"),
+      "user_id", "p_user", "click_ts", "purchase_ts",
+      window = "10 minutes", watermarkDelay = "10 seconds")
+      .select("user_id", "click_id", "purchase_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_out").start()
+
+    // batch 1: a click that will convert and one that will not
+    clicks.addData(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 101L, ts("2024-01-01 10:00:00")))
+    purchases.addData((1L, 500L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    val early = spark.table("attr_outer_out")
+      .select("click_id", "purchase_id")
+      .as[(Long, Option[Long])].collect().toSet
+    // the matched pair may stream out, but the unmatched click must NOT
+    // be declared unconverted yet — its window is still open
+    assert(!early.contains((101L, None)),
+      s"null-padded row emitted before the watermark closed it: $early")
+
+    // batch 2: both streams advance far past the window + delay — the
+    // watermark now proves click 101 can never match
+    clicks.addData((3L, 102L, ts("2024-01-01 12:00:00")))
+    purchases.addData((3L, 501L, ts("2024-01-01 12:01:00")))
+    q.processAllAvailable()
+    // outer results are emitted on state eviction, which some Spark
+    // versions finalize one trigger later — nudge with an empty-ish batch
+    clicks.addData((4L, 103L, ts("2024-01-01 13:00:00")))
+    purchases.addData((4L, 502L, ts("2024-01-01 13:00:30")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attr_outer_out")
+      .select("click_id", "purchase_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((100L, Some(500L))), s"matched pair missing: $rows")
+    assert(rows.contains((101L, None)),
+      s"unmatched click never surfaced null-padded: $rows")
+    assert(!rows.contains((100L, None)),
+      s"matched click must not ALSO emit a null row: $rows")
+  }
 }

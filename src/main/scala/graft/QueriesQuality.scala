@@ -479,8 +479,37 @@ object QueriesQuality {
       |FROM events WHERE user_id IS NOT NULL
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ table sig
+  // Order-independent migration checksum of customer (doubles fixed to
+  // decimal first — the cross-engine rendering caveat in
+  // Reconcile.signature). The oracle rebuilds the self-delimiting
+  // fingerprint blocks and the 48-bit hex fold independently.
+  def qTableSig(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Reconcile.signature(
+      t(s, dir, "customer")
+        .withColumn("bal_d", col("c_acctbal").cast("decimal(18,2)")),
+      Seq("c_custkey", "c_name", "c_nationkey", "bal_d", "c_mktsegment"))
+
+  val qTableSigSql: String = {
+    val block = (c: String) =>
+      s"CASE WHEN $c IS NULL THEN 'n;' ELSE 'v' || " +
+        s"length(CAST($c AS VARCHAR)) || ':' || CAST($c AS VARCHAR) END"
+    val cols = Seq("c_custkey", "c_name", "c_nationkey",
+      "CAST(c_acctbal AS DECIMAL(18,2))", "c_mktsegment")
+    val fold = "list_reduce(list_transform(" +
+      "regexp_split_to_array(substr(m, 1, 12), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      "(a, x) -> a * 16 + x)"
+    s"""WITH f AS (
+       |  SELECT md5(${cols.map(block).mkString(" || ")}) AS m
+       |  FROM customer)
+       |SELECT count(*) AS n_rows, CAST(sum($fold) AS BIGINT) AS sig
+       |FROM f""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_sig" -> (qTableSig _),
     "q_sketch_users" -> (qSketchUsers _),
     "q_attribution" -> (qAttribution _),
     "q_cusum" -> (qCusum _),
@@ -497,6 +526,7 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_table_sig" -> qTableSigSql,
     "q_sketch_users" -> qSketchUsersSql,
     "q_attribution" -> qAttributionSql,
     "q_cusum" -> qCusumSql,

@@ -112,4 +112,56 @@ object HeavyHitters {
         col("__x._2").as("est"),
         col("__x._3").as("err_bound")): _*)
   }
+
+  /** Incremental ingest path: fold a new batch's summary TABLE (the
+    * `heavyHitters` output shape — groupCols*, item, est, err_bound)
+    * into a stored one, relationally — the same Agarwal-merge the
+    * in-memory buffer performs (sum counts per item, subtract the
+    * (k+1)-th largest, drop non-positive, fold the cut into the error
+    * bound), expressed as one union + aggregation + per-group rank so
+    * continuous pipelines can keep heavy-hitter state as a plain table
+    * across restarts, like the minhash/LSH/IVF/agg state paths. State
+    * per group is ≤ 2k rows before the cut — the shuffle is summary-
+    * sized, never corpus-sized. The result is bit-identical to running
+    * `MG.mergeWith` on the two summaries. */
+  def mergeSummaryTables(stored: DataFrame, batch: DataFrame,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"summary capacity must be >= 1, got $k")
+    val gs = groupCols.map(col)
+    def decOf(df: DataFrame, as: String) = {
+      // err_bound is the group's decrement total replicated per row; a
+      // group can also be ABSENT from one side (dec 0 contribution)
+      if (groupCols.isEmpty) df.agg(max(col("err_bound")).as(as))
+      else df.groupBy(gs: _*).agg(max(col("err_bound")).as(as))
+    }
+    val summed = stored.unionByName(batch)
+      .groupBy(gs :+ col("item"): _*)
+      .agg(sum(col("est")).as("est"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("est").desc, col("item"))
+    // the (k+1)-th largest count, as an ALWAYS-one-row-per-group
+    // aggregate (null when ≤ k items survive — no cut that round)
+    val ranked = summed.withColumn("__rn", row_number().over(w))
+    val cutExpr = max(when(col("__rn") === k + 1, col("est"))).as("__cut")
+    val cuts =
+      if (groupCols.isEmpty) ranked.agg(cutExpr)
+      else ranked.groupBy(gs: _*).agg(cutExpr)
+    val decs =
+      if (groupCols.isEmpty) decOf(stored, "__da").crossJoin(decOf(batch, "__db"))
+      else decOf(stored, "__da")
+        .join(decOf(batch, "__db"), groupCols, "full_outer")
+    val joined =
+      if (groupCols.isEmpty) summed.crossJoin(cuts).crossJoin(decs)
+      else summed.join(cuts, groupCols, "left").join(decs, groupCols, "left")
+    joined
+      .withColumn("__cut", coalesce(col("__cut"), lit(0L)))
+      .withColumn("est", col("est") - col("__cut"))
+      .filter(col("est") > 0L)
+      .withColumn("err_bound",
+        coalesce(col("__da"), lit(0L)) + coalesce(col("__db"), lit(0L)) +
+          col("__cut"))
+      .drop("__cut", "__da", "__db")
+      .select(groupCols.map(col) ++
+        Seq(col("item"), col("est"), col("err_bound")): _*)
+  }
 }

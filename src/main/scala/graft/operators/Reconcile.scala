@@ -93,4 +93,26 @@ object Reconcile {
     fromNew.unionByName(fromOld)
       .select((keyCols.map(col) :+ col("op")) ++ cols.map(col): _*)
   }
+
+  /** Order-independent table signature: ONE row `(n_rows, sig)` where
+    * `sig` is the sum of a 48-bit integer folded from each row's
+    * fingerprint — commutative/associative, so it needs no sort, no
+    * global shuffle beyond a scalar aggregate, and two tables (or the
+    * same table before/after a migration, on different engines, under
+    * different partitionings) can be compared by two numbers instead of
+    * a row-level diff. 48 bits per row keeps the sum inside a long for
+    * corpora up to ~2^15 times 2^48 rows; a matching signature is strong
+    * evidence, a differing one is proof.
+    *
+    * Cross-engine caveat: the fingerprint renders values via CAST AS
+    * STRING, which is engine-identical for strings, integers, decimals,
+    * and dates but NOT for doubles — fix doubles to decimal upstream
+    * when the signature must replay elsewhere. */
+  def signature(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "signature needs at least one column")
+    df.select(fingerprint(cols).as("__fp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(col("__fp"), 1, 12), 16, 10).cast("long"))
+          .as("sig"))
+  }
 }

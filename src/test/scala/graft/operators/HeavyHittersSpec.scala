@@ -50,4 +50,70 @@ class HeavyHittersSpec extends SparkSpec {
     val df = rows.toDF("k").repartition(8)
     assert(HeavyHitters.heavyHitters(df, Nil, "k", 5).count() <= 5L)
   }
+
+  private def summarize(items: Seq[(String, String)], k: Int) =
+    HeavyHitters.heavyHitters(items.toDF("g", "i"), Seq("g"), "i", k)
+
+  private def asMG(rows: Seq[(String, Long, Long)]): HeavyHitters.MG =
+    HeavyHitters.MG(
+      scala.collection.mutable.Map(rows.map(r => r._1 -> r._2): _*),
+      rows.headOption.map(_._3).getOrElse(0L))
+
+  test("table merge is bit-identical to the in-memory Agarwal merge") {
+    val k = 3
+    val b1 = Seq.fill(9)("x") ++ Seq.fill(6)("y") ++ Seq.fill(4)("z") ++
+      Seq("p", "q", "r", "s") // forces decrements in batch 1
+    val b2 = Seq.fill(7)("y") ++ Seq.fill(5)("w") ++ Seq.fill(3)("x") ++
+      Seq("t", "u")
+    def table(items: Seq[String]) =
+      summarize(items.map(("g", _)), k)
+    val merged = HeavyHitters.mergeSummaryTables(
+      table(b1), table(b2), Seq("g"), k)
+      .select("item", "est", "err_bound")
+      .as[(String, Long, Long)].collect().toSet
+    val s1 = table(b1).select("item", "est", "err_bound")
+      .as[(String, Long, Long)].collect().toSeq
+    val s2 = table(b2).select("item", "est", "err_bound")
+      .as[(String, Long, Long)].collect().toSeq
+    val reference = asMG(s1).mergeWith(asMG(s2), k).result.toSet
+    assert(merged == reference)
+  }
+
+  test("table merge in the exact regime reproduces union counts, err 0") {
+    val k = 10
+    def table(items: Seq[String]) = summarize(items.map(("g", _)), k)
+    val b1 = Seq.fill(5)("a") ++ Seq.fill(3)("b")
+    val b2 = Seq.fill(2)("a") ++ Seq.fill(4)("c")
+    val merged = HeavyHitters.mergeSummaryTables(
+      table(b1), table(b2), Seq("g"), k)
+      .select("item", "est", "err_bound")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == Set(("a", 7L, 0L), ("b", 3L, 0L), ("c", 4L, 0L)))
+  }
+
+  test("table merge handles groups present on only one side") {
+    val k = 4
+    val t1 = summarize(Seq(("g1", "a"), ("g1", "a"), ("g2", "b")), k)
+    val t2 = summarize(Seq(("g1", "a"), ("g3", "c")), k)
+    val merged = HeavyHitters.mergeSummaryTables(t1, t2, Seq("g"), k)
+      .select("g", "item", "est", "err_bound")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(merged == Set(("g1", "a", 3L, 0L), ("g2", "b", 1L, 0L),
+      ("g3", "c", 1L, 0L)))
+  }
+
+  test("global (ungrouped) table merge applies the cut") {
+    val k = 2
+    def table(items: Seq[String]) =
+      HeavyHitters.heavyHitters(items.toDF("i"), Seq.empty, "i", k)
+    // summaries: b1 -> {x:5, y:3}, b2 -> {x:2, z:4}; summed {x:7,z:4,y:3}
+    // cut = 3rd largest = 3 -> {x:4, z:1}, err 3
+    val b1 = Seq.fill(5)("x") ++ Seq.fill(3)("y")
+    val b2 = Seq.fill(2)("x") ++ Seq.fill(4)("z")
+    val merged = HeavyHitters.mergeSummaryTables(
+      table(b1), table(b2), Seq.empty, k)
+      .select("item", "est", "err_bound")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == Set(("x", 4L, 3L), ("z", 1L, 3L)))
+  }
 }

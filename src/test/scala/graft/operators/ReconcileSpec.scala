@@ -81,4 +81,40 @@ class ReconcileSpec extends SparkSpec {
       !plan.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("blob")),
       plan)
   }
+
+  test("signature is order- and partitioning-independent") {
+    val df = (1 to 500).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    val a = Reconcile.signature(df, Seq("id", "name"))
+      .as[(Long, Long)].collect().head
+    val b = Reconcile.signature(
+      df.orderBy(org.apache.spark.sql.functions.col("name").desc)
+        .repartition(13), Seq("id", "name"))
+      .as[(Long, Long)].collect().head
+    assert(a == b)
+  }
+
+  test("signature detects a single changed cell, a dropped row, a dup") {
+    val base = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val sig = Reconcile.signature(base, Seq("id", "v"))
+      .as[(Long, Long)].collect().head
+    val changed = (1 to 100).map(i =>
+      (i.toLong, if (i == 50) "vX" else s"v$i")).toDF("id", "v")
+    val dropped = (1 to 99).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val duped = ((1 to 100) :+ 7).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    assert(Reconcile.signature(changed, Seq("id", "v"))
+      .as[(Long, Long)].collect().head != sig)
+    assert(Reconcile.signature(dropped, Seq("id", "v"))
+      .as[(Long, Long)].collect().head != sig)
+    assert(Reconcile.signature(duped, Seq("id", "v"))
+      .as[(Long, Long)].collect().head != sig)
+  }
+
+  test("signature distinguishes null from empty string") {
+    val a = Seq((1L, Some(""))).toDF("id", "v")
+    val b = Seq((1L, Option.empty[String])).toDF("id", "v")
+    assert(Reconcile.signature(a, Seq("id", "v"))
+      .as[(Long, Long)].collect().head !=
+      Reconcile.signature(b, Seq("id", "v"))
+        .as[(Long, Long)].collect().head)
+  }
 }

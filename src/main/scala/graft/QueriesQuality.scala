@@ -507,8 +507,53 @@ object QueriesQuality {
        |FROM f""".stripMargin
   }
 
+  // ------------------------------------------------------------------ twa
+  // Time-weighted average event value per user (value holds until the
+  // next event) — integer cents × whole seconds end to end, one closing
+  // double division (see TimeWeighted).
+  def qTwa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeWeighted.average(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+
+  val qTwaSql: String =
+    """WITH src AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL),
+      |w AS (
+      |  SELECT user_id, c,
+      |    (lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+      |      - tu) // 1000000 AS dt
+      |  FROM src),
+      |a AS (
+      |  SELECT user_id, sum(c * dt) AS cs, sum(dt) AS held
+      |  FROM w WHERE dt IS NOT NULL GROUP BY 1)
+      |SELECT user_id, CAST(held AS BIGINT) AS held_seconds,
+      |  CASE WHEN held > 0 THEN
+      |    CAST(cs AS DOUBLE) / (CAST(held AS DOUBLE) * 100.0) END AS twa
+      |FROM a""".stripMargin
+
+  // --------------------------------------------------------- label encode
+  // Stable dictionary encoding of market segment (rank-ordered ids, not
+  // arrival-ordered) — see Discretize.labelEncode.
+  def qLabelEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Discretize.labelEncode(
+      t(s, dir, "customer"), "c_mktsegment", "seg_id")
+      .select(col("c_custkey"), col("c_mktsegment"), col("seg_id"))
+
+  val qLabelEncodeSql: String =
+    """WITH dict AS (
+      |  SELECT c_mktsegment AS seg,
+      |    row_number() OVER (ORDER BY c_mktsegment) AS seg_id
+      |  FROM (SELECT DISTINCT c_mktsegment FROM customer
+      |        WHERE c_mktsegment IS NOT NULL))
+      |SELECT c.c_custkey, c.c_mktsegment, d.seg_id
+      |FROM customer c LEFT JOIN dict d ON c.c_mktsegment = d.seg""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twa" -> (qTwa _),
+    "q_label_encode" -> (qLabelEncode _),
     "q_table_sig" -> (qTableSig _),
     "q_sketch_users" -> (qSketchUsers _),
     "q_attribution" -> (qAttribution _),
@@ -526,6 +571,8 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_twa" -> qTwaSql,
+    "q_label_encode" -> qLabelEncodeSql,
     "q_table_sig" -> qTableSigSql,
     "q_sketch_users" -> qSketchUsersSql,
     "q_attribution" -> qAttributionSql,

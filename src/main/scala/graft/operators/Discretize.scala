@@ -48,4 +48,24 @@ object Discretize {
         when(col(valueCol).isNotNull, bin.cast("int")))
       .drop("__rn", "__nn", "__base", "__rem")
   }
+
+  /** Dictionary (label) encoding: every distinct non-null value of
+    * `valueCol` gets a dense 1-based id in value sort order — the
+    * categorical→ordinal step before training export, stable across
+    * reruns and partitionings because the id is the value's RANK, not an
+    * arrival order (`monotonically_increasing_id` would be partition-
+    * dependent). The dictionary is the distinct-value set — aggregated
+    * first (that shuffle is the only corpus-sized step), then ranked
+    * with a single-partition window over the SMALL distinct table only,
+    * and broadcast-joined back; null values keep a null id. For
+    * unbounded-cardinality columns use hashing instead — a dictionary
+    * that doesn't fit one task has no meaningful dense ids. */
+  def labelEncode(df: DataFrame, valueCol: String,
+      idCol: String = "label_id"): DataFrame = {
+    val dict = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .distinct()
+      .withColumn(idCol,
+        row_number().over(Window.orderBy(col(valueCol))).cast("long"))
+    df.join(broadcast(dict), Seq(valueCol), "left")
+  }
 }

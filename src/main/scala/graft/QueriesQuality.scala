@@ -550,8 +550,63 @@ object QueriesQuality {
       |SELECT c.c_custkey, c.c_mktsegment, d.seg_id
       |FROM customer c LEFT JOIN dict d ON c.c_mktsegment = d.seg""".stripMargin
 
+  // -------------------------------------------------------- quantile cont
+  // Interpolated (PERCENTILE_CONT / R type-7) price quantiles per return
+  // flag. The oracle is DuckDB's NATIVE quantile_cont — an independent
+  // implementation whose 0-based fractional rank is bit-equal to our
+  // 1-based form (Sterbenz; see Quantiles.interpolatedQuantiles).
+  private val ContPs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  def qQuantileCont(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.interpolatedQuantiles(
+      t(s, dir, "lineitem")
+        .withColumn("lid", col("l_orderkey") * 8 + col("l_linenumber")),
+      "l_extendedprice", "lid", Seq("l_returnflag"), ContPs)
+
+  val qQuantileContSql: String =
+    ContPs.map { p =>
+      s"""SELECT l_returnflag, CAST('$p' AS DOUBLE) AS p,
+         |  quantile_cont(l_extendedprice, $p) AS q
+         |FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  // ---------------------------------------------------- distinctive terms
+  // Top-10 terms most distinctive of each language (c-TF-IDF shape with
+  // the monotone log dropped — rankings identical, score engine-exact).
+  def qClusterTerms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DistinctiveTerms.topTerms(
+      t(s, dir, "documents"), "lang", "text", k = 10)
+
+  val qClusterTermsSql: String = {
+    val collapse = QueriesText.sqlCollapse("text")
+    s"""WITH terms AS (
+       |  SELECT lang, term FROM (
+       |    SELECT lang, unnest(regexp_split_to_array(
+       |      lower($collapse), ' ')) AS term
+       |    FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+       |  WHERE length(term) >= 3),
+       |tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |gf AS (SELECT term, count(*) AS gf FROM tf GROUP BY 1),
+       |ng AS (SELECT count(DISTINCT lang) AS ng FROM tf),
+       |s AS (
+       |  SELECT tf.lang, tf.term, tf.tf, gf.gf,
+       |    CAST(tf.tf AS DOUBLE) * CAST(ng.ng AS DOUBLE)
+       |      / CAST(gf.gf AS DOUBLE) AS score
+       |  FROM tf JOIN gf ON tf.term = gf.term CROSS JOIN ng)
+       |SELECT lang, term, CAST(tf AS BIGINT) AS tf, CAST(gf AS BIGINT) AS gf,
+       |  score, CAST(rank AS INTEGER) AS rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY score DESC, term) AS rank
+       |  FROM s)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_terms" -> (qClusterTerms _),
+    "q_quantile_cont" -> (qQuantileCont _),
     "q_twa" -> (qTwa _),
     "q_label_encode" -> (qLabelEncode _),
     "q_table_sig" -> (qTableSig _),
@@ -571,6 +626,8 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cluster_terms" -> qClusterTermsSql,
+    "q_quantile_cont" -> qQuantileContSql,
     "q_twa" -> qTwaSql,
     "q_label_encode" -> qLabelEncodeSql,
     "q_table_sig" -> qTableSigSql,

@@ -98,6 +98,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(5.0, 5.0))
   }
 
+  test("interpolatedQuantiles: type-7 interpolation on known data") {
+    // values 1..5: h(p) = 4p+1 -> p=0.5 -> h=3 -> 3.0 (exact rank);
+    // p=0.125 -> h=1.5 -> 1 + 0.5*(2-1) = 1.5; p=1 -> 5.0; p=0 -> 1.0
+    val df = (1 to 5).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "v", "id")
+    val out = Quantiles.interpolatedQuantiles(df, "v", "id", Seq("grp"),
+      Seq(0.0, 0.125, 0.5, 1.0))
+      .orderBy("p").select("p", "q").as[(Double, Double)].collect()
+    assert(out.toSeq === Seq((0.0, 1.0), (0.125, 1.5), (0.5, 3.0),
+      (1.0, 5.0)))
+  }
+
+  test("interpolatedQuantiles: nulls excluded, groups independent, " +
+      "single-row group returns its value") {
+    val df = Seq(("a", Some(10.0), 1L), ("a", Some(20.0), 2L),
+      ("a", None, 3L), ("b", Some(7.0), 4L)).toDF("grp", "v", "id")
+    val out = Quantiles.interpolatedQuantiles(df, "v", "id", Seq("grp"),
+      Seq(0.5))
+      .select("grp", "q").as[(String, Double)].collect().toMap
+    assert(out("a") == 15.0) // h = 1.5 over {10, 20}
+    assert(out("b") == 7.0)
+  }
+
   test("approxQuantiles tracks the exact quantiles within sketch error") {
     val df = (1 to 10000).map(i => ("g", i.toDouble, i.toLong))
       .toDF("grp", "v", "id")

@@ -603,8 +603,39 @@ object QueriesQuality {
        |WHERE rank <= 10""".stripMargin
   }
 
+  // -------------------------------------------------------- budget sample
+  // Exactly 200 documents, source mix preserved by largest-remainder
+  // quotas, per-stratum picks by md5 rank — fully integer, replayable.
+  private val BudgetTotal = 200L
+
+  def qBudgetSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.sampleBudget(
+      t(s, dir, "documents"), "doc_id", "source", BudgetTotal)
+      .select(col("doc_id"), col("source"))
+
+  val qBudgetSampleSql: String =
+    s"""WITH rows_ AS (
+       |  SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+       |c AS (SELECT source, count(*) AS n FROM rows_ GROUP BY 1),
+       |g AS (SELECT sum(n) AS ntot FROM c),
+       |b AS (SELECT source, n, ($BudgetTotal * n) // ntot AS fl,
+       |        ($BudgetTotal * n) % ntot AS rem
+       |      FROM c CROSS JOIN g),
+       |k AS (SELECT $BudgetTotal - sum(fl) AS k FROM b),
+       |q AS (SELECT source,
+       |        fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+       |          <= k THEN 1 ELSE 0 END AS quota
+       |      FROM b CROSS JOIN k),
+       |p AS (SELECT r.doc_id, r.source,
+       |        row_number() OVER (PARTITION BY r.source
+       |          ORDER BY md5(CAST(r.doc_id AS VARCHAR)), r.doc_id) AS pick
+       |      FROM rows_ r)
+       |SELECT p.doc_id, p.source FROM p
+       |JOIN q ON p.source = q.source WHERE p.pick <= q.quota""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_budget_sample" -> (qBudgetSample _),
     "q_cluster_terms" -> (qClusterTerms _),
     "q_quantile_cont" -> (qQuantileCont _),
     "q_twa" -> (qTwa _),
@@ -626,6 +657,7 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_budget_sample" -> qBudgetSampleSql,
     "q_cluster_terms" -> qClusterTermsSql,
     "q_quantile_cont" -> qQuantileContSql,
     "q_twa" -> qTwaSql,

@@ -145,4 +145,48 @@ object Sampling {
         floor(col("__rate") * lit(buckets.toDouble)))
       .drop("__rate")
   }
+
+  /** EXACT-count budget sampling: select exactly `total` rows (when the
+    * corpus has them), split across strata proportionally to stratum
+    * size by the largest-remainder (Hamilton) method — the "give me
+    * precisely 10M documents, keeping the source mix" request that
+    * rate-based sampling can only hit in expectation.
+    *
+    * All integer arithmetic: `quota_i = ⌊total·nᵢ/N⌋` plus one extra
+    * for the `total - Σ⌊·⌋` largest remainders `(total·nᵢ) mod N`
+    * (ties by stratum value) — exact, engine-replayable. Within each
+    * stratum the selected rows are the quota smallest by
+    * (md5(id), id) — deterministic across partitionings, one per-stratum
+    * sort-shuffle. A stratum smaller than its quota keeps everything
+    * (no redistribution — single pass; re-run on the shortfall if the
+    * exact total is mandatory).
+    *
+    * Returns the selected rows. */
+  def sampleBudget(df: DataFrame, idCol: String, strataCol: String,
+      total: Long): DataFrame = {
+    require(total >= 0, s"bad total=$total")
+    val rows = df.filter(col(strataCol).isNotNull)
+    val counts = rows.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+    val grand = counts.agg(sum(col("__n")).as("__gt"))
+    val base = counts.crossJoin(broadcast(grand))
+      .withColumn("__tn", lit(total) * col("__n"))
+      .withColumn("__floor", expr("__tn div __gt"))
+      .withColumn("__rem", col("__tn") % col("__gt"))
+    val leftover = base.agg((lit(total) - sum(col("__floor"))).as("__k"))
+    val remW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(strataCol))
+    val quotas = base.crossJoin(broadcast(leftover))
+      .withColumn("__rr", row_number().over(remW))
+      .withColumn("__quota",
+        col("__floor") + when(col("__rr") <= col("__k"), 1L).otherwise(0L))
+      .select(col(strataCol), col("__quota"))
+    val pickW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    rows.join(broadcast(quotas), strataCol)
+      .withColumn("__pick", row_number().over(pickW))
+      .filter(col("__pick") <= col("__quota"))
+      .drop("__quota", "__pick")
+  }
 }

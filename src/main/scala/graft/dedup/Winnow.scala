@@ -95,4 +95,56 @@ object Winnow {
       .select("id_a", "id_b", "n_shared", "size_a", "size_b",
         "containment_a", "containment_b")
   }
+
+  /** Incremental ingest: containment pairs TOUCHING a new batch —
+    * batch-internal plus batch-vs-stored — against a persisted
+    * signature-set table (`signatureSets` output, one (id, fp) row per
+    * distinct fingerprint; ids must not overlap the batch). Appending
+    * the batch's sets to the state table after each ingest and unioning
+    * the emitted pairs reproduces exactly the full-corpus
+    * [[containmentPairs]] at the same `maxDf` — PROVIDED no fingerprint
+    * crosses the hot threshold between ingests (the df screen here is
+    * over stored ∪ batch, so a fp that later turns hot would have been
+    * counted in earlier rounds; either size maxDf above the real
+    * duplicate-cluster ceiling, or re-screen periodically). The
+    * equivalence is spec-pinned for the no-hot-crossing regime.
+    *
+    * Join work per ingest is |batch sigs| × matching stored fps — never
+    * stored × stored; the state table is only re-aggregated for df and
+    * sizes (signature-sized, not corpus-sized). */
+  def containmentPairsAgainst(storedSets: DataFrame, batchSets: DataFrame,
+      idCol: String, threshold: Double, maxDf: Long): DataFrame = {
+    val all = storedSets.select(col(idCol), col("fp"))
+      .withColumn("__stored", lit(true))
+      .unionByName(batchSets.select(col(idCol), col("fp"))
+        .withColumn("__stored", lit(false)))
+    val sizes = all.groupBy(col(idCol)).agg(count(lit(1)).as("sig_size"))
+    val hot = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val keptAll = all.join(hot, Seq("fp"), "left_anti")
+    val keptBatch = keptAll.filter(!col("__stored"))
+    val shared = keptBatch.select(col(idCol).as("id_x"), col("fp"))
+      .join(keptAll.select(col(idCol).as("id_y"), col("fp"),
+        col("__stored").as("y_stored")), Seq("fp"))
+      // batch-batch pairs once via id order; batch-stored pairs once by
+      // construction (the x side ranges over the batch only)
+      .filter(col("y_stored") || col("id_x") < col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"),
+        col("sig_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"),
+        col("sig_size").as("size_b")), Seq("id_b"))
+      .withColumn("containment_a",
+        col("n_shared").cast("double") / col("size_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_shared").cast("double") / col("size_b").cast("double"))
+      .filter(col("containment_a") >= threshold ||
+        col("containment_b") >= threshold)
+      .select("id_a", "id_b", "n_shared", "size_a", "size_b",
+        "containment_a", "containment_b")
+  }
 }

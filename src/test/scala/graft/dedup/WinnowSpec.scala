@@ -75,4 +75,36 @@ class WinnowSpec extends SparkSpec {
         k = 8, w = 8, threshold = 0.0, maxDf = 1000).collect()
     assert(unscreened.nonEmpty)
   }
+
+  test("incremental ingest reproduces the full-corpus pair set exactly") {
+    val quote = "the quick brown fox jumps over the lazy dog again and again"
+    val mk = (i: Int) =>
+      (1 to 12).map(j => s"batch$i filler sentence $j some words").mkString(" ")
+    val b1 = Seq(1L -> (mk(1) + " " + quote), 2L -> mk(1))
+    val b2 = Seq(3L -> (quote + " " + mk(2)), 4L -> (mk(2) + " more"))
+    val b3 = Seq(5L -> quote, 6L -> mk(2)) // 6 near-dups batch-2's 4
+    val all = b1 ++ b2 ++ b3
+    val (k, w, th, maxDf) = (8, 8, 0.3, 1000L)
+
+    val full = Winnow.containmentPairs(docsDf(all: _*), "doc_id", "text",
+      k, w, th, maxDf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSet
+
+    def sets(rows: Seq[(Long, String)]) =
+      Winnow.signatureSets(docsDf(rows: _*), "doc_id", "text", k, w)
+    var state = sets(b1)
+    // batch 1 bootstraps: internal pairs only (empty stored table)
+    var pairs = Winnow.containmentPairsAgainst(
+      state.limit(0), sets(b1), "doc_id", th, maxDf).collect().toSet
+    for (b <- Seq(b2, b3)) {
+      pairs = pairs ++ Winnow.containmentPairsAgainst(
+        state, sets(b), "doc_id", th, maxDf).collect().toSet
+      state = state.unionByName(sets(b))
+    }
+    val inc = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Long]("n_shared")))
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(full.nonEmpty, "test corpus produced no containment pairs")
+  }
 }

@@ -633,8 +633,41 @@ object QueriesQuality {
        |SELECT p.doc_id, p.source FROM p
        |JOIN q ON p.source = q.source WHERE p.pick <= q.quota""".stripMargin
 
+  // ------------------------------------------------------------------- qq
+  // QQ-plot table: matched interpolated quantiles of returned vs
+  // non-returned prices — the distribution-shift report as data. Joins
+  // on the p literal (identical doubles on both sides by construction).
+  private val QqPs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  def qQq(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Quantiles.interpolatedQuantiles(
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("N", "R"))
+        .withColumn("lid", col("l_orderkey") * 8 + col("l_linenumber")),
+      "l_extendedprice", "lid", Seq("l_returnflag"), QqPs)
+    q.filter(col("l_returnflag") === "N")
+      .select(col("p"), col("q").as("q_n"))
+      .join(q.filter(col("l_returnflag") === "R")
+        .select(col("p"), col("q").as("q_r")), "p")
+      .withColumn("shift", col("q_r") - col("q_n"))
+  }
+
+  val qQqSql: String = {
+    def side(flag: String) = QqPs.map { p =>
+      s"""SELECT CAST('$p' AS DOUBLE) AS p,
+         |  quantile_cont(l_extendedprice, $p) AS q
+         |FROM lineitem
+         |WHERE l_returnflag = '$flag' AND l_extendedprice IS NOT NULL""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qn AS (${side("N")}),
+       |qr AS (${side("R")})
+       |SELECT qn.p, qn.q AS q_n, qr.q AS q_r, qr.q - qn.q AS shift
+       |FROM qn JOIN qr ON qn.p = qr.p""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qq" -> (qQq _),
     "q_budget_sample" -> (qBudgetSample _),
     "q_cluster_terms" -> (qClusterTerms _),
     "q_quantile_cont" -> (qQuantileCont _),
@@ -657,6 +690,7 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_qq" -> qQqSql,
     "q_budget_sample" -> qBudgetSampleSql,
     "q_cluster_terms" -> qClusterTermsSql,
     "q_quantile_cont" -> qQuantileContSql,

@@ -665,8 +665,40 @@ object QueriesQuality {
        |FROM qn JOIN qr ON qn.p = qr.p""".stripMargin
   }
 
+  // ------------------------------------------------------------ accents
+  // Accent folding + CPF display mask round-trip: names accented via a
+  // fixed translate, folded back by foldAccents (engine-identical
+  // per-codepoint tables); custkeys zero-padded to 11 digits and
+  // masked xxx.xxx.xxx-xx.
+  def qAccentFold(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CpfFunctions, TextFunctions}
+    t(s, dir, "customer")
+      .withColumn("accented", translate(col("c_name"), "aeo", "áéõ"))
+      .select(col("c_custkey"), col("accented"),
+        TextFunctions.foldAccents(col("accented")).as("folded"),
+        CpfFunctions.cpfFormat(
+          lpad(col("c_custkey").cast("string"), 11, "0")).as("cpf_masked"))
+  }
+
+  val qAccentFoldSql: String = {
+    import graft.functions.TextFunctions.{AccentedChars, FoldedChars}
+    s"""SELECT c_custkey,
+       |  translate(c_name, 'aeo', 'áéõ') AS accented,
+       |  translate(translate(c_name, 'aeo', 'áéõ'),
+       |    '$AccentedChars', '$FoldedChars') AS folded,
+       |  CASE WHEN regexp_matches(
+       |      lpad(CAST(c_custkey AS VARCHAR), 11, '0'), '^[0-9]{11}$$')
+       |    THEN substr(lpad(CAST(c_custkey AS VARCHAR), 11, '0'), 1, 3)
+       |      || '.' || substr(lpad(CAST(c_custkey AS VARCHAR), 11, '0'), 4, 3)
+       |      || '.' || substr(lpad(CAST(c_custkey AS VARCHAR), 11, '0'), 7, 3)
+       |      || '-' || substr(lpad(CAST(c_custkey AS VARCHAR), 11, '0'), 10, 2)
+       |  END AS cpf_masked
+       |FROM customer""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_accent_fold" -> (qAccentFold _),
     "q_qq" -> (qQq _),
     "q_budget_sample" -> (qBudgetSample _),
     "q_cluster_terms" -> (qClusterTerms _),
@@ -690,6 +722,7 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_accent_fold" -> qAccentFoldSql,
     "q_qq" -> qQqSql,
     "q_budget_sample" -> qBudgetSampleSql,
     "q_cluster_terms" -> qClusterTermsSql,

@@ -59,4 +59,11 @@ object CpfFunctions {
 
   /** Validation predicate over raw input. */
   def cpfIsValid(c: Column): Column = cpfClean(c).isNotNull
+
+  /** Display mask xxx.xxx.xxx-xx over an 11-digit normalized CPF (the
+    * inverse of cpfNormalize's stripping); null for anything else. */
+  def cpfFormat(c: Column): Column =
+    when(c.rlike("^[0-9]{11}$"),
+      concat(substring(c, 1, 3), lit("."), substring(c, 4, 3), lit("."),
+        substring(c, 7, 3), lit("-"), substring(c, 10, 2)))
 }

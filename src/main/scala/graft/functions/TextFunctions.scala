@@ -102,6 +102,20 @@ object TextFunctions {
     when(c.isNull, lit(null).cast("double")).otherwise(score)
   }
 
+  /** Latin accent folding (á→a, ç→c, ñ→n, both cases) — the
+    * Brazilian-Portuguese name/municipality normalization step
+    * (reference scope: custom_functions.py string cleaning) ahead of
+    * joins and dedup: accented and unaccented spellings of the same
+    * entity must collide. Pure per-codepoint `translate` — map-side,
+    * codegen'd, and replayable on any engine with the same two literal
+    * strings. Characters outside the map pass through (this is NOT full
+    * Unicode NFD — it is the deterministic Latin-1/PT table, which is
+    * the point: no locale/ICU dependence). */
+  val AccentedChars = "áàâãäéèêëíìîïóòôõöúùûüçñýÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝ"
+  val FoldedChars = "aaaaaeeeeiiiiooooouuuucnyAAAAAEEEEIIIIOOOOOUUUUCNY"
+  def foldAccents(c: Column): Column =
+    translate(c, AccentedChars, FoldedChars)
+
   /** Content fingerprint: md5 of the normalized form (hex, engine-stable);
     * `short` variant keeps the first 16 hex chars (64 bits). */
   def fingerprint(c: Column): Column = md5(normalize(c))

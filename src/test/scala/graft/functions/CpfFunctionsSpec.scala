@@ -44,4 +44,12 @@ class CpfFunctionsSpec extends SparkSpec {
     // 111.444.777-35 is the canonical textbook-valid CPF.
     assert(cleanOf("111.444.777-35") == Seq(Some("11144477735")))
   }
+
+  test("cpfFormat masks 11 digits, rejects everything else") {
+    val df = Seq(Some("52998224725"), Some("5299822472"), Some("abc"),
+      None).toDF("c")
+    val out = df.select(CpfFunctions.cpfFormat(col("c")).as("f"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("529.982.247-25"), None, None, None))
+  }
 }

@@ -65,4 +65,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(df.head == Seq("a b c", "b c d"))
     assert(df(1).isEmpty)
   }
+
+  test("foldAccents maps the full Latin-1/PT table, passes others through") {
+    val df = Seq("São Paulo", "açaí ÉPÜ", "plain ascii 123", "日本語")
+      .toDF("s")
+    val out = df.select(TextFunctions.foldAccents(col("s")).as("f"))
+      .as[String].collect().toSeq
+    assert(out == Seq("Sao Paulo", "acai EPU", "plain ascii 123", "日本語"))
+    assert(TextFunctions.AccentedChars.length ==
+      TextFunctions.FoldedChars.length)
+  }
 }

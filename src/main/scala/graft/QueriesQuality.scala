@@ -696,8 +696,84 @@ object QueriesQuality {
        |FROM customer""".stripMargin
   }
 
+  // -------------------------------------------------------------- hopping
+  // Sliding (hopping) event-time windows, 10-minute span every 5
+  // minutes — each event lands in exactly two windows; Spark's native
+  // window(slide) vs an explicit two-shift replay in DuckDB.
+  def qHopping(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("event_type"), col("n"),
+        col("sv").cast("double").as("sum_value"))
+
+  val qHoppingSql: String =
+    """WITH x AS (
+      |  SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws,
+      |    event_type, value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT (epoch_us(ts) // 300000000) * 300000000 - 300000000,
+      |    event_type, value
+      |  FROM events)
+      |SELECT make_timestamp(ws) AS w_start,
+      |  make_timestamp(ws + 600000000) AS w_end,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- golden
+  // Field-level survivorship across two simulated registries: source A
+  // (priority 1) misses every 3rd segment, source B misses every 5th
+  // balance but carries a shifted one elsewhere — the golden record
+  // takes each field from the best source that HAS it.
+  def qGolden(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val a = cust.select(col("c_custkey"), lit(1).as("prio"), lit("a").as("src"),
+      when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      col("c_acctbal").as("bal"))
+    val b = cust.select(col("c_custkey"), lit(2).as("prio"), lit("b").as("src"),
+      col("c_mktsegment").as("seg"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal") + lit(1000.0)).as("bal"))
+    graft.operators.GoldenRecord.merge(
+      a.unionByName(b), "c_custkey", "prio", "src", Seq("seg", "bal"))
+  }
+
+  val qGoldenSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey, 1 AS prio, 'a' AS s,
+      |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+      |    c_acctbal AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'b', c_mktsegment,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal + 1000.0 END
+      |  FROM customer),
+      |w AS (
+      |  SELECT c_custkey,
+      |    first_value(seg IGNORE NULLS) OVER (PARTITION BY c_custkey
+      |      ORDER BY prio, s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |      AS seg,
+      |    first_value(bal IGNORE NULLS) OVER (PARTITION BY c_custkey
+      |      ORDER BY prio, s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |      AS bal,
+      |    count(*) OVER (PARTITION BY c_custkey) AS n_sources,
+      |    row_number() OVER (PARTITION BY c_custkey ORDER BY prio, s) AS rn
+      |  FROM src)
+      |SELECT c_custkey, seg, bal, CAST(n_sources AS BIGINT) AS n_sources
+      |FROM w WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hopping" -> (qHopping _),
+    "q_golden" -> (qGolden _),
     "q_accent_fold" -> (qAccentFold _),
     "q_qq" -> (qQq _),
     "q_budget_sample" -> (qBudgetSample _),
@@ -722,6 +798,8 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_hopping" -> qHoppingSql,
+    "q_golden" -> qGoldenSql,
     "q_accent_fold" -> qAccentFoldSql,
     "q_qq" -> qQqSql,
     "q_budget_sample" -> qBudgetSampleSql,

@@ -770,8 +770,30 @@ object QueriesQuality {
       |SELECT c_custkey, seg, bal, CAST(n_sources AS BIGINT) AS n_sources
       |FROM w WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------------------ hierarchy
+  // Root + depth over a synthetic customer forest (parent = custkey/10,
+  // keys below 10 are roots; depth ≤ 3 at sf0.01). Spark side resolves
+  // by pointer doubling (no recursive CTE in Spark); the oracle IS a
+  // recursive CTE — an entirely independent algorithm.
+  def qHierarchy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hierarchy.resolveRoots(
+      t(s, dir, "customer").select(col("c_custkey").as("node"),
+        when(col("c_custkey") < 10, lit(null).cast("long"))
+          .otherwise(expr("c_custkey div 10")).as("parent")),
+      "node", "parent")
+
+  val qHierarchySql: String =
+    """WITH RECURSIVE up AS (
+      |  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT)
+      |    AS depth
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT node, cur // 10, depth + 1 FROM up WHERE cur >= 10)
+      |SELECT node, cur AS root, depth FROM up WHERE cur < 10""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hierarchy" -> (qHierarchy _),
     "q_hopping" -> (qHopping _),
     "q_golden" -> (qGolden _),
     "q_accent_fold" -> (qAccentFold _),
@@ -798,6 +820,7 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_hierarchy" -> qHierarchySql,
     "q_hopping" -> qHoppingSql,
     "q_golden" -> qGoldenSql,
     "q_accent_fold" -> qAccentFoldSql,

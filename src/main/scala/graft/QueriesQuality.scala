@@ -791,8 +791,66 @@ object QueriesQuality {
       |  SELECT node, cur // 10, depth + 1 FROM up WHERE cur >= 10)
       |SELECT node, cur AS root, depth FROM up WHERE cur < 10""".stripMargin
 
+  // ------------------------------------------------------------ features
+  // Autoregressive lag block (3 lags, one sort), leave-one-out target
+  // encoding (decimal partials, one closing division), and the purged
+  // temporal split with a 2-day embargo.
+  def qLagFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.lagMatrix(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts"), col("value")),
+      "user_id", "ts", "event_id", "value", k = 3)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("lag_1"), col("lag_2"), col("lag_3"))
+
+  val qLagFeaturesSql: String =
+    """SELECT event_id, user_id, value,
+      |  lag(value, 1) OVER w AS lag_1,
+      |  lag(value, 2) OVER w AS lag_2,
+      |  lag(value, 3) OVER w AS lag_3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  def qTargetEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.targetEncodeLoo(
+      t(s, dir, "customer"), "c_mktsegment", "c_acctbal")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("te_loo"))
+
+  val qTargetEncodeSql: String =
+    """WITH stats AS (
+      |  SELECT c_mktsegment AS seg,
+      |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+      |  FROM customer
+      |  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+      |  CASE WHEN c.c_acctbal IS NOT NULL AND st.n > 1 THEN
+      |    CAST(st.s - CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+      |      / CAST(st.n - 1 AS DOUBLE) END AS te_loo
+      |FROM customer c LEFT JOIN stats st ON c.c_mktsegment = st.seg""".stripMargin
+
+  private val SplitTrainEnd = "2024-01-20 00:00:00"
+
+  def qTimeSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"), col("ts"),
+      graft.operators.Splits.timeSplit(col("ts"),
+        java.sql.Timestamp.valueOf(SplitTrainEnd), "2 days").as("split"))
+
+  val qTimeSplitSql: String =
+    s"""SELECT event_id, ts,
+       |  CASE WHEN ts IS NULL THEN NULL
+       |       WHEN ts <= TIMESTAMP '$SplitTrainEnd' THEN 'train'
+       |       WHEN ts > TIMESTAMP '$SplitTrainEnd' + INTERVAL 2 DAY
+       |         THEN 'test'
+       |       ELSE 'embargo' END AS split
+       |FROM events""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lag_features" -> (qLagFeatures _),
+    "q_target_encode" -> (qTargetEncode _),
+    "q_time_split" -> (qTimeSplit _),
     "q_hierarchy" -> (qHierarchy _),
     "q_hopping" -> (qHopping _),
     "q_golden" -> (qGolden _),
@@ -820,6 +878,9 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_lag_features" -> qLagFeaturesSql,
+    "q_target_encode" -> qTargetEncodeSql,
+    "q_time_split" -> qTimeSplitSql,
     "q_hierarchy" -> qHierarchySql,
     "q_hopping" -> qHoppingSql,
     "q_golden" -> qGoldenSql,

@@ -65,4 +65,21 @@ object Splits {
       acc + BigDecimal(f.toString)
     }.tail.map(c => (c * buckets).setScale(0, BigDecimal.RoundingMode.FLOOR)
       .toLong)
+
+  /** Temporal split with an embargo gap (the purged time-series split):
+    * rows at or before `trainEnd` are 'train', rows strictly after
+    * `trainEnd + embargo` are 'test', and the gap between is labelled
+    * 'embargo' — excluded from both sides so that features computed
+    * from trailing windows at the train boundary cannot overlap test
+    * observations (the leakage mode a plain cutoff split has). Null
+    * timestamps get a null label. Pure map expression. */
+  def timeSplit(tsCol: Column, trainEnd: java.sql.Timestamp,
+      embargo: String): Column = {
+    val end = lit(trainEnd).cast("timestamp")
+    val testStart = end + expr(s"INTERVAL $embargo")
+    when(tsCol.isNull, lit(null).cast("string"))
+      .when(tsCol <= end, lit("train"))
+      .when(tsCol > testStart, lit("test"))
+      .otherwise(lit("embargo"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("lagMatrix: k lags in order, nulls at the head, keys isolated") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 4L, 99.0))
+      .map { case (k, s, v) => (k, ts(s), s, v) }.toDF("k", "t", "id", "v")
+    val out = Features.lagMatrix(df, "k", "t", "id", "v", 2)
+      .select("id", "lag_1", "lag_2")
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L) == ((Some(10.0), None)))
+    assert(out(3L) == ((Some(20.0), Some(10.0))))
+    assert(out(4L) == ((None, None))) // key b sees none of key a
+  }
+
+  test("targetEncodeLoo excludes the row's own target") {
+    // cat x: targets 10, 20, 30 -> LOO means 25, 20, 15
+    val df = Seq((1L, "x", Some(10.0)), (2L, "x", Some(20.0)),
+      (3L, "x", Some(30.0)), (4L, "y", Some(7.0)))
+      .toDF("id", "cat", "y")
+    val out = Features.targetEncodeLoo(df, "cat", "y")
+      .select("id", "te_loo").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(25.0))
+    assert(out(2L).contains(20.0))
+    assert(out(3L).contains(15.0))
+    assert(out(4L).isEmpty) // singleton category: nothing to borrow
+  }
+
+  test("targetEncodeLoo: null targets encode null but do not poison sums") {
+    val df = Seq((1L, "x", Some(10.0)), (2L, "x", None),
+      (3L, "x", Some(30.0))).toDF("id", "cat", "y")
+    val out = Features.targetEncodeLoo(df, "cat", "y")
+      .select("id", "te_loo").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(30.0)) // (40 - 10) / 1
+    assert(out(2L).isEmpty)
+    assert(out(3L).contains(10.0))
+  }
+
+  test("timeSplit labels train/embargo/test around the boundary") {
+    val cut = Timestamp.valueOf("2024-01-10 00:00:00")
+    val df = Seq(
+      (1L, Some(Timestamp.valueOf("2024-01-09 12:00:00"))),
+      (2L, Some(Timestamp.valueOf("2024-01-10 00:00:00"))), // boundary: train
+      (3L, Some(Timestamp.valueOf("2024-01-11 00:00:00"))), // inside embargo
+      (4L, Some(Timestamp.valueOf("2024-01-12 00:00:00"))), // boundary: embargo
+      (5L, Some(Timestamp.valueOf("2024-01-12 00:00:01"))), // first test
+      (6L, None))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+      Splits.timeSplit(col("t"), cut, "2 days").as("s"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("train") && out(2L).contains("train"))
+    assert(out(3L).contains("embargo") && out(4L).contains("embargo"))
+    assert(out(5L).contains("test"))
+    assert(out(6L).isEmpty)
+  }
+}

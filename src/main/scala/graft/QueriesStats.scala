@@ -280,8 +280,63 @@ object QueriesStats {
       |         + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) END AS df
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- ks
+  // Two-sample KS: did click values and purchase values come from the
+  // same distribution? Running ECDFs over the pooled distinct values,
+  // max |difference| — engine-exact (see Stats.ksStatistic).
+  def qKs(s: SparkSession, dir: String): DataFrame =
+    Stats.ksStatistic(t(s, dir, "events"),
+      "event_type", "click", "purchase", "value")
+
+  val qKsSql: String =
+    """WITH pv AS (
+      |  SELECT value,
+      |    count(*) FILTER (WHERE event_type = 'click') AS ca,
+      |    count(*) FILTER (WHERE event_type = 'purchase') AS cb
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT
+      |    sum(ca) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    sum(cb) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM pv),
+      |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv)
+      |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+      |  max(abs(CAST(cum.cuma AS DOUBLE) / CAST(t.na AS DOUBLE)
+      |    - CAST(cum.cumb AS DOUBLE) / CAST(t.nb AS DOUBLE))) AS ks
+      |FROM cum CROSS JOIN t
+      |GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- gini
+  // Concentration of document length per source — is one source's
+  // volume dominated by a few huge documents? Integer rank-weighted
+  // sums, one closing fixed-shape expression.
+  def qGini(s: SparkSession, dir: String): DataFrame =
+    Stats.giniByKey(t(s, dir, "documents"), "source", "n_chars", "doc_id")
+
+  val qGiniSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS i
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+      |a AS (
+      |  SELECT source, count(*) AS n, sum(n_chars) AS s,
+      |    sum(i * n_chars) AS ws
+      |  FROM r GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n > 1 AND s > 0 THEN
+      |    CAST(2 * ws AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+      |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END AS gini
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks" -> (qKs _),
+    "q_gini" -> (qGini _),
     "q_welch" -> (qWelch _),
     "q_corr" -> (qCorr _),
     "q_chisq" -> (qChisq _),
@@ -293,6 +348,8 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ks" -> qKsSql,
+    "q_gini" -> qGiniSql,
     "q_welch" -> qWelchSql,
     "q_corr" -> qCorrSql,
     "q_chisq" -> qChisqSql,

@@ -149,4 +149,67 @@ object Stats {
       when(ok, tStat).as("t"),
       when(ok, dfW).as("df"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic: `sup |F_a(v) - F_b(v)|`
+    * over the pooled values of groups `a` and `b` — the nonparametric
+    * "did the distribution shift" companion to [[welchByKey]] (which
+    * only sees means). One row: (n_a, n_b, ks).
+    *
+    * Shape: per-DISTINCT-value counts (the only corpus-sized
+    * aggregation) → running sums over the value-ordered distinct table
+    * (RANGE-peer ties are collapsed by the distinct groupBy, so a ROWS
+    * frame is exact) → max of |fixed-shape ECDF differences|. MAX of
+    * exact doubles is reduction-order-independent, so the statistic is
+    * engine-reproducible. The running-sum window is over the DISTINCT
+    * VALUE table; for continuous scores with corpus-sized distinct
+    * domains, pre-round/bin upstream (the distributed-prefix-sum
+    * alternative buys nothing a coarser bin doesn't). */
+  def ksStatistic(df: DataFrame, groupCol: String, a: String, b: String,
+      valueCol: String): DataFrame = {
+    val perValue = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(a, b))
+      .groupBy(col(valueCol))
+      .agg(count_if(col(groupCol) === a).as("ca"),
+        count_if(col(groupCol) === b).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = perValue
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val totals = perValue.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        abs(col("cuma").cast("double") / col("na").cast("double") -
+          col("cumb").cast("double") / col("nb").cast("double")).as("__d"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(max(col("__d")).as("ks"))
+  }
+
+  /** Per-key Gini concentration of a NON-NEGATIVE value (token counts,
+    * revenue, document lengths): `G = 2·Σ i·x_(i) / (n·Σx) - (n+1)/n`
+    * over the ascending-sorted values — 0 for perfect equality, →1 for
+    * total concentration. Rank-weighted sums stay in exact integers
+    * (values are fixed to integer units by the caller's column type;
+    * equal values commute, so the tie order cannot change Σ i·x), and
+    * the closing expression is fixed-shape doubles. Keys with a zero
+    * sum or a single row emit null. */
+  def giniByKey(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__i", row_number().over(w).cast("long"))
+    val agg = ranked.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("long")).as("s"),
+      sum(col("__i") * col(valueCol).cast("long")).as("ws"))
+    agg.select(col(keyCol), col("n"),
+      when(col("n") > 1 && col("s") > 0,
+        (lit(2L) * col("ws")).cast("double") /
+          (col("n").cast("double") * col("s").cast("double")) -
+          (col("n") + 1L).cast("double") / col("n").cast("double"))
+        .as("gini"))
+  }
 }

@@ -143,6 +143,59 @@ class StatsSpec extends SparkSpec {
     assert(r._4.contains(4.0) && r._5.contains(9.0) && r._6.isEmpty)
   }
 
+  test("ks: identical samples give 0, disjoint samples give 1") {
+    val same = (1 to 10).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
+    val ks0 = Stats.ksStatistic(same, "g", "a", "b", "v")
+      .select("ks").as[Double].collect().head
+    assert(ks0 == 0.0)
+    val disjoint = ((1 to 5).map(i => ("a", i.toDouble)) ++
+      (11 to 15).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val ks1 = Stats.ksStatistic(disjoint, "g", "a", "b", "v")
+      .select("ks").as[Double].collect().head
+    assert(ks1 == 1.0)
+  }
+
+  test("ks: hand-computed on a small shifted sample") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: sup |Fa - Fb| at v=2 is 0.5
+    val rows = (Seq(1, 2, 3, 4).map(i => ("a", i.toDouble)) ++
+      Seq(3, 4, 5, 6).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val r = Stats.ksStatistic(rows, "g", "a", "b", "v")
+      .as[(Long, Long, Double)].collect().head
+    assert(r == ((4L, 4L, 0.5)))
+  }
+
+  test("gini: equality gives 0, single-holder concentration approaches 1") {
+    val equal = (1 to 10).map(i => ("k", i.toLong, 5L)).toDF("g", "id", "v")
+    val g0 = Stats.giniByKey(equal, "g", "v", "id")
+      .select("gini").as[Option[Double]].collect().head
+    assert(g0.contains(0.0))
+    // one holder of everything among n=10: G = (n-1)/n = 0.9 in reals;
+    // the assertion mirrors the fixed double shape (2.0 - 11/10 is one
+    // ulp below 0.9 — the same value any engine computing the shape gets)
+    val conc = ((1 to 9).map(i => ("k", i.toLong, 0L)) :+ ("k", 10L, 100L))
+      .toDF("g", "id", "v")
+    val g1 = Stats.giniByKey(conc, "g", "v", "id")
+      .select("gini").as[Option[Double]].collect().head
+    assert(g1.contains(2000.0 / (10.0 * 100.0) - 11.0 / 10.0))
+  }
+
+  test("gini: tie order cannot change the statistic; degenerate keys null") {
+    val ties = Seq(("k", 1L, 3L), ("k", 2L, 3L), ("k", 3L, 9L))
+    val a = Stats.giniByKey(ties.toDF("g", "id", "v"), "g", "v", "id")
+      .select("gini").as[Option[Double]].collect().head
+    val b = Stats.giniByKey(ties.reverse.toDF("g", "id", "v")
+      .repartition(3), "g", "v", "id")
+      .select("gini").as[Option[Double]].collect().head
+    assert(a == b && a.nonEmpty)
+    val single = Seq(("k", 1L, 7L)).toDF("g", "id", "v")
+    assert(Stats.giniByKey(single, "g", "v", "id")
+      .select("gini").as[Option[Double]].collect().head.isEmpty)
+    val zeros = Seq(("k", 1L, 0L), ("k", 2L, 0L)).toDF("g", "id", "v")
+    assert(Stats.giniByKey(zeros, "g", "v", "id")
+      .select("gini").as[Option[Double]].collect().head.isEmpty)
+  }
+
   test("welch: other groups and null values are excluded") {
     val rows = Seq(("k", "a", Some(1.0)), ("k", "a", Some(3.0)),
       ("k", "a", None), ("k", "c", Some(100.0)),

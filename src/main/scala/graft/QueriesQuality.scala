@@ -846,8 +846,45 @@ object QueriesQuality {
        |       ELSE 'embargo' END AS split
        |FROM events""".stripMargin
 
+  // ----------------------------------------------------------- rank eval
+  // recall@5 of a hash-random ranking against the length ranking per
+  // source — the metric plumbing; the real ANN-vs-brute evaluation
+  // rides the same operator in RankEvalSpec.
+  def qRankMetric(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val a = docs.select(col("source"), col("doc_id"),
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))).as("rank"))
+    val b = docs.select(col("source"), col("doc_id"),
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .as("rank"))
+    graft.similarity.RankEval.recallAtK(b, a, "source", "doc_id", "rank", 5)
+  }
+
+  val qRankMetricSql: String =
+    """WITH a AS (
+      |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id) AS r
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      |  FROM documents),
+      |h AS (
+      |  SELECT b.source, count(*) AS hits
+      |  FROM b JOIN a ON b.source = a.source AND b.doc_id = a.doc_id
+      |    AND a.r <= 5
+      |  WHERE b.r <= 5 GROUP BY 1),
+      |q AS (SELECT DISTINCT source FROM b WHERE r <= 5)
+      |SELECT q.source,
+      |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+      |FROM q LEFT JOIN h ON q.source = h.source""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_metric" -> (qRankMetric _),
     "q_lag_features" -> (qLagFeatures _),
     "q_target_encode" -> (qTargetEncode _),
     "q_time_split" -> (qTimeSplit _),
@@ -878,6 +915,7 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rank_metric" -> qRankMetricSql,
     "q_lag_features" -> qLagFeaturesSql,
     "q_target_encode" -> qTargetEncodeSql,
     "q_time_split" -> qTimeSplitSql,

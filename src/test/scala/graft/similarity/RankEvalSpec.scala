@@ -1,0 +1,62 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class RankEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranking(rows: (String, Long, Int)*) =
+    rows.toSeq.toDF("q", "id", "rank")
+
+  test("recall@k counts top-k intersection per query") {
+    val cand = ranking(("q1", 1L, 1), ("q1", 2L, 2), ("q1", 9L, 3),
+      ("q2", 5L, 1), ("q2", 6L, 2), ("q2", 7L, 3))
+    val ref = ranking(("q1", 1L, 1), ("q1", 3L, 2), ("q1", 2L, 3),
+      ("q2", 8L, 1), ("q2", 9L, 2), ("q2", 10L, 3))
+    val out = RankEval.recallAtK(cand, ref, "q", "id", "rank", 3)
+      .as[(String, Double)].collect().toMap
+    assert(out("q1") == 2.0 / 3.0)
+    assert(out("q2") == 0.0)
+  }
+
+  test("ranks beyond k are invisible on both sides") {
+    val cand = ranking(("q", 1L, 1), ("q", 2L, 5))
+    val ref = ranking(("q", 2L, 1), ("q", 1L, 9))
+    val out = RankEval.recallAtK(cand, ref, "q", "id", "rank", 2)
+      .as[(String, Double)].collect().toMap
+    // cand top-2 = {1}; ref top-2 = {2}: no overlap
+    assert(out("q") == 0.0)
+  }
+
+  test("queries missing from the reference score 0, not NaN") {
+    val cand = ranking(("only_cand", 1L, 1))
+    val ref = ranking(("other", 1L, 1))
+    val out = RankEval.recallAtK(cand, ref, "q", "id", "rank", 1)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("only_cand" -> 0.0))
+  }
+
+  test("IVF retrieval evaluates against brute force with high recall") {
+    // Two well-separated clusters of deterministic vectors: IVF with
+    // one centroid per cluster must retrieve essentially what brute
+    // force does.
+    def vec(cluster: Int, i: Int): Array[Float] = {
+      val base = Array.fill(8)(if (cluster == 0) 1.0f else -1.0f)
+      base(i % 8) += 0.05f * ((i % 7) + 1)
+      base
+    }
+    val vecs = (0 until 40).map(i => (i.toLong, vec(i % 2, i)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 6)
+    val cents = vecs.filter($"vec_id" < 2) // one per cluster
+    val brute = CosineSearch.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", 5)
+    val ivf = CosineSearch.ivfTopK(vecs, cents, queries,
+      "vec_id", "embedding", "vec_id", 5)
+    val rec = RankEval.recallAtK(ivf, brute,
+      "query_id", "nn_id", "rank", 5)
+      .as[(Long, Double)].collect()
+    assert(rec.length == 6)
+    assert(rec.forall(_._2 >= 0.8), s"low IVF recall: ${rec.mkString(",")}")
+  }
+}

@@ -882,8 +882,63 @@ object QueriesQuality {
       |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
       |FROM q LEFT JOIN h ON q.source = h.source""".stripMargin
 
+  // ----------------------------------------------------------- sequential
+  // Capped sessionization (gap 7 d OR 3 d span cap — the cap is the
+  // truly sequential part) and a 2-day debounce, both via the
+  // secondary-sort pass; the oracles are DuckDB RECURSIVE CTEs walking
+  // the per-user event chain — independent sequential algorithms.
+  private val SeqGapUs = 7L * 86400L * 1000000L
+  private val SeqCapUs = 3L * 86400L * 1000000L
+  private val DebounceUs = 2L * 86400L * 1000000L
+
+  def qSessionCapped(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequential.sessionizeCapped(
+      t(s, dir, "events"), "user_id", "ts", "event_id", SeqGapUs, SeqCapUs)
+
+  val qSessionCappedSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS t,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS i
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, event_id, t, i, t AS ss, CAST(1 AS BIGINT) AS idx
+       |  FROM e WHERE i = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.event_id, e.t, e.i,
+       |    CASE WHEN e.t - s.t > $SeqGapUs OR e.t - s.ss > $SeqCapUs
+       |      THEN e.t ELSE s.ss END,
+       |    CASE WHEN e.t - s.t > $SeqGapUs OR e.t - s.ss > $SeqCapUs
+       |      THEN s.idx + 1 ELSE s.idx END
+       |  FROM s JOIN e ON e.user_id = s.user_id AND e.i = s.i + 1)
+       |SELECT user_id, event_id, ss AS session_start_us,
+       |  idx AS session_idx
+       |FROM s""".stripMargin
+
+  def qDebounce(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequential.debounce(
+      t(s, dir, "events"), "user_id", "ts", "event_id", DebounceUs)
+
+  val qDebounceSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS t,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS i
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, event_id, t, i, t AS lk, TRUE AS kept
+       |  FROM e WHERE i = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.event_id, e.t, e.i,
+       |    CASE WHEN e.t - s.lk >= $DebounceUs THEN e.t ELSE s.lk END,
+       |    e.t - s.lk >= $DebounceUs
+       |  FROM s JOIN e ON e.user_id = s.user_id AND e.i = s.i + 1)
+       |SELECT user_id, event_id FROM s WHERE kept""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_capped" -> (qSessionCapped _),
+    "q_debounce" -> (qDebounce _),
     "q_rank_metric" -> (qRankMetric _),
     "q_lag_features" -> (qLagFeatures _),
     "q_target_encode" -> (qTargetEncode _),
@@ -915,6 +970,8 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_session_capped" -> qSessionCappedSql,
+    "q_debounce" -> qDebounceSql,
     "q_rank_metric" -> qRankMetricSql,
     "q_lag_features" -> qLagFeaturesSql,
     "q_target_encode" -> qTargetEncodeSql,

@@ -333,8 +333,105 @@ object QueriesStats {
       |      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END AS gini
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------- mann-whitney
+  // Distribution-free click-vs-purchase value comparison per day. The
+  // oracle replays the doubled-mid-rank construction (integer-exact rank
+  // sums and tie correction) and the fixed-shape z formula — hash
+  // agreement means bit-equal U and z.
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    Stats.mannWhitneyByKey(
+      t(s, dir, "events").withColumn("day",
+        date_format(col("ts"), "yyyy-MM-dd")),
+      "day", "event_type", "click", "purchase", "value")
+
+  val qMannWhitneySql: String =
+    """WITH pv AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, value AS v,
+      |    count(*) FILTER (event_type = 'click') AS ca,
+      |    count(*) FILTER (event_type = 'purchase') AS cb
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT day, ca, cb,
+      |    COALESCE(sum(ca + cb) OVER (PARTITION BY day ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM pv),
+      |agg AS (
+      |  SELECT day, CAST(sum(ca) AS BIGINT) AS n_a,
+      |    CAST(sum(cb) AS BIGINT) AS n_b,
+      |    sum(CAST(ca AS HUGEINT) *
+      |        (CAST(cum AS HUGEINT) * 2 + CAST(ca + cb AS HUGEINT) + 1)) AS r2a,
+      |    sum(CAST(ca + cb AS HUGEINT) * CAST(ca + cb AS HUGEINT) *
+      |        CAST(ca + cb AS HUGEINT) - CAST(ca + cb AS HUGEINT)) AS ties
+      |  FROM cum GROUP BY 1)
+      |SELECT day, n_a, n_b,
+      |  CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1)
+      |       AS DOUBLE) / 2.0 AS u,
+      |  CASE WHEN n_a > 0 AND n_b > 0 AND
+      |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+      |      ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+      |       - CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+      |         * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0
+      |  THEN (CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1)
+      |          AS DOUBLE) / 2.0
+      |        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+      |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+      |      ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+      |       - CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+      |         * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+      |  END AS z
+      |FROM agg""".stripMargin
+
+  // ----------------------------------------------------------- spearman
+  // Rank correlation of quantity vs price per return flag — the robust
+  // companion to q_corr (same final formula shape, but over exact
+  // integer doubled mid-ranks, so monotone-but-nonlinear relations and
+  // outliers are handled). rank()+reverse-rank() tie identity on both
+  // engines.
+  def qSpearman(s: SparkSession, dir: String): DataFrame =
+    Stats.spearmanByKey(t(s, dir, "lineitem"),
+      "l_returnflag", "l_quantity", "l_extendedprice")
+
+  val qSpearmanSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS k, l_quantity AS x, l_extendedprice AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |r AS (
+      |  SELECT k,
+      |    rank() OVER (PARTITION BY k ORDER BY x ASC)
+      |      + (count(*) OVER (PARTITION BY k) + 1)
+      |      - rank() OVER (PARTITION BY k ORDER BY x DESC) AS rx,
+      |    rank() OVER (PARTITION BY k ORDER BY y ASC)
+      |      + (count(*) OVER (PARTITION BY k) + 1)
+      |      - rank() OVER (PARTITION BY k ORDER BY y DESC) AS ry
+      |  FROM base),
+      |a AS (
+      |  SELECT k, count(*) AS n,
+      |    sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+      |    sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+      |    sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+      |    sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+      |  FROM r GROUP BY 1)
+      |SELECT k AS l_returnflag, n,
+      |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  END AS rho
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mannwhitney" -> (qMannWhitney _),
+    "q_spearman" -> (qSpearman _),
     "q_ks" -> (qKs _),
     "q_gini" -> (qGini _),
     "q_welch" -> (qWelch _),
@@ -348,6 +445,8 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mannwhitney" -> qMannWhitneySql,
+    "q_spearman" -> qSpearmanSql,
     "q_ks" -> qKsSql,
     "q_gini" -> qGiniSql,
     "q_welch" -> qWelchSql,

@@ -212,4 +212,92 @@ object Stats {
           (col("n") + 1L).cast("double") / col("n").cast("double"))
         .as("gini"))
   }
+
+  /** Per-key Mann-Whitney U rank-sum test of `a` vs `b` — the
+    * distribution-free A/B companion to [[welchByKey]] (no normality
+    * assumption; robust to the heavy-tailed metrics — revenue, dwell
+    * time — Welch is weakest on). Exactness: mid-ranks are carried
+    * DOUBLED (for the c ties at a value with `cum` values strictly
+    * below, 2·midrank = 2·cum + c + 1 — an integer), so the rank sum,
+    * U, and the tie-correction term Σ(c³−c) are all exact decimal
+    * integers; only the closing z formula is (fixed-shape) doubles.
+    * Work: one groupBy to the per-(key, value) count table, one
+    * cumulative window over it (distinct-value sized, never the raw
+    * rows), one per-key aggregate. Output: key, n_a, n_b, u (group-a
+    * U statistic), z (tie-corrected normal approximation; null when a
+    * side is empty or all values tie). */
+  def mannWhitneyByKey(df: DataFrame, keyCol: String, groupCol: String,
+      a: String, b: String, valueCol: String): DataFrame = {
+    val perValue = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(a, b))
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(count_if(col(groupCol) === a).as("ca"),
+        count_if(col(groupCol) === b).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val i28 = (c: Column) => c.cast("decimal(28,0)")
+    val cum = perValue.withColumn("cum",
+      coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+    val agg = cum.groupBy(col(keyCol)).agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      // doubled rank sum of group a: Σ ca·(2·cum + c + 1)
+      sum(i28(col("ca")) *
+        (i28(col("cum")) * 2 + i28(col("ca") + col("cb")) + 1)).as("r2a"),
+      // tie correction Σ(c³ − c) over the pooled distinct values
+      sum(i28(col("ca") + col("cb")) * i28(col("ca") + col("cb")) *
+        i28(col("ca") + col("cb")) - i28(col("ca") + col("cb"))).as("ties"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    // U = R_a − n_a(n_a+1)/2, from the doubled sum: (r2a − n_a(n_a+1)) / 2
+    val u = (col("r2a") - i28(col("n_a")) * (i28(col("n_a")) + 1))
+      .cast("double") / lit(2.0)
+    val sigma2 = na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("ties").cast("double") / (n * (n - lit(1.0))))
+    agg.select(col(keyCol), col("n_a"), col("n_b"), u.as("u"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
+        (u - na * nb / lit(2.0)) / sqrt(sigma2)).as("z"))
+  }
+
+  /** Per-key Spearman rank correlation: Pearson over mid-ranks, exact.
+    * Mid-ranks come from the tie identity 2·midrank = rank_asc +
+    * (n+1) − rank_desc (both `rank()`s give ties their MIN rank, so the
+    * sum is min+max rank — an integer, no halves). Both directions of
+    * both columns windowed over ONE key exchange (four sorts of the
+    * same partitioning), then the same decimal-partials Pearson shape
+    * as [[corrByKey]] on the doubled ranks — scale-invariant, so
+    * doubling cancels. Null-complete pairs are dropped up front. */
+  def spearmanByKey(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def wAsc(c: String) = Window.partitionBy(col(keyCol)).orderBy(col(c).asc)
+    def wDesc(c: String) = Window.partitionBy(col(keyCol)).orderBy(col(c).desc)
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val nW = Window.partitionBy(col(keyCol))
+    val ranked = base
+      .withColumn("__n", count(lit(1)).over(nW))
+      .withColumn("__rx",
+        rank().over(wAsc(xCol)) + (col("__n") + 1) - rank().over(wDesc(xCol)))
+      .withColumn("__ry",
+        rank().over(wAsc(yCol)) + (col("__n") + 1) - rank().over(wDesc(yCol)))
+    val i28 = (c: Column) => c.cast("decimal(28,0)")
+    val agg = ranked.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(i28(col("__rx"))).as("sx"), sum(i28(col("__ry"))).as("sy"),
+      sum(i28(col("__rx")) * i28(col("__ry"))).as("sxy"),
+      sum(i28(col("__rx")) * i28(col("__rx"))).as("sxx"),
+      sum(i28(col("__ry")) * i28(col("__ry"))).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    agg.select(col(keyCol), col("n"),
+      when(varX > 0.0 && varY > 0.0,
+        (n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY))).as("rho"))
+  }
 }

@@ -434,4 +434,40 @@ class PlanSpec extends SparkSpec {
       count(p, "\\(\\d+\\) Sort") == 0,
       s"quarantine tagging must stay map-side:\n$p")
   }
+
+  test("q_exists_semi decorrelates EXISTS to one semi join, pruned scans") {
+    val p = plan("q_exists_semi")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join:\n$p")
+    assert(!p.contains("NestedLoop"), s"no per-row probe allowed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:"),
+      s"lineitem scan must prune to the two needed columns:\n$p")
+  }
+
+  test("q_anti_agg decorrelates NOT EXISTS to an anti join with the " +
+    "priority filter pushed to the scan") {
+    val p = plan("q_anti_agg")
+    assert(p.contains("LeftAnti"), s"expected a left-anti join:\n$p")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"the EXISTS-side predicate must reach PushedFilters:\n$p")
+    assert(!p.contains("NestedLoop"), s"no per-row probe allowed:\n$p")
+  }
+
+  test("q_scalar_corr decorrelates both correlated scalars to aggregate " +
+    "joins — no surviving subquery, no nested loop") {
+    val p = plan("q_scalar_corr")
+    assert(!p.contains("Subquery:"),
+      s"correlated scalars must be rewritten to joins:\n$p")
+    assert(!p.contains("NestedLoop"), s"no per-row probe allowed:\n$p")
+    // the per-part sum and count each become one aggregate over lineitem
+    assert(p.contains("LeftOuter"),
+      s"decorrelated aggregate joins expected:\n$p")
+  }
+
+  test("q_having_semi runs the HAVING aggregate once and joins upward") {
+    val p = plan("q_having_semi")
+    // one grouped aggregate pair (partial+final) over lineitem only
+    assert(count(p, "\\(\\d+\\) HashAggregate") == 2, s"aggregates:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Subquery:"),
+      s"plain join tree expected:\n$p")
+  }
 }

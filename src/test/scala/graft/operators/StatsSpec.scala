@@ -196,6 +196,71 @@ class StatsSpec extends SparkSpec {
       .select("gini").as[Option[Double]].collect().head.isEmpty)
   }
 
+  test("mann-whitney: hand-computed U on a clean separation and a tie") {
+    // A = {1,2}, B = {3,4}: every B beats every A -> U_a = 0.
+    val clean = Seq(("k", "a", 1.0), ("k", "a", 2.0),
+      ("k", "b", 3.0), ("k", "b", 4.0)).toDF("key", "g", "v")
+    val r = Stats.mannWhitneyByKey(clean, "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(r._2 == 2 && r._3 == 2)
+    assert(r._4.contains(0.0))
+    assert(r._5.get < 0) // a stochastically below b
+    // A = {1,2}, B = {2,3}: the shared 2 contributes a half pair ->
+    // U_a = #(a<b pairs) + 0.5*#(ties) = 1 + 1 + 0.5 = 2.5? count:
+    // (1<2),(1<3),(2<3)=3 wins, (2==2)=0.5 -> U_b(a perspective)...
+    // U_a counts pairs where a < b plus half ties: 3 + 0.5 = wrong
+    // direction; U_a = R_a - n(n+1)/2 with ranks 1, 2.5 | 2.5, 4:
+    // R_a = 3.5 -> U_a = 0.5.
+    val tied = Seq(("k", "a", 1.0), ("k", "a", 2.0),
+      ("k", "b", 2.0), ("k", "b", 3.0)).toDF("key", "g", "v")
+    val rt = Stats.mannWhitneyByKey(tied, "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(rt._4.contains(0.5))
+    // identical singletons: sigma2 = 0 (all values tie) -> z null
+    val deg = Seq(("k", "a", 5.0), ("k", "b", 5.0)).toDF("key", "g", "v")
+    assert(Stats.mannWhitneyByKey(deg, "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().head._5.isEmpty)
+  }
+
+  test("mann-whitney: partitioning cannot change U or z") {
+    val rows = (1 to 60).map(i =>
+      ("k", if (i % 2 == 0) "a" else "b", (i % 7).toDouble))
+    val one = Stats.mannWhitneyByKey(rows.toDF("key", "g", "v"),
+      "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    val many = Stats.mannWhitneyByKey(
+      rows.reverse.toDF("key", "g", "v").repartition(7),
+      "key", "g", "a", "b", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(one == many)
+  }
+
+  test("spearman: monotone nonlinear is exactly 1, reversed -1, " +
+    "and ties use mid-ranks") {
+    val mono = Seq(("k", 1.0, 1.0), ("k", 2.0, 8.0), ("k", 3.0, 27.0),
+      ("k", 4.0, 64.0)).toDF("key", "x", "y")
+    val rho = Stats.spearmanByKey(mono, "key", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3
+    assert(math.abs(rho.get - 1.0) < 1e-12)
+    val rev = Stats.spearmanByKey(
+      mono.withColumn("y", org.apache.spark.sql.functions.negate(
+        org.apache.spark.sql.functions.col("y"))), "key", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3
+    assert(math.abs(rev.get + 1.0) < 1e-12)
+    // x = (1, 2, 2, 3) -> mid-ranks (1, 2.5, 2.5, 4); against
+    // y = (1, 2, 3, 4): scipy gives rho = 0.9486832980505138
+    val tied = Seq(("k", 1.0, 1.0), ("k", 2.0, 2.0), ("k", 2.0, 3.0),
+      ("k", 3.0, 4.0)).toDF("key", "x", "y")
+    val rt = Stats.spearmanByKey(tied, "key", "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3
+    assert(math.abs(rt.get - 0.9486832980505138) < 1e-12)
+  }
+
   test("welch: other groups and null values are excluded") {
     val rows = Seq(("k", "a", Some(1.0)), ("k", "a", Some(3.0)),
       ("k", "a", None), ("k", "c", Some(100.0)),

@@ -571,8 +571,115 @@ object QueriesEvents {
       |  CAST(0 AS BIGINT) AS err_bound
       |FROM events GROUP BY user_id, event_type""".stripMargin
 
+  // ------------------------------------------------------ session_window
+  // Spark's NATIVE session-window operator (the streaming-capable path:
+  // the identical groupBy(session_window(...)) runs under a watermark in
+  // Structured Streaming with state-store merging — proven in
+  // SessionWindowStreamSpec). The oracle is an independent algorithm:
+  // DuckDB gap-islands (lag + running break sum). Session semantics:
+  // an event extends the session while it falls strictly inside
+  // [start, last_event + gap); end = last_event + gap. Boundaries exit
+  // as epoch micros (engine-neutral integers).
+  private val SessGapUs = 3L * 86400L * 1000000L
+
+  def qSessionNative(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "3 days"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
+  val qSessionNativeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+       |           IS NULL
+       |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY
+       |           user_id ORDER BY ts)) >= $SessGapUs
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, ts,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM e)
+       |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+       |  max(epoch_us(ts)) + $SessGapUs AS session_end_us,
+       |  count(*) AS n_events
+       |FROM g GROUP BY user_id, sid""".stripMargin
+
+  // ------------------------------------------------------- nearest event
+  // Nearest-in-time join: each view is matched to the closest purchase
+  // by the same user in EITHER direction (ties -> the earlier one) —
+  // the attribution variant neither a backward nor a forward as-of
+  // covers alone. Composition: both asofDirectional passes (each one
+  // union+window sort-shuffle), then a map-side argmin of the two
+  // candidates. The oracle is the naive per-user quadratic join with an
+  // explicit (|delta|, ts) argmin window — an independent algorithm.
+  def qNearestEvent(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // dedup to one purchase per (user, ts): as-of requires unique right
+    // timestamps per key (max keeps the choice deterministic)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("p_value"))
+      .withColumn("p_us", unix_micros(col("ts")))
+    val back = graft.operators.AsOfJoin.asofDirectional(
+        views, purch, "user_id", "ts", "ts", forward = false)
+      .withColumnRenamed("p_us", "prev_us")
+      .withColumnRenamed("p_value", "prev_value")
+    val fwd = graft.operators.AsOfJoin.asofDirectional(
+        views, purch, "user_id", "ts", "ts", forward = true)
+      .select(col("event_id"), col("p_us").as("next_us"),
+        col("p_value").as("next_value"))
+    val j = back.join(fwd, Seq("event_id"))
+    val dPrev = unix_micros(col("ts")) - col("prev_us")
+    val dNext = col("next_us") - unix_micros(col("ts"))
+    val usePrev = col("prev_us").isNotNull &&
+      (col("next_us").isNull || dPrev <= dNext)
+    j.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("view_us"),
+      when(usePrev, col("prev_us")).otherwise(col("next_us")).as("match_us"),
+      when(usePrev, col("prev_value")).otherwise(col("next_value"))
+        .as("match_value"),
+      when(col("prev_us").isNull && col("next_us").isNull,
+          lit(null).cast("string"))
+        .when(usePrev, lit("before")).otherwise(lit("after"))
+        .as("direction"))
+  }
+
+  val qNearestEventSql: String =
+    """WITH v AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, ts, max(value) AS p_value FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (
+      |  SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
+      |    epoch_us(p.ts) AS match_us, p.p_value AS match_value,
+      |    CASE WHEN p.ts <= v.ts THEN 'before' ELSE 'after' END
+      |      AS direction,
+      |    row_number() OVER (PARTITION BY v.event_id ORDER BY
+      |      abs(epoch_us(v.ts) - epoch_us(p.ts)), p.ts) AS rn
+      |  FROM v JOIN p ON p.user_id = v.user_id)
+      |SELECT event_id, user_id, view_us, match_us, match_value, direction
+      |FROM c WHERE rn = 1
+      |UNION ALL
+      |SELECT v.event_id, v.user_id, epoch_us(v.ts),
+      |  NULL, NULL, NULL
+      |FROM v
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p WHERE p.user_id = v.user_id)""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_native" -> (qSessionNative _),
+    "q_nearest_event" -> (qNearestEvent _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -593,6 +700,8 @@ object QueriesEvents {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_session_native" -> qSessionNativeSql,
+    "q_nearest_event" -> qNearestEventSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_salted_agg" -> qSaltedAggSql,

@@ -935,10 +935,34 @@ object QueriesQuality {
        |  FROM s JOIN e ON e.user_id = s.user_id AND e.i = s.i + 1)
        |SELECT user_id, event_id FROM s WHERE kept""".stripMargin
 
+  // Per-user EWMA of event values (α = 0.25 — exact in binary, so the
+  // '0.25'/'0.75' literals are the same double on both engines). The
+  // oracle walks the identical recurrence in a RECURSIVE CTE; hash
+  // agreement means every smoothed double is bit-equal along the whole
+  // chain, not just at the end.
+  def qEwma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequential.ewma(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "value", 0.25)
+
+  val qEwmaSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t, value AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS i
+      |  FROM events WHERE value IS NOT NULL),
+      |s AS (
+      |  SELECT user_id, event_id, t, i, v, v AS ewma FROM e WHERE i = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.event_id, e.t, e.i, e.v,
+      |    CAST(0.25 AS DOUBLE) * e.v + CAST(0.75 AS DOUBLE) * s.ewma
+      |  FROM s JOIN e ON e.user_id = s.user_id AND e.i = s.i + 1)
+      |SELECT user_id, event_id, v AS value, ewma FROM s""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_capped" -> (qSessionCapped _),
     "q_debounce" -> (qDebounce _),
+    "q_ewma" -> (qEwma _),
     "q_rank_metric" -> (qRankMetric _),
     "q_lag_features" -> (qLagFeatures _),
     "q_target_encode" -> (qTargetEncode _),
@@ -972,6 +996,7 @@ object QueriesQuality {
   val oracleSql: Map[String, String] = Map(
     "q_session_capped" -> qSessionCappedSql,
     "q_debounce" -> qDebounceSql,
+    "q_ewma" -> qEwmaSql,
     "q_rank_metric" -> qRankMetricSql,
     "q_lag_features" -> qLagFeaturesSql,
     "q_target_encode" -> qTargetEncodeSql,

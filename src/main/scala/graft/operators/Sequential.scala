@@ -57,6 +57,41 @@ object Sequential {
     }.toDF(userCol, tieCol, "session_start_us", "session_idx")
   }
 
+  /** Per-key exponentially weighted moving average — the classic
+    * sequential smoother `s_i = α·v_i + (1−α)·s_{i−1}`, seeded with the
+    * key's first value. A window cannot express it (each output folds
+    * EVERY prior row with geometrically decaying weight; the closed
+    * form Σ α(1−α)^j·v_{i−j} is numerically different and O(n²) as a
+    * frame), so it rides the same secondary-sort pass. Reproducibility:
+    * the recurrence is evaluated as the fixed IEEE expression
+    * `α·v + β·s` (β = 1−α computed once) — any engine replaying that
+    * exact per-row expression over the same (ts, tie) order produces
+    * bit-identical doubles, which is how the DuckDB recursive-CTE
+    * oracle checks it. Returns (key, tie, value, ewma). */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"bad alpha=$alpha")
+    val beta = 1.0 - alpha
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("t"), col(tieCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("t"), col("id"))
+      .as[(Long, Long, Long, Double)]
+    sorted.mapPartitions { it =>
+      var haveU = false; var curU = 0L; var s = 0.0
+      it.map { case (u, t, id, v) =>
+        if (!haveU || u != curU) { haveU = true; curU = u; s = v }
+        else s = alpha * v + beta * s
+        (u, id, v, s)
+      }
+    }.toDF(keyCol, tieCol, valueCol, "ewma")
+  }
+
   /** Rows surviving a per-key debounce: the first row is kept, and a row
     * is kept iff at least `minGapUs` passed since the last KEPT row —
     * the rate-limiting dedup for retriggered events (a windowed gap

@@ -70,4 +70,28 @@ class SequentialSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(0L, 2L, 4L))
   }
+
+  test("ewma: hand-computed chain, per-key seeding, null drop") {
+    // α = 0.25: s1 = 8; s2 = .25·4 + .75·8 = 7; s3 = .25·3 + .75·7 = 6
+    val df = Seq((1L, ts(0), 1L, Some(8.0)), (1L, ts(10), 2L, Some(4.0)),
+      (1L, ts(15), 3L, None), (1L, ts(20), 4L, Some(3.0)),
+      (2L, ts(5), 5L, Some(40.0)))
+      .toDF("u", "t", "id", "v")
+    val out = Sequential.ewma(df, "u", "t", "id", "v", 0.25)
+      .select("id", "ewma").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 8.0, 2L -> 7.0, 4L -> 6.0, 5L -> 40.0))
+  }
+
+  test("ewma: partitioning cannot perturb the smoothed doubles") {
+    val rows = (0 until 200).map(i =>
+      ((i % 5).toLong, ts(i * 7L), i.toLong, math.sin(i) * 100))
+    val df = rows.toDF("u", "t", "id", "v")
+    val one = Sequential.ewma(df, "u", "t", "id", "v", 0.25)
+      .select("id", "ewma").as[(Long, Double)].collect().toMap
+    val many = Sequential.ewma(
+        df.orderBy(org.apache.spark.sql.functions.rand(7)).repartition(13),
+        "u", "t", "id", "v", 0.25)
+      .select("id", "ewma").as[(Long, Double)].collect().toMap
+    assert(one == many) // bit-equal, not approximately
+  }
 }

@@ -106,7 +106,66 @@ object QueriesProjection {
        |  FROM scored) WHERE rank <= $K""".stripMargin
   }
 
+  // -------------------------------------- binary signature + hamming
+  // Sign-bit quantization: 64 coordinates -> one packed BIGINT; top-k by
+  // exact cosine after a Hamming screen. The oracle rebuilds the packed
+  // signatures from the raw floats (strict `> 0` bit rule), replays the
+  // (hamming ASC, id ASC) candidate cut, and rescores with the shared
+  // decimal-dot idiom — the screen's integer geometry makes this oracle
+  // exact with no literal shipping at all.
+  private val HamK = 3
+  private val HamCandK = 12
+
+  def qHammingTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.similarity.BinaryQuantize.hammingTopK(
+      e, e.filter(col("vec_id") < NQueries), "vec_id", "embedding",
+      HamK, HamCandK)
+  }
+
+  val qHammingTopkSql: String = {
+    val powArm = HyperplaneLSH.powArmSql(64)
+    s"""WITH sig AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN embedding[i] > 0
+       |      THEN (CASE i - 1 $powArm END) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY vec_id),
+       |cand AS (
+       |  SELECT query_id, nn_id, hamming FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |      CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming
+       |    FROM sig q JOIN sig c
+       |      ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY hamming, nn_id) <= $HamCandK),
+       |n AS (SELECT vec_id, embedding,
+       |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |    AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS norm_sq
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY vec_id, embedding),
+       |res AS (
+       |  SELECT cand.query_id, cand.nn_id, any_value(cand.hamming) AS hamming,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |      AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS dot,
+       |    any_value(q.norm_sq) AS qn, any_value(c.norm_sq) AS cn
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n c ON c.vec_id = cand.nn_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY cand.query_id, cand.nn_id),
+       |scored AS (
+       |  SELECT query_id, nn_id, hamming,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+       |      AS cos_sim
+       |  FROM res)
+       |SELECT query_id, rank, nn_id, hamming, cos_sim FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
+       |  FROM scored) WHERE rank <= $HamK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hamming_topk" -> (qHammingTopk _),
     "q_rand_proj" -> (qRandProj _),
     "q_proj_topk" -> (qProjTopk _),
   )
@@ -114,5 +173,6 @@ object QueriesProjection {
   val oracleSql: Map[String, String] = Map(
     "q_rand_proj" -> qRandProjSql,
     "q_proj_topk" -> qProjTopkSql,
+    "q_hamming_topk" -> qHammingTopkSql,
   )
 }

@@ -287,6 +287,36 @@ object QueriesText {
       "doc_id", "lang", Map("en" -> 0.2, "zh" -> 0.5, "es" -> 0.33335),
       1.0, SampleBuckets)
 
+  // Weighted sampling WITHOUT replacement: exactly 5 docs per language,
+  // longer documents proportionally likelier (Efraimidis–Spirakis keys
+  // u^(1/w) from a 48-bit md5 uniform, decimal-rounded pow waypoint).
+  // The oracle replays draw, key, and cut.
+  def qWorSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.worSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      "doc_id", "lang", "n_chars", 5)
+
+  val qWorSampleSql: String = {
+    // 12 hex chars -> 48-bit BIGINT (the 6-char sqlHexFold idiom, wider)
+    val fold48 =
+      "list_reduce(list_transform(regexp_split_to_array(" +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""WITH s AS (
+       |  SELECT lang, doc_id,
+       |    CAST(CAST(pow((CAST($fold48 AS DOUBLE) + 0.5) / 281474976710656.0,
+       |      1.0 / CAST(n_chars AS DOUBLE)) AS DECIMAL(14,12)) AS DOUBLE)
+       |      AS wor_key
+       |  FROM documents
+       |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0)
+       |SELECT lang, rank, doc_id, wor_key FROM (
+       |  SELECT lang, doc_id, wor_key, row_number() OVER (
+       |    PARTITION BY lang ORDER BY wor_key DESC, doc_id) AS rank
+       |  FROM s) WHERE rank <= 5""".stripMargin
+  }
+
   val qSampleStratifiedSql: String = {
     // 6 hex chars -> BIGINT (pure-SQL fold; same idiom as simhash oracle)
     val hexFold = sqlHexFold("doc_id")
@@ -896,6 +926,7 @@ object QueriesText {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_keepbest" -> (qDedupKeepBest _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_wor_sample" -> (qWorSample _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -927,6 +958,7 @@ object QueriesText {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_keepbest" -> qDedupKeepBestSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_wor_sample" -> qWorSampleSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,

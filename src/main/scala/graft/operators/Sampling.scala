@@ -59,6 +59,40 @@ object Sampling {
       floor(least(lit(1.0), greatest(lit(0.0), rateCol)) *
         lit(buckets.toDouble)))
 
+  /** Weighted sampling WITHOUT replacement — exactly k rows per stratum
+    * with inclusion probability scaling with `weightCol` (Efraimidis–
+    * Spirakis A-Res): each row draws a deterministic md5 uniform
+    * u ∈ (0,1) and is ranked by u^(1/w); the k largest keys win. Unlike
+    * [[weightedSample]] (independent per-row coin flips → variable
+    * sample size), this delivers a FIXED budget with weight-proportional
+    * selection — the "pick exactly 10k docs, favor high quality"
+    * curation contract.
+    *
+    * Determinism/portability: u folds the first 12 md5 hex chars (48
+    * bits) of the id, so the draw replays on any engine; the one
+    * transcendental (pow) is settled through a DECIMAL(14,12) rounding
+    * waypoint (the DecayScore treatment) before ranking, so a last-ulp
+    * pow difference cannot flip an ordering. Ties (same rounded key)
+    * break by id. Rows with NULL or non-positive weight are excluded —
+    * u^(1/w) is undefined there, matching the algorithm's w > 0 domain.
+    *
+    * Scale shape: one map pass to score, then the bounded top-k
+    * aggregator per stratum — no global or per-stratum full sort.
+    * Output: (stratum, rank, id, wor_key). */
+  def worSample(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val w = col(weightCol).cast("double")
+    val key = pow(u, lit(1.0) / w).cast("decimal(14,12)").cast("double")
+    val scored = df.filter(col(weightCol).isNotNull && w > 0.0)
+      .select(col(strataCol), col(idCol), key.as("wor_key"))
+    graft.operators.TopKAggregator.topKPerGroup(
+      scored, Seq(strataCol), idCol, "wor_key", k)
+  }
+
   /** Keep the best `frac` of every stratum by score — calibrated
     * quality selection ("top X% per language/domain"): rows are ranked
     * inside their stratum by (score DESC, id ASC — deterministic under

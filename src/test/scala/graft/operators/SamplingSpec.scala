@@ -174,4 +174,39 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a.subsetOf(wider), "raising the rate must only add rows")
   }
+
+  test("worSample: exactly k per stratum, partitioning-independent, " +
+    "nonpositive/null weights excluded") {
+    import spark.implicits._
+    val d = (0 until 400).map(i => (i.toLong,
+        if (i % 4 == 0) "en" else "de",
+        if (i % 50 == 0) None else Some((i % 13 + 1).toLong)))
+      .toDF("id", "lang", "w")
+    val one = Sampling.worSample(d, "id", "lang", "w", 7)
+      .select("lang", "rank", "id").as[(String, Int, Long)].collect().toSet
+    val many = Sampling.worSample(d.repartition(11), "id", "lang", "w", 7)
+      .select("lang", "rank", "id").as[(String, Int, Long)].collect().toSet
+    assert(one == many)
+    assert(one.count(_._1 == "en") == 7 && one.count(_._1 == "de") == 7)
+    // the null-weight ids (i % 50 == 0) can never be selected
+    assert(one.forall(_._3 % 50 != 0))
+    val withZero = (0 until 20).map(i => (i.toLong, "k",
+        if (i < 10) 0L else 5L)).toDF("id", "lang", "w")
+    val sel = Sampling.worSample(withZero, "id", "lang", "w", 15)
+      .select("id").as[Long].collect().toSet
+    assert(sel == (10L until 20L).toSet, "zero weights must be excluded")
+  }
+
+  test("worSample: selection probability grows with weight") {
+    import spark.implicits._
+    // two weight classes 1 vs 20 in one stratum; over many ids the
+    // heavy class must dominate a k=40 draw from 100+100 candidates
+    val d = (0 until 200).map(i =>
+        (i.toLong, "k", if (i < 100) 1L else 20L))
+      .toDF("id", "lang", "w")
+    val picked = Sampling.worSample(d, "id", "lang", "w", 40)
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ >= 100)
+    assert(heavy > 30, s"heavy-weight class got only $heavy of 40 picks")
+  }
 }

@@ -287,6 +287,74 @@ object QueriesText {
       "doc_id", "lang", Map("en" -> 0.2, "zh" -> 0.5, "es" -> 0.33335),
       1.0, SampleBuckets)
 
+  // Hashing-trick featurization: vocabulary-free signed token hashing
+  // into 64 buckets — integer-exact end to end, so the oracle replays
+  // bucket, sign, and sum directly.
+  private val HashDims = 64
+
+  def qFeatureHash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.hashFeatures(
+      t(s, dir, "documents"), "doc_id", "text", HashDims)
+
+  val qFeatureHashSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(ws) AS term FROM (
+       |      SELECT doc_id, regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |      FROM documents) d)
+       |  WHERE term <> '')
+       |SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight FROM (
+       |  SELECT doc_id, ${sqlHexFold("term")} % $HashDims AS bucket,
+       |    CASE WHEN CAST(strpos('0123456789abcdef',
+       |        substr(md5(term), 7, 1)) - 1 AS BIGINT) % 2 = 0
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM terms)
+       |GROUP BY 1, 2""".stripMargin
+
+  // Jensen-Shannon drift of each source's token distribution against
+  // the corpus: integer counts -> fixed-shape probabilities -> per-term
+  // contributions rounded DECIMAL(20,12) (the PMI ln treatment) ->
+  // order-independent decimal sum.
+  def qJsDiv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Divergence.jsAgainstCorpus(
+      t(s, dir, "documents"), "source", "text")
+
+  val qJsDivSql: String =
+    s"""WITH terms AS (
+       |  SELECT source AS g, term FROM (
+       |    SELECT source, unnest(ws) AS term FROM (
+       |      SELECT source, regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |      FROM documents WHERE source IS NOT NULL) d)
+       |  WHERE term <> ''),
+       |pg AS (SELECT g, term, count(*) AS c_gt FROM terms GROUP BY 1, 2),
+       |pt AS (SELECT term, sum(c_gt) AS c_t FROM pg GROUP BY 1),
+       |gt AS (SELECT g, sum(c_gt) AS n_g FROM pg GROUP BY 1),
+       |tot AS (SELECT sum(c_t) AS n FROM pt),
+       |pairs AS (
+       |  SELECT gt.g, pt.term, pt.c_t, gt.n_g, tot.n, pg.c_gt
+       |  FROM pt CROSS JOIN tot CROSS JOIN gt
+       |  LEFT JOIN pg ON pg.g = gt.g AND pg.term = pt.term),
+       |c AS (
+       |  SELECT g, n_g, CAST(
+       |    CASE WHEN c_gt IS NULL THEN
+       |      0.5 * (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * ln((CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+       |             / ((CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+       |    ELSE
+       |      0.5 * (CAST(c_gt AS DOUBLE) / CAST(n_g AS DOUBLE))
+       |        * ln((CAST(c_gt AS DOUBLE) / CAST(n_g AS DOUBLE))
+       |             / ((CAST(c_gt AS DOUBLE) / CAST(n_g AS DOUBLE)
+       |                 + CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+       |      + 0.5 * (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * ln((CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+       |             / ((CAST(c_gt AS DOUBLE) / CAST(n_g AS DOUBLE)
+       |                 + CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+       |    END AS DECIMAL(20,12)) AS contrib
+       |  FROM pairs)
+       |SELECT g AS source, CAST(max(n_g) AS BIGINT) AS n_tokens,
+       |  CAST(sum(contrib) AS DOUBLE) AS js_div
+       |FROM c GROUP BY 1""".stripMargin
+
   // Weighted sampling WITHOUT replacement: exactly 5 docs per language,
   // longer documents proportionally likelier (Efraimidis–Spirakis keys
   // u^(1/w) from a 48-bit md5 uniform, decimal-rounded pow waypoint).
@@ -927,6 +995,8 @@ object QueriesText {
     "q_dedup_keepbest" -> (qDedupKeepBest _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_wor_sample" -> (qWorSample _),
+    "q_feature_hash" -> (qFeatureHash _),
+    "q_js_div" -> (qJsDiv _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -959,6 +1029,8 @@ object QueriesText {
     "q_dedup_keepbest" -> qDedupKeepBestSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_wor_sample" -> qWorSampleSql,
+    "q_feature_hash" -> qFeatureHashSql,
+    "q_js_div" -> qJsDivSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,

@@ -9,6 +9,35 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** Hashing-trick text featurization: tokens hash into `dims` buckets
+    * with a ±1 sign bit (Weinberger et al.'s signed feature hashing —
+    * the sign makes collision noise zero-mean), giving a fixed-width
+    * sparse representation with NO vocabulary state: no dictionary to
+    * build, broadcast, or keep consistent across training shards — the
+    * property that makes this the featurizer that survives streaming
+    * ingest and 100 TB corpora unchanged. Engine-portable: bucket =
+    * first-6-md5-hex fold of the token mod dims (Sampling.hashBucket's
+    * idiom), sign = parity of the 7th hex char. Output: one row per
+    * (id, non-empty bucket) with the signed count sum — zero-sum
+    * buckets from exact ± cancellation are kept (they are observations,
+    * not absences). */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 1, s"need dims >= 1, got $dims")
+    val terms = df.select(col(idCol),
+        explode(split(graft.functions.TextFunctions.normalize(col(textCol)),
+          " ")).as("__term"))
+      .filter(col("__term") =!= "")
+    val bucket = Sampling.hashBucket(col("__term"), dims)
+    val sign = when(
+      conv(substring(md5(col("__term")), 7, 1), 16, 10).cast("long") % 2
+        === 0, lit(1L)).otherwise(lit(-1L))
+    terms
+      .select(col(idCol), bucket.as("bucket"), sign.as("__s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__s")).as("weight"))
+  }
+
   /** Lag-feature matrix: `lag_1..lag_k` of `valueCol` per key in
     * (ts, tie) order — the autoregressive feature block, k columns from
     * ONE per-key sort-shuffle (every lag shares the window). Leading

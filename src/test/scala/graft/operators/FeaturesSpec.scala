@@ -67,4 +67,38 @@ class FeaturesSpec extends SparkSpec {
     assert(out(5L).contains("test"))
     assert(out(6L).isEmpty)
   }
+
+  test("hashFeatures: repeated tokens accumulate signed counts in one " +
+    "bucket; empty text yields no rows; buckets bounded") {
+    val docs = Seq((1L, "tok tok tok"), (2L, ""), (3L, "  "),
+      (4L, "tok other tok")).toDF("doc_id", "text")
+    val out = Features.hashFeatures(docs, "doc_id", "text", 64)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 >= 0 && r._2 < 64))
+    assert(!out.exists(r => r._1 == 2L || r._1 == 3L))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 1 && math.abs(d1.head._3) == 3,
+      s"'tok tok tok' must be one ±3 bucket, got ${d1.toSeq}")
+    // doc 4 shares doc 1's 'tok' bucket with ±2 plus one ±1 bucket
+    // (unless 'other' collides, in which case the sum still reconciles)
+    val total1 = d1.map(_._3).map(math.abs).sum
+    assert(total1 == 3)
+  }
+
+  test("hashFeatures is deterministic across partitionings and dims " +
+    "changes only the bucket space") {
+    val docs = (0 until 50).map(i =>
+      (i.toLong, s"w${i % 7} w${i % 11} shared tail")).toDF("doc_id", "text")
+    val a = Features.hashFeatures(docs, "doc_id", "text", 32)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Features.hashFeatures(docs.repartition(9), "doc_id", "text", 32)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 32))
+    // total signed mass is invariant to dims (collisions only merge)
+    val m32 = a.toSeq.map(_._3).sum
+    val m8 = Features.hashFeatures(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Long)].collect().map(_._3).sum
+    assert(m32 == m8)
+  }
 }

@@ -121,12 +121,30 @@ object QueriesRelational {
   def qHavingSemi(s: SparkSession, dir: String): DataFrame =
     sql(s, dir, havingSemiSql)
 
+  // --------------------------------------------------------------- setops
+  // ANSI INTERSECT / EXCEPT — §2.8's set-op completion beyond UNION.
+  // Catalyst plans INTERSECT as a distinct left-semi join and EXCEPT as
+  // a distinct left-anti join: set semantics at hash-join cost. The
+  // parentheses pin standard precedence identically on both engines.
+  private val setOpsSql =
+    """(SELECT o_custkey AS custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |EXCEPT
+      |SELECT c_custkey FROM customer
+      |WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
+  def qSetOps(s: SparkSession, dir: String): DataFrame =
+    sql(s, dir, setOpsSql)
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exists_semi" -> (qExistsSemi _),
     "q_anti_agg" -> (qAntiAgg _),
     "q_scalar_corr" -> (qScalarCorr _),
     "q_having_semi" -> (qHavingSemi _),
+    "q_setops" -> (qSetOps _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -134,5 +152,6 @@ object QueriesRelational {
     "q_anti_agg" -> antiAggSql,
     "q_scalar_corr" -> scalarCorrSql,
     "q_having_semi" -> havingSemiSql,
+    "q_setops" -> setOpsSql,
   )
 }

@@ -434,6 +434,42 @@ object QueriesScale {
        |SELECT node, rank FROM r$PrIters""".stripMargin
   }
 
+  // ------------------------------------------------------------------ bfs
+  // Single-source BFS hop distances on the same customer↔supplier
+  // bipartite graph PageRank walks: frontier-iteration on the Spark
+  // side, recursive-UNION CTE + min() in DuckDB — independent
+  // algorithms over integer distances.
+  private val BfsSource = "c1"
+  private val BfsMaxHops = 4
+
+  def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.ShortestPaths.fromSource(
+      edges, "src", "dst", BfsSource, BfsMaxHops)
+  }
+
+  val qBfsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |      UNION ALL SELECT b, a FROM pairs),
+       |bfs(node, dist) AS (
+       |  SELECT '$BfsSource', CAST(0 AS BIGINT)
+       |  UNION
+       |  SELECT e.dst, bfs.dist + 1
+       |  FROM bfs JOIN e ON e.src = bfs.node
+       |  WHERE bfs.dist < $BfsMaxHops)
+       |SELECT node, min(dist) AS dist FROM bfs GROUP BY node""".stripMargin
+
   // ------------------------------------------------------------ triangles
   // Per-node triangle counts + clustering coefficient on the parts
   // co-order graph (parts appearing in the same order are linked). The
@@ -578,6 +614,7 @@ object QueriesScale {
     "q_packing" -> (qPacking _),
     "q_mixture" -> (qMixture _),
     "q_pagerank" -> (qPageRank _),
+    "q_bfs" -> (qBfs _),
     "q_triangles" -> (qTriangles _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
@@ -599,6 +636,7 @@ object QueriesScale {
     "q_packing" -> qPackingSql,
     "q_mixture" -> qMixtureSql,
     "q_pagerank" -> qPageRankSql,
+    "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_epoch_shuffle" -> qEpochShuffleSql,

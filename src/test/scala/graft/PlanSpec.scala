@@ -463,6 +463,13 @@ class PlanSpec extends SparkSpec {
       s"decorrelated aggregate joins expected:\n$p")
   }
 
+  test("q_setops plans INTERSECT/EXCEPT as distinct semi/anti joins") {
+    val p = plan("q_setops")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"set ops must lower to hash joins:\n$p")
+    assert(!p.contains("NestedLoop"), s"no per-row probe allowed:\n$p")
+  }
+
   test("q_having_semi runs the HAVING aggregate once and joins upward") {
     val p = plan("q_having_semi")
     // one grouped aggregate pair (partial+final) over lineitem only

@@ -610,6 +610,39 @@ object QueriesEvents {
        |  count(*) AS n_events
        |FROM g GROUP BY user_id, sid""".stripMargin
 
+  // ------------------------------------------------------ quantile state
+  // Mergeable KLL quantile state at (event_type, day) grain — every
+  // group holds far fewer than k = 200 items, so the sketches have
+  // never compacted and quantile reads are EXACT ⌈q·n⌉ order
+  // statistics, which the oracle selects directly with a rank window.
+  // (The approximate/merge regimes are spec-gated in QuantileSketchSpec;
+  // this query pins the exact-regime contract plus build/read plumbing.)
+  def qQuantileState(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("value").isNotNull)
+    val state = graft.operators.QuantileSketch.build(
+      ev, Seq("event_type", "day"), "value")
+    graft.operators.QuantileSketch.quantiles(
+      state, Seq("event_type", "day"), Seq(0.5, 0.9))
+  }
+
+  val qQuantileStateSql: String =
+    """WITH g AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, day, v,
+      |    row_number() OVER (PARTITION BY event_type, day ORDER BY v)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY event_type, day) AS n
+      |  FROM g),
+      |qs AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)])
+      |       AS q)
+      |SELECT event_type, day, q, v AS value
+      |FROM r CROSS JOIN qs
+      |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
+
   // ------------------------------------------------------- nearest event
   // Nearest-in-time join: each view is matched to the closest purchase
   // by the same user in EITHER direction (ties -> the earlier one) —
@@ -680,6 +713,7 @@ object QueriesEvents {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_native" -> (qSessionNative _),
     "q_nearest_event" -> (qNearestEvent _),
+    "q_quantile_state" -> (qQuantileState _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -702,6 +736,7 @@ object QueriesEvents {
   val oracleSql: Map[String, String] = Map(
     "q_session_native" -> qSessionNativeSql,
     "q_nearest_event" -> qNearestEventSql,
+    "q_quantile_state" -> qQuantileStateSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_salted_agg" -> qSaltedAggSql,

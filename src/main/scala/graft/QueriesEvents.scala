@@ -643,6 +643,46 @@ object QueriesEvents {
       |FROM r CROSS JOIN qs
       |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
 
+  // ------------------------------------------------------- theta algebra
+  // Audience overlap from theta sketch STATE: daily click-user and
+  // purchase-user sketches intersect/difference without touching raw
+  // events again. Under capacity (lgK=12 → 4096 ≫ daily uniques) every
+  // estimate is an exact integer, so the oracle replays with
+  // COUNT(DISTINCT …) set SQL.
+  def qThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val clicks = graft.operators.ThetaSketchOps.build(
+      ev.filter(col("event_type") === "click"), Seq("day"), "user_id")
+    val purchases = graft.operators.ThetaSketchOps.build(
+      ev.filter(col("event_type") === "purchase"), Seq("day"), "user_id")
+    graft.operators.ThetaSketchOps.overlap(clicks, purchases, Seq("day"))
+  }
+
+  val qThetaOverlapSql: String =
+    """WITH c AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+      |  WHERE event_type = 'click' AND user_id IS NOT NULL),
+      |p AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      |a AS (SELECT day, count(DISTINCT user_id) AS n_a FROM c GROUP BY 1),
+      |b AS (SELECT day, count(DISTINCT user_id) AS n_b FROM p GROUP BY 1),
+      |u AS (
+      |  SELECT day, count(DISTINCT user_id) AS n_union
+      |  FROM (SELECT * FROM c UNION SELECT * FROM p) GROUP BY 1),
+      |i AS (
+      |  SELECT c.day, count(DISTINCT c.user_id) AS n_int
+      |  FROM c JOIN p ON c.day = p.day AND c.user_id = p.user_id
+      |  GROUP BY c.day)
+      |SELECT a.day, CAST(n_a AS DOUBLE) AS n_a, CAST(n_b AS DOUBLE) AS n_b,
+      |  CAST(n_union AS DOUBLE) AS n_union,
+      |  CAST(coalesce(n_int, 0) AS DOUBLE) AS n_intersection,
+      |  CAST(n_a AS DOUBLE) - CAST(coalesce(n_int, 0) AS DOUBLE)
+      |    AS n_a_not_b
+      |FROM a JOIN b USING (day) JOIN u USING (day)
+      |LEFT JOIN i ON i.day = a.day""".stripMargin
+
   // ------------------------------------------------------- nearest event
   // Nearest-in-time join: each view is matched to the closest purchase
   // by the same user in EITHER direction (ties -> the earlier one) —
@@ -714,6 +754,7 @@ object QueriesEvents {
     "q_session_native" -> (qSessionNative _),
     "q_nearest_event" -> (qNearestEvent _),
     "q_quantile_state" -> (qQuantileState _),
+    "q_theta_overlap" -> (qThetaOverlap _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -737,6 +778,7 @@ object QueriesEvents {
     "q_session_native" -> qSessionNativeSql,
     "q_nearest_event" -> qNearestEventSql,
     "q_quantile_state" -> qQuantileStateSql,
+    "q_theta_overlap" -> qThetaOverlapSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_salted_agg" -> qSaltedAggSql,

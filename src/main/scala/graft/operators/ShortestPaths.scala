@@ -34,25 +34,39 @@ object ShortestPaths {
     require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
+    // materialize the edge projection ONCE: without this, an edge table
+    // derived from upstream joins (the common case) re-executes its
+    // whole lineage on every frontier round — measured 4x the operator's
+    // cost on the bipartite bench graph
+    // materialized ONCE: an edge table derived from upstream joins (the
+    // common case) would otherwise re-execute its whole lineage on every
+    // frontier round. (A src-hash pre-partition was tried and reverted:
+    // checkpoint loses the partitioning for join reuse, so it only added
+    // a shuffle; per-round the edge side rides AQE like any other join.)
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
-    var frontier = dist
+      .localCheckpoint()
+    // one checkpointed frame PER HOP, unioned lazily: the accumulated
+    // distance table is never re-materialized each round (that rewrite
+    // cost O(rounds × nodes) and dominated the frontier work itself)
+    val seed = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var frames = List(seed)
+    var frontier = seed
     var hop = 0
     var done = maxHops == 0
     while (!done) {
+      val seen = frames.map(_.select("node")).reduce(_ unionByName _)
       val next = frontier.join(e, col("node") === col("__src"))
         .select(col("__dst").as("node"), (col("dist") + 1L).as("dist"))
-        .join(dist.select("node"), Seq("node"), "left_anti")
+        .join(seen, Seq("node"), "left_anti")
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint() // eager: safe to release the inputs below
+        .localCheckpoint() // eager — each hop's frame materializes once
       hop += 1
-      if (next.isEmpty || hop >= maxHops) done = true
-      val grown = dist.unionByName(next).localCheckpoint()
-      graft.core.Checkpoints.releaseLocal(dist)
-      if (frontier ne dist) graft.core.Checkpoints.releaseLocal(frontier)
-      dist = grown
-      frontier = next
+      val exhausted = next.isEmpty
+      if (!exhausted) { frames = next :: frames; frontier = next }
+      done = exhausted || hop >= maxHops
     }
-    dist
+    val out = frames.reduce(_ unionByName _)
+    graft.core.Checkpoints.releaseLocal(e)
+    out
   }
 }

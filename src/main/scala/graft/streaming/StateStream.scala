@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Continuous ingest for ANY mergeable state family —
+  * [[AggStream]]'s storage discipline (per-batch `__batch_id`
+  * partitions, dynamic-overwrite idempotent replays, explicit-schema
+  * torn-write safety, lost-checkpoint refusal, merge-on-read current
+  * view, bounded compaction) factored over a pluggable [[Model]], so
+  * the sketch families — KLL quantiles ([[graft.operators.QuantileSketch]]),
+  * theta sets ([[graft.operators.ThetaSketchOps]]), HLL
+  * ([[graft.operators.SketchState]]) — ride one proven sink instead of
+  * three re-implementations. The family-specific pieces are exactly
+  * two: fold a raw micro-batch to per-key state rows, and merge
+  * accumulated state rows back to one row per key; both must be
+  * associative+commutative per key (every sketch union is), which is
+  * what makes replays and compaction safe.
+  */
+object StateStream {
+
+  /** `fold`: raw batch → per-key state rows. `merge`: accumulated state
+    * rows (many per key, any order) → one per key. */
+  final case class Model(fold: DataFrame => DataFrame,
+      merge: DataFrame => DataFrame)
+
+  private def maxStoredBatch(fs: FileSystem, path: HPath): Option[Long] =
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("__batch_id="))
+      .flatMap(_.stripPrefix("__batch_id=").toLongOption)
+      .maxOption
+
+  /** One micro-batch: fold and write its state partition. Public so
+    * batch backfills and tests drive the exact sink logic. */
+  def processBatch(batch: DataFrame, batchId: Long, model: Model,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val target = new HPath(statePath)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    maxStoredBatch(fs, target).foreach { m =>
+      require(batchId >= m,
+        s"batch $batchId is behind the stored state (newest partition $m) " +
+          s"at $statePath — a lost or foreign checkpoint would silently " +
+          "clobber accumulated state; refusing")
+    }
+    model.fold(batch)
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(statePath)
+  }
+
+  /** State schema for explicit-schema reads, derived from an empty fold
+    * so it always matches what [[processBatch]] writes. */
+  private def stateSchema(template: DataFrame, model: Model): StructType =
+    model.fold(template.limit(0)).schema.add("__batch_id", LongType)
+
+  /** Current merged state: one row per key. `template` supplies the raw
+    * input columns (usually the source DataFrame). */
+  def current(spark: SparkSession, template: DataFrame, model: Model,
+      statePath: String): DataFrame =
+    model.merge(spark.read
+      .schema(stateSchema(template, model))
+      .parquet(statePath)
+      .drop("__batch_id"))
+
+  /** Fold all partitions into one carrying the newest batch id. */
+  def compact(spark: SparkSession, template: DataFrame, model: Model,
+      statePath: String): Unit = {
+    val target = new HPath(statePath)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    maxStoredBatch(fs, target).foreach { newest =>
+      val stored = spark.read
+        .schema(stateSchema(template, model))
+        .parquet(statePath)
+      val merged = model.merge(stored.drop("__batch_id"))
+        .localCheckpoint() // materialized BEFORE the self-overwrite
+      merged
+        .withColumn("__batch_id", lit(newest))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(statePath)
+      fs.listStatus(target).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("__batch_id=") &&
+          p.getName != s"__batch_id=$newest")
+        .foreach(fs.delete(_, true))
+      graft.core.Checkpoints.releaseLocal(merged)
+    }
+  }
+
+  /** Attach the sink to a streaming source and start it. */
+  def start(rows: DataFrame, model: Model, statePath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rows.writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        processBatch(b, id, model, statePath))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Ready-made model: KLL quantile state over `valueCol`. */
+  def kllModel(keys: Seq[String], valueCol: String,
+      k: Int = 200): Model = Model(
+    fold = b => graft.operators.QuantileSketch.build(b, keys, valueCol, k),
+    merge = s => graft.operators.QuantileSketch.merge(
+      s, s.limit(0), keys, k))
+
+  /** Ready-made model: theta distinct-set state over `valueCol`. */
+  def thetaModel(keys: Seq[String], valueCol: String,
+      lgK: Int = 12): Model = Model(
+    fold = b => graft.operators.ThetaSketchOps.build(b, keys, valueCol, lgK),
+    merge = s => graft.operators.ThetaSketchOps.merge(
+      s, s.limit(0), keys, lgK))
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{QuantileSketch, ThetaSketchOps}
+
+/** The continuous-ingest contract for the sketch state families: KLL
+  * quantile state and theta set state ride [[StateStream]] through
+  * kill/restart micro-batch ingest and land exactly where a one-shot
+  * batch build lands (exact regime: under-capacity sketches make the
+  * equality literal, not approximate). */
+class StateStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ingestInThirds(ev: DataFrame, model: StateStream.Model,
+      dir: String): Unit = {
+    val (in, state, ckpt) = (s"$dir/in", s"$dir/state", s"$dir/ckpt")
+    (0 to 2).foreach { i =>
+      ev.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(in)
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StateStream.start(src, model, state, ckpt)
+      q.awaitTermination()
+      assert(!q.isActive)
+    }
+  }
+
+  test("KLL state: 3-batch kill/restart ingest == direct build " +
+    "(exact-regime quantiles)") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events",
+      parallelize = false)
+    // k = 1024 keeps every per-type group (~200 values at sf0.001)
+    // comfortably under capacity — the exact, deterministic regime
+    val K = 1024
+    val model = StateStream.kllModel(Seq("event_type"), "value", K)
+    val dir = Files.createTempDirectory("graft_kll_stream").toString
+    ingestInThirds(ev, model, dir)
+    val streamed = QuantileSketch.quantiles(
+        StateStream.current(spark, ev, model, s"$dir/state"),
+        Seq("event_type"), Seq(0.25, 0.5, 0.75), K)
+      .as[(String, Double, Double)].collect().toSet
+    val direct = QuantileSketch.quantiles(
+        QuantileSketch.build(ev, Seq("event_type"), "value", K),
+        Seq("event_type"), Seq(0.25, 0.5, 0.75), K)
+      .as[(String, Double, Double)].collect().toSet
+    assert(streamed == direct && streamed.nonEmpty)
+  }
+
+  test("theta state: streamed ingest, compaction, and post-compaction " +
+    "ingest preserve exact distinct sets") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events",
+      parallelize = false)
+    val model = StateStream.thetaModel(Seq("event_type"), "user_id")
+    val dir = Files.createTempDirectory("graft_theta_stream").toString
+    ingestInThirds(ev, model, dir)
+    def estimates(state: DataFrame) =
+      ThetaSketchOps.overlap(state, state, Seq("event_type"))
+        .select("event_type", "n_a")
+        .as[(String, Double)].collect().toMap
+    val direct = estimates(
+      ThetaSketchOps.build(ev, Seq("event_type"), "user_id"))
+    assert(estimates(StateStream.current(spark, ev, model,
+      s"$dir/state")) == direct)
+    // compact to one partition, verify unchanged, then ingest more
+    StateStream.compact(spark, ev, model, s"$dir/state")
+    assert(estimates(StateStream.current(spark, ev, model,
+      s"$dir/state")) == direct)
+    val extra = Seq((999999L, "click", 424242L))
+      .toDF("event_id", "event_type", "user_id")
+    StateStream.processBatch(extra, Long.MaxValue, model, s"$dir/state")
+    val after = estimates(StateStream.current(spark, ev, model,
+      s"$dir/state"))
+    assert(after("click") == direct("click") + 1.0)
+  }
+
+  test("a batch id behind the stored state refuses loudly") {
+    val model = StateStream.thetaModel(Seq("event_type"), "user_id")
+    val dir = Files.createTempDirectory("graft_guard_stream").toString
+    val rows = Seq((1L, "click", 7L)).toDF("event_id", "event_type", "user_id")
+    StateStream.processBatch(rows, 5L, model, s"$dir/state")
+    val e = intercept[IllegalArgumentException] {
+      StateStream.processBatch(rows, 3L, model, s"$dir/state")
+    }
+    assert(e.getMessage.contains("behind the stored state"))
+    // replaying the SAME batch id is the idempotent path, not an error
+    StateStream.processBatch(rows, 5L, model, s"$dir/state")
+  }
+}

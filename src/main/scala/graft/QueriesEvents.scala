@@ -643,6 +643,110 @@ object QueriesEvents {
       |FROM r CROSS JOIN qs
       |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
 
+  // ---------------------------------------------------------------- rfm
+  // RFM customer scoring: recency / frequency / monetary quintiles over
+  // purchase history — the classic segmentation composite, built from
+  // exact primitives (integer day arithmetic, decimal money,
+  // Discretize.equalFrequency whose arithmetic-ntile was proven equal
+  // to the engines' native ntile in q_bins). The global quintile is a
+  // single-partition sort here; at scale score per cohort (a real key)
+  // or swap in sketch cutoffs (Sampling.cutoffForKeepRate) — the
+  // composite itself is unchanged.
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Discretize
+    val p = t(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+    val ref = p.agg(max(unix_micros(col("ts"))).as("ref"))
+    val agg = p.groupBy(col("user_id")).agg(
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(12,2)")).as("mon"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", expr("(ref - last_us) div 86400000000"))
+      .withColumn("__all", lit(1))
+    val binned = Seq(("recency_days", "__br"), ("frequency", "__bf"),
+      ("mon", "__bm")).foldLeft(agg) { case (d, (v, b)) =>
+        Discretize.equalFrequency(d, "__all", v, "user_id", 5, b)
+      }
+    binned.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("mon").cast("double").as("monetary"),
+      (lit(6) - col("__br")).cast("int").as("r"),
+      col("__bf").as("f"), col("__bm").as("m"),
+      ((lit(6) - col("__br")) * 100 + col("__bf") * 10 + col("__bm"))
+        .cast("int").as("segment"))
+  }
+
+  val qRfmSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(12,2))
+      |    AS v
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |r0 AS (SELECT max(t) AS ref FROM p),
+      |a AS (
+      |  SELECT user_id, max(t) AS last_us, count(*) AS frequency,
+      |    sum(v) AS mon
+      |  FROM p GROUP BY 1),
+      |b AS (
+      |  SELECT user_id, (ref - last_us) // 86400000000 AS recency_days,
+      |    frequency, mon
+      |  FROM a CROSS JOIN r0),
+      |s AS (
+      |  SELECT user_id, recency_days, CAST(frequency AS BIGINT)
+      |      AS frequency,
+      |    CAST(mon AS DOUBLE) AS monetary,
+      |    CAST(6 - ntile(5) OVER (ORDER BY recency_days, user_id) AS INT)
+      |      AS r,
+      |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f,
+      |    CAST(ntile(5) OVER (ORDER BY mon, user_id) AS INT) AS m
+      |  FROM b)
+      |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+      |  r * 100 + f * 10 + m AS segment
+      |FROM s""".stripMargin
+
+  // ------------------------------------------------------ session stats
+  // Per-session aggregates over 1-day-gap sessions: length, duration,
+  // conversion flag — the composite downstream of sessionization that
+  // funnels/engagement dashboards actually consume.
+  def qSessionStats(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 86400000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+  }
+
+  val qSessionStatsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) IS NULL
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY
+      |        user_id ORDER BY ts, event_id) > 86400000000
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_type, t,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM e)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  max(t) - min(t) AS duration_us,
+      |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS INT) AS converted
+      |FROM g GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- theta algebra
   // Audience overlap from theta sketch STATE: daily click-user and
   // purchase-user sketches intersect/difference without touching raw
@@ -755,6 +859,8 @@ object QueriesEvents {
     "q_nearest_event" -> (qNearestEvent _),
     "q_quantile_state" -> (qQuantileState _),
     "q_theta_overlap" -> (qThetaOverlap _),
+    "q_rfm" -> (qRfm _),
+    "q_session_stats" -> (qSessionStats _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -779,6 +885,8 @@ object QueriesEvents {
     "q_nearest_event" -> qNearestEventSql,
     "q_quantile_state" -> qQuantileStateSql,
     "q_theta_overlap" -> qThetaOverlapSql,
+    "q_rfm" -> qRfmSql,
+    "q_session_stats" -> qSessionStatsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_salted_agg" -> qSaltedAggSql,

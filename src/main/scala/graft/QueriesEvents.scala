@@ -643,6 +643,53 @@ object QueriesEvents {
       |FROM r CROSS JOIN qs
       |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
 
+  // ------------------------------------------------- period-over-period
+  // Daily revenue with previous-day percent change and a trailing 7-row
+  // moving average — the reporting composite over one date-ordered
+  // window sort. Revenue is exact decimal; pct/moving-average are
+  // fixed-shape double divisions of exact partials (avg() itself is
+  // avoided: its decimal intermediate rounding is engine-specific).
+  def qPop(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("day"))
+    val frame = w.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("mov_sum", sum(col("rev")).over(frame))
+      .withColumn("mov_n", count(lit(1)).over(frame))
+      .select(col("day").cast("string").as("day"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        when(col("prev").isNotNull && col("prev") =!= 0,
+          (col("rev").cast("double") - col("prev").cast("double")) /
+            col("prev").cast("double")).as("pct_change"),
+        (col("mov_sum").cast("double") / col("mov_n").cast("double"))
+          .as("mov_avg_7"))
+  }
+
+  val qPopSql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT day, n_orders, rev,
+      |    lag(rev) OVER (ORDER BY day) AS prev,
+      |    sum(rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_sum,
+      |    count(*) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_n
+      |  FROM d)
+      |SELECT day, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      |  CASE WHEN prev IS NOT NULL AND prev <> 0
+      |    THEN (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+      |         / CAST(prev AS DOUBLE) END AS pct_change,
+      |  CAST(mov_sum AS DOUBLE) / CAST(mov_n AS DOUBLE) AS mov_avg_7
+      |FROM w""".stripMargin
+
   // ---------------------------------------------------------------- rfm
   // RFM customer scoring: recency / frequency / monetary quintiles over
   // purchase history — the classic segmentation composite, built from
@@ -860,6 +907,7 @@ object QueriesEvents {
     "q_quantile_state" -> (qQuantileState _),
     "q_theta_overlap" -> (qThetaOverlap _),
     "q_rfm" -> (qRfm _),
+    "q_pop" -> (qPop _),
     "q_session_stats" -> (qSessionStats _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
@@ -886,6 +934,7 @@ object QueriesEvents {
     "q_quantile_state" -> qQuantileStateSql,
     "q_theta_overlap" -> qThetaOverlapSql,
     "q_rfm" -> qRfmSql,
+    "q_pop" -> qPopSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -164,8 +164,59 @@ object QueriesProjection {
        |  FROM scored) WHERE rank <= $HamK""".stripMargin
   }
 
+  // --------------------------------------------- embedding preprocessing
+  // L2 normalization (unit vectors — the preprocessing step before any
+  // cosine structure is built) and per-label mean pooling (the
+  // chunk→document embedding composition). Both exact-decimal dots/sums
+  // with one fixed-shape double division per element.
+  def qEmbedNorm(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.similarity.CosineSearch.withNormSq(
+      t(s, dir, "embeddings"), "embedding")
+    e.filter(col("norm_sq").cast("double") > 0.0)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .join(e.select(col("vec_id"), col("norm_sq")), Seq("vec_id"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        (col("x").cast("double") / sqrt(col("norm_sq").cast("double")))
+          .as("v"))
+  }
+
+  val qEmbedNormSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+      |    AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS norm_sq
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+      |  GROUP BY vec_id, embedding)
+      |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+      |  CAST(embedding[i] AS DOUBLE) / sqrt(CAST(norm_sq AS DOUBLE)) AS v
+      |FROM n CROSS JOIN range(1, 65) t(i)
+      |WHERE CAST(norm_sq AS DOUBLE) > 0.0""".stripMargin
+
+  def qEmbedPool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast("double").cast("decimal(20,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("mean_v"))
+
+  // VARCHAR waypoint before the decimal cast: Spark's double->decimal
+  // rounds the shortest-round-trip digits (BigDecimal.decimal), DuckDB's
+  // direct cast rounds the exact binary value — the same half-boundary
+  // divergence q_rand_proj documented.
+  val qEmbedPoolSql: String =
+    """SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+      |  CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+      |    AS DECIMAL(20,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS mean_v
+      |FROM embeddings CROSS JOIN range(1, 65) t(i)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hamming_topk" -> (qHammingTopk _),
+    "q_embed_norm" -> (qEmbedNorm _),
+    "q_embed_pool" -> (qEmbedPool _),
     "q_rand_proj" -> (qRandProj _),
     "q_proj_topk" -> (qProjTopk _),
   )
@@ -174,5 +225,7 @@ object QueriesProjection {
     "q_rand_proj" -> qRandProjSql,
     "q_proj_topk" -> qProjTopkSql,
     "q_hamming_topk" -> qHammingTopkSql,
+    "q_embed_norm" -> qEmbedNormSql,
+    "q_embed_pool" -> qEmbedPoolSql,
   )
 }

@@ -463,6 +463,46 @@ class PlanSpec extends SparkSpec {
       s"decorrelated aggregate joins expected:\n$p")
   }
 
+  test("q_mannwhitney windows over the distinct-value table only") {
+    val p = plan("q_mannwhitney")
+    assert(count(p, "\\(\\d+\\) Window") == 1, s"window count:\n$p")
+    assert(count(p, "\\(\\d+\\) Sort") == 1, s"sort count:\n$p")
+  }
+
+  test("q_spearman's four rank windows and the closing aggregation " +
+    "share one key exchange") {
+    val p = plan("q_spearman")
+    assert(count(p, "hashpartitioning") == 1, s"exchanges:\n$p")
+    assert(count(p, "\\(\\d+\\) Window") == 5, s"window count:\n$p")
+  }
+
+  test("q_hamming_topk screens with bounded aggregation — no window " +
+    "over the query × corpus fan-out, queries broadcast") {
+    val p = plan("q_hamming_topk")
+    assert(count(p, "\\(\\d+\\) Window") == 0, s"no window allowed:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded screen missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildLeft"),
+      s"query side must broadcast into the scan:\n$p")
+  }
+
+  test("sketch state builds aggregate partially before their exchanges " +
+    "(theta and KLL)") {
+    for (q <- Seq("q_theta_overlap", "q_quantile_state")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q:\n$p")
+      // every sketch exchange ships merged partials, not raw rows:
+      // each Exchange pairs with a partial ObjectHashAggregate below it
+      assert(count(p, "partial_") >= 1, s"$q must combine map-side:\n$p")
+    }
+  }
+
+  test("q_ewma is one key exchange, one in-partition sort, one pass") {
+    val p = plan("q_ewma")
+    assert(count(p, "hashpartitioning") == 1, s"exchanges:\n$p")
+    assert(count(p, "\\(\\d+\\) Sort") == 1, s"sort count:\n$p")
+    assert(p.contains("MapPartitions"), s"sequential pass missing:\n$p")
+  }
+
   test("q_setops plans INTERSECT/EXCEPT as distinct semi/anti joins") {
     val p = plan("q_setops")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),

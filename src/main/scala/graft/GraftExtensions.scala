@@ -59,7 +59,12 @@ object GraftExtensions {
       info("geo_dist",
         "geo_dist(latA, lonA, latB, lonB) - equirectangular distance in km"),
       arity("geo_dist", 4)(args =>
-        graft.functions.GeoDist(args(0), args(1), args(2), args(3)))))
+        graft.functions.GeoDist(args(0), args(1), args(2), args(3)))),
+    ("compress_ratio",
+      info("compress_ratio",
+        "compress_ratio(str) - deflate bytes / raw bytes redundancy signal"),
+      arity("compress_ratio", 1)(args =>
+        graft.functions.CompressRatio(args.head))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -311,6 +311,16 @@ object QueriesText {
        |  FROM terms)
        |GROUP BY 1, 2""".stripMargin
 
+  // Deflate-redundancy quality signal (Gopher-family): map-side native
+  // expression; zlib output is build-scoped, so this is registered
+  // WITHOUT a SQL oracle (driver rows-only check) — the orderings that
+  // make it a usable filter are spec-pinned in CompressRatioSpec.
+  def qCompressRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.CompressRatioExpr.compress_ratio(col("text"))
+          .as("compress_ratio"))
+
   // Jensen-Shannon drift of each source's token distribution against
   // the corpus: integer counts -> fixed-shape probabilities -> per-term
   // contributions rounded DECIMAL(20,12) (the PMI ln treatment) ->
@@ -997,6 +1007,7 @@ object QueriesText {
     "q_wor_sample" -> (qWorSample _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_js_div" -> (qJsDiv _),
+    "q_compress_ratio" -> (qCompressRatio _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),

@@ -311,6 +311,67 @@ object QueriesText {
        |  FROM terms)
        |GROUP BY 1, 2""".stripMargin
 
+  // T5-style span corruption: deterministic md5 span starts, merged
+  // runs, numbered sentinels — the full denoising-objective prep
+  // replayed token-for-token by the oracle (string_agg ORDER BY pos on
+  // the DuckDB side, order-pinned array fold on the Spark side).
+  def qSpanCorrupt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanCorrupt.corrupt(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  val qSpanCorruptSql: String = {
+    val foldKey = "(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))"
+    val fold =
+      s"list_reduce(list_transform(regexp_split_to_array(" +
+        s"substr(md5($foldKey), 1, 6), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, pos FROM (
+       |    SELECT doc_id, unnest(ws) AS tok,
+       |      unnest(range(len(ws))) AS pos
+       |    FROM (SELECT doc_id,
+       |      regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |      FROM documents) d)
+       |  WHERE tok <> ''),
+       |flags AS (
+       |  SELECT doc_id, tok, pos,
+       |    CASE WHEN $fold % 20 = 0 THEN 1 ELSE 0 END AS start
+       |  FROM toks),
+       |m AS (
+       |  SELECT doc_id, tok, pos,
+       |    max(start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked
+       |  FROM flags),
+       |o AS (
+       |  SELECT doc_id, tok, pos, masked,
+       |    CASE WHEN masked AND coalesce(NOT lag(masked) OVER (
+       |        PARTITION BY doc_id ORDER BY pos), TRUE)
+       |      THEN 1 ELSE 0 END AS opens
+       |  FROM m),
+       |k AS (
+       |  SELECT doc_id, tok, pos, masked, opens,
+       |    sum(opens) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) - 1 AS kk
+       |  FROM o),
+       |pieces AS (
+       |  SELECT doc_id, pos, masked,
+       |    CASE WHEN NOT masked THEN tok
+       |         WHEN opens = 1 THEN '<extra_id_' || CAST(kk AS VARCHAR) || '>'
+       |    END AS src_piece,
+       |    CASE WHEN opens = 1 THEN '<extra_id_' || CAST(kk AS VARCHAR)
+       |           || '> ' || tok
+       |         WHEN masked THEN tok
+       |    END AS tgt_piece
+       |  FROM k)
+       |SELECT doc_id,
+       |  coalesce(string_agg(src_piece, ' ' ORDER BY pos), '') AS corrupted,
+       |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target,
+       |  count(*) AS n_tokens,
+       |  CAST(count(*) FILTER (masked) AS BIGINT) AS n_masked
+       |FROM pieces GROUP BY 1""".stripMargin
+  }
+
   // Deflate-redundancy quality signal (Gopher-family): map-side native
   // expression; zlib output is build-scoped, so this is registered
   // WITHOUT a SQL oracle (driver rows-only check) — the orderings that
@@ -1008,6 +1069,7 @@ object QueriesText {
     "q_feature_hash" -> (qFeatureHash _),
     "q_js_div" -> (qJsDiv _),
     "q_compress_ratio" -> (qCompressRatio _),
+    "q_span_corrupt" -> (qSpanCorrupt _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -1042,6 +1104,7 @@ object QueriesText {
     "q_wor_sample" -> qWorSampleSql,
     "q_feature_hash" -> qFeatureHashSql,
     "q_js_div" -> qJsDivSql,
+    "q_span_corrupt" -> qSpanCorruptSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,

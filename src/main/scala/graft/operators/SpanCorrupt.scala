@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** T5-style span corruption — the denoising-objective prep step: mask
+  * contiguous token spans, replace each masked run with a numbered
+  * sentinel in the input, and emit the (sentinel, original tokens)
+  * sequence as the target. Public recipe (Raffel et al., "Exploring the
+  * Limits of Transfer Learning", §3.1.4), re-expressed relationally:
+  *
+  *  - span STARTS are chosen deterministically — a token index starts a
+  *    span iff the md5 fold of (doc_id, index) falls under the start
+  *    rate. No RNG state: the corruption replays identically across
+  *    runs, partitionings, and engines (the md5-decision idiom the
+  *    sampling family uses);
+  *  - a token is masked iff a start fell within the last `spanLen`
+  *    indices — ONE running-max window per doc (overlapping spans merge
+  *    into longer runs, exactly like the reference implementation);
+  *  - runs are numbered by a cumulative sum of run-opening flags over
+  *    the same sort, and both output strings reassemble with an
+  *    order-pinned in-row array fold.
+  *
+  * Work: tokenize → one per-doc window sort → one groupBy. Nothing is
+  * corpus-global, so the operator scales with documents.
+  */
+object SpanCorrupt {
+
+  /** (doc_id, corrupted, target, n_tokens, n_masked) per document.
+    * `startDenom`: a span starts at ~1/startDenom of token positions
+    * (default 20 → 5% starts × spanLen 3 ≈ 15% masked). Sentinels
+    * render as `<extra_id_K>`, K 0-based per document. */
+  def corrupt(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3, startDenom: Int = 20): DataFrame = {
+    require(spanLen >= 1 && startDenom >= 1,
+      s"bad spanLen=$spanLen startDenom=$startDenom")
+    val toks = docs.select(col(idCol),
+        posexplode(split(TextFunctions.normalize(col(textCol)), " "))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val fold = conv(substring(md5(
+        concat(col(idCol).cast("string"), lit(":"), col("pos").cast("string"))),
+      1, 6), 16, 10).cast("long")
+    val isStart = (fold % startDenom === 0).cast("int")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val nearWin = byDoc.rowsBetween(-(spanLen - 1), Window.currentRow)
+    val runWin = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = toks
+      .withColumn("start", isStart)
+      // token positions are dense (posexplode), so the ROWS frame is
+      // exactly the last spanLen indices
+      .withColumn("masked", max(col("start")).over(nearWin) === 1)
+      .withColumn("opens",
+        (col("masked") &&
+          coalesce(!lag(col("masked"), 1).over(byDoc), lit(true))).cast("int"))
+      .withColumn("k", sum(col("opens")).over(runWin) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))
+    val srcPiece = when(!col("masked"), col("tok"))
+      .when(col("opens") === 1, sentinel)
+    val tgtPiece = when(col("opens") === 1, concat(sentinel, lit(" "), col("tok")))
+      .when(col("masked"), col("tok"))
+    def assemble(piece: Column): Column =
+      concat_ws(" ", filter(
+        transform(array_sort(collect_list(struct(col("pos"), piece.as("p")))),
+          x => x.getField("p")),
+        p => p.isNotNull))
+    flagged.groupBy(col(idCol))
+      .agg(assemble(srcPiece).as("corrupted"),
+        assemble(tgtPiece).as("target"),
+        count(lit(1)).as("n_tokens"),
+        count_if(col("masked")).as("n_masked"))
+  }
+}

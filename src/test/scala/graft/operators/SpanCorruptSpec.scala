@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class SpanCorruptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.Tables
+    .load(spark, "/root/testdata/sf0.001", "documents", parallelize = false)
+    .limit(60).cache()
+
+  /** Substitute each sentinel in `corrupted` with its span from
+    * `target` — must reproduce the normalized original. */
+  private def reconstruct(corrupted: String, target: String): String = {
+    val spans = target.split("<extra_id_\\d+> ").toSeq
+      .filter(_.nonEmpty).map(_.trim)
+    var k = 0
+    corrupted.split(" ").flatMap { tok =>
+      if (tok.matches("<extra_id_\\d+>")) {
+        val out = spans(k).split(" ").toSeq; k += 1; out
+      } else Seq(tok)
+    }.mkString(" ")
+  }
+
+  test("sentinel substitution reconstructs the normalized original") {
+    val out = SpanCorrupt.corrupt(docs, "doc_id", "text")
+      .select("doc_id", "corrupted", "target")
+      .as[(Long, String, String)].collect()
+    val originals = docs
+      .select(col("doc_id"), TextFunctions.normalize(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, corr, tgt) =>
+      assert(reconstruct(corr, tgt) == originals(id), s"doc $id")
+    }
+  }
+
+  test("sentinels number densely from 0 and match between sides") {
+    val out = SpanCorrupt.corrupt(docs, "doc_id", "text")
+      .select("corrupted", "target").as[(String, String)].collect()
+    val re = "<extra_id_(\\d+)>".r
+    out.foreach { case (corr, tgt) =>
+      val a = re.findAllMatchIn(corr).map(_.group(1).toInt).toSeq
+      val b = re.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(a == b)
+      assert(a == a.indices.toSeq, s"not dense: $a")
+    }
+  }
+
+  test("masked fraction sits near the configured rate and is " +
+    "partitioning-invariant") {
+    val one = SpanCorrupt.corrupt(docs, "doc_id", "text")
+      .agg(sum("n_masked").cast("double") / sum("n_tokens").cast("double"))
+      .as[Double].collect().head
+    assert(one > 0.05 && one < 0.4, s"masked fraction $one")
+    val redistributed = SpanCorrupt.corrupt(
+        docs.repartition(7), "doc_id", "text")
+      .select("doc_id", "corrupted").as[(Long, String)].collect().toMap
+    val base = SpanCorrupt.corrupt(docs, "doc_id", "text")
+      .select("doc_id", "corrupted").as[(Long, String)].collect().toMap
+    assert(redistributed == base)
+  }
+}

@@ -372,6 +372,40 @@ object QueriesText {
        |FROM pieces GROUP BY 1""".stripMargin
   }
 
+  // Fill-in-the-middle: md5-drawn cut points, PSM rendering — map-side
+  // only; the oracle replays draw arithmetic and 1-based list slicing.
+  def qFim(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanCorrupt.fim(t(s, dir, "documents"), "doc_id", "text")
+
+  val qFimSql: String = {
+    def fold(tag: String) =
+      s"list_reduce(list_transform(regexp_split_to_array(" +
+        s"substr(md5(CAST(doc_id AS VARCHAR) || '$tag'), 1, 6), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+       |    ${fold(":f1")} % (CAST(len(ws) AS BIGINT) + 1) AS c1
+       |  FROM d WHERE len(ws) > 0 AND ws[1] <> ''),
+       |c AS (
+       |  SELECT doc_id, ws, n, c1,
+       |    c1 + ${fold(":f2")} % (n - c1 + 1) AS c2
+       |  FROM b)
+       |SELECT doc_id, n AS n_tokens, c1, c2,
+       |  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+       |  -- (Spark's array_join is ''), and || would poison the row
+       |  '<PRE> ' || coalesce(array_to_string(ws[1:CAST(c1 AS INT)], ' '), '')
+       |    || ' <SUF> ' || coalesce(array_to_string(
+       |      ws[CAST(c2 + 1 AS INT):CAST(n AS INT)], ' '), '')
+       |    || ' <MID> ' || coalesce(array_to_string(
+       |      ws[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '), '') AS fim
+       |FROM c""".stripMargin
+  }
+
   // Deflate-redundancy quality signal (Gopher-family): map-side native
   // expression; zlib output is build-scoped, so this is registered
   // WITHOUT a SQL oracle (driver rows-only check) — the orderings that
@@ -1070,6 +1104,7 @@ object QueriesText {
     "q_js_div" -> (qJsDiv _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_span_corrupt" -> (qSpanCorrupt _),
+    "q_fim" -> (qFim _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -1105,6 +1140,7 @@ object QueriesText {
     "q_feature_hash" -> qFeatureHashSql,
     "q_js_div" -> qJsDivSql,
     "q_span_corrupt" -> qSpanCorruptSql,
+    "q_fim" -> qFimSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,

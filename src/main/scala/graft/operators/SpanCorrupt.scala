@@ -29,6 +29,37 @@ import graft.functions.TextFunctions
   */
 object SpanCorrupt {
 
+  /** Fill-in-the-middle transform (Bavarian et al., "Efficient Training
+    * of Language Models to Fill in the Middle"): split each document's
+    * token stream at two deterministic md5-drawn cut points and emit the
+    * PSM rendering `<PRE> prefix <SUF> suffix <MID> middle`. Entirely
+    * map-side — in-row array slicing, no window, no shuffle — so it
+    * composes freely after curation at any scale. Cut draws:
+    * c1 uniform on [0, n], c2 uniform on [c1, n] (empty prefix, middle,
+    * or suffix are all legal, as in the reference recipe). Documents
+    * whose normalized text is empty are dropped. */
+  def fim(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def fold(tag: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(tag))),
+        1, 6), 16, 10).cast("long")
+    val base = docs
+      .select(col(idCol),
+        split(TextFunctions.normalize(col(textCol)), " ").as("ws"))
+      .filter(size(col("ws")) > 0 && element_at(col("ws"), 1) =!= "")
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("c1", fold(":f1") % (col("n") + 1))
+      .withColumn("c2", col("c1") + fold(":f2") % (col("n") - col("c1") + 1))
+    base.select(col(idCol), col("n").as("n_tokens"), col("c1"), col("c2"),
+      concat(lit("<PRE> "),
+        array_join(slice(col("ws"), lit(1), col("c1").cast("int")), " "),
+        lit(" <SUF> "),
+        array_join(slice(col("ws"), (col("c2") + 1).cast("int"),
+          (col("n") - col("c2")).cast("int")), " "),
+        lit(" <MID> "),
+        array_join(slice(col("ws"), (col("c1") + 1).cast("int"),
+          (col("c2") - col("c1")).cast("int")), " ")).as("fim"))
+  }
+
   /** (doc_id, corrupted, target, n_tokens, n_masked) per document.
     * `startDenom`: a span starts at ~1/startDenom of token positions
     * (default 20 → 5% starts × spanLen 3 ≈ 15% masked). Sentinels

@@ -50,6 +50,30 @@ class SpanCorruptSpec extends SparkSpec {
     }
   }
 
+  test("fim: PSM parts reassemble to the original; cuts in bounds; " +
+    "map-side only") {
+    val out = SpanCorrupt.fim(docs, "doc_id", "text")
+    val rows = out.select("doc_id", "n_tokens", "c1", "c2", "fim")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val originals = docs
+      .select(col("doc_id"), TextFunctions.normalize(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, c1, c2, fim) =>
+      assert(0 <= c1 && c1 <= c2 && c2 <= n, s"doc $id cuts $c1/$c2/$n")
+      val m = "(?s)<PRE> (.*) <SUF> (.*) <MID> (.*)".r
+      fim match {
+        case m(pre, suf, mid) =>
+          val joined = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+          assert(joined == originals(id), s"doc $id")
+        case _ => fail(s"bad fim shape for doc $id: $fim")
+      }
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fim must stay map-side:\n$plan")
+  }
+
   test("masked fraction sits near the configured rate and is " +
     "partitioning-invariant") {
     val one = SpanCorrupt.corrupt(docs, "doc_id", "text")

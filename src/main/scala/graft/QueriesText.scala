@@ -372,6 +372,51 @@ object QueriesText {
        |FROM pieces GROUP BY 1""".stripMargin
   }
 
+  // BERT-style MLM masking: 15% selection, 80/10/10 mask/random/keep,
+  // doc-local replacement draw — all md5 arithmetic, replayed by the
+  // oracle with the unnest + ordered-string_agg formulation.
+  def qMlmMask(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanCorrupt.mlm(t(s, dir, "documents"), "doc_id", "text")
+
+  val qMlmMaskSql: String = {
+    def fold(tag: String) =
+      s"list_reduce(list_transform(regexp_split_to_array(" +
+        s"substr(md5(CAST(doc_id AS VARCHAR) || ':$tag:' " +
+        s"|| CAST(pos AS VARCHAR)), 1, 6), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |  FROM documents),
+       |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM d
+       |      WHERE len(ws) > 0 AND ws[1] <> ''),
+       |toks AS (
+       |  SELECT doc_id, n, ws, unnest(ws) AS tok,
+       |    unnest(range(len(ws))) AS pos
+       |  FROM b),
+       |m AS (
+       |  SELECT doc_id, n, pos, tok,
+       |    ${fold("m1")} % 100 < 15 AS sel,
+       |    ${fold("m2")} % 10 AS action,
+       |    ws[CAST(${fold("m3")} % n + 1 AS INT)] AS repl
+       |  FROM toks),
+       |p AS (
+       |  SELECT doc_id, n, pos, tok, sel,
+       |    CASE WHEN NOT sel THEN tok
+       |         WHEN action <= 7 THEN '[MASK]'
+       |         WHEN action = 8 THEN repl
+       |         ELSE tok END AS out_tok
+       |  FROM m)
+       |SELECT doc_id,
+       |  string_agg(out_tok, ' ' ORDER BY pos) AS masked,
+       |  coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (sel), '')
+       |    AS labels,
+       |  CAST(any_value(n) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) FILTER (sel) AS BIGINT) AS n_selected
+       |FROM p GROUP BY 1""".stripMargin
+  }
+
   // Fill-in-the-middle: md5-drawn cut points, PSM rendering — map-side
   // only; the oracle replays draw arithmetic and 1-based list slicing.
   def qFim(s: SparkSession, dir: String): DataFrame =
@@ -1105,6 +1150,7 @@ object QueriesText {
     "q_compress_ratio" -> (qCompressRatio _),
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_fim" -> (qFim _),
+    "q_mlm_mask" -> (qMlmMask _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -1141,6 +1187,7 @@ object QueriesText {
     "q_js_div" -> qJsDivSql,
     "q_span_corrupt" -> qSpanCorruptSql,
     "q_fim" -> qFimSql,
+    "q_mlm_mask" -> qMlmMaskSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,

@@ -29,6 +29,47 @@ import graft.functions.TextFunctions
   */
 object SpanCorrupt {
 
+  /** BERT-style masked-language-model corruption (Devlin et al.): ~15%
+    * of tokens are selected; of those, 80% become `[MASK]`, 10% are
+    * replaced by a random token, 10% stay unchanged — every choice an
+    * md5 draw on (doc, position), so the corruption replays identically
+    * on any engine/partitioning. The "random" replacement draws from
+    * the DOCUMENT'S OWN token array (in-row — a corpus-global vocabulary
+    * draw would turn a map-only transform into a join; doc-local
+    * replacement is the standard practical compromise and keeps this
+    * zero-shuffle). Output: (id, masked, labels, n_tokens, n_selected) —
+    * `labels` is the original tokens at selected positions in order. */
+  def mlm(docs: DataFrame, idCol: String, textCol: String,
+      selectPct: Int = 15): DataFrame = {
+    require(selectPct >= 1 && selectPct <= 100, s"bad selectPct=$selectPct")
+    val base = docs
+      .select(col(idCol),
+        split(TextFunctions.normalize(col(textCol)), " ").as("ws"))
+      .filter(size(col("ws")) > 0 && element_at(col("ws"), 1) =!= "")
+      .withColumn("n", size(col("ws")).cast("long"))
+    def fold(tag: String, i: Column): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        lit(tag), lit(":"), i.cast("string"))), 1, 6), 16, 10).cast("long")
+    def sel(i: Column): Column = fold("m1", i) % 100 < selectPct
+    val withArrays = base
+      .withColumn("masked_arr",
+        zip_with(col("ws"), sequence(lit(0L), col("n") - 1L), (tok, i) =>
+          when(sel(i),
+            when(fold("m2", i) % 10 <= 7, lit("[MASK]"))
+              .when(fold("m2", i) % 10 === 8,
+                element_at(col("ws"), (fold("m3", i) % col("n") + 1).cast("int")))
+              .otherwise(tok))
+            .otherwise(tok)))
+      .withColumn("label_arr",
+        filter(zip_with(col("ws"), sequence(lit(0L), col("n") - 1L),
+          (tok, i) => when(sel(i), tok)), t => t.isNotNull))
+    withArrays.select(col(idCol),
+      array_join(col("masked_arr"), " ").as("masked"),
+      array_join(col("label_arr"), " ").as("labels"),
+      col("n").as("n_tokens"),
+      size(col("label_arr")).cast("long").as("n_selected"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al., "Efficient Training
     * of Language Models to Fill in the Middle"): split each document's
     * token stream at two deterministic md5-drawn cut points and emit the

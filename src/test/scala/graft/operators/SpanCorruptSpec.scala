@@ -74,6 +74,40 @@ class SpanCorruptSpec extends SparkSpec {
       s"fim must stay map-side:\n$plan")
   }
 
+  test("mlm: token counts align, unselected tokens unchanged, action " +
+    "mix near 80/10/10, zero-shuffle plan") {
+    val out = SpanCorrupt.mlm(docs, "doc_id", "text")
+    val rows = out
+      .select("doc_id", "masked", "labels", "n_tokens", "n_selected")
+      .as[(Long, String, String, Long, Long)].collect()
+    val originals = docs
+      .select(col("doc_id"), TextFunctions.normalize(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    var masks = 0L; var changedNonMask = 0L; var selected = 0L
+    rows.foreach { case (id, masked, labels, n, nSel) =>
+      val orig = originals(id).split(" ")
+      val out = masked.split(" ")
+      assert(out.length == n && orig.length == n, s"doc $id token count")
+      assert(labels.split(" ").count(_.nonEmpty) <= nSel)
+      selected += nSel
+      orig.zip(out).foreach { case (o, m) =>
+        if (m == "[MASK]") masks += 1
+        else if (m != o) changedNonMask += 1
+      }
+    }
+    val total = rows.map(_._4).sum
+    assert(selected > total * 8 / 100 && selected < total * 25 / 100,
+      s"selected $selected of $total")
+    // [MASK] ≈ 80% of selections; random-changed ≤ the 10% arm (same-
+    // token draws leave it below)
+    assert(masks > selected * 6 / 10, s"masks $masks of $selected")
+    assert(changedNonMask < selected * 2 / 10,
+      s"random-changed $changedNonMask of $selected")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"mlm must stay map-side:\n$plan")
+  }
+
   test("masked fraction sits near the configured rate and is " +
     "partitioning-invariant") {
     val one = SpanCorrupt.corrupt(docs, "doc_id", "text")

@@ -42,6 +42,6 @@ class GraftExtensionsSpec extends SparkSpec {
     e.apply(ext) // must not throw; function injection is deferred to build
     assert(GraftExtensions.functions.map(_._1) ==
       Seq("rolling_hash", "float_dot", "decimal_dot", "int_dot",
-        "jaro_winkler", "geo_dist"))
+        "jaro_winkler", "geo_dist", "compress_ratio"))
   }
 }

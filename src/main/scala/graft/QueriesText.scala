@@ -372,6 +372,63 @@ object QueriesText {
        |FROM pieces GROUP BY 1""".stripMargin
   }
 
+  // Reciprocal rank fusion of two document rankings (length and lexical
+  // diversity; the second truncated to its top 100 so the missing-item
+  // zero-contribution path is exercised). Fixed-shape reciprocal sums —
+  // bit-reproducible — and the full-outer alignment replayed exactly.
+  def qRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val byLength = docs.select(col("doc_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars").desc, col("doc_id"))).as("r"))
+    val byDiversity = docs
+      .select(col("doc_id"),
+        explode(split(graft.functions.TextFunctions.normalize(col("text")),
+          " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nd"))
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("nd").desc, col("doc_id"))).as("r"))
+      .filter(col("r") <= 100)
+    graft.operators.RankFusion.rrf(
+      Seq(byLength, byDiversity), "doc_id", "r", 50)
+  }
+
+  val qRrfSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+       |  FROM documents),
+       |terms AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(ws) AS term FROM (
+       |      SELECT doc_id,
+       |        regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |      FROM documents) d)
+       |  WHERE term <> ''),
+       |b0 AS (
+       |  SELECT doc_id, count(DISTINCT term) AS nd FROM terms GROUP BY 1),
+       |b AS (
+       |  SELECT doc_id, r FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY nd DESC, doc_id) AS r
+       |    FROM b0) WHERE r <= 100),
+       |f AS (
+       |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |    (CASE WHEN a.r IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |        / (CAST(60.0 AS DOUBLE) + CAST(a.r AS DOUBLE))
+       |      ELSE CAST(0.0 AS DOUBLE) END)
+       |    + (CASE WHEN b.r IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |        / (CAST(60.0 AS DOUBLE) + CAST(b.r AS DOUBLE))
+       |      ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT doc_id, rrf_score, fused_rank FROM (
+       |  SELECT doc_id, rrf_score, row_number() OVER (
+       |    ORDER BY rrf_score DESC, doc_id) AS fused_rank
+       |  FROM f) WHERE fused_rank <= 50""".stripMargin
+
   // BERT-style MLM masking: 15% selection, 80/10/10 mask/random/keep,
   // doc-local replacement draw — all md5 arithmetic, replayed by the
   // oracle with the unnest + ordered-string_agg formulation.
@@ -1151,6 +1208,7 @@ object QueriesText {
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_fim" -> (qFim _),
     "q_mlm_mask" -> (qMlmMask _),
+    "q_rrf" -> (qRrf _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -1188,6 +1246,7 @@ object QueriesText {
     "q_span_corrupt" -> qSpanCorruptSql,
     "q_fim" -> qFimSql,
     "q_mlm_mask" -> qMlmMaskSql,
+    "q_rrf" -> qRrfSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,

@@ -213,8 +213,64 @@ object QueriesProjection {
       |FROM embeddings CROSS JOIN range(1, 65) t(i)
       |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------- hard negatives
+  // Contrastive-training prep: each query's HARDEST legitimate negative
+  // — the most similar corpus vector BELOW the near-duplicate threshold
+  // (an above-threshold pick would be a false negative: the same
+  // content). Exact decimal cosine + bounded top-1 aggregation; the
+  // oracle replays scoring, threshold, and argmax.
+  private val HardNegThreshold = 0.95
+
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.CosineSearch
+    val e = t(s, dir, "embeddings")
+    val c = CosineSearch.withNormSq(e, "embedding")
+      .select(col("vec_id").as("nn_id"), col("embedding").as("nn_vec"),
+        col("norm_sq").as("nn_norm_sq"))
+    val q = CosineSearch.withNormSq(e.filter(col("vec_id") < NQueries),
+        "embedding")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("norm_sq").as("q_norm_sq"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos_sim", CosineSearch.cosine(
+        CosineSearch.dotDecimal(col("q_vec"), col("nn_vec")),
+        col("q_norm_sq"), col("nn_norm_sq")))
+      .filter(col("cos_sim") < HardNegThreshold)
+      .select(col("query_id"), col("nn_id"), col("cos_sim"))
+    graft.operators.TopKAggregator.topKPerGroup(
+        scored, Seq("query_id"), "nn_id", "cos_sim", 1)
+      .select(col("query_id"), col("nn_id").as("hard_negative_id"),
+        col("cos_sim"))
+  }
+
+  val qHardNegativesSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |    AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS norm_sq
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY vec_id, embedding),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |      AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS dot,
+       |    any_value(q.norm_sq) AS qn, any_value(c.norm_sq) AS cn
+       |  FROM n q JOIN n c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY q.vec_id, c.vec_id),
+       |scored AS (
+       |  SELECT query_id, nn_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+       |      AS cos_sim
+       |  FROM pairs)
+       |SELECT query_id, nn_id AS hard_negative_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, nn_id) AS rn
+       |  FROM scored WHERE cos_sim < $HardNegThreshold) WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hamming_topk" -> (qHammingTopk _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_embed_norm" -> (qEmbedNorm _),
     "q_embed_pool" -> (qEmbedPool _),
     "q_rand_proj" -> (qRandProj _),
@@ -227,5 +283,6 @@ object QueriesProjection {
     "q_hamming_topk" -> qHammingTopkSql,
     "q_embed_norm" -> qEmbedNormSql,
     "q_embed_pool" -> qEmbedPoolSql,
+    "q_hard_negatives" -> qHardNegativesSql,
   )
 }

@@ -643,6 +643,32 @@ object QueriesEvents {
       |FROM r CROSS JOIN qs
       |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
 
+  // ---------------------------------------------------------- churn
+  // Churn labels: a user is churned if silent for the last 7 days of
+  // the observation window — the standard supervised-label prep, one
+  // aggregation plus a broadcast scalar (the DecayScore lazy-reference
+  // shape). Integer micros end to end.
+  def qChurnLabel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val ref = ev.agg(max(unix_micros(col("ts"))).as("ref"))
+    ev.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(ref))
+      .select(col("user_id"), col("last_us"), col("n_events"),
+        (col("last_us") < col("ref") - lit(7L * 86400L * 1000000L))
+          .cast("int").as("churned"))
+  }
+
+  val qChurnLabelSql: String =
+    """WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
+      |SELECT user_id, max(epoch_us(ts)) AS last_us,
+      |  count(*) AS n_events,
+      |  CAST(max(epoch_us(ts)) < any_value(ref) - 604800000000 AS INT)
+      |    AS churned
+      |FROM events CROSS JOIN r
+      |GROUP BY user_id""".stripMargin
+
   // ------------------------------------------------- period-over-period
   // Daily revenue with previous-day percent change and a trailing 7-row
   // moving average — the reporting composite over one date-ordered
@@ -908,6 +934,7 @@ object QueriesEvents {
     "q_theta_overlap" -> (qThetaOverlap _),
     "q_rfm" -> (qRfm _),
     "q_pop" -> (qPop _),
+    "q_churn_label" -> (qChurnLabel _),
     "q_session_stats" -> (qSessionStats _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
@@ -935,6 +962,7 @@ object QueriesEvents {
     "q_theta_overlap" -> qThetaOverlapSql,
     "q_rfm" -> qRfmSql,
     "q_pop" -> qPopSql,
+    "q_churn_label" -> qChurnLabelSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -372,6 +372,52 @@ object QueriesText {
        |FROM pieces GROUP BY 1""".stripMargin
   }
 
+  // Flesch reading-ease from three engine-portable regex counts (words,
+  // sentence marks, vowel-group syllable proxy) and one fixed-shape
+  // double formula — the readability member of the quality-signal
+  // family. Zero-count docs gate to null instead of dividing by zero.
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val txt = graft.functions.TextFunctions.normalize(col("text"))
+    val words = size(regexp_extract_all(txt, lit("[a-z0-9']+"), lit(0)))
+      .cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(txt, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val syllables = size(regexp_extract_all(txt, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    docs.select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))).as("flesch"))
+  }
+
+  val qReadabilitySql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(${sqlCollapse("text")}),
+       |      '[a-z0-9'']+')) AS BIGINT) AS n_words,
+       |    greatest(CAST(len(regexp_extract_all(lower(${sqlCollapse("text")}),
+       |      '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(${sqlCollapse("text")}),
+       |      '[aeiouy]+')) AS BIGINT) AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words > 0 THEN
+       |    CAST(206.835 AS DOUBLE)
+       |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE)
+       |        / CAST(n_sentences AS DOUBLE))
+       |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE)
+       |        / CAST(n_words AS DOUBLE))
+       |  END AS flesch
+       |FROM c""".stripMargin
+
   // Reciprocal rank fusion of two document rankings (length and lexical
   // diversity; the second truncated to its top 100 so the missing-item
   // zero-contribution path is exercised). Fixed-shape reciprocal sums —
@@ -1209,6 +1255,7 @@ object QueriesText {
     "q_fim" -> (qFim _),
     "q_mlm_mask" -> (qMlmMask _),
     "q_rrf" -> (qRrf _),
+    "q_readability" -> (qReadability _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
@@ -1247,6 +1294,7 @@ object QueriesText {
     "q_fim" -> qFimSql,
     "q_mlm_mask" -> qMlmMaskSql,
     "q_rrf" -> qRrfSql,
+    "q_readability" -> qReadabilitySql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,

@@ -428,10 +428,64 @@ object QueriesStats {
       |  END AS rho
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------ feature scaling
+  // Per-group min-max and z-score standardization — the model-input
+  // scaling step, from ONE stats aggregation broadcast back onto the
+  // rows. Moments are exact decimals; both scaled values are fixed-shape
+  // double expressions (population std as sqrt(n·Σx² − (Σx)²)/n);
+  // degenerate groups (constant value) gate to null.
+  def qScaleFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      min(d(col("value"))).as("mn"), max(d(col("value"))).as("mx"),
+      sum(d(col("value"))).as("s"),
+      sum(d(col("value")) * d(col("value"))).as("sxx"))
+    val n = col("n").cast("double")
+    val x = col("value").cast("double")
+    val mn = col("mn").cast("double")
+    val mx = col("mx").cast("double")
+    val mean = col("s").cast("double") / n
+    val std = sqrt(n * col("sxx").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) / n
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), x.as("value"),
+        when(col("mx") =!= col("mn"), (x - mn) / (mx - mn)).as("minmax"),
+        when(std > 0.0, (x - mean) / std).as("zscore"))
+  }
+
+  val qScaleFeaturesSql: String =
+    """WITH st AS (
+      |  SELECT event_type, count(*) AS n,
+      |    min(CAST(value AS DECIMAL(18,2))) AS mn,
+      |    max(CAST(value AS DECIMAL(18,2))) AS mx,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS s,
+      |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |      AS sxx
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+      |SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+      |  CASE WHEN st.mx <> st.mn THEN
+      |    (CAST(e.value AS DOUBLE) - CAST(st.mn AS DOUBLE))
+      |      / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)) END
+      |    AS minmax,
+      |  CASE WHEN sqrt(CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
+      |        - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+      |        / CAST(st.n AS DOUBLE) > 0.0
+      |  THEN (CAST(e.value AS DOUBLE)
+      |        - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+      |    / (sqrt(CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
+      |        - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+      |       / CAST(st.n AS DOUBLE))
+      |  END AS zscore
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE e.value IS NOT NULL""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mannwhitney" -> (qMannWhitney _),
     "q_spearman" -> (qSpearman _),
+    "q_scale_features" -> (qScaleFeatures _),
     "q_ks" -> (qKs _),
     "q_gini" -> (qGini _),
     "q_welch" -> (qWelch _),
@@ -447,6 +501,7 @@ object QueriesStats {
   val oracleSql: Map[String, String] = Map(
     "q_mannwhitney" -> qMannWhitneySql,
     "q_spearman" -> qSpearmanSql,
+    "q_scale_features" -> qScaleFeaturesSql,
     "q_ks" -> qKsSql,
     "q_gini" -> qGiniSql,
     "q_welch" -> qWelchSql,

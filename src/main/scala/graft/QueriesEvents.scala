@@ -643,6 +643,49 @@ object QueriesEvents {
       |FROM r CROSS JOIN qs
       |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
 
+  // ----------------------------------------------------------- cohort ltv
+  // Cohort revenue (LTV) triangle — the money analogue of q_retention:
+  // per (first-activity cohort period, offset), purchase revenue and
+  // payer counts. Same pmod-adjusted FLOOR-division period idiom (exact
+  // vs DuckDB //), revenue in exact decimal. Cohort membership comes
+  // from ALL activity (a user's cohort is their first event, not their
+  // first purchase).
+  private val LtvPeriodUs = 7L * 86400L * 1000000L
+
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val withPeriod = ev.select(col("user_id"), col("event_type"),
+      col("value"),
+      expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $LtvPeriodUs))" +
+        s" DIV $LtvPeriodUs").as("period"))
+    val cohort = withPeriod.groupBy(col("user_id"))
+      .agg(min(col("period")).as("cohort_period"))
+    withPeriod
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("revenue"),
+        countDistinct(col("user_id")).as("n_payers"),
+        count(lit(1)).as("n_purchases"))
+  }
+
+  val qCohortLtvSql: String =
+    s"""WITH wp AS (
+       |  SELECT user_id, event_type, value,
+       |    epoch_us(ts) // $LtvPeriodUs AS period
+       |  FROM events),
+       |coh AS (SELECT user_id, min(period) AS cohort_period
+       |        FROM wp GROUP BY user_id)
+       |SELECT cohort_period, period - cohort_period AS period_offset,
+       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       |  count(DISTINCT wp.user_id) AS n_payers,
+       |  count(*) AS n_purchases
+       |FROM wp JOIN coh USING (user_id)
+       |WHERE event_type = 'purchase' AND value IS NOT NULL
+       |GROUP BY cohort_period, period - cohort_period""".stripMargin
+
   // ---------------------------------------------------------- churn
   // Churn labels: a user is churned if silent for the last 7 days of
   // the observation window — the standard supervised-label prep, one
@@ -935,6 +978,7 @@ object QueriesEvents {
     "q_rfm" -> (qRfm _),
     "q_pop" -> (qPop _),
     "q_churn_label" -> (qChurnLabel _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_session_stats" -> (qSessionStats _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
@@ -963,6 +1007,7 @@ object QueriesEvents {
     "q_rfm" -> qRfmSql,
     "q_pop" -> qPopSql,
     "q_churn_label" -> qChurnLabelSql,
+    "q_cohort_ltv" -> qCohortLtvSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,

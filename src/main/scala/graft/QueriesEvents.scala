@@ -643,6 +643,29 @@ object QueriesEvents {
       |FROM r CROSS JOIN qs
       |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
 
+  // ----------------------------------------------------- next-event label
+  // Supervised sequence labels: each event's next event type and the
+  // time until it (null at stream end) — one per-user window sort, the
+  // training-label mirror of q_transitions' aggregate view.
+  def qNextEvent(s: SparkSession, dir: String): DataFrame = {
+    // ordering by the micros projection (monotone with ts, same ties)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (lead(col("us"), 1).over(w) - col("us")).as("delta_us"))
+  }
+
+  val qNextEventSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  lead(event_type) OVER w AS next_type,
+      |  lead(epoch_us(ts)) OVER w - epoch_us(ts) AS delta_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   // ----------------------------------------------------------- cohort ltv
   // Cohort revenue (LTV) triangle — the money analogue of q_retention:
   // per (first-activity cohort period, offset), purchase revenue and
@@ -979,6 +1002,7 @@ object QueriesEvents {
     "q_pop" -> (qPop _),
     "q_churn_label" -> (qChurnLabel _),
     "q_cohort_ltv" -> (qCohortLtv _),
+    "q_next_event" -> (qNextEvent _),
     "q_session_stats" -> (qSessionStats _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
@@ -1008,6 +1032,7 @@ object QueriesEvents {
     "q_pop" -> qPopSql,
     "q_churn_label" -> qChurnLabelSql,
     "q_cohort_ltv" -> qCohortLtvSql,
+    "q_next_event" -> qNextEventSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -643,6 +643,48 @@ object QueriesEvents {
       |FROM r CROSS JOIN qs
       |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
 
+  // ------------------------------------------------- time to conversion
+  // Survival-analysis prep: per user, the time from first view to the
+  // first subsequent purchase; users who never convert get the CENSORED
+  // time to the observation end (converted = 0) — the (duration, event)
+  // pair survival models train on. Integer micros, conditional
+  // aggregation, one broadcast censor point.
+  def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val ref = ev.agg(max(col("us")).as("ref"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") >= col("view_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    firstView.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(ref))
+      .select(col("user_id"), col("view_us"),
+        coalesce(col("purchase_us") - col("view_us"),
+          col("ref") - col("view_us")).as("duration_us"),
+        col("purchase_us").isNotNull.cast("int").as("converted"))
+  }
+
+  val qTimeToConvertSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |           FROM events),
+      |r AS (SELECT max(us) AS ref FROM e),
+      |fv AS (SELECT user_id, min(us) AS view_us FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |cv AS (
+      |  SELECT e.user_id, min(e.us) AS purchase_us
+      |  FROM e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us >= fv.view_us
+      |  GROUP BY 1)
+      |SELECT fv.user_id, fv.view_us,
+      |  coalesce(cv.purchase_us - fv.view_us,
+      |    (SELECT ref FROM r) - fv.view_us) AS duration_us,
+      |  CAST(cv.purchase_us IS NOT NULL AS INT) AS converted
+      |FROM fv LEFT JOIN cv ON fv.user_id = cv.user_id""".stripMargin
+
   // ----------------------------------------------------- next-event label
   // Supervised sequence labels: each event's next event type and the
   // time until it (null at stream end) — one per-user window sort, the
@@ -1003,6 +1045,7 @@ object QueriesEvents {
     "q_churn_label" -> (qChurnLabel _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_next_event" -> (qNextEvent _),
+    "q_time_to_convert" -> (qTimeToConvert _),
     "q_session_stats" -> (qSessionStats _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
@@ -1033,6 +1076,7 @@ object QueriesEvents {
     "q_churn_label" -> qChurnLabelSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_next_event" -> qNextEventSql,
+    "q_time_to_convert" -> qTimeToConvertSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,

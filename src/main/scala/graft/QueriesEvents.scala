@@ -685,6 +685,57 @@ object QueriesEvents {
       |  CAST(cv.purchase_us IS NOT NULL AS INT) AS converted
       |FROM fv LEFT JOIN cv ON fv.user_id = cv.user_id""".stripMargin
 
+  // -------------------------------------------------------- KM risk table
+  // Kaplan-Meier risk table over the q_time_to_convert pairs: for each
+  // distinct event time, subjects at risk (duration >= t), events d,
+  // and censorings c at t — the integer-exact survival deliverable (the
+  // curve itself is a sequential product, computed client-side from
+  // these counts). The label×times cross join is cohort-sized here; at
+  // very large cohorts derive n_at_risk from one duration sort +
+  // reverse running count instead (the risk table is descending-
+  // cumulative by construction).
+  def qKmRisk(s: SparkSession, dir: String): DataFrame = {
+    val labels = qTimeToConvert(s, dir)
+      .select(col("duration_us"), col("converted"))
+    val times = labels.filter(col("converted") === 1)
+      .groupBy(col("duration_us").as("t"))
+      .agg(count(lit(1)).as("d"))
+    val all = labels.crossJoin(broadcast(times))
+      .groupBy(col("t"), col("d"))
+      .agg(count_if(col("duration_us") >= col("t")).as("n_at_risk"),
+        count_if(col("duration_us") === col("t") && col("converted") === 0)
+          .as("censored_at_t"))
+    all.select(col("t"), col("n_at_risk"), col("d"), col("censored_at_t"))
+  }
+
+  val qKmRiskSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |r AS (SELECT max(us) AS ref FROM e),
+       |fv AS (SELECT user_id, min(us) AS view_us FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |cv AS (
+       |  SELECT e.user_id, min(e.us) AS purchase_us
+       |  FROM e JOIN fv ON e.user_id = fv.user_id
+       |  WHERE e.event_type = 'purchase' AND e.us >= fv.view_us
+       |  GROUP BY 1),
+       |lab AS (
+       |  SELECT coalesce(cv.purchase_us - fv.view_us,
+       |      (SELECT ref FROM r) - fv.view_us) AS duration_us,
+       |    CAST(cv.purchase_us IS NOT NULL AS INT) AS converted
+       |  FROM fv LEFT JOIN cv ON fv.user_id = cv.user_id),
+       |times AS (
+       |  SELECT duration_us AS t, count(*) AS d FROM lab
+       |  WHERE converted = 1 GROUP BY 1)
+       |SELECT times.t,
+       |  CAST(count(*) FILTER (lab.duration_us >= times.t) AS BIGINT)
+       |    AS n_at_risk,
+       |  CAST(any_value(times.d) AS BIGINT) AS d,
+       |  CAST(count(*) FILTER (lab.duration_us = times.t
+       |    AND lab.converted = 0) AS BIGINT) AS censored_at_t
+       |FROM lab CROSS JOIN times
+       |GROUP BY times.t""".stripMargin
+
   // ----------------------------------------------------- next-event label
   // Supervised sequence labels: each event's next event type and the
   // time until it (null at stream end) — one per-user window sort, the
@@ -1046,6 +1097,7 @@ object QueriesEvents {
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_next_event" -> (qNextEvent _),
     "q_time_to_convert" -> (qTimeToConvert _),
+    "q_km_risk" -> (qKmRisk _),
     "q_session_stats" -> (qSessionStats _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
@@ -1077,6 +1129,7 @@ object QueriesEvents {
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_next_event" -> qNextEventSql,
     "q_time_to_convert" -> qTimeToConvertSql,
+    "q_km_risk" -> qKmRiskSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -685,6 +685,65 @@ object QueriesEvents {
       |  CAST(cv.purchase_us IS NOT NULL AS INT) AS converted
       |FROM fv LEFT JOIN cv ON fv.user_id = cv.user_id""".stripMargin
 
+  // ---------------------------------------------------------- gains table
+  // Decile gains/lift: rank users by an engagement score (event count),
+  // decile them (the proven arithmetic ntile), and report per-decile
+  // conversion plus cumulative capture vs the base rate — the standard
+  // model-evaluation table, all ratios fixed-shape doubles of exact
+  // integer counts.
+  def qGainsTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Discretize
+    val ev = t(s, dir, "events")
+    val users = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("score"),
+        max((col("event_type") === "purchase").cast("int")).as("converted"))
+      .withColumn("__all", lit(1))
+    // decile 10 = highest score (rank ascending -> invert)
+    val binned = Discretize.equalFrequency(
+        users, "__all", "score", "user_id", 10, "__b")
+      .withColumn("decile", (lit(11) - col("__b")).cast("long"))
+    val per = binned.groupBy(col("decile")).agg(
+      count(lit(1)).as("n_users"),
+      sum(col("converted")).cast("long").as("n_converted"))
+    val tot = per.agg(sum(col("n_users")).as("tu"),
+      sum(col("n_converted")).as("tc"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_conv", sum(col("n_converted")).over(w))
+      .select(col("decile"), col("n_users"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_users").cast("double"))
+          .as("conv_rate"),
+        (col("cum_conv").cast("double") / col("tc").cast("double"))
+          .as("cum_capture"),
+        ((col("n_converted").cast("double") / col("n_users").cast("double"))
+          / (col("tc").cast("double") / col("tu").cast("double")))
+          .as("lift"))
+  }
+
+  val qGainsTableSql: String =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS score,
+      |    max(CAST(event_type = 'purchase' AS INT)) AS converted
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT user_id, converted,
+      |    11 - ntile(10) OVER (ORDER BY score, user_id) AS decile
+      |  FROM u),
+      |p AS (
+      |  SELECT decile, count(*) AS n_users,
+      |    CAST(sum(converted) AS BIGINT) AS n_converted
+      |  FROM b GROUP BY 1),
+      |t0 AS (SELECT sum(n_users) AS tu, sum(n_converted) AS tc FROM p)
+      |SELECT decile, n_users, n_converted,
+      |  CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+      |  CAST(sum(n_converted) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(tc AS DOUBLE) AS cum_capture,
+      |  (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+      |    / (CAST(tc AS DOUBLE) / CAST(tu AS DOUBLE)) AS lift
+      |FROM p CROSS JOIN t0""".stripMargin
+
   // -------------------------------------------------------- KM risk table
   // Kaplan-Meier risk table over the q_time_to_convert pairs: for each
   // distinct event time, subjects at risk (duration >= t), events d,
@@ -1098,6 +1157,7 @@ object QueriesEvents {
     "q_next_event" -> (qNextEvent _),
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_km_risk" -> (qKmRisk _),
+    "q_gains" -> (qGainsTable _),
     "q_session_stats" -> (qSessionStats _),
     "q_sessionize" -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
@@ -1130,6 +1190,7 @@ object QueriesEvents {
     "q_next_event" -> qNextEventSql,
     "q_time_to_convert" -> qTimeToConvertSql,
     "q_km_risk" -> qKmRiskSql,
+    "q_gains" -> qGainsTableSql,
     "q_session_stats" -> qSessionStatsSql,
     "q_sessionize" -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,

@@ -627,6 +627,17 @@ object QueriesEvents {
       state, Seq("event_type", "day"), Seq(0.5, 0.9))
   }
 
+  // Oracle-rank coupling, pinned: KLL's INCLUSIVE getQuantile returns
+  // the value at the smallest 1-based rank i with i/n >= q — which is
+  // exactly i = ⌈q·n⌉ in REAL arithmetic. The oracle therefore derives
+  // the rank with exact integers from rational q (qn/qd), never a
+  // float ceil: (qn·n + qd − 1) // qd. KLL's own i/n >= q compare runs
+  // in doubles, but for these q the two agree at every n: when
+  // i/n = qn/qd exactly, both sides round to the same double (equal →
+  // inclusive hit, same i); otherwise |i/n − q| ≥ 1/(qd·n), which
+  // dwarfs double rounding for any n below ~2^50. Adding a new q here
+  // means adding its exact rational (qn, qd) row — do NOT reintroduce
+  // ceil(q*n).
   val qQuantileStateSql: String =
     """WITH g AS (
       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value AS v
@@ -637,11 +648,12 @@ object QueriesEvents {
       |      AS rn,
       |    count(*) OVER (PARTITION BY event_type, day) AS n
       |  FROM g),
-      |qs AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)])
-      |       AS q)
+      |qs AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 1, 2),
+      |                             (CAST(0.9 AS DOUBLE), 9, 10))
+      |       AS v(q, qn, qd))
       |SELECT event_type, day, q, v AS value
       |FROM r CROSS JOIN qs
-      |WHERE rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
+      |WHERE rn = (qn * n + qd - 1) // qd""".stripMargin
 
   // ------------------------------------------------- time to conversion
   // Survival-analysis prep: per user, the time from first view to the
@@ -698,7 +710,7 @@ object QueriesEvents {
         count(lit(1)).as("score"),
         max((col("event_type") === "purchase").cast("int")).as("converted"))
       .withColumn("__all", lit(1))
-    // decile 10 = highest score (rank ascending -> invert)
+    // decile 1 = highest score (rank ascending -> invert)
     val binned = Discretize.equalFrequency(
         users, "__all", "score", "user_id", 10, "__b")
       .withColumn("decile", (lit(11) - col("__b")).cast("long"))
@@ -749,23 +761,14 @@ object QueriesEvents {
   // distinct event time, subjects at risk (duration >= t), events d,
   // and censorings c at t — the integer-exact survival deliverable (the
   // curve itself is a sequential product, computed client-side from
-  // these counts). The label×times cross join is cohort-sized here; at
-  // very large cohorts derive n_at_risk from one duration sort +
-  // reverse running count instead (the risk table is descending-
-  // cumulative by construction).
-  def qKmRisk(s: SparkSession, dir: String): DataFrame = {
-    val labels = qTimeToConvert(s, dir)
-      .select(col("duration_us"), col("converted"))
-    val times = labels.filter(col("converted") === 1)
-      .groupBy(col("duration_us").as("t"))
-      .agg(count(lit(1)).as("d"))
-    val all = labels.crossJoin(broadcast(times))
-      .groupBy(col("t"), col("d"))
-      .agg(count_if(col("duration_us") >= col("t")).as("n_at_risk"),
-        count_if(col("duration_us") === col("t") && col("converted") === 0)
-          .as("censored_at_t"))
-    all.select(col("t"), col("n_at_risk"), col("d"), col("censored_at_t"))
-  }
+  // these counts). Routed through Survival.riskTable: one groupBy on
+  // duration + a reverse running count over the per-time aggregate —
+  // no labels×times cross join anywhere in the plan (pinned in
+  // PlanSpec), so the shape survives a 100× cohort.
+  def qKmRisk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.riskTable(
+      qTimeToConvert(s, dir).select(col("duration_us"), col("converted")),
+      "duration_us", "converted")
 
   val qKmRiskSql: String =
     s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

@@ -555,9 +555,12 @@ object QueriesText {
   }
 
   // Deflate-redundancy quality signal (Gopher-family): map-side native
-  // expression; zlib output is build-scoped, so this is registered
-  // WITHOUT a SQL oracle (driver rows-only check) — the orderings that
-  // make it a usable filter are spec-pinned in CompressRatioSpec.
+  // expression. NOT in the driver registry — zlib output is build-scoped
+  // and DuckDB has no deflate, so there is no computable oracle; the
+  // verification surface is CompressRatioSpec (value orderings pinned)
+  // plus the SQL function registration in GraftExtensions, the same
+  // spec-only treatment as XlsSource. Kept here as the library's usage
+  // example for the expression.
   def qCompressRatio(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
@@ -1250,7 +1253,6 @@ object QueriesText {
     "q_wor_sample" -> (qWorSample _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_js_div" -> (qJsDiv _),
-    "q_compress_ratio" -> (qCompressRatio _),
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_fim" -> (qFim _),
     "q_mlm_mask" -> (qMlmMask _),

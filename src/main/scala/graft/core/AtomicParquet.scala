@@ -25,8 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AtomicParquet {
 
-  /** Write `df` as the new content of `destDir` via staged rename swap. */
-  def overwrite(df: DataFrame, destDir: String): Unit = {
+  /** Write `df` as the new content of `destDir` via staged rename swap.
+    * `partitionCols` (optional) hive-partitions the staged write — the
+    * swap protocol is identical, so partitioned state directories (e.g.
+    * [[graft.streaming.StateStream]] compaction) get the same
+    * all-or-nothing guarantee. */
+  def overwrite(df: DataFrame, destDir: String,
+      partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, destDir)
     val dest = new HPath(destDir)
@@ -34,7 +39,9 @@ object AtomicParquet {
     val backup = new HPath(destDir + ".__old__")
     recoverIfNeeded(fs, dest, backup)
     fs.delete(staging, true)
-    df.write.mode("overwrite").parquet(staging.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
     // swap: dest -> backup, staging -> dest, drop backup
     fs.delete(backup, true)
     if (fs.exists(dest) && !fs.rename(dest, backup))

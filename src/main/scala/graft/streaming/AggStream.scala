@@ -84,8 +84,13 @@ object AggStream {
 
   /** Fold all partitions into one carrying the newest batch id (write
     * amplification bounded: run when partition count grows, not per
-    * batch). The merged partition overwrites dynamically; stale
-    * partitions are removed after the write succeeds. */
+    * batch). Crash-atomic via the [[graft.core.AtomicParquet]]
+    * staged-rename swap — sum/count partials are NOT idempotent under
+    * re-merging, so the old overwrite-newest-then-delete-stale sequence
+    * had a crash window (merged partition written, stale partitions not
+    * yet deleted) after which merge-on-read double-counted every prior
+    * batch. Single-writer: must not run concurrently with an active
+    * [[start]] sink on the same path. */
   def compact(spark: SparkSession, template: DataFrame, keys: Seq[String],
       valueCol: String, statePath: String): Unit = {
     val target = new HPath(statePath)
@@ -94,20 +99,10 @@ object AggStream {
       val stored = spark.read
         .schema(stateSchema(spark, template, keys, valueCol))
         .parquet(statePath)
-      // materialized BEFORE the write: the output overwrites the very
-      // partitions being read (self-overwrite is undefined otherwise)
       val merged = IncrementalAgg.merge(Seq(stored.drop("__batch_id")), keys)
-        .localCheckpoint()
-      merged
         .withColumn("__batch_id", lit(newest))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch_id").parquet(statePath)
-      fs.listStatus(target).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("__batch_id=") &&
-          p.getName != s"__batch_id=$newest")
-        .foreach(fs.delete(_, true))
-      graft.core.Checkpoints.releaseLocal(merged)
+      graft.core.AtomicParquet.overwrite(
+        merged, statePath, partitionCols = Seq("__batch_id"))
     }
   }
 

@@ -69,7 +69,23 @@ object StateStream {
       .parquet(statePath)
       .drop("__batch_id"))
 
-  /** Fold all partitions into one carrying the newest batch id. */
+  /** Fold all partitions into one carrying the newest batch id.
+    *
+    * Crash-atomic via the [[graft.core.AtomicParquet]] staged-rename
+    * swap: the merged-everything state is written to a staging
+    * directory and the whole state dir is swapped in one rename
+    * protocol, so no failure point can leave BOTH the merged result
+    * and the stale per-batch partitions visible together. That matters
+    * because `Model.merge` is only required to be associative and
+    * commutative — NOT idempotent under re-merging already-included
+    * state (theta/HLL unions are; KLL re-merge doubles item weights;
+    * a plain sum model would silently double-count) — so the previous
+    * overwrite-newest-then-delete-stale sequence had a window where a
+    * crash double-counted every prior batch on the next merge-on-read.
+    * Must not run concurrently with an active [[start]] sink on the
+    * same path (same single-writer discipline as the per-batch sink
+    * itself; the rename window would also race `processBatch`'s
+    * newest-partition probe). */
   def compact(spark: SparkSession, template: DataFrame, model: Model,
       statePath: String): Unit = {
     val target = new HPath(statePath)
@@ -79,17 +95,9 @@ object StateStream {
         .schema(stateSchema(template, model))
         .parquet(statePath)
       val merged = model.merge(stored.drop("__batch_id"))
-        .localCheckpoint() // materialized BEFORE the self-overwrite
-      merged
         .withColumn("__batch_id", lit(newest))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch_id").parquet(statePath)
-      fs.listStatus(target).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("__batch_id=") &&
-          p.getName != s"__batch_id=$newest")
-        .foreach(fs.delete(_, true))
-      graft.core.Checkpoints.releaseLocal(merged)
+      graft.core.AtomicParquet.overwrite(
+        merged, statePath, partitionCols = Seq("__batch_id"))
     }
   }
 

@@ -334,6 +334,21 @@ class PlanSpec extends SparkSpec {
     assert(keyed == 1, s"expected 1 keyed exchange, got $keyed:\n$p")
   }
 
+  test("q_km_risk derives the risk set by running count — no cross join") {
+    // Survival.riskTable exists to kill the cohort×times cross join the
+    // naive KM formulation implies; pin that it stays dead. The ONE
+    // remaining nested-loop join is qTimeToConvert's one-row scalar
+    // `ref = max(us)` broadcast (the adjudicated scalar pattern) — so
+    // exactly 1, and the risk set itself comes from a Window running
+    // count over the per-time aggregate.
+    val p = plan("q_km_risk")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // count tree nodes, not the detail section's echo of each node
+    val bnlj = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).length
+    assert(bnlj == 1, s"expected only the scalar-ref join, got $bnlj:\n$p")
+    assert(p.contains("Window"), s"running-count window missing:\n$p")
+  }
+
   test("q_geo_nearest joins on cells — no cartesian, no nested-loop join") {
     // the whole point of the cell screen: the candidate join must compile
     // to an equi-join on (cx, cy), never an all-pairs product

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SurvivalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("riskTable matches the hand-computed KM risk set") {
+    // durations: 5(event) 5(cens) 7(event) 9(cens) 9(event) 9(event)
+    val labels = Seq((5L, 1), (5L, 0), (7L, 1), (9L, 0), (9L, 1), (9L, 1))
+      .toDF("duration_us", "converted")
+    val out = Survival.riskTable(labels, "duration_us", "converted")
+      .orderBy("t")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (5L, 6L, 1L, 1L),   // everyone at risk at the earliest time
+      (7L, 4L, 1L, 0L),   // 7,9,9,9 remain
+      (9L, 3L, 2L, 1L)))  // two events + one censoring at 9
+  }
+
+  test("riskTable drops censoring-only times from the output") {
+    val labels = Seq((1L, 0), (2L, 1), (3L, 0)).toDF("dur", "ev")
+    val out = Survival.riskTable(labels, "dur", "ev")
+      .orderBy("t").as[(Long, Long, Long, Long)].collect().toSeq
+    // t=1 and t=3 have no events -> absent; but t=1's subject still
+    // counts toward the risk set at t<=1... (t=2: durations >=2 are 2,3)
+    assert(out === Seq((2L, 2L, 1L, 0L)))
+  }
+
+  test("riskTable risk counts are descending-cumulative (no cross join)") {
+    val labels = (1 to 100).map(i => (i.toLong % 10, i % 3 min 1))
+      .toDF("dur", "ev")
+    val rt = Survival.riskTable(labels, "dur", "ev")
+    val p = rt.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"cross join in plan:\n$p")
+    // n_at_risk strictly decreases as t increases (all durations distinct
+    // rows contribute to earlier risk sets)
+    val rows = rt.orderBy("t").as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) > w(1)))
+  }
+}

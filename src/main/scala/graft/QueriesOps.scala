@@ -126,6 +126,48 @@ object QueriesOps {
       |FROM m CROSS JOIN range(0, 256) t(f)
       |WHERE f * 500 <= duration_ms - 1""".stripMargin
 
+  // -------------------------------------------------------- frame stats
+  // REAL image-decode kernel, oracle-gated: the first 192 codepoints of
+  // the (cycled) document text form a deterministic 8×8 raw-RGB frame,
+  // pushed through the SAME ImageCore.stats kernel ImageIO-decoded
+  // images use (MultimodalSpec proves PNG round-trip identity on that
+  // kernel; this query proves the kernel's arithmetic against DuckDB).
+  // 8×8 hits the equal-cell aHash branch whose integer rule
+  // (64·graySum_j > total) and power-of-two mean division (sum/64) are
+  // bit-exact in BIGINT/double on both engines.
+  def qFrameStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("n_chars") >= 24) // ×8 cycles to ≥192 chars
+      .select(col("doc_id"),
+        MultimodalOps.rgbFrameStats(
+          substring(repeat(col("text"), 8), 1, 192), 8, 8).as("s"))
+      .select(col("doc_id"), col("s.width").as("width"),
+        col("s.height").as("height"), col("s.mean_r").as("mean_r"),
+        col("s.mean_g").as("mean_g"), col("s.mean_b").as("mean_b"),
+        col("s.ahash_lo").as("ahash_lo"), col("s.ahash_hi").as("ahash_hi"))
+
+  val qFrameStatsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(repeat(text, 8), 1, 192) AS f
+      |  FROM documents WHERE n_chars >= 24),
+      |px AS (
+      |  SELECT doc_id, i,
+      |    ord(substr(f, CAST(3*i + 1 AS INT), 1)) % 256 AS r,
+      |    ord(substr(f, CAST(3*i + 2 AS INT), 1)) % 256 AS g,
+      |    ord(substr(f, CAST(3*i + 3 AS INT), 1)) % 256 AS b
+      |  FROM d CROSS JOIN range(0, 64) t(i)),
+      |tot AS (SELECT doc_id, sum(r + g + b) AS s FROM px GROUP BY 1)
+      |SELECT px.doc_id, 8 AS width, 8 AS height,
+      |  CAST(sum(r) AS BIGINT) / 64.0 AS mean_r,
+      |  CAST(sum(g) AS BIGINT) / 64.0 AS mean_g,
+      |  CAST(sum(b) AS BIGINT) / 64.0 AS mean_b,
+      |  CAST(sum(CASE WHEN i < 32 AND 64 * (r + g + b) > s
+      |    THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash_lo,
+      |  CAST(sum(CASE WHEN i >= 32 AND 64 * (r + g + b) > s
+      |    THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi
+      |FROM px JOIN tot USING (doc_id)
+      |GROUP BY px.doc_id""".stripMargin
+
   // ----------------------------------------------------------- date funcs
   // §2.11 date helpers (date.py): last-day-of-month family + strftime
   // renders + watermark literal formatting (ms truncation).
@@ -231,6 +273,7 @@ object QueriesOps {
     "q_distance" -> (qDistance _),
     "q_events_window" -> (qEventsWindow _),
     "q_frames" -> (qFrames _),
+    "q_frame_stats" -> (qFrameStats _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_topk" -> (qTopk _),
     "q_topk_group" -> (qTopkGroup _),
@@ -243,6 +286,7 @@ object QueriesOps {
     "q_distance" -> qDistanceSql,
     "q_events_window" -> qEventsWindowSql,
     "q_frames" -> qFramesSql,
+    "q_frame_stats" -> qFrameStatsSql,
     "q_date_funcs" -> qDateFuncsSql,
     "q_topk" -> qTopkSql,
     "q_topk_group" -> qTopkGroupSql,

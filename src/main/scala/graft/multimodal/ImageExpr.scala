@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over [[ImageCore]] — native expressions (no UDF
+  * serialization), CodegenFallback by design: decode cost dwarfs the
+  * interpreted-call overhead, and keeping them expressions (not
+  * mapPartitions) preserves column pruning and lets them ride inside
+  * any projection. */
+object ImageExpr {
+
+  /** Shared output shape. aHash is exposed split (lo/hi, both
+    * non-negative — SQL-oracle friendly, no 64-bit shifts) AND packed
+    * (`ahash`, feeds [[graft.similarity.BinaryQuantize.hamming]]). */
+  val statsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("ahash_lo", LongType, nullable = false),
+    StructField("ahash_hi", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  private[multimodal] def toRow(s: ImageCore.Stats): InternalRow =
+    InternalRow(s.width, s.height, s.meanR, s.meanG, s.meanB,
+      s.ahashLo, s.ahashHi, s.ahash64)
+
+  /** Raw-frame stats: the string's first w*h*3 codepoints (mod 256) as
+    * R,G,B channels of w*h row-major pixels. NULL when too short. */
+  def rgb_frame_stats(c: Column, w: Int, h: Int): Column =
+    GraftShim.columnOf(RgbFrameStats(GraftShim.expressionOf(c), w, h))
+
+  /** Real ImageIO decode of an image blob. NULL on undecodable bytes. */
+  def image_stats(c: Column): Column =
+    GraftShim.columnOf(ImageStats(GraftShim.expressionOf(c)))
+}
+
+/** `rgb_frame_stats(text, w, h)` — deterministic synthetic frame from a
+  * string; the oracle-replayable twin of [[ImageStats]] (same
+  * [[ImageCore.stats]] kernel, input DuckDB can reconstruct). */
+case class RgbFrameStats(child: Expression, w: Int, h: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 0 && h > 0, s"frame dims must be positive, got ${w}x$h")
+
+  override def dataType: DataType = ImageExpr.statsType
+  override def nullable: Boolean = true // short input -> null
+  override def prettyName: String = "rgb_frame_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rgb_frame_stats expects a STRING input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageCore.statsFromText(v.asInstanceOf[UTF8String].toString, w, h)
+      .map(ImageExpr.toRow).orNull
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RgbFrameStats = copy(child = newChild)
+}
+
+/** `image_stats(binary)` — real executor-side decode via the JDK's
+  * ImageIO; undecodable blobs degrade to NULL (quarantine relationally
+  * downstream, never kill the task). */
+case class ImageStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ImageExpr.statsType
+  override def nullable: Boolean = true // failed decode -> null
+  override def prettyName: String = "image_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_stats expects a BINARY input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageCore.decodeImage(v.asInstanceOf[Array[Byte]])
+      .map(ImageExpr.toRow).orNull
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageStats = copy(child = newChild)
+}

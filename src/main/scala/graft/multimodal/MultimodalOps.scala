@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata structs, plus
   * decode/feature/frame-sample operators.
   *
-  * The actual codec work is STUBBED (image/audio libraries are not in
-  * this environment): `DecodeStub` produces deterministic fake features
-  * from the bytes. The Spark-side contract — schema shape, partition
-  * behavior, batch-wise processing — is real and tested; a production
-  * deployment swaps the stub for a real codec inside the same
-  * `mapPartitions`/expression seam.
+  * IMAGE decode is REAL: [[imageStats]] runs the JDK's `javax.imageio`
+  * (PNG/JPEG/BMP/GIF — zero external dependencies) on the executor via
+  * a native Catalyst expression, yielding dimensions, channel means and
+  * a 64-bit average hash that feeds the
+  * [[graft.similarity.BinaryQuantize.hamming]] near-dup screen; the
+  * same kernel has an oracle-replayable raw-frame twin
+  * ([[rgbFrameStats]], gated by `q_frame_stats`). AUDIO/VIDEO codecs
+  * are not in the JDK, so those stay metadata-level ([[withMediaMeta]],
+  * [[sampleFrames]]) — the relational shape (schema, explode-per-frame
+  * scale path) is real; a deployment adds the codec inside the same
+  * expression seam [[ImageStats]] demonstrates.
   */
 object MultimodalOps {
 
@@ -36,12 +41,16 @@ object MultimodalOps {
       (length(col(binCol)).cast("long") * 997 % 30000 + 1000).as("duration_ms"),
       lit("stub").as("codec")))
 
-  /** STUB decode: a "feature vector" derived deterministically from the
-    * payload hash. Replace with a real codec (same signature) in
-    * production — the pipeline shape does not change. */
-  def decodeStub(binCol: Column, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)),
-      i => pmod(xxhash64(binCol, i), lit(1000)).cast("double") / lit(1000.0))
+  /** REAL image decode (JDK ImageIO): struct of width/height, channel
+    * means, and split+packed 64-bit aHash. Undecodable blobs -> NULL
+    * row, never a task failure. See [[ImageStats]]. */
+  def imageStats(binCol: Column): Column = ImageExpr.image_stats(binCol)
+
+  /** Deterministic raw-RGB frame stats from text codepoints — the same
+    * [[ImageCore.stats]] kernel as [[imageStats]], with an input a SQL
+    * oracle can reconstruct (driver-gated via `q_frame_stats`). */
+  def rgbFrameStats(textCol: Column, w: Int, h: Int): Column =
+    ImageExpr.rgb_frame_stats(textCol, w, h)
 
   /** STUB resize: recomputes the metadata struct for a target box
     * (aspect-preserving fit) and marks the payload as resized. A real

@@ -97,9 +97,7 @@ class MetaSpec extends SparkSpec {
     assert(dur >= 1000)
     val frames = MultimodalOps.sampleFrames(withMeta, "id", "media_meta", 500L)
     assert(frames.count() == (dur - 1) / 500 + 1)
-    val decoded = df.select(MultimodalOps.decodeStub(col("payload"), 8).as("f"))
-      .collect().head.getSeq[Double](0)
-    assert(decoded.length == 8)
-    assert(decoded.forall(v => v >= 0.0 && v < 1.0))
+    // real decode path (PNG round-trip + raw-frame parity) is covered in
+    // graft.multimodal.MultimodalSpec
   }
 }

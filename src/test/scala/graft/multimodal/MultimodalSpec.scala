@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.similarity.BinaryQuantize
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic pixels: packed 0xRRGGBB from a simple LCG-ish mix. */
+  private def pixels(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val v = (seed * 2654435761L + i * 40503L) & 0xFFFFFF
+      v.toInt
+    }
+
+  private def png(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  test("PNG round-trip: ImageIO decode reproduces the raw-pixel stats") {
+    // PNG is lossless, so the decode must land on EXACTLY the stats of
+    // the pixels that went in — same kernel, byte-identical values
+    for ((w, h, seed) <- Seq((8, 8, 1), (16, 8, 2), (40, 24, 3), (7, 5, 4))) {
+      val px = pixels(w, h, seed)
+      val expected = ImageCore.stats(w, h, px)
+      val decoded = ImageCore.decodeImage(png(w, h, px))
+      assert(decoded.contains(expected), s"${w}x$h seed=$seed")
+    }
+  }
+
+  test("image_stats expression: decode in a projection, null on junk") {
+    val px = pixels(16, 16, 7)
+    val rows = Seq(
+      (1L, png(16, 16, px)),
+      (2L, Array[Byte](1, 2, 3, 4)),             // not an image
+      (3L, null.asInstanceOf[Array[Byte]]))      // null payload
+      .toDF("id", "payload")
+    val out = rows.select(col("id"),
+        MultimodalOps.imageStats(col("payload")).as("s"))
+      .select(col("id"), col("s.width"), col("s.height"), col("s.mean_r"),
+        col("s.ahash"), col("s").isNull.as("failed"))
+      .orderBy("id").collect()
+    val expected = ImageCore.stats(16, 16, px)
+    assert(out(0).getInt(1) == 16 && out(0).getInt(2) == 16)
+    assert(out(0).getDouble(3) == expected.meanR)
+    assert(out(0).getLong(4) == expected.ahash64)
+    assert(out(1).getBoolean(5) && out(2).getBoolean(5)) // junk+null -> NULL
+  }
+
+  test("rgb_frame_stats matches the kernel and is ASCII-codepoint exact") {
+    // 8x8 frame needs 192 chars; channel value = codepoint % 256
+    val text = (0 until 192).map(i => (' ' + (i * 7) % 95).toChar).mkString
+    val cps = text.map(_.toInt).toArray
+    val px = Array.tabulate(64)(i =>
+      ((cps(3 * i) & 0xFF) << 16) | ((cps(3 * i + 1) & 0xFF) << 8) |
+        (cps(3 * i + 2) & 0xFF))
+    val expected = ImageCore.stats(8, 8, px)
+    val row = Seq(Tuple1(text)).toDF("text")
+      .select(MultimodalOps.rgbFrameStats(col("text"), 8, 8).as("s"))
+      .select("s.width", "s.mean_r", "s.mean_g", "s.mean_b",
+        "s.ahash_lo", "s.ahash_hi").collect().head
+    assert(row.getInt(0) == 8)
+    assert(row.getDouble(1) == expected.meanR)
+    assert(row.getDouble(2) == expected.meanG)
+    assert(row.getDouble(3) == expected.meanB)
+    assert(row.getLong(4) == expected.ahashLo)
+    assert(row.getLong(5) == expected.ahashHi)
+    // short input -> NULL, not a throw
+    val short = Seq(Tuple1("abc")).toDF("text")
+      .select(MultimodalOps.rgbFrameStats(col("text"), 8, 8).as("s"))
+      .collect().head
+    assert(short.isNullAt(0))
+  }
+
+  test("split aHash recombines to the packed one (lo/hi non-negative)") {
+    val s = ImageCore.stats(8, 8, pixels(8, 8, 11))
+    assert(s.ahashLo >= 0 && s.ahashLo < (1L << 32))
+    assert(s.ahashHi >= 0 && s.ahashHi < (1L << 32))
+    assert((s.ahashLo | (s.ahashHi << 32)) == s.ahash64)
+  }
+
+  test("aHash feeds the Hamming screen: perturbation ~ distance") {
+    val base = pixels(64, 64, 21)
+    // brightness-preserving tweak of a few pixels: tiny Hamming movement
+    val near = base.clone()
+    for (i <- 0 until 16) near(i) = base(i) ^ 0x010101
+    // photometric negative: the grid flips nearly everywhere
+    val far = base.map(p => ~p & 0xFFFFFF)
+    val h0 = ImageCore.stats(64, 64, base).ahash64
+    val hNear = ImageCore.stats(64, 64, near).ahash64
+    val hFar = ImageCore.stats(64, 64, far).ahash64
+    val rows = Seq(("near", hNear), ("far", hFar)).toDF("which", "sig")
+    val d = rows.select(col("which"),
+        BinaryQuantize.hamming(lit(h0), col("sig")).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(d("near") <= 8, s"near image drifted: ${d("near")}")
+    assert(d("far") >= 48, s"negative not far: ${d("far")}")
+  }
+
+  test("equal-cell aHash uses the integer rule the SQL oracle replays") {
+    // construct a frame where a cell's gray mean EQUALS the global mean:
+    // strict > means the bit must be 0 (ties excluded on both engines)
+    val px = Array.fill(64)(0x101010) // all equal -> every 64*s_j == total
+    val s = ImageCore.stats(8, 8, px)
+    assert(s.ahashLo == 0L && s.ahashHi == 0L)
+  }
+}

@@ -44,6 +44,19 @@ object QueriesMatch {
        |WHERE a.c_custkey < $FuzzyKeyCap AND b.c_custkey < $FuzzyKeyCap
        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  // ----------------------------------------------------- fuzzy deletion
+  // The same pair contract through the OTHER exact candidate scheme:
+  // FastSS deletion-neighborhood equi-join (FuzzyJoin.deletionPairs) —
+  // the path whose buckets stay bounded on low-entropy key corpora
+  // where prefix-gram screens degenerate (ScaleCheck finding, NOTES).
+  // Shares q_fuzzy_pairs' naive-quadratic oracle, so the hash compare
+  // proves BOTH screens lossless on the same data.
+  def qFuzzyDel(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.deletionPairs(
+      t(s, dir, "customer").filter(col("c_custkey") < FuzzyKeyCap)
+        .select(col("c_custkey").as("id"), col("c_name").as("s")),
+      "id", "s", maxDist = 1)
+
   // ------------------------------------------------------- fuzzy match
   // Record linkage: a synthesized "dirty" feed (every even custkey's
   // name loses its 10th character) matched back against the master
@@ -507,6 +520,7 @@ object QueriesMatch {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_pairs" -> (qFuzzyPairs _),
+    "q_fuzzy_del" -> (qFuzzyDel _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_scd2_join" -> (qScd2Join _),
@@ -524,6 +538,7 @@ object QueriesMatch {
 
   val oracleSql: Map[String, String] = Map(
     "q_fuzzy_pairs" -> qFuzzyPairsSql,
+    "q_fuzzy_del" -> qFuzzyPairsSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_incr_agg" -> qIncrAggSql,
     "q_scd2_join" -> qScd2JoinSql,

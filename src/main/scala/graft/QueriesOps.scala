@@ -168,6 +168,58 @@ object QueriesOps {
       |FROM px JOIN tot USING (doc_id)
       |GROUP BY px.doc_id""".stripMargin
 
+  // ------------------------------------------------------ frame hamming
+  // Visual near-dup screen over the same synthetic frames: aHash 4-band
+  // LSH join + Hamming verify (the SimHash idiom through the IMAGE
+  // kernel). Planted near-dup documents share near-identical leading
+  // frames, so real pairs survive at every SF.
+  private val FrameMaxHamming = 12
+
+  def qFrameHamming(s: SparkSession, dir: String): DataFrame = {
+    val sigs = t(s, dir, "documents")
+      .filter(col("n_chars") >= 24)
+      .select(col("doc_id"),
+        MultimodalOps.rgbFrameStats(
+          substring(repeat(col("text"), 8), 1, 192), 8, 8).as("s"))
+      .select(col("doc_id"), col("s.ahash_lo").as("lo"),
+        col("s.ahash_hi").as("hi"))
+    MultimodalOps.ahashNearDupPairs(sigs, "doc_id", "lo", "hi",
+      FrameMaxHamming)
+  }
+
+  val qFrameHammingSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(repeat(text, 8), 1, 192) AS f
+      |  FROM documents WHERE n_chars >= 24),
+      |px AS (
+      |  SELECT doc_id, i,
+      |    ord(substr(f, CAST(3*i + 1 AS INT), 1)) % 256 AS r,
+      |    ord(substr(f, CAST(3*i + 2 AS INT), 1)) % 256 AS g,
+      |    ord(substr(f, CAST(3*i + 3 AS INT), 1)) % 256 AS b
+      |  FROM d CROSS JOIN range(0, 64) t(i)),
+      |tot AS (SELECT doc_id, sum(r + g + b) AS s FROM px GROUP BY 1),
+      |sig AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN i < 32 AND 64 * (r + g + b) > s
+      |      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN i >= 32 AND 64 * (r + g + b) > s
+      |      THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+      |banded AS (
+      |  SELECT doc_id, lo, hi, b.bi AS band_idx,
+      |    CASE b.bi WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |              WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535
+      |    END AS band_val
+      |  FROM sig CROSS JOIN range(0, 4) b(bi))
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.lo, b.lo)) +
+      |       bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+      |FROM banded a JOIN banded b
+      |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |  AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) +
+      |      bit_count(xor(a.hi, b.hi)) <= 12""".stripMargin
+
   // ----------------------------------------------------------- date funcs
   // §2.11 date helpers (date.py): last-day-of-month family + strftime
   // renders + watermark literal formatting (ms truncation).
@@ -274,6 +326,7 @@ object QueriesOps {
     "q_events_window" -> (qEventsWindow _),
     "q_frames" -> (qFrames _),
     "q_frame_stats" -> (qFrameStats _),
+    "q_frame_hamming" -> (qFrameHamming _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_topk" -> (qTopk _),
     "q_topk_group" -> (qTopkGroup _),
@@ -287,6 +340,7 @@ object QueriesOps {
     "q_events_window" -> qEventsWindowSql,
     "q_frames" -> qFramesSql,
     "q_frame_stats" -> qFrameStatsSql,
+    "q_frame_hamming" -> qFrameHammingSql,
     "q_date_funcs" -> qDateFuncsSql,
     "q_topk" -> qTopkSql,
     "q_topk_group" -> qTopkGroupSql,

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling harness for the heavy operator family — the check
+  * that the O() claims in the scaladocs hold on real plans before the
+  * 100 TB story is trusted.
+  *
+  * `gen` builds a `copies`× volume-scaled dataset from a base SF dir by
+  * unioning key-shifted copies: every id column is offset per copy by a
+  * round power of ten above its max, so the copies are DISJOINT — row
+  * count, per-key skew and component structure are preserved while
+  * total volume grows `copies`×. Join/graph work therefore grows
+  * linearly by construction, and the measured exponent isolates the
+  * PLAN's behavior (a super-linear exponent means a shuffle, window or
+  * candidate structure that does not scale, not denser data). Two
+  * deliberate de-aliasing tweaks keep similarity work linear too:
+  * customer names get a copy-distinct `~k` suffix (edit distance
+  * between copies ≥ 2, so maxDist=1 fuzzy joins never match across
+  * copies) and embeddings are cyclically rotated per copy (norms and
+  * pairwise distributions preserved, copies decorrelated).
+  *
+  * `run` times each operator at the base and scaled dirs (noop-forced,
+  * min of `runs`) and prints one JSON line per operator with the
+  * scaling exponent log(t_scaled/t_base)/log(copies). Exponent ≈ 1 ⇒
+  * linear in volume; the fixed overhead of tiny runs biases exponents
+  * DOWN, so anything materially above 1 is a real red flag.
+  *
+  * Usage:
+  *   runMain graft.ScaleCheck gen  <baseDir> <scaledDir> <copies>
+  *   runMain graft.ScaleCheck run  <baseDir> <scaledDir> <copies> [runs]
+  */
+object ScaleCheck {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // On a real cluster shuffle parallelism scales with data; a fixed
+    // local partition count under-parallelizes the scaled run and
+    // overstates the exponent — override to test that hypothesis.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Offset: the smallest power of ten above the column's max, so
+    * shifted ids stay disjoint and human-readable per copy. */
+  private def offset(df: DataFrame, idCol: String): Long = {
+    val mx = df.agg(max(col(idCol))).head().getLong(0)
+    var p = 10L
+    while (p <= mx) p *= 10
+    p
+  }
+
+  private def replicate(df: DataFrame, copies: Int,
+      shifted: Map[String, Long])(tweak: (DataFrame, Int) => DataFrame)
+      : DataFrame =
+    (0 until copies).map { k =>
+      val s = shifted.foldLeft(df) { case (d, (c, off)) =>
+        d.withColumn(c, col(c) + lit(off * k))
+      }
+      tweak(s, k)
+    }.reduce(_.unionByName(_))
+
+  def gen(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    def load(n: String) = Tables.load(spark, baseDir, n, parallelize = false)
+
+    val li = load("lineitem")
+    val liOff = Map("l_orderkey" -> offset(li, "l_orderkey"),
+      "l_partkey" -> offset(li, "l_partkey"),
+      "l_suppkey" -> offset(li, "l_suppkey"))
+    replicate(li, copies, liOff)((d, _) => d)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val o = load("orders")
+    val oOff = Map("o_orderkey" -> liOff("l_orderkey"),
+      "o_custkey" -> offset(o, "o_custkey"))
+    replicate(o, copies, oOff)((d, _) => d)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val c = load("customer")
+    replicate(c, copies, Map("c_custkey" -> oOff("o_custkey"))) { (d, k) =>
+      // doubled-letter suffix: any two copies differ by TWO substitutions
+      // (plus identical stems), so a maxDist=1 fuzzy join can never match
+      // across copies — a single-char "~k" suffix would put every name at
+      // distance 1 from its 9 siblings and explode the pair set
+      val tag = s"~${('a' + k).toChar}${('a' + k).toChar}"
+      d.withColumn("c_name", concat(col("c_name"), lit(tag)))
+    }.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    val e = load("embeddings")
+    replicate(e, copies, Map("vec_id" -> offset(e, "vec_id"))) { (d, k) =>
+      // cyclic rotation by k: same norm, same value distribution,
+      // decorrelated from every other copy (k < dim)
+      if (k == 0) d
+      else d.withColumn("embedding", concat(
+        slice(col("embedding"), k + 1, 10000),
+        slice(col("embedding"), 1, k)))
+    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  // ---- the heavy family, operator-level (uncapped — the registry's
+  // q_fuzzy_pairs/q_entity_groups cap keys for oracle-size reasons;
+  // scaling must see the whole table) ----
+
+  private def edgesBipartite(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  private def heavies: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "triangles" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.operators.Triangles.perNode(edges, "src", "dst")
+    },
+    "pagerank" -> { (s, dir) =>
+      graft.operators.PageRank.run(edgesBipartite(s, dir), "src", "dst", 3, 0.85)
+    },
+    "bfs" -> { (s, dir) =>
+      graft.operators.ShortestPaths.fromSource(
+        edgesBipartite(s, dir), "src", "dst", "c1", 4)
+    },
+    // prefix-gram ED-join: KNOWN super-linear on this corpus (hot-gram
+    // buckets on zero-padded sequential names — the finding that led to
+    // deletionPairs; see FuzzyJoin scaladoc). Kept measurable, excluded
+    // from the default sweep: pass its name explicitly to run it.
+    "fuzzy_prefix" -> { (s, dir) =>
+      graft.operators.FuzzyJoin.editDistancePairs(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("s")),
+        "id", "s", maxDist = 1)
+    },
+    "fuzzy_deletion" -> { (s, dir) =>
+      graft.operators.FuzzyJoin.deletionPairs(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("s")),
+        "id", "s", maxDist = 1)
+    },
+    "entity_groups" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      val pairs = graft.operators.FuzzyJoin.deletionPairs(
+        base, "id", "s", maxDist = 1)
+      graft.dedup.ConnectedComponents.labels(pairs, "id_a", "id_b")
+    },
+    "semdedup" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      graft.similarity.SemDedup.verdicts(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", "vec_id", 0.35)
+    })
+
+  private def time(spark: SparkSession, runs: Int)
+      (mk: => DataFrame): Double =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val baseDir = args(1)
+    val outDir = args(2)
+    val copies = args(3).toInt
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    mode match {
+      case "gen" => gen(spark, baseDir, outDir, copies)
+      case "run" =>
+        val runs = if (args.length > 4) args(4).toInt else 2
+        val only = args.drop(5).toSet // optional op names to (re)run
+        val logN = math.log(copies.toDouble)
+        heavies
+          .filter(h => if (only.isEmpty) h._1 != "fuzzy_prefix" else only(h._1))
+          .foreach { case (name, mk) =>
+            val tBase = time(spark, runs)(mk(spark, baseDir))
+            val tBig = time(spark, runs)(mk(spark, outDir))
+            val exp = math.log(tBig / tBase) / logN
+            println(f"""{"op":"$name","t_base_sec":$tBase%.3f,"t_scaled_sec":$tBig%.3f,"copies":$copies,"exponent":$exp%.3f}""")
+          }
+      case other => sys.error(s"unknown mode $other (gen|run)")
+    }
+    spark.stop()
+  }
+}

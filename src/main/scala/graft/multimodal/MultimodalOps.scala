@@ -67,6 +67,44 @@ object MultimodalOps {
       concat(col(s"$metaCol.codec"), lit("+resized")).as("codec")))
   }
 
+  /** aHash near-dup candidate pairs over image signatures: band the
+    * 64-bit average hash (split lo/hi, as [[ImageExpr.statsType]]
+    * exposes it) into 4 × 16-bit keys — images within small Hamming
+    * distance share ≥ 1 exact band with high probability — then verify
+    * Hamming on candidates. The image analogue of the SimHash text
+    * screen (same one-shot (band_idx, band_val) equi-join; never
+    * all-pairs), which is what makes a whole-corpus visual near-dup
+    * sweep a single bounded shuffle at 100 TB. Output:
+    * (doc_a, doc_b, hamming), a < b. */
+  def ahashNearDupPairs(sigs: DataFrame, idCol: String, loCol: String,
+      hiCol: String, maxHamming: Int,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    val s = scope.retain(sigs.select(
+      col(idCol), col(loCol).as("__lo"), col(hiCol).as("__hi")))
+    val banded = s.select(col(idCol), col("__lo"), col("__hi"),
+      posexplode(array(
+        col("__lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("__lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("__hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("__hi"), 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band_idx", "band_val")))
+    val l = banded.select(col(idCol).as("doc_a"), col("__lo").as("lo_a"),
+      col("__hi").as("hi_a"), col("band_idx"), col("band_val"))
+    val r = banded.select(col(idCol).as("doc_b"), col("__lo").as("lo_b"),
+      col("__hi").as("hi_b"), col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Frame sampling for video-like media: one output row per sampled
     * frame index (every `stepMs` across the duration). Pure relational
     * explode — this is the real scale mechanism (a 10-minute video at

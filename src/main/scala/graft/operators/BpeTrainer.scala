@@ -77,13 +77,39 @@ object BpeTrainer {
     *  - merges: (rank, left, right) — the ordered merge table;
     *  - vocabWords: (word, freq, syms) — every training word's final
     *    segmentation, the join-side encoder input.
+    * Exact greedy (one merge per driver round-trip) — the
+    * oracle-checked default; [[trainBatched]] trades a bounded, fully
+    * characterized deviation for ~k× fewer driver trips. */
+  def train(docs: DataFrame, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) =
+    trainBatched(docs, textCol, nMerges, batch = 1)
+
+  /** Batched training: each driver round-trip collects the top `batch`
+    * pairs and accepts the longest PREFIX of mutually NON-INTERACTING
+    * ones (no symbol — left, right, or the merged symbol — shared with
+    * an earlier acceptance), applying them all in one word-table
+    * rewrite. Standard large-scale BPE practice (SentencePiece/
+    * BPE-dropout lineage): driver round-trips drop ~batch× while the
+    * merge sequence stays exact wherever consecutive top pairs are
+    * independent.
+    *
+    * Fidelity contract, precisely: non-interacting pairs' counts are
+    * unchanged by each other's application, so the accepted prefix IS
+    * the sequence exact greedy would pick — UNLESS a merge's freshly
+    * created pairs (x, ab)/(ab, y) would have outranked a later
+    * acceptance in true greedy; the prefix-stop rule (stop at the first
+    * interacting candidate rather than skipping it) otherwise degrades
+    * the round to exact greedy. `batch = 1` is bit-for-bit [[train]];
+    * BpeTrainerSpec pins batched == exact on a non-interacting corpus.
+    *
     * Each round's word table is localCheckpoint'd (|vocabulary| rows —
     * materialized, so the corpus pass runs exactly once and lineage
     * stays one round deep) and the superseded generation's blocks are
     * released. Training stops early if no adjacent pair remains. */
-  def train(docs: DataFrame, textCol: String,
-      nMerges: Int): (DataFrame, DataFrame) = {
+  def trainBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      batch: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = docs.sparkSession
     var words = wordCounts(docs, textCol)
       .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
@@ -92,20 +118,33 @@ object BpeTrainer {
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - rank)
       val top = pairCounts(words)
         .orderBy(col("pair_count").desc, col("left"), col("right"))
-        .limit(1).collect()
+        .limit(want).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((rank, l, r))
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var stop = false
+        top.foreach { row =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          val symbols = Set(l, r, l + r)
+          if (!stop && !symbols.exists(used)) {
+            accepted += ((l, r)); used ++= symbols
+          } else stop = true // prefix rule: never reorder past a conflict
+        }
+        accepted.foreach { case (l, r) => merges += ((rank, l, r)); rank += 1 }
+        // disjoint symbols -> the folds commute; one table rewrite for
+        // the whole batch
+        val newSyms = accepted.foldLeft(col("syms")) {
+          case (c, (l, r)) => applyMerge(c, l, r)
+        }
         val next = words
-          .select(col("word"), col("freq"),
-            applyMerge(col("syms"), l, r).as("syms"))
+          .select(col("word"), col("freq"), newSyms.as("syms"))
           .localCheckpoint() // eager: materialized before the release below
         Checkpoints.releaseLocal(words)
         words = next
-        rank += 1
       }
     }
     import spark.implicits._

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
+
 /** Per-node triangle counting + local clustering coefficient — the graph
   * statistic behind community detection, link-spam screens, and graph
   * quality reports over co-occurrence graphs (parts co-ordered, users
@@ -30,12 +32,20 @@ object Triangles {
     * Output: node, degree (distinct undirected neighbors), n_tri
     * (triangles through the node), clustering (2*n_tri / (deg*(deg-1)),
     * 0.0 for degree < 2). */
-  def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    // retained: the canonical edge set is consumed FOUR times (degree
+    // derivation scans it twice via the endpoint union, orientation
+    // once, wedge close once) and its upstream derivation is often the
+    // expensive part (e.g. a co-occurrence self-join) — without
+    // retention that subtree re-executes per consumer whenever AQE
+    // breaks exchange reuse, which measured as a super-linear wall-clock
+    // exponent at 10× volume (ScaleCheck round 9)
+    val und = scope.retain(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
 
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
@@ -62,8 +72,13 @@ object Triangles {
     val wedges = w1.join(w2, "src").filter(col("d1") < col("d2"))
 
     // Close each wedge against the canonical edge set (d1 < d2 already
-    // holds, so the wedge pair is in canonical order).
-    val tri = wedges.join(und,
+    // holds, so the wedge pair is in canonical order). shuffle_hash: the
+    // edge side is m rows while the wedge side is O(m^1.5) — a sort-merge
+    // join would SORT the wedge fan-out (the n·log n over the biggest
+    // table in the plan; measured 16× wall at 10× volume before the
+    // hint), a shuffled hash join builds on the small side and streams
+    // the wedges untouched.
+    val tri = wedges.join(und.hint("shuffle_hash"),
       col("d1") === col("a") && col("d2") === col("b"))
       .select(col("src").as("x"), col("d1").as("y"), col("d2").as("z"))
 

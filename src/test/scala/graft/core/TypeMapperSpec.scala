@@ -57,6 +57,42 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(ms.contains("name VARCHAR(MAX)"))
   }
 
+  test("exact emitted DDL — postgres branch (auto-create arm)") {
+    // the reference's 8-way {pg,mssql}^2 x {pre-exist,auto-create} matrix
+    // (tests/test_db_to_db_operator.py:123-199): the auto-create arm is
+    // this emission, pinned to the exact text so a mapping or guard
+    // regression cannot hide behind a substring assertion
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DecimalType(18, 2)),
+      StructField("active", BooleanType),
+      StructField("created", TimestampType)))
+    assert(ddl(schema, Postgres, "stage", "orders") ==
+      """CREATE TABLE IF NOT EXISTS stage.orders (
+        |  id BIGINT,
+        |  name TEXT,
+        |  price DECIMAL(18, 2),
+        |  active BOOLEAN,
+        |  created TIMESTAMP
+        |)""".stripMargin)
+  }
+
+  test("exact emitted DDL — mssql branch (auto-create arm)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DecimalType(18, 2)),
+      StructField("active", BooleanType),
+      StructField("created", TimestampType)))
+    assert(ddl(schema, MsSql, "stage", "orders") ==
+      """IF OBJECT_ID('stage.orders', 'U') IS NULL CREATE TABLE stage.orders (
+        |  id BIGINT,
+        |  name VARCHAR(MAX),
+        |  price NUMERIC(18, 2),
+        |  active BIT,
+        |  created DATETIME2
+        |)""".stripMargin)
+  }
+
   test("columnTypes emits a createTableColumnTypes list") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("active", BooleanType)))

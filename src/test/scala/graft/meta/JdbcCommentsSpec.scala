@@ -76,6 +76,38 @@ class JdbcCommentsSpec extends AnyFunSuite {
       !tableStmt.contains("@level2type"))
   }
 
+  test("MSSQL write emits the exact extendedproperty statements") {
+    // exact-text pins for both procedure variants (add for new, update
+    // for pre-existing) — table_comments.py:163-213's emission, so a
+    // parameter rename or level reshuffle fails loudly, not by substring
+    val sqls = MsSql.writeSqls("dbo", "orders", sample,
+      TableCommentSet(Some("old"), Map.empty))
+    assert(sqls == Seq(
+      "EXEC sys.sp_updateextendedproperty @name='MS_Description'," +
+        " @value='Orders fact table', @level0type='schema'," +
+        " @level0name='dbo', @level1type='table', @level1name='orders'",
+      "EXEC sys.sp_addextendedproperty @name='MS_Description'," +
+        " @value='Free text; quotes like ''this'' must survive'," +
+        " @level0type='schema', @level0name='dbo'," +
+        " @level1type='table', @level1name='orders'," +
+        " @level2type='column', @level2name='o_comment'",
+      "EXEC sys.sp_addextendedproperty @name='MS_Description'," +
+        " @value='Primary key', @level0type='schema', @level0name='dbo'," +
+        " @level1type='table', @level1name='orders'," +
+        " @level2type='column', @level2name='o_orderkey'"))
+  }
+
+  test("Postgres write emits the exact COMMENT ON statements") {
+    val sqls = Postgres.writeSqls("public", "orders", sample,
+      TableCommentSet(None, Map.empty))
+    assert(sqls == Seq(
+      """COMMENT ON TABLE "public"."orders" IS 'Orders fact table'""",
+      "COMMENT ON COLUMN \"public\".\"orders\".\"o_comment\"" +
+        " IS 'Free text; quotes like ''this'' must survive'",
+      "COMMENT ON COLUMN \"public\".\"orders\".\"o_orderkey\"" +
+        " IS 'Primary key'"))
+  }
+
   test("Postgres write emits COMMENT ON, read queries pg_catalog") {
     val sqls = Postgres.writeSqls("public", "orders", sample,
       TableCommentSet(None, Map.empty))

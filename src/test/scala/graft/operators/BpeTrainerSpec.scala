@@ -45,6 +45,33 @@ class BpeTrainerSpec extends SparkSpec {
     assert(run(corpus) == run(corpus.repartition(7)))
   }
 
+  test("trainBatched equals exact greedy on non-interacting merges") {
+    // disjoint-alphabet words with strictly decreasing counts: the top
+    // pairs (a,b) > (c,d) > (e,f) > (g,h) share no symbols, so the
+    // batched prefix acceptance IS the greedy sequence
+    val words = Seq.fill(9)("ab") ++ Seq.fill(7)("cd") ++
+      Seq.fill(5)("ef") ++ Seq.fill(3)("gh")
+    val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val (mExact, vExact) = BpeTrainer.train(d, "text", 4)
+    val (mBatch, vBatch) = BpeTrainer.trainBatched(d, "text", 4, batch = 4)
+    assert(mBatch.orderBy("rank").as[(Int, String, String)].collect().toSeq
+      == mExact.orderBy("rank").as[(Int, String, String)].collect().toSeq)
+    def segs(v: org.apache.spark.sql.DataFrame) =
+      v.select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(segs(vBatch) == segs(vExact))
+  }
+
+  test("trainBatched prefix rule stops at the first interacting pair") {
+    // hug corpus: after (u,g) the next top pair (u,n) SHARES u — the
+    // round must stop there, making batched training replay the exact
+    // greedy sequence merge for merge
+    val (mExact, _) = BpeTrainer.train(corpus, "text", 3)
+    val (mBatch, _) = BpeTrainer.trainBatched(corpus, "text", 3, batch = 3)
+    assert(mBatch.orderBy("rank").as[(Int, String, String)].collect().toSeq
+      == mExact.orderBy("rank").as[(Int, String, String)].collect().toSeq)
+  }
+
   test("merge application is greedy left-to-right") {
     // "aaaa" under (a,a) must become [aa, aa], never [aa, a, a]
     val d = Seq((1L, "aaaa")).toDF("doc_id", "text")

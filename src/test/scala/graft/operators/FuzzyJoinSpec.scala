@@ -34,6 +34,29 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("deletionPairs equals brute force and the prefix path, d=1 and d=2") {
+    val c = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    Seq(1, 2).foreach { d =>
+      val got = FuzzyJoin.deletionPairs(c, "id", "s", d)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = brute(c, d)
+      assert(got == expected, s"d=$d mismatch")
+      assert(expected.nonEmpty, s"d=$d: fixture should produce pairs")
+    }
+  }
+
+  test("deletionPairs handles empty/short/null strings and exact dups") {
+    val df = Seq((1L, Some("")), (2L, Some("")), (3L, Some("a")),
+      (4L, Some("ab")), (5L, None), (6L, Some("ab")))
+      .toDF("id", "s")
+    val got = FuzzyJoin.deletionPairs(df, "id", "s", 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // ""~"" 0, ""~"a" 1, "a"~"ab" 1, "ab"~"ab" 0 — and NULL never matches
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (3L, 6L, 1L), (4L, 6L, 0L)))
+  }
+
   test("short strings (below the prefix guarantee) fall back losslessly") {
     // every string here has <= d*q grams at q=2, d=2 — the prefix lemma
     // gives no guarantee, so the short bucket must carry all of them,

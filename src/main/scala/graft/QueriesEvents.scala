@@ -1147,8 +1147,60 @@ object QueriesEvents {
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM p WHERE p.user_id = v.user_id)""".stripMargin
 
+  // ----------------------------------------------------------- burstiness
+  // Per-user burstiness of activity: the Fano factor (variance/mean) of
+  // inter-event gaps — bots and schedulers sit near 0 (regular), human
+  // sessions are bursty (>> mean). Gaps in exact integer micros from one
+  // window sort; moment sums in DECIMAL (d² needs 38 digits), then the
+  // textbook ratio in fixed-shape doubles — the Stats.corrByKey
+  // discipline applied to a per-user dispersion statistic.
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val deltas = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("d", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val agg = deltas.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("d").cast("decimal(20,0)")).as("sd"),
+      sum((col("d").cast("decimal(19,0)") * col("d").cast("decimal(19,0)")))
+        .as("sd2"))
+    val n = col("n").cast("double")
+    val mean = col("sd").cast("double") / n
+    val variance = col("sd2").cast("double") / n - mean * mean
+    agg.select(col("user_id"), col("n"),
+      mean.as("mean_gap_us"),
+      when(mean > 0.0, variance / mean).otherwise(lit(0.0)).as("fano"))
+  }
+
+  val qBurstinessSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |d AS (
+      |  SELECT user_id,
+      |    us - lag(us) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id) AS d
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, count(*) AS n,
+      |    sum(CAST(d AS DECIMAL(20,0))) AS sd,
+      |    sum(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS sd2
+      |  FROM d WHERE d IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n,
+      |  CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_us,
+      |  CASE WHEN CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+      |    THEN (CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |          - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+      |            * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)))
+      |         / (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+      |    ELSE 0.0 END AS fano
+      |FROM g""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_burstiness" -> (qBurstiness _),
     "q_session_native" -> (qSessionNative _),
     "q_nearest_event" -> (qNearestEvent _),
     "q_quantile_state" -> (qQuantileState _),
@@ -1182,6 +1234,7 @@ object QueriesEvents {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_burstiness" -> qBurstinessSql,
     "q_session_native" -> qSessionNativeSql,
     "q_nearest_event" -> qNearestEventSql,
     "q_quantile_state" -> qQuantileStateSql,

@@ -510,6 +510,70 @@ object QueriesScale {
       |  END AS clustering
       |FROM deg d LEFT JOIN tpn t ON d.node = t.node""".stripMargin
 
+  // -------------------------------------------------------- assortativity
+  // Degree assortativity of the co-order part graph (Newman's r): the
+  // Pearson correlation of endpoint degrees over the DIRECTED edge set
+  // (each undirected edge contributes both orientations, making r
+  // symmetric by construction) — the one-number structural summary that
+  // tells graph pipelines whether hubs attach to hubs (r > 0) or to the
+  // periphery (r < 0). Rides Stats.corrByKey's engine-exact contract:
+  // decimal moment sums, fixed-shape double formula.
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val und = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val directed = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val withDeg = directed
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.corrByKey(withDeg, "g", "du", "dv")
+      .select(col("n"), col("corr").as("assortativity"))
+  }
+
+  val qAssortativitySql: String =
+    """WITH und AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT node, count(*) AS degree FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY node),
+      |de AS (
+      |  SELECT du.degree AS x, dv.degree AS y FROM (
+      |    SELECT a AS u, b AS v FROM und
+      |    UNION ALL SELECT b, a FROM und) e
+      |  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    sum(CAST(x AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(y AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS sxy,
+      |    sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS sxx,
+      |    sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS syy
+      |  FROM de)
+      |SELECT n,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+      |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  END AS assortativity
+      |FROM m""".stripMargin
+
   // --------------------------------------------------------- bucketed join
   // Co-located join via catalog bucketing: both sides are written
   // bucketed on the join key (the one-time shuffle), then the join runs
@@ -616,6 +680,7 @@ object QueriesScale {
     "q_pagerank" -> (qPageRank _),
     "q_bfs" -> (qBfs _),
     "q_triangles" -> (qTriangles _),
+    "q_assortativity" -> (qAssortativity _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -638,6 +703,7 @@ object QueriesScale {
     "q_pagerank" -> qPageRankSql,
     "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,
+    "q_assortativity" -> qAssortativitySql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_epoch_shuffle" -> qEpochShuffleSql,
     "q_partition_prune" -> qPartitionPruneSql,

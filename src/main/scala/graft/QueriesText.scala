@@ -667,10 +667,51 @@ object QueriesText {
        |SELECT doc_id, lang,
        |  percent_rank() OVER (PARTITION BY lang ORDER BY qual ASC) AS pct
        |FROM qw WHERE qual IS NOT NULL""".stripMargin
+  // ------------------------------------------------------ lexical stats
+  // Lexical diversity per document: type-token ratio and hapax-legomena
+  // fraction — the vocabulary-richness signals quality pipelines pair
+  // with the stopword/length scores (templated spam has low TTR; OCR
+  // noise has high hapax). Integer counts, two fixed-shape ratios.
+  def qLexicalStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(TextFunctions.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count_if(col("c") === 1).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_frac"))
+
+  val qLexicalStatsSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(ws) AS term FROM (
+       |      SELECT doc_id,
+       |        regexp_split_to_array(lower(${sqlCollapse("text")}), ' ') AS ws
+       |      FROM documents) d)
+       |  WHERE term <> ''),
+       |tc AS (SELECT doc_id, term, count(*) AS c FROM terms GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_types,
+       |  CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+       |  CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+       |    AS ttr,
+       |  CAST(count(*) FILTER (c = 1) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS hapax_frac
+       |FROM tc GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   // (the dedup-prep and denoising-objective families live in
   // QueriesTextDedup / QueriesTextObjectives)
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lexical_stats" -> (qLexicalStats _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_tfidf" -> (qTfidf _),
@@ -691,6 +732,7 @@ object QueriesText {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_lexical_stats" -> qLexicalStatsSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_tfidf" -> qTfidfSql,

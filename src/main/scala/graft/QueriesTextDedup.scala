@@ -465,8 +465,49 @@ object QueriesTextDedup {
        |            FROM documents))""".stripMargin
   }
 
+  // ------------------------------------------------------- screen quality
+  // Evaluation of the LSH screen against ground truth: precision/recall
+  // of the minhash band candidates vs the exact n-gram Jaccard >= 0.5
+  // pairs — the number a pipeline owner reads before trusting a screen
+  // at corpus scale (the ANN family's q_rank_metric, applied to dedup).
+  // Integer counts; two fixed-shape ratios; one-row scalar output.
+  def qLshQuality(s: SparkSession, dir: String): DataFrame = {
+    val exact = qDedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
+    val cand = qDedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nE.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_cand").cast("double"))
+          .as("precision"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
+  val qLshQualitySql: String =
+    s"""WITH exact AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$qDedupNgramSql
+       |  ) t),
+       |cand AS (
+       |$qDedupMinhashSql
+       |),
+       |h AS (SELECT count(*) AS n_hit FROM cand
+       |      WHERE EXISTS (SELECT 1 FROM exact e
+       |                    WHERE e.doc_a = cand.doc_a
+       |                      AND e.doc_b = cand.doc_b)),
+       |ne AS (SELECT count(*) AS n_exact FROM exact),
+       |nc AS (SELECT count(*) AS n_cand FROM cand)
+       |SELECT n_exact, n_cand, n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) AS precision,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM ne CROSS JOIN nc CROSS JOIN h""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_quality" -> (qLshQuality _),
     "q_fingerprint" -> (qFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
@@ -486,6 +527,7 @@ object QueriesTextDedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_lsh_quality" -> qLshQualitySql,
     "q_fingerprint" -> qFingerprintSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram" -> qDedupNgramSql,

@@ -72,7 +72,10 @@ object QueriesMatch {
       when(col("c_custkey") % 2 === 0,
         concat(substring(col("c_name"), 1, 9), expr("substring(c_name, 11)")))
         .otherwise(col("c_name")).as("s"))
-    FuzzyJoin.bestMatch(dirty, master, "qid", "mid", "s", maxDist = 2)
+    // deletion-neighborhood screen (hot-gram-proof; see q_fuzzy_del) —
+    // same contract as bestMatch, spec-pinned equal
+    FuzzyJoin.bestMatchDeletion(dirty, master, "qid", "mid", "s",
+        maxDist = 2)
       .select(col("id_l").as("query_id"), col("id_r").as("match_id"),
         col("dist"))
   }
@@ -138,7 +141,7 @@ object QueriesMatch {
       when(col("c_custkey") % 2 === 0,
         concat(substring(col("c_name"), 1, 9), expr("substring(c_name, 11)")))
         .otherwise(col("c_name")).as("qs"))
-    val candidates = FuzzyJoin.editDistanceJoin(
+    val candidates = FuzzyJoin.deletionJoin(
         dirty.withColumnRenamed("qs", "s"),
         master.withColumnRenamed("ms", "s"),
         "qid", "mid", "s", maxDist = 2)
@@ -185,7 +188,7 @@ object QueriesMatch {
     val ids = t(s, dir, "customer")
       .filter(col("c_custkey") < FuzzyKeyCap)
       .select(col("c_custkey").as("id"))
-    val pairs = qFuzzyPairs(s, dir)
+    val pairs = qFuzzyDel(s, dir) // deletion screen; same verified pairs
     val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
       .select(col("id"), col("cluster_id"))
     ids.join(labels, Seq("id"), "left")

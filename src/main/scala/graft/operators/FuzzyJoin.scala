@@ -156,6 +156,67 @@ object FuzzyJoin {
         col("__dist").cast("long").as("dist"))
   }
 
+  /** Two-table [[deletionPairs]]: all (left, right) pairs within
+    * `maxDist` edits via the deletion-variant equi-join. Output:
+    * (id_l, id_r, dist). Same corpus-shape rationale as the self-join
+    * form — use for key-like strings where prefix-gram screens can go
+    * hot; equivalence with [[editDistanceJoin]] is spec-pinned. */
+  def deletionJoin(left: DataFrame, right: DataFrame, leftId: String,
+      rightId: String, strCol: String, maxDist: Int,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    deletionScored(left, right, leftId, rightId, strCol, maxDist, scope)
+      .select(col("id_l"), col("id_r"),
+        col("__dist").cast("long").as("dist"))
+
+  /** [[bestMatch]] through the deletion-neighborhood screen: each left
+    * row's closest right row within `maxDist` edits, ties broken by
+    * smallest right id. Identical contract to [[bestMatch]]
+    * (spec-pinned); the screen choice is the only difference. */
+  def bestMatchDeletion(left: DataFrame, right: DataFrame, leftId: String,
+      rightId: String, strCol: String, maxDist: Int,
+      scope: CacheScope = CacheScope.session): DataFrame =
+    deletionScored(left, right, leftId, rightId, strCol, maxDist, scope)
+      .groupBy(col("id_l"))
+      .agg(min(struct(col("__dist"), col("id_r"))).as("__best"))
+      .select(col("id_l"), col("__best")("id_r").as("id_r"),
+        col("__best")("__dist").cast("long").as("dist"))
+
+  private def deletionScored(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String, strCol: String, maxDist: Int,
+      scope: CacheScope): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion neighborhoods are practical for d in {1, 2}, got $maxDist")
+    def keyedSide(df: DataFrame, idCol: String, idAs: String)
+        : (DataFrame, DataFrame) = {
+      val base = scope.retain(df
+        .filter(col(strCol).isNotNull)
+        .select(col(idCol).as("__id"), col(strCol).as("__s"))
+        .withColumn("__len", length(col("__s"))))
+      val nb1 = concat(array(col("__s")), deletions(col("__s")))
+      val nb =
+        if (maxDist == 1) nb1
+        else array_distinct(concat(nb1,
+          flatten(transform(deletions(col("__s")), d => deletions(d)))))
+      val keyed = base.select(col("__id").as(idAs),
+        col("__len").as(s"__len_$idAs"),
+        explode(array_distinct(nb)).as("__v"))
+        .select(col(idAs), col(s"__len_$idAs"), md5(col("__v")).as("__k"))
+      (base, keyed)
+    }
+    val (lBase, lKeyed) = keyedSide(left, leftId, "id_l")
+    val (rBase, rKeyed) = keyedSide(right, rightId, "id_r")
+    lKeyed.join(rKeyed, Seq("__k"))
+      .filter(abs(col("__len_id_l") - col("__len_id_r")) <= maxDist)
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+      .join(lBase.select(col("__id").as("id_l"), col("__s").as("__sl")),
+        Seq("id_l"))
+      .join(rBase.select(col("__id").as("id_r"), col("__s").as("__sr")),
+        Seq("id_r"))
+      .withColumn("__dist", levenshtein(col("__sl"), col("__sr"), maxDist))
+      .filter(col("__dist") =!= -1)
+  }
+
   /** All pairs within `maxDist` edits: (id_a, id_b, dist), id_a < id_b.
     * NULL strings never match. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,

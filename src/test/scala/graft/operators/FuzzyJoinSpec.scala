@@ -57,6 +57,27 @@ class FuzzyJoinSpec extends SparkSpec {
       (3L, 4L, 1L), (3L, 6L, 1L), (4L, 6L, 0L)))
   }
 
+  test("deletionJoin/bestMatchDeletion equal the prefix two-table path") {
+    val c = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val master = c.select(col("c_custkey").as("mid"), col("c_name").as("s"))
+    val dirty = c.select(col("c_custkey").as("qid"),
+      when(col("c_custkey") % 2 === 0,
+        concat(substring(col("c_name"), 1, 9), expr("substring(c_name, 11)")))
+        .otherwise(col("c_name")).as("s"))
+    Seq(1, 2).foreach { d =>
+      val viaDel = FuzzyJoin.deletionJoin(dirty, master, "qid", "mid", "s", d)
+        .as[(Long, Long, Long)].collect().toSet
+      val viaPfx = FuzzyJoin.editDistanceJoin(dirty, master, "qid", "mid", "s", d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaDel == viaPfx && viaPfx.nonEmpty, s"join d=$d")
+      val bmDel = FuzzyJoin.bestMatchDeletion(dirty, master, "qid", "mid", "s", d)
+        .as[(Long, Long, Long)].collect().toSet
+      val bmPfx = FuzzyJoin.bestMatch(dirty, master, "qid", "mid", "s", d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bmDel == bmPfx && bmPfx.nonEmpty, s"bestMatch d=$d")
+    }
+  }
+
   test("short strings (below the prefix guarantee) fall back losslessly") {
     // every string here has <= d*q grams at q=2, d=2 — the prefix lemma
     // gives no guarantee, so the short bucket must carry all of them,

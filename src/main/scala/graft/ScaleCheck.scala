@@ -106,6 +106,23 @@ object ScaleCheck {
         slice(col("embedding"), k + 1, 10000),
         slice(col("embedding"), 1, k)))
     }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val docs = load("documents")
+    replicate(docs, copies, Map("doc_id" -> offset(docs, "doc_id"))) {
+      (d, k) =>
+        // tag EVERY token with the copy index: shingle/term sets are
+        // DISJOINT across copies (cross-copy Jaccard = 0), while
+        // within-copy dup structure and all length/count distributions
+        // are preserved — without this, identical cross-copy texts
+        // would make near-dup pair output quadratic in copies
+        d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1~$k"))
+    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val ev = load("events")
+    replicate(ev, copies, Map("event_id" -> offset(ev, "event_id"),
+      "user_id" -> offset(ev, "user_id")))((d, _) => d)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   // ---- the heavy family, operator-level (uncapped — the registry's
@@ -167,6 +184,21 @@ object ScaleCheck {
       val e = Tables.load(s, dir, "embeddings")
       graft.similarity.SemDedup.verdicts(e, e.filter(col("vec_id") < 16),
         "vec_id", "embedding", "vec_id", 0.35)
+    },
+    "dedup_minhash" -> { (s, dir) =>
+      val sig = graft.dedup.Dedup.minhashSignatures(
+        graft.dedup.Dedup.shingleTable(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 3),
+        "doc_id", 8)
+      graft.dedup.Dedup.minhashCandidates(sig, "doc_id", 8, 2)
+    },
+    "interval_merge" -> { (s, dir) =>
+      // ship→deliver intervals per part (the q_interval_merge shape)
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), unix_micros(col("l_shipdate")).as("a"),
+          (unix_micros(col("l_shipdate")) +
+            col("l_quantity").cast("long") * 86400L * 1000000L).as("b"))
+      graft.operators.Intervals.merge(li, "l_partkey", "a", "b")
     })
 
   private def time(spark: SparkSession, runs: Int)

@@ -128,14 +128,9 @@ object FuzzyJoin {
       .filter(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .withColumn("__len", length(col("__s"))))
-    val nb1 = concat(array(col("__s")), deletions(col("__s")))
-    val nb =
-      if (maxDist == 1) nb1
-      else array_distinct(concat(nb1,
-        flatten(transform(deletions(col("__s")), d => deletions(d)))))
     // md5 keys: fixed-width shuffle rows regardless of string length
     val keyed = base.select(col("__id"), col("__len"),
-      explode(array_distinct(nb)).as("__v"))
+      explode(neighborhood(maxDist)).as("__v"))
       .select(col("__id"), col("__len"), md5(col("__v")).as("__k"))
     val cands = keyed.select(col("__id").as("id_a"),
         col("__len").as("__la"), col("__k"))
@@ -149,6 +144,76 @@ object FuzzyJoin {
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")),
         Seq("id_a"))
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")),
+        Seq("id_b"))
+      .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("__dist") =!= -1)
+      .select(col("id_a"), col("id_b"),
+        col("__dist").cast("long").as("dist"))
+  }
+
+  /** ≤`maxDist`-deletion neighborhood of `__s` (incl. the string
+    * itself), distinct. */
+  private def neighborhood(maxDist: Int): Column = {
+    val nb1 = concat(array(col("__s")), deletions(col("__s")))
+    if (maxDist == 1) array_distinct(nb1)
+    else array_distinct(concat(nb1,
+      flatten(transform(deletions(col("__s")), d => deletions(d)))))
+  }
+
+  /** Persistable deletion-variant screen table: (id, len, __k) — one
+    * row per ≤`maxDist`-deletion variant, md5-keyed. Maintain it across
+    * runs (append each ingested batch's variants) and incremental
+    * matching joins new batches against it instead of re-deriving the
+    * corpus — the same continuous-ingest shape as
+    * [[graft.dedup.Dedup.bandTable]]. */
+  def deletionVariants(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion neighborhoods are practical for d in {1, 2}, got $maxDist")
+    df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__len", length(col("__s")))
+      .select(col("__id"), col("__len"),
+        explode(neighborhood(maxDist)).as("__v"))
+      .select(col("__id"), col("__len"), md5(col("__v")).as("__k"))
+  }
+
+  /** Incremental deletion-neighborhood matching: a NEW batch of strings
+    * against an EXISTING variant table (from [[deletionVariants]],
+    * typically parquet maintained across runs — append the new batch's
+    * variants after each call), plus pairs within the batch. Only the
+    * increment derives variants; the corpus is touched through the
+    * md5-key equi-join alone (strings re-join by id for the verified
+    * survivors) — the continuous-ingest shape of the other five
+    * incremental screens. With ids disjoint between batch and corpus,
+    * the result is exactly [[deletionPairs]] over (corpus + batch)
+    * restricted to pairs touching a new id (spec-pinned). Output:
+    * (id_a = new id, id_b = matched id, dist); batch-internal pairs
+    * a < b. */
+  def deletionPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      corpusVariants: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    val newVars = scope.retain(deletionVariants(newDocs, idCol, strCol, maxDist))
+    val n = newVars.select(col("__id").as("id_a"),
+      col("__len").as("__la"), col("__k"))
+    val vsCorpus = n
+      .join(corpusVariants.select(col("__id").as("id_b"),
+        col("__len").as("__lb"), col("__k")), Seq("__k"))
+      .filter(col("id_a") =!= col("id_b"))
+    val within = n
+      .join(newVars.select(col("__id").as("id_b"),
+        col("__len").as("__lb"), col("__k")), Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+    val strings = corpus.unionByName(newDocs)
+      .filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+    vsCorpus.unionByName(within)
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(strings.select(col("__id").as("id_a"), col("__s").as("__sa")),
+        Seq("id_a"))
+      .join(strings.select(col("__id").as("id_b"), col("__s").as("__sb")),
         Seq("id_b"))
       .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), maxDist))
       .filter(col("__dist") =!= -1)
@@ -192,14 +257,9 @@ object FuzzyJoin {
         .filter(col(strCol).isNotNull)
         .select(col(idCol).as("__id"), col(strCol).as("__s"))
         .withColumn("__len", length(col("__s"))))
-      val nb1 = concat(array(col("__s")), deletions(col("__s")))
-      val nb =
-        if (maxDist == 1) nb1
-        else array_distinct(concat(nb1,
-          flatten(transform(deletions(col("__s")), d => deletions(d)))))
       val keyed = base.select(col("__id").as(idAs),
         col("__len").as(s"__len_$idAs"),
-        explode(array_distinct(nb)).as("__v"))
+        explode(neighborhood(maxDist)).as("__v"))
         .select(col(idAs), col(s"__len_$idAs"), md5(col("__v")).as("__k"))
       (base, keyed)
     }

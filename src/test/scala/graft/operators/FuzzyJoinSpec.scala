@@ -78,6 +78,34 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("incremental deletion matching: 3-batch ingest equals full corpus") {
+    val c = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val full = FuzzyJoin.deletionPairs(c, "id", "s", 1)
+      .select(least(col("id_a"), col("id_b")),
+        greatest(col("id_a"), col("id_b")), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    var corpus = c.limit(0)
+    var variants = FuzzyJoin.deletionVariants(c.limit(0), "id", "s", 1)
+      .localCheckpoint()
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    (0 until 3).foreach { k =>
+      val batch = c.filter(col("id") % 3 === k)
+      val pairs = FuzzyJoin
+        .deletionPairsAgainst(batch, corpus, variants, "id", "s", 1)
+        .select(least(col("id_a"), col("id_b")),
+          greatest(col("id_a"), col("id_b")), col("dist"))
+        .as[(Long, Long, Long)].collect()
+      // each pair must surface exactly once (when its later member lands)
+      pairs.foreach { p => assert(!got(p), s"pair $p found twice"); got += p }
+      corpus = corpus.unionByName(batch)
+      variants = variants
+        .unionByName(FuzzyJoin.deletionVariants(batch, "id", "s", 1))
+        .localCheckpoint()
+    }
+    assert(got.toSet == full && full.nonEmpty)
+  }
+
   test("short strings (below the prefix guarantee) fall back losslessly") {
     // every string here has <= d*q grams at q=2, d=2 — the prefix lemma
     // gives no guarantee, so the short bucket must carry all of them,

@@ -34,9 +34,12 @@ import ExcelSource.{Cell, SCell, NCell, BCell, TCell}
   *     -> null, like pandas NaN), BLANK/MULBLANK, FORMULA cached results
   *     (numeric, string via the following STRING record, boolean, error)
   *
-  * BIFF5/7 (.xls written by Excel 95) is rejected with a clear error —
-  * its strings are codepage-dependent; BIFF8 (Excel 97+) is what every
-  * producer the reference ingests from emits.
+  * BIFF5/7 (.xls written by Excel 5/95) is ALSO supported: the cell
+  * records share their BIFF8 layouts, and the differences are confined
+  * to strings — no SST (text arrives inline in LABEL/RSTRING byte
+  * strings), 1-byte-length sheet/format names, and codepage-dependent
+  * bytes decoded through the stream's CODEPAGE record (windows-1252
+  * when absent, the overwhelmingly common case).
   */
 object XlsSource {
 
@@ -205,6 +208,7 @@ object XlsSource {
   private val RFormula = 0x0006; private val RString = 0x0207
   private val RShrFmla = 0x04BC; private val RArray = 0x0221
   private val RTable = 0x0236
+  private val RCodepage = 0x0042; private val RRstring = 0x00D6
 
   /** One raw record: id + data slice. */
   private case class Rec(id: Int, data: Array[Byte])
@@ -300,25 +304,46 @@ object XlsSource {
   }
 
   /** Globals-substream payload: sheets (name -> stream offset), shared
-    * strings, date-styled XF indices, 1904 flag. */
+    * strings, date-styled XF indices, 1904 flag, BIFF5 mode + its
+    * string codepage. */
   private case class Globals(
       sheets: Seq[(String, Int)],
       sst: IndexedSeq[String],
       dateXf: Set[Int],
-      date1904: Boolean)
+      date1904: Boolean,
+      biff5: Boolean,
+      charset: java.nio.charset.Charset)
+
+  /** CODEPAGE record value -> charset; 1252 (the overwhelmingly common
+    * writer default) when absent or unknown. */
+  private def charsetFor(cp: Int): java.nio.charset.Charset = {
+    val name = cp match {
+      case 1200 => "UTF-16LE"
+      case 367 => "US-ASCII"
+      case 10000 => "x-MacRoman"
+      case c => s"windows-$c"
+    }
+    try java.nio.charset.Charset.forName(name)
+    catch { case _: Exception =>
+      java.nio.charset.Charset.forName("windows-1252")
+    }
+  }
 
   private def parseGlobals(wb: Array[Byte]): Globals = {
     val bof = records(wb, 0).next()
     require(bof.id == RBof, "workbook stream does not start with BOF")
     val version = u16(bof.data, 0)
-    require(version == 0x0600,
+    require(version == 0x0600 || version == 0x0500,
       f"unsupported BIFF version 0x$version%04X — only BIFF8 (Excel 97+) " +
-        "is supported; re-save the file or export CSV")
+        "and BIFF5/7 (Excel 5/95) are supported; re-save the file or " +
+        "export CSV")
+    val biff5 = version == 0x0500
 
     val sheets = mutable.ArrayBuffer[(String, Int)]()
     val xfFmts = mutable.ArrayBuffer[Int]()
     val customDate = mutable.Set[Int]()
     var date1904 = false
+    var charset = java.nio.charset.Charset.forName("windows-1252")
     var sst: IndexedSeq[String] = IndexedSeq.empty
     val sstParts = mutable.ArrayBuffer[Array[Byte]]()
     var sstOpen = false
@@ -327,6 +352,13 @@ object XlsSource {
       if (rec.id != RContinue && sstOpen) sstOpen = false
       rec.id match {
         case RDateMode => date1904 = u16(rec.data, 0) == 1
+        case RCodepage => charset = charsetFor(u16(rec.data, 0))
+        case RFormat if biff5 =>
+          // BIFF5 FORMAT: ifmt (2), then a BYTE string (cch8, chars)
+          val ifmt = u16(rec.data, 0)
+          val cch = rec.data(2) & 0xFF
+          val code = new String(rec.data, 3, cch, charset)
+          if (ExcelSource.isDateFormatCode(code)) customDate += ifmt
         case RFormat =>
           val ifmt = u16(rec.data, 0)
           // format string: XLUnicodeString (cch16, grbit, chars)
@@ -341,10 +373,13 @@ object XlsSource {
           val pos = u32(rec.data, 0).toInt
           val visibleType = rec.data(5) & 0xFF // dt: 0 = worksheet
           val cch = rec.data(6) & 0xFF
-          val wide = (rec.data(7) & 1) != 0
           val name =
-            if (wide) new String(rec.data, 8, cch * 2, "UTF-16LE")
-            else new String(rec.data.slice(8, 8 + cch).map(b => (b & 0xFF).toChar))
+            if (biff5) new String(rec.data, 7, cch, charset) // BYTE string
+            else {
+              val wide = (rec.data(7) & 1) != 0
+              if (wide) new String(rec.data, 8, cch * 2, "UTF-16LE")
+              else new String(rec.data.slice(8, 8 + cch).map(b => (b & 0xFF).toChar))
+            }
           if (visibleType == 0) sheets += name -> pos
         case RSst => sstParts += rec.data; sstOpen = true
         case RContinue if sstOpen => sstParts += rec.data
@@ -360,7 +395,7 @@ object XlsSource {
     val dateXf = xfFmts.zipWithIndex.collect {
       case (fmt, i) if ExcelSource.builtinDateFmts(fmt) || customDate(fmt) => i
     }.toSet
-    Globals(sheets.toSeq, sst, dateXf, date1904)
+    Globals(sheets.toSeq, sst, dateXf, date1904, biff5, charset)
   }
 
   /** Dense row matrix of the selected sheet; `None` = blank cell. */
@@ -391,11 +426,16 @@ object XlsSource {
         case RString =>
           // cached string result of the preceding FORMULA; a long value
           // overflows into CONTINUE records, each character-array resume
-          // re-declaring its own flag byte (same rule as SST strings)
+          // re-declaring its own flag byte (same rule as SST strings).
+          // BIFF5: a plain BYTE string (cch16, codepage chars), no flag.
           val parts = mutable.ArrayBuffer(rec.data)
           while (it.hasNext && it.head.id == RContinue) parts += it.next().data
           pendingStringCell.foreach { rc =>
-            cells(rc) = Some(SCell(new SstCursor(parts.toIndexedSeq).readString()))
+            cells(rc) = Some(SCell(
+              if (g.biff5) {
+                val all = parts.reduce(_ ++ _)
+                new String(all, 2, u16(all, 0), g.charset)
+              } else new SstCursor(parts.toIndexedSeq).readString()))
           }
           pendingStringCell = None
         case RShrFmla | RArray | RTable | RContinue =>
@@ -422,12 +462,20 @@ object XlsSource {
                 num(rw, colFirst + i, u16(rec.data, 4 + i * 6),
                   decodeRk(u32(rec.data, 6 + i * 6)))
               }
-            case RLabel =>
+            case RLabel | RRstring =>
+              // RSTRING (formatted label) carries the same leading text
+              // as LABEL; its trailing formatting runs are ignored —
+              // text-only, like pandas. BIFF5 strings are BYTE strings
+              // at offset 8 in the stream codepage; BIFF8 are
+              // XLUnicodeStrings (flag byte then chars).
               val cch = u16(rec.data, 6)
-              val wide = (rec.data(8) & 1) != 0
               val s =
-                if (wide) new String(rec.data, 9, cch * 2, "UTF-16LE")
-                else new String(rec.data.slice(9, 9 + cch).map(b => (b & 0xFF).toChar))
+                if (g.biff5) new String(rec.data, 8, cch, g.charset)
+                else {
+                  val wide = (rec.data(8) & 1) != 0
+                  if (wide) new String(rec.data, 9, cch * 2, "UTF-16LE")
+                  else new String(rec.data.slice(9, 9 + cch).map(b => (b & 0xFF).toChar))
+                }
               cells((u16(rec.data, 0), u16(rec.data, 2))) = Some(SCell(s))
             case RBoolErr =>
               val isErr = (rec.data(7) & 0xFF) != 0

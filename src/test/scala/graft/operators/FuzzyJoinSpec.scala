@@ -106,6 +106,25 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.toSet == full && full.nonEmpty)
   }
 
+  test("deletionPairs == brute on dense random binary-alphabet strings") {
+    // {a,b} strings of length 0..6: near-maximal deletion-key collisions
+    // and many true pairs at every distance — the adversarial regime for
+    // a candidate screen (seeded, deterministic)
+    val rnd = new scala.util.Random(42)
+    val strs = (1 to 120).map { i =>
+      val n = rnd.nextInt(7)
+      (i.toLong, (1 to n).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    }
+    val df = strs.toDF("id", "s")
+    Seq(1, 2).foreach { d =>
+      val got = FuzzyJoin.deletionPairs(df, "id", "s", d)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = brute(df, d)
+      assert(got == expected, s"d=$d")
+      assert(expected.nonEmpty)
+    }
+  }
+
   test("short strings (below the prefix guarantee) fall back losslessly") {
     // every string here has <= d*q grams at q=2, d=2 — the prefix lemma
     // gives no guarantee, so the short bucket must carry all of them,

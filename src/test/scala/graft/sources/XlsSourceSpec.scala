@@ -260,6 +260,76 @@ class XlsSourceSpec extends SparkSpec {
   private lazy val xlsSmall = makeXls(workbook(date1904 = false, padGlobals = false))
   private lazy val xlsFat = makeXls(workbook(date1904 = true, padGlobals = true))
 
+  // ------------------------------------------------------ BIFF5 fixture
+
+  /** Excel-95 era records: BYTE strings in the stream codepage, no SST,
+    * 1-byte-length names. */
+  private def bof5(dt: Int) = rec(0x0809)(b => b.u16(0x0500).u16(dt))
+  private def boundSheet5(pos: Int, name: String) =
+    rec(0x0085)(b => b.u32(pos).u8(0).u8(0).u8(name.length).ascii(name))
+  private def format5(ifmt: Int, code: String) =
+    rec(0x041E)(b => b.u16(ifmt).u8(code.length).ascii(code))
+  private def label5(rw: Int, c: Int, bytes: Array[Byte]) =
+    rec(0x0204)(b => b.u16(rw).u16(c).u16(0).u16(bytes.length).bytes(bytes))
+  private def rstring5(rw: Int, c: Int, s: String) =
+    rec(0x00D6) { b =>
+      b.u16(rw).u16(c).u16(0).u16(s.length).ascii(s)
+      b.u8(1).u8(0).u8(0) // one trailing formatting run, ignored
+    }
+  private def string5(s: String) =
+    rec(0x0207)(b => b.u16(s.length).ascii(s))
+
+  /** One-sheet BIFF5 workbook: codepage 1252 header strings, inline
+    * labels (incl. a 0x80-0x9F codepage char), dates via FORMAT/XF,
+    * RSTRING, and a FORMULA whose cached string is a BIFF5 STRING. */
+  private def workbook5: Array[Byte] = {
+    // windows-1252: 0x93/0x94 are curly quotes — absent from latin-1
+    val curly = Array[Byte](0x93.toByte, 0x6F, 0x6B, 0x94.toByte)
+    def globals(pos: Int) = cat(
+      bof5(0x0005),
+      rec(0x0042)(b => b.u16(1252)),           // CODEPAGE
+      rec(0x0022)(b => b.u16(0)),              // 1900 system
+      format5(164, "dd/mm/yyyy"),
+      xf(0), xf(164),
+      boundSheet5(pos, "Plan1"),
+      eof())
+    val sheet = cat(
+      bof5(0x0010),
+      label5(0, 0, "id".getBytes("windows-1252")),
+      label5(0, 1, "nome".getBytes("windows-1252")),
+      label5(0, 2, "quando".getBytes("windows-1252")),
+      label5(0, 3, "obs".getBytes("windows-1252")),
+      numberCell(1, 0, 0, 1.0),
+      label5(1, 1, curly),                     // codepage-only chars
+      numberCell(1, 2, 1, 45291.0),            // custom date XF
+      rstring5(1, 3, "rich"),
+      numberCell(2, 0, 0, 2.0),
+      label5(2, 1, "b".getBytes("windows-1252")),
+      numberCell(2, 2, 1, 45292.0),
+      formulaStr(2, 3), string5("calc5"),
+      eof())
+    val g = globals(0)
+    cat(globals(g.length), sheet)
+  }
+
+  private lazy val xls5 = makeXls(workbook5)
+
+  test("BIFF5 (Excel 95): codepage strings, dates, RSTRING, formula string") {
+    assert(XlsSource.sheetNames(xls5) == Seq("Plan1"))
+    val df = XlsSource.read(spark, xls5)
+    assert(df.columns.toSeq == Seq("id", "nome", "quando", "obs"))
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("id") == LongType)
+    assert(types("quando") == TimestampType)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    // windows-1252 0x93/0x94 decode to curly quotes, not latin-1 controls
+    assert(rows(0).getString(1) == "“ok”")
+    assert(rows(0).getTimestamp(2).toString.startsWith("2023-12-31"))
+    assert(rows(0).getString(3) == "rich")     // RSTRING text, runs dropped
+    assert(rows(1).getString(3) == "calc5")    // BIFF5 STRING result
+  }
+
   // --------------------------------------------------------------- tests
 
   test("small fixture really exercises the mini-stream path") {

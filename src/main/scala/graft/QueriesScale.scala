@@ -510,6 +510,30 @@ object QueriesScale {
       |  END AS clustering
       |FROM deg d LEFT JOIN tpn t ON d.node = t.node""".stripMargin
 
+  // ---------------------------------------------------------- skew report
+  // Join-key skew diagnostic over events.user_id: top-10 keys with
+  // count + share of the table, global totals on every row — the number
+  // an operator reads before choosing plain shuffle vs AQE skew join vs
+  // explicit salting. Bounded top-N aggregation (map-side k-buffers),
+  // never a window over the per-key table.
+  def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.keySkewReport(t(s, dir, "events"), "user_id", 10)
+
+  val qSkewReportSql: String =
+    """WITH pk AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+      |              count(*) AS n_keys FROM pk)
+      |SELECT rank, user_id, cnt,
+      |  CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+      |  total_rows, n_keys
+      |FROM (
+      |  SELECT CAST(row_number() OVER (
+      |      ORDER BY CAST(cnt AS DOUBLE) DESC, user_id) AS INT) AS rank,
+      |    user_id, cnt FROM pk) r
+      |CROSS JOIN t0
+      |WHERE rank <= 10""".stripMargin
+
   // -------------------------------------------------------- assortativity
   // Degree assortativity of the co-order part graph (Newman's r): the
   // Pearson correlation of endpoint degrees over the DIRECTED edge set
@@ -681,6 +705,7 @@ object QueriesScale {
     "q_bfs" -> (qBfs _),
     "q_triangles" -> (qTriangles _),
     "q_assortativity" -> (qAssortativity _),
+    "q_skew_report" -> (qSkewReport _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_partition_prune" -> (qPartitionPrune _),
@@ -704,6 +729,7 @@ object QueriesScale {
     "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,
     "q_assortativity" -> qAssortativitySql,
+    "q_skew_report" -> qSkewReportSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_epoch_shuffle" -> qEpochShuffleSql,
     "q_partition_prune" -> qPartitionPruneSql,

@@ -19,6 +19,46 @@ object Skew {
   /** Deterministic salt in [0, buckets) derived from a row expression. */
   def salt(seed: Column, buckets: Int): Column = pmod(seed, lit(buckets))
 
+  /** Join-key skew diagnostic — the number read BEFORE choosing between
+    * a plain shuffle join, AQE skew splitting, and explicit salting:
+    * the top `topN` keys with their row counts and share of the table,
+    * plus the global context (total rows, distinct keys) on every row.
+    * One aggregation + a bounded top-N; the per-key table never
+    * collects. A top-1 share near 1/parallelism means one reducer owns
+    * that key's whole payload and salting (or AQE skew join) is
+    * mandatory. */
+  def keySkewReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(
+      sum(col("cnt")).cast("long").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    // surrogate long id for the bounded top-k aggregator: integral keys
+    // ride as themselves (tiebreak = key ASC — replayable by any SQL
+    // engine); other types get an xxhash64 surrogate (tiebreak then
+    // engine-specific — fine for the diagnostic, noted for oracles).
+    // Originals re-join by surrogate for the topN survivors only.
+    val integral = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val keyed = perKey.withColumn("__kid",
+      if (integral) col(keyCol).cast("long") else xxhash64(col(keyCol)))
+    val top = TopKAggregator.topKPerGroup(
+      keyed.withColumn("__g", lit(1))
+        .select(col("__g"), col("__kid"), col("cnt").cast("double").as("__s")),
+      Seq("__g"), "__kid", "__s", topN)
+    top
+      .join(keyed.select(col("__kid"), col(keyCol)), Seq("__kid"))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col(keyCol), col("__s").cast("long").as("cnt"),
+        (col("__s") / col("total_rows").cast("double")).as("share"),
+        col("total_rows"), col("n_keys"))
+  }
+
   /** Two-phase salted sum/count: groupBy(keys :+ salt) partials, then
     * final combine on keys. `valueCol` is summed in decimal for exact,
     * order-independent results. */

@@ -64,7 +64,18 @@ object GraftExtensions {
       info("compress_ratio",
         "compress_ratio(str) - deflate bytes / raw bytes redundancy signal"),
       arity("compress_ratio", 1)(args =>
-        graft.functions.CompressRatio(args.head))))
+        graft.functions.CompressRatio(args.head))),
+    ("unicode_normalize",
+      info("unicode_normalize",
+        "unicode_normalize(str, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
+      arity("unicode_normalize", 2)(args =>
+        graft.functions.UnicodeNormalize(args.head,
+          args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+                if v != null => v.toString
+            case other => throw new IllegalArgumentException(
+              s"unicode_normalize: form must be a string literal, got $other")
+          }))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

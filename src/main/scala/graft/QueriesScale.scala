@@ -686,8 +686,59 @@ object QueriesScale {
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------------------------- z-order
+  // Morton z-value of (l_extendedprice, l_quantity) — the clustering key
+  // ZOrder.layout sorts on so parquet min-max stats prune on BOTH columns
+  // (write-time layout, free at read time; the pruning payoff itself is
+  // measured in ZOrderSpec). The oracle replays bin (fixed bounds, clamp)
+  // and the 5-step Morton spread with the same magic masks in SQL bit
+  // ops, so the curve arithmetic is pinned bit-exactly. Bounds are the
+  // "known at scale" fixed constants the operator documents (you sample
+  // or know your column bounds; no hidden pass).
+  private val ZPriceMin = 900.0
+  private val ZPriceMax = 105000.0
+  private val ZQtyMin = 1.0
+  private val ZQtyMax = 50.0
+
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.ZOrder
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      ZOrder.zValue(
+        ZOrder.bin(col("l_extendedprice"), ZPriceMin, ZPriceMax),
+        ZOrder.bin(col("l_quantity"), ZQtyMin, ZQtyMax)).as("zval"))
+  }
+
+  private val qZorderSql = {
+    // spread16 as CTE steps: v -> (v|v<<8)&0x00FF00FF -> (..<<4)&0x0F0F0F0F
+    // -> (..<<2)&0x33333333 -> (..<<1)&0x55555555 (same masks as
+    // ZOrder.spread16); bin = clamp(floor((x-min)/span*65535)).
+    def bin(c: String, min: Double, span: Double) =
+      s"least(greatest(CAST(floor(($c - $min) / $span * 65535.0) AS BIGINT), 0), 65535)"
+    s"""WITH b AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ${bin("l_extendedprice", ZPriceMin, ZPriceMax - ZPriceMin)} AS a0,
+       |    ${bin("l_quantity", ZQtyMin, ZQtyMax - ZQtyMin)} AS b0
+       |  FROM lineitem),
+       |s1 AS (SELECT l_orderkey, l_linenumber,
+       |  ((a0 | (a0 << 8)) & 16711935) AS a1,
+       |  ((b0 | (b0 << 8)) & 16711935) AS b1 FROM b),
+       |s2 AS (SELECT l_orderkey, l_linenumber,
+       |  ((a1 | (a1 << 4)) & 252645135) AS a2,
+       |  ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+       |s3 AS (SELECT l_orderkey, l_linenumber,
+       |  ((a2 | (a2 << 2)) & 858993459) AS a3,
+       |  ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+       |s4 AS (SELECT l_orderkey, l_linenumber,
+       |  ((a3 | (a3 << 1)) & 1431655765) AS a4,
+       |  ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3)
+       |SELECT l_orderkey, l_linenumber, (a4 | (b4 << 1)) AS zval
+       |FROM s4""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (qZorder _),
     "q_span_excise" -> (qSpanExcise _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_range_join" -> (qRangeJoin _),
@@ -712,6 +763,7 @@ object QueriesScale {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_zorder" -> qZorderSql,
     "q_span_excise" -> qSpanExciseSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
     "q_range_join" -> qRangeJoinSql,

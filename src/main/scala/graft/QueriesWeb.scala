@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NormalizeExpr, UrlFunctions}
+import graft.operators.DomainOps
+
+/** Beyond-reference query group: web-crawl URL curation and Unicode
+  * canonicalization — the front edge of a training-data pipeline
+  * (domain accounting, blocklists, per-domain quotas, and the text
+  * normalization every downstream dedup key depends on).
+  *
+  * The documents table has no URL column, so each query derives a
+  * deterministic URL from (source, doc_id) with the SAME concat
+  * expression on both engines; the operators under test are the parse /
+  * strip / eTLD+1 / blocklist / quota stages applied on top. Every
+  * pattern is RE2-safe so the DuckDB oracle runs the byte-identical
+  * regex (see UrlFunctions scaladoc).
+  */
+object QueriesWeb {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Deterministic synthetic URL: domain varies by source, public suffix
+    * by doc_id mod 3 (one multi-label UK, one multi-label BR, one plain
+    * com), with two tracking params around a real one. */
+  private def urlCol =
+    concat(
+      lit("https://www."), col("source"), lit("-news."),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("co.uk"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("com.br"))
+        .otherwise(lit("com")),
+      lit("/docs/"), col("doc_id").cast("string"),
+      lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+      lit("&utm_campaign=x"))
+
+  private val urlSql =
+    """'https://www.' || source || '-news.' ||
+      |      CASE doc_id % 3 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.br'
+      |                      ELSE 'com' END ||
+      |      '/docs/' || doc_id || '?utm_source=feed&id=' || doc_id ||
+      |      '&utm_campaign=x'""".stripMargin
+
+  /** The multi-label alternation of UrlFunctions.DefaultMultiPartSuffixes,
+    * escaped — oracle SQL interpolates the same pattern text. */
+  private val multiSuffixPattern =
+    UrlFunctions.DefaultMultiPartSuffixes
+      .map(_.replace(".", "\\.")).mkString("|")
+
+  private val domainCaseSql =
+    s"""CASE WHEN regexp_extract(host,
+       |       '([^.]+\\.(?:$multiSuffixPattern))$$', 1) <> ''
+       |     THEN regexp_extract(host,
+       |       '([^.]+\\.(?:$multiSuffixPattern))$$', 1)
+       |     ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END""".stripMargin
+
+  // ------------------------------------------------------------ url parse
+  // Host / path / eTLD+1 / tracking-stripped URL, all codegen'd built-ins
+  // (parse_url, regexp_*). The oracle re-derives each component with the
+  // byte-identical RE2-safe patterns.
+  private def qUrlParse(s: SparkSession, dir: String): DataFrame = {
+    val u = t(s, dir, "documents").select(col("doc_id"), urlCol.as("url"))
+    val h = UrlFunctions.host(col("url"))
+    u.select(
+      col("doc_id"),
+      h.as("host"),
+      UrlFunctions.path(col("url")).as("path"),
+      UrlFunctions.registrableDomain(h).as("domain"),
+      UrlFunctions.stripTracking(col("url")).as("url_clean"))
+  }
+
+  private val qUrlParseSql =
+    s"""WITH u AS (
+       |  SELECT doc_id, $urlSql AS url
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, url,
+       |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+       |  FROM u)
+       |SELECT doc_id, host,
+       |  regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
+       |  $domainCaseSql AS domain,
+       |  regexp_replace(regexp_replace(regexp_replace(url,
+       |    '(utm_[^&#]*|gclid=[^&#]*|fbclid=[^&#]*)&?', '', 'g'),
+       |    '[?&]+#', '#', 'g'),
+       |    '[?&]+$$', '') AS url_clean
+       |FROM h""".stripMargin
+
+  // --------------------------------------------------------- domain stats
+  // Registrable-domain rollup after a broadcast-anti blocklist: the C4 /
+  // RefinedWeb "domain accounting + deny list" stage. The blocklist
+  // filter must be invisible in the plan's shuffle count (broadcast).
+  private val Blocked =
+    Seq("src3-news.com", "src7-news.co.uk", "src11-news.com.br")
+
+  private def qDomainStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), urlCol.as("url"))
+    val kept = DomainOps.blocklistFilter(
+      DomainOps.withDomain(docs, "url"), "domain", Blocked)
+    DomainOps.domainStats(kept, "domain", "n_chars")
+  }
+
+  private val qDomainStatsSql =
+    s"""WITH u AS (
+       |  SELECT doc_id, n_chars, $urlSql AS url
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, n_chars,
+       |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+       |  FROM u),
+       |d AS (
+       |  SELECT doc_id, n_chars, $domainCaseSql AS domain FROM h)
+       |SELECT domain, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM d
+       |WHERE domain NOT IN ('${Blocked.mkString("','")}')
+       |GROUP BY domain""".stripMargin
+
+  // --------------------------------------------------------- domain quota
+  // Per-domain cap: keep the 5 longest documents per registrable domain
+  // (deterministic doc_id tiebreak) — the "no single site dominates the
+  // mix" stage. One window shuffle on the domain key.
+  private val QuotaDocs = 5
+
+  private def qDomainQuota(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), urlCol.as("url"))
+    DomainOps.domainQuota(
+      DomainOps.withDomain(docs, "url"),
+      "domain", QuotaDocs, orderCol = "n_chars", idCol = "doc_id")
+      .select(col("doc_id"), col("domain"), col("n_chars"))
+  }
+
+  private val qDomainQuotaSql =
+    s"""WITH u AS (
+       |  SELECT doc_id, n_chars, $urlSql AS url
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, n_chars,
+       |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+       |  FROM u),
+       |d AS (
+       |  SELECT doc_id, n_chars, $domainCaseSql AS domain FROM h)
+       |SELECT doc_id, domain, n_chars
+       |FROM d
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY domain ORDER BY n_chars DESC, doc_id) <= $QuotaDocs""".stripMargin
+
+  // ---------------------------------------------------------- unicode nfc
+  // NFC canonicalization via the native UnicodeNormalize expression: a
+  // decomposed suffix (e + U+0301, n + U+0303) is appended to each text
+  // prefix, so raw and NFC lengths must differ by exactly the two
+  // combining marks. Oracle: DuckDB nfc_normalize (both sides implement
+  // UAX#15 NFC). NFKC/NFKD have no DuckDB counterpart — they are pinned
+  // in NormalizeExprSpec with published UAX#15 vectors instead.
+  private def qUnicodeNfc(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(substring(col("text"), 1, 12), lit("e\u0301n\u0303"))
+    val nfc = NormalizeExpr.unicode_normalize(raw, "NFC")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      nfc.as("s_nfc"),
+      length(raw).cast("long").as("len_raw"),
+      length(nfc).cast("long").as("len_nfc"))
+  }
+
+  private val qUnicodeNfcSql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    substring(text, 1, 12) || 'e' || chr(769) || 'n' || chr(771) AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  nfc_normalize(raw) AS s_nfc,
+      |  CAST(length(raw) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+      |FROM r""".stripMargin
+
+  // ------------------------------------------------------------------ maps
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_parse" -> (qUrlParse _),
+    "q_domain_stats" -> (qDomainStats _),
+    "q_domain_quota" -> (qDomainQuota _),
+    "q_unicode_nfc" -> (qUnicodeNfc _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_url_parse" -> qUrlParseSql,
+    "q_domain_stats" -> qDomainStatsSql,
+    "q_domain_quota" -> qDomainQuotaSql,
+    "q_unicode_nfc" -> qUnicodeNfcSql,
+  )
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions
+
+/** Domain-level curation over a crawl corpus: registrable-domain rollup,
+  * blocklist exclusion, and per-domain document quotas.
+  *
+  * These are the three levers every web-scale training-data pipeline
+  * pulls first (C4, Gopher/MassiveWeb, RefinedWeb all document them):
+  * count what each domain contributes, drop domains on a deny list, and
+  * cap any single domain's share so one boilerplate-heavy site cannot
+  * dominate the training mix.
+  *
+  * Scale shapes: the blocklist is tiny by construction (thousands of
+  * rows) so exclusion is a broadcast LEFT ANTI join — no shuffle of the
+  * corpus; the rollup is one partial-aggregated groupBy; the quota cap
+  * is one window ranked by a deterministic tiebreak, i.e. a single
+  * shuffle on the domain key. Nothing here touches the driver.
+  */
+object DomainOps {
+
+  /** Attach `host` and registrable `domain` columns derived from
+    * `urlCol` (codegen'd built-ins only — see [[UrlFunctions]]). */
+  def withDomain(df: DataFrame, urlCol: String): DataFrame = {
+    val h = UrlFunctions.host(col(urlCol))
+    df.withColumn("host", h)
+      .withColumn("domain", UrlFunctions.registrableDomain(h))
+  }
+
+  /** Drop rows whose `domainCol` is on the blocklist. The blocklist is
+    * broadcast (it is a curated deny list, small by nature), so the
+    * corpus is filtered map-side with zero shuffle. */
+  def blocklistFilter(
+      df: DataFrame, domainCol: String, blocked: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val deny = blocked.toDF(domainCol)
+    df.join(broadcast(deny), Seq(domainCol), "left_anti")
+  }
+
+  /** Per-domain contribution rollup: document count and total
+    * characters. One partial-agg shuffle on the domain key. */
+  def domainStats(
+      df: DataFrame, domainCol: String, charsCol: String): DataFrame =
+    df.groupBy(col(domainCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).cast("long").as("sum_chars"))
+
+  /** Cap each domain at `maxDocs` documents, keeping the first `maxDocs`
+    * by `orderCol` (deterministic tiebreak on `idCol`). One window
+    * shuffle on the domain key; no global sort. */
+  def domainQuota(
+      df: DataFrame, domainCol: String, maxDocs: Int,
+      orderCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxDocs)
+      .drop("__rn")
+  }
+}

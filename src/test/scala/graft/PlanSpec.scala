@@ -532,4 +532,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("Subquery:"),
       s"plain join tree expected:\n$p")
   }
+
+  test("q_domain_stats blocklist is a broadcast anti-join, not a shuffle") {
+    val p = plan("q_domain_stats")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"deny list must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle for the list:\n$p")
+    // one shuffle total: the domain rollup
+    assert(count(p, "hashpartitioning") == 1, s"exchanges:\n$p")
+  }
+
+  test("q_zorder is a pure projection — no keyed exchange") {
+    // the only Exchange allowed is the loader's round-robin parallelize;
+    // the z-value itself must never force a hash/range repartition
+    val p = plan("q_zorder")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"z-value must not shuffle on a key:\n$p")
+    assert(count(p, "RoundRobinPartitioning") <= 1,
+      s"only the loader exchange:\n$p")
+  }
+
+  test("q_url_parse stays in one projection over a pruned scan") {
+    val p = plan("q_url_parse")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"parse family must not shuffle on a key:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string"),
+      s"scan must prune to (doc_id, source):\n$p")
+  }
 }

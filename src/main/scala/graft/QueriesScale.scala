@@ -686,6 +686,26 @@ object QueriesScale {
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------------ temperature mix
+  // mT5-style temperature-scaled sampling weights per language: p_i ∝
+  // n_i^(1/T) at T=2 (sqrt — IEEE-exact, so the whole column replays
+  // bit-identically in DuckDB; the normalizing sum is order-independent
+  // via the DECIMAL(20,12) rounding treatment).
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixWeights(
+      t(s, dir, "documents").select(col("lang")), "lang", temperature = 2.0)
+
+  private val qTemperatureMixSql =
+    """WITH n AS (SELECT lang, count(*) AS n_docs
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      |w AS (SELECT lang, n_docs,
+      |  CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(20,12)) AS wd FROM n),
+      |t AS (SELECT sum(n_docs) AS tn, sum(wd) AS tw FROM w)
+      |SELECT lang, n_docs,
+      |  CAST(n_docs AS DOUBLE) / CAST(tn AS DOUBLE) AS p_raw,
+      |  CAST(wd AS DOUBLE) / CAST(tw AS DOUBLE) AS p_temp
+      |FROM w CROSS JOIN t""".stripMargin
+
   // --------------------------------------------------------------- z-order
   // Morton z-value of (l_extendedprice, l_quantity) — the clustering key
   // ZOrder.layout sorts on so parquet min-max stats prune on BOTH columns
@@ -739,6 +759,7 @@ object QueriesScale {
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
+    "q_temperature_mix" -> (qTemperatureMix _),
     "q_span_excise" -> (qSpanExcise _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_range_join" -> (qRangeJoin _),
@@ -764,6 +785,7 @@ object QueriesScale {
 
   def oracleSql: Map[String, String] = Map(
     "q_zorder" -> qZorderSql,
+    "q_temperature_mix" -> qTemperatureMixSql,
     "q_span_excise" -> qSpanExciseSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
     "q_range_join" -> qRangeJoinSql,

@@ -87,13 +87,67 @@ object QueriesSpatial {
        |           (-10.0 - plon) * (-10.0 - plon)) * 111.32
        |      <= ${RadiusKm * 3}""".stripMargin
 
+  // --------------------------------------------------------------- geohash
+  // Geohash cell keys over the synthetic customer coordinates: the full
+  // 8-char hash plus its 4-char prefix (the coarse spatial bin a
+  // prefix-keyed rollup or curve-sorted layout would use). The oracle
+  // replays bin → 64-bit Morton spread → base-32 render in SQL integer
+  // ops, pinning every bit of GeoFunctions.geohash.
+  private def qGeohash(s: SparkSession, dir: String): DataFrame = {
+    val p = probeSynth(s, dir)
+    p.select(
+      col("c_custkey"),
+      graft.functions.GeoFunctions.geohash(col("plat"), col("plon"), 8)
+        .as("gh8"))
+      .withColumn("gh4", col("gh8").substr(1, 4))
+  }
+
+  private val qGeohashSql = {
+    // GeoFunctions.spread32 replayed as CTE steps s1..s5 (the masks are
+    // the decimal renderings of 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
+    // 0x0F0F0F0F0F0F0F0F, 0x3333333333333333, 0x5555555555555555).
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val chars = (0 until 8)
+      .map(i => s"substr('$alphabet', CAST(((z >> ${35 - 5 * i}) & 31) + 1 AS BIGINT), 1)")
+      .mkString(" || ")
+    s"""WITH p AS (SELECT c_custkey,
+       |    CAST(c_custkey % 190 AS DOUBLE) / 10.0 - 9.5 AS plat,
+       |    CAST(c_custkey % 370 AS DOUBLE) / 10.0 - 18.5 AS plon
+       |  FROM customer),
+       |b AS (SELECT c_custkey,
+       |    least(greatest(CAST(floor((plat - -90.0) / 180.0 * 1048576.0) AS BIGINT), 0), 1048575) AS a0,
+       |    least(greatest(CAST(floor((plon - -180.0) / 360.0 * 1048576.0) AS BIGINT), 0), 1048575) AS o0
+       |  FROM p),
+       |s1 AS (SELECT c_custkey,
+       |  ((a0 | (a0 << 16)) & 281470681808895) AS a1,
+       |  ((o0 | (o0 << 16)) & 281470681808895) AS o1 FROM b),
+       |s2 AS (SELECT c_custkey,
+       |  ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
+       |  ((o1 | (o1 << 8)) & 71777214294589695) AS o2 FROM s1),
+       |s3 AS (SELECT c_custkey,
+       |  ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
+       |  ((o2 | (o2 << 4)) & 1085102592571150095) AS o3 FROM s2),
+       |s4 AS (SELECT c_custkey,
+       |  ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
+       |  ((o3 | (o3 << 2)) & 3689348814741910323) AS o4 FROM s3),
+       |s5 AS (SELECT c_custkey,
+       |  ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
+       |  ((o4 | (o4 << 1)) & 6148914691236517205) AS o5 FROM s4),
+       |zz AS (SELECT c_custkey, ((o5 << 1) | a5) AS z FROM s5)
+       |SELECT c_custkey, $chars AS gh8,
+       |  substr($chars, 1, 4) AS gh4
+       |FROM zz""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_nearest" -> (qGeoNearest _),
     "q_geo_radius" -> (qGeoRadius _),
+    "q_geohash" -> (qGeohash _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_geo_nearest" -> qGeoNearestSql,
     "q_geo_radius" -> qGeoRadiusSql,
+    "q_geohash" -> qGeohashSql,
   )
 }

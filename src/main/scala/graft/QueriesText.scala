@@ -707,10 +707,42 @@ object QueriesText {
        |    AS hapax_frac
        |FROM tc GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- vocab coverage
+  // Tokenizer-sizing report: per-source token totals and the fraction a
+  // frequency-≥-K vocabulary would miss (TokenCoverage.oovReport). The
+  // vocabulary is corpus-derived, so it is joined (not broadcast) — the
+  // scale-safe shape; AQE may still broadcast it when it's small.
+  private val VocabMinCount = 40L
+
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenCoverage.oovReport(
+      t(s, dir, "documents"), "source", "text", VocabMinCount)
+
+  val qVocabCoverageSql: String =
+    s"""WITH c AS (SELECT source, ${sqlCollapse("lower(text)")} AS sl
+       |  FROM documents WHERE source IS NOT NULL),
+       |tk AS (SELECT source AS g, unnest(string_split(sl, ' ')) AS term
+       |  FROM c),
+       |pg AS (SELECT g, term, count(*) AS c_gt
+       |  FROM tk WHERE term <> '' GROUP BY 1, 2),
+       |v AS (SELECT term FROM (
+       |    SELECT term, sum(c_gt) AS c_t FROM pg GROUP BY 1)
+       |  WHERE c_t >= $VocabMinCount),
+       |j AS (SELECT pg.g, pg.c_gt, v.term AS vt
+       |  FROM pg LEFT JOIN v ON pg.term = v.term)
+       |SELECT g AS source,
+       |  CAST(sum(c_gt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN vt IS NULL THEN c_gt ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(CASE WHEN vt IS NULL THEN c_gt ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(c_gt) AS DOUBLE) AS oov_rate
+       |FROM j GROUP BY g""".stripMargin
+
   // ------------------------------------------------------------- registry
   // (the dedup-prep and denoising-objective families live in
   // QueriesTextDedup / QueriesTextObjectives)
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_lexical_stats" -> (qLexicalStats _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -732,6 +764,7 @@ object QueriesText {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_vocab_coverage" -> qVocabCoverageSql,
     "q_lexical_stats" -> qLexicalStatsSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,

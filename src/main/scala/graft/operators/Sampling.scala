@@ -223,4 +223,42 @@ object Sampling {
       .filter(col("__pick") <= col("__quota"))
       .drop("__quota", "__pick")
   }
+
+  /** Temperature-scaled mixture weights per stratum (mT5/XLM-R style,
+    * arXiv:1910.10683 §3.4.1, arXiv:1911.02116 §3): sampling probability
+    * p_i ∝ n_i^(1/T). T=1 reproduces the empirical distribution; T→∞
+    * approaches uniform; intermediate T up-weights low-resource strata
+    * without letting them dominate.
+    *
+    * One partial-agg shuffle on the stratum key, one broadcast of the
+    * (stratum-count-sized) totals — nothing touches the corpus twice.
+    *
+    * Exactness: each n^(1/T) is rounded to DECIMAL(20,12) before the
+    * normalizing sum, so the denominator is order-independent (the PMI
+    * ln treatment). T=2 computes via `sqrt` (IEEE-exact, so the whole
+    * column replays bit-identically in any engine — q_temperature_mix's
+    * oracle); other T go through `pow`, whose last-ulp behavior is
+    * platform-library-defined. */
+  def temperatureMixWeights(
+      df: DataFrame, strataCol: String, temperature: Double): DataFrame = {
+    require(temperature > 0, s"bad temperature=$temperature")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val scaled = counts.withColumn("__w",
+      (if (temperature == 2.0) sqrt(col("n_docs"))
+       else pow(col("n_docs"), lit(1.0 / temperature)))
+        .cast("decimal(20,12)"))
+    val tot = scaled.agg(
+      sum(col("n_docs")).as("__tot_n"),
+      sum(col("__w")).as("__tot_w"))
+    scaled.crossJoin(broadcast(tot))
+      .select(
+        col(strataCol),
+        col("n_docs"),
+        (col("n_docs").cast("double") / col("__tot_n").cast("double"))
+          .as("p_raw"),
+        (col("__w").cast("double") / col("__tot_w").cast("double"))
+          .as("p_temp"))
+  }
 }

@@ -55,4 +55,31 @@ class GeoFunctionsSpec extends SparkSpec {
       .collect().toIndexedSeq.map(r => Option(r.getString(0)))
     assert(rows == Seq(Some("POINT(-46.63331 -23.55052)"), None))
   }
+
+  private def gh(lat: Double, lon: Double, p: Int = 8): String =
+    Seq((lat, lon)).toDF("lat", "lon")
+      .select(GeoFunctions.geohash(col("lat"), col("lon"), p))
+      .collect().head.getString(0)
+
+  test("geohash matches published vectors") {
+    // en.wikipedia.org/wiki/Geohash worked examples
+    assert(gh(57.64911, 10.40744) === "u4pruydq")
+    assert(gh(-25.382708, -49.265506) === "6gkzwgjz")
+    assert(gh(57.64911, 10.40744, 4) === "u4pr")
+    assert(gh(57.64911, 10.40744, 2) === "u4")
+  }
+
+  test("geohash clamps edges and nests prefixes") {
+    assert(gh(0.0, 0.0) === "s0000000")
+    assert(gh(90.0, 180.0) === "zzzzzzzz")   // edge clamps to last cell
+    assert(gh(-90.0, -180.0) === "00000000")
+    // shorter precision is a strict prefix of the longer hash
+    assert(gh(-25.382708, -49.265506, 6) ===
+      gh(-25.382708, -49.265506, 8).take(6))
+  }
+
+  test("geohash rejects odd or out-of-range precision") {
+    intercept[IllegalArgumentException] { gh(0, 0, 5) }
+    intercept[IllegalArgumentException] { gh(0, 0, 14) }
+  }
 }

@@ -1198,8 +1198,37 @@ object QueriesEvents {
       |    ELSE 0.0 END AS fano
       |FROM g""".stripMargin
 
+  // -------------------------------------------------------- forecast eval
+  // Seasonal-naive MASE (Hyndman-Koehler) over each event type's daily
+  // volume: weekly-lag forecast error vs persistence error, exact
+  // integer numerators, one final double division.
+  private val Season = 7
+
+  def qForecastEval(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ForecastEval.seasonalNaiveDaily(
+      t(s, dir, "events"), "event_type", "ts", Season)
+
+  val qForecastEvalSql: String =
+    s"""WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dd,
+       |    count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |s AS (SELECT k, y,
+       |    lag(y, $Season) OVER w AS ys, lag(y, 1) OVER w AS yp
+       |  FROM d WINDOW w AS (PARTITION BY k ORDER BY dd)),
+       |f AS (SELECT * FROM s WHERE ys IS NOT NULL AND yp IS NOT NULL)
+       |SELECT k AS event_type, count(*) AS n_days,
+       |  CAST(sum(abs(y - ys)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS mae_seasonal,
+       |  CAST(sum(abs(y - yp)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS mae_naive,
+       |  CASE WHEN sum(abs(y - yp)) <> 0 THEN
+       |    CAST(sum(abs(y - ys)) AS DOUBLE) / CAST(sum(abs(y - yp)) AS DOUBLE)
+       |  END AS mase
+       |FROM f GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_eval" -> (qForecastEval _),
     "q_burstiness" -> (qBurstiness _),
     "q_session_native" -> (qSessionNative _),
     "q_nearest_event" -> (qNearestEvent _),
@@ -1234,6 +1263,7 @@ object QueriesEvents {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_forecast_eval" -> qForecastEvalSql,
     "q_burstiness" -> qBurstinessSql,
     "q_session_native" -> qSessionNativeSql,
     "q_nearest_event" -> qNearestEventSql,

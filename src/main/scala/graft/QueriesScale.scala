@@ -787,11 +787,66 @@ object QueriesScale {
        |FROM s4""".stripMargin
   }
 
+  // ------------------------------------------------------------- z-order 3D
+  // Three-column Morton key (price, quantity, discount — 21 bits each,
+  // the full signed-long budget): the clustering key when a table is
+  // probed on three independent dimensions. Oracle replays bin + the
+  // 3-D spread chain (masks are the decimal renderings of 0x1F00000000FFFF,
+  // 0x1F0000FF0000FF, 0x100F00F00F00F00F, 0x10C30C30C30C30C3,
+  // 0x1249249249249249).
+  private val ZDiscMin = 0.0
+  private val ZDiscMax = 0.1
+
+  private def qZorder3(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.ZOrder
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      ZOrder.zValue3(
+        ZOrder.bin(col("l_extendedprice"), ZPriceMin, ZPriceMax, bits = 21),
+        ZOrder.bin(col("l_quantity"), ZQtyMin, ZQtyMax, bits = 21),
+        ZOrder.bin(col("l_discount"), ZDiscMin, ZDiscMax, bits = 21))
+        .as("zval"))
+  }
+
+  private val qZorder3Sql = {
+    def bin(c: String, min: Double, span: Double) =
+      s"least(greatest(CAST(floor(($c - $min) / $span * 2097151.0) AS BIGINT), 0), 2097151)"
+    // DuckDB raises on <<-overflow where the JVM wraps, so shift the
+    // PRE-masked value: (v|v<<s)&M == (v&M) | ((v & (M>>s)) << s) — the
+    // shifted operand then never exceeds the 63-bit budget.
+    def step(v: String, sh: Int, mask: Long) =
+      s"(($v & $mask) | (($v & ${mask >>> sh}) << $sh))"
+    val cols = Seq("a", "b", "c")
+    def stage(sh: Int, mask: Long, from: Int) =
+      cols.map(v => s"  ${step(s"$v$from", sh, mask)} AS $v${from + 1}")
+        .mkString(",\n")
+    s"""WITH b0 AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ${bin("l_extendedprice", ZPriceMin, ZPriceMax - ZPriceMin)} AS a1,
+       |    ${bin("l_quantity", ZQtyMin, ZQtyMax - ZQtyMin)} AS b1,
+       |    ${bin("l_discount", ZDiscMin, ZDiscMax - ZDiscMin)} AS c1
+       |  FROM lineitem),
+       |t1 AS (SELECT l_orderkey, l_linenumber,
+       |${stage(32, 0x1F00000000FFFFL, 1)} FROM b0),
+       |t2 AS (SELECT l_orderkey, l_linenumber,
+       |${stage(16, 0x1F0000FF0000FFL, 2)} FROM t1),
+       |t3 AS (SELECT l_orderkey, l_linenumber,
+       |${stage(8, 0x100F00F00F00F00FL, 3)} FROM t2),
+       |t4 AS (SELECT l_orderkey, l_linenumber,
+       |${stage(4, 0x10C30C30C30C30C3L, 4)} FROM t3),
+       |t5 AS (SELECT l_orderkey, l_linenumber,
+       |${stage(2, 0x1249249249249249L, 5)} FROM t4)
+       |SELECT l_orderkey, l_linenumber,
+       |  (a6 | (b6 << 1) | (c6 << 2)) AS zval
+       |FROM t5""".stripMargin
+  }
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_split_assign" -> (qSplitAssign _),
+    "q_zorder3" -> (qZorder3 _),
     "q_span_excise" -> (qSpanExcise _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_range_join" -> (qRangeJoin _),
@@ -819,6 +874,7 @@ object QueriesScale {
     "q_zorder" -> qZorderSql,
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_split_assign" -> qSplitAssignSql,
+    "q_zorder3" -> qZorder3Sql,
     "q_span_excise" -> qSpanExciseSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
     "q_range_join" -> qRangeJoinSql,

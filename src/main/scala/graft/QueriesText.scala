@@ -738,11 +738,40 @@ object QueriesText {
        |    / CAST(sum(c_gt) AS DOUBLE) AS oov_rate
        |FROM j GROUP BY g""".stripMargin
 
+  // --------------------------------------------------------- char entropy
+  // Shannon entropy of each document's character distribution
+  // (QualityFilter.charEntropy) — the oracle-checked twin of the
+  // spec-only deflate compress_ratio signal. Integer counts, p·ln p
+  // contributions rounded DECIMAL(20,12) before the order-independent
+  // sum, one /ln2 double division at the end.
+  def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.charEntropy(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  val qCharEntropySql: String =
+    s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+       |  FROM documents),
+       |cc AS (SELECT doc_id, ch, count(*) AS c
+       |  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+       |wn AS (SELECT doc_id, c,
+       |    sum(c) OVER (PARTITION BY doc_id) AS n FROM cc),
+       |co AS (SELECT doc_id, n, CAST(
+       |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |    AS DECIMAL(20,12)) AS contrib
+       |  FROM wn)
+       |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars_counted,
+       |  count(*) AS n_distinct_chars,
+       |  CAST(-sum(contrib) AS DOUBLE) / ${graft.operators.QualityFilter.Ln2}
+       |    AS entropy_bits
+       |FROM co GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   // (the dedup-prep and denoising-objective families live in
   // QueriesTextDedup / QueriesTextObjectives)
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_char_entropy" -> (qCharEntropy _),
     "q_lexical_stats" -> (qLexicalStats _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -765,6 +794,7 @@ object QueriesText {
 
   val oracleSql: Map[String, String] = Map(
     "q_vocab_coverage" -> qVocabCoverageSql,
+    "q_char_entropy" -> qCharEntropySql,
     "q_lexical_stats" -> qLexicalStatsSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,

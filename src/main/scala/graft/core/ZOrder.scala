@@ -64,4 +64,26 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Spread the low 21 bits of `c` to every third bit position (3-D
+    * Morton magic): b20..b0 -> ..b1 0 0 b0. 21+21+21 = 63 bits — the
+    * full signed-long budget. */
+  def spread21(c: Column): Column = {
+    var x = c.cast("long").bitwiseAND(lit(0x1FFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x1249249249249249L))
+    x
+  }
+
+  /** Morton z-value of three 21-bit binned keys (a at bit 3i, b at
+    * 3i+1, c at 3i+2) — the clustering key for THREE-column min-max
+    * pruning. Same layout recipe as [[layout]]: range-partition + sort
+    * on this value before the write. */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spread21(a)
+      .bitwiseOR(shiftleft(spread21(b), 1))
+      .bitwiseOR(shiftleft(spread21(c), 2))
 }

@@ -151,4 +151,44 @@ object QualityFilter {
           .filter(lineKeep(col("line"), rules)),
         idCol)
       .filter(col("n_lines_kept") >= rules.minKeptLines)
+
+  /** ln(2) as a shared literal — both engines divide by the same
+    * constant instead of each evaluating ln(2) at runtime. */
+  val Ln2 = 0.6931471805599453
+
+  /** Per-document character-distribution Shannon entropy, in bits —
+    * the information-theoretic twin of the deflate `compress_ratio`
+    * signal (low entropy ⇒ repetitive/boilerplate text; the natural
+    * pre-filter before paying for real compression). Unlike deflate,
+    * entropy is exactly replayable in SQL, so this one is
+    * oracle-checked end to end.
+    *
+    * Exactness: character counts are integers; each p·ln p contribution
+    * is rounded to DECIMAL(20,12) before the per-document sum (the PMI
+    * ln treatment — order-independent), and the single /ln2 division
+    * happens once at the end in doubles.
+    *
+    * Scale shape: one partial-aggregated shuffle on (doc, char) — the
+    * char explode never leaves the map side un-combined — then the
+    * per-document total via a window over the already-shuffled key.
+    * Output: (idCol, n_chars_counted, n_distinct_chars, entropy_bits). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .filter(col("__ch") =!= "")
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+    val withN = counts.withColumn("__n",
+      sum(col("__c")).over(Window.partitionBy(col(idCol))))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    withN
+      .withColumn("__contrib", (p * log(p)).cast("decimal(20,12)"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("__n")).as("n_chars_counted"),
+        count(lit(1)).as("n_distinct_chars"),
+        (negate(sum(col("__contrib"))).cast("double") / lit(Ln2))
+          .as("entropy_bits"))
+  }
 }

@@ -58,4 +58,21 @@ object GraftProperties extends Properties("graft") {
     forAll(Gen.oneOf("string", "integer", "number", "boolean", "datetime", "date")) { t =>
       DataPackage.frictionlessType(DataPackage.sparkType(t)) == t
     }
+
+  property("unicode_normalize is idempotent in all four forms") =
+    forAll(Gen.oneOf("NFC", "NFD", "NFKC", "NFKD"),
+      org.scalacheck.Arbitrary.arbitrary[String]) { (f, s) =>
+      val form = graft.functions.NormalizeExpr.formOf(f)
+      val once = graft.functions.NormalizeExpr.normalize(
+        UTF8String.fromString(s), form)
+      graft.functions.NormalizeExpr.normalize(once, form) == once
+    }
+
+  property("NFC(NFD(s)) == NFC(s): canonical forms agree through decomposition") =
+    forAll { (s: String) =>
+      import graft.functions.NormalizeExpr.{formOf, normalize}
+      val u = UTF8String.fromString(s)
+      normalize(normalize(u, formOf("NFD")), formOf("NFC")) ==
+        normalize(u, formOf("NFC"))
+    }
 }

@@ -19,6 +19,17 @@ class ZOrderSpec extends SparkSpec {
     assert(out(2) === 27L)
   }
 
+  test("zValue3 interleaves three axes at stride 3 (a→3i, b→3i+1, c→3i+2)") {
+    val out = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+        (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL), (5L, 3L, 1L))
+      .toDF("a", "b", "c")
+      .select(ZOrder.zValue3(col("a"), col("b"), col("c"))).as[Long].collect()
+    assert(out(0) === 1L && out(1) === 2L && out(2) === 4L)
+    assert(out(3) === Long.MaxValue)       // 63 set bits = full budget
+    // a=0b101 -> bits 0,6; b=0b011 -> bits 1,4; c=0b001 -> bit 2
+    assert(out(4) === ((1L << 0) | (1L << 6) | (1L << 1) | (1L << 4) | (1L << 2)))
+  }
+
   test("bin maps bounds to [0, 2^bits) and clamps outliers") {
     val out = Seq(0.0, 50.0, 100.0, -5.0, 200.0).toDF("v")
       .select(ZOrder.bin(col("v"), 0.0, 100.0, 4)).as[Long].collect()

@@ -55,6 +55,15 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(s("https://h.com/p?gclid=abc&x=1&fbclid=z") === "https://h.com/p?x=1")
     // nothing to strip: unchanged
     assert(s("https://h.com/p?x=1&y=2") === "https://h.com/p?x=1&y=2")
+    // idempotent on every vector above
+    for (u <- Seq(
+        "https://h.com/p?utm_source=x&id=5",
+        "https://h.com/p?id=5&utm_medium=y",
+        "https://h.com/p?utm_a=1&utm_b=2",
+        "https://h.com/p?utm_a=1#sec",
+        "https://h.com/p?gclid=abc&x=1&fbclid=z",
+        "https://h.com/p?x=1&y=2"))
+      assert(s(s(u)) === s(u), s"stripTracking not idempotent on $u")
   }
 
   test("domainQuota keeps exactly maxDocs per domain with deterministic ties") {

@@ -42,6 +42,7 @@ class GraftExtensionsSpec extends SparkSpec {
     e.apply(ext) // must not throw; function injection is deferred to build
     assert(GraftExtensions.functions.map(_._1) ==
       Seq("rolling_hash", "float_dot", "decimal_dot", "int_dot",
-        "jaro_winkler", "geo_dist", "compress_ratio"))
+        "jaro_winkler", "geo_dist", "compress_ratio",
+        "unicode_normalize"))
   }
 }

@@ -787,6 +787,28 @@ object QueriesScale {
        |FROM s4""".stripMargin
   }
 
+  // --------------------------------------------------------- bloom lookup
+  // Point lookup routed through the file-level Bloom index
+  // (core.BloomIndex): build per-file sketches, prune candidate files
+  // driver-side, scan only survivors. The oracle is the plain IN filter
+  // — Bloom false negatives are impossible, so the pruned path must
+  // return exactly the full-scan rows.
+  private val LookupKeys = Seq(42L, 4242L, 14242L)
+
+  private def qBloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.core.BloomIndex.build(
+      s, s"$dir/lineitem.parquet", "l_orderkey",
+      expectedItemsPerFile = 1L << 20)
+    graft.core.BloomIndex.lookup(s, idx, "l_orderkey", LookupKeys)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity"))
+  }
+
+  private val qBloomLookupSql =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+       |FROM lineitem
+       |WHERE l_orderkey IN (${LookupKeys.mkString(", ")})""".stripMargin
+
   // ------------------------------------------------------------- z-order 3D
   // Three-column Morton key (price, quantity, discount — 21 bits each,
   // the full signed-long budget): the clustering key when a table is
@@ -847,6 +869,7 @@ object QueriesScale {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_split_assign" -> (qSplitAssign _),
     "q_zorder3" -> (qZorder3 _),
+    "q_bloom_lookup" -> (qBloomLookup _),
     "q_span_excise" -> (qSpanExcise _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_range_join" -> (qRangeJoin _),
@@ -875,6 +898,7 @@ object QueriesScale {
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_split_assign" -> qSplitAssignSql,
     "q_zorder3" -> qZorder3Sql,
+    "q_bloom_lookup" -> qBloomLookupSql,
     "q_span_excise" -> qSpanExciseSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
     "q_range_join" -> qRangeJoinSql,

@@ -199,6 +199,17 @@ object ScaleCheck {
           (unix_micros(col("l_shipdate")) +
             col("l_quantity").cast("long") * 86400L * 1000000L).as("b"))
       graft.operators.Intervals.merge(li, "l_partkey", "a", "b")
+    },
+    "char_entropy" -> { (s, dir) =>
+      // the per-character explode — the widest fan-out in the text
+      // family (rows × chars); must stay linear via map-side combine
+      graft.operators.QualityFilter.charEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+    "vocab_coverage" -> { (s, dir) =>
+      // token explode + two aggs + token-keyed join (vocab not broadcast)
+      graft.operators.TokenCoverage.oovReport(
+        Tables.load(s, dir, "documents"), "source", "text", 40L)
     })
 
   private def time(spark: SparkSession, runs: Int)

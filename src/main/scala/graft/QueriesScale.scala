@@ -686,37 +686,6 @@ object QueriesScale {
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY o_orderstatus""".stripMargin
 
-  // --------------------------------------------------------- split assign
-  // Deterministic train/val/test assignment (Sampling.splitAssign):
-  // membership is a pure md5 function of doc_id, so backfills can never
-  // leak a document across splits. Compared at the (lang, split) count
-  // grain; the oracle replays the hex-fold bucket and the cumulative
-  // 80/10/10 cuts.
-  private val SplitFractions =
-    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-
-  private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("lang"),
-        Sampling.splitAssign(col("doc_id"), SplitFractions).as("split"))
-      .groupBy(col("lang"), col("split"))
-      .agg(count(lit(1)).as("n_docs"))
-
-  private val qSplitAssignSql = {
-    val hexFold =
-      "list_reduce(list_transform(regexp_split_to_array(" +
-        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''), " +
-        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
-        "(a, x) -> a * 16 + x)"
-    s"""WITH b AS (SELECT lang, $hexFold % 10000 AS bkt FROM documents)
-       |SELECT lang,
-       |  CASE WHEN bkt < 8000 THEN 'train'
-       |       WHEN bkt < 9000 THEN 'val'
-       |       ELSE 'test' END AS split,
-       |  count(*) AS n_docs
-       |FROM b GROUP BY 1, 2""".stripMargin
-  }
-
   // ------------------------------------------------------ temperature mix
   // mT5-style temperature-scaled sampling weights per language: p_i ∝
   // n_i^(1/T) at T=2 (sqrt — IEEE-exact, so the whole column replays
@@ -867,7 +836,6 @@ object QueriesScale {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
     "q_temperature_mix" -> (qTemperatureMix _),
-    "q_split_assign" -> (qSplitAssign _),
     "q_zorder3" -> (qZorder3 _),
     "q_bloom_lookup" -> (qBloomLookup _),
     "q_span_excise" -> (qSpanExcise _),
@@ -896,7 +864,6 @@ object QueriesScale {
   def oracleSql: Map[String, String] = Map(
     "q_zorder" -> qZorderSql,
     "q_temperature_mix" -> qTemperatureMixSql,
-    "q_split_assign" -> qSplitAssignSql,
     "q_zorder3" -> qZorder3Sql,
     "q_bloom_lookup" -> qBloomLookupSql,
     "q_span_excise" -> qSpanExciseSql,

@@ -224,28 +224,6 @@ object Sampling {
       .drop("__quota", "__pick")
   }
 
-  /** Deterministic train/val/test assignment: each row's hash bucket
-    * (md5 of the id — stable across runs, machines, and engines) falls
-    * into one of the cumulative `splits` ranges. The standard leakage
-    * guard: membership is a pure function of the id, so re-runs,
-    * backfills, and late-arriving shards can never move a document
-    * across the split boundary. Fractions must sum to 1.
-    *
-    * Zero shuffle — the label is a map-side expression. */
-  def splitAssign(idCol: Column,
-      splits: Seq[(String, Double)], buckets: Int = 10000): Column = {
-    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
-      s"split fractions must sum to 1: $splits")
-    val b = hashBucket(idCol, buckets)
-    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
-      acc + math.round(f * buckets)
-    }.tail
-    splits.map(_._1).zip(cuts).init
-      .foldRight(lit(splits.last._1): Column) { case ((name, cut), rest) =>
-        when(b < cut, name).otherwise(rest)
-      }
-  }
-
   /** Temperature-scaled mixture weights per stratum (mT5/XLM-R style,
     * arXiv:1910.10683 §3.4.1, arXiv:1911.02116 §3): sampling probability
     * p_i ∝ n_i^(1/T). T=1 reproduces the empirical distribution; T→∞

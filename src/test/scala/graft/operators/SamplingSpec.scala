@@ -210,29 +210,4 @@ class SamplingSpec extends SparkSpec {
     assert(heavy > 30, s"heavy-weight class got only $heavy of 40 picks")
   }
 
-  test("splitAssign is deterministic, exhaustive, and near the fractions") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    val ids = (0L until 2000L).toDF("id")
-    val assigned = ids
-      .select(col("id"), Sampling.splitAssign(col("id"), splits).as("s"))
-      .as[(Long, String)].collect().toMap
-    // exhaustive: every row gets one of the declared labels
-    assert(assigned.values.toSet.subsetOf(Set("train", "val", "test")))
-    // deterministic: recomputing yields the identical assignment
-    val again = ids
-      .select(col("id"), Sampling.splitAssign(col("id"), splits).as("s"))
-      .as[(Long, String)].collect().toMap
-    assert(assigned === again)
-    // proportions close to 80/10/10 over 2000 hashed ids
-    val n = assigned.size.toDouble
-    val frac = assigned.values.groupBy(identity).view.mapValues(_.size / n)
-    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toMap.toString)
-    assert(math.abs(frac("val") - 0.1) < 0.03, frac.toMap.toString)
-    // bad fractions rejected
-    intercept[IllegalArgumentException] {
-      Sampling.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
-    }
-  }
 }

@@ -83,9 +83,9 @@ object QueriesWeb {
        |  regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
        |  $domainCaseSql AS domain,
        |  regexp_replace(regexp_replace(regexp_replace(url,
-       |    '(utm_[^&#]*|gclid=[^&#]*|fbclid=[^&#]*)&?', '', 'g'),
-       |    '[?&]+#', '#', 'g'),
-       |    '[?&]+$$', '') AS url_clean
+       |    '&(utm_|gclid=|fbclid=)[^&#]*', '', 'g'),
+       |    '[?](utm_|gclid=|fbclid=)[^&#]*&', '?', 'g'),
+       |    '[?](utm_|gclid=|fbclid=)[^&#]*', '', 'g') AS url_clean
        |FROM h""".stripMargin
 
   // --------------------------------------------------------- domain stats

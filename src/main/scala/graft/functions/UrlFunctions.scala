@@ -43,16 +43,21 @@ object UrlFunctions {
   def query(url: Column): Column = parse_url(url, lit("QUERY"))
 
   /** Remove volatile tracking parameters (utm_*, gclid, fbclid) and tidy
-    * the separators they leave behind. Deterministic and RE2-safe:
-    *   1. drop each tracking pair plus its trailing '&' (so an interior
-    *      removal never leaves a double separator),
-    *   2. collapse a now-dangling "?&&...#" run before a fragment,
-    *   3. trim a trailing "?/&" run.
+    * the separators they leave behind. Every match is anchored at its
+    * '?' or '&' separator (a param merely CONTAINING "utm_", like
+    * `myutm_foo`, is untouched), and every replacement is a literal —
+    * no backreferences, whose syntax differs across regex dialects:
+    *   1. drop each '&'-led tracking pair (interior/trailing params),
+    *   2. a '?'-led tracking pair with a successor hands '?' on,
+    *   3. a '?'-led tracking pair with no successor drops the '?' too
+    *      (works at end-of-url and before a '#fragment' alike).
     */
   def stripTracking(url: Column): Column = {
-    val dropped = regexp_replace(url,
-      "(utm_[^&#]*|gclid=[^&#]*|fbclid=[^&#]*)&?", "")
-    regexp_replace(regexp_replace(dropped, "[?&]+#", "#"), "[?&]+$", "")
+    val p = "(utm_|gclid=|fbclid=)[^&#]*"
+    regexp_replace(regexp_replace(regexp_replace(url,
+      s"&$p", ""),
+      s"[?]$p&", "?"),
+      s"[?]$p", "")
   }
 
   /** Registrable domain (eTLD+1) of a host: one label plus the public

@@ -168,9 +168,11 @@ object QualityFilter {
     * ln treatment — order-independent), and the single /ln2 division
     * happens once at the end in doubles.
     *
-    * Scale shape: one partial-aggregated shuffle on (doc, char) — the
-    * char explode never leaves the map side un-combined — then the
-    * per-document total via a window over the already-shuffled key.
+    * Scale shape: the char explode is collapsed by a partial-aggregated
+    * groupBy on (doc, char) — per-char rows never cross the wire raw —
+    * then one more doc-keyed exchange carries only the (doc, char,
+    * count) table (≤ alphabet-size rows per document) through the total
+    * window and the closing aggregate.
     * Output: (idCol, n_chars_counted, n_distinct_chars, entropy_bits). */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

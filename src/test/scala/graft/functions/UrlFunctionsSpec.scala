@@ -55,8 +55,16 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(s("https://h.com/p?gclid=abc&x=1&fbclid=z") === "https://h.com/p?x=1")
     // nothing to strip: unchanged
     assert(s("https://h.com/p?x=1&y=2") === "https://h.com/p?x=1&y=2")
+    // anchored: a param merely CONTAINING "utm_" is not touched
+    assert(s("https://h.com/p?myutm_foo=1&utm_a=2") ===
+      "https://h.com/p?myutm_foo=1")
+    // leading run of tracking params with a survivor at the end
+    assert(s("https://h.com/p?utm_a=1&utm_b=2&id=3") ===
+      "https://h.com/p?id=3")
     // idempotent on every vector above
     for (u <- Seq(
+        "https://h.com/p?myutm_foo=1&utm_a=2",
+        "https://h.com/p?utm_a=1&utm_b=2&id=3",
         "https://h.com/p?utm_source=x&id=5",
         "https://h.com/p?id=5&utm_medium=y",
         "https://h.com/p?utm_a=1&utm_b=2",

@@ -686,6 +686,44 @@ object QueriesScale {
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------------- join estimate
+  // Universe-sampling join-size estimate (JoinEstimate.equiJoinRows):
+  // both sides keep the same deterministic 10% key range, Σ aₖ·bₖ scales
+  // by exactly 10. Compared against the true join count (the one-row
+  // scalar cross join the registry allows) so the driver pins estimator
+  // AND ground truth.
+  private def qJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val est = graft.operators.JoinEstimate.equiJoinRows(
+      li, "l_orderkey", o, "o_orderkey")
+    val truth = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .agg(count(lit(1)).as("true_rows"))
+    est.crossJoin(truth).select(
+      col("est_rows"), col("true_rows"),
+      (col("est_rows").cast("double") / col("true_rows").cast("double"))
+        .as("err_ratio"))
+  }
+
+  private val qJoinEstimateSql = {
+    def hexFold(c: String) =
+      "list_reduce(list_transform(regexp_split_to_array(" +
+        s"substr(md5(CAST($c AS VARCHAR)), 1, 6), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""WITH sa AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem
+       |  WHERE ${hexFold("l_orderkey")} % 10000 < 1000 GROUP BY 1),
+       |sb AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders
+       |  WHERE ${hexFold("o_orderkey")} % 10000 < 1000 GROUP BY 1),
+       |e AS (SELECT CAST(COALESCE(sum(ca * cb), 0) * 10 AS BIGINT)
+       |    AS est_rows FROM sa JOIN sb USING (k)),
+       |t AS (SELECT count(*) AS true_rows
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT est_rows, true_rows,
+       |  CAST(est_rows AS DOUBLE) / CAST(true_rows AS DOUBLE) AS err_ratio
+       |FROM e CROSS JOIN t""".stripMargin
+  }
+
   // ------------------------------------------------------ temperature mix
   // mT5-style temperature-scaled sampling weights per language: p_i ∝
   // n_i^(1/T) at T=2 (sqrt — IEEE-exact, so the whole column replays
@@ -838,6 +876,7 @@ object QueriesScale {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_zorder3" -> (qZorder3 _),
     "q_bloom_lookup" -> (qBloomLookup _),
+    "q_join_estimate" -> (qJoinEstimate _),
     "q_span_excise" -> (qSpanExcise _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_range_join" -> (qRangeJoin _),
@@ -866,6 +905,7 @@ object QueriesScale {
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_zorder3" -> qZorder3Sql,
     "q_bloom_lookup" -> qBloomLookupSql,
+    "q_join_estimate" -> qJoinEstimateSql,
     "q_span_excise" -> qSpanExciseSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
     "q_range_join" -> qRangeJoinSql,

@@ -552,6 +552,25 @@ class PlanSpec extends SparkSpec {
       s"only the loader exchange:\n$p")
   }
 
+  test("q_char_entropy combines chars map-side and reuses the doc exchange") {
+    val p = plan("q_char_entropy")
+    // the raw per-char explode must be collapsed BEFORE its exchange
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+    // (doc,char) agg + doc window = exactly two keyed exchanges; the
+    // closing per-doc aggregate must reuse the window's partitioning
+    assert(count(p, "hashpartitioning") == 2, s"exchanges:\n$p")
+  }
+
+  test("q_join_estimate never runs the full join") {
+    val p = plan("q_join_estimate")
+    // sampled-key side: two grouped counts + one join on the key table;
+    // the only nested-loop is the one-row scalar cross of est × truth
+    assert(count(p, "\\(\\d+\\) CartesianProduct") +
+      count(p, "\\(\\d+\\) BroadcastNestedLoopJoin") <= 1,
+      s"only the scalar cross join allowed:\n$p")
+    assert(p.contains("partial_count"), s"sampled counts must combine map-side:\n$p")
+  }
+
   test("q_url_parse stays in one projection over a pruned scan") {
     val p = plan("q_url_parse")
     assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),

@@ -37,7 +37,11 @@ object Snapshots {
   private val MaxCommitRetries = 20
 
   /** Commit `df` as the next version; returns the version number. */
-  def commit(df: DataFrame, tableDir: String): Long = {
+  def commit(df: DataFrame, tableDir: String): Long =
+    commitWith(df, tableDir, (_, _) => ())
+
+  private def commitWith(df: DataFrame, tableDir: String,
+      beforeMark: (FileSystem, HPath) => Unit): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, tableDir)
     fs.mkdirs(new HPath(tableDir, "_commits"))
@@ -47,6 +51,7 @@ object Snapshots {
       val data = new HPath(tableDir, s"v=$v")
       fs.delete(data, true) // debris from an unmarked, crashed attempt
       df.write.mode("error").parquet(data.toString)
+      beforeMark(fs, data) // extra dir contents (tags) precede the claim
       try {
         // create-exclusive: the atomic claim of version v
         fs.create(new HPath(tableDir, s"_commits/$v"), false).close()
@@ -62,6 +67,35 @@ object Snapshots {
     }
     sys.error(s"Snapshots.commit: lost the version race $MaxCommitRetries times at $tableDir")
   }
+
+  /** Commit with an idempotency tag: when a COMMITTED version already
+    * carries `tag`, the commit is skipped and None is returned. The tag
+    * is a zero-byte `_tag-<tag>` file written INTO the data directory
+    * before the marker claim, so the check and the commit share the
+    * marker's atomicity: a crash before the marker leaves an unmarked
+    * (invisible) dir and the retry commits cleanly; a crash after the
+    * marker leaves the tag visible and the retry skips. This is the
+    * exactly-once hook [[graft.streaming.SnapshotSink]] uses for
+    * replayed micro-batch ids. (Underscore-prefixed files are ignored
+    * by parquet readers.) Concurrent same-tag writers are not
+    * serialized — the contract targets sequential retries/replays. */
+  def commitTagged(df: DataFrame, tableDir: String, tag: String): Option[Long] = {
+    val spark = df.sparkSession
+    val fs = fileSystem(spark, tableDir)
+    if (taggedVersion(fs, tableDir, tag).isDefined) return None
+    Some(commitWith(df, tableDir, (f, data) =>
+      f.create(new HPath(data, s"_tag-$tag"), true).close()))
+  }
+
+  /** The committed version carrying `tag`, if any. */
+  def taggedVersion(spark: SparkSession, tableDir: String,
+      tag: String): Option[Long] =
+    taggedVersion(fileSystem(spark, tableDir), tableDir, tag)
+
+  private def taggedVersion(fs: FileSystem, tableDir: String,
+      tag: String): Option[Long] =
+    committedVersions(fs, tableDir).sorted.find(v =>
+      fs.exists(new HPath(tableDir, s"v=$v/_tag-$tag")))
 
   /** Read a specific committed version, or the latest when None. */
   def read(spark: SparkSession, tableDir: String,

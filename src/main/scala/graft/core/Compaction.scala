@@ -35,4 +35,31 @@ object Compaction {
     AtomicParquet.overwrite(df, dir)
     (before.length, bytes, dataFiles().length)
   }
+
+  /** Compaction + z-order reclustering in ONE atomic rewrite: size the
+    * output from the listing like [[compact]], but range-partition and
+    * sort on the Morton key of two columns ([[ZOrder]]) instead of
+    * round-robin — the same maintenance pass then also restores
+    * multi-column min-max selectivity that drifts as appends interleave
+    * key ranges. The swap is the same [[AtomicParquet]] staged rename,
+    * so readers never see a partial recluster.
+    *
+    * Returns (filesBefore, bytesBefore, filesAfter). */
+  def recluster(spark: SparkSession, dir: String,
+      colA: String, boundsA: (Double, Double),
+      colB: String, boundsB: (Double, Double),
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Long, Int) = {
+    require(targetBytes > 0, s"bad targetBytes=$targetBytes")
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(new HPath(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = ZOrder.layout(AtomicParquet.read(spark, dir),
+      colA, boundsA, colB, boundsB, partitions = nOut)
+    AtomicParquet.overwrite(df, dir)
+    (before.length, bytes, dataFiles().length)
+  }
 }

@@ -220,6 +220,45 @@ object QueriesOps {
       |WHERE bit_count(xor(a.lo, b.lo)) +
       |      bit_count(xor(a.hi, b.hi)) <= 12""".stripMargin
 
+  // ----------------------------------------------------------- audio stats
+  // Audio signal screens (AudioCore.pcmStats through the synthetic-PCM
+  // expression): RMS energy, mean amplitude and zero-crossing count
+  // over a deterministic int16 signal both engines reconstruct. The
+  // REAL decode twin (AudioStats — RIFF/WAVE parse of actual bytes)
+  // runs the same kernel and is spec-gated in MultimodalSpec with
+  // hand-built WAVs, the ImageIO-vs-raw-frame precedent.
+  private val PcmSamples = 96
+
+  def qAudioStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("n_chars") >= 24) // ×4 cycles to ≥96 chars
+      .select(col("doc_id"),
+        graft.multimodal.AudioExpr.pcm_frame_stats(
+          substring(repeat(col("text"), 4), 1, PcmSamples),
+          PcmSamples).as("a"))
+      .select(col("doc_id"),
+        col("a.n_samples").as("n_samples"),
+        col("a.rms").as("rms"),
+        col("a.mean_amp").as("mean_amp"),
+        col("a.zero_crossings").as("zero_crossings"))
+
+  val qAudioStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, substr(repeat(text, 4), 1, $PcmSamples) AS f
+       |  FROM documents WHERE n_chars >= 24),
+       |sm AS (
+       |  SELECT doc_id, i,
+       |    (ord(substr(f, CAST(i + 1 AS INT), 1)) % 256 - 128) * 256 AS s
+       |  FROM d CROSS JOIN range(0, $PcmSamples) t(i)),
+       |w AS (SELECT doc_id, s,
+       |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp FROM sm)
+       |SELECT doc_id, count(*) AS n_samples,
+       |  sqrt(CAST(sum(s * s) AS DOUBLE) / $PcmSamples.0) AS rms,
+       |  CAST(sum(abs(s)) AS DOUBLE) / $PcmSamples.0 AS mean_amp,
+       |  CAST(sum(CASE WHEN sp IS NOT NULL AND s * sp < 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       |FROM w GROUP BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- date funcs
   // §2.11 date helpers (date.py): last-day-of-month family + strftime
   // renders + watermark literal formatting (ms truncation).
@@ -326,6 +365,7 @@ object QueriesOps {
     "q_events_window" -> (qEventsWindow _),
     "q_frames" -> (qFrames _),
     "q_frame_stats" -> (qFrameStats _),
+    "q_audio_stats" -> (qAudioStats _),
     "q_frame_hamming" -> (qFrameHamming _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_topk" -> (qTopk _),
@@ -340,6 +380,7 @@ object QueriesOps {
     "q_events_window" -> qEventsWindowSql,
     "q_frames" -> qFramesSql,
     "q_frame_stats" -> qFrameStatsSql,
+    "q_audio_stats" -> qAudioStatsSql,
     "q_frame_hamming" -> qFrameHammingSql,
     "q_date_funcs" -> qDateFuncsSql,
     "q_topk" -> qTopkSql,

@@ -50,9 +50,10 @@ object DomainOps {
         count(lit(1)).as("n_docs"),
         sum(col(charsCol)).cast("long").as("sum_chars"))
 
-  /** Cap each domain at `maxDocs` documents, keeping the first `maxDocs`
-    * by `orderCol` (deterministic tiebreak on `idCol`). One window
-    * shuffle on the domain key; no global sort. */
+  /** Cap each domain at `maxDocs` documents, keeping the TOP `maxDocs`
+    * by `orderCol` DESCENDING (highest score/longest first;
+    * deterministic ascending tiebreak on `idCol`). One window shuffle
+    * on the domain key; no global sort. */
   def domainQuota(
       df: DataFrame, domainCol: String, maxDocs: Int,
       orderCol: String, idCol: String): DataFrame = {

@@ -25,7 +25,13 @@ object ForecastEval {
 
   /** Per-key seasonal-naive evaluation over daily event counts.
     * Output: key, n_days (scored days: both lags defined), mae_seasonal,
-    * mae_naive (doubles), mase (null when the naive error is 0). */
+    * mae_naive (doubles), mase (null when the naive error is 0).
+    *
+    * The lags are ROW lags over the observed-day series: a day with
+    * zero events is absent, so on sparse series "season back" means
+    * "season OBSERVED days back". For calendar-true seasonality over
+    * gappy data, densify first ([[Resample]] at 1-day grain with a
+    * zero fill) and feed the densified counts here. */
   def seasonalNaiveDaily(
       df: DataFrame, keyCol: String, tsCol: String,
       season: Int): DataFrame = {

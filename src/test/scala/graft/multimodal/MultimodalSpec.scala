@@ -116,4 +116,65 @@ class MultimodalSpec extends SparkSpec {
     val s = ImageCore.stats(8, 8, px)
     assert(s.ahashLo == 0L && s.ahashHi == 0L)
   }
+
+  // ------------------------------------------------------------- audio
+
+  /** Hand-built canonical 44-byte-header PCM16 mono WAV. */
+  private def wav16(samples: Array[Int], rate: Int = 8000,
+      channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("WAV decode recovers format facts and the exact PCM kernel stats") {
+    val samples = Array(1000, -1000, 2000, -2000, 0, 3000, -32768, 32767)
+    val info = AudioCore.decodeWav(wav16(samples, rate = 16000)).get
+    assert(info.channels === 1 && info.sampleRate === 16000 &&
+      info.bitsPerSample === 16)
+    assert(info.nFrames === 8L && info.durationMs === 0.5)
+    assert(info.stats === AudioCore.pcmStats(samples))
+    // strict sign changes: 1000→-1000→2000→-2000 (3), the 0 breaks the
+    // -2000→0→3000 run (no crossing), then 3000→-32768→32767 (2 more)
+    assert(info.stats.zeroCrossings === 5L)
+  }
+
+  test("stereo frames divide samples by channel count; junk/truncated -> None") {
+    val st = AudioCore.decodeWav(
+      wav16(Array(1, 2, 3, 4, 5, 6), channels = 2)).get
+    assert(st.channels === 2 && st.nFrames === 3L)
+    assert(AudioCore.decodeWav("not a wav at all".getBytes).isEmpty)
+    val truncated = wav16(Array(1, 2, 3, 4)).dropRight(3)
+    assert(AudioCore.decodeWav(truncated).isEmpty)
+  }
+
+  test("audio_stats expression decodes blobs columnar; synthetic twin matches kernel") {
+    val good = wav16(Array(100, -100, 200))
+    val rows = Seq(("ok", good), ("bad", Array[Byte](1, 2, 3)))
+      .toDF("tag", "blob")
+      .select(col("tag"), AudioExpr.audio_stats(col("blob")).as("a"))
+      .select(col("tag"), col("a.n_samples"), col("a.zero_crossings"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(rows("ok").contains((3L, 2L)))
+    assert(rows("bad").isEmpty)
+    // synthetic twin: expression == driver-side kernel on the same text
+    val txt = "hello audio world, enough codepoints here."
+    val viaExpr = Seq(txt).toDF("t")
+      .select(AudioExpr.pcm_frame_stats(col("t"), 16).as("a"))
+      .select("a.rms", "a.zero_crossings")
+      .as[(Double, Long)].head()
+    val direct = AudioCore.statsFromText(txt, 16).get
+    assert(viaExpr === ((direct.rms, direct.zeroCrossings)))
+  }
 }

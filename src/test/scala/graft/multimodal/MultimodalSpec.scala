@@ -177,4 +177,78 @@ class MultimodalSpec extends SparkSpec {
     val direct = AudioCore.statsFromText(txt, 16).get
     assert(viaExpr === ((direct.rms, direct.zeroCrossings)))
   }
+
+  // ------------------------------------------------------------- video
+
+  /** Hand-built uncompressed AVI: RIFF('AVI ') → LIST(hdrl){avih} +
+    * LIST(movi){'00db' DIB frames}. */
+  private def avi(w: Int, h: Int, usPerFrame: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    val stride = ((3 * w + 3) / 4) * 4
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h) // remaining 16 bytes stay zero
+      bb.array()
+    }
+    def dib(px: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(y * w + x)
+        val row = (h - 1 - y) * stride // bottom-up
+        out(row + 3 * x) = (p & 0xFF).toByte          // B
+        out(row + 3 * x + 1) = ((p >> 8) & 0xFF).toByte  // G
+        out(row + 3 * x + 2) = ((p >> 16) & 0xFF).toByte // R
+      }
+      out
+    }
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk("00db", dib(f))))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    bb.array()
+  }
+
+  test("AVI decode: container facts + first frame through the IMAGE kernel") {
+    val f0 = Array.tabulate(64)(i => (i * 3 << 16) | (i * 2 << 8) | i)
+    val f1 = f0.map(_ ^ 0xFFFFFF)
+    val info = VideoCore.decodeAvi(avi(8, 8, 40000, Seq(f0, f1))).get
+    assert(info.width === 8 && info.height === 8)
+    assert(info.usPerFrame === 40000 && info.nFrames === 2)
+    assert(info.nRawFrames === 2)
+    // the first frame's stats are EXACTLY the image kernel's on f0 —
+    // one signature semantics across stills and video frames
+    assert(info.firstFrame.get === ImageCore.stats(8, 8, f0))
+  }
+
+  test("AVI: junk, non-AVI RIFF, and truncated frames degrade safely") {
+    assert(VideoCore.decodeAvi("garbage".getBytes).isEmpty)
+    // a valid WAV is RIFF but not AVI
+    assert(VideoCore.decodeAvi(wav16(Array(1, 2, 3))).isEmpty)
+    // truncated frame chunk: container parses, frame does not
+    val good = avi(8, 8, 40000, Seq(Array.fill(64)(0x102030)))
+    val cut = good.dropRight(60)
+    val info = VideoCore.decodeAvi(cut)
+    assert(info.isEmpty || info.get.firstFrame.isEmpty)
+  }
+
+  test("odd widths honor the 4-byte DIB row padding") {
+    val w = 5; val h = 2
+    val px = Array.tabulate(w * h)(i => i * 0x010101)
+    val info = VideoCore.decodeAvi(avi(w, h, 1000, Seq(px))).get
+    assert(info.firstFrame.get === ImageCore.stats(w, h, px))
+  }
 }

@@ -54,14 +54,63 @@ object BloomIndex {
 
   /** Build the index over a parquet table: one row per data file with
     * (file, n_rows, bloom). `expectedItemsPerFile` sizes each filter
-    * (overshoot is wasted KBs, undershoot inflates the fpp). */
+    * (overshoot is wasted KBs, undershoot inflates the fpp). The key
+    * column must be integral — a silent cast would turn any other type
+    * into all-null probes and an index that filters nothing. */
   def build(spark: SparkSession, tableDir: String, keyCol: String,
       expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame = {
     val agg = udaf(new BuildAgg(expectedItemsPerFile, fpp))
-    spark.read.parquet(tableDir)
-      .select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
+    val df = spark.read.parquet(tableDir)
+    requireIntegralKey(df, keyCol)
+    df.select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("n_rows"), agg(col("k")).as("bloom"))
+  }
+
+  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"BloomIndex key '$keyCol' must be integral, got $dt — " +
+        "a cast-to-long of strings/decimals would probe nulls and " +
+        "never filter")
+  }
+
+  /** Current data-file set of a parquet dir — the staleness
+    * fingerprint: the index is keyed per file, so any compaction,
+    * recluster, or append changes this set and invalidates the index. */
+  private def currentFiles(spark: SparkSession, tableDir: String): Set[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath).toSet
+  }
+
+  /** Fail-loud staleness check: the index's file set must be EXACTLY
+    * the table's current listing. A superset means files were deleted
+    * (lookups would read missing paths); a subset means files were
+    * added (lookups would silently MISS rows — the dangerous case). */
+  def validate(spark: SparkSession, index: DataFrame, tableDir: String): Unit = {
+    val indexed = index.select(col("file")).collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val current = currentFiles(spark, tableDir)
+    require(indexed == current,
+      s"BloomIndex is stale for $tableDir: " +
+        s"${(current -- indexed).size} unindexed file(s), " +
+        s"${(indexed -- current).size} vanished file(s) — rebuild after " +
+        "compaction/recluster/append")
+  }
+
+  /** [[lookup]] with the staleness gate: validates the index against
+    * the table's current file listing first, so a lookup through an
+    * index that predates a compaction or append fails loudly instead of
+    * silently missing rows. */
+  def lookupChecked(spark: SparkSession, index: DataFrame, tableDir: String,
+      keyCol: String, keys: Seq[Long]): DataFrame = {
+    validate(spark, index, tableDir)
+    lookup(spark, index, keyCol, keys)
   }
 
   /** Files that may contain ANY of `keys` (driver-side test over the
@@ -76,9 +125,71 @@ object BloomIndex {
       }
       .map(_.getString(0))
 
+  // ------------------------------------------------------ versioned form
+
+  /** Commit `df` as a new [[Snapshots]] version WITH its Bloom index
+    * written inside the version directory (`v=N/_bloom/`, underscore
+    * prefix so parquet readers skip it) BEFORE the commit marker claims
+    * the version. Index and data therefore share the snapshot
+    * protocol's atomicity: time travel and [[Snapshots.rollback]]
+    * resolve a version together with its matching index, and no
+    * committed version can exist without one. File names are stored
+    * RELATIVE (basenames) so the staged-dir build survives the
+    * staging→`v=N` rename. */
+  def commitIndexed(df: DataFrame, tableDir: String, keyCol: String,
+      expectedItemsPerFile: Long, fpp: Double = 0.01): Long = {
+    requireIntegralKey(df, keyCol)
+    val spark = df.sparkSession
+    val agg = udaf(new BuildAgg(expectedItemsPerFile, fpp))
+    Snapshots.commitWith(df, tableDir, (_, staging) => {
+      val idx = spark.read.parquet(staging.toString)
+        .select(
+          element_at(split(input_file_name(), "/"), -1).as("file"),
+          col(keyCol).cast("long").as("k"))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n_rows"), agg(col("k")).as("bloom"))
+      idx.write.mode("error").parquet(s"$staging/_bloom")
+    })
+  }
+
+  /** The Bloom index of a committed version (latest when None). */
+  def forVersion(spark: SparkSession, tableDir: String,
+      version: Option[Long] = None): DataFrame =
+    spark.read.parquet(s"${versionDir(spark, tableDir, version)}/_bloom")
+
+  /** Version-consistent point lookup: prune through the index stored
+    * INSIDE `v=N`, read only surviving files of that same version.
+    * After a rollback this resolves the rolled-back-to version and its
+    * own index — returns exactly that version's full-scan result. */
+  def lookupVersion(spark: SparkSession, tableDir: String, keyCol: String,
+      keys: Seq[Long], version: Option[Long] = None): DataFrame = {
+    val dir = versionDir(spark, tableDir, version)
+    val idx = spark.read.parquet(s"$dir/_bloom")
+    val names = candidateFiles(idx, keys) // basenames within the version
+    if (names.isEmpty)
+      spark.read.parquet(dir).filter(lit(false))
+    else
+      spark.read.parquet(names.map(n => s"$dir/$n"): _*)
+        .filter(col(keyCol).isin(keys: _*))
+  }
+
+  private def versionDir(spark: SparkSession, tableDir: String,
+      version: Option[Long]): String = {
+    val vs = Snapshots.versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed versions at $tableDir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"version $v not committed at $tableDir (have ${vs.mkString(",")})")
+    s"$tableDir/v=$v"
+  }
+
+  // ------------------------------------------------------------- lookups
+
   /** Point lookup through the index: read only candidate files, then
     * apply the exact predicate. Returns exactly what the full scan
-    * would (Bloom false negatives are impossible). */
+    * would (Bloom false negatives are impossible). Trusts the index to
+    * match the table — use [[lookupChecked]] when appends/compactions
+    * may have happened since [[build]]. */
   def lookup(spark: SparkSession, index: DataFrame, keyCol: String,
       keys: Seq[Long]): DataFrame = {
     val files = candidateFiles(index, keys)

@@ -12,23 +12,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout:
   * {{{
   *   table/
-  *     v=1/ v=2/ ...        immutable per-version parquet directories
-  *     _commits/1 _commits/2 ...   zero-byte commit markers
+  *     v=1/ v=2/ ...              immutable per-version parquet dirs
+  *     _commits/1 _commits/2 ...  zero-byte commit markers
+  *     _staging/<uuid>/           writer-private in-flight attempts
   * }}}
   *
-  * Protocol: a commit writes its data directory COMPLETELY, then
-  * creates `_commits/N` with create-exclusive semantics. The marker is
-  * the single source of truth:
-  *   - a crash mid-write leaves an unmarked `v=N` directory that no
-  *     reader ever resolves ([[vacuum]] reclaims it);
-  *   - marker creation is atomic and exclusive, so two racing writers
-  *     cannot both claim version N — the loser retries at N+1;
+  * Protocol (concurrent-writer safe): each commit writes its data into
+  * a WRITER-UNIQUE `_staging/<uuid>` directory, claims a version number
+  * with a create-exclusive `_commits/N` marker, and only then renames
+  * its own staging dir to `v=N`. Properties:
+  *   - no writer ever writes into, renames onto, or deletes a directory
+  *     another writer may own: staging paths are unique, and `v=N` is
+  *     only touched by the writer holding marker N (exclusive by
+  *     construction), so racing writers cannot clobber each other's
+  *     data — the marker loser retries at a higher number with its
+  *     staging dir intact;
+  *   - a committed version is a marker WITH its `v=N` directory present
+  *     (the directory rename is atomic, so it appears fully formed). A
+  *     crash between claim and rename leaves a dead marker with no
+  *     data: the commit never reported success, readers never resolve
+  *     it, the number is simply burned (history may have gaps);
   *   - readers resolve a version FIRST, then read an immutable
   *     directory, so a concurrent commit never changes data under a
-  *     running query (snapshot isolation for the read).
-  * [[rollback]] truncates history by deleting markers above the target
-  * (data directories stay until [[prune]]d, so a rollback is itself
-  * reversible until then). Like AtomicParquet, the guarantees need
+  *     running query (snapshot isolation for the read);
+  *   - the next version number is computed over markers AND data dirs,
+  *     so a commit after [[rollback]] claims a fresh number and the
+  *     rolled-back data stays available for un-rollback until [[prune]].
+  * [[vacuum]] reclaims crash debris (unmarked data dirs, abandoned
+  * staging dirs, dead markers) and takes a GRACE WINDOW so it never
+  * races an in-flight commit. Like AtomicParquet, the guarantees need
   * atomic create/rename — local FS and HDFS, not copy-based object
   * stores.
   */
@@ -40,41 +52,63 @@ object Snapshots {
   def commit(df: DataFrame, tableDir: String): Long =
     commitWith(df, tableDir, (_, _) => ())
 
-  private def commitWith(df: DataFrame, tableDir: String,
-      beforeMark: (FileSystem, HPath) => Unit): Long = {
+  /** The commit skeleton shared by every variant: stage uniquely, run
+    * `beforeClaim` against the staged data dir (tags, per-version
+    * indexes — anything that must be visible iff the version is), then
+    * claim + publish. Package-private so sibling per-version artifacts
+    * ([[BloomIndex.commitIndexed]]) ride the same atomicity. */
+  private[core] def commitWith(df: DataFrame, tableDir: String,
+      beforeClaim: (FileSystem, HPath) => Unit): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, tableDir)
     fs.mkdirs(new HPath(tableDir, "_commits"))
+    val staging =
+      new HPath(tableDir, s"_staging/${java.util.UUID.randomUUID()}")
+    df.write.mode("error").parquet(staging.toString)
+    beforeClaim(fs, staging)
     var attempt = 0
-    var v = latestVersion(fs, tableDir).getOrElse(0L) + 1
+    var v = nextVersion(fs, tableDir)
     while (attempt < MaxCommitRetries) {
-      val data = new HPath(tableDir, s"v=$v")
-      fs.delete(data, true) // debris from an unmarked, crashed attempt
-      df.write.mode("error").parquet(data.toString)
-      beforeMark(fs, data) // extra dir contents (tags) precede the claim
-      try {
-        // create-exclusive: the atomic claim of version v
-        fs.create(new HPath(tableDir, s"_commits/$v"), false).close()
-        return v
-      } catch {
-        case _: java.io.IOException =>
+      val claimed =
+        try {
+          // create-exclusive: the atomic claim of version v
+          fs.create(new HPath(tableDir, s"_commits/$v"), false).close()
+          true
+        } catch {
           // another writer claimed v between our read and our marker —
-          // discard our data dir and retry one version up
-          fs.delete(data, true)
-          attempt += 1
-          v = latestVersion(fs, tableDir).getOrElse(v) + 1
+          // our staging dir is untouched; retry one version up
+          case _: java.io.IOException => false
+        }
+      if (claimed) {
+        publish(fs, tableDir, staging, v)
+        return v
       }
+      attempt += 1
+      v = math.max(v + 1, nextVersion(fs, tableDir))
     }
-    sys.error(s"Snapshots.commit: lost the version race $MaxCommitRetries times at $tableDir")
+    fs.delete(staging, true) // giving up: reclaim our own staging only
+    sys.error(s"Snapshots.commit: lost the version race " +
+      s"$MaxCommitRetries times at $tableDir")
+  }
+
+  /** Owner-only publish: marker N is held, so `v=N` can only be a
+    * rolled-back orphan whose number we just re-claimed — remove it and
+    * move our staged data into place (atomic dir rename). */
+  private def publish(fs: FileSystem, tableDir: String,
+      staging: HPath, v: Long): Unit = {
+    val data = new HPath(tableDir, s"v=$v")
+    if (fs.exists(data)) fs.delete(data, true)
+    if (!fs.rename(staging, data))
+      sys.error(s"Snapshots.commit: rename $staging -> $data failed")
   }
 
   /** Commit with an idempotency tag: when a COMMITTED version already
     * carries `tag`, the commit is skipped and None is returned. The tag
-    * is a zero-byte `_tag-<tag>` file written INTO the data directory
-    * before the marker claim, so the check and the commit share the
-    * marker's atomicity: a crash before the marker leaves an unmarked
-    * (invisible) dir and the retry commits cleanly; a crash after the
-    * marker leaves the tag visible and the retry skips. This is the
+    * is a zero-byte `_tag-<tag>` file written into the STAGED data
+    * directory before the claim, so it is visible exactly when the
+    * version is: a crash before the publish completes leaves an
+    * invisible attempt and the retry commits cleanly; a crash after
+    * leaves the tag visible and the retry skips. This is the
     * exactly-once hook [[graft.streaming.SnapshotSink]] uses for
     * replayed micro-batch ids. (Underscore-prefixed files are ignored
     * by parquet readers.) Concurrent same-tag writers are not
@@ -115,7 +149,9 @@ object Snapshots {
 
   /** Drop every commit AFTER `toVersion` — the next read resolves
     * `toVersion` as latest. Data directories are kept (a rollback can
-    * itself be undone by re-creating markers) until [[prune]]. */
+    * itself be undone by re-creating markers) until [[prune]]; new
+    * commits claim numbers ABOVE the rolled-back dirs, never reusing
+    * them, so the undo option survives subsequent writes. */
   def rollback(spark: SparkSession, tableDir: String, toVersion: Long): Unit = {
     val fs = fileSystem(spark, tableDir)
     val vs = committedVersions(fs, tableDir)
@@ -138,32 +174,75 @@ object Snapshots {
     }
   }
 
-  /** Delete data directories that have no commit marker: crashed
-    * commits and pruned-marker leftovers. Never touches committed
-    * versions. */
-  def vacuum(spark: SparkSession, tableDir: String): Seq[Long] = {
+  /** Reclaim crash debris: data directories with no commit marker,
+    * abandoned `_staging` attempts, and dead markers with no data.
+    * Returns the reclaimed data-dir version numbers.
+    *
+    * `graceMs` is the concurrency guard: anything modified within the
+    * last `graceMs` milliseconds is SKIPPED, so a vacuum racing an
+    * in-flight commit (whose staging dir or just-renamed data dir is
+    * seconds old) cannot destroy it. Pass a grace comfortably above the
+    * longest expected commit (default 15 min); 0 only when no writer
+    * can be running. */
+  def vacuum(spark: SparkSession, tableDir: String,
+      graceMs: Long = 15 * 60 * 1000L): Seq[Long] = {
     val fs = fileSystem(spark, tableDir)
-    val committed = committedVersions(fs, tableDir).toSet
-    val dataDirs = Option(fs.globStatus(new HPath(tableDir, "v=*")))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val committed = committedMarkers(fs, tableDir).toSet
+    // unmarked v=* data dirs (crashed pre-protocol writers, pruned
+    // leftovers) — markers alone decide visibility, so marker-less dirs
+    // are unreachable debris
+    val orphans = Option(fs.globStatus(new HPath(tableDir, "v=*")))
       .getOrElse(Array.empty).toSeq
-      .flatMap(s => versionOf(s.getPath.getName))
-    val orphans = dataDirs.filterNot(committed)
-    orphans.foreach(v => fs.delete(new HPath(tableDir, s"v=$v"), true))
-    orphans.sorted
+      .filter(_.getModificationTime < cutoff)
+      .flatMap(s => versionOf(s.getPath.getName).map((_, s.getPath)))
+      .filterNot { case (v, _) => committed(v) }
+    orphans.foreach { case (_, p) => fs.delete(p, true) }
+    // abandoned staging attempts (writer crashed before its claim)
+    Option(fs.globStatus(new HPath(tableDir, "_staging/*")))
+      .getOrElse(Array.empty)
+      .filter(_.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
+    // dead markers (claim landed, publish crashed): invisible to
+    // readers, but dropping them keeps the history listing clean
+    val live = dataDirVersions(fs, tableDir).toSet
+    Option(fs.listStatus(new HPath(tableDir, "_commits")))
+      .getOrElse(Array.empty)
+      .filter(_.getModificationTime < cutoff)
+      .filter(s => s.getPath.getName.toLongOption.exists(v => !live(v)))
+      .foreach(s => fs.delete(s.getPath, false))
+    orphans.map(_._1).sorted
   }
 
   private def versionOf(dirName: String): Option[Long] =
     if (dirName.startsWith("v=")) dirName.drop(2).toLongOption else None
 
-  private def committedVersions(fs: FileSystem, tableDir: String): Seq[Long] = {
+  /** Marker files present (claimed numbers, committed or dead). */
+  private def committedMarkers(fs: FileSystem, tableDir: String): Seq[Long] = {
     val dir = new HPath(tableDir, "_commits")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName.toLongOption)
   }
 
-  private def latestVersion(fs: FileSystem, tableDir: String): Option[Long] = {
-    val vs = committedVersions(fs, tableDir)
-    if (vs.isEmpty) None else Some(vs.max)
+  private def dataDirVersions(fs: FileSystem, tableDir: String): Seq[Long] =
+    Option(fs.globStatus(new HPath(tableDir, "v=*")))
+      .getOrElse(Array.empty).toSeq
+      .flatMap(s => versionOf(s.getPath.getName))
+
+  /** A version is committed iff its marker AND its data dir exist: the
+    * marker is the claim, the (atomically renamed) data dir is the
+    * publish. Dead markers — claim landed, publish crashed — never
+    * resolve. */
+  private def committedVersions(fs: FileSystem, tableDir: String): Seq[Long] = {
+    val data = dataDirVersions(fs, tableDir).toSet
+    committedMarkers(fs, tableDir).filter(data)
+  }
+
+  /** Next claimable number: above every marker (claimed, possibly dead)
+    * AND every data dir (possibly rolled-back, kept for undo). */
+  private def nextVersion(fs: FileSystem, tableDir: String): Long = {
+    val all = committedMarkers(fs, tableDir) ++ dataDirVersions(fs, tableDir)
+    (if (all.isEmpty) 0L else all.max) + 1
   }
 
   private def fileSystem(spark: SparkSession, dir: String): FileSystem =

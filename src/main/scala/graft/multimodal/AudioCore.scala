@@ -28,7 +28,12 @@ object AudioCore {
   final case class PcmStats(
       nSamples: Long, rms: Double, meanAmp: Double, zeroCrossings: Long)
 
-  /** Full decode result: container facts + signal features. */
+  /** Full decode result: container facts + signal features. `stats`
+    * are computed over CHANNEL 0 after de-interleaving (nSamples ==
+    * nFrames): running the kernel over the raw interleaved stream would
+    * count sign flips between adjacent samples of DIFFERENT channels as
+    * zero crossings and mix channels into rms/mean — meaningless for
+    * stereo. Mono is unaffected. */
   final case class WavInfo(
       channels: Int, sampleRate: Int, bitsPerSample: Int,
       nFrames: Long, durationMs: Double, stats: PcmStats)
@@ -97,21 +102,20 @@ object AudioCore {
       (dOff, dLen) <- data
     } yield {
       val bytesPerSample = bits / 8
-      val nSamples = dLen / bytesPerSample
-      val samples = new Array[Int](nSamples)
+      val frameBytes = bytesPerSample * ch
+      val frames = dLen / frameBytes
+      // de-interleave channel 0: one sample per frame, skipping the
+      // other channels' bytes
+      val samples = new Array[Int](frames)
       var i = 0
-      while (i < nSamples) {
+      while (i < frames) {
+        val o = dOff + i * frameBytes
         samples(i) =
-          if (bits == 8) ((bytes(dOff + i) & 0xFF) - 128) * 256
-          else { // little-endian signed 16-bit
-            val lo = bytes(dOff + 2 * i) & 0xFF
-            val hi = bytes(dOff + 2 * i + 1)
-            (hi << 8) | lo
-          }
+          if (bits == 8) ((bytes(o) & 0xFF) - 128) * 256
+          else (bytes(o + 1) << 8) | (bytes(o) & 0xFF) // LE signed 16-bit
         i += 1
       }
-      val frames = nSamples.toLong / ch
-      WavInfo(ch, rate, bits, frames,
+      WavInfo(ch, rate, bits, frames.toLong,
         frames.toDouble * 1000.0 / rate.toDouble, pcmStats(samples))
     }
   }

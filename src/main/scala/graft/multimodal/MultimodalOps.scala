@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * a 64-bit average hash that feeds the
   * [[graft.similarity.BinaryQuantize.hamming]] near-dup screen; the
   * same kernel has an oracle-replayable raw-frame twin
-  * ([[rgbFrameStats]], gated by `q_frame_stats`). AUDIO/VIDEO codecs
-  * are not in the JDK, so those stay metadata-level ([[withMediaMeta]],
-  * [[sampleFrames]]) — the relational shape (schema, explode-per-frame
-  * scale path) is real; a deployment adds the codec inside the same
-  * expression seam [[ImageStats]] demonstrates.
+  * ([[rgbFrameStats]], gated by `q_frame_stats`). AUDIO decode is real
+  * too ([[AudioCore]]: RIFF/WAVE PCM via [[AudioExpr.audio_stats]]),
+  * and VIDEO containers parse through [[VideoCore]] (RIFF/AVI:
+  * uncompressed DIB and MJPEG frames through the SAME image kernel);
+  * codecs beyond those (H.264 etc.) degrade to NULL — the relational
+  * shape ([[withMediaMeta]], [[sampleFrames]]) carries them as opaque
+  * rows.
   */
 object MultimodalOps {
 

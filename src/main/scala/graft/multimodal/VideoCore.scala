@@ -1,33 +1,50 @@
 package graft.multimodal
 
-/** Video kernel: a REAL RIFF/AVI container parser for uncompressed
-  * (DIB/BGR24) frames — closing the modality triple alongside
-  * [[ImageCore]] (ImageIO) and [[AudioCore]] (WAVE): container facts
-  * (dims, frame rate, frame count) come from the public AVI spec
-  * (RIFF 'AVI ' → LIST hdrl → avih; frames in LIST movi as '..db'
-  * chunks), and per-frame pixel statistics run through the SAME
-  * [[ImageCore.stats]] kernel the image family uses — one set of
-  * signature semantics (channel means + 64-bit aHash into the Hamming
-  * near-dup screen) across stills and frames.
+/** Video kernel: a REAL RIFF/AVI container parser — closing the
+  * modality triple alongside [[ImageCore]] (ImageIO) and [[AudioCore]]
+  * (WAVE). Container facts (dims, frame rate, frame count) come from
+  * the public AVI spec (RIFF 'AVI ' → LIST hdrl → avih + LIST strl →
+  * strh/strf; frames in LIST movi as '..db'/'..dc' chunks); per-frame
+  * pixel statistics run through the SAME [[ImageCore.stats]] kernel the
+  * image family uses — one set of signature semantics (channel means +
+  * 64-bit aHash into the Hamming near-dup screen) across stills and
+  * frames.
   *
-  * Scope is honest: uncompressed '..db' frames only — the layout a
-  * pipeline's own exports/fixtures produce. Compressed codecs ('..dc',
-  * MJPG, H.264...) are not decodable without codec libraries absent
-  * from this environment; such files degrade to None like every other
-  * undecodable blob (quarantine relationally downstream, never kill
-  * the task).
+  * Two codecs decode, both dependency-free:
+  *   - uncompressed 24-bpp DIB ('..db' chunks, strf declares
+  *     biCompression == BI_RGB and biBitCount == 24 — anything else,
+  *     16/32-bpp or RLE, would read as garbage pixel stats, so it
+  *     honestly degrades to None instead);
+  *   - MJPEG ('..dc' chunks where strf/strh declare the 'MJPG' fourcc):
+  *     every frame is a standalone JPEG, which the JDK's ImageIO — the
+  *     exact kernel stills go through — already decodes.
+  * Anything else (H.264, VP9, ...) needs codec libraries absent from
+  * this environment and degrades to None like every other undecodable
+  * blob (quarantine relationally downstream, never kill the task).
   *
   * DIB frame layout (public BMP/DIB spec): bottom-up rows of BGR
   * triples, each row padded to a 4-byte boundary.
   */
 object VideoCore {
 
+  /** BI_RGB 24-bpp declared by strf. */
+  val CodecRgb24 = "rgb24"
+  /** Motion-JPEG: frames decode through ImageIO. */
+  val CodecMjpeg = "mjpeg"
+  /** No parseable video strf — nothing safe to decode. */
+  val CodecNone = "none"
+
   final case class AviInfo(
       width: Int, height: Int, usPerFrame: Int, nFrames: Int,
-      /** frames actually present as uncompressed '..db' chunks */
+      /** decodable codec ([[CodecRgb24]]/[[CodecMjpeg]]), or the
+        * declared fourcc/bpp for streams we refuse to guess at */
+      codec: String,
+      /** frame chunks present that are decodable under `codec` */
       nRawFrames: Int,
-      /** [[ImageCore.stats]] of the first raw frame, if any */
+      /** [[ImageCore.stats]] of the first decodable frame, if any */
       firstFrame: Option[ImageCore.Stats])
+
+  private val MjpgFourcc = 0x47504A4D // 'MJPG' little-endian
 
   /** Decode an AVI blob. None when the container is malformed or
     * carries no parseable header. */
@@ -40,7 +57,11 @@ object VideoCore {
       return None
 
     var avih: Option[(Int, Int, Int, Int)] = None // usPerFrame, frames, w, h
-    var rawFrames = List.empty[(Int, Int)]        // (offset, length)
+    var inVideoStream = false                     // last strh was 'vids'
+    var videoHandler = ""                         // strh fccHandler
+    var videoFmt: Option[(Int, Int)] = None       // biBitCount, biCompression
+    var dbChunks = List.empty[(Int, Int)]         // (offset, length)
+    var dcChunks = List.empty[(Int, Int)]
 
     // walk chunks; LIST bodies (after their 4-byte type) are chunk lists
     def walk(start: Int, end: Int): Boolean = {
@@ -56,8 +77,16 @@ object VideoCore {
           case "avih" if len >= 40 =>
             avih = Some((u32(body).toInt, u32(body + 16).toInt,
               u32(body + 32).toInt, u32(body + 36).toInt))
+          case "strh" if len >= 8 =>
+            inVideoStream = tag(body) == "vids"
+            if (inVideoStream) videoHandler = tag(body + 4)
+          case "strf" if inVideoStream && len >= 20 && videoFmt.isEmpty =>
+            // BITMAPINFOHEADER: biBitCount at +14, biCompression at +16
+            videoFmt = Some((u16(body + 14), u32(body + 16).toInt))
           case _ if id.length == 4 && id.endsWith("db") =>
-            rawFrames = (body, len) :: rawFrames
+            dbChunks = (body, len) :: dbChunks
+          case _ if id.length == 4 && id.endsWith("dc") =>
+            dcChunks = (body, len) :: dcChunks
           case _ => ()
         }
         off = body + len + (len & 1) // word alignment
@@ -67,11 +96,29 @@ object VideoCore {
     if (!walk(12, bytes.length)) return None
 
     avih.collect { case (us, frames, w, h) if w > 0 && h > 0 =>
-      val raws = rawFrames.reverse
-      val first = raws.headOption.flatMap { case (o, l) =>
-        dibPixels(bytes, o, l, w, h).map(ImageCore.stats(w, h, _))
+      val isMjpeg = videoHandler.equalsIgnoreCase("MJPG") ||
+        videoFmt.exists(_._2 == MjpgFourcc)
+      val codec = videoFmt match {
+        case _ if isMjpeg => CodecMjpeg
+        case Some((24, 0)) => CodecRgb24
+        case Some((bpp, comp)) => s"bpp$bpp/comp$comp" // declared, undecodable
+        case None => CodecNone
       }
-      AviInfo(w, h, us, frames, raws.length, first)
+      val raws = codec match {
+        case CodecRgb24 => dbChunks.reverse
+        case CodecMjpeg => dcChunks.reverse
+        case _ => Nil
+      }
+      val first = raws.headOption.flatMap { case (o, l) =>
+        codec match {
+          case CodecRgb24 =>
+            dibPixels(bytes, o, l, w, h).map(ImageCore.stats(w, h, _))
+          case CodecMjpeg =>
+            ImageCore.decodeImage(java.util.Arrays.copyOfRange(bytes, o, o + l))
+          case _ => None
+        }
+      }
+      AviInfo(w, h, us, frames, codec, raws.length, first)
     }
   }
 

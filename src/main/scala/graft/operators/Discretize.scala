@@ -59,7 +59,9 @@ object Discretize {
     * with a single-partition window over the SMALL distinct table only,
     * and broadcast-joined back; null values keep a null id. For
     * unbounded-cardinality columns use hashing instead — a dictionary
-    * that doesn't fit one task has no meaningful dense ids. */
+    * that doesn't fit one task has no meaningful dense ids (the same
+    * bounded-distinct-domain contract as [[Stats.ksStatistic]] and
+    * [[Survival.riskTable]]'s `durationBucket`). */
   def labelEncode(df: DataFrame, valueCol: String,
       idCol: String = "label_id"): DataFrame = {
     val dict = df.select(col(valueCol)).filter(col(valueCol).isNotNull)

@@ -30,6 +30,49 @@ object DomainOps {
       .withColumn("domain", UrlFunctions.registrableDomain(h))
   }
 
+  /** [[withDomain]] against a DATA-DRIVEN public-suffix table: the full
+    * publicsuffix.org snapshot (~9k multi-label rules) loads as a
+    * DataFrame with one `suffix` row per rule ("co.uk",
+    * "pvt.k12.ma.us") — production crawls swap
+    * [[UrlFunctions.DefaultMultiPartSuffixes]]'s compiled-in subset for
+    * the real list WITHOUT a rebuild, and the list stays data (refresh
+    * = reload, not redeploy).
+    *
+    * Mechanism: for k = 2..`maxSuffixLabels` the host's last-k-label
+    * candidate broadcast-LEFT-joins the (deduplicated) suffix table;
+    * the longest match wins and the registrable domain is that suffix
+    * plus one preceding label; no match falls back to the last two
+    * labels — the PSL's implicit single-label-TLD rule, identical to
+    * [[UrlFunctions.registrableDomain]]'s fallback. All joins are
+    * broadcast, so the corpus is annotated map-side with ZERO shuffle.
+    * PSL wildcard ("*.ck") and exception ("!www.ck") rules are out of
+    * scope — expand them into plain rows when loading the list. */
+  def withDomainFromSuffixes(df: DataFrame, urlCol: String,
+      suffixes: DataFrame, maxSuffixLabels: Int = 4): DataFrame = {
+    require(maxSuffixLabels >= 2 && maxSuffixLabels <= 8,
+      s"maxSuffixLabels out of range: $maxSuffixLabels")
+    val labels = col("__labels")
+    def lastLabels(m: Int) = concat_ws(".", slice(labels, -m, m))
+    val base = df
+      .withColumn("host", UrlFunctions.host(col(urlCol)))
+      .withColumn("__labels", split(col("host"), "\\."))
+    val ks = (2 to maxSuffixLabels).reverse // longest candidate first
+    val joined = ks.foldLeft(base) { (acc, k) =>
+      val sfx = suffixes.select(col("suffix").as(s"__sfx$k")).distinct()
+      // candidate needs k suffix labels PLUS one registrable label
+      val cand = when(size(labels) >= k + 1, lastLabels(k))
+      acc.join(broadcast(sfx), cand === col(s"__sfx$k"), "left")
+    }
+    val domain = ks.foldLeft(
+      // fallback: implicit single-label TLD -> last two labels
+      when(size(labels) >= 2, lastLabels(2)).otherwise(lit(""))) {
+      (fallback, k) =>
+        when(col(s"__sfx$k").isNotNull, lastLabels(k + 1)).otherwise(fallback)
+    }
+    joined.withColumn("domain", domain)
+      .drop("__labels" +: ks.map(k => s"__sfx$k"): _*)
+  }
+
   /** Drop rows whose `domainCol` is on the blocklist. The blocklist is
     * broadcast (it is a curated deny list, small by nature), so the
     * corpus is filtered map-side with zero shuffle. */

@@ -163,7 +163,9 @@ object Stats {
     * engine-reproducible. The running-sum window is over the DISTINCT
     * VALUE table; for continuous scores with corpus-sized distinct
     * domains, pre-round/bin upstream (the distributed-prefix-sum
-    * alternative buys nothing a coarser bin doesn't). */
+    * alternative buys nothing a coarser bin doesn't) — the same
+    * bin-upstream contract as [[Survival.riskTable]]'s `durationBucket`
+    * and [[Discretize.labelEncode]]'s bounded-dictionary rule. */
   def ksStatistic(df: DataFrame, groupCol: String, a: String, b: String,
       valueCol: String): DataFrame = {
     val perValue = df

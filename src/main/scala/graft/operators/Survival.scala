@@ -14,21 +14,37 @@ import org.apache.spark.sql.functions._
   * count of subjects with `duration >= t` — falls out of a single
   * descending running count over that aggregate, because the risk set
   * is descending-cumulative by construction. Cost is one shuffle on
-  * duration plus one sort of the |distinct durations| table; the
-  * ordered window runs on the aggregate (bounded by distinct event
-  * times, never cohort size), so the plan survives a 100× cohort where
-  * the O(users × times) cross join does not. The KM survival curve
-  * itself is the sequential product Π(1 - d/n_at_risk), computed
-  * client-side from this table as is standard.
+  * duration plus one sort of the |distinct durations| table.
+  *
+  * SCALE CONTRACT — the ordered window runs un-partitioned over the
+  * per-time aggregate, i.e. a SINGLE task sorting |distinct durations|
+  * rows. That is small only when durations are genuinely discrete
+  * (days, integer buckets). For CONTINUOUS or microsecond-resolution
+  * durations |distinct| ≈ |cohort| and the single task becomes the
+  * bottleneck: pass `durationBucket` to bin durations upstream of the
+  * groupBy (t := floor(duration / bucket) · bucket), which bounds the
+  * window's input by range/bucket regardless of cohort size — the same
+  * pre-binning contract as `Stats.ksStatistic` and
+  * `Discretize.labelEncode`. A risk table over unbinned continuous
+  * durations is also statistically degenerate (every n_at_risk step is
+  * 1), so the bin is what an analyst wants anyway.
   */
 object Survival {
 
-  /** Risk table: for each distinct duration with at least one event,
-    * `t`, `n_at_risk` (duration >= t), `d` (events at t) and
-    * `censored_at_t`. `eventCol` must be 0/1. */
+  /** Risk table: for each distinct (optionally binned) duration with at
+    * least one event, `t`, `n_at_risk` (duration >= t), `d` (events at
+    * t) and `censored_at_t`. `eventCol` must be 0/1. `durationBucket`
+    * bins durations to `floor(d / bucket) * bucket` first — REQUIRED at
+    * scale for continuous durations (see the class contract). */
   def riskTable(labels: DataFrame, durationCol: String,
-      eventCol: String): DataFrame = {
-    val perTime = labels.groupBy(col(durationCol).as("t")).agg(
+      eventCol: String, durationBucket: Option[Double] = None): DataFrame = {
+    val t = durationBucket match {
+      case Some(b) =>
+        require(b > 0, s"durationBucket must be positive, got $b")
+        floor(col(durationCol) / lit(b)) * lit(b)
+      case None => col(durationCol)
+    }
+    val perTime = labels.groupBy(t.as("t")).agg(
       count(lit(1)).as("__n_total"),
       count_if(col(eventCol) === 1).as("d"),
       count_if(col(eventCol) === 0).as("censored_at_t"))

@@ -55,4 +55,60 @@ class BloomIndexSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("k", "v"))
     assert(out.count() === 0L)
   }
+
+  test("non-integral key columns are rejected, not silently cast to null") {
+    val ex = intercept[IllegalArgumentException] {
+      BloomIndex.build(spark, dir, "v", 2000L) // string column
+    }
+    assert(ex.getMessage.contains("must be integral"))
+  }
+
+  test("a stale index (table compacted since build) fails loudly") {
+    val d = Files.createTempDirectory("graft-bloomstale").toString
+    (0L until 100L).toDF("k").repartition(4).write.mode("overwrite").parquet(d)
+    val idx = BloomIndex.build(spark, d, "k", 100L).cache()
+    idx.count() // materialize before the files change underneath
+    // fresh: the checked lookup passes validation and finds the key
+    val fresh = BloomIndex.lookupChecked(spark, idx, d, "k", Seq(7L))
+      .as[Long].collect().toSeq
+    assert(fresh === Seq(7L))
+    // compaction swaps the file set: the cached index is now a lie —
+    // the unchecked lookup would read vanished paths or miss rows, the
+    // checked one refuses
+    Compaction.compact(spark, d)
+    val ex = intercept[IllegalArgumentException] {
+      BloomIndex.lookupChecked(spark, idx, d, "k", Seq(7L))
+    }
+    assert(ex.getMessage.contains("stale"))
+  }
+
+  test("versioned: index rides the commit; rollback lookup equals that version's scan") {
+    val t = Files.createTempDirectory("graft-bloomver").toString
+    val v1 = BloomIndex.commitIndexed(
+      (0L until 1000L).toDF("k").repartition(4), t, "k", 300L)
+    val v2 = BloomIndex.commitIndexed(
+      (1000L until 2000L).toDF("k").repartition(4), t, "k", 300L)
+    assert(Snapshots.versions(spark, t) === Seq(v1, v2))
+    // the in-version _bloom dir is invisible to plain data reads
+    assert(Snapshots.read(spark, t).count() === 1000L)
+    // latest resolves v2 and v2's index
+    assert(BloomIndex.lookupVersion(spark, t, "k", Seq(1500L))
+      .as[Long].collect().toSeq === Seq(1500L))
+    assert(BloomIndex.lookupVersion(spark, t, "k", Seq(500L)).count() === 0L)
+    // rollback: the SAME call now resolves v1 and v1's own index —
+    // index-consistent time travel, no rebuild step
+    Snapshots.rollback(spark, t, v1)
+    val keys = Seq(0L, 500L, 999L, 1500L)
+    val viaIndex = BloomIndex.lookupVersion(spark, t, "k", keys)
+      .as[Long].collect().toSet
+    val fullScan = Snapshots.read(spark, t)
+      .filter(col("k").isin(keys: _*)).as[Long].collect().toSet
+    assert(viaIndex === fullScan)
+    assert(viaIndex === Set(0L, 500L, 999L))
+    // the index prunes within the version: a single key touches a
+    // fraction of the 4 files
+    val idx = BloomIndex.forVersion(spark, t)
+    assert(idx.count() === 4L)
+    assert(BloomIndex.candidateFiles(idx, Seq(500L)).size <= 2)
+  }
 }

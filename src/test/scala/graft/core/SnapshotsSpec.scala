@@ -58,10 +58,73 @@ class SnapshotsSpec extends SparkSpec {
     Seq(7L).toDF("x").write.parquet(s"$dir/v=99")
     assert(Snapshots.versions(spark, dir) === Seq(1L))
     assert(vals(Snapshots.read(spark, dir)) === Set(1L))
-    assert(Snapshots.vacuum(spark, dir) === Seq(99L))
+    assert(Snapshots.vacuum(spark, dir, graceMs = 0L) === Seq(99L))
     val fs = new HPath(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
     assert(!fs.exists(new HPath(dir, "v=99")))
+  }
+
+  test("vacuum grace window protects in-flight commits from a racing vacuum") {
+    val dir = tmp()
+    Snapshots.commit(Seq(1L).toDF("x"), dir)
+    // in-flight writer state: a staged attempt (pre-claim) and a fresh
+    // unmarked data dir (the old protocol's pre-marker window)
+    Seq(7L).toDF("x").write.parquet(s"$dir/_staging/in-flight")
+    Seq(8L).toDF("x").write.parquet(s"$dir/v=50")
+    // default grace: everything is seconds old -> nothing reclaimed
+    assert(Snapshots.vacuum(spark, dir) === Seq.empty)
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new HPath(dir, "_staging/in-flight")))
+    assert(fs.exists(new HPath(dir, "v=50")))
+    // past the grace window the same debris is reclaimed
+    assert(Snapshots.vacuum(spark, dir, graceMs = 0L) === Seq(50L))
+    assert(!fs.exists(new HPath(dir, "_staging/in-flight")))
+    assert(!fs.exists(new HPath(dir, "v=50")))
+  }
+
+  test("a dead marker (claim landed, publish crashed) never resolves") {
+    val dir = tmp()
+    Snapshots.commit(Seq(1L).toDF("x"), dir)
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // claim for v=2 landed but the writer died before renaming its
+    // staging dir into place: marker with no data
+    fs.create(new HPath(dir, "_commits/2"), false).close()
+    assert(Snapshots.versions(spark, dir) === Seq(1L))
+    assert(vals(Snapshots.read(spark, dir)) === Set(1L))
+    // the number is burned: the next commit claims above the dead marker
+    assert(Snapshots.commit(Seq(9L).toDF("x"), dir) === 3L)
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 3L))
+    // vacuum clears the dead marker once past the grace window
+    Snapshots.vacuum(spark, dir, graceMs = 0L)
+    assert(!fs.exists(new HPath(dir, "_commits/2")))
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 3L))
+  }
+
+  test("concurrent writers: every commit survives with its own data") {
+    // the round-9 race: two writers that both resolved latest=N-1 could
+    // delete each other's v=N data. The staged-unique-dir protocol makes
+    // that structurally impossible — prove it with real racing threads.
+    val dir = tmp()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = Snapshots.commit(Seq(i.toLong).toDF("x"), dir)
+        })
+      }
+      val versions = futures.map(_.get()).sorted
+      assert(versions.distinct.size === 8, s"duplicate claims: $versions")
+      assert(Snapshots.versions(spark, dir) === versions)
+      // every writer's payload is intact under the version it reported
+      val payloads = versions.map(v =>
+        vals(Snapshots.read(spark, dir, Some(v)))).toSet
+      assert(payloads === (1 to 8).map(i => Set(i.toLong)).toSet)
+      // no staging debris left behind by successful commits
+      val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val staged = Option(fs.globStatus(new HPath(dir, "_staging/*")))
+        .getOrElse(Array.empty)
+      assert(staged.isEmpty, s"leftover staging: ${staged.mkString(",")}")
+    } finally pool.shutdown()
   }
 
   test("a racing writer that claims the version first forces a retry upward") {

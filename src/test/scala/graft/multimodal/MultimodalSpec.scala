@@ -152,6 +152,16 @@ class MultimodalSpec extends SparkSpec {
     val st = AudioCore.decodeWav(
       wav16(Array(1, 2, 3, 4, 5, 6), channels = 2)).get
     assert(st.channels === 2 && st.nFrames === 3L)
+    // stats are de-interleaved channel 0 (1, 3, 5) — NOT the raw
+    // interleaved stream, whose cross-channel sign flips would corrupt
+    // zero_crossings and whose mixed channels would corrupt rms
+    assert(st.stats === AudioCore.pcmStats(Array(1, 3, 5)))
+    val loud = AudioCore.decodeWav(
+      wav16(Array(1000, -9999, -1000, -9999, 1000, -9999), channels = 2)).get
+    // channel 0 = (1000, -1000, 1000): 2 true crossings; the interleaved
+    // stream would have counted 5
+    assert(loud.stats.zeroCrossings === 2L)
+    assert(loud.stats.rms === 1000.0)
     assert(AudioCore.decodeWav("not a wav at all".getBytes).isEmpty)
     val truncated = wav16(Array(1, 2, 3, 4)).dropRight(3)
     assert(AudioCore.decodeWav(truncated).isEmpty)
@@ -180,11 +190,13 @@ class MultimodalSpec extends SparkSpec {
 
   // ------------------------------------------------------------- video
 
-  /** Hand-built uncompressed AVI: RIFF('AVI ') → LIST(hdrl){avih} +
-    * LIST(movi){'00db' DIB frames}. */
-  private def avi(w: Int, h: Int, usPerFrame: Int,
-      frames: Seq[Array[Int]]): Array[Byte] = {
-    val stride = ((3 * w + 3) / 4) * 4
+  /** Hand-built AVI: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh,
+    * strf}} + LIST(movi){frame chunks}. strh/strf declare the codec the
+    * way real muxers do — biBitCount/biCompression for DIB, the 'MJPG'
+    * fourcc for Motion-JPEG. */
+  private def aviContainer(w: Int, h: Int, usPerFrame: Int, nFrames: Int,
+      frameChunks: Seq[(String, Array[Byte])], bitCount: Int,
+      compression: Int, handler: String): Array[Byte] = {
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -197,24 +209,29 @@ class MultimodalSpec extends SparkSpec {
       val bb = java.nio.ByteBuffer.allocate(56)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
-        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(0)
         .putInt(w).putInt(h) // remaining 16 bytes stay zero
       bb.array()
     }
-    def dib(px: Array[Int]): Array[Byte] = {
-      val out = new Array[Byte](stride * h)
-      for (y <- 0 until h; x <- 0 until w) {
-        val p = px(y * w + x)
-        val row = (h - 1 - y) * stride // bottom-up
-        out(row + 3 * x) = (p & 0xFF).toByte          // B
-        out(row + 3 * x + 1) = ((p >> 8) & 0xFF).toByte  // G
-        out(row + 3 * x + 2) = ((p >> 16) & 0xFF).toByte // R
-      }
-      out
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII"))
+        .put(handler.getBytes("US-ASCII")) // fccHandler; rest zero
+      bb.array()
     }
-    val hdrl = list("hdrl", chunk("avih", avih))
+    val strf = { // BITMAPINFOHEADER
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1)
+        .putShort(bitCount.toShort).putInt(compression)
+      bb.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++
+        chunk("strf", strf)))
     val movi = list("movi",
-      frames.toArray.flatMap(f => chunk("00db", dib(f))))
+      frameChunks.toArray.flatMap { case (id, body) => chunk(id, body) })
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     val bb = java.nio.ByteBuffer.allocate(8 + body.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -222,12 +239,33 @@ class MultimodalSpec extends SparkSpec {
     bb.array()
   }
 
+  private def dib(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val stride = ((3 * w + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = px(y * w + x)
+      val row = (h - 1 - y) * stride // bottom-up
+      out(row + 3 * x) = (p & 0xFF).toByte          // B
+      out(row + 3 * x + 1) = ((p >> 8) & 0xFF).toByte  // G
+      out(row + 3 * x + 2) = ((p >> 16) & 0xFF).toByte // R
+    }
+    out
+  }
+
+  /** Uncompressed 24-bpp DIB AVI — the original fixture shape. */
+  private def avi(w: Int, h: Int, usPerFrame: Int,
+      frames: Seq[Array[Int]]): Array[Byte] =
+    aviContainer(w, h, usPerFrame, frames.length,
+      frames.map(f => ("00db", dib(f, w, h))),
+      bitCount = 24, compression = 0, handler = "DIB ")
+
   test("AVI decode: container facts + first frame through the IMAGE kernel") {
     val f0 = Array.tabulate(64)(i => (i * 3 << 16) | (i * 2 << 8) | i)
     val f1 = f0.map(_ ^ 0xFFFFFF)
     val info = VideoCore.decodeAvi(avi(8, 8, 40000, Seq(f0, f1))).get
     assert(info.width === 8 && info.height === 8)
     assert(info.usPerFrame === 40000 && info.nFrames === 2)
+    assert(info.codec === VideoCore.CodecRgb24)
     assert(info.nRawFrames === 2)
     // the first frame's stats are EXACTLY the image kernel's on f0 —
     // one signature semantics across stills and video frames
@@ -250,5 +288,76 @@ class MultimodalSpec extends SparkSpec {
     val px = Array.tabulate(w * h)(i => i * 0x010101)
     val info = VideoCore.decodeAvi(avi(w, h, 1000, Seq(px))).get
     assert(info.firstFrame.get === ImageCore.stats(w, h, px))
+  }
+
+  test("MJPEG frames decode through the SAME ImageIO kernel as stills") {
+    val w = 16; val h = 16
+    def jpeg(px: Array[Int]): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", out))
+      out.toByteArray
+    }
+    val j0 = jpeg(pixels(w, h, 31))
+    val j1 = jpeg(pixels(w, h, 32))
+    val blob = aviContainer(w, h, 33367, 2,
+      Seq(("00dc", j0), ("00dc", j1)),
+      bitCount = 24, compression = 0x47504A4D, handler = "MJPG")
+    val info = VideoCore.decodeAvi(blob).get
+    assert(info.codec === VideoCore.CodecMjpeg)
+    assert(info.nFrames === 2 && info.nRawFrames === 2)
+    // the frame's stats are EXACTLY what the still-image path yields on
+    // the same JPEG bytes — one signature semantics across modalities
+    assert(info.firstFrame === ImageCore.decodeImage(j0))
+    assert(info.firstFrame.isDefined)
+    // fourcc in the handler alone (strf says BI_RGB-style zero) is
+    // enough: some muxers only set one of the two
+    val handlerOnly = aviContainer(w, h, 33367, 1, Seq(("00dc", j0)),
+      bitCount = 24, compression = 0, handler = "mjpg")
+    assert(VideoCore.decodeAvi(handlerOnly).get.codec === VideoCore.CodecMjpeg)
+  }
+
+  test("16/32-bpp or compressed strf refuses DIB decode instead of garbage") {
+    val w = 8; val h = 8
+    val px = Array.fill(w * h)(0x102030)
+    // declared 32-bpp: a 24-bpp-stride length check alone would have
+    // "decoded" the chunk into garbage stats — the strf gate refuses
+    val wrongBpp = aviContainer(w, h, 1000, 1,
+      Seq(("00db", dib(px, w, h) ++ new Array[Byte](64))),
+      bitCount = 32, compression = 0, handler = "DIB ")
+    val info = VideoCore.decodeAvi(wrongBpp).get
+    assert(info.codec === "bpp32/comp0")
+    assert(info.nRawFrames === 0 && info.firstFrame.isEmpty)
+    // no strl/strf at all (stripped header): nothing declares the pixel
+    // format, so nothing is safe to decode
+    val noStrf = {
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer
+          .allocate(8 + body.length + (body.length & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+        bb.array()
+      }
+      val avih = {
+        val bb = java.nio.ByteBuffer.allocate(56)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(1000).putInt(0).putInt(0).putInt(0).putInt(1)
+          .putInt(0).putInt(1).putInt(0).putInt(w).putInt(h)
+        bb.array()
+      }
+      val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++
+        chunk("avih", avih))
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        chunk("00db", dib(px, w, h)))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    val stripped = VideoCore.decodeAvi(noStrf).get
+    assert(stripped.codec === VideoCore.CodecNone)
+    assert(stripped.nRawFrames === 0 && stripped.firstFrame.isEmpty)
   }
 }

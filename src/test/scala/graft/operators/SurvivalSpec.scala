@@ -40,4 +40,37 @@ class SurvivalSpec extends SparkSpec {
     val rows = rt.orderBy("t").as[(Long, Long, Long, Long)].collect()
     assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) > w(1)))
   }
+
+  test("durationBucket bounds the window input on continuous durations") {
+    // microsecond-ish continuous durations: every value distinct, so the
+    // unbinned risk table would be cohort-sized — the scale hazard the
+    // bucket parameter exists for
+    val n = 5000
+    val labels = (1 to n)
+      .map(i => (i * 0.9973 + (i % 7) * 0.0001, i % 2))
+      .toDF("dur", "ev")
+    val bucketed = Survival.riskTable(labels, "dur", "ev",
+      durationBucket = Some(500.0))
+    val rows = bucketed.orderBy("t")
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    // ~n*0.9973 max -> 10 buckets of width 500, NOT 5000 distinct times
+    assert(rows.size <= 10, s"expected <=10 binned rows, got ${rows.size}")
+    // binning preserves the cohort: risk set at the earliest bin is n
+    assert(rows.head._2 === n.toLong)
+    // events are conserved across bins
+    assert(rows.map(_._3).sum === (1 to n).count(_ % 2 == 1).toLong)
+    // bin edges are multiples of the bucket
+    assert(rows.forall { case (t, _, _, _) => t % 500.0 == 0.0 })
+    // and the binned table equals the unbinned table computed over
+    // pre-floored durations — the parameter is pure sugar for the
+    // documented bin-upstream contract
+    val preFloored = labels
+      .selectExpr("floor(dur / 500.0) * 500.0 AS dur", "ev")
+    val manual = Survival.riskTable(preFloored, "dur", "ev")
+      .orderBy("t").as[(Double, Long, Long, Long)].collect().toSeq
+    assert(rows === manual)
+    intercept[IllegalArgumentException] {
+      Survival.riskTable(labels, "dur", "ev", durationBucket = Some(0.0))
+    }
+  }
 }

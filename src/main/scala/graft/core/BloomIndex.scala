@@ -118,6 +118,16 @@ object BloomIndex {
     * is bounded by file count, not data size). */
   def candidateFiles(index: DataFrame, keys: Seq[Long]): Seq[String] =
     index.select(col("file"), col("bloom")).collect().toSeq
+      .map { r =>
+        // Guard against the on-disk versioned form (basenames) leaking
+        // in — a bare name would resolve against the working dir and
+        // silently read nothing. Use [[forVersion]], which qualifies.
+        require(r.getString(0).contains("/"),
+          s"index stores relative file name '${r.getString(0)}' — read " +
+            "versioned indexes via forVersion/lookupVersion, not the " +
+            "_bloom dir directly")
+        r
+      }
       .filter { r =>
         val bf = BloomFilter.readFrom(
           new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
@@ -152,26 +162,28 @@ object BloomIndex {
     })
   }
 
-  /** The Bloom index of a committed version (latest when None). */
+  /** The Bloom index of a committed version (latest when None).
+    *
+    * On disk (`v=N/_bloom`) file names are stored as BASENAMES so the
+    * staged-dir build survives the staging→`v=N` rename; this accessor
+    * resolves them against the version directory, so every index
+    * DataFrame that leaves this object uses one format — absolute
+    * paths — and is directly usable with [[lookup]]/[[candidateFiles]].
+    */
   def forVersion(spark: SparkSession, tableDir: String,
-      version: Option[Long] = None): DataFrame =
-    spark.read.parquet(s"${versionDir(spark, tableDir, version)}/_bloom")
+      version: Option[Long] = None): DataFrame = {
+    val dir = versionDir(spark, tableDir, version)
+    spark.read.parquet(s"$dir/_bloom")
+      .withColumn("file", concat(lit(s"$dir/"), col("file")))
+  }
 
   /** Version-consistent point lookup: prune through the index stored
     * INSIDE `v=N`, read only surviving files of that same version.
     * After a rollback this resolves the rolled-back-to version and its
     * own index — returns exactly that version's full-scan result. */
   def lookupVersion(spark: SparkSession, tableDir: String, keyCol: String,
-      keys: Seq[Long], version: Option[Long] = None): DataFrame = {
-    val dir = versionDir(spark, tableDir, version)
-    val idx = spark.read.parquet(s"$dir/_bloom")
-    val names = candidateFiles(idx, keys) // basenames within the version
-    if (names.isEmpty)
-      spark.read.parquet(dir).filter(lit(false))
-    else
-      spark.read.parquet(names.map(n => s"$dir/$n"): _*)
-        .filter(col(keyCol).isin(keys: _*))
-  }
+      keys: Seq[Long], version: Option[Long] = None): DataFrame =
+    lookup(spark, forVersion(spark, tableDir, version), keyCol, keys)
 
   private def versionDir(spark: SparkSession, tableDir: String,
       version: Option[Long]): String = {

@@ -48,6 +48,13 @@ object Snapshots {
 
   private val MaxCommitRetries = 20
 
+  /** Zero-byte file inside a rolled-back `v=N` dir marking it as
+    * INTENTIONALLY kept undo data (vs unreachable crash debris):
+    * [[vacuum]] skips tombstoned dirs, [[publish]] refuses to overwrite
+    * them, [[unrollback]] restores them, [[prune]] reclaims the aged
+    * ones. Underscore-prefixed, so parquet readers ignore it. */
+  private val Tombstone = "_rolledback"
+
   /** Commit `df` as the next version; returns the version number. */
   def commit(df: DataFrame, tableDir: String): Long =
     commitWith(df, tableDir, (_, _) => ())
@@ -79,10 +86,7 @@ object Snapshots {
           // our staging dir is untouched; retry one version up
           case _: java.io.IOException => false
         }
-      if (claimed) {
-        publish(fs, tableDir, staging, v)
-        return v
-      }
+      if (claimed && publish(fs, tableDir, staging, v)) return v
       attempt += 1
       v = math.max(v + 1, nextVersion(fs, tableDir))
     }
@@ -91,15 +95,25 @@ object Snapshots {
       s"$MaxCommitRetries times at $tableDir")
   }
 
-  /** Owner-only publish: marker N is held, so `v=N` can only be a
-    * rolled-back orphan whose number we just re-claimed — remove it and
-    * move our staged data into place (atomic dir rename). */
+  /** Owner-only publish: marker N is held. An existing `v=N` without a
+    * [[Tombstone]] is unreachable crash debris (a pre-claim crash of a
+    * protocol violator) — remove it and move our staged data into place
+    * (atomic dir rename). An existing `v=N` WITH a tombstone is
+    * rolled-back data kept for undo: a concurrent [[rollback]] deleted
+    * marker N between our nextVersion read and our claim. We must not
+    * destroy it — release the claim and report failure so the commit
+    * loop retries at a higher number. */
   private def publish(fs: FileSystem, tableDir: String,
-      staging: HPath, v: Long): Unit = {
+      staging: HPath, v: Long): Boolean = {
     val data = new HPath(tableDir, s"v=$v")
+    if (fs.exists(new HPath(data, Tombstone))) {
+      fs.delete(new HPath(tableDir, s"_commits/$v"), false)
+      return false
+    }
     if (fs.exists(data)) fs.delete(data, true)
     if (!fs.rename(staging, data))
       sys.error(s"Snapshots.commit: rename $staging -> $data failed")
+    true
   }
 
   /** Commit with an idempotency tag: when a COMMITTED version already
@@ -158,12 +172,39 @@ object Snapshots {
     require(vs.contains(toVersion),
       s"cannot roll back to uncommitted version $toVersion")
     vs.filter(_ > toVersion).foreach { v =>
+      // tombstone FIRST: from the moment the marker is gone the dir is
+      // marker-less, and the tombstone is the only thing telling vacuum
+      // (and a number-reusing publish) "kept for undo, not debris"
+      fs.create(new HPath(tableDir, s"v=$v/$Tombstone"), true).close()
       fs.delete(new HPath(tableDir, s"_commits/$v"), false)
     }
   }
 
+  /** Undo a [[rollback]]: re-create the commit markers of every
+    * tombstoned (rolled-back, still-on-disk) version and clear the
+    * tombstones, making those versions resolvable again. Versions a
+    * later [[prune]] already reclaimed cannot come back. Returns the
+    * restored version numbers, ascending. */
+  def unrollback(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val fs = fileSystem(spark, tableDir)
+    val restored = Option(fs.globStatus(new HPath(tableDir, "v=*")))
+      .getOrElse(Array.empty).toSeq
+      .flatMap(s => versionOf(s.getPath.getName))
+      .filter(v => fs.exists(new HPath(tableDir, s"v=$v/$Tombstone")))
+      .sorted
+    restored.foreach { v =>
+      try fs.create(new HPath(tableDir, s"_commits/$v"), false).close()
+      catch { case _: java.io.IOException => () } // marker already back
+      fs.delete(new HPath(tableDir, s"v=$v/$Tombstone"), false)
+    }
+    restored
+  }
+
   /** Keep the newest `keep` committed versions; delete older markers
-    * AND their data. The latest version is always kept. */
+    * AND their data. The latest version is always kept. Rolled-back
+    * (tombstoned) dirs OLDER than every kept version have aged out of
+    * their undo window and are reclaimed too; rolled-back dirs newer
+    * than the oldest kept version stay restorable via [[unrollback]]. */
   def prune(spark: SparkSession, tableDir: String, keep: Int): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val fs = fileSystem(spark, tableDir)
@@ -171,6 +212,12 @@ object Snapshots {
     vs.dropRight(keep).foreach { v =>
       fs.delete(new HPath(tableDir, s"_commits/$v"), false)
       fs.delete(new HPath(tableDir, s"v=$v"), true)
+    }
+    vs.takeRight(keep).headOption.foreach { oldestKept =>
+      dataDirVersions(fs, tableDir)
+        .filter(v => v < oldestKept &&
+          fs.exists(new HPath(tableDir, s"v=$v/$Tombstone")))
+        .foreach(v => fs.delete(new HPath(tableDir, s"v=$v"), true))
     }
   }
 
@@ -197,6 +244,9 @@ object Snapshots {
       .filter(_.getModificationTime < cutoff)
       .flatMap(s => versionOf(s.getPath.getName).map((_, s.getPath)))
       .filterNot { case (v, _) => committed(v) }
+      // rolled-back dirs are intentional undo data, not debris — they
+      // outlive any grace window and are reclaimed only by prune
+      .filterNot { case (_, p) => fs.exists(new HPath(p, Tombstone)) }
     orphans.foreach { case (_, p) => fs.delete(p, true) }
     // abandoned staging attempts (writer crashed before its claim)
     Option(fs.globStatus(new HPath(tableDir, "_staging/*")))

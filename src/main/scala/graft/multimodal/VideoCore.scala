@@ -60,8 +60,13 @@ object VideoCore {
     var inVideoStream = false                     // last strh was 'vids'
     var videoHandler = ""                         // strh fccHandler
     var videoFmt: Option[(Int, Int)] = None       // biBitCount, biCompression
-    var dbChunks = List.empty[(Int, Int)]         // (offset, length)
-    var dcChunks = List.empty[(Int, Int)]
+    var strhSeen = -1                             // strh ordinal = stream index
+    var videoStreamIdx = -1                       // index of the latched stream
+    var dbChunks = List.empty[(Int, Int, Int)]    // (stream, offset, length)
+    var dcChunks = List.empty[(Int, Int, Int)]
+    // movi chunk ids are 'NNdb'/'NNdc' with NN the 2-digit stream index
+    def streamOf(id: String): Int =
+      id.substring(0, 2).toIntOption.getOrElse(-1)
 
     // walk chunks; LIST bodies (after their 4-byte type) are chunk lists
     def walk(start: Int, end: Int): Boolean = {
@@ -78,15 +83,24 @@ object VideoCore {
             avih = Some((u32(body).toInt, u32(body + 16).toInt,
               u32(body + 32).toInt, u32(body + 36).toInt))
           case "strh" if len >= 8 =>
-            inVideoStream = tag(body) == "vids"
-            if (inVideoStream) videoHandler = tag(body + 4)
+            // Latch handler + strf TOGETHER for the first video stream
+            // only: once a vids strf landed, later 'vids' strh chunks
+            // (a second video stream) must not flip the handler — a
+            // later MJPG stream would otherwise decode the FIRST
+            // stream's format as mjpeg (or vice versa).
+            strhSeen += 1
+            inVideoStream = tag(body) == "vids" && videoFmt.isEmpty
+            if (inVideoStream) {
+              videoHandler = tag(body + 4)
+              videoStreamIdx = strhSeen
+            }
           case "strf" if inVideoStream && len >= 20 && videoFmt.isEmpty =>
             // BITMAPINFOHEADER: biBitCount at +14, biCompression at +16
             videoFmt = Some((u16(body + 14), u32(body + 16).toInt))
           case _ if id.length == 4 && id.endsWith("db") =>
-            dbChunks = (body, len) :: dbChunks
+            dbChunks = (streamOf(id), body, len) :: dbChunks
           case _ if id.length == 4 && id.endsWith("dc") =>
-            dcChunks = (body, len) :: dcChunks
+            dcChunks = (streamOf(id), body, len) :: dcChunks
           case _ => ()
         }
         off = body + len + (len & 1) // word alignment
@@ -104,9 +118,13 @@ object VideoCore {
         case Some((bpp, comp)) => s"bpp$bpp/comp$comp" // declared, undecodable
         case None => CodecNone
       }
+      // only the latched stream's chunks: another stream's frames would
+      // be decoded under the wrong codec/format
+      def mine(cs: List[(Int, Int, Int)]) =
+        cs.reverse.collect { case (s, o, l) if s == videoStreamIdx => (o, l) }
       val raws = codec match {
-        case CodecRgb24 => dbChunks.reverse
-        case CodecMjpeg => dcChunks.reverse
+        case CodecRgb24 => mine(dbChunks)
+        case CodecMjpeg => mine(dcChunks)
         case _ => Nil
       }
       val first = raws.headOption.flatMap { case (o, l) =>

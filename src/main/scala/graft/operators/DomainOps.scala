@@ -63,7 +63,11 @@ object DomainOps {
       val cand = when(size(labels) >= k + 1, lastLabels(k))
       acc.join(broadcast(sfx), cand === col(s"__sfx$k"), "left")
     }
-    val domain = ks.foldLeft(
+    // Fold ASCENDING so the largest-k `when` ends up OUTERMOST: the
+    // longest matched suffix must win (PSL prevailing-rule semantics),
+    // e.g. 'school.pvt.k12.ma.us' with rules {ma.us, pvt.k12.ma.us}
+    // yields 'school.pvt.k12.ma.us', not 'k12.ma.us'.
+    val domain = (2 to maxSuffixLabels).foldLeft(
       // fallback: implicit single-label TLD -> last two labels
       when(size(labels) >= 2, lastLabels(2)).otherwise(lit(""))) {
       (fallback, k) =>

@@ -127,6 +127,45 @@ class SnapshotsSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("vacuum never reclaims rolled-back undo data; unrollback restores it") {
+    val dir = tmp()
+    (1 to 3).foreach(i => Snapshots.commit(Seq(i.toLong).toDF("x"), dir))
+    Snapshots.rollback(spark, dir, toVersion = 1L)
+    // rolled-back dirs are tombstoned, so even a zero-grace vacuum —
+    // which reclaims genuine debris — leaves them alone
+    assert(Snapshots.vacuum(spark, dir, graceMs = 0L) === Seq.empty)
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new HPath(dir, "v=2")))
+    assert(fs.exists(new HPath(dir, "v=3")))
+    // ...and the rollback is still undoable afterwards
+    assert(Snapshots.unrollback(spark, dir) === Seq(2L, 3L))
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L, 3L))
+    assert(vals(Snapshots.read(spark, dir)) === Set(3L))
+    // tombstones cleared: a second unrollback is a no-op
+    assert(Snapshots.unrollback(spark, dir) === Seq.empty)
+  }
+
+  test("prune reclaims only rolled-back dirs older than the kept window") {
+    val dir = tmp()
+    (1 to 2).foreach(i => Snapshots.commit(Seq(i.toLong).toDF("x"), dir))
+    Snapshots.rollback(spark, dir, toVersion = 1L) // tombstones v=2
+    Snapshots.commit(Seq(3L).toDF("x"), dir)       // claims v=3
+    Snapshots.commit(Seq(4L).toDF("x"), dir)       // claims v=4
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 3L, 4L))
+    Snapshots.prune(spark, dir, keep = 2)          // keeps {3, 4}
+    assert(Snapshots.versions(spark, dir) === Seq(3L, 4L))
+    // v=2 (rolled back, older than oldest kept) aged out with the prune
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new HPath(dir, "v=2")))
+    assert(Snapshots.unrollback(spark, dir) === Seq.empty)
+    // a rollback INSIDE the kept window survives the next prune
+    Snapshots.rollback(spark, dir, toVersion = 3L) // tombstones v=4
+    Snapshots.prune(spark, dir, keep = 1)          // keeps {3}; 4 > 3
+    assert(fs.exists(new HPath(dir, "v=4")))
+    assert(Snapshots.unrollback(spark, dir) === Seq(4L))
+    assert(vals(Snapshots.read(spark, dir)) === Set(4L))
+  }
+
   test("a racing writer that claims the version first forces a retry upward") {
     val dir = tmp()
     Snapshots.commit(Seq(1L).toDF("x"), dir)

@@ -360,4 +360,55 @@ class MultimodalSpec extends SparkSpec {
     assert(stripped.codec === VideoCore.CodecNone)
     assert(stripped.nRawFrames === 0 && stripped.firstFrame.isEmpty)
   }
+
+  test("two video streams: handler+strf latch together; other stream's chunks skipped") {
+    val w = 8; val h = 8
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    def strh(handler: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put(handler.getBytes("US-ASCII"))
+      bb.array()
+    }
+    def strf(bitCount: Int, compression: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1)
+        .putShort(bitCount.toShort).putInt(compression)
+      bb.array()
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1000).putInt(0).putInt(0).putInt(0).putInt(1)
+        .putInt(0).putInt(2).putInt(0).putInt(w).putInt(h)
+      bb.array()
+    }
+    val px = Array.tabulate(w * h)(i => i * 0x010101)
+    // stream 0: uncompressed DIB; stream 1: MJPG whose '01dc' chunk is
+    // NOT a JPEG — decoding it under either codec would be garbage
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh("DIB ")) ++ chunk("strf", strf(24, 0))) ++
+      list("strl", chunk("strh", strh("MJPG")) ++
+        chunk("strf", strf(24, 0x47504A4D))))
+    val movi = list("movi",
+      chunk("00db", dib(px, w, h)) ++ chunk("01dc", Array.fill(32)(0x55.toByte)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    val info = VideoCore.decodeAvi(bb.array()).get
+    // the FIRST video stream's handler+format stick: rgb24, not mjpeg
+    assert(info.codec === VideoCore.CodecRgb24)
+    // only stream 0's frame chunk counts and decodes
+    assert(info.nRawFrames === 1)
+    assert(info.firstFrame.get === ImageCore.stats(w, h, px))
+  }
 }

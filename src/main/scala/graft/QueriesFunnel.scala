@@ -1,0 +1,385 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-pipeline query group, FUNNEL / ATTRIBUTION / AGGREGATE
+  * ANALYTICS family: funnel stage reach, transition matrices, daily
+  * anomaly outliers, heavy hitters, mergeable quantile-sketch state,
+  * model gains tables, period-over-period deltas, theta-sketch set
+  * algebra, and forecast evaluation. (Sessions/streams live in
+  * [[QueriesEvents]]; lifecycle labels in [[QueriesLifecycle]].)
+  */
+object QueriesFunnel {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- funnel
+  // Ordered-conversion funnel view -> click -> purchase. The operator
+  // compares Spark's micro-truncated timestamps; the oracle compares
+  // epoch_us integers — the same micro-domain ordering (qStreamJoin's
+  // rule), and the output is epoch-us for the same reason.
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.earliest(t(s, dir, "events"),
+        "user_id", "ts", "event_type", FunnelSteps)
+      .select(col("user_id"),
+        unix_micros(col("t1")).as("t1_us"),
+        unix_micros(col("t2")).as("t2_us"),
+        unix_micros(col("t3")).as("t3_us"),
+        col("steps_completed"))
+
+  val qFunnelSql: String = {
+    val Seq(s1, s2, s3) = FunnelSteps
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+       |            FROM events),
+       |c1 AS (SELECT user_id, min(us) AS t1 FROM ev
+       |       WHERE event_type = '$s1' GROUP BY user_id),
+       |c2 AS (SELECT c1.user_id, t1,
+       |         min(CASE WHEN e.us > c1.t1 THEN e.us END) AS t2
+       |       FROM c1 LEFT JOIN ev e
+       |         ON e.user_id = c1.user_id AND e.event_type = '$s2'
+       |       GROUP BY c1.user_id, t1),
+       |c3 AS (SELECT c2.user_id, t1, t2,
+       |         min(CASE WHEN e.us > c2.t2 THEN e.us END) AS t3
+       |       FROM c2 LEFT JOIN ev e
+       |         ON e.user_id = c2.user_id AND e.event_type = '$s3'
+       |       GROUP BY c2.user_id, t1, t2)
+       |SELECT user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+       |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+       |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+       |    AS steps_completed
+       |FROM c3""".stripMargin
+  }
+
+  // ----------------------------------------------------------- transitions
+  // First-order next-event transition matrix. Ordering is (ts,
+  // event_id) within each user — micro-domain ts on both engines
+  // (qStreamJoin's rule); p is a long/long double division, IEEE-exact.
+  def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Transitions.matrix(t(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type")
+
+  val qTransitionsSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |              event_type
+      |            FROM events),
+      |st AS (SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY us, event_id) AS to_type
+      |       FROM ev),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM st
+      |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c
+      |      GROUP BY from_type)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      |FROM c JOIN t USING (from_type)""".stripMargin
+
+  // --------------------------------------------------------- anomaly
+  // Per-user daily-activity z-score outliers: mean/σ derive from exact
+  // integer sums with one double division each, and IEEE sqrt is
+  // correctly rounded, so z is engine-identical before the boundary
+  // decimal rounding.
+  private val AnomalyThreshold = 2.0
+  private val AnomalyMinDays = 5
+
+  def qAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.dailyOutliers(
+        t(s, dir, "events"), "user_id", "ts", AnomalyThreshold, AnomalyMinDays)
+      // compared projection: |z| < 10 so the scale-12 unscaled value fits
+      // 2^53 — the decimal->double cast is correctly rounded on both sides
+      .withColumn("z", col("z").cast("double"))
+
+  val qAnomalySql: String =
+    s"""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+       |             CAST(count(*) AS BIGINT) AS n
+       |           FROM events GROUP BY 1, 2),
+       |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+       |         CAST(sum(n) AS BIGINT) AS s,
+       |         CAST(sum(n * n) AS BIGINT) AS q
+       |       FROM d GROUP BY user_id),
+       |z AS (SELECT d.user_id, d.day, d.n,
+       |        CAST((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) /
+       |            CAST(nd AS DOUBLE)) /
+       |          sqrt(CAST(nd * q - s * s AS DOUBLE) /
+       |            CAST(nd * nd AS DOUBLE)) AS DECIMAL(20,12)) AS z
+       |      FROM d JOIN st USING (user_id)
+       |      WHERE nd >= $AnomalyMinDays AND nd * q - s * s > 0)
+       |SELECT user_id, day, n, CAST(z AS DOUBLE) AS z FROM z
+       |WHERE abs(z) >= $AnomalyThreshold""".stripMargin
+
+  // ------------------------------------------------------ heavy hitters
+  // Misra-Gries sketch in the EXACT regime (k far above the event-type
+  // cardinality: no decrement ever fires), so the estimates equal plain
+  // group counts and err_bound is 0 — which is precisely what the oracle
+  // asserts. The approximate regime is property-checked in the spec.
+  private val HeavyK = 32
+
+  def qHeavy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.heavyHitters(
+      t(s, dir, "events"), Nil, "event_type", HeavyK)
+
+  val qHeavySql: String =
+    """SELECT event_type AS item, count(*) AS est,
+      |  CAST(0 AS BIGINT) AS err_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
+  def qHeavyUser(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.heavyHitters(
+      t(s, dir, "events"), Seq("user_id"), "event_type", HeavyK)
+
+  val qHeavyUserSql: String =
+    """SELECT user_id, event_type AS item, count(*) AS est,
+      |  CAST(0 AS BIGINT) AS err_bound
+      |FROM events GROUP BY user_id, event_type""".stripMargin
+
+  // ------------------------------------------------------ quantile state
+  // Mergeable KLL quantile state at (event_type, day) grain — every
+  // group holds far fewer than k = 200 items, so the sketches have
+  // never compacted and quantile reads are EXACT ⌈q·n⌉ order
+  // statistics, which the oracle selects directly with a rank window.
+  // (The approximate/merge regimes are spec-gated in QuantileSketchSpec;
+  // this query pins the exact-regime contract plus build/read plumbing.)
+  def qQuantileState(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("value").isNotNull)
+    val state = graft.operators.QuantileSketch.build(
+      ev, Seq("event_type", "day"), "value")
+    graft.operators.QuantileSketch.quantiles(
+      state, Seq("event_type", "day"), Seq(0.5, 0.9))
+  }
+
+  // Oracle-rank coupling, pinned: KLL's INCLUSIVE getQuantile returns
+  // the value at the smallest 1-based rank i with i/n >= q — which is
+  // exactly i = ⌈q·n⌉ in REAL arithmetic. The oracle therefore derives
+  // the rank with exact integers from rational q (qn/qd), never a
+  // float ceil: (qn·n + qd − 1) // qd. KLL's own i/n >= q compare runs
+  // in doubles, but for these q the two agree at every n: when
+  // i/n = qn/qd exactly, both sides round to the same double (equal →
+  // inclusive hit, same i); otherwise |i/n − q| ≥ 1/(qd·n), which
+  // dwarfs double rounding for any n below ~2^50. Adding a new q here
+  // means adding its exact rational (qn, qd) row — do NOT reintroduce
+  // ceil(q*n).
+  val qQuantileStateSql: String =
+    """WITH g AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, day, v,
+      |    row_number() OVER (PARTITION BY event_type, day ORDER BY v)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY event_type, day) AS n
+      |  FROM g),
+      |qs AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 1, 2),
+      |                             (CAST(0.9 AS DOUBLE), 9, 10))
+      |       AS v(q, qn, qd))
+      |SELECT event_type, day, q, v AS value
+      |FROM r CROSS JOIN qs
+      |WHERE rn = (qn * n + qd - 1) // qd""".stripMargin
+
+  // ---------------------------------------------------------- gains table
+  // Decile gains/lift: rank users by an engagement score (event count),
+  // decile them (the proven arithmetic ntile), and report per-decile
+  // conversion plus cumulative capture vs the base rate — the standard
+  // model-evaluation table, all ratios fixed-shape doubles of exact
+  // integer counts.
+  def qGainsTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Discretize
+    val ev = t(s, dir, "events")
+    val users = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("score"),
+        max((col("event_type") === "purchase").cast("int")).as("converted"))
+      .withColumn("__all", lit(1))
+    // decile 1 = highest score (rank ascending -> invert)
+    val binned = Discretize.equalFrequency(
+        users, "__all", "score", "user_id", 10, "__b")
+      .withColumn("decile", (lit(11) - col("__b")).cast("long"))
+    val per = binned.groupBy(col("decile")).agg(
+      count(lit(1)).as("n_users"),
+      sum(col("converted")).cast("long").as("n_converted"))
+    val tot = per.agg(sum(col("n_users")).as("tu"),
+      sum(col("n_converted")).as("tc"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_conv", sum(col("n_converted")).over(w))
+      .select(col("decile"), col("n_users"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_users").cast("double"))
+          .as("conv_rate"),
+        (col("cum_conv").cast("double") / col("tc").cast("double"))
+          .as("cum_capture"),
+        ((col("n_converted").cast("double") / col("n_users").cast("double"))
+          / (col("tc").cast("double") / col("tu").cast("double")))
+          .as("lift"))
+  }
+
+  val qGainsTableSql: String =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS score,
+      |    max(CAST(event_type = 'purchase' AS INT)) AS converted
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT user_id, converted,
+      |    11 - ntile(10) OVER (ORDER BY score, user_id) AS decile
+      |  FROM u),
+      |p AS (
+      |  SELECT decile, count(*) AS n_users,
+      |    CAST(sum(converted) AS BIGINT) AS n_converted
+      |  FROM b GROUP BY 1),
+      |t0 AS (SELECT sum(n_users) AS tu, sum(n_converted) AS tc FROM p)
+      |SELECT decile, n_users, n_converted,
+      |  CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+      |  CAST(sum(n_converted) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(tc AS DOUBLE) AS cum_capture,
+      |  (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+      |    / (CAST(tc AS DOUBLE) / CAST(tu AS DOUBLE)) AS lift
+      |FROM p CROSS JOIN t0""".stripMargin
+
+  // ------------------------------------------------- period-over-period
+  // Daily revenue with previous-day percent change and a trailing 7-row
+  // moving average — the reporting composite over one date-ordered
+  // window sort. Revenue is exact decimal; pct/moving-average are
+  // fixed-shape double divisions of exact partials (avg() itself is
+  // avoided: its decimal intermediate rounding is engine-specific).
+  def qPop(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("day"))
+    val frame = w.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("mov_sum", sum(col("rev")).over(frame))
+      .withColumn("mov_n", count(lit(1)).over(frame))
+      .select(col("day").cast("string").as("day"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        when(col("prev").isNotNull && col("prev") =!= 0,
+          (col("rev").cast("double") - col("prev").cast("double")) /
+            col("prev").cast("double")).as("pct_change"),
+        (col("mov_sum").cast("double") / col("mov_n").cast("double"))
+          .as("mov_avg_7"))
+  }
+
+  val qPopSql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT day, n_orders, rev,
+      |    lag(rev) OVER (ORDER BY day) AS prev,
+      |    sum(rev) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_sum,
+      |    count(*) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_n
+      |  FROM d)
+      |SELECT day, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      |  CASE WHEN prev IS NOT NULL AND prev <> 0
+      |    THEN (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+      |         / CAST(prev AS DOUBLE) END AS pct_change,
+      |  CAST(mov_sum AS DOUBLE) / CAST(mov_n AS DOUBLE) AS mov_avg_7
+      |FROM w""".stripMargin
+
+  // ------------------------------------------------------- theta algebra
+  // Audience overlap from theta sketch STATE: daily click-user and
+  // purchase-user sketches intersect/difference without touching raw
+  // events again. Under capacity (lgK=12 → 4096 ≫ daily uniques) every
+  // estimate is an exact integer, so the oracle replays with
+  // COUNT(DISTINCT …) set SQL.
+  def qThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val clicks = graft.operators.ThetaSketchOps.build(
+      ev.filter(col("event_type") === "click"), Seq("day"), "user_id")
+    val purchases = graft.operators.ThetaSketchOps.build(
+      ev.filter(col("event_type") === "purchase"), Seq("day"), "user_id")
+    graft.operators.ThetaSketchOps.overlap(clicks, purchases, Seq("day"))
+  }
+
+  val qThetaOverlapSql: String =
+    """WITH c AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+      |  WHERE event_type = 'click' AND user_id IS NOT NULL),
+      |p AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      |a AS (SELECT day, count(DISTINCT user_id) AS n_a FROM c GROUP BY 1),
+      |b AS (SELECT day, count(DISTINCT user_id) AS n_b FROM p GROUP BY 1),
+      |u AS (
+      |  SELECT day, count(DISTINCT user_id) AS n_union
+      |  FROM (SELECT * FROM c UNION SELECT * FROM p) GROUP BY 1),
+      |i AS (
+      |  SELECT c.day, count(DISTINCT c.user_id) AS n_int
+      |  FROM c JOIN p ON c.day = p.day AND c.user_id = p.user_id
+      |  GROUP BY c.day)
+      |SELECT a.day, CAST(n_a AS DOUBLE) AS n_a, CAST(n_b AS DOUBLE) AS n_b,
+      |  CAST(n_union AS DOUBLE) AS n_union,
+      |  CAST(coalesce(n_int, 0) AS DOUBLE) AS n_intersection,
+      |  CAST(n_a AS DOUBLE) - CAST(coalesce(n_int, 0) AS DOUBLE)
+      |    AS n_a_not_b
+      |FROM a JOIN b USING (day) JOIN u USING (day)
+      |LEFT JOIN i ON i.day = a.day""".stripMargin
+
+  // -------------------------------------------------------- forecast eval
+  // Seasonal-naive MASE (Hyndman-Koehler) over each event type's daily
+  // volume: weekly-lag forecast error vs persistence error, exact
+  // integer numerators, one final double division.
+  private val Season = 7
+
+  def qForecastEval(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ForecastEval.seasonalNaiveDaily(
+      t(s, dir, "events"), "event_type", "ts", Season)
+
+  val qForecastEvalSql: String =
+    s"""WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dd,
+       |    count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |s AS (SELECT k, y,
+       |    lag(y, $Season) OVER w AS ys, lag(y, 1) OVER w AS yp
+       |  FROM d WINDOW w AS (PARTITION BY k ORDER BY dd)),
+       |f AS (SELECT * FROM s WHERE ys IS NOT NULL AND yp IS NOT NULL)
+       |SELECT k AS event_type, count(*) AS n_days,
+       |  CAST(sum(abs(y - ys)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS mae_seasonal,
+       |  CAST(sum(abs(y - yp)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS mae_naive,
+       |  CASE WHEN sum(abs(y - yp)) <> 0 THEN
+       |    CAST(sum(abs(y - ys)) AS DOUBLE) / CAST(sum(abs(y - yp)) AS DOUBLE)
+       |  END AS mase
+       |FROM f GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_transitions" -> (qTransitions _),
+    "q_anomaly" -> (qAnomaly _),
+    "q_heavy" -> (qHeavy _),
+    "q_heavy_user" -> (qHeavyUser _),
+    "q_quantile_state" -> (qQuantileState _),
+    "q_gains" -> (qGainsTable _),
+    "q_pop" -> (qPop _),
+    "q_theta_overlap" -> (qThetaOverlap _),
+    "q_forecast_eval" -> (qForecastEval _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_transitions" -> qTransitionsSql,
+    "q_anomaly" -> qAnomalySql,
+    "q_heavy" -> qHeavySql,
+    "q_heavy_user" -> qHeavyUserSql,
+    "q_quantile_state" -> qQuantileStateSql,
+    "q_gains" -> qGainsTableSql,
+    "q_pop" -> qPopSql,
+    "q_theta_overlap" -> qThetaOverlapSql,
+    "q_forecast_eval" -> qForecastEvalSql,
+  )
+}

@@ -149,6 +149,72 @@ object QueriesWeb {
        |QUALIFY row_number() OVER (
        |  PARTITION BY domain ORDER BY n_chars DESC, doc_id) <= $QuotaDocs""".stripMargin
 
+  // ----------------------------------------------------------- domain psl
+  // Data-driven public-suffix-list eTLD+1 (DomainOps.withDomainFromSuffixes)
+  // with NESTED rules — pvt.k12.ma.us inside k12.ma.us inside ma.us, and
+  // blogspot.co.uk inside co.uk — so the oracle pins the PSL
+  // prevailing-rule contract: the LONGEST matched suffix wins. The Spark
+  // side resolves suffixes via broadcast joins per candidate length; the
+  // oracle re-derives them with longest-first regex alternations —
+  // independent mechanisms, same semantics.
+  private val PslSuffixes = Seq(
+    "co.uk", "blogspot.co.uk", "ma.us", "k12.ma.us", "pvt.k12.ma.us",
+    "com.br")
+
+  /** Suffix choice spreads doc_ids over nested rules: 0 → plain co.uk,
+    * 1 → private-registry blogspot.co.uk, 2 → 4-label pvt.k12.ma.us,
+    * 3 → k12.ma.us, else bare com (implicit-TLD fallback). */
+  private def pslUrlCol =
+    concat(
+      lit("https://www."), col("source"), lit("-news."),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("co.uk"))
+        .when(pmod(col("doc_id"), lit(5)) === 1, lit("blogspot.co.uk"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit("pvt.k12.ma.us"))
+        .when(pmod(col("doc_id"), lit(5)) === 3, lit("k12.ma.us"))
+        .otherwise(lit("com")),
+      lit("/docs/"), col("doc_id").cast("string"))
+
+  private val pslUrlSql =
+    """'https://www.' || source || '-news.' ||
+      |      CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'blogspot.co.uk'
+      |                      WHEN 2 THEN 'pvt.k12.ma.us' WHEN 3 THEN 'k12.ma.us'
+      |                      ELSE 'com' END ||
+      |      '/docs/' || doc_id""".stripMargin
+
+  private def qDomainPsl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), pslUrlCol.as("url"))
+    val suffixes = PslSuffixes.toDF("suffix")
+    DomainOps.withDomainFromSuffixes(docs, "url", suffixes, maxSuffixLabels = 4)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).cast("long").as("min_doc"))
+  }
+
+  private val qDomainPslSql =
+    s"""WITH u AS (
+      |  SELECT doc_id, $pslUrlSql AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+      |  FROM u),
+      |d AS (
+      |  SELECT doc_id, CASE
+      |    WHEN regexp_extract(host, '([^.]+\\.(?:pvt\\.k12\\.ma\\.us))$$', 1) <> ''
+      |      THEN regexp_extract(host, '([^.]+\\.(?:pvt\\.k12\\.ma\\.us))$$', 1)
+      |    WHEN regexp_extract(host,
+      |        '([^.]+\\.(?:blogspot\\.co\\.uk|k12\\.ma\\.us))$$', 1) <> ''
+      |      THEN regexp_extract(host,
+      |        '([^.]+\\.(?:blogspot\\.co\\.uk|k12\\.ma\\.us))$$', 1)
+      |    WHEN regexp_extract(host,
+      |        '([^.]+\\.(?:co\\.uk|ma\\.us|com\\.br))$$', 1) <> ''
+      |      THEN regexp_extract(host,
+      |        '([^.]+\\.(?:co\\.uk|ma\\.us|com\\.br))$$', 1)
+      |    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+      |  FROM h)
+      |SELECT domain, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc
+      |FROM d GROUP BY domain""".stripMargin
+
   // ---------------------------------------------------------- unicode nfc
   // NFC canonicalization via the native UnicodeNormalize expression: a
   // decomposed suffix (e + U+0301, n + U+0303) is appended to each text
@@ -182,6 +248,7 @@ object QueriesWeb {
     "q_url_parse" -> (qUrlParse _),
     "q_domain_stats" -> (qDomainStats _),
     "q_domain_quota" -> (qDomainQuota _),
+    "q_domain_psl" -> (qDomainPsl _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
   )
 
@@ -189,6 +256,7 @@ object QueriesWeb {
     "q_url_parse" -> qUrlParseSql,
     "q_domain_stats" -> qDomainStatsSql,
     "q_domain_quota" -> qDomainQuotaSql,
+    "q_domain_psl" -> qDomainPslSql,
     "q_unicode_nfc" -> qUnicodeNfcSql,
   )
 }

@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   * DOWN, so anything materially above 1 is a real red flag.
   *
   * Usage:
-  *   runMain graft.ScaleCheck gen  <baseDir> <scaledDir> <copies>
-  *   runMain graft.ScaleCheck run  <baseDir> <scaledDir> <copies> [runs]
+  *   runMain graft.ScaleCheck gen    <baseDir> <scaledDir> <copies>
+  *   runMain graft.ScaleCheck run    <baseDir> <scaledDir> <copies> [runs]
+  *   runMain graft.ScaleCheck writes <baseDir> <scaledDir> <copies> [runs]
+  * `writes` covers the layout/versioning family (snapshot commit,
+  * z-order clustered write, compaction+recluster, Bloom index build)
+  * with per-run scratch dirs → scalecheck_writes.json.
   */
 object ScaleCheck {
 
@@ -222,6 +226,86 @@ object ScaleCheck {
       dt
     }.min
 
+  // ---- the write-path / layout family: the 100 TB ops story's OTHER
+  // half. Same exponent methodology, but each op WRITES — every timed
+  // run gets a fresh scratch dir, with any fragmented-input prep redone
+  // (untimed) so run N never operates on run N-1's already-fixed layout.
+
+  private def inputBytes(s: SparkSession, dir: String, table: String): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
+  private def bounds(df: DataFrame, c: String): (Double, Double) = {
+    val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** (name, prep(spark, sfDir, scratch) — untimed, act — timed). */
+  private def writeHeavies: Seq[(String,
+      (SparkSession, String, String) => Unit,
+      (SparkSession, String, String) => Unit)] = Seq(
+    // versioned-commit protocol: stage + claim + atomic rename. The
+    // protocol overhead is per-commit O(1); the body is one table write.
+    ("snapshot_commit",
+      (_, _, _) => (),
+      (s, dir, scratch) =>
+        graft.core.Snapshots.commit(
+          Tables.load(s, dir, "lineitem"), s"$scratch/table"): Unit),
+    // z-order clustered write: bounds scan + range partition + in-slice
+    // sort + parquet encode. Output slice count scales with input bytes
+    // (as a real targetBytes policy would), so per-slice sort stays flat.
+    ("zorder_write",
+      (_, _, _) => (),
+      (s, dir, scratch) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val n = math.max(1L,
+          inputBytes(s, dir, "lineitem") / (4L * 1024 * 1024)).toInt
+        graft.core.ZOrder.layout(li,
+            "l_partkey", bounds(li, "l_partkey"),
+            "l_suppkey", bounds(li, "l_suppkey"), partitions = n)
+          .write.mode("overwrite").parquet(s"$scratch/zorder")
+      }),
+    // compaction + Morton recluster over a 48-fragment layout, one
+    // atomic swap. Prep rebuilds the fragmentation before every run.
+    ("compact_recluster",
+      (s, dir, scratch) =>
+        Tables.load(s, dir, "lineitem").repartition(48)
+          .write.mode("overwrite").parquet(s"$scratch/frag"),
+      (s, _, scratch) => {
+        val df = s.read.parquet(s"$scratch/frag")
+        graft.core.Compaction.recluster(s, s"$scratch/frag",
+          "l_partkey", bounds(df, "l_partkey"),
+          "l_suppkey", bounds(df, "l_suppkey"),
+          targetBytes = 4L * 1024 * 1024): Unit
+      }),
+    // per-file Bloom build: one pass, map-side-merged partial filters,
+    // one index row per file — only bitmaps cross the shuffle.
+    ("bloom_build",
+      (_, _, _) => (),
+      (s, dir, _) =>
+        graft.core.BloomIndex.build(s, s"$dir/lineitem.parquet",
+            "l_orderkey", expectedItemsPerFile = 200000L)
+          .write.format("noop").mode("overwrite").save()))
+
+  private def timeWrite(spark: SparkSession, runs: Int, dir: String,
+      prep: (SparkSession, String, String) => Unit,
+      act: (SparkSession, String, String) => Unit): Double =
+    (1 to runs).map { _ =>
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-scalew").toString
+      prep(spark, dir, scratch)
+      val t0 = System.nanoTime()
+      act(spark, dir, scratch)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(scratch))
+      dt
+    }.min
+
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val baseDir = args(1)
@@ -254,7 +338,25 @@ object ScaleCheck {
         catch { case e: Throwable =>
           System.err.println(s"[scalecheck] write failed: ${e.getMessage}")
         }
-      case other => sys.error(s"unknown mode $other (gen|run)")
+      case "writes" =>
+        val runs = if (args.length > 4) args(4).toInt else 2
+        val logN = math.log(copies.toDouble)
+        val lines = writeHeavies.map { case (name, prep, act) =>
+          val tBase = timeWrite(spark, runs, baseDir, prep, act)
+          val tBig = timeWrite(spark, runs, outDir, prep, act)
+          val exp = math.log(tBig / tBase) / logN
+          val line =
+            f"""{"op":"$name","t_base_sec":$tBase%.3f,"t_scaled_sec":$tBig%.3f,"copies":$copies,"exponent":$exp%.3f}"""
+          println(line)
+          line
+        }
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("scalecheck_writes.json"),
+          lines.mkString("[", ",\n ", "]\n"))
+        catch { case e: Throwable =>
+          System.err.println(s"[scalecheck] write failed: ${e.getMessage}")
+        }
+      case other => sys.error(s"unknown mode $other (gen|run|writes)")
     }
     spark.stop()
   }

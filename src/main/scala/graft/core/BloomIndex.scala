@@ -149,9 +149,41 @@ object BloomIndex {
   def commitIndexed(df: DataFrame, tableDir: String, keyCol: String,
       expectedItemsPerFile: Long, fpp: Double = 0.01): Long = {
     requireIntegralKey(df, keyCol)
-    val spark = df.sparkSession
-    val agg = udaf(new BuildAgg(expectedItemsPerFile, fpp))
-    Snapshots.commitWith(df, tableDir, (_, staging) => {
+    Snapshots.commitWith(df, tableDir, stageIndex(df, keyCol,
+      expectedItemsPerFile, fpp))
+  }
+
+  /** [[commitIndexed]] with [[Snapshots.commitTagged]]'s idempotency
+    * contract: when a COMMITTED version already carries `tag`, nothing
+    * commits and None returns — the exactly-once hook for streaming
+    * micro-batch replays whose versions need point-lookup indexes
+    * ([[graft.streaming.SnapshotSink.appendIndexed]]). Both per-version
+    * artifacts (the `_tag-` file and the `_bloom/` index) land in the
+    * staged dir BEFORE the marker claim, so they are visible exactly
+    * when the version is. */
+  def commitIndexedTagged(df: DataFrame, tableDir: String, tag: String,
+      keyCol: String, expectedItemsPerFile: Long,
+      fpp: Double = 0.01, carryTags: Seq[String] = Nil): Option[Long] = {
+    requireIntegralKey(df, keyCol)
+    Snapshots.commitTaggedWith(df, tableDir, tag, (fs, staging) => {
+      // carried tags (e.g. the batch tags a squash subsumes) share the
+      // version's atomicity like the primary tag; only the primary tag
+      // gates the idempotency check
+      carryTags.foreach(t => fs.create(
+        new org.apache.hadoop.fs.Path(staging, s"_tag-$t"), true).close())
+      stageIndex(df, keyCol, expectedItemsPerFile, fpp)(fs, staging)
+    })
+  }
+
+  /** The staged-dir index writer shared by both commit forms: build the
+    * per-file index over the staging dir (basenames survive the
+    * staging→`v=N` rename) and write it to `_bloom/`. */
+  private def stageIndex(df: DataFrame, keyCol: String,
+      expectedItemsPerFile: Long, fpp: Double)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) => Unit =
+    (_, staging) => {
+      val spark = df.sparkSession
+      val agg = udaf(new BuildAgg(expectedItemsPerFile, fpp))
       val idx = spark.read.parquet(staging.toString)
         .select(
           element_at(split(input_file_name(), "/"), -1).as("file"),
@@ -159,8 +191,7 @@ object BloomIndex {
         .groupBy(col("file"))
         .agg(count(lit(1)).as("n_rows"), agg(col("k")).as("bloom"))
       idx.write.mode("error").parquet(s"$staging/_bloom")
-    })
-  }
+    }
 
   /** The Bloom index of a committed version (latest when None).
     *

@@ -76,16 +76,9 @@ object Snapshots {
     var attempt = 0
     var v = nextVersion(fs, tableDir)
     while (attempt < MaxCommitRetries) {
-      val claimed =
-        try {
-          // create-exclusive: the atomic claim of version v
-          fs.create(new HPath(tableDir, s"_commits/$v"), false).close()
-          true
-        } catch {
-          // another writer claimed v between our read and our marker —
-          // our staging dir is untouched; retry one version up
-          case _: java.io.IOException => false
-        }
+      // another writer claiming v between our read and our marker is
+      // fine — our staging dir is untouched; we retry one version up
+      val claimed = claimExclusive(fs, new HPath(tableDir, s"_commits/$v"))
       if (claimed && publish(fs, tableDir, staging, v)) return v
       attempt += 1
       v = math.max(v + 1, nextVersion(fs, tableDir))
@@ -94,6 +87,25 @@ object Snapshots {
     sys.error(s"Snapshots.commit: lost the version race " +
       s"$MaxCommitRetries times at $tableDir")
   }
+
+  /** Create-exclusive marker claim — the protocol's ONE atomic
+    * primitive. On HDFS `fs.create(p, overwrite = false)` is an atomic
+    * namespace operation; on the LOCAL filesystem Hadoop implements it
+    * as exists-then-open, which two racing writers can BOTH pass — so
+    * the `file` scheme routes through NIO `Files.createFile`
+    * (O_CREAT|O_EXCL, kernel-atomic). Object stores without atomic
+    * create are out of scope (class doc). */
+  private def claimExclusive(fs: FileSystem, p: HPath): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
 
   /** Owner-only publish: marker N is held. An existing `v=N` without a
     * [[Tombstone]] is unreachable crash debris (a pre-claim crash of a
@@ -127,12 +139,21 @@ object Snapshots {
     * replayed micro-batch ids. (Underscore-prefixed files are ignored
     * by parquet readers.) Concurrent same-tag writers are not
     * serialized — the contract targets sequential retries/replays. */
-  def commitTagged(df: DataFrame, tableDir: String, tag: String): Option[Long] = {
+  def commitTagged(df: DataFrame, tableDir: String, tag: String): Option[Long] =
+    commitTaggedWith(df, tableDir, tag, (_, _) => ())
+
+  /** [[commitTagged]] + an extra staged-dir hook (per-version indexes —
+    * see [[BloomIndex.commitIndexedTagged]]); the tag file and the
+    * hook's artifacts share the version's atomicity. */
+  private[graft] def commitTaggedWith(df: DataFrame, tableDir: String,
+      tag: String, beforeClaim: (FileSystem, HPath) => Unit): Option[Long] = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, tableDir)
     if (taggedVersion(fs, tableDir, tag).isDefined) return None
-    Some(commitWith(df, tableDir, (f, data) =>
-      f.create(new HPath(data, s"_tag-$tag"), true).close()))
+    Some(commitWith(df, tableDir, (f, data) => {
+      f.create(new HPath(data, s"_tag-$tag"), true).close()
+      beforeClaim(f, data)
+    }))
   }
 
   /** The committed version carrying `tag`, if any. */
@@ -193,8 +214,7 @@ object Snapshots {
       .filter(v => fs.exists(new HPath(tableDir, s"v=$v/$Tombstone")))
       .sorted
     restored.foreach { v =>
-      try fs.create(new HPath(tableDir, s"_commits/$v"), false).close()
-      catch { case _: java.io.IOException => () } // marker already back
+      claimExclusive(fs, new HPath(tableDir, s"_commits/$v")) // or already back
       fs.delete(new HPath(tableDir, s"v=$v/$Tombstone"), false)
     }
     restored

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.UrlFunctions
@@ -45,36 +45,76 @@ object DomainOps {
     * labels — the PSL's implicit single-label-TLD rule, identical to
     * [[UrlFunctions.registrableDomain]]'s fallback. All joins are
     * broadcast, so the corpus is annotated map-side with ZERO shuffle.
-    * PSL wildcard ("*.ck") and exception ("!www.ck") rules are out of
-    * scope — expand them into plain rows when loading the list. */
+    *
+    * All three PSL rule classes are supported in the one `suffix`
+    * column, in the list's own syntax:
+    *   - plain rules ("co.uk"): the suffix is public; registrable =
+    *     suffix + one label;
+    *   - wildcard rules ("*.ck"): ANY label in the starred position is
+    *     public (effective rule length = base + 1); registrable =
+    *     base + two labels;
+    *   - exception rules ("!www.ck"): the named domain is registrable
+    *     ITSELF, overriding any wildcard/plain rule it matches.
+    * Prevailing-rule order (publicsuffix.org algorithm): exception
+    * first, then the LONGEST effective match, then the implicit
+    * single-label-TLD fallback. */
   def withDomainFromSuffixes(df: DataFrame, urlCol: String,
       suffixes: DataFrame, maxSuffixLabels: Int = 4): DataFrame = {
     require(maxSuffixLabels >= 2 && maxSuffixLabels <= 8,
       s"maxSuffixLabels out of range: $maxSuffixLabels")
     val labels = col("__labels")
     def lastLabels(m: Int) = concat_ws(".", slice(labels, -m, m))
+    def nLabels(c: Column) = size(split(c, "\\."))
+    val rules = suffixes.select(col("suffix").cast("string").as("suffix"))
     val base = df
       .withColumn("host", UrlFunctions.host(col(urlCol)))
       .withColumn("__labels", split(col("host"), "\\."))
-    val ks = (2 to maxSuffixLabels).reverse // longest candidate first
-    val joined = ks.foldLeft(base) { (acc, k) =>
-      val sfx = suffixes.select(col("suffix").as(s"__sfx$k")).distinct()
+    val ks = 2 to maxSuffixLabels          // plain rule lengths
+    val ws = 1 until maxSuffixLabels       // wildcard BASE lengths
+    val withPlain = ks.foldLeft(base) { (acc, k) =>
+      val sfx = rules
+        .filter(!col("suffix").startsWith("*.") &&
+          !col("suffix").startsWith("!") && nLabels(col("suffix")) === k)
+        .select(col("suffix").as(s"__sfx$k")).distinct()
       // candidate needs k suffix labels PLUS one registrable label
       val cand = when(size(labels) >= k + 1, lastLabels(k))
       acc.join(broadcast(sfx), cand === col(s"__sfx$k"), "left")
     }
-    // Fold ASCENDING so the largest-k `when` ends up OUTERMOST: the
-    // longest matched suffix must win (PSL prevailing-rule semantics),
-    // e.g. 'school.pvt.k12.ma.us' with rules {ma.us, pvt.k12.ma.us}
-    // yields 'school.pvt.k12.ma.us', not 'k12.ma.us'.
-    val domain = (2 to maxSuffixLabels).foldLeft(
+    val withWild = ws.foldLeft(withPlain) { (acc, m) =>
+      val wld = rules.filter(col("suffix").startsWith("*."))
+        .select(expr("substring(suffix, 3)").as(s"__wld$m"))
+        .filter(nLabels(col(s"__wld$m")) === m).distinct()
+      // base m labels + the wildcard label + one registrable label
+      val cand = when(size(labels) >= m + 2, lastLabels(m))
+      acc.join(broadcast(wld), cand === col(s"__wld$m"), "left")
+    }
+    val joined = ks.foldLeft(withWild) { (acc, e) =>
+      val exc = rules.filter(col("suffix").startsWith("!"))
+        .select(expr("substring(suffix, 2)").as(s"__exc$e"))
+        .filter(nLabels(col(s"__exc$e")) === e).distinct()
+      // the exception rule itself is registrable — no extra label needed
+      val cand = when(size(labels) >= e, lastLabels(e))
+      acc.join(broadcast(exc), cand === col(s"__exc$e"), "left")
+    }
+    // Fold ASCENDING by EFFECTIVE rule length so the longest match ends
+    // up OUTERMOST (PSL prevailing-rule semantics): a plain rule of k
+    // labels and a wildcard of base k-1 have the same effective length k
+    // and, when both match, the same registrable answer. Exceptions go
+    // on top of everything.
+    val byLength = (2 to maxSuffixLabels).foldLeft(
       // fallback: implicit single-label TLD -> last two labels
       when(size(labels) >= 2, lastLabels(2)).otherwise(lit(""))) {
-      (fallback, k) =>
-        when(col(s"__sfx$k").isNotNull, lastLabels(k + 1)).otherwise(fallback)
+      (fallback, len) =>
+        val plainHit = col(s"__sfx$len").isNotNull
+        val wildHit = col(s"__wld${len - 1}").isNotNull
+        when(plainHit || wildHit, lastLabels(len + 1)).otherwise(fallback)
+    }
+    val domain = ks.foldLeft(byLength) { (inner, e) =>
+      when(col(s"__exc$e").isNotNull, lastLabels(e)).otherwise(inner)
     }
     joined.withColumn("domain", domain)
-      .drop("__labels" +: ks.map(k => s"__sfx$k"): _*)
+      .drop("__labels" +: (ks.map(k => s"__sfx$k") ++
+        ws.map(m => s"__wld$m") ++ ks.map(e => s"__exc$e")): _*)
   }
 
   /** Drop rows whose `domainCol` is on the blocklist. The blocklist is

@@ -40,4 +40,26 @@ object SnapshotSink {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) => processBatch(batch, id, tableDir); ()
     }
+
+  /** [[processBatch]] committing the version WITH its per-file Bloom
+    * index ([[graft.core.BloomIndex.commitIndexedTagged]]): the ingest
+    * half of the versioned-table pipeline — every micro-batch becomes a
+    * time-travelable version that supports index-pruned point lookups
+    * the moment it commits. */
+  def processBatchIndexed(batch: DataFrame, batchId: Long, tableDir: String,
+      keyCol: String, expectedItemsPerFile: Long): Option[Long] =
+    graft.core.BloomIndex.commitIndexedTagged(batch, tableDir,
+      s"batch-$batchId", keyCol, expectedItemsPerFile)
+
+  /** [[append]] with per-version Bloom indexes. Exactly-once under
+    * replays like [[append]]; see [[graft.core.Compaction.squashVersions]]
+    * for the maintenance half (squash + recluster + reindex), and note
+    * its retention caveat for replay horizons. */
+  def appendIndexed(stream: DataFrame, tableDir: String, keyCol: String,
+      expectedItemsPerFile: Long): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        processBatchIndexed(batch, id, tableDir, keyCol,
+          expectedItemsPerFile); ()
+    }
 }

@@ -66,6 +66,45 @@ class DomainOpsSpec extends SparkSpec {
     assert(d("https://localhost/") === "")
   }
 
+  test("wildcard rules: any label in the starred position is public") {
+    val rules = Seq("*.ck", "co.uk").toDF("suffix")
+    val df = Seq(
+      "https://www.site.bar.ck/x",   // *.ck -> bar.ck public -> site.bar.ck
+      "https://foo.bar.ck/x",        // foo.bar.ck registrable
+      "https://bar.ck/x",            // IS a wildcard public suffix -> fallback
+      "https://a.b.example.co.uk/x") // plain rule still wins its own hosts
+      .toDF("url")
+    val got = DomainOps.withDomainFromSuffixes(df, "url", rules)
+      .select("url", "domain").as[(String, String)].collect().toMap
+    assert(got("https://www.site.bar.ck/x") === "site.bar.ck")
+    assert(got("https://foo.bar.ck/x") === "foo.bar.ck")
+    assert(got("https://bar.ck/x") === "bar.ck") // documented last-2 fallback
+    assert(got("https://a.b.example.co.uk/x") === "example.co.uk")
+  }
+
+  test("exception rules override wildcards: the named domain is registrable") {
+    val rules = Seq("*.ck", "!www.ck").toDF("suffix")
+    val got = DomainOps.withDomainFromSuffixes(
+      Seq("https://www.ck/x", "https://sub.www.ck/x", "https://foo.bar.ck/x")
+        .toDF("url"), "url", rules)
+      .select("url", "domain").as[(String, String)].collect().toMap
+    // !www.ck: www.ck is registrable ITSELF, wherever it matches
+    assert(got("https://www.ck/x") === "www.ck")
+    assert(got("https://sub.www.ck/x") === "www.ck")
+    // hosts the exception does NOT match still follow the wildcard
+    assert(got("https://foo.bar.ck/x") === "foo.bar.ck")
+  }
+
+  test("wildcard and plain rules of equal effective length agree") {
+    // *.ck (effective length 2) and plain co.ck both match x.co.ck and
+    // must yield the same registrable domain
+    val rules = Seq("*.ck", "co.ck").toDF("suffix")
+    val got = DomainOps.withDomainFromSuffixes(
+      Seq("https://x.co.ck/").toDF("url"), "url", rules)
+      .select("domain").as[String].head()
+    assert(got === "x.co.ck")
+  }
+
   test("matches compiled-in registrableDomain on its own suffix subset") {
     val compiled = graft.functions.UrlFunctions.DefaultMultiPartSuffixes
       .toDF("suffix")

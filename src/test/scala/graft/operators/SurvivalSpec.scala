@@ -64,8 +64,11 @@ class SurvivalSpec extends SparkSpec {
     // and the binned table equals the unbinned table computed over
     // pre-floored durations — the parameter is pure sugar for the
     // documented bin-upstream contract
+    // CAST: in SQL text '500.0' is a DECIMAL literal, and
+    // bigint * decimal(4,1) widens to decimal(25,1); the DataFrame path
+    // uses lit(500.0) = DOUBLE, so align the types for the equality
     val preFloored = labels
-      .selectExpr("floor(dur / 500.0) * 500.0 AS dur", "ev")
+      .selectExpr("CAST(floor(dur / 500.0) * 500.0 AS DOUBLE) AS dur", "ev")
     val manual = Survival.riskTable(preFloored, "dur", "ev")
       .orderBy("t").as[(Double, Long, Long, Long)].collect().toSeq
     assert(rows === manual)

@@ -59,9 +59,13 @@ class SnapshotSinkSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(table, "_commits"))
     fs.create(new org.apache.hadoop.fs.Path(table, "v=1/_tag-batch-0"),
       true).close()
-    // the tag is on an UNCOMMITTED version, so the replay must commit
+    // the tag is on an UNCOMMITTED version, so the replay must commit.
+    // The crashed attempt's number is BURNED (nextVersion counts data
+    // dirs too, so rolled-back/debris numbers are never reused): the
+    // clean retry lands at v=2, and the debris stays invisible.
     assert(Snapshots.taggedVersion(spark, table, "batch-0").isEmpty)
-    assert(SnapshotSink.processBatch(b, 0L, table).contains(1L))
+    assert(SnapshotSink.processBatch(b, 0L, table).contains(2L))
+    assert(Snapshots.versions(spark, table) === Seq(2L))
     assert(Snapshots.read(spark, table).count() === 1L)
   }
 }

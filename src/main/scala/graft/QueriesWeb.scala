@@ -215,6 +215,64 @@ object QueriesWeb {
       |SELECT domain, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc
       |FROM d GROUP BY domain""".stripMargin
 
+  // --------------------------------------------------------- domain rules
+  // Wildcard + exception PSL classes through the SAME data-driven
+  // operator, pinned in the oracle gate: *.ck makes ANY label public at
+  // the starred position (registrable = base + two labels), !www.ck
+  // names its domain registrable ITSELF and overrides the wildcard.
+  // Spark resolves via the per-length broadcast joins; the oracle
+  // replays exception-first, then wildcard, then the last-2 fallback
+  // with plain regexes — independent mechanisms, same PSL algorithm.
+  private val RuleSuffixes = Seq("*.ck", "!www.ck", "co.uk")
+
+  private def rulesUrlCol =
+    concat(
+      lit("https://www."), col("source"), lit("-news."),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("x7.ck"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("www.ck"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("co.uk"))
+        .otherwise(lit("com")),
+      lit("/p/"), col("doc_id").cast("string"))
+
+  private val rulesUrlSql =
+    """'https://www.' || source || '-news.' ||
+      |      CASE doc_id % 4 WHEN 0 THEN 'x7.ck' WHEN 1 THEN 'www.ck'
+      |                      WHEN 2 THEN 'co.uk' ELSE 'com' END ||
+      |      '/p/' || doc_id""".stripMargin
+
+  private def qDomainRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), rulesUrlCol.as("url"))
+    DomainOps.withDomainFromSuffixes(docs, "url",
+        RuleSuffixes.toDF("suffix"), maxSuffixLabels = 4)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).cast("long").as("min_doc"))
+  }
+
+  private val qDomainRulesSql =
+    s"""WITH u AS (
+      |  SELECT doc_id, $rulesUrlSql AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+      |  FROM u),
+      |d AS (
+      |  SELECT doc_id, CASE
+      |    -- exception rule: !www.ck -> www.ck is registrable itself
+      |    WHEN host = 'www.ck' OR host LIKE '%.www.ck' THEN 'www.ck'
+      |    -- wildcard rule: *.ck -> <label>.ck is public, +1 label registrable
+      |    WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.ck)$$', 1) <> ''
+      |      THEN regexp_extract(host, '([^.]+\\.[^.]+\\.ck)$$', 1)
+      |    -- plain rule: co.uk
+      |    WHEN regexp_extract(host, '([^.]+\\.co\\.uk)$$', 1) <> ''
+      |      THEN regexp_extract(host, '([^.]+\\.co\\.uk)$$', 1)
+      |    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+      |  FROM h)
+      |SELECT domain, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_doc
+      |FROM d GROUP BY domain""".stripMargin
+
   // ---------------------------------------------------------- unicode nfc
   // NFC canonicalization via the native UnicodeNormalize expression: a
   // decomposed suffix (e + U+0301, n + U+0303) is appended to each text
@@ -249,6 +307,7 @@ object QueriesWeb {
     "q_domain_stats" -> (qDomainStats _),
     "q_domain_quota" -> (qDomainQuota _),
     "q_domain_psl" -> (qDomainPsl _),
+    "q_domain_rules" -> (qDomainRules _),
     "q_unicode_nfc" -> (qUnicodeNfc _),
   )
 
@@ -257,6 +316,7 @@ object QueriesWeb {
     "q_domain_stats" -> qDomainStatsSql,
     "q_domain_quota" -> qDomainQuotaSql,
     "q_domain_psl" -> qDomainPslSql,
+    "q_domain_rules" -> qDomainRulesSql,
     "q_unicode_nfc" -> qUnicodeNfcSql,
   )
 }

@@ -356,6 +356,52 @@ object QueriesFunnel {
        |  END AS mase
        |FROM f GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------------- count-min
+  // Count-Min point-frequency state over per-user event counts: build
+  // depth×width counters, then estimate every user's event count back
+  // out of them. width 64 < 150 distinct users at sf0.01, so hash
+  // collisions are GUARANTEED and the min-over-rows mechanics (not just
+  // the happy path) are what the oracle replays — the DuckDB side
+  // rebuilds the identical counters from md5 with the pure-SQL hex fold.
+  private val CmDepth = 3
+  private val CmWidth = 64
+
+  def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val state = graft.operators.CountMin.build(ev, "user_id", CmDepth, CmWidth)
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    graft.operators.CountMin.estimate(state, exact, "user_id", CmDepth, CmWidth)
+      .join(exact, Seq("user_id"))
+      .select(col("user_id"), col("n_exact"), col("est").as("n_est"))
+  }
+
+  val qCountMinSql: String = {
+    // 8 hex chars -> BIGINT via the pure-SQL fold (DuckDB has no
+    // hex-literal cast); matches Spark's conv(substring(md5,..),16,10)
+    def hexFold(sub: String) =
+      s"list_reduce(list_transform(regexp_split_to_array($sub, ''), " +
+        s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    def bucket(item: String, seed: String) =
+      hexFold(s"substr(md5($item || ':' || CAST($seed AS VARCHAR)), 1, 8)") +
+        s" % $CmWidth"
+    s"""WITH ex AS (SELECT user_id, count(*) AS n_exact FROM events
+       |            WHERE user_id IS NOT NULL GROUP BY 1),
+       |seeds AS (SELECT unnest([${(0 until CmDepth).mkString(", ")}]) AS seed),
+       |cells AS (
+       |  SELECT seed, ${bucket("CAST(ex.user_id AS VARCHAR)", "seed")} AS bucket,
+       |    CAST(sum(n_exact) AS BIGINT) AS counter
+       |  FROM ex CROSS JOIN seeds GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT ex.user_id, ex.n_exact, seed,
+       |    ${bucket("CAST(ex.user_id AS VARCHAR)", "seed")} AS bucket
+       |  FROM ex CROSS JOIN seeds)
+       |SELECT p.user_id, p.n_exact, min(c.counter) AS n_est
+       |FROM probes p JOIN cells c USING (seed, bucket)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
@@ -368,6 +414,7 @@ object QueriesFunnel {
     "q_pop" -> (qPop _),
     "q_theta_overlap" -> (qThetaOverlap _),
     "q_forecast_eval" -> (qForecastEval _),
+    "q_countmin" -> (qCountMin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -381,5 +428,6 @@ object QueriesFunnel {
     "q_pop" -> qPopSql,
     "q_theta_overlap" -> qThetaOverlapSql,
     "q_forecast_eval" -> qForecastEvalSql,
+    "q_countmin" -> qCountMinSql,
   )
 }

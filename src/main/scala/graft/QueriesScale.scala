@@ -870,6 +870,41 @@ object QueriesScale {
        |FROM t5""".stripMargin
   }
 
+  // -------------------------------------------------- merge-on-read delete
+  // Versioned delta table with an equality-delete version in the middle
+  // of its history (core.Deletes): batches of orders land as versions
+  // 1/2, the key set of every 'F'-status order is committed as a DELETE
+  // version, then batch 3 lands AFTER it. The merged read must drop F
+  // rows from batches 1-2 but keep batch 3's — including its F rows and
+  // re-arrivals of deleted keys — pinning the Iceberg sequence-number
+  // rule (a delete applies only to STRICTLY EARLIER versions) in the
+  // driver gate. The oracle states that rule directly over the flat
+  // table.
+  def qMorDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Deletes, Snapshots}
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_mor_orders")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val o = t(s, dir, "orders")
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), path)
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1), path)
+    Deletes.commitDeletes(s, path,
+      o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")))
+    Snapshots.commit(o.filter(col("o_orderkey") % 3 === 2), path)
+    Deletes.readMerged(s, path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+  }
+
+  val qMorDeleteSql: String =
+    """SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 IN (0, 1))
+      |GROUP BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
@@ -898,6 +933,7 @@ object QueriesScale {
     "q_bucket_join" -> (qBucketJoin _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_partition_prune" -> (qPartitionPrune _),
+    "q_mor_delete" -> (qMorDelete _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -927,5 +963,6 @@ object QueriesScale {
     "q_bucket_join" -> qBucketJoinSql,
     "q_epoch_shuffle" -> qEpochShuffleSql,
     "q_partition_prune" -> qPartitionPruneSql,
+    "q_mor_delete" -> qMorDeleteSql,
   )
 }

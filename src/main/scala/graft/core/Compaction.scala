@@ -108,8 +108,10 @@ object Compaction {
         .map(_.getLen).sum
     }.sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val union = vs.map(v => Snapshots.read(spark, tableDir, Some(v)))
-      .reduce(_ unionByName _)
+    // delete-aware: fold in any merge-on-read delete versions
+    // ([[Deletes]]) so the squash materializes them instead of
+    // resurrecting deleted rows
+    val union = Deletes.readMerged(spark, tableDir)
     import org.apache.spark.sql.functions.{col, min, max}
     def bounds(c: String): (Double, Double) = {
       val r = union.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))

@@ -1,0 +1,147 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read equality deletes for [[Snapshots]] tables whose
+  * versions are per-batch deltas ([[graft.streaming.SnapshotSink]]) —
+  * the "delete these keys NOW, without rewriting 100 TB" half of the
+  * versioned-table story (public design: Iceberg v2 equality deletes,
+  * Delta deletion vectors).
+  *
+  * A delete commit is an ordinary snapshot version whose data payload is
+  * EMPTY (schema-preserving) and whose key set lives in a `_deletes/`
+  * parquet dir inside the version — so it rides the existing commit
+  * protocol unchanged: atomic, concurrent-writer safe, taggable for
+  * exactly-once replays, visible iff the version is, rolled back /
+  * time-traveled like any other version.
+  *
+  * Read-side semantics (Iceberg sequence-number rule): a delete at
+  * version D removes matching rows from versions STRICTLY BEFORE D.
+  * Rows (re-)inserted at version > D survive — so CDC streams with
+  * delete-then-reinsert churn resolve correctly without any rewrite.
+  * Key comparison is null-safe (`<=>`): a null key component matches a
+  * null row component, never a non-null one.
+  *
+  * The 100 TB shape: reading pays one anti-join per DISTINCT delete-key
+  * column set (usually one), shuffling only on those key columns;
+  * delete sets between maintenance passes are batch-sized, not
+  * table-sized. [[materialize]] is the maintenance half — fold the
+  * deletes in once, commit the result as a single full version
+  * (subsumed batch/delete tags carried, so pruned history cannot break
+  * exactly-once replays — same contract as
+  * [[Compaction.squashVersions]], which is itself delete-aware).
+  *
+  * Reference analogue: fastETL deletes destination rows by key via
+  * in-database DML (`fastetl/custom_functions/fast_etl.py:626`, the
+  * incremental-sync exclusion step); on an immutable parquet lake the
+  * same contract needs delete FILES, not DML — this module is that
+  * re-expression.
+  */
+object Deletes {
+
+  private val DeleteDir = "_deletes"
+
+  /** Commit a delete-only version: `keys`' columns ARE the equality
+    * key. Requires at least one committed version (the empty payload
+    * borrows the latest version's schema). Returns the version number.
+    */
+  def commitDeletes(spark: SparkSession, tableDir: String,
+      keys: DataFrame): Long = {
+    val payload = emptyPayload(spark, tableDir)
+    Snapshots.commitWith(payload, tableDir, (_, staging) =>
+      writeKeys(keys, staging))
+  }
+
+  /** [[commitDeletes]] with an idempotency tag (same contract as
+    * [[Snapshots.commitTagged]]): a replayed delete batch — a rewound
+    * CDC checkpoint — is skipped when a committed version already
+    * carries `tag`. */
+  def commitDeletesTagged(spark: SparkSession, tableDir: String,
+      keys: DataFrame, tag: String): Option[Long] = {
+    val payload = emptyPayload(spark, tableDir)
+    Snapshots.commitTaggedWith(payload, tableDir, tag, (_, staging) =>
+      writeKeys(keys, staging))
+  }
+
+  private def emptyPayload(spark: SparkSession, tableDir: String): DataFrame = {
+    val vs = Snapshots.versions(spark, tableDir)
+    require(vs.nonEmpty,
+      s"Deletes.commitDeletes: no committed versions at $tableDir " +
+        "(a delete against an empty table has nothing to define its schema)")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Snapshots.read(spark, tableDir, Some(vs.max)).schema)
+  }
+
+  private def writeKeys(keys: DataFrame, staging: HPath): Unit =
+    keys.distinct().coalesce(1).write.mode("error")
+      .parquet(new HPath(staging, DeleteDir).toString)
+
+  /** The table's merged contents at `version` (latest when None): union
+    * of every committed delta version up to it, minus rows matched by a
+    * delete committed at a LATER version than the row's. Delta-table
+    * contract (same as [[Compaction.squashVersions]]): versions are
+    * appends, not full copies. */
+  def readMerged(spark: SparkSession, tableDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val fs = fileSystem(spark, tableDir)
+    val all = Snapshots.versions(spark, tableDir)
+    val vs = version.fold(all)(cap => all.filter(_ <= cap))
+    require(vs.nonEmpty, s"no committed versions at $tableDir" +
+      version.fold("")(v => s" at or below $v"))
+    val data = vs.map(v => Snapshots.read(spark, tableDir, Some(v))
+        .withColumn("_v", lit(v)))
+      .reduce(_ unionByName _)
+    // one anti-join per DISTINCT key-column set (usually exactly one)
+    val deletes = vs
+      .filter(v => fs.exists(new HPath(tableDir, s"v=$v/$DeleteDir")))
+      .map { v =>
+        val k = spark.read.parquet(
+          new HPath(tableDir, s"v=$v/$DeleteDir").toString)
+        (k.columns.sorted.toSeq, k.withColumn("_dv", lit(v)))
+      }
+      .groupBy(_._1)
+      .map { case (cols, xs) => cols -> xs.map(_._2).reduce(_ unionByName _) }
+    deletes.foldLeft(data) { case (acc, (cols, del)) =>
+      val keysMatch = cols.map(c => acc(c) <=> del(c)).reduce(_ && _)
+      acc.join(del, keysMatch && acc("_v") < del("_dv"), "left_anti")
+    }.drop("_v")
+  }
+
+  /** Maintenance: fold all deletes in and commit the merged contents as
+    * ONE new full version, then prune history to it. Idempotent per
+    * input state (tag `mor-<latestV>`); every subsumed version's tags —
+    * batch ids, delete-batch ids, prior squashes — are carried, so a
+    * replay from a checkpoint older than the materialize still resolves
+    * its tag and skips. Returns the new version (None when already
+    * materialized for this history). */
+  def materialize(spark: SparkSession, tableDir: String): Option[Long] = {
+    val vs = Snapshots.versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed versions at $tableDir")
+    val tag = s"mor-${vs.max}"
+    if (Snapshots.taggedVersion(spark, tableDir, tag).isDefined) return None
+    val fs = fileSystem(spark, tableDir)
+    // single-version history that IS a materialize output: nothing to
+    // fold (the crashed-rerun case is the tag check above; this catches
+    // "maintenance fired twice with no new batches" — same guard as
+    // Compaction.squashVersions)
+    if (vs.size == 1 && Option(fs.globStatus(
+        new HPath(tableDir, s"v=${vs.max}/_tag-mor-*")))
+        .exists(_.nonEmpty)) return None
+    val carried = vs.flatMap { v =>
+      fs.listStatus(new HPath(tableDir, s"v=$v")).map(_.getPath.getName)
+        .filter(_.startsWith("_tag-")).map(_.stripPrefix("_tag-"))
+    }.distinct
+    val merged = readMerged(spark, tableDir)
+    val out = Snapshots.commitTaggedWith(merged, tableDir, tag,
+      (f, staging) => carried.foreach(t =>
+        f.create(new HPath(staging, s"_tag-$t"), true).close()))
+    out.foreach(_ => Snapshots.prune(spark, tableDir, keep = 1))
+    out
+  }
+
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+}

@@ -1,0 +1,98 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Merge-on-read equality deletes over [[Snapshots]] delta tables:
+  * sequence-number semantics (a delete removes only EARLIER rows),
+  * re-insert survival, null-safe keys, multi-column keys, tagged
+  * replay skips, materialize equivalence + tag carrying, and the
+  * delete-aware squash. */
+class DeletesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-mor").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.as[(Long, String)].collect().toSet
+
+  test("delete removes earlier rows only; re-insert survives") {
+    val dir = tmp()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)   // v1
+    Snapshots.commit(Seq((3L, "c")).toDF("k", "s"), dir)              // v2
+    Deletes.commitDeletes(spark, dir, Seq(2L, 3L, 99L).toDF("k"))     // v3
+    assert(rows(Deletes.readMerged(spark, dir)) === Set((1L, "a")))
+    // re-insert of a deleted key AFTER the delete version survives
+    Snapshots.commit(Seq((3L, "c2")).toDF("k", "s"), dir)             // v4
+    assert(rows(Deletes.readMerged(spark, dir)) ===
+      Set((1L, "a"), (3L, "c2")))
+    // time travel: before the delete both batches are whole
+    assert(rows(Deletes.readMerged(spark, dir, Some(2L))) ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the delete version itself reads as an empty (schema-true) payload
+    assert(Snapshots.read(spark, dir, Some(3L)).count() === 0L)
+    assert(Snapshots.read(spark, dir, Some(3L)).columns.toSeq ===
+      Seq("k", "s"))
+  }
+
+  test("multi-column and null-safe key matching") {
+    val dir = tmp()
+    Snapshots.commit(Seq(
+      (Some(1L), Some("x"), "keep"),
+      (Some(1L), Some("y"), "drop"),
+      (Some(2L), None, "drop-null"),
+      (None, Some("y"), "keep-null")).toDF("k1", "k2", "s"), dir)
+    Deletes.commitDeletes(spark, dir,
+      Seq((Some(1L), Some("y")), (Some(2L), Option.empty[String]))
+        .toDF("k1", "k2"))
+    val got = Deletes.readMerged(spark, dir).select("s")
+      .as[String].collect().toSet
+    assert(got === Set("keep", "keep-null"))
+  }
+
+  test("tagged delete replay is skipped") {
+    val dir = tmp()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    assert(Deletes.commitDeletesTagged(spark, dir,
+      Seq(1L).toDF("k"), "del-batch-7").isDefined)
+    assert(Deletes.commitDeletesTagged(spark, dir,
+      Seq(1L).toDF("k"), "del-batch-7").isEmpty)
+    assert(Snapshots.versions(spark, dir).size === 2)
+    assert(rows(Deletes.readMerged(spark, dir)) === Set((2L, "b")))
+  }
+
+  test("materialize folds deletes, prunes history, carries tags") {
+    val dir = tmp()
+    Snapshots.commitTagged(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      dir, "batch-1")
+    Snapshots.commitTagged(Seq((3L, "c")).toDF("k", "s"), dir, "batch-2")
+    Deletes.commitDeletesTagged(spark, dir, Seq(2L).toDF("k"), "del-1")
+    val before = rows(Deletes.readMerged(spark, dir))
+    val v = Deletes.materialize(spark, dir)
+    assert(v.isDefined)
+    assert(Snapshots.versions(spark, dir) === Seq(v.get))
+    assert(rows(Deletes.readMerged(spark, dir)) === before)
+    assert(rows(Snapshots.read(spark, dir)) === before)
+    // subsumed tags survive the prune: replays of any folded batch skip
+    assert(Snapshots.commitTagged(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      dir, "batch-1").isEmpty)
+    assert(Deletes.commitDeletesTagged(spark, dir,
+      Seq(2L).toDF("k"), "del-1").isEmpty)
+    // re-fired materialize on unchanged history is a no-op
+    assert(Deletes.materialize(spark, dir).isEmpty)
+  }
+
+  test("squashVersions is delete-aware") {
+    val dir = tmp()
+    Snapshots.commit(
+      Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0)).toDF("k", "x", "y"), dir)
+    Snapshots.commit(Seq((3L, 3.0, 3.0)).toDF("k", "x", "y"), dir)
+    Deletes.commitDeletes(spark, dir, Seq(2L).toDF("k"))
+    val v = Compaction.squashVersions(spark, dir,
+      keyCol = "k", expectedItemsPerFile = 1024, colA = "x", colB = "y")
+    assert(v.isDefined)
+    val got = Snapshots.read(spark, dir).select("k").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
+}

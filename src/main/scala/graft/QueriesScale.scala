@@ -905,6 +905,39 @@ object QueriesScale {
       |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 IN (0, 1))
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------------- mor upsert
+  // CDC upsert through the same MOR machinery (Deletes.commitUpsert):
+  // the full orders table lands as v1, then a correction batch
+  // re-states every %5==0 order with its priority rewritten. The
+  // merged read must show the corrected rows winning over their v1
+  // originals while everything else is untouched — the oracle states
+  // the upsert as a CASE over the flat table.
+  def qMorUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Deletes, Snapshots}
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_mor_upsert")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val o = t(s, dir, "orders")
+    Snapshots.commit(o, path)
+    Deletes.commitUpsert(s, path,
+      o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderpriority", lit("9-RESTATED")),
+      Seq("o_orderkey"))
+    Deletes.readMerged(s, path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+  }
+
+  val qMorUpsertSql: String =
+    """SELECT CASE WHEN o_orderkey % 5 = 0 THEN '9-RESTATED'
+      |       ELSE o_orderpriority END AS o_orderpriority,
+      |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
@@ -934,6 +967,7 @@ object QueriesScale {
     "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_mor_delete" -> (qMorDelete _),
+    "q_mor_upsert" -> (qMorUpsert _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -964,5 +998,6 @@ object QueriesScale {
     "q_epoch_shuffle" -> qEpochShuffleSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_mor_delete" -> qMorDeleteSql,
+    "q_mor_upsert" -> qMorUpsertSql,
   )
 }

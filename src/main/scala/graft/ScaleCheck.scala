@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   *   runMain graft.ScaleCheck run    <baseDir> <scaledDir> <copies> [runs]
   *   runMain graft.ScaleCheck writes <baseDir> <scaledDir> <copies> [runs]
   * `writes` covers the layout/versioning family (snapshot commit,
-  * z-order clustered write, compaction+recluster, Bloom index build)
-  * with per-run scratch dirs → scalecheck_writes.json.
+  * z-order clustered write, compaction+recluster, Bloom index build,
+  * merge-on-read versioned read) with per-run scratch dirs →
+  * scalecheck_writes.json.
   */
 object ScaleCheck {
 
@@ -288,6 +289,23 @@ object ScaleCheck {
       (s, dir, _) =>
         graft.core.BloomIndex.build(s, s"$dir/lineitem.parquet",
             "l_orderkey", expectedItemsPerFile = 200000L)
+          .write.format("noop").mode("overwrite").save()),
+    // merge-on-read read path: 4 delta versions + a corpus-scale
+    // equality-delete version (12.5% of rows by composite key), read
+    // through the sequence-number anti-join. Prep (table build) is
+    // untimed; the timed act is exactly what a reader pays.
+    ("mor_read",
+      (s, dir, scratch) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val t = s"$scratch/mor"
+        (0 until 4).foreach(i => graft.core.Snapshots.commit(
+          li.filter(col("l_orderkey") % 4 === i), t): Unit)
+        graft.core.Deletes.commitDeletes(s, t,
+          li.filter(col("l_orderkey") % 8 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"))): Unit
+      },
+      (s, _, scratch) =>
+        graft.core.Deletes.readMerged(s, s"$scratch/mor")
           .write.format("noop").mode("overwrite").save()))
 
   private def timeWrite(spark: SparkSession, runs: Int, dir: String,

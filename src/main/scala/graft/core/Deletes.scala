@@ -66,6 +66,32 @@ object Deletes {
       writeKeys(keys, staging))
   }
 
+  /** Upsert one batch: commit `rows` as a version whose delete-key set
+    * is the rows' OWN key projection. Under the sequence-number read
+    * rule this is exactly CDC upsert semantics: matching rows in every
+    * EARLIER version are superseded, the batch's own rows survive (the
+    * delete applies only to strictly earlier versions), and rows for
+    * unseen keys are plain inserts. Duplicate keys WITHIN one batch are
+    * not resolved — both rows land at the same version; dedup the batch
+    * upstream ([[graft.clean.Cleaners]]) if last-wins is needed.
+    * Works on an empty table (first version). */
+  def commitUpsert(spark: SparkSession, tableDir: String,
+      rows: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "commitUpsert: keyCols must be non-empty")
+    Snapshots.commitWith(rows, tableDir, (_, staging) =>
+      writeKeys(rows.select(keyCols.map(col): _*), staging))
+  }
+
+  /** [[commitUpsert]] with an idempotency tag — the exactly-once hook
+    * for replayed CDC micro-batches
+    * ([[graft.streaming.SnapshotSink.upsert]]). */
+  def commitUpsertTagged(spark: SparkSession, tableDir: String,
+      rows: DataFrame, keyCols: Seq[String], tag: String): Option[Long] = {
+    require(keyCols.nonEmpty, "commitUpsertTagged: keyCols must be non-empty")
+    Snapshots.commitTaggedWith(rows, tableDir, tag, (_, staging) =>
+      writeKeys(rows.select(keyCols.map(col): _*), staging))
+  }
+
   private def emptyPayload(spark: SparkSession, tableDir: String): DataFrame = {
     val vs = Snapshots.versions(spark, tableDir)
     require(vs.nonEmpty,
@@ -75,8 +101,12 @@ object Deletes {
       Snapshots.read(spark, tableDir, Some(vs.max)).schema)
   }
 
+  // no coalesce(1): a CDC delete batch can be corpus-scale, and a
+  // single-file write would single-thread it — the key set lands with
+  // the distinct's own parallelism (small sets fold away at the next
+  // materialize/squash anyway)
   private def writeKeys(keys: DataFrame, staging: HPath): Unit =
-    keys.distinct().coalesce(1).write.mode("error")
+    keys.distinct().write.mode("error")
       .parquet(new HPath(staging, DeleteDir).toString)
 
   /** The table's merged contents at `version` (latest when None): union
@@ -85,15 +115,19 @@ object Deletes {
     * contract (same as [[Compaction.squashVersions]]): versions are
     * appends, not full copies. */
   def readMerged(spark: SparkSession, tableDir: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val fs = fileSystem(spark, tableDir)
     val all = Snapshots.versions(spark, tableDir)
     val vs = version.fold(all)(cap => all.filter(_ <= cap))
     require(vs.nonEmpty, s"no committed versions at $tableDir" +
       version.fold("")(v => s" at or below $v"))
+    // mergeSchema = additive schema evolution (lakehouse convention:
+    // opt-in on read): versions written before a column existed read it
+    // as null. Strict by default so an accidental schema drift fails
+    // loudly instead of null-filling.
     val data = vs.map(v => Snapshots.read(spark, tableDir, Some(v))
         .withColumn("_v", lit(v)))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     // one anti-join per DISTINCT key-column set (usually exactly one)
     val deletes = vs
       .filter(v => fs.exists(new HPath(tableDir, s"v=$v/$DeleteDir")))

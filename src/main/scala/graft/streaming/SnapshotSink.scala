@@ -62,4 +62,26 @@ object SnapshotSink {
         processBatchIndexed(batch, id, tableDir, keyCol,
           expectedItemsPerFile); ()
     }
+
+  /** One CDC micro-batch as a merge-on-read UPSERT version
+    * ([[graft.core.Deletes.commitUpsertTagged]]): the batch's rows land,
+    * and matching keys in every earlier version are superseded at read
+    * time — no rewrite of history, exactly-once under replays. Read the
+    * table with [[graft.core.Deletes.readMerged]];
+    * [[graft.core.Deletes.materialize]] /
+    * [[graft.core.Compaction.squashVersions]] fold the deletes in during
+    * maintenance. */
+  def processBatchUpsert(batch: DataFrame, batchId: Long, tableDir: String,
+      keyCols: Seq[String]): Option[Long] =
+    graft.core.Deletes.commitUpsertTagged(batch.sparkSession, tableDir,
+      batch, keyCols, s"batch-$batchId")
+
+  /** foreachBatch writer applying each micro-batch as a keyed upsert —
+    * the streaming CDC apply path over a versioned table. */
+  def upsert(stream: DataFrame, tableDir: String,
+      keyCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        processBatchUpsert(batch, id, tableDir, keyCols); ()
+    }
 }

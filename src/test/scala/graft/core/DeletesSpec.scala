@@ -83,6 +83,62 @@ class DeletesSpec extends SparkSpec {
     assert(Deletes.materialize(spark, dir).isEmpty)
   }
 
+  test("upsert supersedes earlier rows, keeps its own, inserts new keys") {
+    val dir = tmp()
+    Deletes.commitUpsert(spark, dir,
+      Seq((1L, "a1"), (2L, "b1")).toDF("k", "s"), Seq("k"))      // v1
+    Deletes.commitUpsert(spark, dir,
+      Seq((2L, "b2"), (3L, "c1")).toDF("k", "s"), Seq("k"))      // v2
+    assert(rows(Deletes.readMerged(spark, dir)) ===
+      Set((1L, "a1"), (2L, "b2"), (3L, "c1")))
+    // a third upsert touching all three keys wins everywhere
+    Deletes.commitUpsert(spark, dir,
+      Seq((1L, "a3"), (2L, "b3"), (3L, "c3")).toDF("k", "s"), Seq("k"))
+    assert(rows(Deletes.readMerged(spark, dir)) ===
+      Set((1L, "a3"), (2L, "b3"), (3L, "c3")))
+    // time travel still sees the pre-upsert state
+    assert(rows(Deletes.readMerged(spark, dir, Some(2L))) ===
+      Set((1L, "a1"), (2L, "b2"), (3L, "c1")))
+  }
+
+  test("tagged upsert replay is skipped (streaming CDC exactly-once)") {
+    val dir = tmp()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val b1 = Seq((2L, "b2")).toDF("k", "s")
+    assert(graft.streaming.SnapshotSink
+      .processBatchUpsert(b0, 0L, dir, Seq("k")).contains(1L))
+    assert(graft.streaming.SnapshotSink
+      .processBatchUpsert(b1, 1L, dir, Seq("k")).contains(2L))
+    // rewound checkpoint replays both ids: no new versions, same table
+    assert(graft.streaming.SnapshotSink
+      .processBatchUpsert(b0, 0L, dir, Seq("k")).isEmpty)
+    assert(graft.streaming.SnapshotSink
+      .processBatchUpsert(b1, 1L, dir, Seq("k")).isEmpty)
+    assert(Snapshots.versions(spark, dir) === Seq(1L, 2L))
+    assert(rows(Deletes.readMerged(spark, dir)) ===
+      Set((1L, "a"), (2L, "b2")))
+  }
+
+  test("mergeSchema reads additively evolved versions (old rows null-fill)") {
+    val dir = tmp()
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "s"), dir)              // v1
+    Snapshots.commit(
+      Seq((2L, "b", "pt")).toDF("k", "s", "lang"), dir)               // v2
+    // strict default fails loudly on the drift
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Deletes.readMerged(spark, dir).collect()
+    }
+    val merged = Deletes.readMerged(spark, dir, mergeSchema = true)
+    assert(merged.columns.toSet === Set("k", "s", "lang"))
+    val got = merged.select("k", "lang").as[(Long, Option[String])]
+      .collect().toSet
+    assert(got === Set((1L, None), (2L, Some("pt"))))
+    // deletes still apply across the evolved history
+    Deletes.commitDeletes(spark, dir, Seq(1L).toDF("k"))
+    assert(Deletes.readMerged(spark, dir, mergeSchema = true)
+      .select("k").as[Long].collect().toSet === Set(2L))
+  }
+
   test("squashVersions is delete-aware") {
     val dir = tmp()
     Snapshots.commit(

@@ -938,6 +938,44 @@ object QueriesScale {
       |FROM orders
       |GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------- version diff
+  // Row-level change feed between two snapshot versions
+  // (Snapshots.diff): v1 = orders key/priority, v2 = the same with
+  // every %11 key dropped and every surviving %7 key's priority
+  // rewritten. The diff must emit exactly the delete for each dropped
+  // row, a delete+insert pair for each rewrite, and nothing for
+  // untouched rows — the oracle constructs that exact row set from the
+  // flat table. 'X-DIFF' cannot collide with a real priority value, so
+  // a rewrite can never net to zero.
+  def qVersionDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Snapshots
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_version_diff")
+      .getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Snapshots.commit(o, path)
+    Snapshots.commit(
+      o.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 7 === 0, lit("X-DIFF"))
+            .otherwise(col("o_orderpriority"))),
+      path)
+    Snapshots.diff(s, path, 1L, 2L)
+  }
+
+  val qVersionDiffSql: String =
+    """SELECT o_orderkey, o_orderpriority, 'delete' AS _change,
+      |  CAST(1 AS BIGINT) AS _n
+      |FROM orders WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'X-DIFF', 'insert', CAST(1 AS BIGINT)
+      |FROM orders
+      |WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0""".stripMargin
+
   // ------------------------------------------------------------------ maps
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder" -> (qZorder _),
@@ -968,6 +1006,7 @@ object QueriesScale {
     "q_partition_prune" -> (qPartitionPrune _),
     "q_mor_delete" -> (qMorDelete _),
     "q_mor_upsert" -> (qMorUpsert _),
+    "q_version_diff" -> (qVersionDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -999,5 +1038,6 @@ object QueriesScale {
     "q_partition_prune" -> qPartitionPruneSql,
     "q_mor_delete" -> qMorDeleteSql,
     "q_mor_upsert" -> qMorUpsertSql,
+    "q_version_diff" -> qVersionDiffSql,
   )
 }

@@ -144,6 +144,17 @@ object Deletes {
     }.drop("_v")
   }
 
+  /** [[Snapshots.diff]] for DELTA tables: the row-level change feed
+    * between the MERGED states at two versions — everything a chain of
+    * appends, upserts and deletes netted out to between `fromV` and
+    * `toV`. Same one-shuffle ±1 netting; `mergeSchema` as in
+    * [[readMerged]] (both sides must net to the same column set). */
+  def diffMerged(spark: SparkSession, tableDir: String,
+      fromV: Long, toV: Long, mergeSchema: Boolean = false): DataFrame =
+    Snapshots.diffFrames(
+      readMerged(spark, tableDir, Some(fromV), mergeSchema),
+      readMerged(spark, tableDir, Some(toV), mergeSchema))
+
   /** Maintenance: fold all deletes in and commit the merged contents as
     * ONE new full version, then prune history to it. Idempotent per
     * input state (tag `mor-<latestV>`); every subsumed version's tags —

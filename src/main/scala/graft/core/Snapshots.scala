@@ -182,6 +182,40 @@ object Snapshots {
   def versions(spark: SparkSession, tableDir: String): Seq[Long] =
     committedVersions(fileSystem(spark, tableDir), tableDir).sorted
 
+  /** Row-level diff between two committed versions of a FULL-COPY table
+    * (each version a complete table): what changed from `fromV` to
+    * `toV`, as rows tagged `_change` ('insert' rows appear in `toV` but
+    * not `fromV`; 'delete' the reverse) with multiset multiplicity
+    * `_n`. Unchanged rows never appear.
+    *
+    * Shape at scale: ONE shuffle — both sides tagged ±1, grouped on the
+    * full row, net ≠ 0 kept (equivalent to `exceptAll` both ways at
+    * half the exchanges). Still a full-table shuffle by nature: this is
+    * the audit/backfill tool; keyed CDC history ([[Deletes]] delta
+    * versions) is the scale path when changes must be cheap to read. */
+  def diff(spark: SparkSession, tableDir: String,
+      fromV: Long, toV: Long): org.apache.spark.sql.DataFrame =
+    diffFrames(read(spark, tableDir, Some(fromV)),
+      read(spark, tableDir, Some(toV)))
+
+  private[core] def diffFrames(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = a.columns.toSeq
+    require(b.columns.toSeq == cols,
+      s"diff: schemas differ (${cols.mkString(",")} vs ${b.columns.mkString(",")})")
+    require(!cols.contains("_change") && !cols.contains("_n") &&
+      !cols.contains("_w") && !cols.contains("_net"),
+      "diff: reserved column name (_change/_n/_w/_net) in input schema")
+    a.withColumn("_w", lit(-1L)).unionByName(b.withColumn("_w", lit(1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_w")).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .select(cols.map(col) :+
+        when(col("_net") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change") :+
+        abs(col("_net")).as("_n"): _*)
+  }
+
   /** Drop every commit AFTER `toVersion` — the next read resolves
     * `toVersion` as latest. Data directories are kept (a rollback can
     * itself be undone by re-creating markers) until [[prune]]; new

@@ -139,6 +139,43 @@ class DeletesSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet === Set(2L))
   }
 
+  test("diff nets inserts/deletes with multiset multiplicity") {
+    val dir = tmp()
+    Snapshots.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "c")).toDF("k", "s"), dir)
+    Snapshots.commit(
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")).toDF("k", "s"), dir)
+    val got = Snapshots.diff(spark, dir, 1L, 2L)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (2L, "b", "delete", 1L),   // rewritten: old value out ...
+      (2L, "B", "insert", 1L),   // ... new value in
+      (3L, "c", "delete", 1L),   // dup count 2 -> 1: nets to ONE delete
+      (4L, "d", "insert", 1L)))  // fresh row
+    // identical versions diff to nothing
+    assert(Snapshots.diff(spark, dir, 2L, 2L).isEmpty)
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Snapshots.diffFrames(
+        Seq(1L).toDF("_change"), Seq(2L).toDF("_change"))
+    }
+  }
+
+  test("diffMerged nets a delta chain between two merged states") {
+    val dir = tmp()
+    Deletes.commitUpsert(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), Seq("k"))          // v1
+    Deletes.commitUpsert(spark, dir,
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "s"), Seq("k"))         // v2
+    Deletes.commitDeletes(spark, dir, Seq(1L).toDF("k"))           // v3
+    val got = Deletes.diffMerged(spark, dir, 1L, 3L)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", "delete", 1L),
+      (2L, "b", "delete", 1L), (2L, "b2", "insert", 1L),
+      (3L, "c", "insert", 1L)))
+  }
+
   test("squashVersions is delete-aware") {
     val dir = tmp()
     Snapshots.commit(

@@ -578,4 +578,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string"),
       s"scan must prune to (doc_id, source):\n$p")
   }
+
+  test("q_mor_delete applies deletes as an equi-anti-join, never a loop") {
+    // the MOR read condition is (keys null-safe-equal AND _v < _dv):
+    // Spark must use the key equality as the join key with the version
+    // inequality as a residual — a nested loop here would scan
+    // |corpus| x |deletes| at 100 TB
+    val p = plan("q_mor_delete")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"delete anti-join degenerated to a loop:\n$p")
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+  }
+
+  test("q_countmin broadcasts the bounded sketch state to the probes") {
+    val p = plan("q_countmin")
+    // the state is <= depth x width rows by construction: probing must
+    // be a broadcast join, never a shuffle of the probe side onto
+    // (seed, bucket)
+    assert(p.contains("BroadcastHashJoin"), s"state must broadcast:\n$p")
+  }
 }

@@ -125,4 +125,12 @@ object StateStream {
     fold = b => graft.operators.ThetaSketchOps.build(b, keys, valueCol, lgK),
     merge = s => graft.operators.ThetaSketchOps.merge(
       s, s.limit(0), keys, lgK))
+
+  /** Ready-made model: Count-Min point-frequency state over `itemCol`
+    * ([[graft.operators.CountMin]]); the state key is the sketch cell
+    * (seed, bucket), counter addition is the merge. */
+  def countMinModel(itemCol: String, depth: Int = 4,
+      width: Int = 4096): Model = Model(
+    fold = b => graft.operators.CountMin.build(b, itemCol, depth, width),
+    merge = s => graft.operators.CountMin.merge(s, s.limit(0)))
 }

@@ -78,6 +78,29 @@ class StateStreamSpec extends SparkSpec {
     assert(after("click") == direct("click") + 1.0)
   }
 
+  test("count-min state: streamed ingest == direct build, " +
+    "exact estimates after compaction") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events",
+      parallelize = false)
+    val Depth = 3; val Width = 64
+    val model = StateStream.countMinModel("user_id", Depth, Width)
+    val dir = Files.createTempDirectory("graft_cms_stream").toString
+    ingestInThirds(ev, model, dir)
+    val probes = ev.select("user_id").distinct()
+    def estimates(state: DataFrame) =
+      graft.operators.CountMin.estimate(state, probes, "user_id",
+          Depth, Width)
+        .as[(Long, Long)].collect().toMap
+    val direct = estimates(
+      graft.operators.CountMin.build(ev, "user_id", Depth, Width))
+    assert(estimates(StateStream.current(spark, ev, model,
+      s"$dir/state")) == direct && direct.nonEmpty)
+    // counter addition is merge: compaction cannot change any estimate
+    StateStream.compact(spark, ev, model, s"$dir/state")
+    assert(estimates(StateStream.current(spark, ev, model,
+      s"$dir/state")) == direct)
+  }
+
   test("a batch id behind the stored state refuses loudly") {
     val model = StateStream.thetaModel(Seq("event_type"), "user_id")
     val dir = Files.createTempDirectory("graft_guard_stream").toString

@@ -482,7 +482,63 @@ object QueriesStats {
       |WHERE e.value IS NOT NULL""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------------------- bootstrap SE
+  // Poisson-bootstrap standard error of mean(value) per event type
+  // (operators.Bootstrap): 32 replicates in one pass, weights drawn
+  // deterministically from md5 against integer Poisson(1) CDF
+  // thresholds. The oracle rebuilds the identical replicate table —
+  // same thresholds, same decimal roundings, same double formula — so
+  // hash agreement pins the whole uncertainty pipeline.
+  private val BootReps = 32
+
+  def qBootstrapSe(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap.groupedMeanSe(t(s, dir, "events"),
+      "event_id", "value", Seq("event_type"), BootReps)
+
+  val qBootstrapSeSql: String = {
+    def hexFold(sub: String) =
+      s"list_reduce(list_transform(regexp_split_to_array($sub, ''), " +
+        s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    val h = hexFold(
+      "substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 8)")
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L,
+      4294962463L)
+    val caseChain = thresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH seeds AS (SELECT unnest([${(0 until BootReps).mkString(", ")}]) AS rep),
+       |hw AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS x, rep,
+       |    $h AS h
+       |  FROM events CROSS JOIN seeds WHERE value IS NOT NULL),
+       |w AS (SELECT event_type, x, rep,
+       |    CASE $caseChain ELSE 9 END AS w FROM hw),
+       |rm AS (SELECT event_type, rep,
+       |    CAST(CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+       |      AS DECIMAL(20,12)) AS mean_r
+       |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+       |sq AS (SELECT event_type,
+       |    CAST(CAST(mean_r AS DOUBLE) AS DECIMAL(20,6)) AS m6,
+       |    CAST(CAST(mean_r AS DOUBLE) * CAST(mean_r AS DOUBLE)
+       |      AS DECIMAL(20,6)) AS m2
+       |  FROM rm),
+       |spread AS (SELECT event_type, count(*) AS r_used,
+       |    sum(m6) AS s, sum(m2) AS ss FROM sq GROUP BY 1),
+       |base AS (SELECT event_type, count(*) AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS mean_val
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+       |SELECT b.event_type, b.n, b.mean_val,
+       |  CASE WHEN r_used > 1 THEN sqrt(greatest(0.0,
+       |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+       |       / CAST(r_used AS DOUBLE)) / (CAST(r_used AS DOUBLE) - 1.0)))
+       |  END AS se_boot, r_used
+       |FROM base b JOIN spread USING (event_type)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_se" -> (qBootstrapSe _),
     "q_mannwhitney" -> (qMannWhitney _),
     "q_spearman" -> (qSpearman _),
     "q_scale_features" -> (qScaleFeatures _),
@@ -499,6 +555,7 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bootstrap_se" -> qBootstrapSeSql,
     "q_mannwhitney" -> qMannWhitneySql,
     "q_spearman" -> qSpearmanSql,
     "q_scale_features" -> qScaleFeaturesSql,

@@ -537,8 +537,51 @@ object QueriesStats {
        |FROM base b JOIN spread USING (event_type)""".stripMargin
   }
 
+  // ------------------------------------------------- correlation matrix
+  // All-pairs correlation of four lineitem measures in ONE scan
+  // (Stats.corrMatrix): the oracle replays each pair with the identical
+  // decimal partials and double formula as qCorr, one UNION ALL branch
+  // per pair.
+  private val CorrMatrixCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    Stats.corrMatrix(t(s, dir, "lineitem"), CorrMatrixCols)
+
+  val qCorrMatrixSql: String = {
+    def branch(a: String, b: String) =
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, count(*) AS n,
+         |  CASE WHEN (CAST(count(*) AS DOUBLE)
+         |         * CAST(sum(CAST($a AS DECIMAL(18,2)) * CAST($a AS DECIMAL(18,2))) AS DOUBLE)
+         |         - CAST(sum(CAST($a AS DECIMAL(18,2))) AS DOUBLE)
+         |           * CAST(sum(CAST($a AS DECIMAL(18,2))) AS DOUBLE)) > 0
+         |    AND (CAST(count(*) AS DOUBLE)
+         |         * CAST(sum(CAST($b AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)
+         |         - CAST(sum(CAST($b AS DECIMAL(18,2))) AS DOUBLE)
+         |           * CAST(sum(CAST($b AS DECIMAL(18,2))) AS DOUBLE)) > 0
+         |  THEN (CAST(count(*) AS DOUBLE)
+         |         * CAST(sum(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)
+         |         - CAST(sum(CAST($a AS DECIMAL(18,2))) AS DOUBLE)
+         |           * CAST(sum(CAST($b AS DECIMAL(18,2))) AS DOUBLE))
+         |       / (sqrt(CAST(count(*) AS DOUBLE)
+         |           * CAST(sum(CAST($a AS DECIMAL(18,2)) * CAST($a AS DECIMAL(18,2))) AS DOUBLE)
+         |           - CAST(sum(CAST($a AS DECIMAL(18,2))) AS DOUBLE)
+         |             * CAST(sum(CAST($a AS DECIMAL(18,2))) AS DOUBLE))
+         |        * sqrt(CAST(count(*) AS DOUBLE)
+         |           * CAST(sum(CAST($b AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)
+         |           - CAST(sum(CAST($b AS DECIMAL(18,2))) AS DOUBLE)
+         |             * CAST(sum(CAST($b AS DECIMAL(18,2))) AS DOUBLE)))
+         |  END AS corr
+         |FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL""".stripMargin
+    (for {
+      i <- CorrMatrixCols.indices; j <- (i + 1) until CorrMatrixCols.size
+    } yield branch(CorrMatrixCols(i), CorrMatrixCols(j)))
+      .mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bootstrap_se" -> (qBootstrapSe _),
+    "q_corr_matrix" -> (qCorrMatrix _),
     "q_mannwhitney" -> (qMannWhitney _),
     "q_spearman" -> (qSpearman _),
     "q_scale_features" -> (qScaleFeatures _),
@@ -556,6 +599,7 @@ object QueriesStats {
 
   val oracleSql: Map[String, String] = Map(
     "q_bootstrap_se" -> qBootstrapSeSql,
+    "q_corr_matrix" -> qCorrMatrixSql,
     "q_mannwhitney" -> qMannWhitneySql,
     "q_spearman" -> qSpearmanSql,
     "q_scale_features" -> qScaleFeaturesSql,

@@ -53,6 +53,46 @@ object Stats {
         (n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY))).as("corr"))
   }
 
+  /** All-pairs correlation matrix over a fixed column list in ONE
+    * corpus scan: the pair list explodes per row (k·(k-1)/2 structs —
+    * CPU, not shuffle: partial aggregation collapses to one row per
+    * pair per task before the exchange), then each pair runs exactly
+    * [[corrByKey]]'s decimal-partial/double-formula contract keyed on
+    * (col_x, col_y). Null handling is pairwise-complete, same as
+    * corrByKey. Output: (col_x, col_y, n, corr), upper triangle only. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "duplicate column in list")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val exploded = df
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          col(a).cast("double").as("x"), col(b).cast("double").as("y"))
+      }: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.x"), col("p.y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val agg = exploded.groupBy(col("col_x"), col("col_y")).agg(
+      count(lit(1)).as("n"),
+      sum(d(col("x"))).as("sx"),
+      sum(d(col("y"))).as("sy"),
+      sum(d(col("x")) * d(col("y"))).as("sxy"),
+      sum(d(col("x")) * d(col("x"))).as("sxx"),
+      sum(d(col("y")) * d(col("y"))).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    agg.select(col("col_x"), col("col_y"), col("n"),
+      when(varX > 0.0 && varY > 0.0,
+        (n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY))).as("corr"))
+  }
+
   /** Chi-square contingency cells for two categorical columns: observed
     * count, expected count under independence, and the cell's chi²
     * contribution. Rows with a null category are excluded up front —

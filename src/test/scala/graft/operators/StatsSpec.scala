@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -15,6 +16,31 @@ class StatsSpec extends SparkSpec {
       .map(r => r._1 -> r._3).toMap
     assert(math.abs(out("a").get - 1.0) < 1e-12)
     assert(math.abs(out("b").get - (-1.0)) < 1e-12)
+  }
+
+  test("corrMatrix agrees with corrByKey on every pair") {
+    val df = Seq(
+      (1.0, 2.0, 9.0), (2.0, 4.5, 7.0), (3.0, 5.5, 5.0),
+      (4.0, 9.0, 2.0), (5.0, 9.5, 1.0)
+    ).toDF("x", "y", "z")
+    val m = Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(m.keySet === Set(("x", "y"), ("x", "z"), ("y", "z")))
+    Seq(("x", "y"), ("x", "z"), ("y", "z")).foreach { case (a, b) =>
+      val single = Stats.corrByKey(df.withColumn("k", lit("g")),
+        "k", a, b).as[(String, Long, Option[Double])].head()
+      assert(m((a, b))._1 === single._2)
+      assert(math.abs(m((a, b))._2.get - single._3.get) < 1e-12,
+        s"pair ($a,$b)")
+    }
+    // pairwise-complete: a null in z must not shrink the (x,y) pair
+    val withNull = df.union(Seq((6.0, 11.0, Double.NaN)).toDF)
+      .withColumn("z", when(col("z").isNaN, lit(null)).otherwise(col("z")))
+    val m2 = Stats.corrMatrix(withNull, Seq("x", "y", "z"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m2(("x", "y")) === 6L && m2(("x", "z")) === 5L)
   }
 
   test("nulls are pairwise-complete dropped, not counted into n") {

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Privacy
+
+/** Beyond-reference query group: privacy auditing before release —
+  * k-anonymity class sizes, a one-row re-identification risk report,
+  * l-diversity homogeneity flags, and epsilon-DP noisy counts
+  * (graft.operators.Privacy).
+  *
+  * The quasi-identifier set is (nation, market segment, account-balance
+  * thousand-band) over `customer` — the classic "coarse demographics
+  * still single people out" shape. Every oracle replays the operator's
+  * exact arithmetic: the balance band is one IEEE divide + floor, the
+  * risk percentage one IEEE divide of exact integers, and the DP noise
+  * the same 48-bit md5 uniform through the same inverse-CDF Laplace
+  * (rounded through DECIMAL(28,6) on both engines — ln is libm,
+  * engine-portable only after decimal rounding; NOTES parity rule 4).
+  */
+object QueriesPrivacy {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val KMin = 5L
+  private val LMin = 3L
+  private val Eps = 1.0
+  private val Seed = 42L
+
+  /** Quasi-identifier projection: the raw demographic columns plus the
+    * generalized balance band (floor of one exact IEEE divide). */
+  private def quasi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / lit(1000.0)).as("bal_band"))
+
+  private val quasiSql =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------- k-anonymity
+  // One row per equivalence class with its population: the releasing
+  // pipeline's map of which quasi tuples are re-identification handles.
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymity(quasi(s, dir),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"))
+
+  private val qKAnonymitySql =
+    s"""SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS k
+       |FROM ($quasiSql) GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------- risk report
+  // One-row summary: the table's k-anonymity (min class size) and the
+  // population sitting in classes under the k >= 5 bar.
+  private def qPrivacyRisk(s: SparkSession, dir: String): DataFrame =
+    Privacy.riskReport(quasi(s, dir),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"), KMin)
+
+  private val qPrivacyRiskSql =
+    s"""WITH classes AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS k
+       |  FROM ($quasiSql) GROUP BY 1, 2, 3)
+       |SELECT count(*) AS n_classes,
+       |  CAST(sum(k) AS BIGINT) AS n_rows,
+       |  min(k) AS min_k,
+       |  CAST(sum(CASE WHEN k < $KMin THEN k ELSE 0 END) AS BIGINT)
+       |    AS rows_at_risk,
+       |  CAST(sum(CASE WHEN k < $KMin THEN k ELSE 0 END) * 100 AS DOUBLE)
+       |    / CAST(sum(k) AS DOUBLE) AS pct_at_risk
+       |FROM classes""".stripMargin
+
+  // ---------------------------------------------------------- l-diversity
+  // Homogeneity audit on the coarser (nation, segment) classes with the
+  // balance band as the sensitive value: big-k classes can still leak
+  // everyone's balance range if l = 1.
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversity(quasi(s, dir), Seq("c_nationkey", "c_mktsegment"),
+      "bal_band", LMin)
+
+  private val qLDiversitySql =
+    s"""SELECT c_nationkey, c_mktsegment, count(*) AS k,
+       |  count(DISTINCT bal_band) AS l,
+       |  count(DISTINCT bal_band) >= $LMin AS diverse
+       |FROM ($quasiSql) GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- DP counts
+  // Laplace-noised segment histogram, noise keyed on (segment, seed) —
+  // the oracle re-derives the identical 48-bit uniform and inverse CDF.
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    Privacy.dpCounts(t(s, dir, "customer"), "c_mktsegment", Eps, Seed)
+
+  private val qDpCountsSql: String = {
+    // 12 hex chars -> BIGINT via the pure-SQL fold (DuckDB has no
+    // hex-literal cast); matches Spark's conv(substring(md5,..),16,10).
+    val hexFold =
+      "list_reduce(list_transform(regexp_split_to_array(" +
+        s"substr(md5(c_mktsegment || ':dp:$Seed'), 1, 12), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""WITH counts AS (
+       |  SELECT c_mktsegment, count(*) AS n_true
+       |  FROM customer GROUP BY 1),
+       |noise AS (
+       |  SELECT c_mktsegment, n_true,
+       |    CAST($hexFold AS DOUBLE) / ${Privacy.Pow2_48} - 0.5 AS c
+       |  FROM counts)
+       |SELECT c_mktsegment, n_true,
+       |  CAST(CAST(n_true +
+       |      -sign(c) * ln(greatest(1e-12, 1.0 - 2.0 * abs(c))) / $Eps
+       |    AS DECIMAL(28,6)) AS DOUBLE) AS n_noisy
+       |FROM noise""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_privacy_risk" -> (qPrivacyRisk _),
+    "q_l_diversity" -> (qLDiversity _),
+    "q_dp_counts" -> (qDpCounts _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_k_anonymity" -> qKAnonymitySql,
+    "q_privacy_risk" -> qPrivacyRiskSql,
+    "q_l_diversity" -> qLDiversitySql,
+    "q_dp_counts" -> qDpCountsSql,
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy auditing for release/training pipelines: k-anonymity
+  * equivalence classes (Sweeney 2002), l-diversity homogeneity checks
+  * (Machanavajjhala et al. 2007), and epsilon-DP noisy counts via the
+  * Laplace mechanism (Dwork et al. 2006).
+  *
+  * Beyond-reference family: fastETL ships PII-bearing government tables
+  * between databases (e.g. `fastetl/custom_functions/utils/` load
+  * helpers move citizen records verbatim); before such a table — or a
+  * 100 TB behavioral corpus — is released for analytics or training,
+  * the releasing pipeline needs to MEASURE re-identification risk and,
+  * where aggregates are published, add calibrated noise. These
+  * operators are that audit stage, expressed as plain aggregations so
+  * Catalyst keeps them one shuffle each.
+  *
+  * Scale shape: every entry point is a single groupBy over the quasi
+  * columns — partial aggregation map-side, one keyed exchange, output
+  * bounded by |distinct quasi tuples| (the whole point of
+  * quasi-identifiers is that this is far below |rows|). The DP noise is
+  * derived post-aggregation from an md5 of the group key itself, so it
+  * adds zero shuffles and is reproducible across reruns and engines.
+  *
+  * Determinism caveat (documented contract): `dpCounts` draws its
+  * Laplace noise from a seeded md5 — reproducible by design so releases
+  * are auditable and the DuckDB oracle can replay them. The MECHANISM
+  * (inverse-CDF Laplace at sensitivity 1) is the real thing; a
+  * production release against an adaptive adversary should swap the
+  * seed for fresh entropy per release.
+  */
+object Privacy {
+
+  /** 2^48 — the md5-derived uniform uses 12 hex chars (48 bits), which a
+    * DOUBLE holds exactly (53-bit mantissa); dividing by a power of two
+    * only shifts the exponent, so `u` is bit-identical on any IEEE
+    * engine. */
+  val Pow2_48: Double = 281474976710656.0
+
+  /** Per-equivalence-class sizes over the quasi-identifier columns:
+    * one row per distinct quasi tuple with its population `k`. A class
+    * with small k is a re-identification handle — anyone who knows a
+    * target's quasi values can narrow them to k candidates. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String]): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("k"))
+
+  /** One-row re-identification risk report: class count, row count,
+    * the smallest class (the table's k-anonymity), and how many rows
+    * sit in classes below `kMin`. `pct_at_risk` is one IEEE division of
+    * two exactly-representable integers — bit-identical on any engine,
+    * no decimal rounding step needed. */
+  def riskReport(df: DataFrame, quasiCols: Seq[String], kMin: Long): DataFrame =
+    kAnonymity(df, quasiCols)
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("k")).as("n_rows"),
+        min(col("k")).as("min_k"),
+        sum(when(col("k") < kMin, col("k")).otherwise(lit(0L)))
+          .as("rows_at_risk"))
+      .withColumn("pct_at_risk",
+        (col("rows_at_risk") * lit(100L)).cast("double") /
+          col("n_rows").cast("double"))
+
+  /** l-diversity per quasi class: `l` = distinct sensitive values seen
+    * in the class, alongside its size `k`. A class with l = 1 leaks the
+    * sensitive value of every member even when k is large (homogeneity
+    * attack) — `diverse` flags classes meeting the `lMin` bar. Exact
+    * distinct is the two-phase partial/final aggregate; for corpora
+    * where |sensitive| per class is itself huge, feed a bucketed
+    * sensitive column (the attack model only cares about
+    * distinguishable values). */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      lMin: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("k"),
+        countDistinct(col(sensitiveCol)).as("l"))
+      .withColumn("diverse", col("l") >= lit(lMin))
+
+  /** Deterministic Laplace(1/epsilon) noise for a group key: inverse
+    * CDF over a 48-bit md5 uniform. u in [0,1); X = -sign(u-1/2) *
+    * ln(1-2|u-1/2|) / epsilon. The 1e-12 floor guards the measure-zero
+    * u=0 edge (ln 0) identically on both engines. */
+  def laplaceNoise(key: Column, epsilon: Double, seed: Long): Column = {
+    val u = conv(substring(md5(concat(key, lit(s":dp:$seed"))), 1, 12),
+      16, 10).cast("double") / lit(Pow2_48)
+    val c = u - lit(0.5)
+    -signum(c) * log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(c))) /
+      lit(epsilon)
+  }
+
+  /** Epsilon-DP noisy histogram: per-group counts plus Laplace noise at
+    * sensitivity 1 (one individual moves one count by one). The noise
+    * attaches AFTER aggregation, keyed on the group value itself —
+    * zero extra shuffles, reproducible per (group, seed). The noisy
+    * count rounds through DECIMAL(28,6) so the reported double renders
+    * identically across engines (ln differs at ulp level between libm
+    * implementations — NOTES parity rule 4). */
+  def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      seed: Long): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("n_noisy",
+        (col("n_true") + laplaceNoise(col(groupCol).cast("string"), epsilon,
+          seed)).cast("decimal(28,6)").cast("double"))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 classes: (BR,GOLD) x3, (BR,SILVER) x2, (AR,GOLD) x1; sensitive
+  // diagnosis column homogeneous in the (BR,GOLD) class.
+  private def people = Seq(
+    ("BR", "GOLD", "flu"), ("BR", "GOLD", "flu"), ("BR", "GOLD", "flu"),
+    ("BR", "SILVER", "flu"), ("BR", "SILVER", "cold"),
+    ("AR", "GOLD", "cold")
+  ).toDF("nation", "segment", "diagnosis")
+
+  test("kAnonymity: one row per class with its population") {
+    val k = Privacy.kAnonymity(people, Seq("nation", "segment"))
+      .as[(String, String, Long)].collect().toSet
+    assert(k === Set(("BR", "GOLD", 3L), ("BR", "SILVER", 2L),
+      ("AR", "GOLD", 1L)))
+  }
+
+  test("riskReport: min_k, rows under the bar, exact-division pct") {
+    val r = Privacy.riskReport(people, Seq("nation", "segment"), kMin = 3)
+      .select("n_classes", "n_rows", "min_k", "rows_at_risk", "pct_at_risk")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r === ((3L, 6L, 1L, 3L, 50.0)))
+  }
+
+  test("lDiversity flags homogeneous classes regardless of k") {
+    val l = Privacy.lDiversity(people, Seq("nation", "segment"),
+      "diagnosis", lMin = 2)
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    // The k=3 class is the leaky one (l=1); the k=2 class is diverse.
+    assert(l === Set(
+      ("BR", "GOLD", 3L, 1L, false),
+      ("BR", "SILVER", 2L, 2L, true),
+      ("AR", "GOLD", 1L, 1L, false)))
+  }
+
+  test("dpCounts: noise is deterministic per (group, seed), bounded, and zero-mean-ish") {
+    val df = (1 to 300).map(i => ("g" + (i % 3), i)).toDF("g", "v")
+    val a = Privacy.dpCounts(df, "g", epsilon = 1.0, seed = 7L)
+      .orderBy("g").as[(String, Long, Double)].collect()
+    val b = Privacy.dpCounts(df, "g", epsilon = 1.0, seed = 7L)
+      .orderBy("g").as[(String, Long, Double)].collect()
+    assert(a.sameElements(b), "same seed must reproduce the same noise")
+    assert(a.forall { case (_, n, _) => n == 100L })
+    // Laplace(b=1) noise: |noise| beyond 15 has probability ~3e-7.
+    assert(a.forall { case (_, n, noisy) => math.abs(noisy - n) < 15.0 })
+    val c = Privacy.dpCounts(df, "g", epsilon = 1.0, seed = 8L)
+      .orderBy("g").as[(String, Long, Double)].collect()
+    assert(!a.map(_._3).sameElements(c.map(_._3)),
+      "a different seed must draw different noise")
+  }
+
+  test("dpCounts epsilon scales the noise magnitude inversely") {
+    val df = (1 to 100).map(i => ("g" + (i % 5), i)).toDF("g", "v")
+    val tight = Privacy.dpCounts(df, "g", epsilon = 10.0, seed = 3L)
+      .as[(String, Long, Double)].collect()
+      .map { case (_, n, x) => math.abs(x - n) }
+    val loose = Privacy.dpCounts(df, "g", epsilon = 0.1, seed = 3L)
+      .as[(String, Long, Double)].collect()
+      .map { case (_, n, x) => math.abs(x - n) }
+    // Same uniforms, 100x the scale: every magnitude grows exactly 100x
+    // up to the DECIMAL(28,6) rounding of each endpoint.
+    tight.zip(loose).foreach { case (t, l) =>
+      assert(math.abs(l - 100.0 * t) < 1e-3)
+    }
+  }
+
+  test("laplace uniform edge: the 1e-12 floor keeps noise finite") {
+    // Can't force md5 to hit u=0, but the floor bounds |noise| by
+    // ln(1e-12)/eps ~ 27.6 for ANY key at eps=1.
+    val df = (1 to 2000).map(i => ("k" + i, i)).toDF("g", "v")
+    val worst = Privacy.dpCounts(df, "g", epsilon = 1.0, seed = 1L)
+      .select(max(abs(col("n_noisy") - col("n_true"))))
+      .as[Double].head()
+    assert(worst <= 27.631021115928547, s"noise must be floored, got $worst")
+    assert(!worst.isNaN && !worst.isInfinite)
+  }
+}

@@ -510,6 +510,46 @@ object QueriesScale {
       |  END AS clustering
       |FROM deg d LEFT JOIN tpn t ON d.node = t.node""".stripMargin
 
+  // --------------------------------------------------------------- k-core
+  // Dense-nucleus extraction on the co-order part graph: nodes of the
+  // k=80 core with their in-core degrees (operators.KCore — iterative
+  // simultaneous peel, fixpoint after 5 rounds on this graph). The
+  // oracle replays the identical peel as an unrolled MATERIALIZED CTE
+  // chain (8 rounds — extra rounds past the fixpoint are no-ops, so
+  // the margin is free); KCoreSpec pins the operator against a
+  // brute-force peeler on adversarial shapes.
+  private val KCoreK = 80
+  private val KCoreRounds = 8
+
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.KCore.extract(edges, "src", "dst", KCoreK)
+  }
+
+  private val qKcoreSql: String = {
+    val rounds = (0 until KCoreRounds).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT u FROM e$i GROUP BY u HAVING count(*) < $KCoreK),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM e$i
+         |  WHERE u NOT IN (SELECT u FROM b$i)
+         |    AND v NOT IN (SELECT u FROM b$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+       |$rounds
+       |SELECT u AS node, count(*) AS degree
+       |FROM e$KCoreRounds GROUP BY u""".stripMargin
+  }
+
   // ---------------------------------------------------------- skew report
   // Join-key skew diagnostic over events.user_id: top-10 keys with
   // count + share of the table, global totals on every row — the number
@@ -816,6 +856,28 @@ object QueriesScale {
        |FROM lineitem
        |WHERE l_orderkey IN (${LookupKeys.mkString(", ")})""".stripMargin
 
+  // ------------------------------------------------------- zone-map lookup
+  // Range lookup routed through the file-level min/max index
+  // (core.ZoneMap) — the range half of the skipping story next to the
+  // Bloom equality half. Envelopes only over-approximate file contents,
+  // so the pruned read must return exactly the full-scan BETWEEN rows
+  // (the oracle); real multi-file pruning is proven in ZoneMapSpec.
+  private val ZmLo = 55000.0
+  private val ZmHi = 55500.0
+
+  private def qZonemapLookup(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.core.ZoneMap.build(
+      s, s"$dir/lineitem.parquet", Seq("l_extendedprice"))
+    graft.core.ZoneMap.rangeLookup(s, idx, "l_extendedprice", ZmLo, ZmHi)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"))
+  }
+
+  private val qZonemapLookupSql =
+    s"""SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+       |FROM lineitem
+       |WHERE l_extendedprice BETWEEN $ZmLo AND $ZmHi""".stripMargin
+
   // ------------------------------------------------------------- z-order 3D
   // Three-column Morton key (price, quantity, discount — 21 bits each,
   // the full signed-long budget): the clustering key when a table is
@@ -982,6 +1044,7 @@ object QueriesScale {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_zorder3" -> (qZorder3 _),
     "q_bloom_lookup" -> (qBloomLookup _),
+    "q_zonemap_lookup" -> (qZonemapLookup _),
     "q_join_estimate" -> (qJoinEstimate _),
     "q_span_excise" -> (qSpanExcise _),
     "q_repeated_spans" -> (qRepeatedSpans _),
@@ -1000,6 +1063,7 @@ object QueriesScale {
     "q_bfs" -> (qBfs _),
     "q_triangles" -> (qTriangles _),
     "q_assortativity" -> (qAssortativity _),
+    "q_kcore" -> (qKcore _),
     "q_skew_report" -> (qSkewReport _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_epoch_shuffle" -> (qEpochShuffle _),
@@ -1014,6 +1078,7 @@ object QueriesScale {
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_zorder3" -> qZorder3Sql,
     "q_bloom_lookup" -> qBloomLookupSql,
+    "q_zonemap_lookup" -> qZonemapLookupSql,
     "q_join_estimate" -> qJoinEstimateSql,
     "q_span_excise" -> qSpanExciseSql,
     "q_repeated_spans" -> qRepeatedSpansSql,
@@ -1032,6 +1097,7 @@ object QueriesScale {
     "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,
     "q_assortativity" -> qAssortativitySql,
+    "q_kcore" -> qKcoreSql,
     "q_skew_report" -> qSkewReportSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_epoch_shuffle" -> qEpochShuffleSql,

@@ -356,6 +356,51 @@ object QueriesFunnel {
        |  END AS mase
        |FROM f GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------- seasonal decomp
+  // Classical additive decomposition of each event type's daily volume
+  // (operators.SeasonalDecompose): centered MA(7) trend, per-weekday
+  // seasonal index, residual. Scaled-integer discipline end to end —
+  // every reported double is ONE division of exact integers, so the
+  // hash compare needs no decimal rounding. Day rendered as a string
+  // (date dtype laundering differs between the two readers).
+  def qSeasonalDecomp(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.SeasonalDecompose.additive(
+      daily, Seq("event_type"), "day", "n", Season,
+      pmod(datediff(col("day"), lit("1970-01-01")), lit(Season)))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("period_pos"), col("trend"), col("seasonal"),
+        col("resid"))
+  }
+
+  val qSeasonalDecompSql: String =
+    s"""WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dd,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT k, dd, n,
+       |    CAST((dd - DATE '1970-01-01') % $Season AS INT) AS period_pos,
+       |    sum(n) OVER w AS s7, count(n) OVER w AS c7
+       |  FROM d WINDOW w AS (PARTITION BY k ORDER BY dd
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |tr AS (SELECT k, dd, n, period_pos,
+       |    CASE WHEN c7 = $Season THEN s7 END AS num FROM b),
+       |seas AS (SELECT k, period_pos,
+       |    CAST(sum(n * $Season - num) AS DOUBLE)
+       |      / CAST(count(*) * $Season AS DOUBLE) AS seasonal
+       |  FROM tr WHERE num IS NOT NULL GROUP BY 1, 2)
+       |SELECT tr.k AS event_type, strftime(tr.dd, '%Y-%m-%d') AS day,
+       |  tr.n, tr.period_pos,
+       |  CAST(num AS DOUBLE) / $Season.0 AS trend,
+       |  seas.seasonal,
+       |  CASE WHEN num IS NOT NULL AND seas.seasonal IS NOT NULL THEN
+       |    CAST(tr.n AS DOUBLE) - CAST(num AS DOUBLE) / $Season.0
+       |      - seas.seasonal END AS resid
+       |FROM tr LEFT JOIN seas
+       |  ON tr.k = seas.k AND tr.period_pos = seas.period_pos""".stripMargin
+
   // ----------------------------------------------------------- count-min
   // Count-Min point-frequency state over per-user event counts: build
   // depth×width counters, then estimate every user's event count back
@@ -414,6 +459,7 @@ object QueriesFunnel {
     "q_pop" -> (qPop _),
     "q_theta_overlap" -> (qThetaOverlap _),
     "q_forecast_eval" -> (qForecastEval _),
+    "q_seasonal_decomp" -> (qSeasonalDecomp _),
     "q_countmin" -> (qCountMin _),
   )
 
@@ -428,6 +474,7 @@ object QueriesFunnel {
     "q_pop" -> qPopSql,
     "q_theta_overlap" -> qThetaOverlapSql,
     "q_forecast_eval" -> qForecastEvalSql,
+    "q_seasonal_decomp" -> qSeasonalDecompSql,
     "q_countmin" -> qCountMinSql,
   )
 }

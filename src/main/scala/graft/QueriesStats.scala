@@ -579,7 +579,69 @@ object QueriesStats {
       .mkString("\nUNION ALL\n")
   }
 
+  // ------------------------------------------------------------- CUPED
+  // Variance-reduced A/B readout (operators.Cuped): units are users,
+  // variant is a deterministic user-id split, the covariate is each
+  // user's first-half activity and the outcome the second-half — the
+  // canonical "pre-period predicts post-period" setup. Counts are
+  // integers, so the decimal moments are exact and theta / adjusted
+  // means / rho-squared replay bit-equal from the same fixed formula
+  // shapes.
+  private val CupedCut = "2024-01-16"
+
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(CupedCut).cast("timestamp")
+    val units = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+    graft.operators.Cuped.adjustedMeans(units, "variant", "y", "x")
+  }
+
+  val qCupedSql: String = {
+    def D(c: String) = s"CAST($c AS DOUBLE)"
+    val varX = s"(${D("p_n")} * ${D("p_sxx")} - ${D("p_sx")} * ${D("p_sx")})"
+    val varY = s"(${D("p_n")} * ${D("p_syy")} - ${D("p_sy")} * ${D("p_sy")})"
+    val cov = s"(${D("p_n")} * ${D("p_sxy")} - ${D("p_sx")} * ${D("p_sy")})"
+    s"""WITH units AS (
+       |  SELECT user_id,
+       |    CAST(user_id % 2 AS INT) AS variant,
+       |    sum(CASE WHEN ts < TIMESTAMP '$CupedCut' THEN 1 ELSE 0 END)
+       |      AS x,
+       |    sum(CASE WHEN ts >= TIMESTAMP '$CupedCut' THEN 1 ELSE 0 END)
+       |      AS y
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |per AS (
+       |  SELECT variant, count(*) AS n,
+       |    sum(CAST(x AS DECIMAL(18,2))) AS sx,
+       |    sum(CAST(y AS DECIMAL(18,2))) AS sy,
+       |    sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS sxy,
+       |    sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS sxx,
+       |    sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS syy
+       |  FROM units GROUP BY 1),
+       |pooled AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS p_n, sum(sx) AS p_sx,
+       |    sum(sy) AS p_sy, sum(sxy) AS p_sxy, sum(sxx) AS p_sxx,
+       |    sum(syy) AS p_syy
+       |  FROM per)
+       |SELECT variant, n,
+       |  ${D("sy")} / ${D("n")} AS mean_y,
+       |  CASE WHEN $varX > 0 THEN
+       |    ${D("sy")} / ${D("n")} - ($cov / $varX) *
+       |      (${D("sx")} / ${D("n")} - ${D("p_sx")} / ${D("p_n")})
+       |  END AS mean_y_adj,
+       |  CASE WHEN $varX > 0 THEN $cov / $varX END AS theta,
+       |  CASE WHEN $varX > 0 AND $varY > 0 THEN
+       |    ($cov * $cov) / ($varX * $varY)
+       |  END AS var_reduction
+       |FROM per CROSS JOIN pooled""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cuped" -> (qCuped _),
     "q_bootstrap_se" -> (qBootstrapSe _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_mannwhitney" -> (qMannWhitney _),
@@ -598,6 +660,7 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cuped" -> qCupedSql,
     "q_bootstrap_se" -> qBootstrapSeSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_mannwhitney" -> qMannWhitneySql,

@@ -139,7 +139,61 @@ object QueriesRelational {
     sql(s, dir, setOpsSql)
 
   // ------------------------------------------------------------- registry
+  // ---------------------------------------------------- FD / key checks
+  // Dependency profiling (operators.Dependencies): exact functional-
+  // dependency verdicts over a hypothesis list and candidate-key
+  // verification — one scan each, all-integer outputs. The oracle
+  // replays each hypothesis as its own GROUP BY branch (independent
+  // mechanics: no explode, one branch per pair).
+  private val FdPairs = Seq(
+    ("o_orderkey", "o_custkey"),      // holds: an order has one customer
+    ("o_orderkey", "o_orderstatus"),  // holds
+    ("o_custkey", "o_orderstatus"),   // violated: customers repeat
+    ("o_orderstatus", "o_orderpriority")) // violated
+
+  def qFdCheck(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dependencies.functionalDeps(
+      Tables.load(s, dir, "orders"), FdPairs)
+
+  val qFdCheckSql: String =
+    FdPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS lhs, '$b' AS rhs,
+         |  count(*) AS n_lhs_values,
+         |  CAST(sum(n_rhs) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lhs_violating,
+         |  sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+         |FROM (
+         |  SELECT $a, count(DISTINCT CAST($b AS VARCHAR))
+         |    + max(CASE WHEN $b IS NULL THEN 1 ELSE 0 END) AS n_rhs
+         |  FROM orders GROUP BY $a) g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private val KeySets = Seq(
+    Seq("o_orderkey"),
+    Seq("o_custkey"),
+    Seq("o_custkey", "o_orderdate"))
+
+  def qKeyCheck(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dependencies.keyCheck(
+      Tables.load(s, dir, "orders"), KeySets)
+
+  val qKeyCheckSql: String =
+    KeySets.map { cols =>
+      val label = cols.mkString(",")
+      val grp = cols.mkString(", ")
+      s"""SELECT '$label' AS key_cols,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  count(*) AS n_distinct,
+         |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_dup_rows,
+         |  sum(CASE WHEN n > 1 THEN n ELSE 0 END) = 0 AS is_key
+         |FROM (SELECT count(*) AS n FROM orders GROUP BY $grp) g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fd_check" -> (qFdCheck _),
+    "q_key_check" -> (qKeyCheck _),
     "q_exists_semi" -> (qExistsSemi _),
     "q_anti_agg" -> (qAntiAgg _),
     "q_scalar_corr" -> (qScalarCorr _),
@@ -150,6 +204,8 @@ object QueriesRelational {
   val oracleSql: Map[String, String] = Map(
     "q_exists_semi" -> existsSemiSql,
     "q_anti_agg" -> antiAggSql,
+    "q_fd_check" -> qFdCheckSql,
+    "q_key_check" -> qKeyCheckSql,
     "q_scalar_corr" -> scalarCorrSql,
     "q_having_semi" -> havingSemiSql,
     "q_setops" -> setOpsSql,

@@ -158,6 +158,18 @@ object ScaleCheck {
     "pagerank" -> { (s, dir) =>
       graft.operators.PageRank.run(edgesBipartite(s, dir), "src", "dst", 3, 0.85)
     },
+    "kcore" -> { (s, dir) =>
+      // iterative peel on the co-order graph (the q_kcore shape): per
+      // round one degree agg + two node-sized anti-joins; disjoint
+      // copies preserve the peel depth, so linear-in-volume is the bar
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.operators.KCore.extract(edges, "src", "dst", 80)
+    },
     "bfs" -> { (s, dir) =>
       graft.operators.ShortestPaths.fromSource(
         edgesBipartite(s, dir), "src", "dst", "c1", 4)
@@ -349,11 +361,24 @@ object ScaleCheck {
             line
           }
         // repo artifact, the bench_full.json treatment — judges read the
-        // file, not a scrollback
-        try java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("scalecheck.json"),
-          lines.mkString("[", ",\n ", "]\n"))
-        catch { case e: Throwable =>
+        // file, not a scrollback. A filtered run MERGES into the
+        // existing table by op name (one row per line), so re-measuring
+        // one heavy can't clobber the rest of the sweep.
+        try {
+          val path = java.nio.file.Paths.get("scalecheck.json")
+          val existing =
+            if (java.nio.file.Files.exists(path))
+              java.nio.file.Files.readString(path)
+                .stripPrefix("[").stripSuffix("\n").stripSuffix("]")
+                .split(",\n ").toSeq.filter(_.nonEmpty)
+            else Seq.empty
+          val opOf = (l: String) =>
+            "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1))
+          val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          (existing ++ lines).foreach(l => opOf(l).foreach(merged(_) = l))
+          java.nio.file.Files.writeString(path,
+            merged.values.mkString("[", ",\n ", "]\n"))
+        } catch { case e: Throwable =>
           System.err.println(s"[scalecheck] write failed: ${e.getMessage}")
         }
       case "writes" =>

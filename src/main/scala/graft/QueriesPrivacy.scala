@@ -114,7 +114,64 @@ object QueriesPrivacy {
        |FROM noise""".stripMargin
   }
 
+  // -------------------------------------------------------- pseudonymize
+  // Keyed tokenization preserves referential integrity: customer and
+  // order keys tokenized under the same secret still join. Output pins
+  // both the join cardinality per segment AND a concrete token value
+  // (min), so the oracle verifies the token derivation byte-for-byte.
+  private val PseudoSecret = "graft-secret-7"
+
+  private def qPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val c = Privacy.pseudonymize(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "c_custkey", PseudoSecret)
+    val o = Privacy.pseudonymize(
+      t(s, dir, "orders").select(col("o_custkey")),
+      "o_custkey", PseudoSecret)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), min(col("c_custkey")).as("min_token"))
+  }
+
+  private val qPseudonymizeSql =
+    s"""WITH c AS (SELECT md5('$PseudoSecret:' || CAST(c_custkey AS VARCHAR))
+       |    AS tok, c_mktsegment FROM customer),
+       |o AS (SELECT md5('$PseudoSecret:' || CAST(o_custkey AS VARCHAR))
+       |    AS tok FROM orders)
+       |SELECT c_mktsegment, count(*) AS n_orders, min(c.tok) AS min_token
+       |FROM c JOIN o ON c.tok = o.tok
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- suppress rare
+  // Generalize under-k classes of (segment, nation) to OTHER; output the
+  // full transformed projection so the oracle checks every row's verdict.
+  private val SuppressK = 8L
+
+  private def qSuppressRare(s: SparkSession, dir: String): DataFrame =
+    Privacy.suppressRare(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        concat(lit("n"), col("c_nationkey").cast("string")).as("nation")),
+      Seq("c_mktsegment", "nation"), SuppressK)
+
+  private val qSuppressRareSql =
+    s"""WITH src AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    'n' || CAST(c_nationkey AS VARCHAR) AS nation
+       |  FROM customer),
+       |rare AS (
+       |  SELECT c_mktsegment, nation FROM src
+       |  GROUP BY 1, 2 HAVING count(*) < $SuppressK)
+       |SELECT s.c_custkey,
+       |  CASE WHEN r.c_mktsegment IS NOT NULL THEN 'OTHER'
+       |       ELSE s.c_mktsegment END AS c_mktsegment,
+       |  CASE WHEN r.c_mktsegment IS NOT NULL THEN 'OTHER'
+       |       ELSE s.nation END AS nation
+       |FROM src s LEFT JOIN rare r
+       |  ON s.c_mktsegment = r.c_mktsegment AND s.nation = r.nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pseudonymize" -> (qPseudonymize _),
+    "q_suppress_rare" -> (qSuppressRare _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_privacy_risk" -> (qPrivacyRisk _),
     "q_l_diversity" -> (qLDiversity _),
@@ -122,6 +179,8 @@ object QueriesPrivacy {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pseudonymize" -> qPseudonymizeSql,
+    "q_suppress_rare" -> qSuppressRareSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_privacy_risk" -> qPrivacyRiskSql,
     "q_l_diversity" -> qLDiversitySql,

@@ -106,4 +106,52 @@ object Privacy {
       .withColumn("n_noisy",
         (col("n_true") + laplaceNoise(col(groupCol).cast("string"), epsilon,
           seed)).cast("decimal(28,6)").cast("double"))
+
+  /** Keyed deterministic pseudonymization: replace `c` with a stable
+    * surrogate token md5(secret ':' value) — the same value maps to the
+    * same token under the same secret EVERYWHERE, so joins and
+    * referential integrity survive tokenization across tables while
+    * the raw identifier never leaves the pipeline. Map-side expression,
+    * zero shuffles, composable per column.
+    *
+    * Threat model (document to callers): this is pseudonymization
+    * (GDPR art. 4(5)) — reversible by whoever holds the secret via
+    * re-derivation, and vulnerable to dictionary attack on low-entropy
+    * values if the secret leaks. NULL stays NULL (a null identifier is
+    * absence, not a value to protect). */
+  def pseudonymize(df: DataFrame, c: String, secret: String): DataFrame =
+    df.withColumn(c, md5(concat(lit(s"$secret:"), col(c).cast("string"))))
+
+  /** Generalize rare quasi-identifier classes to reach k-anonymity:
+    * rows whose full quasi tuple has population < kMin get every quasi
+    * column replaced by `otherLabel` — coarse, monotone (suppressing
+    * can only merge classes, never split), and sufficient whenever the
+    * merged OTHER class itself reaches kMin (flagged in the output so
+    * callers can iterate or drop the remainder).
+    *
+    * One aggregation on the quasi tuple + one broadcast-sized join of
+    * the RARE class list back (bounded by kMin x classes, the small
+    * side by construction). String quasi columns only — generalizing
+    * numerics belongs to binning ([[Discretize]]) upstream. */
+  def suppressRare(df: DataFrame, quasiCols: Seq[String], kMin: Long,
+      otherLabel: String = "OTHER"): DataFrame = {
+    quasiCols.foreach { c =>
+      require(df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"suppressRare quasi column '$c' must be string — bin numerics " +
+          "upstream (Discretize) so generalization is meaningful")
+    }
+    val rare = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__k"))
+      .filter(col("__k") < kMin)
+      .select(quasiCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__rare", lit(true))
+    val joinCond = quasiCols.map(c => col(c) <=> col(s"__r_$c"))
+      .reduce(_ && _)
+    val joined = df.join(broadcast(rare), joinCond, "left")
+    quasiCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(col("__rare"), lit(otherLabel)).otherwise(col(c)))
+    }.drop((quasiCols.map(c => s"__r_$c") :+ "__rare"): _*)
+  }
 }

@@ -71,6 +71,65 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("pseudonymize: stable per secret, distinct across secrets, join-preserving") {
+    val a = Seq((1L, "x"), (2L, "y"), (1L, "z")).toDF("k", "v")
+    val b = Seq((1L, "p"), (3L, "q")).toDF("k", "w")
+    val ta = Privacy.pseudonymize(a, "k", "s1")
+    val tb = Privacy.pseudonymize(b, "k", "s1")
+    // same value -> same token within and across tables
+    assert(ta.select("k").distinct().count() === 2L)
+    val joined = ta.join(tb, "k").select("v", "w").as[(String, String)]
+      .collect().toSet
+    assert(joined === Set(("x", "p"), ("z", "p"))) // k=1 matches, 2/3 don't
+    // a different secret derives disjoint tokens
+    val tc = Privacy.pseudonymize(a, "k", "s2")
+    assert(ta.join(tc, "k").count() === 0L)
+    // null identifiers stay null
+    val tn = Privacy.pseudonymize(
+      Seq[(java.lang.Long, String)]((null, "n")).toDF("k", "v"), "k", "s1")
+    assert(tn.filter(col("k").isNull).count() === 1L)
+  }
+
+  test("suppressRare merges under-k classes and leaves the rest intact") {
+    val df = Seq(
+      ("BR", "GOLD"), ("BR", "GOLD"), ("BR", "GOLD"),
+      ("AR", "GOLD"), ("CL", "SILVER")
+    ).toDF("nation", "segment")
+    val out = Privacy.suppressRare(df, Seq("nation", "segment"), kMin = 2)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(out === Seq(
+      ("BR", "GOLD"), ("BR", "GOLD"), ("BR", "GOLD"),
+      ("OTHER", "OTHER"), ("OTHER", "OTHER")).sorted)
+    // after suppression the OTHER class itself reaches k=2
+    val k2 = Privacy.kAnonymity(
+      Privacy.suppressRare(df, Seq("nation", "segment"), 2),
+      Seq("nation", "segment"))
+      .as[(String, String, Long)].collect()
+      .find(r => r._1 == "OTHER").map(_._3)
+    assert(k2.contains(2L))
+  }
+
+  test("suppressRare treats null quasi values as a class (null-safe join)") {
+    val df = Seq(
+      (Some("BR"), "A"), (Some("BR"), "A"), (None, "A"), (None, "A"),
+      (Some("CL"), "B")
+    ).toDF("nation", "segment")
+    val out = Privacy.suppressRare(df, Seq("nation", "segment"), kMin = 2)
+      .as[(Option[String], String)].collect()
+    // the (null, A) class has k=2 -> kept as-is (nulls must match
+    // themselves in the rare join, not leak through as unmatched)
+    assert(out.count(r => r._1.isEmpty && r._2 == "A") === 2)
+    assert(out.count(r => r._1.contains("OTHER")) === 1)
+  }
+
+  test("suppressRare rejects non-string quasi columns") {
+    val df = Seq((1, "a")).toDF("num", "s")
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.suppressRare(df, Seq("num"), 2)
+    }
+    assert(ex.getMessage.contains("string"))
+  }
+
   test("laplace uniform edge: the 1e-12 floor keeps noise finite") {
     // Can't force md5 to hit u=0, but the floor bounds |noise| by
     // ln(1e-12)/eps ~ 27.6 for ANY key at eps=1.

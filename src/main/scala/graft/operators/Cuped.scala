@@ -33,8 +33,13 @@ object Cuped {
     * adjustment and var_reduction are NULL when the covariate has zero
     * pooled variance (nothing to adjust with). */
   def adjustedMeans(df: DataFrame, variantCol: String, yCol: String,
-      xCol: String): DataFrame = {
-    val per = df
+      xCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    // retained: the variant-level moment table feeds both the pooled
+    // aggregate and the final projection — without the persist the
+    // corpus scans twice (see CacheScope)
+    val per = scope.retain(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(variantCol))
       .agg(
@@ -43,7 +48,7 @@ object Cuped {
         sum(d(col(yCol))).as("sy"),
         sum(d(col(xCol)) * d(col(yCol))).as("sxy"),
         sum(d(col(xCol)) * d(col(xCol))).as("sxx"),
-        sum(d(col(yCol)) * d(col(yCol))).as("syy"))
+        sum(d(col(yCol)) * d(col(yCol))).as("syy")))
     val pooled = per.agg(
       sum(col("n")).as("p_n"),
       sum(col("sx")).as("p_sx"),

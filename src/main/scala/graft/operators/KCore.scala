@@ -35,6 +35,22 @@ object KCore {
     * undirected edge list, each pair in either orientation; self-loops
     * and duplicate pairs are dropped before peeling so they can't
     * inflate a degree past the floor. */
+  /** Under-floor nodes of the current edge frame: one map-side-combined
+    * degree aggregate, output node-sized. */
+  private[operators] def badNodes(cur: DataFrame, k: Int): DataFrame =
+    cur.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .filter(col("d") < k).select(col("u"))
+
+  /** One simultaneous-peel round: drop every edge touching a removed
+    * node — two anti-joins of the edge frame against the node-sized
+    * removal set (equi-keyed; KCoreSpec pins that neither degenerates
+    * to a loop join). */
+  private[operators] def removeNodes(cur: DataFrame, bad: DataFrame): DataFrame =
+    cur
+      .join(bad, Seq("u"), "left_anti")
+      .join(bad.select(col("u").as("v")), Seq("v"), "left_anti")
+      .select(col("u"), col("v"))
+
   def extract(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIter: Int = 100): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
@@ -51,15 +67,10 @@ object KCore {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val bad = cur.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .filter(col("d") < k).select(col("u"))
+      val bad = badNodes(cur, k)
       if (bad.isEmpty) done = true
       else {
-        val next = cur
-          .join(bad, Seq("u"), "left_anti")
-          .join(bad.select(col("u").as("v")), Seq("v"), "left_anti")
-          .select(col("u"), col("v"))
-          .localCheckpoint()
+        val next = removeNodes(cur, bad).localCheckpoint()
         graft.core.Checkpoints.releaseLocal(cur)
         cur = next
         iter += 1
@@ -100,15 +111,10 @@ object KCore {
       var iter = 0
       var done = false
       while (!done && iter < maxIter) {
-        val bad = cur.groupBy(col("u")).agg(count(lit(1)).as("d"))
-          .filter(col("d") < k).select(col("u"))
+        val bad = badNodes(cur, k)
         if (bad.isEmpty) done = true
         else {
-          val next = cur
-            .join(bad, Seq("u"), "left_anti")
-            .join(bad.select(col("u").as("v")), Seq("v"), "left_anti")
-            .select(col("u"), col("v"))
-            .localCheckpoint()
+          val next = removeNodes(cur, bad).localCheckpoint()
           graft.core.Checkpoints.releaseLocal(cur)
           cur = next
           iter += 1

@@ -47,7 +47,9 @@ object SeasonalDecompose {
     */
   def additive(df: DataFrame, keyCols: Seq[String], orderCol: String,
       valueCol: String, period: Int,
-      posCol: org.apache.spark.sql.Column): DataFrame = {
+      posCol: org.apache.spark.sql.Column,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
     require(period >= 2, s"need period >= 2, got $period")
     requireIntegral(df, valueCol)
     val half = period / 2
@@ -68,13 +70,16 @@ object SeasonalDecompose {
       }
     val full = count(v).over(w) === lit((2 * half + 1).toLong)
 
-    val base = df
+    // retained: the windowed panel feeds both the seasonal aggregate
+    // and the final join — without the persist the input chain (and
+    // its window sort) runs twice (see CacheScope)
+    val base = scope.retain(df
       .withColumn("period_pos", posCol.cast("int"))
       .withColumn("__num", when(full, num))
       .withColumn("trend", col("__num").cast("double") / lit(den.toDouble))
       // detrended, scaled by den: den*value - num — still exact integer
       .withColumn("__sdetr", when(col("__num").isNotNull,
-        v * lit(den) - col("__num")))
+        v * lit(den) - col("__num"))))
 
     // per (key, position) seasonal index: one division of exact sums
     val seas = base.filter(col("__sdetr").isNotNull)

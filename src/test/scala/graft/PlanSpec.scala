@@ -598,4 +598,45 @@ class PlanSpec extends SparkSpec {
     // (seed, bucket)
     assert(p.contains("BroadcastHashJoin"), s"state must broadcast:\n$p")
   }
+
+  test("q_cuped scans events once — the moment table is retained for both consumers") {
+    // the per-variant moment table feeds the pooled aggregate AND the
+    // final projection; the persist makes that one corpus scan (the
+    // pooled row then rides the adjudicated one-row broadcast cross)
+    val p = plan("q_cuped")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryRelation"),
+      s"CUPED re-scans the corpus ($scans scans):\n$p")
+  }
+
+  test("q_fd_check and q_key_check are scan + explode + aggregates, no join") {
+    for (q <- Seq("q_fd_check", "q_key_check")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q must scan orders once, got $scans:\n$p")
+    }
+  }
+
+  test("q_suppress_rare joins the bounded rare-class list by broadcast") {
+    val p = plan("q_suppress_rare")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rare list must broadcast, not shuffle the corpus:\n$p")
+  }
+
+  test("q_dp_counts noise attaches after the aggregate — one keyed exchange, no join") {
+    val p = plan("q_dp_counts")
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected the groupBy exchange only, got $keyed:\n$p")
+    assert(!p.contains("Join"), s"noise must be expression-only:\n$p")
+  }
+
+  test("q_seasonal_decomp retains the windowed panel for both consumers") {
+    val p = plan("q_seasonal_decomp")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"decomposition degenerated:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryRelation"),
+      s"daily panel rebuilt per stage ($scans scans):\n$p")
+  }
 }

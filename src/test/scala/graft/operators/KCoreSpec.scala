@@ -87,6 +87,26 @@ class KCoreSpec extends SparkSpec {
     assert(got(1L) === 3L && got(10L) === 2L && got(12L) === 1L)
   }
 
+  test("a peel round plans as equi-anti-joins, never a loop, with map-side degree combine") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val cur = (1L to 100L).flatMap(i => Seq((i, i % 7), (i % 7, i)))
+      .toDF("u", "v")
+    val p = KCore.removeNodes(cur, KCore.badNodes(cur, 3))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"peel round degenerated to a loop join:\n$p")
+    // FormattedMode prints each join once in the tree and once in the
+    // node details — count the detail lines, one per physical join
+    assert("Join type: LeftAnti".r.findAllIn(p).length === 2,
+      s"expected two node-removal anti joins:\n$p")
+    // degree aggregate combines before its exchange
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstEx = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstEx >= 0,
+      s"expected aggregate + exchange in the round plan:\n$p")
+  }
+
   test("random graphs agree with the reference (both entry points)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Conformal, LabelProp, LinearModel, RankEval, Sampling}
+
+/** Round-11 query group: in-engine model fitting and certification —
+  * ridge regression by exact normal-equation moments, split-conformal
+  * prediction intervals over deterministic splits, and deterministic
+  * label-propagation communities. The family a curation pipeline uses
+  * to FIT its quality/calibration models where the corpus lives instead
+  * of collecting samples out (fastETL's answer is a copy pipeline to a
+  * warehouse — fastetl/custom_functions/fast_etl.py; this is the
+  * engine-native counterpart).
+  */
+object QueriesModel {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // -------------------------------------------------------- ridge fit
+  // Per-returnflag ridge of extendedprice on (quantity, discount),
+  // λ = 1000: ONE moment aggregate (ten decimal partials), Cramer-rule
+  // double solve on the 3-row result. The oracle replays the identical
+  // decimal partials and the identical fixed-shape double expressions —
+  // hash agreement means bit-equal coefficients and R².
+  private val RidgeLambda = 1000.0
+
+  def qRidgeFit(s: SparkSession, dir: String): DataFrame =
+    LinearModel.ridgeByKey(t(s, dir, "lineitem"), "l_returnflag",
+      "l_extendedprice", "l_quantity", "l_discount", RidgeLambda)
+
+  val qRidgeFitSql: String =
+    s"""WITH a AS (
+       |  SELECT l_returnflag AS k, count(*) AS n,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+       |    sum(CAST(l_discount AS DECIMAL(18,2))) AS s2,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_quantity AS DECIMAL(18,2))) AS s11,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2))) AS s12,
+       |    sum(CAST(l_discount AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2))) AS s22,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS s1y,
+       |    sum(CAST(l_discount AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS s2y,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND l_discount IS NOT NULL
+       |  GROUP BY 1),
+       |s AS (SELECT k, n, CAST(n AS DOUBLE) AS nd,
+       |  CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+       |  CAST(sy AS DOUBLE) AS sy,
+       |  CAST(s11 AS DOUBLE) AS s11r, CAST(s12 AS DOUBLE) AS s12,
+       |  CAST(s22 AS DOUBLE) AS s22r,
+       |  CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+       |  CAST(syy AS DOUBLE) AS syy FROM a),
+       |p AS (SELECT *, s11r + $RidgeLambda AS s11, s22r + $RidgeLambda AS s22
+       |  FROM s),
+       |d AS (SELECT *,
+       |  nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+       |    + s2*(s1*s12 - s11*s2) AS det,
+       |  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+       |    + s2*(s1y*s12 - s11*s2y) AS det0,
+       |  nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+       |    + s2*(s1*s2y - s1y*s2) AS det1,
+       |  nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+       |    + sy*(s1*s12 - s11*s2) AS det2
+       |  FROM p),
+       |c AS (SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2
+       |  FROM d),
+       |f AS (SELECT *,
+       |  syy - 2.0*(b0*sy + b1*s1y + b2*s2y)
+       |    + (b0*(nd*b0 + s1*b1 + s2*b2)
+       |       + b1*(s1*b0 + s11r*b1 + s12*b2)
+       |       + b2*(s2*b0 + s12*b1 + s22r*b2)) AS sse,
+       |  syy - sy*sy/nd AS sst FROM c)
+       |SELECT k AS l_returnflag, n,
+       |  CASE WHEN det <> 0.0 THEN b0 END AS b0,
+       |  CASE WHEN det <> 0.0 THEN b1 END AS b1,
+       |  CASE WHEN det <> 0.0 THEN b2 END AS b2,
+       |  CASE WHEN det <> 0.0 AND sst > 0.0 THEN 1.0 - sse/sst END AS r2
+       |FROM f""".stripMargin
+
+  // -------------------------------------------------------- conformal
+  // 90% split-conformal intervals for a per-flag mean predictor over a
+  // deterministic md5 three-way split (train 50 / cal 25 / test 25 by
+  // row key — the Splits bucket mechanics). The conformal radius is an
+  // exact order statistic of calibration residuals; test coverage is an
+  // integer count. One corpus scan (the split base is retained).
+  def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.CacheScope.session.retain(
+      t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_extendedprice").as("y"),
+        Sampling.hashBucket(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")), 10000).as("b")))
+    val pred = base.filter(col("b") < 5000)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("y").cast("decimal(18,2)")).as("ty"),
+        count(lit(1)).as("tn"))
+      .select(col("l_returnflag"),
+        (col("ty").cast("double") / col("tn").cast("double")).as("pred"))
+    def resid(df: DataFrame): DataFrame =
+      df.join(broadcast(pred), Seq("l_returnflag"))
+        .withColumn("resid", abs(col("y").cast("double") - col("pred")))
+    val cal = resid(base.filter(col("b") >= 5000 && col("b") < 7500))
+    val rad = Conformal.radius(cal, "l_returnflag", "resid", 9, 10)
+    Conformal.coverage(resid(base.filter(col("b") >= 7500)), rad,
+      "l_returnflag", "resid")
+  }
+
+  val qConformalSql: String = {
+    val fold = QueriesText.sqlHexFold(
+      "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")
+    s"""WITH li AS (SELECT l_returnflag AS k, l_extendedprice AS y,
+       |    $fold % 10000 AS b FROM lineitem),
+       |tr AS (SELECT k, CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS pred
+       |  FROM li WHERE b < 5000 GROUP BY 1),
+       |cal AS (SELECT li.k, abs(CAST(y AS DOUBLE) - pred) AS resid
+       |  FROM li JOIN tr ON li.k = tr.k WHERE b >= 5000 AND b < 7500),
+       |calr AS (SELECT k, resid,
+       |    row_number() OVER (PARTITION BY k ORDER BY resid) AS rk,
+       |    count(*) OVER (PARTITION BY k) AS n_cal FROM cal),
+       |rad AS (SELECT k, n_cal,
+       |    CASE WHEN kk <= n_cal THEN resid END AS q_hat
+       |  FROM (SELECT *, (9*(n_cal+1)+9)//10 AS kk FROM calr)
+       |  WHERE rk = kk OR (rk = n_cal AND kk > n_cal)),
+       |te AS (SELECT li.k, abs(CAST(y AS DOUBLE) - pred) AS resid
+       |  FROM li JOIN tr ON li.k = tr.k WHERE b >= 7500)
+       |SELECT te.k AS l_returnflag, max(n_cal) AS n_cal,
+       |  count(*) AS n_test, max(q_hat) AS q_hat,
+       |  CAST(sum(CASE WHEN resid <= q_hat THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS covered,
+       |  CAST((sum(CASE WHEN resid <= q_hat THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS coverage_ppm
+       |FROM te JOIN rad ON te.k = rad.k GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------- label prop
+  // Deterministic synchronous label propagation, 3 rounds, over the
+  // customer–supplier co-order bipartite graph (both orientations —
+  // the q_pagerank graph). The oracle replays each round as a
+  // count + row_number(ORDER BY c DESC, label ASC) CTE — identical
+  // most-frequent/smallest-label updates.
+  private val LpRounds = 3
+
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    LabelProp.run(edges, "src", "dst", LpRounds)
+  }
+
+  val qLabelPropSql: String = {
+    def round(prev: String, upd: String, out: String) =
+      s"""$upd AS (SELECT src AS node, label FROM (
+         |    SELECT e.src AS src, l.label AS label, count(*) AS c
+         |    FROM e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY c DESC, label ASC) = 1),
+         |$out AS (SELECT p.node,
+         |    coalesce(u.label, p.label) AS label
+         |  FROM $prev p LEFT JOIN $upd u ON p.node = u.node)""".stripMargin
+    val rounds = (0 until LpRounds)
+      .map(i => round(s"l$i", s"u${i + 1}", s"l${i + 1}")).mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT
+       |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |      UNION ALL SELECT b, a FROM pairs),
+       |l0 AS (SELECT node, node AS label FROM
+       |  (SELECT DISTINCT src AS node FROM e)),
+       |$rounds
+       |SELECT node, label FROM l$LpRounds""".stripMargin
+  }
+
+  // -------------------------------------------------------------- auc
+  // Exact tie-aware ROC AUC of quantity "predicting" a returned line,
+  // per linestatus — pure integer arithmetic (midrank blocks), so the
+  // oracle replays the identical block algebra with zero float risk.
+  // Quantity takes 50 distinct values: the distinct-score window is
+  // bounded by construction (the operator's documented contract).
+  def qAuc(s: SparkSession, dir: String): DataFrame =
+    RankEval.aucByKey(
+      t(s, dir, "lineitem").withColumn("is_return",
+        when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+      "l_linestatus", "l_quantity", "is_return")
+
+  val qAucSql: String =
+    """WITH b AS (SELECT l_linestatus AS k, l_quantity AS s,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS nn
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+      |  GROUP BY 1, 2),
+      |w AS (SELECT k, np, nn, m,
+      |    sum(m) OVER (PARTITION BY k ORDER BY s) - m AS cb
+      |  FROM (SELECT *, np + nn AS m FROM b)),
+      |a AS (SELECT k, CAST(sum(np) AS BIGINT) AS n_pos,
+      |    CAST(sum(nn) AS BIGINT) AS n_neg,
+      |    CAST(sum(np * (2 * cb + m + 1)) AS BIGINT) AS r2
+      |  FROM w GROUP BY 1)
+      |SELECT k AS l_linestatus, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    CAST(((r2 - n_pos * (n_pos + 1)) * 1000000)
+      |      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm
+      |FROM a""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ridge_fit" -> (qRidgeFit _),
+    "q_conformal" -> (qConformal _),
+    "q_label_prop" -> (qLabelProp _),
+    "q_auc" -> (qAuc _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ridge_fit" -> qRidgeFitSql,
+    "q_conformal" -> qConformalSql,
+    "q_label_prop" -> qLabelPropSql,
+    "q_auc" -> qAucSql,
+  )
+}

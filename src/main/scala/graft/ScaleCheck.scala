@@ -227,6 +227,13 @@ object ScaleCheck {
       // token explode + two aggs + token-keyed join (vocab not broadcast)
       graft.operators.TokenCoverage.oovReport(
         Tables.load(s, dir, "documents"), "source", "text", 40L)
+    },
+    "label_prop" -> { (s, dir) =>
+      // 3 synchronous rounds: per round one edges⋈labels shuffle + one
+      // argmax aggregate (the q_label_prop shape); disjoint key-shifted
+      // copies keep the community structure per copy, so the iterative
+      // join chain must stay linear in edge volume
+      graft.operators.LabelProp.run(edgesBipartite(s, dir), "src", "dst", 3)
     })
 
   private def time(spark: SparkSession, runs: Int)

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan,
+  * Albert & Kumara 2007), made DETERMINISTIC: every node starts
+  * labelled with itself, and each round every node simultaneously
+  * adopts the label that is most frequent among its in-neighbours,
+  * breaking frequency ties by SMALLEST label. Synchronous update +
+  * total tie order means the result is a pure function of (edges,
+  * rounds) — no run-to-run drift, which is what lets a DuckDB oracle
+  * replay it and what a reproducible curation pipeline needs (the
+  * async variant converges faster but is schedule-dependent).
+  *
+  * One round is: edges ⋈ labels on dst (shuffle keyed on node), a
+  * (src, label) count, and a per-src argmax folded into ONE aggregate —
+  * `min(struct(-count, label))` — so a round is two keyed exchanges and
+  * zero windows. Nodes with no in-edges keep their label via a final
+  * left join. The frame is localCheckpoint'd per round (the [[KCore]]
+  * pattern) so the plan doesn't grow with rounds. At 100 TB: labels and
+  * edges both hash-partition on node; rounds reuse that partitioning.
+  *
+  * Callers wanting undirected semantics pass both orientations.
+  */
+object LabelProp {
+
+  /** One synchronous round: per node, the most-frequent in-neighbour
+    * label, smallest-label tie-break; nodes without in-edges keep
+    * their current label. Exposed for plan pinning. */
+  private[operators] def round(edges: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val upd = edges
+      .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+      .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+        .as("best"))
+      .select(col("src").as("node"), col("best.l").as("new_label"))
+    labels.join(upd, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("label")).as("label"))
+  }
+
+  /** Run `rounds` synchronous rounds over a directed edge frame.
+    * Output: (node, label) for every node appearing as src or dst. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val next = round(e, labels).localCheckpoint()
+      graft.core.Checkpoints.releaseLocal(labels)
+      labels = next
+      i += 1
+    }
+    labels
+  }
+}

@@ -631,6 +631,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"noise must be expression-only:\n$p")
   }
 
+  test("q_ridge_fit is one scan, one keyed exchange, no join") {
+    // the whole fit is the moment aggregate + scalar math on its rows —
+    // any join or second scan means the normal-equation shape regressed
+    val p = plan("q_ridge_fit")
+    assert(!p.contains("Join"), s"ridge fit must not join:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"ridge fit must scan lineitem once, got $scans:\n$p")
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected the groupBy exchange only, got $keyed:\n$p")
+  }
+
+  test("q_conformal scans the corpus once and broadcasts the model rows") {
+    // the split base is retained (train agg + cal + test all read it);
+    // the per-key predictor and radius join in as broadcasts
+    val p = plan("q_conformal")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"conformal degenerated:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryRelation"),
+      s"split base rebuilt per consumer ($scans scans):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model/radius rows must broadcast:\n$p")
+  }
+
+  test("q_label_prop rounds are equi-joins, never a loop join") {
+    val p = plan("q_label_prop")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation degenerated:\n$p")
+  }
+
+  test("q_auc collapses to score blocks before ranking — one scan, no join") {
+    // the groupBy(key, score) collapse is the whole scale story: the
+    // window runs over ≤50 distinct quantities per key, never rows
+    val p = plan("q_auc")
+    assert(!p.contains("Join"), s"AUC must not join:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"AUC must scan lineitem once, got $scans:\n$p")
+  }
+
   test("q_seasonal_decomp retains the windowed panel for both consumers") {
     val p = plan("q_seasonal_decomp")
     assert(!p.contains("CartesianProduct") &&

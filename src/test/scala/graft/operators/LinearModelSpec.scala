@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class LinearModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // y = 3 + 2*x1 - 5*x2, exact: OLS must recover the coefficients
+  private def exactDf = Seq(
+    ("a", 1.0, 0.0), ("a", 2.0, 1.0), ("a", 3.0, 0.5), ("a", 4.0, 1.5),
+    ("a", 5.0, 0.25), ("a", 6.0, 2.0))
+    .map { case (k, x1, x2) => (k, x1, x2, 3.0 + 2.0 * x1 - 5.0 * x2) }
+    .toDF("k", "x1", "x2", "y")
+
+  test("OLS recovers an exact linear relation (λ=0)") {
+    val r = LinearModel.ridgeByKey(exactDf, "k", "y", "x1", "x2", 0.0)
+      .collect()
+    assert(r.length === 1)
+    val Row(_, n: Long, b0: Double, b1: Double, b2: Double, r2: Double) = r(0)
+    assert(n === 6L)
+    assert(math.abs(b0 - 3.0) < 1e-9 && math.abs(b1 - 2.0) < 1e-9 &&
+      math.abs(b2 + 5.0) < 1e-9)
+    assert(math.abs(r2 - 1.0) < 1e-12)
+  }
+
+  test("ridge shrinks coefficients toward zero and r2 below the OLS fit") {
+    val ols = LinearModel.ridgeByKey(exactDf, "k", "y", "x1", "x2", 0.0)
+      .collect()(0)
+    val rdg = LinearModel.ridgeByKey(exactDf, "k", "y", "x1", "x2", 50.0)
+      .collect()(0)
+    assert(math.abs(rdg.getDouble(3)) < math.abs(ols.getDouble(3)),
+      "b1 must shrink under the penalty")
+    assert(rdg.getDouble(5) < ols.getDouble(5), "penalised fit loses R²")
+  }
+
+  test("singular normal matrix (constant feature, λ=0) yields null coefficients") {
+    val df = Seq(("a", 1.0, 7.0, 2.0), ("a", 2.0, 7.0, 4.0),
+      ("a", 3.0, 7.0, 6.0)).toDF("k", "x1", "x2", "y")
+    val r = LinearModel.ridgeByKey(df, "k", "y", "x1", "x2", 0.0).collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+    // ...and the same matrix becomes solvable once the ridge is on
+    val r2 = LinearModel.ridgeByKey(df, "k", "y", "x1", "x2", 1.0).collect()(0)
+    assert(!r2.isNullAt(2) && !r2.isNullAt(3))
+  }
+
+  test("general-d driver solve matches the d=2 closed form") {
+    val closed = LinearModel.ridgeByKey(exactDf, "k", "y", "x1", "x2", 10.0)
+      .collect()(0)
+    val Some((coef, n)) =
+      LinearModel.ridgeFit(exactDf, "y", Seq("x1", "x2"), 10.0)
+    assert(n === 6L)
+    assert(math.abs(coef(0) - closed.getDouble(2)) < 1e-9)
+    assert(math.abs(coef(1) - closed.getDouble(3)) < 1e-9)
+    assert(math.abs(coef(2) - closed.getDouble(4)) < 1e-9)
+  }
+
+  test("general-d handles d=3 (a feature the closed form can't take)") {
+    val df = (1 to 20).map { i =>
+      val (x1, x2, x3) = (i.toDouble, (i % 5).toDouble, (i % 3).toDouble)
+      ("a", x1, x2, x3, 1.0 + 0.5 * x1 - 2.0 * x2 + 4.0 * x3)
+    }.toDF("k", "x1", "x2", "x3", "y")
+    val Some((coef, n)) =
+      LinearModel.ridgeFit(df, "y", Seq("x1", "x2", "x3"), 0.0)
+    assert(n === 20L)
+    val want = Seq(1.0, 0.5, -2.0, 4.0)
+    coef.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-8,
+      s"got $coef want $want") }
+  }
+
+  test("null rows are dropped listwise; score appends predictions") {
+    val df = Seq(("a", Some(1.0), Some(0.0), Some(5.0)),
+      ("a", Some(2.0), Some(1.0), Some(2.0)),
+      ("a", None, Some(1.0), Some(9.0)),
+      ("a", Some(3.0), Some(0.5), Some(6.5)),
+      ("a", Some(4.0), Some(1.5), Some(3.5)))
+      .toDF("k", "x1", "x2", "y")
+    val fit = LinearModel.ridgeByKey(df, "k", "y", "x1", "x2", 0.0)
+    assert(fit.collect()(0).getLong(1) === 4L)
+    val scored = LinearModel.score(df, fit, "k", "x1", "x2", "pred")
+    assert(scored.columns.contains("pred"))
+    assert(scored.count() === 5L) // scoring keeps every row, even null-x
+  }
+}

@@ -87,6 +87,98 @@ object QueriesModel {
        |  CASE WHEN det <> 0.0 AND sst > 0.0 THEN 1.0 - sse/sst END AS r2
        |FROM f""".stripMargin
 
+  // --------------------------------------------------------- cv ridge
+  // 5-fold cross-validated ridge from ONE corpus pass: per-fold decimal
+  // moments, leave-one-fold-out training moments by exact subtraction
+  // (global − fold), Cramer solve per fold, out-of-fold SSE from the
+  // quadratic form — CV never rescans rows. The oracle replays the
+  // whole chain: identical decimal sums, identical double tree.
+  private val CvFolds = 5
+
+  def qCvRidge(s: SparkSession, dir: String): DataFrame =
+    LinearModel.cvRidgeByFold(
+      t(s, dir, "lineitem").withColumn("fold",
+        (Sampling.hashBucket(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")), 10000)
+          % CvFolds).cast("int")),
+      "fold", "l_extendedprice", "l_quantity", "l_discount", RidgeLambda)
+
+  val qCvRidgeSql: String = {
+    val fold = QueriesText.sqlHexFold(
+      "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")
+    s"""WITH a AS (
+       |  SELECT CAST($fold % 10000 % $CvFolds AS INTEGER) AS fold,
+       |    count(*) AS n,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+       |    sum(CAST(l_discount AS DECIMAL(18,2))) AS s2,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_quantity AS DECIMAL(18,2))) AS s11,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2))) AS s12,
+       |    sum(CAST(l_discount AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2))) AS s22,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS s1y,
+       |    sum(CAST(l_discount AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS s2y,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND l_discount IS NOT NULL
+       |  GROUP BY 1),
+       |g AS (SELECT *,
+       |  sum(n) OVER () AS g_n, sum(s1) OVER () AS g_s1,
+       |  sum(s2) OVER () AS g_s2, sum(sy) OVER () AS g_sy,
+       |  sum(s11) OVER () AS g_s11, sum(s12) OVER () AS g_s12,
+       |  sum(s22) OVER () AS g_s22, sum(s1y) OVER () AS g_s1y,
+       |  sum(s2y) OVER () AS g_s2y, sum(syy) OVER () AS g_syy FROM a),
+       |l AS (SELECT fold, n,
+       |  CAST(n AS DOUBLE) AS fn, CAST(s1 AS DOUBLE) AS fs1,
+       |  CAST(s2 AS DOUBLE) AS fs2, CAST(sy AS DOUBLE) AS fsy,
+       |  CAST(s11 AS DOUBLE) AS fs11, CAST(s12 AS DOUBLE) AS fs12,
+       |  CAST(s22 AS DOUBLE) AS fs22, CAST(s1y AS DOUBLE) AS fs1y,
+       |  CAST(s2y AS DOUBLE) AS fs2y, CAST(syy AS DOUBLE) AS fsyy,
+       |  CAST(g_n - n AS DOUBLE) AS nd, CAST(g_s1 - s1 AS DOUBLE) AS s1,
+       |  CAST(g_s2 - s2 AS DOUBLE) AS s2, CAST(g_sy - sy AS DOUBLE) AS sy,
+       |  CAST(g_s11 - s11 AS DOUBLE) AS s11r,
+       |  CAST(g_s12 - s12 AS DOUBLE) AS s12,
+       |  CAST(g_s22 - s22 AS DOUBLE) AS s22r,
+       |  CAST(g_s1y - s1y AS DOUBLE) AS s1y,
+       |  CAST(g_s2y - s2y AS DOUBLE) AS s2y,
+       |  CAST(g_syy - syy AS DOUBLE) AS syy FROM g),
+       |p AS (SELECT *, s11r + $RidgeLambda AS s11, s22r + $RidgeLambda AS s22
+       |  FROM l),
+       |d AS (SELECT *,
+       |  nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+       |    + s2*(s1*s12 - s11*s2) AS det,
+       |  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+       |    + s2*(s1y*s12 - s11*s2y) AS det0,
+       |  nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+       |    + s2*(s1*s2y - s1y*s2) AS det1,
+       |  nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+       |    + sy*(s1*s12 - s11*s2) AS det2
+       |  FROM p),
+       |c AS (SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2
+       |  FROM d),
+       |f AS (SELECT *,
+       |  fsyy - 2.0*(b0*fsy + b1*fs1y + b2*fs2y)
+       |    + (b0*(fn*b0 + fs1*b1 + fs2*b2)
+       |       + b1*(fs1*b0 + fs11*b1 + fs12*b2)
+       |       + b2*(fs2*b0 + fs12*b1 + fs22*b2)) AS sse
+       |  FROM c)
+       |SELECT fold, n,
+       |  CASE WHEN det <> 0.0 THEN b0 END AS b0,
+       |  CASE WHEN det <> 0.0 THEN b1 END AS b1,
+       |  CASE WHEN det <> 0.0 THEN b2 END AS b2,
+       |  CASE WHEN det <> 0.0 THEN sse END AS sse_oof,
+       |  CASE WHEN det <> 0.0 THEN
+       |    sqrt(greatest(sse, 0.0) / fn) END AS rmse_oof
+       |FROM f""".stripMargin
+  }
+
   // -------------------------------------------------------- conformal
   // 90% split-conformal intervals for a per-flag mean predictor over a
   // deterministic md5 three-way split (train 50 / cal 25 / test 25 by
@@ -223,6 +315,7 @@ object QueriesModel {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ridge_fit" -> (qRidgeFit _),
+    "q_cv_ridge" -> (qCvRidge _),
     "q_conformal" -> (qConformal _),
     "q_label_prop" -> (qLabelProp _),
     "q_auc" -> (qAuc _),
@@ -230,6 +323,7 @@ object QueriesModel {
 
   def oracleSql: Map[String, String] = Map(
     "q_ridge_fit" -> qRidgeFitSql,
+    "q_cv_ridge" -> qCvRidgeSql,
     "q_conformal" -> qConformalSql,
     "q_label_prop" -> qLabelPropSql,
     "q_auc" -> qAucSql,

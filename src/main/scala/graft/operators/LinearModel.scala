@@ -47,10 +47,19 @@ object LinearModel {
   def ridgeByKey(df: DataFrame, keyCol: String, yCol: String,
       x1Col: String, x2Col: String, lambda2: Double): DataFrame = {
     require(lambda2 >= 0.0, s"need lambda2 >= 0, got $lambda2")
-    val agg = df
-      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+    solve2(momentAgg(df, keyCol, yCol, x1Col, x2Col), keyCol, lambda2)
+  }
+
+  private val MomentNames =
+    Seq("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+
+  /** The exact decimal moment pass shared by every 2-feature fit:
+    * groupBy `groupCol`, listwise-complete nulls. */
+  private def momentAgg(df: DataFrame, groupCol: String, yCol: String,
+      x1Col: String, x2Col: String): DataFrame =
+    df.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
         col(x2Col).isNotNull)
-      .groupBy(col(keyCol)).agg(
+      .groupBy(col(groupCol)).agg(
         count(lit(1)).as("n"),
         sum(d(col(x1Col))).as("s1"),
         sum(d(col(x2Col))).as("s2"),
@@ -61,54 +70,102 @@ object LinearModel {
         sum(d(col(x1Col)) * d(col(yCol))).as("s1y"),
         sum(d(col(x2Col)) * d(col(yCol))).as("s2y"),
         sum(d(col(yCol)) * d(col(yCol))).as("syy"))
-    solve2(agg, keyCol, lambda2)
+
+  /** K-fold cross-validated ridge from ONE corpus pass — the moment
+    * trick that makes CV free at 100 TB: the fold-f training moments
+    * are (global − fold_f) on the EXACT decimal aggregates, so all k
+    * leave-one-fold-out models solve from the same k-row moment table,
+    * and the out-of-fold error is the quadratic form
+    * syy_f − 2b'v_f + b'M_f b on fold f's own raw moments — no second
+    * scan, no per-row prediction pass, no row-order double sums.
+    *
+    * `foldCol` is the caller's deterministic fold id ([[Splits]] /
+    * [[Sampling.hashBucket]] mechanics). Output per fold: n (fold
+    * rows), b0/b1/b2 (the model trained WITHOUT this fold), sse_oof,
+    * rmse_oof. Coefficients null when the LOFO system is singular.
+    * The window totalling the k-row moment table is intentionally
+    * unpartitioned — it moves k rows, not the corpus. */
+  def cvRidgeByFold(df: DataFrame, foldCol: String, yCol: String,
+      x1Col: String, x2Col: String, lambda2: Double): DataFrame = {
+    require(lambda2 >= 0.0, s"need lambda2 >= 0, got $lambda2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val per = momentAgg(df, foldCol, yCol, x1Col, x2Col)
+    val withTot = MomentNames.foldLeft(per) { (acc, m) =>
+      acc.withColumn(s"g_$m", sum(col(m)).over(w))
+    }
+    val withLofo = MomentNames.foldLeft(withTot) { (acc, m) =>
+      acc.withColumn(s"lofo_$m", col(s"g_$m") - col(m))
+    }
+    val (det, b0, b1, b2) = cramer2(moments2("lofo_"), lambda2)
+    val fold = moments2("")
+    val sse = sse2(fold, b0, b1, b2)
+    withLofo.select(col(foldCol), col("n"),
+      when(det =!= 0.0, b0).as("b0"),
+      when(det =!= 0.0, b1).as("b1"),
+      when(det =!= 0.0, b2).as("b2"),
+      when(det =!= 0.0, sse).as("sse_oof"),
+      when(det =!= 0.0,
+        sqrt(greatest(sse, lit(0.0)) / fold.n)).as("rmse_oof"))
   }
 
-  /** The Cramer solve as fixed-shape double expressions over the moment
-    * row — shared by [[ridgeByKey]] and the SQL oracle (same tree ⇒
-    * same bits). Normal matrix (row-major, intercept first):
+  /** The ten raw moments of a 2-feature fit as double Columns, read
+    * from decimal moment columns under `prefix`. */
+  private final case class Moments2(n: Column, s1: Column, s2: Column,
+      sy: Column, s11: Column, s12: Column, s22: Column,
+      s1y: Column, s2y: Column, syy: Column)
+
+  private def moments2(prefix: String = ""): Moments2 = Moments2(
+    col(prefix + "n").cast("double"), col(prefix + "s1").cast("double"),
+    col(prefix + "s2").cast("double"), col(prefix + "sy").cast("double"),
+    col(prefix + "s11").cast("double"), col(prefix + "s12").cast("double"),
+    col(prefix + "s22").cast("double"), col(prefix + "s1y").cast("double"),
+    col(prefix + "s2y").cast("double"), col(prefix + "syy").cast("double"))
+
+  private def det3(a: Column, b: Column, c: Column,
+      p: Column, q: Column, r: Column,
+      x: Column, y: Column, z: Column): Column =
+    a * (q * z - r * y) - b * (p * z - r * x) + c * (p * y - q * x)
+
+  /** Cramer's rule on the (ridge-penalised) normal matrix of `m` —
+    * fixed-shape double expressions shared by every caller and the SQL
+    * oracles (same tree ⇒ same bits). Returns (det, b0, b1, b2).
+    * Normal matrix (row-major, intercept first):
     *   [ n   s1        s2      ] [b0]   [sy ]
     *   [ s1  s11+λ     s12     ] [b1] = [s1y]
     *   [ s2  s12       s22+λ   ] [b2]   [s2y]
     */
+  private def cramer2(m: Moments2, lambda2: Double)
+      : (Column, Column, Column, Column) = {
+    import m._
+    val p11 = s11 + lit(lambda2)
+    val p22 = s22 + lit(lambda2)
+    val det = det3(n, s1, s2, s1, p11, s12, s2, s12, p22)
+    val det0 = det3(sy, s1, s2, s1y, p11, s12, s2y, s12, p22)
+    val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, p22)
+    val det2 = det3(n, s1, sy, s1, p11, s1y, s2, s12, s2y)
+    (det, det0 / det, det1 / det, det2 / det)
+  }
+
+  /** Σ(y-ŷ)² of coefficients (b0,b1,b2) against the moments `m` — the
+    * expanded quadratic form reads ONLY the moment row, never rows:
+    * syy - 2b'v + b'Mb (raw M, no penalty: this is fit error, not the
+    * penalised objective). */
+  private def sse2(m: Moments2, b0: Column, b1: Column,
+      b2: Column): Column = {
+    import m._
+    syy - lit(2.0) * (b0 * sy + b1 * s1y + b2 * s2y) +
+      (b0 * (n * b0 + s1 * b1 + s2 * b2) +
+        b1 * (s1 * b0 + s11 * b1 + s12 * b2) +
+        b2 * (s2 * b0 + s12 * b1 + s22 * b2))
+  }
+
   private def solve2(agg: DataFrame, keyCol: String,
       lambda2: Double): DataFrame = {
-    val n = col("n").cast("double")
-    val s1 = col("s1").cast("double")
-    val s2 = col("s2").cast("double")
-    val sy = col("sy").cast("double")
-    val s11r = col("s11").cast("double") // raw moments for the fit stats
-    val s22r = col("s22").cast("double")
-    val s11 = s11r + lit(lambda2) // penalised diagonal for the solve
-    val s12 = col("s12").cast("double")
-    val s22 = s22r + lit(lambda2)
-    val s1y = col("s1y").cast("double")
-    val s2y = col("s2y").cast("double")
-    val syy = col("syy").cast("double")
-
-    def det3(a: Column, b: Column, c: Column,
-        p: Column, q: Column, r: Column,
-        x: Column, y: Column, z: Column): Column =
-      a * (q * z - r * y) - b * (p * z - r * x) + c * (p * y - q * x)
-
-    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
-    val det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
-    val det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
-    val det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
-
-    val b0 = det0 / det
-    val b1 = det1 / det
-    val b2 = det2 / det
-    // SSE expanded so it reads only the moment row: Σ(y-ŷ)² =
-    // syy - 2(b0·sy + b1·s1y + b2·s2y) + b'X'Xb, and since b solves the
-    // (regularised) normal equations exactly, b'X'Xb = b'(X'y - λb̃):
-    // keep the explicit quadratic form instead — fixed shape, no
-    // algebraic shortcut whose cancellation differs between engines.
-    val sse = syy -
-      lit(2.0) * (b0 * sy + b1 * s1y + b2 * s2y) +
-      (b0 * (n * b0 + s1 * b1 + s2 * b2) +
-        b1 * (s1 * b0 + s11r * b1 + s12 * b2) +
-        b2 * (s2 * b0 + s12 * b1 + s22r * b2))
+    val m = moments2()
+    import m.{n, sy, syy}
+    val (det, b0, b1, b2) = cramer2(m, lambda2)
+    val sse = sse2(m, b0, b1, b2)
     val sst = syy - sy * sy / n
     agg.select(col(keyCol), col("n"),
       when(det =!= 0.0, b0).as("b0"),

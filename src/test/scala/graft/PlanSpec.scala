@@ -662,6 +662,18 @@ class PlanSpec extends SparkSpec {
       s"label propagation degenerated:\n$p")
   }
 
+  test("q_cv_ridge does 5-fold CV in one scan, one keyed exchange, no join") {
+    // the LOFO-by-subtraction trick: CV must not rescan or join rows —
+    // everything after the moment groupBy operates on a 5-row frame
+    val p = plan("q_cv_ridge")
+    assert(!p.contains("Join"), s"CV must not join:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"CV must scan lineitem once, got $scans:\n$p")
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1,
+      s"expected only the fold groupBy exchange, got $keyed:\n$p")
+  }
+
   test("q_auc collapses to score blocks before ranking — one scan, no join") {
     // the groupBy(key, score) collapse is the whole scale story: the
     // window runs over ≤50 distinct quantities per key, never rows

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 
 class LinearModelSpec extends SparkSpec {
   import spark.implicits._
@@ -66,6 +67,56 @@ class LinearModelSpec extends SparkSpec {
     val want = Seq(1.0, 0.5, -2.0, 4.0)
     coef.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-8,
       s"got $coef want $want") }
+  }
+
+  test("CV: each fold's coefficients equal a direct fit on its complement") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 200).map { i =>
+      val (x1, x2) = (rnd.nextInt(50) / 2.0, rnd.nextInt(20) / 4.0)
+      (i % 4, x1, x2, 1.5 + 0.75 * x1 - 2.25 * x2 + rnd.nextInt(9) / 4.0)
+    }.toDF("fold", "x1", "x2", "y")
+    val cv = LinearModel.cvRidgeByFold(df, "fold", "y", "x1", "x2", 25.0)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(cv.size === 4)
+    for (f <- 0 to 3) {
+      val direct = LinearModel.ridgeByKey(
+        df.filter(col("fold") =!= f).withColumn("k", lit("all")),
+        "k", "y", "x1", "x2", 25.0).collect()(0)
+      for ((ci, di) <- Seq(2 -> 2, 3 -> 3, 4 -> 4))
+        assert(math.abs(cv(f).getDouble(ci) - direct.getDouble(di)) < 1e-9,
+          s"fold $f coefficient $ci diverges from the complement fit")
+    }
+  }
+
+  test("CV: out-of-fold SSE matches per-row residuals, and is ~0 on an exact relation") {
+    val exactFolds = (1 to 40).map { i =>
+      val (x1, x2) = (i.toDouble, (i % 7).toDouble)
+      (i % 4, x1, x2, 3.0 + 2.0 * x1 - 5.0 * x2)
+    }.toDF("fold", "x1", "x2", "y")
+    val cvExact = LinearModel
+      .cvRidgeByFold(exactFolds, "fold", "y", "x1", "x2", 0.0).collect()
+    cvExact.foreach(r => assert(math.abs(r.getDouble(5)) < 1e-6,
+      s"exact relation must have ~0 OOF error, got ${r.getDouble(5)}"))
+    // noisy data: quadratic-form SSE == explicit per-row residual sum
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 120).map { i =>
+      val (x1, x2) = (rnd.nextInt(30) / 2.0, rnd.nextInt(10) / 2.0)
+      (i % 3, x1, x2, 1.0 + x1 - 2.0 * x2 + rnd.nextInt(5) / 2.0)
+    }
+    val df = rows.toDF("fold", "x1", "x2", "y")
+    val cv = LinearModel.cvRidgeByFold(df, "fold", "y", "x1", "x2", 0.0)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    for (f <- 0 to 2) {
+      val r = cv(f)
+      val (b0, b1, b2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val explicit = rows.filter(_._1 == f)
+        .map { case (_, x1, x2, y) =>
+          val e = y - (b0 + b1 * x1 + b2 * x2); e * e }.sum
+      assert(math.abs(r.getDouble(5) - explicit) < 1e-6,
+        s"fold $f: quadratic-form SSE ${r.getDouble(5)} vs explicit $explicit")
+      assert(math.abs(r.getDouble(6) -
+        math.sqrt(explicit / rows.count(_._1 == f))) < 1e-9)
+    }
   }
 
   test("null rows are dropped listwise; score appends predictions") {

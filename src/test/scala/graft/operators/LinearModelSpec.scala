@@ -119,6 +119,52 @@ class LinearModelSpec extends SparkSpec {
     }
   }
 
+  test("logistic: distributed IRLS equals an independent single-threaded replay") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { _ =>
+      val (x1, x2) = (rnd.nextGaussian(), rnd.nextGaussian())
+      val p = 1.0 / (1.0 + math.exp(-(-0.5 + 1.5 * x1 - 1.0 * x2)))
+      (x1, x2, if (rnd.nextDouble() < p) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val Some(got) = LinearModel.logisticFit(df, "y", Seq("x1", "x2"),
+      iters = 6, ridge = 1e-6)
+
+    // independent replay: plain loops, same Newton recipe
+    var beta = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to 6) {
+      val h = Array.ofDim[Double](3, 3); val g = Array.ofDim[Double](3)
+      for ((x1, x2, y) <- rows) {
+        val xs = Array(1.0, x1, x2)
+        val p = 1.0 / (1.0 + math.exp(-(xs, beta).zipped.map(_ * _).sum))
+        val w = p * (1.0 - p)
+        for (r <- 0 until 3; c <- 0 until 3) h(r)(c) += w * xs(r) * xs(c)
+        for (r <- 0 until 3) g(r) += (y - p) * xs(r)
+      }
+      for (r <- 0 until 3) h(r)(r) += 1e-6
+      val Some(delta) = LinearModel.solveInPlace(h, g)
+      beta = beta.zip(delta).map { case (b, d) => b + d }
+    }
+    got.zip(beta).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"got $got want ${beta.toSeq}") }
+    // and the recovered coefficients are near the generating truth
+    val want = Seq(-0.5, 1.5, -1.0)
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 0.4,
+      s"fit $got too far from truth $want") }
+  }
+
+  test("logistic: scores rank a separable corpus perfectly (AUC = 1)") {
+    val df = ((1 to 50).map(i => (i / 100.0 + 1.0, 1.0)) ++
+      (1 to 50).map(i => (-i / 100.0 - 1.0, 0.0))).toDF("x1", "y")
+    val Some(beta) = LinearModel.logisticFit(df, "y", Seq("x1"),
+      iters = 5, ridge = 0.1) // separable: ridge keeps H invertible
+    val scored = LinearModel.logisticScore(
+      df.withColumn("k", lit("g")), beta, Seq("x1"), "s")
+      .withColumn("l", col("y").cast("long"))
+    val auc = RankEval.aucByKey(scored, "k", "s", "l").collect()(0)
+    assert(auc.getLong(3) === 1000000L)
+  }
+
   test("null rows are dropped listwise; score appends predictions") {
     val df = Seq(("a", Some(1.0), Some(0.0), Some(5.0)),
       ("a", Some(2.0), Some(1.0), Some(2.0)),

@@ -53,6 +53,24 @@ object Conformal {
         when(col("__k") <= col("n_cal"), col(residCol)).as("q_hat"))
   }
 
+  /** The unbounded-key path: per-key conformal radius from a mergeable
+    * KLL sketch ([[QuantileSketch]]) instead of an exact rank — use when
+    * a key's calibration rows may NOT fit one task. Reads the plain
+    * (1-α) quantile: the finite-sample (n+1)/n correction shifts the
+    * target rank by ≤ 1/n, far below the sketch's own rank error ε in
+    * exactly the huge-n regime this path exists for (and [[radius]] is
+    * the right tool when n is small enough for the correction to
+    * matter). Output: key, q_hat (approximate). */
+  def radiusSketch(cal: DataFrame, keyCol: String, residCol: String,
+      covNum: Int, covDen: Int, sketchK: Int = 200): DataFrame = {
+    require(covNum > 0 && covDen > 0 && covNum < covDen,
+      s"coverage must be a proper fraction, got $covNum/$covDen")
+    val state = QuantileSketch.build(cal, Seq(keyCol), residCol, sketchK)
+    QuantileSketch
+      .quantiles(state, Seq(keyCol), Seq(covNum.toDouble / covDen), sketchK)
+      .select(col(keyCol), col("value").as("q_hat"))
+  }
+
   /** Join the per-key radius onto a test frame (broadcast — one row per
     * key by construction) and report empirical coverage: key, n_cal,
     * n_test, q_hat, covered, coverage_ppm (floor fixed-point). */

@@ -41,6 +41,25 @@ class ConformalSpec extends SparkSpec {
     assert(c.getLong(5) === 750000L) // 6/8 exactly
   }
 
+  test("radius is monotone in the coverage level") {
+    val cal = (1 to 99).map(i => ("g", i.toDouble)).toDF("k", "resid")
+    def at(num: Int) = Conformal.radius(cal, "k", "resid", num, 100)
+      .collect()(0).getDouble(2)
+    assert(at(80) <= at(90) && at(90) <= at(95) && at(95) <= at(99))
+  }
+
+  test("sketch radius tracks the exact radius on a large key") {
+    val cal = (1 to 10000).map(i => ("g", i.toDouble)).toDF("k", "resid")
+    val exact = Conformal.radius(cal, "k", "resid", 9, 10)
+      .collect()(0).getDouble(2)
+    val approx = Conformal.radiusSketch(cal, "k", "resid", 9, 10)
+      .collect()(0).getDouble(1)
+    // KLL k=200 has ~1.65% rank error at 99% confidence; 3% of the
+    // 0..10000 range is a generous, deterministic-enough envelope
+    assert(math.abs(approx - exact) < 300.0,
+      s"sketch $approx vs exact $exact")
+  }
+
   test("per-key isolation: each key gets its own radius and coverage") {
     val cal = ((1 to 9).map(i => ("a", i.toDouble)) ++
       (1 to 9).map(i => ("b", i.toDouble * 10))).toDF("k", "resid")

@@ -60,6 +60,21 @@ class LabelPropSpec extends SparkSpec {
     assert(got(2L) === 2L && got(1L) === 2L)
   }
 
+  test("equivariance: an order-preserving node relabeling maps through") {
+    // g(x) = 2x + 10 preserves ordering, so the min-label tie-break
+    // commutes with it: run(g(edges)) == g(run(edges))
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L),
+      (10L, 12L), (11L, 12L), (3L, 10L), (5L, 1L))
+    def g(x: Long) = 2 * x + 10
+    val direct = LabelProp.run(undirected(pairs), "src", "dst", 3)
+      .collect().map(r => g(r.getLong(0)) -> g(r.getLong(1))).toMap
+    val mapped = LabelProp.run(
+      undirected(pairs.map { case (a, b) => (g(a), g(b)) }),
+      "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct === mapped)
+  }
+
   test("a round plans as equi-joins with no loop join") {
     import org.apache.spark.sql.execution.FormattedMode
     val e = undirected((1L to 50L).map(i => (i, i % 5)))

@@ -640,7 +640,61 @@ object QueriesStats {
        |FROM per CROSS JOIN pooled""".stripMargin
   }
 
+  // -------------------------------------------------------------- did
+  // Difference-in-differences readout over the same synthetic rollout
+  // as q_cuped: treatment = user parity, post = after the cut, outcome
+  // = event value. One global aggregate of 12 conditional decimal
+  // partials, then fixed-shape doubles — did and its Welch-style SE
+  // replay bit-equal.
+  def qDid(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(CupedCut).cast("timestamp")
+    graft.operators.Cuped.diffInDiff(
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(pmod(col("user_id"), lit(2)).cast("int").as("treat"),
+          when(col("ts") >= cut, 1).otherwise(0).as("post"),
+          col("value")),
+      "treat", "post", "value")
+  }
+
+  val qDidSql: String = {
+    def D(c: String) = s"CAST($c AS DOUBLE)"
+    def cell(cond: String, sfx: String) =
+      s"""CAST(sum(CASE WHEN $cond AND value IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_$sfx,
+         |    sum(CASE WHEN $cond THEN CAST(value AS DECIMAL(18,2)) END)
+         |      AS sy_$sfx,
+         |    sum(CASE WHEN $cond THEN CAST(value AS DECIMAL(18,2)) *
+         |        CAST(value AS DECIMAL(18,2)) END) AS syy_$sfx""".stripMargin
+    def mean(sfx: String) = s"${D(s"sy_$sfx")} / ${D(s"n_$sfx")}"
+    def varTerm(sfx: String) =
+      s"(${D(s"syy_$sfx")} - ${D(s"sy_$sfx")} * ${D(s"sy_$sfx")} / " +
+        s"${D(s"n_$sfx")}) / (${D(s"n_$sfx")} - 1.0) / ${D(s"n_$sfx")}"
+    val cells = Seq("c0", "c1", "t0", "t1")
+    val nonEmpty = cells.map(s => s"n_$s > 0").mkString(" AND ")
+    val seOk = cells.map(s => s"n_$s > 1").mkString(" AND ")
+    s"""WITH a AS (
+       |  SELECT
+       |    ${cell("user_id % 2 = 0 AND ts < TIMESTAMP '" + CupedCut + "'", "c0")},
+       |    ${cell("user_id % 2 = 0 AND ts >= TIMESTAMP '" + CupedCut + "'", "c1")},
+       |    ${cell("user_id % 2 = 1 AND ts < TIMESTAMP '" + CupedCut + "'", "t0")},
+       |    ${cell("user_id % 2 = 1 AND ts >= TIMESTAMP '" + CupedCut + "'", "t1")}
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+       |SELECT ${cells.map(s =>
+            s"n_$s, CASE WHEN n_$s > 0 THEN ${mean(s)} END AS mean_$s")
+            .mkString(",\n  ")},
+       |  CASE WHEN $nonEmpty THEN
+       |    (${mean("t1")} - ${mean("t0")}) - (${mean("c1")} - ${mean("c0")})
+       |  END AS did,
+       |  CASE WHEN $seOk THEN
+       |    sqrt(${varTerm("t1")} + ${varTerm("t0")} +
+       |      ${varTerm("c1")} + ${varTerm("c0")})
+       |  END AS se_did
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_did" -> (qDid _),
     "q_cuped" -> (qCuped _),
     "q_bootstrap_se" -> (qBootstrapSe _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -660,6 +714,7 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_did" -> qDidSql,
     "q_cuped" -> qCupedSql,
     "q_bootstrap_se" -> qBootstrapSeSql,
     "q_corr_matrix" -> qCorrMatrixSql,

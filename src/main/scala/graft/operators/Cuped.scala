@@ -83,4 +83,51 @@ object Cuped {
         when(varX > 0.0 && varY > 0.0,
           (cov * cov) / (varX * varY)).as("var_reduction"))
   }
+
+  /** Difference-in-differences readout: with a 0/1 treatment group and
+    * a 0/1 period flag, DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre) — the parallel-trends estimator for
+    * rollouts that can't randomize. The Welch-style standard error sums
+    * the four cells' s²/n (each cell is an independent mean under the
+    * classical DiD sampling model).
+    *
+    * ONE global aggregate of 12 conditional decimal partials (map-side
+    * combined, no keyed exchange at all), then fixed-shape doubles —
+    * every reported value engine-exact. Output one row: the four cell
+    * (n, mean) pairs, did, se_did (null if any cell is empty, or for
+    * se any cell has n < 2). */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol)
+    val t = col(treatCol).cast("int")
+    val p = col(postCol).cast("int")
+    def cell(ti: Int, pi: Int, suffix: String) = Seq(
+      sum(when(t === ti && p === pi && y.isNotNull, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      sum(when(t === ti && p === pi, d(y))).as(s"sy_$suffix"),
+      sum(when(t === ti && p === pi, d(y) * d(y))).as(s"syy_$suffix"))
+    val aggs = cell(0, 0, "c0") ++ cell(0, 1, "c1") ++
+      cell(1, 0, "t0") ++ cell(1, 1, "t1")
+    val agg = df.filter(t.isNotNull && p.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def nOf(s: String) = col(s"n_$s").cast("double")
+    def meanOf(s: String) = col(s"sy_$s").cast("double") / nOf(s)
+    // s²/n per cell: (syy - sy²/n) / (n-1) / n, fixed shape
+    def varTerm(s: String) = {
+      val sy = col(s"sy_$s").cast("double")
+      val syy = col(s"syy_$s").cast("double")
+      (syy - sy * sy / nOf(s)) / (nOf(s) - lit(1.0)) / nOf(s)
+    }
+    val allCells = Seq("c0", "c1", "t0", "t1")
+    val nonEmpty = allCells.map(s => col(s"n_$s") > 0L).reduce(_ && _)
+    val seOk = allCells.map(s => col(s"n_$s") > 1L).reduce(_ && _)
+    val did = (meanOf("t1") - meanOf("t0")) - (meanOf("c1") - meanOf("c0"))
+    val se = sqrt(varTerm("t1") + varTerm("t0") +
+      varTerm("c1") + varTerm("c0"))
+    agg.select(
+      (allCells.flatMap(s => Seq(col(s"n_$s"),
+        when(col(s"n_$s") > 0L, meanOf(s)).as(s"mean_$s"))) ++ Seq(
+        when(nonEmpty, did).as("did"),
+        when(seOk, se).as("se_did"))): _*)
+  }
 }

@@ -75,4 +75,36 @@ class CupedSpec extends SparkSpec {
     assert(out("A")._2 === 1L)
     assert(out("B")._2 === 2L)
   }
+
+  test("diff-in-diff recovers a hand-computed effect with Welch SE") {
+    // control: pre mean 10, post mean 12 (drift +2)
+    // treated: pre mean 20, post mean 25 (drift +5) -> DiD = 3
+    val rows = Seq(
+      (0, 0, 9.0), (0, 0, 11.0), (0, 0, 10.0),
+      (0, 1, 11.0), (0, 1, 13.0), (0, 1, 12.0),
+      (1, 0, 19.0), (1, 0, 21.0), (1, 0, 20.0),
+      (1, 1, 24.0), (1, 1, 26.0), (1, 1, 25.0))
+    val r = Cuped.diffInDiff(rows.toDF("treat", "post", "y"),
+      "treat", "post", "y").collect()(0)
+    val get = (name: String) => r.getAs[Any](name)
+    assert(get("n_c0") === 3L && get("n_t1") === 3L)
+    assert(math.abs(r.getAs[Double]("did") - 3.0) < 1e-12)
+    // every cell has s^2 = 1, n = 3 -> se = sqrt(4/3)
+    assert(math.abs(r.getAs[Double]("se_did") - math.sqrt(4.0 / 3.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_c0") - 10.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_t1") - 25.0) < 1e-12)
+  }
+
+  test("diff-in-diff: empty cell nulls did; single-row cells null only the SE") {
+    val noCell = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0))
+    val r1 = Cuped.diffInDiff(noCell.toDF("treat", "post", "y"),
+      "treat", "post", "y").collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("did")) &&
+      r1.isNullAt(r1.fieldIndex("se_did")))
+    val thin = Seq((0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 7.0))
+    val r2 = Cuped.diffInDiff(thin.toDF("treat", "post", "y"),
+      "treat", "post", "y").collect()(0)
+    assert(math.abs(r2.getAs[Double]("did") - 3.0) < 1e-12)
+    assert(r2.isNullAt(r2.fieldIndex("se_did")))
+  }
 }

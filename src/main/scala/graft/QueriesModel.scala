@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Conformal, LabelProp, LinearModel, RankEval, Sampling}
+import graft.operators.{Auc, Conformal, LabelProp, LinearModel, Sampling}
 
 /** Round-11 query group: in-engine model fitting and certification —
   * ridge regression by exact normal-equation moments, split-conformal
@@ -286,7 +286,7 @@ object QueriesModel {
   // Quantity takes 50 distinct values: the distinct-score window is
   // bounded by construction (the operator's documented contract).
   def qAuc(s: SparkSession, dir: String): DataFrame =
-    RankEval.aucByKey(
+    Auc.aucByKey(
       t(s, dir, "lineitem").withColumn("is_return",
         when(col("l_returnflag") === "R", 1L).otherwise(0L)),
       "l_linestatus", "l_quantity", "is_return")

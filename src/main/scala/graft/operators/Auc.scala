@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * biases AUC by at most the bucket mass). Unbounded-cardinality raw
   * doubles would make the window a single-task sort — bin them first.
   */
-object RankEval {
+object Auc {
 
   /** Per-key AUC of `scoreCol` ranking `labelCol` (must be 0/1).
     * Output: key, n_pos, n_neg, auc_ppm (floor fixed-point; null when

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 
-class RankEvalSpec extends SparkSpec {
+class AucSpec extends SparkSpec {
   import spark.implicits._
 
   /** Brute-force pair-counting AUC in ppm (floor), the definition the
@@ -20,7 +20,7 @@ class RankEvalSpec extends SparkSpec {
       (1.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L), (3.0, 0L), (3.0, 1L),
       (4.0, 1L), (4.0, 0L), (5.0, 1L), (0.5, 0L), (2.0, 0L))
     val df = rows.map { case (s, l) => ("g", s, l) }.toDF("k", "s", "l")
-    val got = RankEval.aucByKey(df, "k", "s", "l").collect()(0)
+    val got = Auc.aucByKey(df, "k", "s", "l").collect()(0)
     assert(got.getLong(1) === rows.count(_._2 == 1L).toLong)
     assert(got.getLong(2) === rows.count(_._2 == 0L).toLong)
     assert(got.getLong(3) === brutePpm(rows))
@@ -29,25 +29,25 @@ class RankEvalSpec extends SparkSpec {
   test("perfect and inverted rankers hit the integer endpoints") {
     val perfect = Seq[(Double, Long)]((1.0, 0L), (2.0, 0L), (3.0, 1L),
       (4.0, 1L)).map { case (s, l) => ("g", s, l) }.toDF("k", "s", "l")
-    assert(RankEval.aucByKey(perfect, "k", "s", "l")
+    assert(Auc.aucByKey(perfect, "k", "s", "l")
       .collect()(0).getLong(3) === 1000000L)
     val inverted = Seq[(Double, Long)]((1.0, 1L), (2.0, 1L), (3.0, 0L),
       (4.0, 0L)).map { case (s, l) => ("g", s, l) }.toDF("k", "s", "l")
-    assert(RankEval.aucByKey(inverted, "k", "s", "l")
+    assert(Auc.aucByKey(inverted, "k", "s", "l")
       .collect()(0).getLong(3) === 0L)
   }
 
   test("all-tied scores give exactly 500000 ppm") {
     val df = Seq(("g", 7.0, 1L), ("g", 7.0, 0L), ("g", 7.0, 1L),
       ("g", 7.0, 0L)).toDF("k", "s", "l")
-    assert(RankEval.aucByKey(df, "k", "s", "l")
+    assert(Auc.aucByKey(df, "k", "s", "l")
       .collect()(0).getLong(3) === 500000L)
   }
 
   test("single-class keys yield null AUC, not 0.5") {
     val df = Seq(("pos", 1.0, 1L), ("pos", 2.0, 1L),
       ("mix", 1.0, 0L), ("mix", 2.0, 1L)).toDF("k", "s", "l")
-    val got = RankEval.aucByKey(df, "k", "s", "l").collect()
+    val got = Auc.aucByKey(df, "k", "s", "l").collect()
       .map(r => r.getString(0) -> r).toMap
     assert(got("pos").isNullAt(3))
     assert(got("mix").getLong(3) === 1000000L)
@@ -61,7 +61,7 @@ class RankEvalSpec extends SparkSpec {
       val l = if (rnd.nextDouble() < 0.3 + s / 40.0) 1L else 0L
       (k, s, l)
     }
-    val got = RankEval.aucByKey(rows.toDF("k", "s", "l"), "k", "s", "l")
+    val got = Auc.aucByKey(rows.toDF("k", "s", "l"), "k", "s", "l")
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     for (k <- Seq("k0", "k1", "k2")) {
       val sub = rows.filter(_._1 == k).map(r => (r._2, r._3))

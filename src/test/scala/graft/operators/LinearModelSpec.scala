@@ -161,7 +161,7 @@ class LinearModelSpec extends SparkSpec {
     val scored = LinearModel.logisticScore(
       df.withColumn("k", lit("g")), beta, Seq("x1"), "s")
       .withColumn("l", col("y").cast("long"))
-    val auc = RankEval.aucByKey(scored, "k", "s", "l").collect()(0)
+    val auc = Auc.aucByKey(scored, "k", "s", "l").collect()(0)
     assert(auc.getLong(3) === 1000000L)
   }
 

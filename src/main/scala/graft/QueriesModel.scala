@@ -87,6 +87,22 @@ object QueriesModel {
        |  CASE WHEN det <> 0.0 AND sst > 0.0 THEN 1.0 - sse/sst END AS r2
        |FROM f""".stripMargin
 
+  // ------------------------------------------------------- ridge state
+  // The incremental path through the DRIVER GATE: two disjoint halves
+  // (orderkey parity) folded as persisted-style moment states, merged
+  // by decimal addition, solved from state — the oracle is the SAME SQL
+  // as q_ridge_fit, pinning fit-from-state ≡ fit-from-rows bit-exactly.
+  def qRidgeState(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def half(p: Int) = LinearModel.momentState(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === p),
+      "l_returnflag", "l_extendedprice", "l_quantity", "l_discount")
+    LinearModel.ridgeFromState(
+      LinearModel.mergeMomentState(half(0).unionByName(half(1)),
+        "l_returnflag"),
+      "l_returnflag", RidgeLambda)
+  }
+
   // --------------------------------------------------------- cv ridge
   // 5-fold cross-validated ridge from ONE corpus pass: per-fold decimal
   // moments, leave-one-fold-out training moments by exact subtraction
@@ -315,6 +331,7 @@ object QueriesModel {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ridge_fit" -> (qRidgeFit _),
+    "q_ridge_state" -> (qRidgeState _),
     "q_cv_ridge" -> (qCvRidge _),
     "q_conformal" -> (qConformal _),
     "q_label_prop" -> (qLabelProp _),
@@ -323,6 +340,7 @@ object QueriesModel {
 
   def oracleSql: Map[String, String] = Map(
     "q_ridge_fit" -> qRidgeFitSql,
+    "q_ridge_state" -> qRidgeFitSql,
     "q_cv_ridge" -> qCvRidgeSql,
     "q_conformal" -> qConformalSql,
     "q_label_prop" -> qLabelPropSql,

@@ -71,12 +71,15 @@ object Conformal {
       .select(col(keyCol), col("value").as("q_hat"))
   }
 
-  /** Join the per-key radius onto a test frame (broadcast — one row per
-    * key by construction) and report empirical coverage: key, n_cal,
-    * n_test, q_hat, covered, coverage_ppm (floor fixed-point). */
+  /** Join the per-key radius onto a test frame and report empirical
+    * coverage: key, n_cal, n_test, q_hat, covered, coverage_ppm (floor
+    * fixed-point). The radius table is one row per key;
+    * `broadcastRadius = true` (default) hints it — pass false when the
+    * key domain is corpus-sized (per-domain/per-user models) and let
+    * Catalyst/AQE shuffle instead. */
   def coverage(test: DataFrame, rad: DataFrame, keyCol: String,
-      residCol: String): DataFrame =
-    test.join(broadcast(rad), Seq(keyCol))
+      residCol: String, broadcastRadius: Boolean = true): DataFrame =
+    test.join(if (broadcastRadius) broadcast(rad) else rad, Seq(keyCol))
       .groupBy(col(keyCol)).agg(
         max(col("n_cal")).as("n_cal"),
         count(lit(1)).as("n_test"),

@@ -209,6 +209,41 @@ object LinearModel {
     solveInPlace(a, b).map(coef => (coef.toSeq, n))
   }
 
+  /** The moment table as PERSISTED, MERGEABLE STATE — ridge joins the
+    * sketch-state family (HLL/KLL/MG/theta/CM): sums are associative
+    * and commutative, so per-batch moment states fold by plain decimal
+    * addition and the model re-solves from state at any time without
+    * touching historical rows. State schema is widened to stable
+    * decimal(38,·) so repeated merges can't drift precision. */
+  def momentState(df: DataFrame, keyCol: String, yCol: String,
+      x1Col: String, x2Col: String): DataFrame =
+    canonicalize(momentAgg(df, keyCol, yCol, x1Col, x2Col), keyCol)
+
+  /** Fold any union of moment states (stored partitions, a new batch)
+    * into one row per key: decimal addition, exact at any merge order. */
+  def mergeMomentState(states: DataFrame, keyCol: String): DataFrame =
+    canonicalize(
+      states.groupBy(col(keyCol)).agg(
+        sum(col("n")).as("n"),
+        MomentNames.tail.map(m => sum(col(m)).as(m)): _*),
+      keyCol)
+
+  /** Solve the ridge from a (possibly streamed/merged) moment state —
+    * same fixed-shape solve as [[ridgeByKey]], so fit-from-state is
+    * bit-equal to fit-from-rows over the same data (spec-pinned). */
+  def ridgeFromState(state: DataFrame, keyCol: String,
+      lambda2: Double): DataFrame = {
+    require(lambda2 >= 0.0, s"need lambda2 >= 0, got $lambda2")
+    solve2(state, keyCol, lambda2)
+  }
+
+  private def canonicalize(state: DataFrame, keyCol: String): DataFrame =
+    state.select(col(keyCol) +: (
+      col("n").cast("long").as("n") +:
+      Seq("s1", "s2", "sy").map(m => col(m).cast("decimal(38,2)").as(m)) ++:
+      Seq("s11", "s12", "s22", "s1y", "s2y", "syy")
+        .map(m => col(m).cast("decimal(38,4)").as(m))): _*)
+
   /** Logistic regression by Newton–Raphson/IRLS: each iteration is ONE
     * distributed pass aggregating the gradient Σ(y−p)x and the Hessian
     * ΣW xx' (+λI) — (d+1)(d+2)/2 + (d+1) doubles collected per round,
@@ -300,15 +335,19 @@ object LinearModel {
   }
 
   /** Score a corpus against a fitted one-row-per-key model table: an
-    * equi-join on the key (broadcast when the model table is small —
-    * which it is, by construction: one row per model). Appends
+    * equi-join on the key. `broadcastFit = true` (default) hints the
+    * model side — right whenever the model count is human-scale; pass
+    * false for corpus-sized key domains (one model per domain/user) and
+    * let Catalyst/AQE pick the shuffle join. Appends
     * `predCol` = b0 + b1·x1 + b2·x2. */
   def score(df: DataFrame, fit: DataFrame, keyCol: String,
-      x1Col: String, x2Col: String, predCol: String): DataFrame =
-    df.join(broadcast(fit.select(col(keyCol), col("b0"), col("b1"),
-        col("b2"))), Seq(keyCol), "left")
+      x1Col: String, x2Col: String, predCol: String,
+      broadcastFit: Boolean = true): DataFrame = {
+    val sel = fit.select(col(keyCol), col("b0"), col("b1"), col("b2"))
+    df.join(if (broadcastFit) broadcast(sel) else sel, Seq(keyCol), "left")
       .withColumn(predCol,
         col("b0") + col("b1") * col(x1Col).cast("double") +
           col("b2") * col(x2Col).cast("double"))
       .drop("b0", "b1", "b2")
+  }
 }

@@ -133,4 +133,16 @@ object StateStream {
       width: Int = 4096): Model = Model(
     fold = b => graft.operators.CountMin.build(b, itemCol, depth, width),
     merge = s => graft.operators.CountMin.merge(s, s.limit(0)))
+
+  /** Ready-made model: per-key regression MOMENT state
+    * ([[graft.operators.LinearModel.momentState]]) — decimal moment
+    * addition is the merge, so a continuously-ingested corpus can
+    * re-solve its ridge ([[graft.operators.LinearModel.ridgeFromState]])
+    * at any time without replaying rows: online model fitting on the
+    * same exactly-once rails as the sketch states. */
+  def regressionModel(keyCol: String, yCol: String, x1Col: String,
+      x2Col: String): Model = Model(
+    fold = b => graft.operators.LinearModel.momentState(
+      b, keyCol, yCol, x1Col, x2Col),
+    merge = s => graft.operators.LinearModel.mergeMomentState(s, keyCol))
 }

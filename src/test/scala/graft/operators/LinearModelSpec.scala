@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 class LinearModelSpec extends SparkSpec {
   import spark.implicits._
@@ -117,6 +117,31 @@ class LinearModelSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6) -
         math.sqrt(explicit / rows.count(_._1 == f))) < 1e-9)
     }
+  }
+
+  test("moment state: batch-merged fit is bit-equal to the full-corpus fit") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map { i =>
+      (s"k${i % 2}", rnd.nextInt(40) / 2.0, rnd.nextInt(12) / 4.0,
+        2.0 + 0.5 * rnd.nextInt(40) - rnd.nextInt(8) / 2.0)
+    }
+    val df = rows.toDF("k", "x1", "x2", "y")
+    val full = LinearModel.ridgeByKey(df, "k", "y", "x1", "x2", 10.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // three disjoint batches folded as state, then solved from state
+    val states = Seq(0, 1, 2).map(b => LinearModel.momentState(
+      df.filter(pmod(col("x1") * 2, lit(3)) === b), "k", "y", "x1", "x2"))
+    val merged = LinearModel.mergeMomentState(
+      states.reduce(_ unionByName _), "k")
+    val fromState = LinearModel.ridgeFromState(merged, "k", 10.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (k <- Seq("k0", "k1"); i <- 2 to 5)
+      assert(fromState(k).getDouble(i) === full(k).getDouble(i),
+        s"state fit must be BIT-equal ($k col $i)")
+    // merge is associative-stable: re-merging the merged state is a no-op
+    val again = LinearModel.mergeMomentState(merged, "k")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again === merged.collect().map(r => r.getString(0) -> r.toSeq).toMap)
   }
 
   test("logistic: distributed IRLS equals an independent single-threaded replay") {

@@ -101,6 +101,28 @@ class StateStreamSpec extends SparkSpec {
       s"$dir/state")) == direct)
   }
 
+  test("regression moment state: streamed ingest solves bit-equal to a direct fit") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events",
+      parallelize = false)
+      .select(col("event_type"), col("value"),
+        (col("user_id") % 100).cast("double").as("x1"),
+        (col("event_id") % 7).cast("double").as("x2"))
+    val model = StateStream.regressionModel("event_type", "value", "x1", "x2")
+    val dir = Files.createTempDirectory("graft_reg_stream").toString
+    ingestInThirds(ev, model, dir)
+    def fits(state: org.apache.spark.sql.DataFrame) =
+      graft.operators.LinearModel.ridgeFromState(state, "event_type", 5.0)
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val direct = fits(graft.operators.LinearModel.momentState(
+      ev, "event_type", "value", "x1", "x2"))
+    assert(fits(StateStream.current(spark, ev, model,
+      s"$dir/state")) == direct && direct.nonEmpty)
+    // decimal addition is the merge: compaction cannot move any coefficient
+    StateStream.compact(spark, ev, model, s"$dir/state")
+    assert(fits(StateStream.current(spark, ev, model,
+      s"$dir/state")) == direct)
+  }
+
   test("a batch id behind the stored state refuses loudly") {
     val model = StateStream.thetaModel(Seq("event_type"), "user_id")
     val dir = Files.createTempDirectory("graft_guard_stream").toString

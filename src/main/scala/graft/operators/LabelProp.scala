@@ -47,8 +47,18 @@ object LabelProp {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    // every round joins the edge frame: persist it ONCE or the upstream
+    // derivation (often a join+distinct) recomputes per round. persist,
+    // NOT localCheckpoint: a checkpointed LogicalRDD loses catalyst
+    // stats and downstream joins stop broadcasting (measured on the
+    // kcore harness: exponent 0.72 -> 1.22 under a checkpoint).
+    // Measured trade at sf0.1/10x: the cache costs ~2x at toy scale
+    // (materialization jobs dominate 3 cheap rounds) but cuts the 10x
+    // run 20.6 -> 14.5 s — the recompute multiplier is what matters at
+    // corpus scale (the q_triangles precedent).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
@@ -60,6 +70,7 @@ object LabelProp {
       labels = next
       i += 1
     }
+    e.unpersist(blocking = false)
     labels
   }
 }

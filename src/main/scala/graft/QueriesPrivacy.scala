@@ -86,6 +86,45 @@ object QueriesPrivacy {
        |  count(DISTINCT bal_band) >= $LMin AS diverse
        |FROM ($quasiSql) GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------- t-closeness
+  // The trio's third leg: per (nation, segment) class, the variational
+  // distance between the class's bal_band distribution and the table's,
+  // computed EXACTLY in integers over the common denominator n_c·N —
+  // the oracle replays the identical grid (absent values included) and
+  // integer algebra. t <= 0.25 is the `close` bar.
+  private val TMaxPpm = 250000L
+
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    Privacy.tCloseness(quasi(s, dir), Seq("c_nationkey", "c_mktsegment"),
+      "bal_band", TMaxPpm)
+
+  private val qTClosenessSql =
+    s"""WITH q AS ($quasiSql),
+       |cells AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n_ic
+       |  FROM q WHERE bal_band IS NOT NULL GROUP BY 1, 2, 3),
+       |classes AS (
+       |  SELECT c_nationkey, c_mktsegment, CAST(sum(n_ic) AS BIGINT) AS n_c
+       |  FROM cells GROUP BY 1, 2),
+       |globals AS (
+       |  SELECT bal_band, CAST(sum(n_ic) AS BIGINT) AS n_i
+       |  FROM cells GROUP BY 1),
+       |total AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_tot FROM globals),
+       |grid AS (
+       |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_c, g.n_i,
+       |    coalesce(ce.n_ic, 0) AS n_ic, t.n_tot
+       |  FROM classes cl CROSS JOIN globals g CROSS JOIN total t
+       |  LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+       |    AND ce.c_mktsegment = cl.c_mktsegment
+       |    AND ce.bal_band = g.bal_band)
+       |SELECT c_nationkey, c_mktsegment,
+       |  max(n_c) AS k,
+       |  CAST((CAST(sum(abs(n_ic * n_tot - n_i * n_c)) AS BIGINT) * 1000000)
+       |    // (2 * max(n_c) * max(n_tot)) AS BIGINT) AS t_ppm,
+       |  CAST((CAST(sum(abs(n_ic * n_tot - n_i * n_c)) AS BIGINT) * 1000000)
+       |    // (2 * max(n_c) * max(n_tot)) AS BIGINT) <= $TMaxPpm AS close
+       |FROM grid GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------- DP counts
   // Laplace-noised segment histogram, noise keyed on (segment, seed) —
   // the oracle re-derives the identical 48-bit uniform and inverse CDF.
@@ -175,6 +214,7 @@ object QueriesPrivacy {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_privacy_risk" -> (qPrivacyRisk _),
     "q_l_diversity" -> (qLDiversity _),
+    "q_t_closeness" -> (qTCloseness _),
     "q_dp_counts" -> (qDpCounts _),
   )
 
@@ -184,6 +224,7 @@ object QueriesPrivacy {
     "q_k_anonymity" -> qKAnonymitySql,
     "q_privacy_risk" -> qPrivacyRiskSql,
     "q_l_diversity" -> qLDiversitySql,
+    "q_t_closeness" -> qTClosenessSql,
     "q_dp_counts" -> qDpCountsSql,
   )
 }

@@ -80,6 +80,58 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("l"))
       .withColumn("diverse", col("l") >= lit(lMin))
 
+  /** t-closeness per quasi class (Li, Li & Venkatasubramanian, ICDE
+    * 2007) — the third leg of the anonymity trio: a class can be
+    * k-anonymous AND l-diverse yet still leak when its sensitive-value
+    * DISTRIBUTION diverges from the table's (skewness attack). For a
+    * categorical sensitive attribute the prescribed distance is
+    * variational: t = ½·Σᵢ|p(i|class) − q(i)|.
+    *
+    * Computed EXACTLY in integers over a common denominator:
+    * |n_ic·N − N_i·n_c| summed per class, then one fixed-point ppm
+    * division by 2·n_c·N — no float distributions anywhere, so the
+    * oracle replays it bit-for-bit. Shape at scale: one corpus groupBy
+    * on (quasi…, sensitive); everything after operates on class×value
+    * aggregate rows (global totals ride a broadcast one-row/|V|-row
+    * join). Long products hold exactly for corpora under ~3·10⁹ rows
+    * (n_ic·N < 2⁶³); beyond that pre-aggregate per shard or widen the
+    * counts to DECIMAL (the [[graft.similarity.Centroids]] mass-bound
+    * convention). Output per class: k (class size), t_ppm, `close` =
+    * t_ppm <= tMaxPpm. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tMaxPpm: Long): DataFrame = {
+    val cells = df
+      .filter(col(sensitiveCol).isNotNull)
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("n_ic"))
+    val classes = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("n_ic")).as("n_c"))
+    val globals = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("n_ic")).as("n_i"))
+    val total = globals.agg(sum(col("n_i")).as("n_tot"))
+    // the class × sensitive grid must include values ABSENT from a
+    // class (they still contribute N_i·n_c to the distance): cross the
+    // class list with the (broadcast, |V|-sized) global value list —
+    // |V| is sensitive-value cardinality, small by the same bucketing
+    // contract as lDiversity
+    val grid = classes
+      .crossJoin(broadcast(globals))
+      .join(cells, quasiCols :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("n_ic"))
+      .crossJoin(broadcast(total))
+    grid
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        max(col("n_c")).as("k"),
+        max(col("n_tot")).as("n_tot"),
+        sum(abs(col("n_ic") * col("n_tot") - col("n_i") * col("n_c")))
+          .as("num"))
+      .withColumn("t_ppm", expr("(num * 1000000L) div (2L * k * n_tot)"))
+      .withColumn("close", col("t_ppm") <= lit(tMaxPpm))
+      .select(quasiCols.map(col) ++
+        Seq(col("k"), col("t_ppm"), col("close")): _*)
+  }
+
   /** Deterministic Laplace(1/epsilon) noise for a group key: inverse
     * CDF over a 48-bit md5 uniform. u in [0,1); X = -sign(u-1/2) *
     * ln(1-2|u-1/2|) / epsilon. The 1e-12 floor guards the measure-zero

@@ -140,4 +140,31 @@ class PrivacySpec extends SparkSpec {
     assert(worst <= 27.631021115928547, s"noise must be floored, got $worst")
     assert(!worst.isNaN && !worst.isInfinite)
   }
+
+  test("t-closeness: hand-computed variational distance, absent values included") {
+    // class A: values {x: 2, y: 2} -> p = (1/2, 1/2, 0)
+    // class B: values {x: 1, z: 3} -> p = (1/4, 0, 3/4)
+    // global:  {x: 3, y: 2, z: 3}, N = 8 -> q = (3/8, 2/8, 3/8)
+    // t(A) = (|1/2-3/8| + |1/2-2/8| + |0-3/8|) / 2 = (1+2+3)/16 = 3/8
+    // t(B) = (|1/4-3/8| + |0-2/8| + |3/4-3/8|) / 2 = (1+2+3)/16 = 3/8
+    val rows = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("A", "y"),
+      ("B", "x"), ("B", "z"), ("B", "z"), ("B", "z"))
+    val got = Privacy.tCloseness(rows.toDF("cls", "s"), Seq("cls"), "s",
+      400000L).collect().map(r => r.getString(0) -> r).toMap
+    assert(got("A").getLong(1) === 4L && got("B").getLong(1) === 4L)
+    assert(got("A").getLong(2) === 375000L) // 3/8 exactly
+    assert(got("B").getLong(2) === 375000L)
+    assert(got("A").getBoolean(3) && got("B").getBoolean(3))
+    // a tighter bar flips the flag
+    val tight = Privacy.tCloseness(rows.toDF("cls", "s"), Seq("cls"), "s",
+      300000L).collect()
+    assert(tight.forall(!_.getBoolean(3)))
+  }
+
+  test("t-closeness is 0 for classes matching the global distribution") {
+    val rows = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+    val got = Privacy.tCloseness(rows.toDF("cls", "s"), Seq("cls"), "s", 0L)
+      .collect()
+    assert(got.forall(r => r.getLong(2) == 0L && r.getBoolean(3)))
+  }
 }

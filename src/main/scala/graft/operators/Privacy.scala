@@ -132,6 +132,123 @@ object Privacy {
         Seq(col("k"), col("t_ppm"), col("close")): _*)
   }
 
+  /** Multidimensional generalization à la Mondrian (LeFevre, DeWitt &
+    * Ramakrishnan, ICDE 2006) — the TRANSFORM next to the audit trio:
+    * recursively partition the numeric quasi space and release each
+    * row with its partition's [lo, hi] band per dimension, every
+    * partition holding ≥ k rows.
+    *
+    * Deliberate divergence from the paper, documented: splits happen at
+    * the MIDPOINT of the partition's widest normalized range, not the
+    * median. A distributed exact median per partition would need a
+    * per-partition sort (single-task at the root, where the partition
+    * IS the corpus); the midpoint needs only min/max, so every round is
+    * two aggregates + two broadcast joins and the round count is
+    * bounded by log₂(range/resolution), independent of rows. A split is
+    * accepted only when BOTH halves keep ≥ k rows (the strict variant);
+    * rejected partitions are final. Deterministic: widest-range
+    * dimension, first-index tie-break, pure arithmetic midpoint.
+    *
+    * Output: every input row + `pid` (partition id) + per-dimension
+    * `<col>_lo` / `<col>_hi` bands. Rows with a NULL quasi value are
+    * excluded (generalizing an unknown is undefined — route them
+    * explicitly). Non-oracle by nature (data-dependent recursion);
+    * spec-pinned: k floor, band validity, determinism, actual splits.
+    */
+  def mondrian(df: DataFrame, quasiCols: Seq[String], k: Long,
+      maxRounds: Int = 48): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi column")
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 60, s"bad maxRounds=$maxRounds")
+    // localCheckpoint per generation: the round loop would otherwise
+    // grow the logical plan linearly (optimizer time compounds per
+    // round). Stats loss doesn't matter here — every small side in the
+    // loop carries an EXPLICIT broadcast hint.
+    var work = df
+      .filter(quasiCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("pid", lit(0L))
+      .localCheckpoint()
+    // global ranges normalize the widest-dimension choice so one
+    // large-unit column doesn't monopolize the splits
+    val g = work.agg(
+      quasiCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c"))).head,
+      quasiCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+        max(col(c).cast("double")).as(s"hi_$c"))).tail: _*).collect()(0)
+    val span = quasiCols.map { c =>
+      val s = g.getAs[Double](s"hi_$c") - g.getAs[Double](s"lo_$c")
+      if (s > 0.0) s else 1.0
+    }
+    var round = 0
+    var splitting = true
+    while (splitting && round < maxRounds) {
+      val stats = work.groupBy(col("pid")).agg(
+        count(lit(1)).as("n"),
+        quasiCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"lo_$c"),
+          max(col(c).cast("double")).as(s"hi_$c"))): _*)
+      // widest normalized dimension + its midpoint, chosen in the plan
+      val width = quasiCols.zipWithIndex.map { case (c, i) =>
+        ((col(s"hi_$c") - col(s"lo_$c")) / lit(span(i))).as(s"w_$c") }
+      val withW = stats.select(col("pid") +: col("n") +:
+        quasiCols.flatMap(c => Seq(col(s"lo_$c"), col(s"hi_$c"))) ++:
+        width: _*)
+      val best = quasiCols.tail.zipWithIndex.foldLeft(
+        (lit(0), col(s"w_${quasiCols.head}"))) {
+        case ((bi, bw), (c, i)) =>
+          val better = col(s"w_$c") > bw
+          (when(better, lit(i + 1)).otherwise(bi),
+            when(better, col(s"w_$c")).otherwise(bw))
+      }
+      val cand = withW
+        .withColumn("dim", best._1)
+        .withColumn("w", best._2)
+        .filter(col("n") >= lit(2 * k) && col("w") > 0.0)
+        .withColumn("mid", quasiCols.zipWithIndex.map { case (c, i) =>
+          when(col("dim") === i,
+            (col(s"lo_$c") + col(s"hi_$c")) / lit(2.0))
+        }.reduce(coalesce(_, _)))
+        .select(col("pid"), col("dim"), col("mid"))
+      // verify both halves keep >= k before accepting
+      val sideOf = quasiCols.zipWithIndex.map { case (c, i) =>
+        when(col("dim") === i, (col(c).cast("double") <= col("mid"))
+          .cast("int"))
+      }.reduce(coalesce(_, _))
+      val halves = work.join(broadcast(cand), Seq("pid"))
+        .withColumn("side", sideOf)
+        .groupBy(col("pid")).agg(
+          sum(col("side")).as("n_left"),
+          sum(lit(1L) - col("side")).as("n_right"))
+        .filter(col("n_left") >= k && col("n_right") >= k)
+        .select(col("pid"))
+      val accepted = cand.join(broadcast(halves), Seq("pid"))
+        .localCheckpoint() // tiny; eager so isEmpty + the join share it
+      if (accepted.isEmpty) {
+        graft.core.Checkpoints.releaseLocal(accepted)
+        splitting = false
+      } else {
+        val next = work.join(broadcast(accepted), Seq("pid"), "left")
+          .withColumn("pid",
+            when(col("dim").isNull, col("pid"))
+              .otherwise(col("pid") * 2L + lit(1L) + sideOf.cast("long")))
+          .drop("dim", "mid")
+          .localCheckpoint()
+        graft.core.Checkpoints.releaseLocal(accepted)
+        graft.core.Checkpoints.releaseLocal(work)
+        work = next
+        round += 1
+      }
+    }
+    val bands = work.groupBy(col("pid")).agg(
+      quasiCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"${c}_lo"),
+        max(col(c).cast("double")).as(s"${c}_hi"))).head,
+      quasiCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"${c}_lo"),
+        max(col(c).cast("double")).as(s"${c}_hi"))).tail: _*)
+    work.join(broadcast(bands), Seq("pid"))
+  }
+
   /** Deterministic Laplace(1/epsilon) noise for a group key: inverse
     * CDF over a 48-bit md5 uniform. u in [0,1); X = -sign(u-1/2) *
     * ln(1-2|u-1/2|) / epsilon. The 1e-12 floor guards the measure-zero

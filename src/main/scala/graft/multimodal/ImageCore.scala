@@ -116,6 +116,66 @@ object ImageCore {
     }
   }
 
+  /** Nearest-neighbour downsample of packed 0xRRGGBB pixels — pure
+    * integer index arithmetic (src = (x·sw) div dw, (y·sh) div dh), so
+    * the result is deterministic across JVMs and replayable by integer
+    * SQL. NN, not bilinear, on purpose: the downstream consumers (aHash
+    * screens, channel stats, thumbnail export) need determinism more
+    * than smoothing, and bilinear's float blends would break the
+    * engine-exact contract the rest of this kernel keeps. */
+  def resizeNearest(w: Int, h: Int, px: Array[Int], dw: Int,
+      dh: Int): Array[Int] = {
+    require(w > 0 && h > 0 && dw > 0 && dh > 0 && px.length == w * h,
+      s"bad resize ${w}x$h -> ${dw}x$dh over ${px.length} px")
+    val out = new Array[Int](dw * dh)
+    var y = 0
+    while (y < dh) {
+      val sy = (y.toLong * h / dh).toInt
+      var x = 0
+      while (x < dw) {
+        out(y * dw + x) = px(sy * w + (x.toLong * w / dw).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Aspect-preserving fit of (w, h) into (maxW, maxH), never
+    * upscaling, never collapsing below 1px — the same floor(scale)
+    * arithmetic the metadata path publishes. */
+  def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(w > 0 && h > 0 && maxW > 0 && maxH > 0, s"bad fit $w $h")
+    val scale = math.min(1.0,
+      math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1, math.floor(w * scale).toInt),
+      math.max(1, math.floor(h * scale).toInt))
+  }
+
+  /** REAL resize: ImageIO decode → [[resizeNearest]] into the
+    * aspect-fit box → PNG re-encode (JDK writer; PNG because it is the
+    * one lossless format every JDK ships). None on undecodable input —
+    * same honest degradation as [[decodeImage]]. */
+  def resizeImage(bytes: Array[Byte], maxW: Int,
+      maxH: Int): Option[Array[Byte]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, px, 0, w)
+        val (dw, dh) = fitBox(w, h, maxW, maxH)
+        val small = resizeNearest(w, h, px, dw, dh)
+        val out = new java.awt.image.BufferedImage(dw, dh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        out.setRGB(0, 0, dw, dh, small, 0, dw)
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!ImageIO.write(out, "png", bos)) None else Some(bos.toByteArray)
+      }
+    } catch { case NonFatal(_) => None }
+
   /** Real decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP — no
     * external codec dependency). None on unrecognized or corrupt bytes
     * — a 100 TB media crawl always contains undecodable blobs, and a

@@ -41,6 +41,9 @@ object ImageExpr {
   /** Real ImageIO decode of an image blob. NULL on undecodable bytes. */
   def image_stats(c: Column): Column =
     GraftShim.columnOf(ImageStats(GraftShim.expressionOf(c)))
+
+  def image_resize(c: Column, maxW: Int, maxH: Int): Column =
+    GraftShim.columnOf(ImageResize(GraftShim.expressionOf(c), maxW, maxH))
 }
 
 /** `rgb_frame_stats(text, w, h)` — deterministic synthetic frame from a
@@ -88,4 +91,30 @@ case class ImageStats(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): ImageStats = copy(child = newChild)
+}
+
+/** `image_resize(binary, maxW, maxH)` — REAL thumbnailing: ImageIO
+  * decode → deterministic nearest-neighbour downsample into the
+  * aspect-fit box ([[ImageCore.resizeNearest]], integer index
+  * arithmetic) → PNG re-encode. NULL on undecodable bytes, same honest
+  * degradation as [[ImageStats]]. */
+case class ImageResize(child: Expression, maxW: Int, maxH: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxW > 0 && maxH > 0, s"bad resize box ${maxW}x$maxH")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // failed decode -> null
+  override def prettyName: String = "image_resize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_resize expects a BINARY input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageCore.resizeImage(v.asInstanceOf[Array[Byte]], maxW, maxH).orNull
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageResize = copy(child = newChild)
 }

@@ -54,19 +54,26 @@ object MultimodalOps {
   def rgbFrameStats(textCol: Column, w: Int, h: Int): Column =
     ImageExpr.rgb_frame_stats(textCol, w, h)
 
-  /** STUB resize: recomputes the metadata struct for a target box
-    * (aspect-preserving fit) and marks the payload as resized. A real
-    * implementation transforms the bytes in the same projection seam. */
-  def resizeStub(df: DataFrame, metaCol: String, maxW: Int, maxH: Int): DataFrame = {
+  /** REAL resize: transforms the PAYLOAD — ImageIO decode →
+    * deterministic nearest-neighbour downsample into the aspect-fit
+    * box → PNG re-encode ([[ImageExpr.image_resize]]) — and republishes
+    * the metadata struct with the fitted dimensions (the same
+    * floor(scale) arithmetic, clamped ≥ 1px like the kernel).
+    * Undecodable payloads become NULL bytes while keeping their
+    * recomputed metadata — quarantine routing stays relational. Pure
+    * map projection: zero shuffle at any corpus size. */
+  def resize(df: DataFrame, binCol: String, metaCol: String, maxW: Int,
+      maxH: Int): DataFrame = {
     val w = col(s"$metaCol.width").cast("double")
     val h = col(s"$metaCol.height").cast("double")
     val scale = least(lit(maxW) / w, lit(maxH) / h, lit(1.0))
-    df.withColumn(metaCol, struct(
-      col(s"$metaCol.media_type").as("media_type"),
-      floor(w * scale).cast("int").as("width"),
-      floor(h * scale).cast("int").as("height"),
-      col(s"$metaCol.duration_ms").as("duration_ms"),
-      concat(col(s"$metaCol.codec"), lit("+resized")).as("codec")))
+    df.withColumn(binCol, ImageExpr.image_resize(col(binCol), maxW, maxH))
+      .withColumn(metaCol, struct(
+        col(s"$metaCol.media_type").as("media_type"),
+        greatest(floor(w * scale), lit(1.0)).cast("int").as("width"),
+        greatest(floor(h * scale), lit(1.0)).cast("int").as("height"),
+        col(s"$metaCol.duration_ms").as("duration_ms"),
+        concat(col(s"$metaCol.codec"), lit("+resized")).as("codec")))
   }
 
   /** aHash near-dup candidate pairs over image signatures: band the

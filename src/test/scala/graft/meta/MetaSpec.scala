@@ -70,17 +70,21 @@ class MetaSpec extends SparkSpec {
     assert(over.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
-  test("MultimodalOps resize stub fits within the box, preserves aspect") {
+  test("MultimodalOps resize fits metadata within the box, preserves aspect, nulls undecodable payloads") {
     val df = Seq((1L, "x" * 2000)).toDF("id", "t")
       .withColumn("payload", encode(col("t"), "UTF-8"))
     val withMeta = MultimodalOps.withMediaMeta(df, "payload", "image")
     val before = withMeta.select("media_meta.width", "media_meta.height")
       .collect().head
-    val resized = MultimodalOps.resizeStub(withMeta, "media_meta", 64, 64)
-      .select("media_meta.width", "media_meta.height", "media_meta.codec")
+    val resized = MultimodalOps.resize(withMeta, "payload", "media_meta",
+        64, 64)
+      .select(col("media_meta.width"), col("media_meta.height"),
+        col("media_meta.codec"), col("payload").isNull)
       .collect().head
     assert(resized.getInt(0) <= 64 && resized.getInt(1) <= 64)
     assert(resized.getString(2).endsWith("+resized"))
+    // not an image: the payload honestly degrades to NULL
+    assert(resized.getBoolean(3))
     // aspect preserved within integer truncation
     val r0 = before.getInt(0).toDouble / before.getInt(1)
     val r1 = resized.getInt(0).toDouble / resized.getInt(1)

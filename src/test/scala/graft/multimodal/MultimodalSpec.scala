@@ -411,4 +411,52 @@ class MultimodalSpec extends SparkSpec {
     assert(info.nRawFrames === 1)
     assert(info.firstFrame.get === ImageCore.stats(w, h, px))
   }
+
+  test("resizeNearest is pixel-exact integer index arithmetic") {
+    // 4x4 -> 2x2: dst(x,y) <- src(x*4/2, y*4/2) = src(2x, 2y)
+    val px = (0 until 16).toArray
+    val out = ImageCore.resizeNearest(4, 4, px, 2, 2)
+    assert(out.toSeq === Seq(0, 2, 8, 10))
+    // 3x3 -> 2x2: src indices floor(x*3/2) in {0, 1} -> px(0,1,3,4)
+    val out2 = ImageCore.resizeNearest(3, 3, (0 until 9).toArray, 2, 2)
+    assert(out2.toSeq === Seq(0, 1, 3, 4))
+    // identity when dims match
+    assert(ImageCore.resizeNearest(4, 4, px, 4, 4).toSeq === px.toSeq)
+  }
+
+  test("fitBox preserves aspect, never upscales, never collapses to 0") {
+    assert(ImageCore.fitBox(100, 50, 64, 64) === ((64, 32)))
+    assert(ImageCore.fitBox(50, 100, 64, 64) === ((32, 64)))
+    assert(ImageCore.fitBox(10, 10, 64, 64) === ((10, 10))) // no upscale
+    assert(ImageCore.fitBox(1000, 3, 10, 10) === ((10, 1))) // clamp >= 1
+  }
+
+  test("resizeImage round-trips: decoded thumbnail has the fitted dims and NN pixels") {
+    val (w, h) = (16, 8)
+    val px = pixels(w, h, 7)
+    val bytes = png(w, h, px)
+    val Some(thumb) = ImageCore.resizeImage(bytes, 8, 8)
+    val Some(st) = ImageCore.decodeImage(thumb)
+    assert(st.width === 8 && st.height === 4) // aspect fit of 16x8 in 8x8
+    // PNG is lossless: the thumbnail's stats equal the NN kernel's
+    val expect = ImageCore.stats(8, 4, ImageCore.resizeNearest(w, h, px, 8, 4))
+    assert(st === expect)
+    // garbage bytes degrade to None
+    assert(ImageCore.resizeImage("not an image".getBytes, 8, 8).isEmpty)
+  }
+
+  test("image_resize expression transforms payloads in a pure projection") {
+    val (w, h) = (12, 12)
+    val good = png(w, h, pixels(w, h, 3))
+    val rows = Seq((1L, good), (2L, "junk".getBytes)).toDF("id", "payload")
+    val out = rows
+      .withColumn("thumb", graft.multimodal.ImageExpr.image_resize(
+        org.apache.spark.sql.functions.col("payload"), 6, 6))
+      .withColumn("st", graft.multimodal.ImageExpr.image_stats(
+        org.apache.spark.sql.functions.col("thumb")))
+      .select("id", "st.width", "st.height")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_ => (r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) === Some((6, 6)))
+    assert(out(2L) === None)
+  }
 }

@@ -116,6 +116,26 @@ object ImageCore {
     }
   }
 
+  /** Text frame → NN thumbnail → stats: the resize kernel's
+    * oracle-replayable path (same pixel synthesis as [[statsFromText]],
+    * same [[resizeNearest]] index arithmetic a SQL oracle replays). */
+  def thumbStatsFromText(s: String, w: Int, h: Int, dw: Int,
+      dh: Int): Option[Stats] = {
+    val need = w * h * 3
+    val cps = s.codePoints().limit(need).toArray
+    if (cps.length < need) None
+    else {
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((cps(3 * i) & 0xFF) << 16) |
+          ((cps(3 * i + 1) & 0xFF) << 8) | (cps(3 * i + 2) & 0xFF)
+        i += 1
+      }
+      Some(stats(dw, dh, resizeNearest(w, h, px, dw, dh)))
+    }
+  }
+
   /** Nearest-neighbour downsample of packed 0xRRGGBB pixels — pure
     * integer index arithmetic (src = (x·sw) div dw, (y·sh) div dh), so
     * the result is deterministic across JVMs and replayable by integer

@@ -44,6 +44,11 @@ object ImageExpr {
 
   def image_resize(c: Column, maxW: Int, maxH: Int): Column =
     GraftShim.columnOf(ImageResize(GraftShim.expressionOf(c), maxW, maxH))
+
+  def rgb_frame_resize_stats(c: Column, w: Int, h: Int, dw: Int,
+      dh: Int): Column =
+    GraftShim.columnOf(
+      RgbFrameResizeStats(GraftShim.expressionOf(c), w, h, dw, dh))
 }
 
 /** `rgb_frame_stats(text, w, h)` — deterministic synthetic frame from a
@@ -68,6 +73,35 @@ case class RgbFrameStats(child: Expression, w: Int, h: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): RgbFrameStats = copy(child = newChild)
+}
+
+/** `rgb_frame_resize_stats(text, w, h, dw, dh)` — the resize kernel's
+  * oracle-replayable twin: build the deterministic (w×h) frame from the
+  * string, nearest-neighbour downsample to (dw×dh)
+  * ([[ImageCore.resizeNearest]] — pure integer index arithmetic DuckDB
+  * can replay), then the shared stats kernel over the thumbnail. */
+case class RgbFrameResizeStats(child: Expression, w: Int, h: Int,
+    dw: Int, dh: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 0 && h > 0 && dw > 0 && dh > 0,
+    s"frame dims must be positive, got ${w}x$h -> ${dw}x$dh")
+
+  override def dataType: DataType = ImageExpr.statsType
+  override def nullable: Boolean = true // short input -> null
+  override def prettyName: String = "rgb_frame_resize_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rgb_frame_resize_stats expects a STRING input, got " +
+        child.dataType.sql)
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageCore.thumbStatsFromText(v.asInstanceOf[UTF8String].toString,
+      w, h, dw, dh).map(ImageExpr.toRow).orNull
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RgbFrameResizeStats = copy(child = newChild)
 }
 
 /** `image_stats(binary)` — real executor-side decode via the JDK's

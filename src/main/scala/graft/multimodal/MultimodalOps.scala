@@ -32,16 +32,32 @@ object MultimodalOps {
     StructField("duration_ms", LongType),
     StructField("codec", StringType)))
 
-  /** Wrap a binary column with synthesized metadata (deterministic from
-    * the payload size — the stub stands in for header parsing; length
-    * arithmetic keeps it portable to the SQL oracle). */
+  /** Wrap a binary column with SYNTHESIZED metadata, deterministic from
+    * the payload size — the oracle-portable twin of [[withImageMeta]]
+    * (length arithmetic is what a SQL oracle can reconstruct; q_frames
+    * gates it). Use [[withImageMeta]] when payloads are real images. */
   def withMediaMeta(df: DataFrame, binCol: String, mediaType: String): DataFrame =
     df.withColumn("media_meta", struct(
       lit(mediaType).as("media_type"),
       (length(col(binCol)) % 1280 + 64).cast("int").as("width"),
       (length(col(binCol)) * 7 % 720 + 64).cast("int").as("height"),
       (length(col(binCol)).cast("long") * 997 % 30000 + 1000).as("duration_ms"),
-      lit("stub").as("codec")))
+      lit("synthesized").as("codec")))
+
+  /** REAL metadata from the payload itself: ImageIO header decode
+    * ([[ImageExpr.image_stats]]) supplies width/height; undecodable
+    * payloads get NULL dimensions and codec 'undecodable' so quarantine
+    * routing stays relational. Pure map projection. */
+  def withImageMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__st", ImageExpr.image_stats(col(binCol)))
+      .withColumn("media_meta", struct(
+        lit("image").as("media_type"),
+        col("__st.width").as("width"),
+        col("__st.height").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        when(col("__st").isNull, lit("undecodable"))
+          .otherwise(lit("imageio")).as("codec")))
+      .drop("__st")
 
   /** REAL image decode (JDK ImageIO): struct of width/height, channel
     * means, and split+packed 64-bit aHash. Undecodable blobs -> NULL

@@ -104,4 +104,20 @@ class MetaSpec extends SparkSpec {
     // real decode path (PNG round-trip + raw-frame parity) is covered in
     // graft.multimodal.MultimodalSpec
   }
+
+  test("withImageMeta derives REAL dimensions from the payload header") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(20, 10, BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val rows = Seq((1L, bos.toByteArray), (2L, "junk".getBytes))
+      .toDF("id", "payload")
+    val got = MultimodalOps.withImageMeta(rows, "payload")
+      .select(col("id"), col("media_meta.width"), col("media_meta.height"),
+        col("media_meta.codec"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(1) === 20 && got(1L).getInt(2) === 10)
+    assert(got(1L).getString(3) === "imageio")
+    assert(got(2L).isNullAt(1) && got(2L).getString(3) === "undecodable")
+  }
 }

@@ -136,6 +136,27 @@ object ImageCore {
     }
   }
 
+  /** Center-crop of packed 0xRRGGBB pixels to (cw, ch), clamped to the
+    * source dims; offsets are floor((src-dst)/2) — the standard vision
+    * preprocessing companion to [[resizeNearest]], same integer-exact
+    * contract. */
+  def cropCenter(w: Int, h: Int, px: Array[Int], cw: Int,
+      ch: Int): (Int, Int, Array[Int]) = {
+    require(w > 0 && h > 0 && cw > 0 && ch > 0 && px.length == w * h,
+      s"bad crop ${w}x$h -> ${cw}x$ch over ${px.length} px")
+    val dw = math.min(cw, w)
+    val dh = math.min(ch, h)
+    val ox = (w - dw) / 2
+    val oy = (h - dh) / 2
+    val out = new Array[Int](dw * dh)
+    var y = 0
+    while (y < dh) {
+      System.arraycopy(px, (oy + y) * w + ox, out, y * dw, dw)
+      y += 1
+    }
+    (dw, dh, out)
+  }
+
   /** Nearest-neighbour downsample of packed 0xRRGGBB pixels — pure
     * integer index arithmetic (src = (x·sw) div dw, (y·sh) div dh), so
     * the result is deterministic across JVMs and replayable by integer
@@ -171,6 +192,27 @@ object ImageCore {
     (math.max(1, math.floor(w * scale).toInt),
       math.max(1, math.floor(h * scale).toInt))
   }
+
+  /** REAL center-crop: ImageIO decode → [[cropCenter]] → PNG re-encode;
+    * None on undecodable input, same degradation as [[decodeImage]]. */
+  def cropImage(bytes: Array[Byte], cw: Int,
+      ch: Int): Option[Array[Byte]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, px, 0, w)
+        val (dw, dh, cropped) = cropCenter(w, h, px, cw, ch)
+        val out = new java.awt.image.BufferedImage(dw, dh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        out.setRGB(0, 0, dw, dh, cropped, 0, dw)
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!ImageIO.write(out, "png", bos)) None else Some(bos.toByteArray)
+      }
+    } catch { case NonFatal(_) => None }
 
   /** REAL resize: ImageIO decode → [[resizeNearest]] into the
     * aspect-fit box → PNG re-encode (JDK writer; PNG because it is the

@@ -49,6 +49,9 @@ object ImageExpr {
       dh: Int): Column =
     GraftShim.columnOf(
       RgbFrameResizeStats(GraftShim.expressionOf(c), w, h, dw, dh))
+
+  def image_crop(c: Column, cw: Int, ch: Int): Column =
+    GraftShim.columnOf(ImageCrop(GraftShim.expressionOf(c), cw, ch))
 }
 
 /** `rgb_frame_stats(text, w, h)` — deterministic synthetic frame from a
@@ -151,4 +154,28 @@ case class ImageResize(child: Expression, maxW: Int, maxH: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): ImageResize = copy(child = newChild)
+}
+
+/** `image_crop(binary, cw, ch)` — REAL center-crop: ImageIO decode →
+  * [[ImageCore.cropCenter]] (clamped to source dims, floor-centered
+  * offsets) → PNG re-encode. NULL on undecodable bytes. */
+case class ImageCrop(child: Expression, cw: Int, ch: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(cw > 0 && ch > 0, s"bad crop box ${cw}x$ch")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // failed decode -> null
+  override def prettyName: String = "image_crop"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_crop expects a BINARY input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageCore.cropImage(v.asInstanceOf[Array[Byte]], cw, ch).orNull
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageCrop = copy(child = newChild)
 }

@@ -459,4 +459,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) === Some((6, 6)))
     assert(out(2L) === None)
   }
+
+  test("cropCenter is exact: centered offsets, clamping, pixel identity") {
+    // 4x4 -> 2x2: offsets (1,1) -> px(5,6,9,10)
+    val px = (0 until 16).toArray
+    val (dw, dh, out) = ImageCore.cropCenter(4, 4, px, 2, 2)
+    assert((dw, dh) === ((2, 2)) && out.toSeq === Seq(5, 6, 9, 10))
+    // crop box larger than the image clamps to the image
+    val (cw2, ch2, out2) = ImageCore.cropCenter(2, 2, Array(1, 2, 3, 4), 10, 10)
+    assert((cw2, ch2) === ((2, 2)) && out2.toSeq === Seq(1, 2, 3, 4))
+    // odd remainder floors the offset: 5 wide -> crop 2 starts at 1
+    val (cw3, _, out3) = ImageCore.cropCenter(5, 1, (0 until 5).toArray, 2, 1)
+    assert(cw3 === 2 && out3.toSeq === Seq(1, 2))
+  }
+
+  test("cropImage round-trips losslessly through PNG") {
+    val (w, h) = (10, 6)
+    val px = pixels(w, h, 13)
+    val Some(cropped) = ImageCore.cropImage(png(w, h, px), 4, 4)
+    val Some(st) = ImageCore.decodeImage(cropped)
+    val (dw, dh, expectPx) = ImageCore.cropCenter(w, h, px, 4, 4)
+    assert(st === ImageCore.stats(dw, dh, expectPx))
+    assert(ImageCore.cropImage("garbage".getBytes, 4, 4).isEmpty)
+  }
 }

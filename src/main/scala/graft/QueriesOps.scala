@@ -202,6 +202,39 @@ object QueriesOps {
       |  CAST(sum(b) AS BIGINT) / 16.0 AS mean_b
       |FROM px GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- crop stats
+  // The CROP kernel under the driver gate: center-crop the 8×8 frame to
+  // 4×4 (offsets (2,2): src = 8·(j div 4) + (j mod 4) + 18) and take
+  // channel means. The oracle replays the identical offset map.
+  def qCropStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("n_chars") >= 24)
+      .select(col("doc_id"),
+        graft.multimodal.ImageExpr.rgb_frame_crop_stats(
+          substring(repeat(col("text"), 8), 1, 192), 8, 8, 4, 4).as("s"))
+      .select(col("doc_id"), col("s.width").as("width"),
+        col("s.height").as("height"), col("s.mean_r").as("mean_r"),
+        col("s.mean_g").as("mean_g"), col("s.mean_b").as("mean_b"))
+
+  val qCropStatsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(repeat(text, 8), 1, 192) AS f
+      |  FROM documents WHERE n_chars >= 24),
+      |px AS (
+      |  SELECT doc_id,
+      |    ord(substr(f, CAST(3*(8*(j//4) + (j%4) + 18) + 1 AS INT), 1))
+      |      % 256 AS r,
+      |    ord(substr(f, CAST(3*(8*(j//4) + (j%4) + 18) + 2 AS INT), 1))
+      |      % 256 AS g,
+      |    ord(substr(f, CAST(3*(8*(j//4) + (j%4) + 18) + 3 AS INT), 1))
+      |      % 256 AS b
+      |  FROM d CROSS JOIN range(0, 16) t(j))
+      |SELECT doc_id, 4 AS width, 4 AS height,
+      |  CAST(sum(r) AS BIGINT) / 16.0 AS mean_r,
+      |  CAST(sum(g) AS BIGINT) / 16.0 AS mean_g,
+      |  CAST(sum(b) AS BIGINT) / 16.0 AS mean_b
+      |FROM px GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------ frame hamming
   // Visual near-dup screen over the same synthetic frames: aHash 4-band
   // LSH join + Hamming verify (the SimHash idiom through the IMAGE
@@ -400,6 +433,7 @@ object QueriesOps {
     "q_frames" -> (qFrames _),
     "q_frame_stats" -> (qFrameStats _),
     "q_thumb_stats" -> (qThumbStats _),
+    "q_crop_stats" -> (qCropStats _),
     "q_audio_stats" -> (qAudioStats _),
     "q_frame_hamming" -> (qFrameHamming _),
     "q_date_funcs" -> (qDateFuncs _),
@@ -416,6 +450,7 @@ object QueriesOps {
     "q_frames" -> qFramesSql,
     "q_frame_stats" -> qFrameStatsSql,
     "q_thumb_stats" -> qThumbStatsSql,
+    "q_crop_stats" -> qCropStatsSql,
     "q_audio_stats" -> qAudioStatsSql,
     "q_frame_hamming" -> qFrameHammingSql,
     "q_date_funcs" -> qDateFuncsSql,

@@ -157,6 +157,27 @@ object ImageCore {
     (dw, dh, out)
   }
 
+  /** Text frame → center-crop → stats: the crop kernel's
+    * oracle-replayable path (same pixel synthesis as [[statsFromText]],
+    * same [[cropCenter]] offset arithmetic a SQL oracle replays). */
+  def cropStatsFromText(s: String, w: Int, h: Int, cw: Int,
+      ch: Int): Option[Stats] = {
+    val need = w * h * 3
+    val cps = s.codePoints().limit(need).toArray
+    if (cps.length < need) None
+    else {
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((cps(3 * i) & 0xFF) << 16) |
+          ((cps(3 * i + 1) & 0xFF) << 8) | (cps(3 * i + 2) & 0xFF)
+        i += 1
+      }
+      val (dw, dh, cropped) = cropCenter(w, h, px, cw, ch)
+      Some(stats(dw, dh, cropped))
+    }
+  }
+
   /** Nearest-neighbour downsample of packed 0xRRGGBB pixels — pure
     * integer index arithmetic (src = (x·sw) div dw, (y·sh) div dh), so
     * the result is deterministic across JVMs and replayable by integer

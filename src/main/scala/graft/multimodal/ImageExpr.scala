@@ -52,6 +52,11 @@ object ImageExpr {
 
   def image_crop(c: Column, cw: Int, ch: Int): Column =
     GraftShim.columnOf(ImageCrop(GraftShim.expressionOf(c), cw, ch))
+
+  def rgb_frame_crop_stats(c: Column, w: Int, h: Int, cw: Int,
+      ch: Int): Column =
+    GraftShim.columnOf(
+      RgbFrameCropStats(GraftShim.expressionOf(c), w, h, cw, ch))
 }
 
 /** `rgb_frame_stats(text, w, h)` — deterministic synthetic frame from a
@@ -105,6 +110,34 @@ case class RgbFrameResizeStats(child: Expression, w: Int, h: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): RgbFrameResizeStats = copy(child = newChild)
+}
+
+/** `rgb_frame_crop_stats(text, w, h, cw, ch)` — the crop kernel's
+  * oracle-replayable twin: deterministic (w×h) frame from the string,
+  * [[ImageCore.cropCenter]] (floor-centered integer offsets DuckDB can
+  * replay), shared stats kernel over the crop. */
+case class RgbFrameCropStats(child: Expression, w: Int, h: Int,
+    cw: Int, ch: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 0 && h > 0 && cw > 0 && ch > 0,
+    s"frame dims must be positive, got ${w}x$h crop ${cw}x$ch")
+
+  override def dataType: DataType = ImageExpr.statsType
+  override def nullable: Boolean = true // short input -> null
+  override def prettyName: String = "rgb_frame_crop_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rgb_frame_crop_stats expects a STRING input, got " +
+        child.dataType.sql)
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageCore.cropStatsFromText(v.asInstanceOf[UTF8String].toString,
+      w, h, cw, ch).map(ImageExpr.toRow).orNull
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RgbFrameCropStats = copy(child = newChild)
 }
 
 /** `image_stats(binary)` — real executor-side decode via the JDK's

@@ -683,6 +683,19 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"AUC must scan lineitem once, got $scans:\n$p")
   }
 
+  test("q_thumb_stats and q_crop_stats are pure projections — no exchange at all") {
+    // the vision kernels are per-row expressions: a KEYED exchange or a
+    // join means the map-only contract regressed (the loader's
+    // round-robin spread is the only exchange allowed)
+    for (q <- Seq("q_thumb_stats", "q_crop_stats")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning") && !p.contains("Join"),
+        s"$q must be map-only:\n$p")
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q must scan documents once, got $scans:\n$p")
+    }
+  }
+
   test("q_seasonal_decomp retains the windowed panel for both consumers") {
     val p = plan("q_seasonal_decomp")
     assert(!p.contains("CartesianProduct") &&

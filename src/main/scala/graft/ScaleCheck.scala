@@ -234,6 +234,18 @@ object ScaleCheck {
       // copies keep the community structure per copy, so the iterative
       // join chain must stay linear in edge volume
       graft.operators.LabelProp.run(edgesBipartite(s, dir), "src", "dst", 3)
+    },
+    "mondrian" -> { (s, dir) =>
+      // recursive generalization: per round two aggregates + two
+      // broadcast joins over the whole (shrinking-in-classes) corpus.
+      // 10x volume in the SAME value ranges deepens the split tree by
+      // ~log2(10) extra rounds, so mildly super-linear wall-clock is
+      // the honest expectation — the row exists to MEASURE it.
+      graft.operators.Privacy.mondrian(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("c_nationkey").cast("double").as("nk")),
+        Seq("c_acctbal", "nk"), 50L)
     })
 
   private def time(spark: SparkSession, runs: Int)

@@ -329,6 +329,95 @@ object QueriesModel {
       |      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------- calibration
+  // Reliability table + exact ECE of a micro-unit probability against
+  // the return label. The score is the quantity rescaled to [0, 1e6]
+  // (integer, engine-portable — Calibration.scala's contract; in
+  // production it is a fitted model's output). Every statistic is
+  // integer-exact up to one fixed-shape double division, so the oracle
+  // hash-matches bit-for-bit.
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      (col("l_quantity").cast("long") * 20000L).as("score_micro"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+
+  private val sqlScored =
+    """s AS (
+      |  SELECT CAST(l_quantity AS BIGINT) * 20000 AS score_micro,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem)""".stripMargin
+
+  private val CalBins = 10
+
+  def qCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibration.reliability(
+      scored(s, dir), "score_micro", "y", CalBins)
+
+  val qCalibrationSql: String =
+    s"""WITH $sqlScored,
+       |b AS (
+       |  SELECT CAST(least((score_micro * $CalBins) // 1000000,
+       |                    ${CalBins - 1}) AS INT) AS bin,
+       |    count(*) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(score_micro) AS BIGINT) AS score_micro_sum
+       |  FROM s GROUP BY 1),
+       |g AS (
+       |  SELECT CAST(sum(abs(1000000 * n_pos - score_micro_sum))
+       |           AS BIGINT) AS ece_num,
+       |    CAST(sum(n) AS BIGINT) AS nn
+       |  FROM b)
+       |SELECT bin, n, n_pos, score_micro_sum,
+       |  CAST(score_micro_sum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+       |    AS conf,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+       |  ece_num,
+       |  CAST(ece_num AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE)) AS ece
+       |FROM b CROSS JOIN g""".stripMargin
+
+  // Confusion matrix + PRF at the 0.5 threshold fused with the Brier
+  // score in ONE aggregate pass (Calibration.evalAt — each derived
+  // metric a single integer division; Brier's square-sum in
+  // DECIMAL/HUGEINT). CalibrationSpec pins evalAt == brier × confusionAt.
+  private val CalThr = 500000L
+
+  def qConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibration.evalAt(
+      scored(s, dir), "score_micro", "y", CalThr)
+
+  val qConfusionSql: String =
+    s"""WITH $sqlScored,
+       |c AS (SELECT
+       |  CAST(sum(CASE WHEN score_micro >= $CalThr AND y = 1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN score_micro >= $CalThr AND y = 0
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN score_micro < $CalThr AND y = 0
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(sum(CASE WHEN score_micro < $CalThr AND y = 1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM s),
+       |br AS (SELECT count(*) AS n,
+       |  sum((score_micro - 1000000 * y) * (score_micro - 1000000 * y))
+       |    AS sq
+       |  FROM s)
+       |SELECT n,
+       |  CAST(sq AS DOUBLE) / (1000000000000.0 * CAST(n AS DOUBLE))
+       |    AS brier,
+       |  tp, fp, tn, fn,
+       |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE)
+       |    AS accuracy,
+       |  CASE WHEN tp + fp > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+       |    AS "precision",
+       |  CASE WHEN tp + fn > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+       |    AS recall,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |    THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       |    END AS f1
+       |FROM br CROSS JOIN c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ridge_fit" -> (qRidgeFit _),
     "q_ridge_state" -> (qRidgeState _),
@@ -336,6 +425,8 @@ object QueriesModel {
     "q_conformal" -> (qConformal _),
     "q_label_prop" -> (qLabelProp _),
     "q_auc" -> (qAuc _),
+    "q_calibration" -> (qCalibration _),
+    "q_confusion" -> (qConfusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -345,5 +436,7 @@ object QueriesModel {
     "q_conformal" -> qConformalSql,
     "q_label_prop" -> qLabelPropSql,
     "q_auc" -> qAucSql,
+    "q_calibration" -> qCalibrationSql,
+    "q_confusion" -> qConfusionSql,
   )
 }

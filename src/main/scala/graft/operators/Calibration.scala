@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+
+/** Classifier-calibration diagnostics: reliability table + exact ECE,
+  * Brier score, and thresholded confusion/PRF — the evaluation legs that
+  * sit beside `LinearModel` (fit/score) and `Auc` (ranking quality) in a
+  * training pipeline's readout. A score filter that gates corpus
+  * admission (quality classifiers, toxicity screens) is only trustworthy
+  * if its probabilities are CALIBRATED — this family is how that is
+  * measured at corpus scale.
+  *
+  * Engine-exact contract: scores enter as integer MICRO units
+  * (`score_micro` in [0, 1e6] = probability × 1e6 — the repo's ppm
+  * convention), so every statistic is integer arithmetic up to a final
+  * fixed-shape double expression over exactly-represented operands:
+  *
+  *  - ECE numerator  sum_b |1e6·pos_b − s_b|  is a LONG; ECE is ONE
+  *    division by (1e6·N).
+  *  - Brier numerator sum (s − 1e6·y)² is summed in DECIMAL(38,0)
+  *    (per-row terms ≤ 1e12 — a long sum overflows near 9e6 rows);
+  *    Brier is one decimal→double cast and one division.
+  *  - Confusion cells are conditional counts; precision/recall/F1 each
+  *    reduce to a single division of integers (F1 = 2tp/(2tp+fp+fn)).
+  *
+  * Scale shape: one hash aggregation each (reliability groups on ≤
+  * `bins` keys; brier/confusion are global partial+final aggregates).
+  * No window, no join wider than a one-row broadcast cross. Reference
+  * provenance: the reference has no model evaluation; definitions follow
+  * public literature (Naeini et al. 2015 for ECE binning, Brier 1950).
+  */
+object Calibration {
+
+  private val Micro = 1000000L
+
+  /** Per-bin reliability table over `bins` equal-width score bins, with
+    * the global exact ECE repeated on every row (the keySkewReport
+    * global-column convention).
+    *
+    * Output: (bin, n, n_pos, score_micro_sum, conf, acc, ece_num, ece)
+    * where conf = mean predicted probability, acc = empirical positive
+    * rate, ece_num = sum_b |1e6·n_pos_b − score_micro_sum_b| (LONG,
+    * exact), ece = ece_num / (1e6·N). Empty bins are absent (a bin with
+    * no rows contributes nothing to ECE by definition).
+    *
+    * `labelCol` must be 0/1; `scoreMicroCol` integral in [0, 1e6]
+    * (1e6 lands in the top bin via the `least` clamp). */
+  def reliability(df: DataFrame, scoreMicroCol: String, labelCol: String,
+      bins: Int, scope: CacheScope = CacheScope.session): DataFrame = {
+    // retained: the per-bin frame is <= `bins` rows but its derivation
+    // is a corpus scan, and it feeds both the ECE total and the output
+    // — without retention the scan runs twice (observed in the plan).
+    val perBin = scope.retain(df.groupBy(
+        least(
+          expr(s"CAST($scoreMicroCol AS BIGINT) * $bins div ${Micro}L"),
+          lit((bins - 1).toLong))
+          .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreMicroCol).cast("long")).as("score_micro_sum"))
+      .withColumn("conf",
+        col("score_micro_sum").cast("double") /
+          (lit(1000000.0) * col("n").cast("double")))
+      .withColumn("acc",
+        col("n_pos").cast("double") / col("n").cast("double")))
+    val global = perBin.agg(
+        sum(abs(lit(Micro) * col("n_pos") - col("score_micro_sum")))
+          .as("ece_num"),
+        sum(col("n")).as("_n"))
+      .select(col("ece_num"),
+        (col("ece_num").cast("double") /
+          (lit(1000000.0) * col("_n").cast("double"))).as("ece"))
+    perBin.crossJoin(broadcast(global))
+      .select(col("bin"), col("n"), col("n_pos"), col("score_micro_sum"),
+        col("conf"), col("acc"), col("ece_num"), col("ece"))
+  }
+
+  /** One-row (n, brier): mean squared error of the micro-unit
+    * probability against the 0/1 label. */
+  def brier(df: DataFrame, scoreMicroCol: String, labelCol: String)
+      : DataFrame = {
+    val e = col(scoreMicroCol).cast("long") -
+      lit(Micro) * col(labelCol).cast("long")
+    df.agg(count(lit(1)).as("n"),
+        sum((e * e).cast("decimal(38,0)")).as("_sq"))
+      .select(col("n"),
+        (col("_sq").cast("double") /
+          (lit(1.0e12) * col("n").cast("double"))).as("brier"))
+  }
+
+  /** [[brier]] + [[confusionAt]] fused into ONE aggregate pass — the
+    * shape a 100 TB readout wants (both are global aggregates over the
+    * same rows; composing the two operators separately costs a second
+    * corpus scan). Output: (n, brier, tp, fp, tn, fn, accuracy,
+    * precision, recall, f1) — column-identical to crossing the two. */
+  def evalAt(df: DataFrame, scoreMicroCol: String, labelCol: String,
+      thresholdMicro: Long): DataFrame = {
+    val pred = col(scoreMicroCol) >= thresholdMicro
+    val pos = col(labelCol).cast("long") === 1L
+    val e = col(scoreMicroCol).cast("long") -
+      lit(Micro) * col(labelCol).cast("long")
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    df.agg(
+        count(lit(1)).as("n"),
+        sum((e * e).cast("decimal(38,0)")).as("_sq"),
+        cnt(pred && pos).as("tp"), cnt(pred && !pos).as("fp"),
+        cnt(!pred && !pos).as("tn"), cnt(!pred && pos).as("fn"))
+      .select(col("n"),
+        (col("_sq").cast("double") /
+          (lit(1.0e12) * col("n").cast("double"))).as("brier"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        (d(col("tp") + col("tn")) /
+          d(col("tp") + col("fp") + col("tn") + col("fn"))).as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          d(col("tp")) / d(col("tp") + col("fp"))).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          d(col("tp")) / d(col("tp") + col("fn"))).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          d(lit(2L) * col("tp")) /
+            d(lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
+  }
+
+  /** One-row confusion matrix + derived metrics at `thresholdMicro`
+    * (predict positive when score_micro >= threshold):
+    * (tp, fp, tn, fn, accuracy, precision, recall, f1). Each derived
+    * metric is a single integer division (f1 via 2tp/(2tp+fp+fn));
+    * NULL when its denominator is 0. */
+  def confusionAt(df: DataFrame, scoreMicroCol: String, labelCol: String,
+      thresholdMicro: Long): DataFrame = {
+    val pred = col(scoreMicroCol) >= thresholdMicro
+    val pos = col(labelCol).cast("long") === 1L
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    df.agg(
+        cnt(pred && pos).as("tp"), cnt(pred && !pos).as("fp"),
+        cnt(!pred && !pos).as("tn"), cnt(!pred && pos).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        (d(col("tp") + col("tn")) /
+          d(col("tp") + col("fp") + col("tn") + col("fn"))).as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          d(col("tp")) / d(col("tp") + col("fp"))).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          d(col("tp")) / d(col("tp") + col("fn"))).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          d(lit(2L) * col("tp")) /
+            d(lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+
+/** Community-structure metrics over edge lists: Newman modularity of a
+  * given node->community assignment, and neighborhood-overlap link
+  * prediction (common neighbors / Jaccard / resource allocation).
+  *
+  * Both are the relational closure of the graph family (Triangles,
+  * KCore, LabelProp, PageRank): LabelProp PRODUCES a community
+  * assignment, `modularity` SCORES it, and `linkPredictTopK` ranks the
+  * non-edges most likely to be missing — the candidate generator behind
+  * entity-resolution blocking and recommend-similar pipelines.
+  *
+  * Engine-exact contract: every score is integer/decimal arithmetic
+  * (micro/ppm units via integer division of non-negative operands, where
+  * floor == truncate on every engine) up to at most ONE trailing
+  * double division of exactly-represented values — the corrByKey
+  * pattern — so a DuckDB oracle replaying the naive definition matches
+  * bit-for-bit.
+  *
+  * Reference provenance: the reference library has no graph operators;
+  * this family follows public literature (Newman 2004 modularity;
+  * Zhou, Lu & Zhang 2009 resource-allocation index; Suri &
+  * Vassilvitskii 2011 for the degree-bounded wedge shape shared with
+  * Triangles.scala).
+  */
+object GraphMetrics {
+
+  /** Newman modularity Q of a community assignment, per community plus
+    * the global score.
+    *
+    * Q = sum_c [ e_c/m - (d_c/2m)^2 ]  =  sum_c (4m*e_c - d_c^2) / 4m^2
+    *
+    * where m = |undirected edges|, e_c = intra-community edges, d_c =
+    * sum of degrees of c's nodes. The per-community numerator
+    * `contrib_x4m2` = 4m*e_c - d_c^2 is LONG-exact for any graph with
+    * m < ~1.5e9 undirected edges (4m*e_c < 2^63; beyond that — a
+    * 10-billion-edge graph — widen the products to DECIMAL(38,0)
+    * upstream); the only double arithmetic is the final division by
+    * 4m^2 over exactly-represented operands — a fixed-shape expression,
+    * identical on every engine.
+    *
+    * Output: one row per community in `labels`:
+    * (community, n_nodes, intra_edges, degree_sum, contrib_x4m2,
+    *  m, modularity) — m and modularity are global columns repeated on
+    * every row (the Skew.keySkewReport convention).
+    *
+    * Scale shape: canonicalize+distinct (one shuffle), degree agg (one),
+    * two label joins onto the edge list (node-keyed hash joins; the
+    * label table is |V|-sized and usually broadcastable — left to AQE),
+    * then aggregates over the |C|-sized community frame. The closing
+    * global total enters as a one-row broadcast cross join. No window,
+    * no cross product over data-sized frames.
+    *
+    * Nodes absent from `labels` are dropped (inner join) — score the
+    * labelled subgraph; an edge counts toward e_c only when BOTH
+    * endpoints are labelled c, and toward d_c per labelled endpoint.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, commCol: String,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val und = scope.retain(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val lab = labels.select(col(nodeCol).as("node"), col(commCol).as("comm"))
+
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+    // d_c and n_c over the labelled node set (degree 0 for isolated
+    // labelled nodes).
+    val byComm = lab
+      .join(deg, Seq("node"), "left")
+      .groupBy(col("comm"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("degree"), lit(0L))).as("degree_sum"))
+
+    // e_c: both endpoints labelled with the same community.
+    val intra = und
+      .join(lab.select(col("node").as("a"), col("comm").as("ca")), "a")
+      .join(lab.select(col("node").as("b"), col("comm").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm"))
+      .agg(count(lit(1)).as("intra_edges"))
+
+    val m = und.agg(count(lit(1)).as("m"))
+
+    // retained: perComm is |C|-sized but its derivation is corpus-sized
+    // (the intra join walks every edge) and it feeds BOTH the global
+    // total and the output — without retention the whole subtree
+    // executes twice (observed in the physical plan).
+    val perComm = scope.retain(byComm
+      .join(intra, Seq("comm"), "left")
+      .select(col("comm"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_x4m2",
+        lit(4L) * col("m") * col("intra_edges") -
+          col("degree_sum") * col("degree_sum")))
+
+    val total = perComm
+      .agg(sum(col("contrib_x4m2")).as("contrib_total"),
+        first(col("m")).as("_m"))
+      .select(
+        (col("contrib_total").cast("double") /
+          (lit(4.0) * col("_m").cast("double") * col("_m").cast("double")))
+          .as("modularity"))
+
+    perComm.crossJoin(broadcast(total))
+      .select(col("comm"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"), col("contrib_x4m2"), col("m"), col("modularity"))
+  }
+
+  /** Top-k most-likely missing edges by neighborhood overlap.
+    *
+    * For every non-adjacent pair (u, v) sharing at least one neighbor:
+    *  - `cn`       common-neighbor count |N(u) ∩ N(v)|
+    *  - `jacc_ppm` floor(1e6 * cn / (deg(u) + deg(v) - cn))  — exact
+    *               integer Jaccard in parts-per-million
+    *  - `ra_micro` sum over shared neighbors w of floor(1e12 / deg(w))
+    *               — the resource-allocation index in fixed-point micro
+    *               units (integer-exact, so engine-portable where the
+    *               classical Adamic-Adar 1/ln(deg) sum is not)
+    * ranked by (cn DESC, ra_micro DESC, u, v) and truncated to `k`
+    * (distributed TakeOrdered — never a global single-task sort).
+    *
+    * Scale shape: the wedge enumeration is the Triangles-style self-join
+    * of the directed adjacency on the shared neighbor w — fan-out
+    * sum_w deg(w)^2, so a celebrity hub is quadratic in ITS degree.
+    * `maxWedgeDegree` caps deg(w) for wedge centers (the standard
+    * production mitigation: a hub's RA contribution floor(1e12/deg) is
+    * already ~0, and pairs whose ONLY evidence is a shared celebrity
+    * are noise); the default Int.MaxValue keeps the operator exact for
+    * oracle verification. The pair aggregation shuffles on (u, v); the
+    * existing-edge removal is a LeftAnti hash join on the canonical
+    * pair; degree attachment is two |V|-sized joins (AQE-broadcastable).
+    */
+  def linkPredictTopK(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxWedgeDegree: Int = Int.MaxValue,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val und = scope.retain(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+
+    // retained: the degree table feeds three joins (wedge centers, u, v)
+    // — |V|-sized, cheap to cache, saves two extra aggregations over the
+    // edge frame.
+    val deg = scope.retain(und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree")))
+
+    val adj = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+
+    // Wedge centers carry their degree so the RA term is computed
+    // before the pair aggregation (map-side, no second pass over w).
+    val centers = adj
+      .join(deg.select(col("node").as("w"), col("degree").as("dw")), "w")
+      .filter(col("dw") <= maxWedgeDegree)
+
+    val wedges = centers.as("l")
+      .join(centers.select(col("w"), col("n").as("n2")).as("r"), Seq("w"))
+      .filter(col("n") < col("n2"))
+
+    val scored = wedges
+      .groupBy(col("n").as("u"), col("n2").as("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000000L div dw")).as("ra_micro"))
+
+    val newPairs = scored.join(und,
+      scored("u") === und("a") && scored("v") === und("b"), "left_anti")
+
+    newPairs
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .withColumn("jacc_ppm",
+        expr("1000000L * cn div (du + dv - cn)"))
+      .select(col("u"), col("v"), col("cn"), col("jacc_ppm"),
+        col("ra_micro"))
+      .orderBy(col("cn").desc, col("ra_micro").desc, col("u"), col("v"))
+      .limit(k)
+  }
+}

@@ -704,4 +704,43 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1 && p.contains("InMemoryRelation"),
       s"daily panel rebuilt per stage ($scans scans):\n$p")
   }
+
+  test("q_modularity: only one-row scalar crosses, per-comm frame retained") {
+    val p = plan("q_modularity")
+    assert(!p.contains("CartesianProduct"), s"cartesian over data:\n$p")
+    // exactly the two one-row broadcast crosses (m, global total)
+    assert(count(p, "\\(\\d+\\) BroadcastNestedLoopJoin") <= 2,
+      s"unexpected nested loop beyond the scalar crosses:\n$p")
+    // perComm feeds the total AND the output — retention, not recompute
+    assert(p.contains("InMemoryRelation"), s"per-community frame rebuilt:\n$p")
+  }
+
+  test("q_link_predict: distributed top-k, hash anti-join, no cross") {
+    val p = plan("q_link_predict")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"link prediction degenerated to a cross product:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be distributed TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("LeftAnti"), s"existing-edge removal regressed:\n$p")
+  }
+
+  test("q_calibration: one corpus scan, bin exchange, one scalar cross") {
+    val p = plan("q_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+      s"calibration must not join data frames:\n$p")
+    assert(count(p, "\\(\\d+\\) BroadcastNestedLoopJoin") == 1,
+      s"expected exactly the one-row ECE cross:\n$p")
+    // per-bin frame retained: the ECE total must read the cache, not
+    // rescan the corpus
+    assert(p.contains("InMemoryRelation"), s"per-bin frame rebuilt:\n$p")
+  }
+
+  test("q_confusion fuses brier + confusion into one scan, no join") {
+    val p = plan("q_confusion")
+    assert(!p.contains("Join"), s"fused eval must not join:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"fused eval must scan lineitem once, got $scans:\n$p")
+  }
 }

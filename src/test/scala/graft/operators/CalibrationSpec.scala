@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (100000L, 0L), (900000L, 1L), (600000L, 1L), (600000L, 0L))
+
+  test("reliability: hand-computed bins and exact ECE") {
+    val out = Calibration.reliability(
+        rows.toDF("score_micro", "y"), "score_micro", "y", 10)
+      .select("bin", "n", "n_pos", "score_micro_sum", "conf", "acc",
+        "ece_num", "ece")
+      .as[(Int, Long, Long, Long, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1) == ((1, 1L, 0L, 100000L, 0.1, 0.0, 400000L, 0.1)))
+    assert(out(6) == ((6, 2L, 1L, 1200000L, 0.6, 0.5, 400000L, 0.1)))
+    assert(out(9) == ((9, 1L, 1L, 900000L, 0.9, 1.0, 400000L, 0.1)))
+    assert(out.size == 3) // empty bins absent
+  }
+
+  test("reliability: score 1e6 clamps into the top bin") {
+    val out = Calibration.reliability(
+        Seq((1000000L, 1L)).toDF("score_micro", "y"), "score_micro", "y", 10)
+      .select("bin").as[Int].collect()
+    assert(out.toSeq == Seq(9))
+  }
+
+  test("brier: hand-computed mean squared error") {
+    val out = Calibration.brier(
+        rows.toDF("score_micro", "y"), "score_micro", "y")
+      .select("n", "brier").as[(Long, Double)].collect().head
+    // (0.01 + 0.01 + 0.16 + 0.36) / 4
+    assert(out == ((4L, 0.135)))
+  }
+
+  test("confusion at 0.5: counts and single-division metrics") {
+    val out = Calibration.confusionAt(
+        rows.toDF("score_micro", "y"), "score_micro", "y", 500000L)
+      .select("tp", "fp", "tn", "fn", "accuracy", "precision", "recall",
+        "f1")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(out == ((2L, 1L, 1L, 0L, 0.75, 2.0 / 3.0, 1.0, 0.8)))
+  }
+
+  test("evalAt fuses brier and confusionAt without changing a value") {
+    val df = rows.toDF("score_micro", "y")
+    val fused = Calibration.evalAt(df, "score_micro", "y", 500000L)
+    val composed = Calibration.brier(df, "score_micro", "y")
+      .crossJoin(Calibration.confusionAt(df, "score_micro", "y", 500000L))
+    assert(fused.columns.toSeq == composed.columns.toSeq)
+    assert(fused.collect().toSeq == composed.collect().toSeq)
+  }
+
+  test("confusion: zero denominators yield NULL, not a crash") {
+    // No positives anywhere and a threshold above every score: tp+fp=0
+    // (precision NULL), tp+fn=0 (recall NULL), f1 NULL.
+    val out = Calibration.confusionAt(
+        Seq((100000L, 0L), (200000L, 0L)).toDF("score_micro", "y"),
+        "score_micro", "y", 900000L)
+      .select("tp", "fp", "tn", "fn", "accuracy", "precision", "recall",
+        "f1")
+      .collect().head
+    assert(out.getLong(0) == 0L && out.getLong(1) == 0L)
+    assert(out.getLong(2) == 2L && out.getLong(3) == 0L)
+    assert(out.getDouble(4) == 1.0)
+    assert(out.isNullAt(5) && out.isNullAt(6) && out.isNullAt(7))
+  }
+}

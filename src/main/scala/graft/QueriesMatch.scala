@@ -381,6 +381,62 @@ object QueriesMatch {
       |  min(s) AS span_start, max(e) AS span_end, count(*) AS n_rows
       |FROM isl GROUP BY k, island""".stripMargin
 
+  // --------------------------------------------------- interval subtract
+  // Coverage set algebra over the same interval model: per-part windows
+  // covered by a non-returned shipment and NO return-flagged one
+  // (Intervals.subtract — half-open sweep: boundary deltas collapsed
+  // per distinct timestamp, running coverages + island numbering over
+  // ONE sort). The oracle replays the identical sweep; collapsing ties
+  // before the windows makes the construction tie-free, so the hash
+  // compare is stable across engine sort orders.
+  def qIntervalSubtract(s: SparkSession, dir: String): DataFrame = {
+    val all = shipIntervals(s, dir, "l_partkey")
+    val flag = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_shipdate"), col("l_returnflag"),
+      expr("timestampadd(DAY, CAST(floor(l_quantity) AS INT), l_shipdate)")
+        .as("l_delivdate"))
+    Intervals.subtract(
+      flag.filter(col("l_returnflag") =!= "R")
+        .select(col("l_partkey"), col("l_shipdate"), col("l_delivdate")),
+      flag.filter(col("l_returnflag") === "R")
+        .select(col("l_partkey"), col("l_shipdate"), col("l_delivdate")),
+      "l_partkey", "l_shipdate", "l_delivdate")
+  }
+
+  val qIntervalSubtractSql: String =
+    """WITH base AS (
+      |  SELECT l_partkey AS k, l_returnflag AS f, l_shipdate AS s,
+      |         l_shipdate + to_days(CAST(floor(l_quantity) AS INT)) AS e
+      |  FROM lineitem),
+      |d0 AS (
+      |  SELECT k, s AS ts, CASE WHEN f <> 'R' THEN 1 ELSE 0 END AS da,
+      |         CASE WHEN f = 'R' THEN 1 ELSE 0 END AS db FROM base
+      |  UNION ALL
+      |  SELECT k, e, CASE WHEN f <> 'R' THEN -1 ELSE 0 END,
+      |         CASE WHEN f = 'R' THEN -1 ELSE 0 END FROM base),
+      |d AS (SELECT k, ts, sum(da) AS da, sum(db) AS db
+      |      FROM d0 GROUP BY k, ts),
+      |w AS (SELECT k, ts,
+      |  sum(da) OVER (PARTITION BY k ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS cova,
+      |  sum(db) OVER (PARTITION BY k ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS covb,
+      |  lead(ts) OVER (PARTITION BY k ORDER BY ts) AS nxt
+      |  FROM d),
+      |f AS (SELECT k, ts, nxt, (cova > 0 AND covb = 0) AS act FROM w),
+      |g AS (SELECT k, ts, nxt, act,
+      |  CASE WHEN act AND NOT coalesce(
+      |      lag(act) OVER (PARTITION BY k ORDER BY ts), FALSE)
+      |    THEN 1 ELSE 0 END AS nf
+      |  FROM f),
+      |i AS (SELECT k, ts, nxt, act,
+      |  sum(nf) OVER (PARTITION BY k ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM g)
+      |SELECT k AS l_partkey, CAST(island AS BIGINT) AS island,
+      |  min(ts) AS span_start, max(nxt) AS span_end
+      |FROM i WHERE act GROUP BY k, island""".stripMargin
+
   // ----------------------------------------------------- max concurrency
   // Peak simultaneous shipments per supplier (sweep-line over the same
   // interval model as q_interval_merge). The running-sum peak is
@@ -533,6 +589,7 @@ object QueriesMatch {
     "q_rolling_1h" -> (qRolling1h _),
     "q_unpivot" -> (qUnpivot _),
     "q_interval_merge" -> (qIntervalMerge _),
+    "q_interval_subtract" -> (qIntervalSubtract _),
     "q_asof_fwd" -> (qAsofFwd _),
     "q_concurrency" -> (qConcurrency _),
     "q_reconcile" -> (qReconcile _),
@@ -551,6 +608,7 @@ object QueriesMatch {
     "q_rolling_1h" -> qRolling1hSql,
     "q_unpivot" -> qUnpivotSql,
     "q_interval_merge" -> qIntervalMergeSql,
+    "q_interval_subtract" -> qIntervalSubtractSql,
     "q_asof_fwd" -> qAsofFwdSql,
     "q_concurrency" -> qConcurrencySql,
     "q_reconcile" -> qReconcileSql,

@@ -693,7 +693,46 @@ object QueriesStats {
        |FROM a""".stripMargin
   }
 
+  // ------------------------------------------------------------ bh adjust
+  // Benjamini-Hochberg FDR correction across 25 brand-level "tests":
+  // the pseudo p-value per brand is the exact share of its parts with
+  // p_size > 25 (one integer division — deterministic; in production
+  // the p's come from the Welch/Mann-Whitney families upstream). The
+  // adjusted p is a suffix-min of fixed-shape doubles over the 25-row
+  // TESTS table (never the corpus — the operator's documented window
+  // contract), so the oracle hash-matches bit-for-bit.
+  private val BhAlpha = 0.1
+
+  def qBhAdjust(s: SparkSession, dir: String): DataFrame = {
+    val tests = t(s, dir, "part").groupBy(col("p_brand"))
+      .agg((sum(when(col("p_size") > 25, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("p"))
+    Stats.bhAdjust(tests, "p_brand", "p", BhAlpha)
+  }
+
+  val qBhAdjustSql: String =
+    s"""WITH t AS (
+       |  SELECT p_brand,
+       |    CAST(sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS p
+       |  FROM part GROUP BY 1),
+       |r AS (
+       |  SELECT p_brand, p,
+       |    CAST(row_number() OVER (ORDER BY p, p_brand) AS BIGINT) AS rank,
+       |    count(*) OVER () AS m
+       |  FROM t),
+       |adj AS (
+       |  SELECT p_brand, p, rank,
+       |    least(1.0, min(CAST(m AS DOUBLE) * p / CAST(rank AS DOUBLE))
+       |      OVER (ORDER BY p, p_brand
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |      AS p_adj
+       |  FROM r)
+       |SELECT p_brand, p, rank, p_adj, p_adj <= $BhAlpha AS reject
+       |FROM adj""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bh_adjust" -> (qBhAdjust _),
     "q_did" -> (qDid _),
     "q_cuped" -> (qCuped _),
     "q_bootstrap_se" -> (qBootstrapSe _),
@@ -714,6 +753,7 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bh_adjust" -> qBhAdjustSql,
     "q_did" -> qDidSql,
     "q_cuped" -> qCupedSql,
     "q_bootstrap_se" -> qBootstrapSeSql,

@@ -60,6 +60,71 @@ object Intervals {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Coverage subtraction A \ B per key: maximal spans covered by at
+    * least one `a` interval and no `b` interval — "sessions minus
+    * maintenance windows", "availability minus blackouts". HALF-OPEN
+    * semantics `[start, end)`: set subtraction on a continuous domain
+    * isn't representable with inclusive ends (removing [3,5] from
+    * [0,10] leaves [0,3) — no inclusive right endpoint exists), so this
+    * family — unlike [[merge]]'s inclusive convention — treats `end` as
+    * exclusive; degenerate rows (end <= start) cover nothing and drop
+    * out of the algebra naturally. Touching spans merge ([0,5)+[5,10) =
+    * [0,10)); a subtrahend touching only at a boundary removes nothing.
+    *
+    * Plan shape: boundary deltas (+1/-1 per side) collapse with ONE
+    * keyed groupBy on (key, ts) — net deltas per distinct timestamp, so
+    * the sweep windows are tie-free by construction — then every window
+    * pass (two running coverages, lead, lag-flag, island numbering)
+    * shares the single (key, ts) sort; the closing island aggregate is
+    * combiner-reduced. No join, no cross product, two keyed exchanges.
+    *
+    * Output: (keyCol, island (1-based per key), span_start, span_end). */
+  def subtract(a: DataFrame, b: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame =
+    coverageIslands(a, b, keyCol, startCol, endCol,
+      (covA, covB) => covA > 0 && covB === 0)
+
+  /** Coverage intersection A ∩ B per key: maximal spans covered by at
+    * least one interval of EACH side — same half-open sweep as
+    * [[subtract]]. */
+  def intersect(a: DataFrame, b: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame =
+    coverageIslands(a, b, keyCol, startCol, endCol,
+      (covA, covB) => covA > 0 && covB > 0)
+
+  private def coverageIslands(a: DataFrame, b: DataFrame, keyCol: String,
+      startCol: String, endCol: String,
+      active: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    def deltas(df: DataFrame, dA: Long, dB: Long) =
+      df.select(col(keyCol), col(startCol).as("__ts"),
+          lit(dA).as("__da"), lit(dB).as("__db"))
+        .unionAll(df.select(col(keyCol), col(endCol).as("__ts"),
+          lit(-dA).as("__da"), lit(-dB).as("__db")))
+    val collapsed = deltas(a, 1L, 0L).unionAll(deltas(b, 0L, 1L))
+      .groupBy(col(keyCol), col("__ts"))
+      .agg(sum(col("__da")).as("__da"), sum(col("__db")).as("__db"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("__ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col(keyCol)).orderBy(col("__ts"))
+    collapsed
+      .withColumn("__cov_a", sum(col("__da")).over(wRun))
+      .withColumn("__cov_b", sum(col("__db")).over(wRun))
+      .withColumn("__nxt", lead(col("__ts"), 1).over(wLead))
+      // the last boundary per key always has zero coverage (every
+      // interval closes), so its null __nxt never reaches the output
+      .withColumn("__active", active(col("__cov_a"), col("__cov_b")))
+      .withColumn("__nf",
+        when(col("__active") &&
+          !coalesce(lag(col("__active"), 1).over(wLead), lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__nf")).over(wRun))
+      .filter(col("__active"))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col("__ts")).as("span_start"),
+        max(col("__nxt")).as("span_end"))
+  }
+
   /** Peak overlap per key: the maximum number of intervals simultaneously
     * active (inclusive ends) — capacity/occupancy analysis over the same
     * interval model. Sweep line as a window: +1 at start, -1 at end,

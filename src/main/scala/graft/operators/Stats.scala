@@ -342,4 +342,42 @@ object Stats {
       when(varX > 0.0 && varY > 0.0,
         (n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY))).as("rho"))
   }
+
+  /** Benjamini-Hochberg FDR correction over a table of (test, p-value)
+    * rows — the closing step of every multi-metric experiment readout
+    * (Welch/Mann-Whitney/DiD per metric, then ONE correction across
+    * them so the family-wise false-discovery rate is controlled, not
+    * each test's α in isolation). Benjamini & Hochberg 1995.
+    *
+    * p_adj(i) = min(1, min_{j>=i}( m·p_(j) / j )) over ascending
+    * (p, test) order; reject <=> p_adj <= alpha. The raw term m·p/i is
+    * a fixed-shape double expression over exact integers and the input
+    * p; the suffix min and the cap are selections — no accumulation —
+    * so results are engine-exact given identical p inputs.
+    *
+    * SCALE CONTRACT (same as [[ksStatistic]]'s distinct-value window):
+    * the window runs un-partitioned over the TESTS table, whose size is
+    * the number of hypotheses — dozens to thousands — never the corpus.
+    * p-values arrive pre-computed from the per-test aggregates.
+    *
+    * Output: (testCol, pCol, rank, p_adj, reject). */
+  def bhAdjust(df: DataFrame, testCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(pCol), col(testCol))
+    val wSuffix = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.currentRow,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.select(col(testCol), col(pCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__raw",
+        col("__m").cast("double") * col(pCol) / col("rank").cast("double"))
+      .withColumn("p_adj", least(lit(1.0), min(col("__raw")).over(wSuffix)))
+      .withColumn("reject", col("p_adj") <= alpha)
+      .drop("__m", "__raw")
+  }
 }

@@ -737,6 +737,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryRelation"), s"per-bin frame rebuilt:\n$p")
   }
 
+  test("q_interval_subtract: tie-collapse + one shared sort, no join") {
+    val p = plan("q_interval_subtract")
+    assert(!p.contains("Join"), s"coverage sweep must not join:\n$p")
+    // (key, ts) collapse + key-partitioned windows; the island aggregate
+    // rides the key clustering (subset rule) — two keyed exchanges max
+    assert(count(p, "hashpartitioning") <= 2,
+      s"sweep should need at most two keyed exchanges:\n$p")
+    assert(count(p, "\\(\\d+\\) Sort") <= 1,
+      s"all sweep windows must share one sort:\n$p")
+  }
+
+  test("q_bh_adjust windows over the tests table from one scan, no join") {
+    val p = plan("q_bh_adjust")
+    assert(!p.contains("Join"), s"BH correction must not join:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"BH must scan part once, got $scans:\n$p")
+  }
+
   test("q_confusion fuses brier + confusion into one scan, no join") {
     val p = plan("q_confusion")
     assert(!p.contains("Join"), s"fused eval must not join:\n$p")

@@ -97,4 +97,65 @@ class IntervalsSpec extends SparkSpec {
     val sorts = "\\bSort \\[".r.findAllIn(plan).length
     assert(sorts <= 1, s"expected the windows to share one sort:\n$plan")
   }
+
+  private def iv(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("k", "s", "e")
+
+  private def sub(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]) =
+    Intervals.subtract(iv(a), iv(b), "k", "s", "e")
+      .select("k", "island", "span_start", "span_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  private def inter(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]) =
+    Intervals.intersect(iv(a), iv(b), "k", "s", "e")
+      .select("k", "island", "span_start", "span_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("subtract punches a hole: [0,10) minus [3,5)") {
+    assert(sub(Seq((1L, 0L, 10L)), Seq((1L, 3L, 5L))) == Set(
+      (1L, 1L, 0L, 3L), (1L, 2L, 5L, 10L)))
+  }
+
+  test("subtract with empty B merges touching A spans (half-open)") {
+    assert(sub(Seq((1L, 0L, 5L), (1L, 5L, 10L)), Seq.empty) == Set(
+      (1L, 1L, 0L, 10L)))
+  }
+
+  test("subtrahend touching only at the boundary removes nothing") {
+    assert(sub(Seq((1L, 0L, 5L)), Seq((1L, 5L, 10L))) == Set(
+      (1L, 1L, 0L, 5L)))
+  }
+
+  test("full cover subtracts to empty; keys are independent") {
+    assert(sub(
+      Seq((1L, 2L, 8L), (2L, 0L, 4L)),
+      Seq((1L, 0L, 10L))) == Set((2L, 1L, 0L, 4L)))
+  }
+
+  test("overlapping subtrahends combine; degenerate rows drop out") {
+    // B = [2,5) u [4,8) covers [2,8); degenerate A (9,9) covers nothing.
+    assert(sub(
+      Seq((1L, 0L, 10L), (1L, 9L, 9L)),
+      Seq((1L, 2L, 5L), (1L, 4L, 8L))) == Set(
+      (1L, 1L, 0L, 2L), (1L, 2L, 8L, 10L)))
+  }
+
+  test("intersect: [0,10) with [5,15) and a disjoint B span") {
+    assert(inter(
+      Seq((1L, 0L, 10L)),
+      Seq((1L, 5L, 15L), (1L, 20L, 25L))) == Set((1L, 1L, 5L, 10L)))
+  }
+
+  test("intersect of boundary-touching spans is empty") {
+    assert(inter(Seq((1L, 0L, 5L)), Seq((1L, 5L, 10L))).isEmpty)
+  }
+
+  test("subtract plan: one sort, no join") {
+    val plan = Intervals.subtract(iv(Seq((1L, 0L, 10L))),
+        iv(Seq((1L, 3L, 5L))), "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sweep must not join:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts <= 1, s"all sweep windows must share one sort:\n$plan")
+  }
 }

@@ -298,4 +298,40 @@ class StatsSpec extends SparkSpec {
     assert(r._2 == 2L && r._3 == 2L)
     assert(r._4.contains(2.0) && r._5.contains(3.0))
   }
+
+  private def bh(ps: Seq[(String, Double)], alpha: Double) =
+    Stats.bhAdjust(ps.toDF("test", "p"), "test", "p", alpha)
+      .select("test", "p", "rank", "p_adj", "reject")
+      .as[(String, Double, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("bhAdjust: hand-computed adjusted p-values and rejections") {
+    val out = bh(Seq("a" -> 0.005, "b" -> 0.011, "c" -> 0.02,
+      "d" -> 0.8), 0.05)
+    // raw_i = 4*p/i = 0.02, 0.022, 0.0266…, 0.8; suffix mins keep them.
+    assert(out("a") == (("a", 0.005, 1L, 4.0 * 0.005 / 1.0, true)))
+    assert(out("b") == (("b", 0.011, 2L, 4.0 * 0.011 / 2.0, true)))
+    assert(out("c") == (("c", 0.02, 3L, 4.0 * 0.02 / 3.0, true)))
+    assert(out("d") == (("d", 0.8, 4L, 0.8, false)))
+  }
+
+  test("bhAdjust: suffix min enforces step-up monotonicity") {
+    // raw = (1.2, 0.7): rank 1's adjusted p is pulled DOWN to 0.7.
+    val out = bh(Seq("x" -> 0.6, "y" -> 0.7), 0.05)
+    assert(out("x")._4 == 0.7 && out("y")._4 == 0.7)
+    assert(!out("x")._5 && !out("y")._5)
+  }
+
+  test("bhAdjust: tied p-values get identical adjusted values") {
+    val out = bh(Seq("a" -> 0.02, "b" -> 0.02), 0.05)
+    // tie ranks deterministically by test id; suffix min equalizes.
+    assert(out("a")._3 == 1L && out("b")._3 == 2L)
+    assert(out("a")._4 == 0.02 && out("b")._4 == 0.02)
+    assert(out("a")._5 && out("b")._5)
+  }
+
+  test("bhAdjust: the largest rank's adjusted p is its own p") {
+    val out = bh(Seq("a" -> 0.1, "b" -> 0.5, "c" -> 1.0), 0.05)
+    assert(out("c")._4 == 1.0 && !out("c")._5)
+  }
 }

@@ -425,6 +425,79 @@ object QueriesLifecycle {
       |  r * 100 + f * 10 + m AS segment
       |FROM s""".stripMargin
 
+  // -------------------------------------------------------------- logrank
+  // Two-arm log-rank test over the time-to-convert cohort: arms by
+  // user-id parity (the deterministic experiment-split stand-in),
+  // durations binned to 1-hour buckets (Survival's documented
+  // continuous-duration contract — microsecond resolution would make
+  // the per-time table cohort-sized). E and V accumulate in integer
+  // micro units (HUGEINT/DECIMAL-widened products, integral division),
+  // so the oracle replays them exactly; the χ² is one fixed-shape
+  // double expression.
+  private val LogRankBucketUs = 3.6e9 // 1 hour
+
+  def qLogRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.logRank(
+      qTimeToConvert(s, dir).select(
+        when(col("user_id") % 2 === 0, "a").otherwise("b").as("arm"),
+        col("duration_us"), col("converted")),
+      "duration_us", "converted", "arm", "a", "b",
+      durationBucket = Some(LogRankBucketUs))
+
+  val qLogRankSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |r AS (SELECT max(us) AS ref FROM e),
+       |fv AS (SELECT user_id, min(us) AS view_us FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |cv AS (
+       |  SELECT e.user_id, min(e.us) AS purchase_us
+       |  FROM e JOIN fv ON e.user_id = fv.user_id
+       |  WHERE e.event_type = 'purchase' AND e.us >= fv.view_us
+       |  GROUP BY 1),
+       |lab AS (
+       |  SELECT CASE WHEN fv.user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+       |    coalesce(cv.purchase_us - fv.view_us,
+       |      (SELECT ref FROM r) - fv.view_us) AS duration_us,
+       |    CAST(cv.purchase_us IS NOT NULL AS INT) AS converted
+       |  FROM fv LEFT JOIN cv ON fv.user_id = cv.user_id),
+       |bt AS (SELECT arm,
+       |  floor(duration_us / $LogRankBucketUs) * $LogRankBucketUs AS t,
+       |  converted FROM lab),
+       |per AS (SELECT t,
+       |  sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na_tot,
+       |  sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb_tot,
+       |  sum(CASE WHEN arm = 'a' AND converted = 1 THEN 1 ELSE 0 END) AS da,
+       |  sum(CASE WHEN arm = 'b' AND converted = 1 THEN 1 ELSE 0 END) AS db
+       |  FROM bt GROUP BY t),
+       |w AS (SELECT per.*,
+       |  sum(na_tot) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS na,
+       |  sum(nb_tot) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS nb
+       |  FROM per),
+       |terms AS (SELECT na_tot, nb_tot, da, db, na, nb,
+       |  na + nb AS n, da + db AS d FROM w),
+       |mic AS (SELECT na_tot, nb_tot, da, db,
+       |  CAST((1000000::HUGEINT * d * na) // n AS BIGINT) AS e_micro,
+       |  CASE WHEN n > 1 THEN
+       |    CAST((1000000::HUGEINT * d * na * nb * (n - d))
+       |      // (n::HUGEINT * n * (n - 1)) AS BIGINT)
+       |    ELSE 0 END AS v_micro
+       |  FROM terms),
+       |agg AS (SELECT
+       |  CAST(sum(na_tot) AS BIGINT) AS n_a,
+       |  CAST(sum(nb_tot) AS BIGINT) AS n_b,
+       |  CAST(sum(da) AS BIGINT) AS o_a,
+       |  CAST(sum(db) AS BIGINT) AS o_b,
+       |  CAST(sum(e_micro) AS BIGINT) AS e_a_micro,
+       |  CAST(sum(v_micro) AS BIGINT) AS v_micro
+       |  FROM mic)
+       |SELECT n_a, n_b, o_a, o_b, e_a_micro, v_micro,
+       |  CASE WHEN v_micro > 0 THEN
+       |    CAST(1000000 * o_a - e_a_micro AS DOUBLE) *
+       |    CAST(1000000 * o_a - e_a_micro AS DOUBLE)
+       |    / (1000000.0 * CAST(v_micro AS DOUBLE)) END AS chi2
+       |FROM agg""".stripMargin
+
   // ------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_history" -> (qScd2History _),
@@ -433,6 +506,7 @@ object QueriesLifecycle {
     "q_decay" -> (qDecay _),
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_km_risk" -> (qKmRisk _),
+    "q_logrank" -> (qLogRank _),
     "q_next_event" -> (qNextEvent _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_churn_label" -> (qChurnLabel _),
@@ -446,6 +520,7 @@ object QueriesLifecycle {
     "q_decay" -> qDecaySql,
     "q_time_to_convert" -> qTimeToConvertSql,
     "q_km_risk" -> qKmRiskSql,
+    "q_logrank" -> qLogRankSql,
     "q_next_event" -> qNextEventSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_churn_label" -> qChurnLabelSql,

@@ -246,6 +246,32 @@ object ScaleCheck {
           .select(col("c_custkey"), col("c_acctbal"),
             col("c_nationkey").cast("double").as("nk")),
         Seq("c_acctbal", "nk"), 50L)
+    },
+    "link_predict" -> { (s, dir) =>
+      // wedge fan-out (sum deg(w)^2) + pair aggregation + anti-join +
+      // TakeOrdered — the q_link_predict shape. Disjoint copies keep the
+      // degree distribution per copy, so candidate volume grows linearly
+      // and the exponent isolates the wedge join + top-k plan.
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.operators.GraphMetrics.linkPredictTopK(edges, "src", "dst", 50)
+    },
+    "interval_subtract" -> { (s, dir) =>
+      // the coverage sweep: (key, ts) collapse + five window passes over
+      // one sort (the q_interval_subtract shape)
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_returnflag"),
+          unix_micros(col("l_shipdate")).as("a"),
+          (unix_micros(col("l_shipdate")) +
+            col("l_quantity").cast("long") * 86400L * 1000000L).as("b"))
+      graft.operators.Intervals.subtract(
+        li.filter(col("l_returnflag") =!= "R").drop("l_returnflag"),
+        li.filter(col("l_returnflag") === "R").drop("l_returnflag"),
+        "l_partkey", "a", "b")
     })
 
   private def time(spark: SparkSession, runs: Int)

@@ -58,4 +58,69 @@ object Survival {
       .filter(col("d") > 0)
       .select(col("t"), col("n_at_risk"), col("d"), col("censored_at_t"))
   }
+
+  /** Two-sample log-rank test (Mantel 1966): does cohort `groupA`'s
+    * survival differ from `groupB`'s? The standard readout over
+    * experiment arms ("did the retention intervention delay churn?").
+    *
+    * Per distinct (binned) event time: observed events in A (`dA`),
+    * expected under the null `E = d·nA/N`, hypergeometric variance
+    * `V = d·nA·nB·(N−d) / (N²(N−1))`; the statistic is
+    * `(ΣdA − ΣE)² / ΣV` (χ², 1 df).
+    *
+    * ENGINE-EXACT arithmetic: E and V accumulate in integer MICRO units
+    * — each term is one integral division of exact products (the
+    * products widen through DECIMAL(38,0) / HUGEINT, exact for cohorts
+    * to ~1e8 subjects; the micro sums fit a long to ~1e12 events), so
+    * the sums are order-independent and the χ² is one fixed-shape
+    * double expression. The same `durationBucket` / single-task-window
+    * contract as [[riskTable]] applies (bin continuous durations).
+    *
+    * Output (one row): n_a, n_b (cohort sizes), o_a, o_b (observed
+    * events), e_a_micro (ΣE in micro units), v_micro (ΣV in micro
+    * units), chi2 (null when ΣV = 0 — degenerate cohort). */
+  def logRank(labels: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String, groupA: String, groupB: String,
+      durationBucket: Option[Double] = None): DataFrame = {
+    val t = durationBucket match {
+      case Some(b) =>
+        require(b > 0, s"durationBucket must be positive, got $b")
+        floor(col(durationCol) / lit(b)) * lit(b)
+      case None => col(durationCol)
+    }
+    val perTime = labels
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(t.as("t")).agg(
+        count_if(col(groupCol) === groupA).as("na_tot"),
+        count_if(col(groupCol) === groupB).as("nb_tot"),
+        count_if(col(groupCol) === groupA && col(eventCol) === 1).as("da"),
+        count_if(col(groupCol) === groupB && col(eventCol) === 1).as("db"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = perTime
+      .withColumn("na", sum(col("na_tot")).over(w))
+      .withColumn("nb", sum(col("nb_tot")).over(w))
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("d", col("da") + col("db"))
+      // per-time micro terms: integral division of DECIMAL-widened
+      // products (zero when d = 0 — the d factor — so no gating)
+      .withColumn("e_micro",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * d * na) div n"))
+      .withColumn("v_micro",
+        when(col("n") > 1,
+          expr("""(CAST(1000000 AS DECIMAL(38,0)) * d * na * nb * (n - d))
+                  div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"""))
+          .otherwise(lit(0L)))
+    risk.agg(
+        sum(col("na_tot")).as("n_a"), sum(col("nb_tot")).as("n_b"),
+        sum(col("da")).as("o_a"), sum(col("db")).as("o_b"),
+        sum(col("e_micro")).as("e_a_micro"),
+        sum(col("v_micro")).as("v_micro"))
+      .withColumn("chi2", {
+        val num = (lit(1000000L) * col("o_a") - col("e_a_micro"))
+          .cast("double")
+        when(col("v_micro") > 0,
+          num * num / (lit(1000000.0) * col("v_micro").cast("double")))
+      })
+  }
 }

@@ -737,6 +737,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryRelation"), s"per-bin frame rebuilt:\n$p")
   }
 
+  test("q_logrank: micro-unit terms over the per-time window, no cross") {
+    // same contract as q_km_risk: the per-time table + running risk
+    // window, never a cohort×times cross; the one nested loop is the
+    // qTimeToConvert scalar-ref broadcast.
+    val p = plan("q_logrank")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).length
+    assert(bnlj == 1, s"expected only the scalar-ref join, got $bnlj:\n$p")
+    assert(p.contains("Window"), s"running risk window missing:\n$p")
+  }
+
   test("q_interval_subtract: tie-collapse + one shared sort, no join") {
     val p = plan("q_interval_subtract")
     assert(!p.contains("Join"), s"coverage sweep must not join:\n$p")

@@ -76,4 +76,44 @@ class SurvivalSpec extends SparkSpec {
       Survival.riskTable(labels, "dur", "ev", durationBucket = Some(0.0))
     }
   }
+
+  private def lr(rows: Seq[(String, Long, Int)],
+      bucket: Option[Double] = None) =
+    Survival.logRank(rows.toDF("g", "dur", "ev"), "dur", "ev", "g",
+      "a", "b", bucket)
+      .select("n_a", "n_b", "o_a", "o_b", "e_a_micro", "v_micro", "chi2")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().head
+
+  test("logRank matches the hand-computed two-cohort statistic") {
+    // a: events at 1, 2; b: censored at 1, event at 3.
+    // t=1: N=4, d=1, E=0.5, V=0.25; t=2: N=2, d=1, E=0.5, V=0.25;
+    // t=3: N=1 -> V term 0. chi2 = (2 - 1)^2 / 0.5 = 2.
+    val out = lr(Seq(("a", 1L, 1), ("a", 2L, 1), ("b", 1L, 0),
+      ("b", 3L, 1)))
+    assert(out == ((2L, 2L, 2L, 1L, 1000000L, 500000L, Some(2.0))))
+  }
+
+  test("logRank on identical cohorts is exactly zero") {
+    val out = lr(Seq(("a", 1L, 1), ("a", 2L, 1), ("b", 1L, 1),
+      ("b", 2L, 1)))
+    assert(out._5 == 2000000L && out._7.contains(0.0))
+  }
+
+  test("logRank: degenerate variance yields null, not a crash") {
+    // one subject per arm at distinct times: every event time has N=1
+    // after the first... t=1: N=2, d=1 -> V=1*1*1*1/(4*1)=0.25. Use a
+    // truly degenerate shape instead: a single subject total.
+    val out = lr(Seq(("a", 1L, 1)))
+    assert(out._6 == 0L && out._7.isEmpty)
+  }
+
+  test("logRank bins durations and ignores other groups") {
+    // bucket 1.0 merges 1.1 and 1.9 into t=1.0; group 'c' is excluded.
+    val out = lr(Seq(("a", 1L, 1), ("b", 1L, 1), ("c", 50L, 1)),
+      bucket = Some(2.0))
+    // both land at t=0.0: N=2, d=2, E_A = 2*1/2 = 1, V = 0 (N-d = 0).
+    assert(out._1 == 1L && out._2 == 1L && out._5 == 1000000L)
+    assert(out._6 == 0L && out._7.isEmpty)
+  }
 }

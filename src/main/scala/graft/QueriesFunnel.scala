@@ -448,7 +448,63 @@ object QueriesFunnel {
   }
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------------------------ acf
+  // Per-user autocorrelation of the daily event-count series at lags
+  // 1..3 (AutoCorr.acf — all lag columns over ONE window sort, pairs
+  // unpivoted map-side, per-(user, lag) decimal Pearson moments). The
+  // oracle replays the identical lags and the corrByKey formula, so the
+  // hash compare proves the lagged-pair plan bit-exact.
+  private val AcfMaxLag = 3
+
+  def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.AutoCorr.acf(daily, "user_id", "day", "cnt", AcfMaxLag)
+  }
+
+  val qAcfSql: String = {
+    val lagCols = (1 to AcfMaxLag).map(l =>
+      s"lag(cnt, $l) OVER (PARTITION BY user_id ORDER BY day) AS x$l")
+      .mkString(",\n  ")
+    val pairArms = (1 to AcfMaxLag).map(l =>
+      s"""SELECT user_id, $l AS "lag", x$l AS x, cnt AS y FROM l
+         |  WHERE x$l IS NOT NULL""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |l AS (SELECT user_id, cnt,
+       |  $lagCols
+       |  FROM daily),
+       |p AS (
+       |  $pairArms),
+       |m AS (
+       |  SELECT user_id, "lag", count(*) AS n,
+       |    sum(CAST(x AS DECIMAL(18,2))) AS sx,
+       |    sum(CAST(y AS DECIMAL(18,2))) AS sy,
+       |    sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS sxy,
+       |    sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS sxx,
+       |    sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS syy
+       |  FROM p GROUP BY 1, 2)
+       |SELECT user_id, CAST("lag" AS INT) AS "lag", n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+       |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS acf
+       |FROM m""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_acf" -> (qAcf _),
     "q_funnel" -> (qFunnel _),
     "q_transitions" -> (qTransitions _),
     "q_anomaly" -> (qAnomaly _),
@@ -464,6 +520,7 @@ object QueriesFunnel {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_acf" -> qAcfSql,
     "q_funnel" -> qFunnelSql,
     "q_transitions" -> qTransitionsSql,
     "q_anomaly" -> qAnomalySql,

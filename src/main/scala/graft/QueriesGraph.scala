@@ -83,17 +83,26 @@ object QueriesGraph {
   // common neighbors, integer-ppm Jaccard, fixed-point resource
   // allocation. The operator's degree-carrying wedge join + LeftAnti
   // removal must be invisible next to the oracle's naive self-joins.
+  // Runs the PRODUCTION configuration — wedge centers capped at degree
+  // 64, replicated exactly in the oracle — because the uncapped
+  // sum C(deg(w), 2) fan measured wall-clock super-linear at 10× volume
+  // (47 s -> 620 s, exponent 1.12; scalecheck row `link_predict_uncapped`)
+  // and no orientation trick exists for OPEN wedges. GraphMetricsSpec
+  // pins the uncapped form exact on small graphs.
   private val LinkK = 50
+  private val LinkMaxWedgeDeg = 64
 
   def qLinkPredict(s: SparkSession, dir: String): DataFrame =
-    GraphMetrics.linkPredictTopK(coOrderEdges(s, dir), "src", "dst", LinkK)
+    GraphMetrics.linkPredictTopK(coOrderEdges(s, dir), "src", "dst", LinkK,
+      maxWedgeDegree = LinkMaxWedgeDeg)
 
   val qLinkPredictSql: String =
     s"""WITH $sqlUnd,
        |adj AS (SELECT a AS w, b AS n FROM und
        |        UNION ALL SELECT b, a FROM und),
        |cen AS (SELECT adj.w, adj.n, d.degree AS dw
-       |        FROM adj JOIN deg d ON d.node = adj.w),
+       |        FROM adj JOIN deg d ON d.node = adj.w
+       |        WHERE d.degree <= $LinkMaxWedgeDeg),
        |wed AS (SELECT l.n AS u, r.n AS v, l.dw
        |        FROM cen l JOIN cen r ON l.w = r.w AND l.n < r.n),
        |sc AS (SELECT u, v, count(*) AS cn,

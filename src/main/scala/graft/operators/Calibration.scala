@@ -125,6 +125,63 @@ object Calibration {
             d(lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"))
   }
 
+  /** Isotonic (PAV) calibration mapping fitted on a [[reliability]]
+    * table — the TRANSFORM companion to the audit (the privacy family's
+    * audit→transform symmetry): pool-adjacent-violators over the
+    * per-bin (n, n_pos) counts yields the monotone step function that
+    * maps a raw score bin to a calibrated probability. Zadrozny &
+    * Elkan 2002.
+    *
+    * The pooling runs DRIVER-SIDE on the collected bin table — at most
+    * `bins` rows regardless of corpus size (the ridgeFit
+    * corpus-size-independent-collect precedent); rates compare by
+    * integer cross-multiplication, so pooling decisions are exact, and
+    * the only double is each block's final pos/n division.
+    *
+    * Output: (bin, cal_n, cal_pos, cal_p) — one row per INPUT bin,
+    * cal_* from its pooled block; cal_p is non-decreasing in bin.
+    * Join back on the same bin expression to calibrate scores (see
+    * [[calibrate]]). */
+  def isotonicFromBins(reliability: DataFrame): DataFrame = {
+    val spark = reliability.sparkSession
+    val bins = reliability.select("bin", "n", "n_pos")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV: pool while the previous block's rate EXCEEDS the next's
+    // (pos_a/n_a > pos_b/n_b  <=>  pos_a*n_b > pos_b*n_a, exact).
+    case class Block(bins: Vector[Int], n: Long, pos: Long)
+    val pooled = bins.foldLeft(Vector.empty[Block]) { (acc, b) =>
+      var cur = Block(Vector(b._1), b._2, b._3)
+      var rest = acc
+      while (rest.nonEmpty &&
+          rest.last.pos * cur.n > cur.pos * rest.last.n) {
+        val p = rest.last
+        cur = Block(p.bins ++ cur.bins, p.n + cur.n, p.pos + cur.pos)
+        rest = rest.dropRight(1)
+      }
+      rest :+ cur
+    }
+    val rows = pooled.flatMap(b => b.bins.map(bin =>
+      (bin, b.n, b.pos, b.pos.toDouble / b.n.toDouble)))
+    import spark.implicits._
+    rows.toDF("bin", "cal_n", "cal_pos", "cal_p")
+  }
+
+  /** Apply an [[isotonicFromBins]] mapping: adds `cal_p` keyed by the
+    * same micro-score bin expression [[reliability]] used. Scores in
+    * bins unseen at fit time get a null `cal_p` (left join — surface,
+    * don't invent). The mapping is <= `bins` rows — broadcast. */
+  def calibrate(df: DataFrame, scoreMicroCol: String, mapping: DataFrame,
+      bins: Int): DataFrame =
+    df.withColumn("bin",
+        least(
+          expr(s"CAST($scoreMicroCol AS BIGINT) * $bins div ${Micro}L"),
+          lit((bins - 1).toLong))
+          .cast("int"))
+      .join(broadcast(mapping.select(col("bin"), col("cal_p"))),
+        Seq("bin"), "left")
+
   /** One-row confusion matrix + derived metrics at `thresholdMicro`
     * (predict positive when score_micro >= threshold):
     * (tp, fp, tn, fn, accuracy, precision, recall, f1). Each derived

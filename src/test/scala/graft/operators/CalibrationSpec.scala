@@ -55,6 +55,51 @@ class CalibrationSpec extends SparkSpec {
     assert(fused.collect().toSeq == composed.collect().toSeq)
   }
 
+  test("isotonic PAV pools exactly the violating bins") {
+    // bin rates 0.1, 0.5, 0.3, 0.9: bins 1 and 2 violate monotonicity
+    // and pool to 8/20 = 0.4; the ends stay untouched.
+    val rel = Seq((0, 10L, 1L), (1, 10L, 5L), (2, 10L, 3L), (3, 10L, 9L))
+      .toDF("bin", "n", "n_pos")
+    val out = Calibration.isotonicFromBins(rel)
+      .select("bin", "cal_n", "cal_pos", "cal_p")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0, 10L, 1L, 0.1), (1, 20L, 8L, 0.4),
+      (2, 20L, 8L, 0.4), (3, 10L, 9L, 0.9)))
+  }
+
+  test("isotonic: cascading violations pool transitively; mass preserved") {
+    // 0.9, 0.5, 0.1 all collapse into one block 15/30 = 0.5.
+    val rel = Seq((0, 10L, 9L), (1, 10L, 5L), (2, 10L, 1L))
+      .toDF("bin", "n", "n_pos")
+    val out = Calibration.isotonicFromBins(rel)
+      .select("bin", "cal_p").as[(Int, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0, 0.5), (1, 0.5), (2, 0.5)))
+  }
+
+  test("isotonic of an already-monotone table is the identity") {
+    val rel = Seq((0, 4L, 1L), (1, 4L, 2L), (2, 4L, 3L))
+      .toDF("bin", "n", "n_pos")
+    val out = Calibration.isotonicFromBins(rel)
+      .select("bin", "cal_p").as[(Int, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0, 0.25), (1, 0.5), (2, 0.75)))
+  }
+
+  test("calibrate joins cal_p by bin; unseen bins surface as null") {
+    val rel = Calibration.reliability(
+      rows.toDF("score_micro", "y"), "score_micro", "y", 10)
+    val mapping = Calibration.isotonicFromBins(rel)
+    val probes = Seq((150000L, 0L), (650000L, 1L), (50000L, 0L))
+      .toDF("score_micro", "y")
+    val out = Calibration.calibrate(probes, "score_micro", mapping, 10)
+      .select("score_micro", "cal_p")
+      .as[(Long, Option[Double])].collect().toMap
+    // fitted bins: 1 (acc 0), 6 (acc 0.5), 9 (acc 1) — PAV keeps them.
+    assert(out(150000L).contains(0.0))
+    assert(out(650000L).contains(0.5))
+    assert(out(50000L).isEmpty) // bin 0 never seen at fit time
+  }
+
   test("confusion: zero denominators yield NULL, not a crash") {
     // No positives anywhere and a threshold above every score: tp+fp=0
     // (precision NULL), tp+fn=0 (recall NULL), f1 NULL.

@@ -381,6 +381,69 @@ object QueriesMatch {
       |  min(s) AS span_start, max(e) AS span_end, count(*) AS n_rows
       |FROM isl GROUP BY k, island""".stripMargin
 
+  // --------------------------------------------------- blocking quality
+  // Grading a LOSSY blocker against ground truth (Blocking.quality —
+  // Christen's reduction ratio / pairs completeness): a last-2-chars
+  // suffix block + length band over the fuzzy-join customer sample,
+  // scored against the true lev<=1 pair set (deletionPairs, proven
+  // brute-force-equal by q_fuzzy_del's oracle). Suffix blocking LOSES
+  // the true pairs whose edit sits in the last two characters, so
+  // completeness lands strictly below 1e6 — the number that tells an
+  // ER pipeline this blocker needs a second pass. All-integer outputs.
+  def qBlockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val recs = t(s, dir, "customer").filter(col("c_custkey") < FuzzyKeyCap)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val keyed = recs
+      .withColumn("sfx", substring(col("s"), -2, 2))
+      .withColumn("len", length(col("s")))
+    val cand = keyed.select(col("id").as("a"), col("sfx"), col("len").as("la"))
+      .join(keyed.select(col("id").as("b"), col("sfx"),
+        col("len").as("lb")), Seq("sfx"))
+      .filter(col("a") < col("b") &&
+        abs(col("la") - col("lb")) <= 1)
+      .select(col("a"), col("b"))
+    val truth = FuzzyJoin.deletionPairs(recs, "id", "s", maxDist = 1)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    graft.operators.Blocking.quality(recs, cand, truth, "a", "b")
+  }
+
+  val qBlockingQualitySql: String =
+    s"""WITH r AS (
+       |  SELECT c_custkey AS id, c_name AS s FROM customer
+       |  WHERE c_custkey < $FuzzyKeyCap),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS pa, b.id AS pb
+       |  FROM r a JOIN r b
+       |    ON substr(a.s, length(a.s) - 1, 2) =
+       |       substr(b.s, length(b.s) - 1, 2)
+       |   AND a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1),
+       |tr AS (
+       |  SELECT DISTINCT a.id AS pa, b.id AS pb
+       |  FROM r a JOIN r b
+       |    ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+       |  WHERE levenshtein(a.s, b.s) <= 1),
+       |counts AS (
+       |  SELECT (SELECT count(*) FROM r) AS n_records,
+       |    (SELECT count(*) FROM cand) AS n_candidates,
+       |    (SELECT count(*) FROM tr) AS n_truth,
+       |    (SELECT count(*) FROM tr WHERE EXISTS (
+       |       SELECT 1 FROM cand
+       |       WHERE cand.pa = tr.pa AND cand.pb = tr.pb)) AS n_found)
+       |SELECT n_records,
+       |  CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS n_all_pairs,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_found AS BIGINT) AS n_found,
+       |  CASE WHEN n_records >= 2 THEN
+       |    CAST((1000000::HUGEINT *
+       |      (n_records * (n_records - 1) // 2 - n_candidates))
+       |      // (n_records * (n_records - 1) // 2) AS BIGINT) END
+       |    AS reduction_ppm,
+       |  CASE WHEN n_truth > 0 THEN
+       |    CAST((1000000 * n_found) // n_truth AS BIGINT) END
+       |    AS completeness_ppm
+       |FROM counts""".stripMargin
+
   // --------------------------------------------------- interval subtract
   // Coverage set algebra over the same interval model: per-part windows
   // covered by a non-returned shipment and NO return-flagged one
@@ -590,6 +653,7 @@ object QueriesMatch {
     "q_unpivot" -> (qUnpivot _),
     "q_interval_merge" -> (qIntervalMerge _),
     "q_interval_subtract" -> (qIntervalSubtract _),
+    "q_blocking_quality" -> (qBlockingQuality _),
     "q_asof_fwd" -> (qAsofFwd _),
     "q_concurrency" -> (qConcurrency _),
     "q_reconcile" -> (qReconcile _),
@@ -609,6 +673,7 @@ object QueriesMatch {
     "q_unpivot" -> qUnpivotSql,
     "q_interval_merge" -> qIntervalMergeSql,
     "q_interval_subtract" -> qIntervalSubtractSql,
+    "q_blocking_quality" -> qBlockingQualitySql,
     "q_asof_fwd" -> qAsofFwdSql,
     "q_concurrency" -> qConcurrencySql,
     "q_reconcile" -> qReconcileSql,

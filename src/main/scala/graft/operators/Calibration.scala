@@ -49,11 +49,18 @@ object Calibration {
     * `labelCol` must be 0/1; `scoreMicroCol` integral in [0, 1e6]
     * (1e6 lands in the top bin via the `least` clamp). */
   def reliability(df: DataFrame, scoreMicroCol: String, labelCol: String,
-      bins: Int, scope: CacheScope = CacheScope.session): DataFrame = {
-    // retained: the per-bin frame is <= `bins` rows but its derivation
-    // is a corpus scan, and it feeds both the ECE total and the output
-    // — without retention the scan runs twice (observed in the plan).
-    val perBin = scope.retain(df.groupBy(
+      bins: Int, scope: CacheScope = CacheScope.session): DataFrame =
+    reliabilityFromCounts(binCounts(df, scoreMicroCol, labelCol, bins),
+      scope)
+
+  /** Mergeable per-bin counter state — (bin, n, n_pos, score_micro_sum),
+    * one aggregate pass. Counters are plain sums, so state from any
+    * batch split merges by addition ([[mergeBinCounts]]): the persisted/
+    * streaming-state path of the calibration family (the momentState /
+    * CountMin pattern). */
+  def binCounts(df: DataFrame, scoreMicroCol: String, labelCol: String,
+      bins: Int): DataFrame =
+    df.groupBy(
         least(
           expr(s"CAST($scoreMicroCol AS BIGINT) * $bins div ${Micro}L"),
           lit((bins - 1).toLong))
@@ -61,6 +68,22 @@ object Calibration {
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("n_pos"),
         sum(col(scoreMicroCol).cast("long")).as("score_micro_sum"))
+
+  /** Fold accumulated bin-counter rows (any batch split, any order)
+    * back to one row per bin — counter addition. */
+  def mergeBinCounts(state: DataFrame): DataFrame =
+    state.groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        sum(col("score_micro_sum")).as("score_micro_sum"))
+
+  /** The reliability table + exact ECE from (possibly pre-merged) bin
+    * counters — the shared finisher of the direct and state paths. */
+  def reliabilityFromCounts(counts: DataFrame,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    // retained: the per-bin frame is <= `bins` rows but its derivation
+    // may be a corpus scan, and it feeds both the ECE total and the
+    // output — without retention the scan runs twice (observed).
+    val perBin = scope.retain(mergeBinCounts(counts)
       .withColumn("conf",
         col("score_micro_sum").cast("double") /
           (lit(1000000.0) * col("n").cast("double")))

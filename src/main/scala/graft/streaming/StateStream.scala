@@ -145,4 +145,16 @@ object StateStream {
     fold = b => graft.operators.LinearModel.momentState(
       b, keyCol, yCol, x1Col, x2Col),
     merge = s => graft.operators.LinearModel.mergeMomentState(s, keyCol))
+
+  /** Ready-made model: calibration bin-counter state
+    * ([[graft.operators.Calibration.binCounts]]) — per-bin
+    * (n, n_pos, score_micro_sum) sums, counter addition as the merge,
+    * so a continuously-scored stream keeps a live reliability/ECE
+    * readout ([[graft.operators.Calibration.reliabilityFromCounts]])
+    * without replaying scored rows. */
+  def calibrationModel(scoreMicroCol: String, labelCol: String,
+      bins: Int): Model = Model(
+    fold = b => graft.operators.Calibration.binCounts(
+      b, scoreMicroCol, labelCol, bins),
+    merge = s => graft.operators.Calibration.mergeBinCounts(s))
 }

@@ -123,6 +123,30 @@ class StateStreamSpec extends SparkSpec {
       s"$dir/state")) == direct)
   }
 
+  test("calibration bin state: streamed ingest yields the bit-equal " +
+    "reliability table, compaction-invariant") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events",
+        parallelize = false)
+      .withColumn("score_micro",
+        pmod(col("event_id") * 37L, lit(1000001L)))
+      .withColumn("y", (col("event_id") % 3 === 0).cast("long"))
+    val model = StateStream.calibrationModel("score_micro", "y", 10)
+    val dir = Files.createTempDirectory("graft_cal_stream").toString
+    ingestInThirds(ev, model, dir)
+    def table(counts: DataFrame) =
+      graft.operators.Calibration.reliabilityFromCounts(counts)
+        .as[(Int, Long, Long, Long, Double, Double, Long, Double)]
+        .collect().toSet
+    val direct = table(graft.operators.Calibration.binCounts(
+      ev, "score_micro", "y", 10))
+    assert(table(StateStream.current(spark, ev, model,
+      s"$dir/state")) == direct && direct.nonEmpty)
+    // counter addition is the merge: compaction changes nothing
+    StateStream.compact(spark, ev, model, s"$dir/state")
+    assert(table(StateStream.current(spark, ev, model,
+      s"$dir/state")) == direct)
+  }
+
   test("a batch id behind the stored state refuses loudly") {
     val model = StateStream.thetaModel(Seq("event_type"), "user_id")
     val dir = Files.createTempDirectory("graft_guard_stream").toString

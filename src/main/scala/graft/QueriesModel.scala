@@ -418,7 +418,75 @@ object QueriesModel {
        |    END AS f1
        |FROM br CROSS JOIN c""".stripMargin
 
+  // ----------------------------------------------------------------- ndcg
+  // NDCG@5 per supplier: parts ranked by exact decimal ship volume,
+  // graded relevance = count of large (> 25 qty) lines for the pair.
+  // Both DCG and IDCG are the same fixed left-associated 5-term chain
+  // over integer conditional sums and SHARED weight literals
+  // (RankEval.ndcgWeights interpolated into this SQL — an engine's own
+  // log2 may differ in the last ulp), so the oracle hash-matches the
+  // doubles bit-for-bit.
+  private val NdcgK = 5
+
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+        count_if(col("l_quantity") > 25).as("rel"))
+    val ranking = base
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("qty").desc, col("l_partkey"))))
+      .filter(col("rank") <= NdcgK)
+      .select(col("l_suppkey"), col("l_partkey"), col("rank"))
+    graft.similarity.RankEval.ndcgAtK(ranking,
+      base.select(col("l_suppkey"), col("l_partkey"), col("rel")),
+      "l_suppkey", "l_partkey", "rank", "rel", NdcgK)
+  }
+
+  val qNdcgSql: String = {
+    val ws = graft.similarity.RankEval.ndcgWeights(NdcgK)
+    def sums(rankCol: String, p: String) = ws.indices.map(i =>
+      s"CAST(sum(CASE WHEN $rankCol = ${i + 1} THEN rel ELSE 0 END) " +
+        s"AS BIGINT) AS $p${i + 1}").mkString(",\n    ")
+    def chain(p: String) = ws.zipWithIndex.map { case (w, i) =>
+      s"CAST($p${i + 1} AS DOUBLE) * $w"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT l_suppkey AS q, l_partkey AS id,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+       |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rel
+       |  FROM lineitem GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT q, id, rel, row_number() OVER (
+       |    PARTITION BY q ORDER BY qty DESC, id) AS rnk
+       |  FROM base),
+       |act AS (
+       |  SELECT q,
+       |    ${sums("rnk", "s")}
+       |  FROM rk WHERE rnk <= $NdcgK GROUP BY q),
+       |idl AS (
+       |  SELECT q, rel, row_number() OVER (
+       |    PARTITION BY q ORDER BY rel DESC, id) AS irank
+       |  FROM base WHERE rel > 0),
+       |idt AS (
+       |  SELECT q,
+       |    ${sums("irank", "t")}
+       |  FROM idl WHERE irank <= $NdcgK GROUP BY q),
+       |j AS (
+       |  SELECT act.q,
+       |    ${chain("s")} AS dcg,
+       |    ${chain("t")} AS idcg
+       |  FROM act LEFT JOIN idt ON act.q = idt.q)
+       |SELECT q AS l_suppkey, dcg, idcg,
+       |  CASE WHEN idcg > 0.0 THEN dcg / idcg END AS ndcg
+       |FROM j""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ndcg" -> (qNdcg _),
     "q_ridge_fit" -> (qRidgeFit _),
     "q_ridge_state" -> (qRidgeState _),
     "q_cv_ridge" -> (qCvRidge _),
@@ -430,6 +498,7 @@ object QueriesModel {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_ndcg" -> qNdcgSql,
     "q_ridge_fit" -> qRidgeFitSql,
     "q_ridge_state" -> qRidgeFitSql,
     "q_cv_ridge" -> qCvRidgeSql,

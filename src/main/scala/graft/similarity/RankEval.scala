@@ -33,4 +33,70 @@ object RankEval {
         (coalesce(col("__hits"), lit(0L)).cast("double") /
           lit(k.toDouble)).as("recall"))
   }
+
+  /** Position-discount weights 1/log2(i+1) for i = 1..k, computed ONCE
+    * here so the Spark plan and a SQL oracle can share bit-identical
+    * literals (an engine's own log2 may differ in the last ulp). */
+  def ndcgWeights(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** NDCG@k with graded relevance (Järvelin & Kekäläinen 2002, linear
+    * gain): per query, DCG@k = Σ_i rel_at_rank_i / log2(i+1) against
+    * the ideal ordering's IDCG. Engine-exact shape: the per-position
+    * relevances collapse to k integer conditional sums, and both DCG
+    * and IDCG are the same FIXED left-associated k-term chain over
+    * those integers and the shared [[ndcgWeights]] literals — no
+    * order-dependent double accumulation anywhere.
+    *
+    * `ranking` is a (query, id, rank) table (the recallAtK shape);
+    * `relevance` holds integer grades (query, id, rel >= 0) — ids
+    * missing from it count rel 0; queries without any relevant id get
+    * a null ndcg (IDCG = 0). The ideal ordering ties deterministically
+    * on (rel DESC, id). Output: (queryCol, dcg, idcg, ndcg). */
+  def ndcgAtK(ranking: DataFrame, relevance: DataFrame,
+      queryCol: String, idCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val w = ndcgWeights(k)
+    def chain(prefix: String) =
+      w.zipWithIndex.map { case (wi, i) =>
+        col(s"$prefix${i + 1}").cast("double") * lit(wi)
+      }.reduce(_ + _)
+
+    val rel = relevance.select(col(queryCol), col(idCol),
+      col(relCol).cast("long").as("__rel"))
+    val actual = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(idCol), col(rankCol).as("__rank"))
+      .join(rel, Seq(queryCol, idCol), "left")
+      .withColumn("__rel0", coalesce(col("__rel"), lit(0L)))
+      .groupBy(col(queryCol))
+      .agg(w.indices.map { i =>
+        sum(when(col("__rank") === (i + 1), col("__rel0")).otherwise(0L))
+          .as(s"__s${i + 1}")
+      }.head, w.indices.tail.map { i =>
+        sum(when(col("__rank") === (i + 1), col("__rel0")).otherwise(0L))
+          .as(s"__s${i + 1}")
+      }: _*)
+
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col("__rel").desc, col(idCol))
+    val ideal = rel.filter(col("__rel") > 0)
+      .withColumn("__irank", row_number().over(wIdeal))
+      .filter(col("__irank") <= k)
+      .groupBy(col(queryCol))
+      .agg(w.indices.map { i =>
+        sum(when(col("__irank") === (i + 1), col("__rel")).otherwise(0L))
+          .as(s"__t${i + 1}")
+      }.head, w.indices.tail.map { i =>
+        sum(when(col("__irank") === (i + 1), col("__rel")).otherwise(0L))
+          .as(s"__t${i + 1}")
+      }: _*)
+
+    actual.join(ideal, Seq(queryCol), "left")
+      .withColumn("dcg", chain("__s"))
+      .withColumn("idcg", chain("__t"))
+      .select(col(queryCol), col("dcg"), col("idcg"),
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
+  }
 }

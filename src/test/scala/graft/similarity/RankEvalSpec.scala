@@ -59,4 +59,54 @@ class RankEvalSpec extends SparkSpec {
     assert(rec.length == 6)
     assert(rec.forall(_._2 >= 0.8), s"low IVF recall: ${rec.mkString(",")}")
   }
+
+  private def ndcg(ranking: Seq[(String, String, Int)],
+      rel: Seq[(String, String, Long)], k: Int) =
+    RankEval.ndcgAtK(ranking.toDF("q", "id", "rank"),
+      rel.toDF("q", "id", "rel"), "q", "id", "rank", "rel", k)
+      .select("q", "dcg", "idcg", "ndcg")
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+
+  test("ndcg: hand-computed graded case with an unretrieved relevant id") {
+    val w = RankEval.ndcgWeights(3)
+    val out = ndcg(
+      Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3)),
+      Seq(("q", "a", 3L), ("q", "c", 1L), ("q", "d", 2L)), 3)
+    // DCG = 3*w1 + 0*w2 + 1*w3; ideal order a(3), d(2), c(1)
+    val dcg = 3.0 * w(0) + 0.0 * w(1) + 1.0 * w(2)
+    val idcg = 3.0 * w(0) + 2.0 * w(1) + 1.0 * w(2)
+    assert(out("q") == (("q", Some(dcg), Some(idcg), Some(dcg / idcg))))
+  }
+
+  test("ndcg: the ideal ranking scores exactly 1.0") {
+    val out = ndcg(
+      Seq(("q", "a", 1), ("q", "d", 2), ("q", "c", 3)),
+      Seq(("q", "a", 3L), ("q", "c", 1L), ("q", "d", 2L)), 3)
+    assert(out("q")._4.contains(1.0))
+  }
+
+  test("ndcg: no relevant ids gives null, not zero-division") {
+    val out = ndcg(
+      Seq(("q", "a", 1)), Seq(("q", "a", 0L)), 3)
+    assert(out("q")._4.isEmpty)
+  }
+
+  test("ndcg: queries only in the relevance table are not evaluated") {
+    val out = ndcg(
+      Seq(("q", "a", 1)), Seq(("q", "a", 1L), ("z", "x", 5L)), 2)
+    assert(out.keySet == Set("q"))
+    assert(out("q")._4.contains(1.0))
+  }
+
+  test("ndcg: relevance beyond rank k does not leak into DCG") {
+    // b is highly relevant but ranked 3 > k=2: DCG sees only a.
+    val w = RankEval.ndcgWeights(2)
+    val out = ndcg(
+      Seq(("q", "a", 1), ("q", "x", 2), ("q", "b", 3)),
+      Seq(("q", "a", 1L), ("q", "b", 5L)), 2)
+    val dcg = 1.0 * w(0) + 0.0 * w(1)
+    val idcg = 5.0 * w(0) + 1.0 * w(1)
+    assert(out("q") == (("q", Some(dcg), Some(idcg), Some(dcg / idcg))))
+  }
 }

@@ -153,6 +153,40 @@ object QueriesPrivacy {
        |FROM noise""".stripMargin
   }
 
+  // -------------------------------------------------------------- DP sum
+  // Clipped-sum Laplace mechanism: account balances clipped to
+  // [0, 5000] per customer (sensitivity = 5000), noise scale clip/eps
+  // from the same deterministic 48-bit draw. The clip is load-bearing
+  // on this data — c_acctbal goes negative, and without the bound the
+  // sum has unbounded sensitivity (no finite noise privatizes it).
+  private val DpClip = 5000.0
+
+  private def qDpSum(s: SparkSession, dir: String): DataFrame =
+    Privacy.dpSum(t(s, dir, "customer"), "c_mktsegment", "c_acctbal",
+      DpClip, Eps, Seed)
+
+  private val qDpSumSql: String = {
+    val hexFold =
+      "list_reduce(list_transform(regexp_split_to_array(" +
+        s"substr(md5(c_mktsegment || ':dp:$Seed'), 1, 12), ''), " +
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    s"""WITH sums AS (
+       |  SELECT c_mktsegment,
+       |    CAST(sum(CAST(least(greatest(CAST(c_acctbal AS DOUBLE), 0.0),
+       |      $DpClip) AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped
+       |  FROM customer GROUP BY 1),
+       |noise AS (
+       |  SELECT c_mktsegment, sum_clipped,
+       |    CAST($hexFold AS DOUBLE) / ${Privacy.Pow2_48} - 0.5 AS c
+       |  FROM sums)
+       |SELECT c_mktsegment, sum_clipped,
+       |  CAST(CAST(sum_clipped + $DpClip *
+       |      (-sign(c) * ln(greatest(1e-12, 1.0 - 2.0 * abs(c))) / $Eps)
+       |    AS DECIMAL(28,6)) AS DOUBLE) AS sum_noisy
+       |FROM noise""".stripMargin
+  }
+
   // -------------------------------------------------------- pseudonymize
   // Keyed tokenization preserves referential integrity: customer and
   // order keys tokenized under the same secret still join. Output pins
@@ -216,6 +250,7 @@ object QueriesPrivacy {
     "q_l_diversity" -> (qLDiversity _),
     "q_t_closeness" -> (qTCloseness _),
     "q_dp_counts" -> (qDpCounts _),
+    "q_dp_sum" -> (qDpSum _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -226,5 +261,6 @@ object QueriesPrivacy {
     "q_l_diversity" -> qLDiversitySql,
     "q_t_closeness" -> qTClosenessSql,
     "q_dp_counts" -> qDpCountsSql,
+    "q_dp_sum" -> qDpSumSql,
   )
 }

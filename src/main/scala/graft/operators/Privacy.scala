@@ -276,6 +276,33 @@ object Privacy {
         (col("n_true") + laplaceNoise(col(groupCol).cast("string"), epsilon,
           seed)).cast("decimal(28,6)").cast("double"))
 
+  /** Epsilon-DP noisy SUM with per-record clipping — the counts→sums
+    * completion of the DP family: each record's contribution clips to
+    * [0, clip], bounding the sensitivity at `clip`, so the Laplace
+    * scale is clip/epsilon (noise = clip × the unit-sensitivity draw).
+    * Clipping is the analyst's bias/variance dial and a REQUIRED part
+    * of the mechanism — an unbounded sum has unbounded sensitivity and
+    * no finite noise privatizes it (Dwork & Roth 2014, §3.3).
+    *
+    * Clipped contributions round through DECIMAL(18,6) before the sum
+    * (order-independent, engine-exact); the noisy sum reuses
+    * [[laplaceNoise]]'s deterministic 48-bit md5 inverse-CDF draw and
+    * rounds through DECIMAL(28,6) like [[dpCounts]]. One aggregation,
+    * noise attached after it, zero extra shuffles. */
+  def dpSum(df: DataFrame, groupCol: String, valueCol: String,
+      clip: Double, epsilon: Double, seed: Long): DataFrame = {
+    require(clip > 0, s"clip bound must be positive, got $clip")
+    df.groupBy(col(groupCol))
+      .agg(sum(least(greatest(col(valueCol).cast("double"), lit(0.0)),
+          lit(clip)).cast("decimal(18,6)")).as("__sum"))
+      .select(col(groupCol),
+        col("__sum").cast("double").as("sum_clipped"))
+      .withColumn("sum_noisy",
+        (col("sum_clipped") + lit(clip) *
+          laplaceNoise(col(groupCol).cast("string"), epsilon, seed))
+          .cast("decimal(28,6)").cast("double"))
+  }
+
   /** Keyed deterministic pseudonymization: replace `c` with a stable
     * surrogate token md5(secret ':' value) — the same value maps to the
     * same token under the same secret EVERYWHERE, so joins and

@@ -167,4 +167,27 @@ class PrivacySpec extends SparkSpec {
       .collect()
     assert(got.forall(r => r.getLong(2) == 0L && r.getBoolean(3)))
   }
+
+  test("dpSum: clipping bounds every contribution before the sum") {
+    // values -50 (clips to 0), 30, 500 (clips to clip=100):
+    // sum_clipped = 0 + 30 + 100 = 130 exactly.
+    val df = Seq(("g", -50.0), ("g", 30.0), ("g", 500.0)).toDF("k", "v")
+    val out = Privacy.dpSum(df, "k", "v", clip = 100.0, epsilon = 1.0,
+        seed = 7L)
+      .select("sum_clipped", "sum_noisy").collect().head
+    assert(out.getDouble(0) == 130.0)
+    // noise = clip * unit draw: same (group, seed) reproduces exactly
+    val again = Privacy.dpSum(df, "k", "v", clip = 100.0, epsilon = 1.0,
+        seed = 7L).select("sum_noisy").collect().head.getDouble(0)
+    assert(out.getDouble(1) == again)
+    // and the clip factor scales the same unit draw linearly: at
+    // clip=1 the values clip to 0, 1, 1 (sum 2), so the noise there
+    // is 1/100th of the clip=100 noise (same key, same seed; both
+    // rounded through DECIMAL(28,6), so compare at that grain)
+    val small = Privacy.dpSum(df, "k", "v", clip = 1.0, epsilon = 1.0,
+        seed = 7L).select("sum_noisy").collect().head.getDouble(0)
+    assert(math.abs((out.getDouble(1) - 130.0) -
+      100.0 * (small - 2.0)) < 1e-3, s"noise must scale with clip " +
+      s"(got ${out.getDouble(1) - 130.0} vs ${100.0 * (small - 2.0)})")
+  }
 }

@@ -40,6 +40,52 @@ object QueriesExtra {
   val qJsonlRoundtripSql: String =
     "SELECT doc_id, text, source FROM documents"
 
+  // ------------------------------------------------------- orc roundtrip
+  // The corpus through Spark's second first-class columnar format:
+  // write documents as ORC (ZLIB, min/max stripe stats for pushdown —
+  // the warehouse-interchange sibling of the parquet tables), read it
+  // back, driver-compare against the source. Embedded newlines/quotes
+  // in `text` are a non-event in a columnar container (vs the JSONL
+  // escaping the previous query must prove).
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_q_orc").getAbsolutePath
+    docs.write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+  }
+
+  val qOrcRoundtripSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+  // ------------------------------------------------ fixed-width roundtrip
+  // Supplier through the FixedWidth sink and source (the CNAB-style
+  // agency-drop layout: one record per line, character windows, no
+  // delimiters): format → text file → substring/trim/cast parse. The
+  // double column proves the cast path — Spark's shortest-roundtrip
+  // double↔string rendering makes format∘parse the identity, and the
+  // oracle is simply the source table.
+  def qFixedWidth(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FixedWidth
+    import graft.sources.FixedWidth.Field
+    // types mirror the parquet source exactly (nationkey is int32
+    // there) so the driver's schema compare sees the identity
+    val layout = Seq(Field("s_suppkey", 12, "bigint"),
+      Field("s_name", 20), Field("s_nationkey", 6, "int"),
+      Field("s_acctbal", 24, "double"))
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_q_fixw").getAbsolutePath
+    FixedWidth.write(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal")), path, layout)
+    FixedWidth.read(s, path, layout)
+  }
+
+  val qFixedWidthSql: String =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
   def qCsvExtract(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir, "customer").withColumn("int_str",
       when(col("c_custkey") % 5 === 0, lit(""))
@@ -728,6 +774,8 @@ object QueriesExtra {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_extract" -> (qCsvExtract _),
     "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_fixed_width" -> (qFixedWidth _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_lsh_neardup" -> (qLshNeardup _),
@@ -754,6 +802,8 @@ object QueriesExtra {
   val oracleSql: Map[String, String] = Map(
     "q_csv_extract" -> qCsvExtractSql,
     "q_jsonl_roundtrip" -> qJsonlRoundtripSql,
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
+    "q_fixed_width" -> qFixedWidthSql,
     "q_token_bpe" -> qTokenBpeSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_lsh_neardup" -> qLshNeardupSql,

@@ -503,7 +503,66 @@ object QueriesFunnel {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------------------------ ccf
+  // Per-event-type lead–lag: does daily event VOLUME predict daily
+  // DISTINCT USERS l days ahead? Cross-correlation at lags 0..3
+  // (AutoCorr.ccf — same one-window/inline-unpivot plan and decimal
+  // Pearson moments as q_acf; lag 0 is the contemporaneous check).
+  private val CcfMaxLag = 3
+
+  def qCcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("users"))
+    graft.operators.AutoCorr.ccf(daily, "event_type", "day",
+      "cnt", "users", CcfMaxLag)
+  }
+
+  val qCcfSql: String = {
+    val lagCols = (1 to CcfMaxLag).map(l =>
+      s"lag(cnt, $l) OVER (PARTITION BY event_type ORDER BY day) AS x$l")
+      .mkString(",\n  ")
+    val pairArms = (0 to CcfMaxLag).map { l =>
+      val x = if (l == 0) "cnt" else s"x$l"
+      s"""SELECT event_type, $l AS "lag", $x AS x, users AS y FROM l
+         |  WHERE $x IS NOT NULL AND users IS NOT NULL""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    count(*) AS cnt, count(DISTINCT user_id) AS users
+       |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+       |l AS (SELECT event_type, cnt, users,
+       |  $lagCols
+       |  FROM daily),
+       |p AS (
+       |  $pairArms),
+       |m AS (
+       |  SELECT event_type, "lag", count(*) AS n,
+       |    sum(CAST(x AS DECIMAL(18,2))) AS sx,
+       |    sum(CAST(y AS DECIMAL(18,2))) AS sy,
+       |    sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS sxy,
+       |    sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS sxx,
+       |    sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS syy
+       |  FROM p GROUP BY 1, 2)
+       |SELECT event_type, CAST("lag" AS INT) AS "lag", n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+       |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS ccf
+       |FROM m""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ccf" -> (qCcf _),
     "q_acf" -> (qAcf _),
     "q_funnel" -> (qFunnel _),
     "q_transitions" -> (qTransitions _),
@@ -520,6 +579,7 @@ object QueriesFunnel {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_ccf" -> qCcfSql,
     "q_acf" -> qAcfSql,
     "q_funnel" -> qFunnelSql,
     "q_transitions" -> qTransitionsSql,

@@ -498,8 +498,86 @@ object QueriesLifecycle {
        |    / (1000000.0 * CAST(v_micro AS DOUBLE)) END AS chi2
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------------- cumulative hazard
+  // Nelson–Aalen cumulative hazard over the q_time_to_convert cohort at
+  // 1-hour duration buckets (the riskTable durationBucket contract for
+  // continuous durations): per bucket, h = d/n_at_risk as one integral
+  // micro division, H(t) as an INTEGER window cumsum — the additive,
+  // order-independent survival curve (the KM product is sequential
+  // float math; S(t) ≈ exp(−H) client-side). Same single-task windows
+  // over the per-time AGGREGATE as q_km_risk.
+  def qCumHazard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.cumulativeHazard(
+      qTimeToConvert(s, dir).select(col("duration_us"), col("converted")),
+      "duration_us", "converted", durationBucket = Some(LogRankBucketUs))
+
+  val qCumHazardSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |r AS (SELECT max(us) AS ref FROM e),
+       |fv AS (SELECT user_id, min(us) AS view_us FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |cv AS (
+       |  SELECT e.user_id, min(e.us) AS purchase_us
+       |  FROM e JOIN fv ON e.user_id = fv.user_id
+       |  WHERE e.event_type = 'purchase' AND e.us >= fv.view_us
+       |  GROUP BY 1),
+       |lab AS (
+       |  SELECT coalesce(cv.purchase_us - fv.view_us,
+       |      (SELECT ref FROM r) - fv.view_us) AS duration_us,
+       |    CAST(cv.purchase_us IS NOT NULL AS INT) AS converted
+       |  FROM fv LEFT JOIN cv ON fv.user_id = cv.user_id),
+       |bt AS (SELECT
+       |  floor(duration_us / $LogRankBucketUs) * $LogRankBucketUs AS t,
+       |  converted FROM lab),
+       |per AS (SELECT t, count(*) AS n_total,
+       |  sum(converted) AS d FROM bt GROUP BY 1),
+       |w AS (SELECT t,
+       |  CAST(sum(n_total) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS n_at_risk,
+       |  CAST(d AS BIGINT) AS d FROM per),
+       |f AS (SELECT t, n_at_risk, d,
+       |  CAST((1000000::HUGEINT * d) // n_at_risk AS BIGINT) AS h_micro
+       |  FROM w WHERE d > 0)
+       |SELECT t, n_at_risk, d, h_micro,
+       |  CAST(sum(h_micro) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cum_hazard_micro
+       |FROM f""".stripMargin
+
+  // --------------------------------------------------------------- streaks
+  // Gaps-and-islands: per user, longest run of consecutive active DAYS,
+  // streak count, total active days and the earliest longest-streak
+  // start — pure integer date arithmetic (island id = day − row_number)
+  // over the distinct (user, day) grid, so the window sorts the grid,
+  // never raw events.
+  def qStreaks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Streaks.dailyStreaks(
+      t(s, dir, "events"), "user_id", "ts")
+
+  val qStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |isl AS (SELECT user_id, d,
+      |  d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |    AS INT) AS island
+      |  FROM days),
+      |runs AS (SELECT user_id, island,
+      |  CAST(count(*) AS BIGINT) AS len, min(d) AS start
+      |  FROM isl GROUP BY 1, 2),
+      |wm AS (SELECT *, max(len) OVER (PARTITION BY user_id) AS maxlen
+      |  FROM runs)
+      |SELECT user_id,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(sum(len) AS BIGINT) AS active_days,
+      |  min(CASE WHEN len = maxlen THEN start END) AS longest_start
+      |FROM wm GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cum_hazard" -> (qCumHazard _),
+    "q_streaks" -> (qStreaks _),
     "q_scd2_history" -> (qScd2History _),
     "q_scd2_apply" -> (qScd2Apply _),
     "q_retention" -> (qRetention _),
@@ -514,6 +592,8 @@ object QueriesLifecycle {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_cum_hazard" -> qCumHazardSql,
+    "q_streaks" -> qStreaksSql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_scd2_apply" -> qScd2ApplySql,
     "q_retention" -> qRetentionSql,

@@ -485,8 +485,71 @@ object QueriesModel {
        |FROM j""".stripMargin
   }
 
+  // ------------------------------------------------------ average precision
+  // AP@5 per supplier over the q_ndcg ranking with BINARY relevance
+  // (any large line ⇒ relevant part): every precision term is one
+  // integral micro division over the running-hit count, the numerator
+  // an integer sum — `div` and `//` agree on the all-positive operands,
+  // so AP is integer-exact across engines (RankEval scaladoc).
+  private val ApK = 5
+
+  def qAvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+        count_if(col("l_quantity") > 25).as("rel"))
+    val ranking = base
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("qty").desc, col("l_partkey"))))
+      .filter(col("rank") <= ApK)
+      .select(col("l_suppkey"), col("l_partkey"), col("rank"))
+    graft.similarity.RankEval.averagePrecisionAtK(ranking,
+      base.select(col("l_suppkey"), col("l_partkey"), col("rel")),
+      "l_suppkey", "l_partkey", "rank", "rel", ApK)
+  }
+
+  val qAvgPrecisionSql: String =
+    s"""WITH base AS (
+       |  SELECT l_suppkey AS q, l_partkey AS id,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+       |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rel
+       |  FROM lineitem GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT q, id, row_number() OVER (
+       |    PARTITION BY q ORDER BY qty DESC, id) AS rnk
+       |  FROM base),
+       |rel AS (SELECT q, id FROM base WHERE rel > 0),
+       |rt AS (SELECT q, CAST(count(*) AS BIGINT) AS r_total
+       |  FROM rel GROUP BY 1),
+       |hits AS (
+       |  SELECT rk.q, rk.rnk,
+       |    CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM rk LEFT JOIN rel ON rk.q = rel.q AND rk.id = rel.id
+       |  WHERE rk.rnk <= $ApK),
+       |c AS (
+       |  SELECT q, rnk, hit, sum(hit) OVER (
+       |    PARTITION BY q ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hits),
+       |g AS (
+       |  SELECT q, CAST(sum(hit) AS BIGINT) AS hits,
+       |    CAST(sum(CASE WHEN hit = 1
+       |      THEN (1000000 * cum) // rnk ELSE 0 END) AS BIGINT)
+       |      AS ap_num_micro
+       |  FROM c GROUP BY 1)
+       |SELECT g.q AS l_suppkey,
+       |  CAST(coalesce(rt.r_total, 0) AS BIGINT) AS r_total,
+       |  g.hits, g.ap_num_micro,
+       |  CASE WHEN coalesce(rt.r_total, 0) > 0 THEN
+       |    CAST(g.ap_num_micro // least(rt.r_total, $ApK) AS BIGINT)
+       |  END AS ap_ppm
+       |FROM g LEFT JOIN rt ON g.q = rt.q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ndcg" -> (qNdcg _),
+    "q_avg_precision" -> (qAvgPrecision _),
     "q_ridge_fit" -> (qRidgeFit _),
     "q_ridge_state" -> (qRidgeState _),
     "q_cv_ridge" -> (qCvRidge _),
@@ -499,6 +562,7 @@ object QueriesModel {
 
   def oracleSql: Map[String, String] = Map(
     "q_ndcg" -> qNdcgSql,
+    "q_avg_precision" -> qAvgPrecisionSql,
     "q_ridge_fit" -> qRidgeFitSql,
     "q_ridge_state" -> qRidgeFitSql,
     "q_cv_ridge" -> qCvRidgeSql,

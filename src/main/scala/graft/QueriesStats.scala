@@ -731,7 +731,140 @@ object QueriesStats {
        |SELECT p_brand, p, rank, p_adj, p_adj <= $BhAlpha AS reject
        |FROM adj""".stripMargin
 
+  // ------------------------------------------------------------ kappa
+  // Cohen's kappa per linestatus: agreement between two binary
+  // "raters" (deep-discount vs returned-line flags) — integer cell
+  // counts end to end, fixed-shape double κ; the oracle replays the
+  // identical margin-product algebra.
+  private def kappaRated(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_linestatus"),
+      when(col("l_discount") >= 0.05, "hi").otherwise("lo").as("rater_a"),
+      when(col("l_returnflag") === "R", "hi").otherwise("lo").as("rater_b"))
+
+  private val sqlKappaRated =
+    """rated AS (
+      |  SELECT l_linestatus,
+      |    CASE WHEN l_discount >= 0.05 THEN 'hi' ELSE 'lo' END AS a,
+      |    CASE WHEN l_returnflag = 'R' THEN 'hi' ELSE 'lo' END AS b
+      |  FROM lineitem)""".stripMargin
+
+  def qKappa(s: SparkSession, dir: String): DataFrame =
+    Stats.cohenKappa(kappaRated(s, dir), "l_linestatus",
+      "rater_a", "rater_b")
+
+  val qKappaSql: String =
+    s"""WITH $sqlKappaRated,
+       |cells AS (SELECT l_linestatus AS k, a, b, count(*) AS c
+       |  FROM rated GROUP BY 1, 2, 3),
+       |base AS (SELECT k, CAST(sum(c) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+       |  FROM cells GROUP BY 1),
+       |rt AS (SELECT k, a AS cat, sum(c) AS r FROM cells GROUP BY 1, 2),
+       |ct AS (SELECT k, b AS cat, sum(c) AS l FROM cells GROUP BY 1, 2),
+       |pe AS (SELECT rt.k, CAST(sum(rt.r * ct.l) AS BIGINT) AS pe_num
+       |  FROM rt JOIN ct ON rt.k = ct.k AND rt.cat = ct.cat GROUP BY 1)
+       |SELECT base.k AS l_linestatus, n, agree,
+       |  CAST(coalesce(pe_num, 0) AS BIGINT) AS pe_num,
+       |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |  CAST(coalesce(pe_num, 0) AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+       |  CASE WHEN CAST(coalesce(pe_num, 0) AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+       |    (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - CAST(coalesce(pe_num, 0) AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |    / (1.0 - CAST(coalesce(pe_num, 0) AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |  END AS kappa
+       |FROM base LEFT JOIN pe ON base.k = pe.k""".stripMargin
+
+  // -------------------------------------------------------- cramers v
+  // Association strength orderstatus↔orderpriority: per-cell χ²
+  // contribution as ONE integral micro division of exact integer
+  // products, summed as integers (order-independent where
+  // chiSquareCells stops at cells), V as one fixed-shape sqrt.
+  def qCramersV(s: SparkSession, dir: String): DataFrame =
+    Stats.cramersV(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+  val qCramersVSql: String =
+    """WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+      |    count(*) AS obs
+      |  FROM orders
+      |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT a, sum(obs) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT b, sum(obs) AS l FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(obs) AS n,
+      |  CAST(count(DISTINCT a) AS BIGINT) AS r_dim,
+      |  CAST(count(DISTINCT b) AS BIGINT) AS c_dim FROM cells),
+      |mic AS (SELECT n, r_dim, c_dim,
+      |    CAST((1000000::HUGEINT
+      |        * (n::HUGEINT * obs - rt.r::HUGEINT * ct.l)
+      |        * (n::HUGEINT * obs - rt.r::HUGEINT * ct.l))
+      |      // (n::HUGEINT * rt.r * ct.l) AS BIGINT) AS chi_micro,
+      |    CAST((1000000::HUGEINT * rt.r * ct.l) // n AS BIGINT) AS e_micro
+      |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot),
+      |agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(r_dim) AS BIGINT) AS r, CAST(max(c_dim) AS BIGINT) AS c,
+      |  CAST(sum(chi_micro)
+      |    + (1000000 * max(n) - sum(e_micro)) AS BIGINT) AS chi2_micro
+      |  FROM mic)
+      |SELECT n, r, c, chi2_micro,
+      |  CASE WHEN least(r, c) - 1 > 0 THEN
+      |    sqrt(CAST(chi2_micro AS DOUBLE)
+      |      / (1000000.0 * CAST(n AS DOUBLE)
+      |         * CAST(least(r, c) - 1 AS DOUBLE)))
+      |  END AS v
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------- kendall
+  // Kendall tau-b per nation over suppliers (acctbal vs suppkey):
+  // exact pair concordance via the bounded-group self-join (the
+  // all-pairs contract — supplier strata are panel-sized), tie counts
+  // from per-value groupBys, τ_b one fixed-shape double.
+  def qKendall(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.kendallByKey(
+      t(s, dir, "supplier").withColumn("y_mod", col("s_suppkey") % 100),
+      "s_nationkey", "s_suppkey", "s_acctbal", "y_mod")
+
+  val qKendallSql: String =
+    """WITH base AS (SELECT s_nationkey AS k, s_suppkey AS id,
+      |    s_acctbal AS x, s_suppkey % 100 AS y
+      |  FROM supplier
+      |  WHERE s_acctbal IS NOT NULL AND s_suppkey IS NOT NULL),
+      |p AS (SELECT a.k,
+      |    CAST(count(*) FILTER ((a.x < b.x AND a.y < b.y)
+      |      OR (a.x > b.x AND a.y > b.y)) AS BIGINT) AS nc,
+      |    CAST(count(*) FILTER ((a.x < b.x AND a.y > b.y)
+      |      OR (a.x > b.x AND a.y < b.y)) AS BIGINT) AS nd
+      |  FROM base a JOIN base b ON a.k = b.k AND a.id < b.id
+      |  GROUP BY 1),
+      |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+      |txc AS (SELECT k, CAST(sum((g * (g - 1)) // 2) AS BIGINT) AS tx
+      |  FROM (SELECT k, x, count(*) AS g FROM base GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |tyc AS (SELECT k, CAST(sum((g * (g - 1)) // 2) AS BIGINT) AS ty
+      |  FROM (SELECT k, y, count(*) AS g FROM base GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT nk.k AS s_nationkey, n,
+      |  CAST(coalesce(nc, 0) AS BIGINT) AS nc,
+      |  CAST(coalesce(nd, 0) AS BIGINT) AS nd, tx, ty,
+      |  CASE WHEN CAST(n * (n - 1) AS DOUBLE) / 2.0 - CAST(tx AS DOUBLE)
+      |         > 0.0
+      |        AND CAST(n * (n - 1) AS DOUBLE) / 2.0 - CAST(ty AS DOUBLE)
+      |         > 0.0 THEN
+      |    CAST(coalesce(nc, 0) - coalesce(nd, 0) AS DOUBLE)
+      |    / (sqrt(CAST(n * (n - 1) AS DOUBLE) / 2.0 - CAST(tx AS DOUBLE))
+      |     * sqrt(CAST(n * (n - 1) AS DOUBLE) / 2.0 - CAST(ty AS DOUBLE)))
+      |  END AS tau_b
+      |FROM nk LEFT JOIN p ON nk.k = p.k
+      |  LEFT JOIN txc ON nk.k = txc.k LEFT JOIN tyc ON nk.k = tyc.k"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kappa" -> (qKappa _),
+    "q_cramers_v" -> (qCramersV _),
+    "q_kendall" -> (qKendall _),
     "q_bh_adjust" -> (qBhAdjust _),
     "q_did" -> (qDid _),
     "q_cuped" -> (qCuped _),
@@ -753,6 +886,9 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_kappa" -> qKappaSql,
+    "q_cramers_v" -> qCramersVSql,
+    "q_kendall" -> qKendallSql,
     "q_bh_adjust" -> qBhAdjustSql,
     "q_did" -> qDidSql,
     "q_cuped" -> qCupedSql,

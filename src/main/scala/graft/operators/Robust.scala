@@ -63,4 +63,65 @@ object Robust {
       .groupBy(col(keyCol))
       .agg(min(col(valueCol)).as("wmedian"))
   }
+
+  /** Per-key Kendall tau-b (Kendall 1945): rank correlation by pair
+    * concordance, the robust companion to `Stats.spearmanByKey` —
+    * insensitive to monotone transforms AND to the magnitude of rank
+    * gaps, with the -b tie correction in both margins.
+    *
+    * τ_b = (n_c − n_d) / √((n₀ − t_x)(n₀ − t_y)) where n₀ = n(n−1)/2,
+    * n_c / n_d count concordant / discordant pairs, and t_x / t_y are
+    * the tied-pair counts per margin. All counts are exact integers
+    * (pair flags are strict-inequality comparisons — no arithmetic on
+    * the values at all, so mixed int/double columns are safe); τ_b is
+    * one fixed-shape double expression over them.
+    *
+    * SCALE CONTRACT — the pair table is an equi-join on the key with
+    * an `idCol` total order (`id₁ < id₂`), i.e. Θ(Σ_k n_k²) pairs: the
+    * exact statistic is inherently quadratic in GROUP size (there is
+    * no distributed O(n log n) merge form), so this operator is for
+    * BOUNDED groups — panels, strata, per-segment samples (the
+    * `FuzzyJoin` all-pairs precedent). For corpus-sized keys, sample
+    * each key upstream (e.g. `Sampling.hashBucket(id, B) = 0`) — τ is
+    * a U-statistic, so a uniform pair subsample estimates it unbiased.
+    * Tie counts t_x / t_y come from per-value groupBys, NOT pairs.
+    *
+    * Output: key, n, nc, nd, tx, ty, tau_b (null when either margin is
+    * fully tied). */
+  def kendallByKey(df: DataFrame, keyCol: String, idCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(xCol), col(yCol))
+    val a = base.select(col(keyCol), col(idCol).as("__i1"),
+      col(xCol).as("__x1"), col(yCol).as("__y1"))
+    val b = base.select(col(keyCol), col(idCol).as("__i2"),
+      col(xCol).as("__x2"), col(yCol).as("__y2"))
+    val pairs = a.join(b, Seq(keyCol)).filter(col("__i1") < col("__i2"))
+    val conc = (col("__x1") < col("__x2") && col("__y1") < col("__y2")) ||
+      (col("__x1") > col("__x2") && col("__y1") > col("__y2"))
+    val disc = (col("__x1") < col("__x2") && col("__y1") > col("__y2")) ||
+      (col("__x1") > col("__x2") && col("__y1") < col("__y2"))
+    val cd = pairs.groupBy(col(keyCol)).agg(
+      count_if(conc).as("nc"), count_if(disc).as("nd"))
+    def tiePairs(c: String, out: String) = base
+      .groupBy(col(keyCol), col(c)).agg(count(lit(1)).as("__g"))
+      .groupBy(col(keyCol))
+      .agg(sum(expr("(__g * (__g - 1)) div 2")).as(out))
+    val nK = base.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val joined = nK
+      .join(cd, Seq(keyCol), "left")
+      .join(tiePairs(xCol, "tx"), Seq(keyCol), "left")
+      .join(tiePairs(yCol, "ty"), Seq(keyCol), "left")
+      .na.fill(0L, Seq("nc", "nd"))
+    val n0 = (col("n") * (col("n") - 1) / 2).cast("double")
+    val dx = n0 - col("tx").cast("double")
+    val dy = n0 - col("ty").cast("double")
+    joined.select(col(keyCol), col("n"), col("nc"), col("nd"),
+      col("tx"), col("ty"),
+      when(dx > 0.0 && dy > 0.0,
+        (col("nc") - col("nd")).cast("double") / (sqrt(dx) * sqrt(dy)))
+        .as("tau_b"))
+  }
 }

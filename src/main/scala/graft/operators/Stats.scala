@@ -380,4 +380,112 @@ object Stats {
       .withColumn("reject", col("p_adj") <= alpha)
       .drop("__m", "__raw")
   }
+
+  /** Cohen's kappa (Cohen 1960) per key: chance-corrected agreement
+    * between two categorical "raters" — the standard inter-annotator /
+    * model-vs-heuristic agreement readout of a labeling pipeline
+    * (multi-class; binary is the 2-category case).
+    *
+    * κ = (p_o − p_e) / (1 − p_e) with p_o = Σ n_ii / n and
+    * p_e = Σ_i row_i · col_i / n². Everything accumulates as INTEGER
+    * cell counts (one groupBy on (key, a, b), then three aggregates of
+    * that small cell table); the only doubles are the final fixed-shape
+    * divisions (long→double conversion and IEEE division are both
+    * correctly rounded, so the output is engine-exact). The expected-
+    * agreement join is INNER on (key, category): a category one rater
+    * never uses contributes a zero product, which the inner join drops
+    * — identical algebra, no ghost rows.
+    *
+    * Plan shape: one shuffle on (key, a, b); the margin/diagonal
+    * re-aggregations run over the CELL table (bounded by |categories|²
+    * per key, never the corpus). Output: key, n, agree, pe_num
+    * (Σ row_i·col_i), po, pe, kappa (null for the degenerate p_e = 1).
+    */
+  def cohenKappa(df: DataFrame, keyCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(keyCol), col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val base = cells.groupBy(col(keyCol)).agg(
+      sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("agree"))
+    val rowT = cells.groupBy(col(keyCol), col("__a").as("__cat"))
+      .agg(sum(col("__c")).as("__r"))
+    val colT = cells.groupBy(col(keyCol), col("__b").as("__cat"))
+      .agg(sum(col("__c")).as("__l"))
+    val pe = rowT.join(colT, Seq(keyCol, "__cat"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__r") * col("__l")).as("pe_num"))
+    val n = col("n").cast("double")
+    val agreeD = col("agree").cast("double")
+    val peNum = coalesce(col("pe_num"), lit(0L))
+    val peD = peNum.cast("double") / (n * n)
+    base.join(pe, Seq(keyCol), "left")
+      .select(col(keyCol), col("n"), col("agree"), peNum.as("pe_num"),
+        (agreeD / n).as("po"), peD.as("pe"),
+        when(peD < 1.0, (agreeD / n - peD) / (lit(1.0) - peD)).as("kappa"))
+  }
+
+  /** Cramér's V (Cramér 1946): strength of association between two
+    * categorical columns, the [0,1]-normalized companion of
+    * [[chiSquareCells]] — V = sqrt(χ² / (n · (min(r,c) − 1))).
+    *
+    * ENGINE-EXACT where chiSquareCells deliberately stops: each cell's
+    * χ² contribution is computed as ONE integral division in MICRO
+    * units of exact integer products,
+    * `(1e6 · (n·obs − row·col)²) div (n · row · col)` (DECIMAL(38,0)
+    * widening — the squared term stays under 10³⁸ for corpora to ~10⁸
+    * rows per table), so the statistic is an order-independent INTEGER
+    * sum, and V is one fixed-shape double expression over it.
+    *
+    * UNOBSERVED cells (obs = 0) contribute their expected count E to
+    * χ² but never appear in the observed-cell table; rather than
+    * materialize the r×c grid, their total rides the identity
+    * `Σ_all E = n` ⇒ `Σ_missing E = n − Σ_observed E`, with each
+    * observed E as one more micro division — so the correction is two
+    * integer sums, grid-free. (Per-cell integral rounding bounds the
+    * micro total within |cells| micro units of the real-valued χ² —
+    * deterministic, identically replayed by the oracle.)
+    *
+    * Plan shape: one shuffle on (a, b); margins and totals are
+    * broadcast-sized aggregates of the cell table. Output one row:
+    * n, r, c, chi2_micro, v (null when the table is degenerate —
+    * a single row or column category). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__obs"))
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("__obs")).as("__r"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("__obs")).as("__l"))
+    val tot = cells.agg(sum(col("__obs")).as("__n"),
+      countDistinct(col("__a")).as("r"), countDistinct(col("__b")).as("c"))
+    val contrib = cells
+      .join(rowT, Seq("__a")).join(colT, Seq("__b"))
+      .crossJoin(broadcast(tot))
+      // widen BEFORE the subtraction — n·obs would overflow a long at
+      // ~10⁹-row tables otherwise; decimal(38,0) keeps it exact
+      .withColumn("__diff", expr(
+        "CAST(__n AS DECIMAL(38,0)) * __obs - CAST(__r AS DECIMAL(38,0)) * __l"))
+      .withColumn("__chi_micro", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __diff * __diff)
+          |  div (CAST(__n AS DECIMAL(38,0)) * __r * __l) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("__e_micro", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __r * __l)
+          |  div __n AS BIGINT)""".stripMargin))
+    val out = contrib.groupBy(col("__n").as("n"), col("r"), col("c"))
+      .agg((sum(col("__chi_micro")) +
+        // unobserved-cell correction: Σ_missing E = n − Σ_observed E
+        (lit(1000000L) * col("__n") - sum(col("__e_micro"))))
+        .as("chi2_micro"))
+    val minDim = least(col("r"), col("c")) - lit(1L)
+    out.select(col("n"), col("r"), col("c"), col("chi2_micro"),
+      when(minDim > 0,
+        sqrt(col("chi2_micro").cast("double") /
+          (lit(1000000.0) * col("n").cast("double") *
+            minDim.cast("double")))).as("v"))
+  }
 }

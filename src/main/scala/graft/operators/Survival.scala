@@ -59,6 +59,38 @@ object Survival {
       .select(col("t"), col("n_at_risk"), col("d"), col("censored_at_t"))
   }
 
+  /** Nelson–Aalen cumulative-hazard table (Nelson 1972, Aalen 1978):
+    * the risk table extended with the per-time hazard increment
+    * `h(t) = d/n_at_risk` and its running sum `H(t) = Σ_{s<=t} h(s)` —
+    * the estimator survival tooling plots when the KM product is too
+    * noisy, and the additive form that distributes cleanly.
+    *
+    * ENGINE-EXACT arithmetic: each increment is one integral division
+    * in MICRO units (`(1e6·d) div n_at_risk`, DECIMAL-widened so the
+    * product never overflows), and the cumulative sum is an INTEGER
+    * window sum — order-independent, so the whole table is exact and
+    * hash-comparable. (The KM survival curve itself is a sequential
+    * PRODUCT of rationals — order-dependent in floats and not
+    * decimal-representable — which is why the additive Nelson–Aalen
+    * form is the engine deliverable; S(t) ≈ exp(−H(t)) client-side.)
+    *
+    * Same single-task-window contract as [[riskTable]]: the two global
+    * windows run over the per-time AGGREGATE (one row per distinct
+    * duration); bin continuous durations with `durationBucket`.
+    * Output: t, n_at_risk, d, h_micro, cum_hazard_micro. */
+  def cumulativeHazard(labels: DataFrame, durationCol: String,
+      eventCol: String, durationBucket: Option[Double] = None): DataFrame = {
+    val rt = riskTable(labels, durationCol, eventCol, durationBucket)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rt.withColumn("h_micro",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * d) div n_at_risk" +
+          " AS BIGINT)"))
+      .withColumn("cum_hazard_micro", sum(col("h_micro")).over(wAsc))
+      .select(col("t"), col("n_at_risk"), col("d"), col("h_micro"),
+        col("cum_hazard_micro"))
+  }
+
   /** Two-sample log-rank test (Mantel 1966): does cohort `groupA`'s
     * survival differ from `groupB`'s? The standard readout over
     * experiment arms ("did the retention intervention delay churn?").

@@ -99,4 +99,52 @@ object RankEval {
       .select(col(queryCol), col("dcg"), col("idcg"),
         when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
   }
+
+  /** Average Precision at k (binary relevance; the per-query summand of
+    * MAP): AP@k = Σ_{i ≤ k, hit at i} P@i / min(R, k), with
+    * P@i = hits-so-far / i and R the query's total relevant count.
+    *
+    * ENGINE-EXACT in MICRO units: every precision term is one integral
+    * division `(1e6 · cum_hits) div i` (longs — i ≤ k, cum_hits ≤ k,
+    * no widening needed), the numerator is an integer sum of those
+    * terms, and `ap_ppm` is one more integral division by min(R, k) —
+    * all operands non-negative, so `div` (truncate) and `//` (floor)
+    * agree and the table hash-compares across engines.
+    *
+    * `ranking` is (query, id, rank) with rank 1-based and deterministic
+    * (the recallAtK shape); `relevance` rows with rel > 0 mark the
+    * relevant ids. Plan shape: the running-hit window sorts ≤ k rows
+    * per query (rank ≤ k is filtered BEFORE the window), then one
+    * aggregate — bounded by k regardless of corpus size. Output:
+    * (queryCol, r_total, hits, ap_num_micro, ap_ppm — null when the
+    * query has no relevant ids). */
+  def averagePrecisionAtK(ranking: DataFrame, relevance: DataFrame,
+      queryCol: String, idCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val rel = relevance.filter(col(relCol) > 0)
+      .select(col(queryCol), col(idCol))
+    val rTot = rel.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("r_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("__rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val scored = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(idCol), col(rankCol).as("__rank"))
+      .join(rel.withColumn("__hit", lit(1L)), Seq(queryCol, idCol), "left")
+      .withColumn("__hit0", coalesce(col("__hit"), lit(0L)))
+      .withColumn("__cum", sum(col("__hit0")).over(w))
+      .withColumn("__term",
+        when(col("__hit0") === 1L,
+          expr("(1000000 * __cum) div __rank")).otherwise(lit(0L)))
+    scored.groupBy(col(queryCol))
+      .agg(sum(col("__hit0")).as("hits"),
+        sum(col("__term")).as("ap_num_micro"))
+      .join(rTot, Seq(queryCol), "left")
+      .select(col(queryCol), coalesce(col("r_total"), lit(0L)).as("r_total"),
+        col("hits"), col("ap_num_micro"),
+        when(coalesce(col("r_total"), lit(0L)) > 0,
+          expr(s"ap_num_micro div least(r_total, ${k}L)")).as("ap_ppm"))
+  }
 }

@@ -68,4 +68,51 @@ class AutoCorrSpec extends SparkSpec {
     val sorts = "\\bSort \\[".r.findAllIn(p).length
     assert(sorts <= 1, s"all lag windows must share one sort:\n$p")
   }
+
+  private def runCcf(rows: Seq[(String, Long, Double, Double)],
+      maxLag: Int) =
+    AutoCorr.ccf(rows.toDF("k", "i", "x", "y"), "k", "i", "x", "y", maxLag)
+      .select("k", "lag", "n", "ccf")
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+  test("ccf: y = x shifted by 2 peaks exactly at lag 2") {
+    // irregular base series so only the true shift is affine
+    val x = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0)
+    val rows = x.indices.drop(2).map(i =>
+      ("k", i.toLong, x(i), x(i - 2)))
+    val out = runCcf(rows, 3)
+    assert(math.abs(out(("k", 2))._2.get - 1.0) < 1e-12,
+      s"lag2: ${out(("k", 2))}")
+    assert(out(("k", 0))._2.get < 0.99 && out(("k", 1))._2.get < 0.99)
+  }
+
+  test("ccf: lag 0 is the plain Pearson correlation of (x, y)") {
+    val rows = Seq(("k", 1L, 1.0, 2.0), ("k", 2L, 2.0, 4.0),
+      ("k", 3L, 3.0, 6.0))
+    val out = runCcf(rows, 0)
+    assert(out(("k", 0))._1 === 3L)
+    assert(math.abs(out(("k", 0))._2.get - 1.0) < 1e-12)
+  }
+
+  test("ccf: pair counts shrink by one per lag and keys are isolated") {
+    val rows = (1L to 6L).flatMap(i => Seq(
+      ("a", i, i.toDouble, 7.0 - i), ("b", i, (i % 3).toDouble, i * 2.0)))
+    val out = runCcf(rows, 2)
+    (0 to 2).foreach { l =>
+      assert(out(("a", l))._1 === 6L - l)
+      assert(out(("b", l))._1 === 6L - l)
+    }
+    assert(math.abs(out(("a", 0))._2.get - (-1.0)) < 1e-12)
+  }
+
+  test("ccf plan: one window sort, map-side unpivot, no join") {
+    val df = (1L to 20L).map(i => ("k", i, i.toDouble, (i % 4).toDouble))
+      .toDF("k", "i", "x", "y")
+    val p = AutoCorr.ccf(df, "k", "i", "x", "y", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"ccf must not join:\n$p")
+    val sorts = "\\bSort \\[".r.findAllIn(p).length
+    assert(sorts <= 1, s"all lag windows must share one sort:\n$p")
+  }
 }

@@ -70,4 +70,46 @@ class RobustSpec extends SparkSpec {
       ("a", 3L, 100.0, -5.0), ("b", 4L, 42.0, 2.5))
     assert(wmedian(rows) == Map("a" -> 2.0, "b" -> 42.0))
   }
+
+  private def kendall(rows: Seq[(String, Long, Double, Double)]) =
+    Robust.kendallByKey(rows.toDF("k", "id", "x", "y"), "k", "id", "x", "y")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+
+  test("kendall: hand-computed tau-b without ties") {
+    // (1,10) (2,20) (3,15): C,C,D -> tau_b = (2-1)/3
+    val out = kendall(Seq(("k", 1L, 1.0, 10.0), ("k", 2L, 2.0, 20.0),
+      ("k", 3L, 3.0, 15.0)))
+    assert(out("k").copy(_6 = None) === ((3L, 2L, 1L, 0L, 0L, None)))
+    assert(math.abs(out("k")._6.get - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("kendall: tie correction in both margins") {
+    // (1,1)(2,1)(2,3)(3,2): ties drop pairs (1,2) and (2,3);
+    // C: (1,3)(1,4)(2,4), D: (3,4) -> nc=3 nd=1, tx=ty=1,
+    // tau_b = 2 / sqrt((6-1)(6-1)) = 0.4
+    val out = kendall(Seq(("k", 1L, 1.0, 1.0), ("k", 2L, 2.0, 1.0),
+      ("k", 3L, 2.0, 3.0), ("k", 4L, 3.0, 2.0)))
+    assert(out("k").copy(_6 = None) === ((4L, 3L, 1L, 1L, 1L, None)))
+    assert(math.abs(out("k")._6.get - 0.4) < 1e-12)
+  }
+
+  test("kendall: perfect monotone agreement is exactly 1") {
+    val out = kendall((1 to 6).map(i =>
+      ("k", i.toLong, i.toDouble, math.pow(i.toDouble, 3))))
+    assert(math.abs(out("k")._6.get - 1.0) < 1e-12)
+  }
+
+  test("kendall: fully tied margin is degenerate (null tau)") {
+    val out = kendall(Seq(("k", 1L, 1.0, 7.0), ("k", 2L, 2.0, 7.0)))
+    assert(out("k")._6.isEmpty && out("k")._5 === 1L)
+  }
+
+  test("kendall: single-row keys survive with zero pairs") {
+    val out = kendall(Seq(("solo", 1L, 1.0, 2.0),
+      ("duo", 1L, 1.0, 1.0), ("duo", 2L, 2.0, 5.0)))
+    assert(out("solo") === ((1L, 0L, 0L, 0L, 0L, None)))
+    assert(out("duo")._6 === Some(1.0))
+  }
 }

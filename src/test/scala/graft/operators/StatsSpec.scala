@@ -305,6 +305,64 @@ class StatsSpec extends SparkSpec {
       .as[(String, Double, Long, Double, Boolean)].collect()
       .map(r => r._1 -> r).toMap
 
+  test("cohenKappa: textbook 2x2 agreement table") {
+    // (yes,yes)=20 (yes,no)=5 (no,yes)=10 (no,no)=15 -> n=50, po=0.7,
+    // margins A 25/25, B 30/20 -> pe_num=25*30+25*20=1250, pe=0.5,
+    // kappa = (0.7-0.5)/(1-0.5) = 0.4
+    val rows =
+      Seq.fill(20)(("k", "yes", "yes")) ++ Seq.fill(5)(("k", "yes", "no")) ++
+      Seq.fill(10)(("k", "no", "yes")) ++ Seq.fill(15)(("k", "no", "no"))
+    val out = Stats.cohenKappa(rows.toDF("k", "a", "b"), "k", "a", "b")
+      .as[(String, Long, Long, Long, Double, Double, Option[Double])]
+      .head()
+    assert(out.copy(_7 = None) === (("k", 50L, 35L, 1250L, 0.7, 0.5, None)))
+    assert(math.abs(out._7.get - 0.4) < 1e-15)
+  }
+
+  test("cohenKappa: a category used by only one rater adds no pe term") {
+    // A uses {a,b}, B uses {a,c}: only 'a' is shared -> pe_num = 2*2
+    val rows = Seq(("k", "a", "a"), ("k", "a", "a"),
+      ("k", "b", "c"), ("k", "b", "c"))
+    val out = Stats.cohenKappa(rows.toDF("k", "a", "b"), "k", "a", "b")
+      .as[(String, Long, Long, Long, Double, Double, Option[Double])]
+      .head()
+    assert(out._4 === 4L && out._5 === 0.5 && out._6 === 0.25)
+    assert(math.abs(out._7.get - (0.25 / 0.75)) < 1e-15)
+  }
+
+  test("cohenKappa: full agreement on a single category is degenerate") {
+    // pe = 1 -> kappa undefined (null), not +inf or NaN
+    val rows = Seq(("k", "x", "x"), ("k", "x", "x"))
+    val out = Stats.cohenKappa(rows.toDF("k", "a", "b"), "k", "a", "b")
+      .as[(String, Long, Long, Long, Double, Double, Option[Double])]
+      .head()
+    assert(out._5 === 1.0 && out._6 === 1.0 && out._7.isEmpty)
+  }
+
+  test("cramersV: perfect 2x2 association is V = 1 (zero cells counted)") {
+    // only (a,x) and (b,y) observed; the two unobserved cells carry
+    // E = 5 each -> chi2 = 20 = n, V = sqrt(20/(20*1)) = 1
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val out = Stats.cramersV(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(out === ((20L, 2L, 2L, 20000000L, Some(1.0))))
+  }
+
+  test("cramersV: independence gives chi2 = 0, V = 0") {
+    val rows = for { a <- Seq("a", "b"); b <- Seq("x", "y"); _ <- 1 to 5 }
+      yield (a, b)
+    val out = Stats.cramersV(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(out._4 === 0L && out._5 === Some(0.0))
+  }
+
+  test("cramersV: single-column table is degenerate (null V)") {
+    val rows = Seq(("a", "x"), ("b", "x"), ("a", "x"))
+    val out = Stats.cramersV(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(out._3 === 1L && out._5.isEmpty)
+  }
+
   test("bhAdjust: hand-computed adjusted p-values and rejections") {
     val out = bh(Seq("a" -> 0.005, "b" -> 0.011, "c" -> 0.02,
       "d" -> 0.8), 0.05)

@@ -19,6 +19,28 @@ class SurvivalSpec extends SparkSpec {
       (9L, 3L, 2L, 1L)))  // two events + one censoring at 9
   }
 
+  test("cumulativeHazard: hand-computed Nelson-Aalen micro table") {
+    // risk table (from the first test): (5,6,1), (7,4,1), (9,3,2)
+    // h: 1e6/6=166666, 1e6/4=250000, 2e6/3=666666 (integral div)
+    // H: 166666, 416666, 1083332
+    val labels = Seq((5L, 1), (5L, 0), (7L, 1), (9L, 0), (9L, 1), (9L, 1))
+      .toDF("duration_us", "converted")
+    val out = Survival.cumulativeHazard(labels, "duration_us", "converted")
+      .orderBy("t").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (5L, 6L, 1L, 166666L, 166666L),
+      (7L, 4L, 1L, 250000L, 416666L),
+      (9L, 3L, 2L, 666666L, 1083332L)))
+  }
+
+  test("cumulativeHazard is monotone non-decreasing in t") {
+    val labels = (1 to 200).map(i => ((i % 13).toLong, i % 2))
+      .toDF("dur", "ev")
+    val h = Survival.cumulativeHazard(labels, "dur", "ev")
+      .orderBy("t").select("cum_hazard_micro").as[Long].collect()
+    assert(h.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
   test("riskTable drops censoring-only times from the output") {
     val labels = Seq((1L, 0), (2L, 1), (3L, 0)).toDF("dur", "ev")
     val out = Survival.riskTable(labels, "dur", "ev")

@@ -109,4 +109,52 @@ class RankEvalSpec extends SparkSpec {
     val idcg = 5.0 * w(0) + 1.0 * w(1)
     assert(out("q") == (("q", Some(dcg), Some(idcg), Some(dcg / idcg))))
   }
+
+  private def ap(ranking: Seq[(String, String, Int)],
+      rel: Seq[(String, String, Long)], k: Int) =
+    RankEval.averagePrecisionAtK(ranking.toDF("q", "id", "rank"),
+      rel.toDF("q", "id", "rel"), "q", "id", "rank", "rel", k)
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+
+  test("ap: hand-computed micro terms with an unretrieved relevant id") {
+    // hits at ranks 1 and 3; d relevant but unretrieved (R=3):
+    // terms 1e6*1//1 + 1e6*2//3 = 1000000 + 666666 = 1666666
+    // ap_ppm = 1666666 // min(3,3) = 555555
+    val out = ap(
+      Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3)),
+      Seq(("q", "a", 1L), ("q", "c", 2L), ("q", "d", 1L)), 3)
+    assert(out("q") === (("q", 3L, 2L, 1666666L, Some(555555L))))
+  }
+
+  test("ap: perfect top-k retrieval of all relevant ids is 1.0 (ppm)") {
+    val out = ap(
+      Seq(("q", "a", 1), ("q", "b", 2)),
+      Seq(("q", "a", 1L), ("q", "b", 7L)), 2)
+    // terms 1e6 + 1e6 = 2e6; ap_ppm = 2e6 // 2 = 1e6
+    assert(out("q") === (("q", 2L, 2L, 2000000L, Some(1000000L))))
+  }
+
+  test("ap: no relevant ids gives null ap, zero r_total") {
+    val out = ap(Seq(("q", "a", 1)), Seq(("q", "z", 0L)), 2)
+    assert(out("q") === (("q", 0L, 0L, 0L, None)))
+  }
+
+  test("ap: R beyond k normalizes by k, not R") {
+    // 3 relevant, k=2, both retrieved slots hit:
+    // terms 1e6 + 1e6; denom min(3,2)=2 -> 1e6
+    val out = ap(
+      Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3)),
+      Seq(("q", "a", 1L), ("q", "b", 1L), ("q", "c", 1L)), 2)
+    assert(out("q") === (("q", 3L, 2L, 2000000L, Some(1000000L))))
+  }
+
+  test("ap: relevance beyond rank k does not add terms") {
+    // c relevant at rank 3 > k=2 -> only the rank-1 hit counts
+    val out = ap(
+      Seq(("q", "a", 1), ("q", "x", 2), ("q", "c", 3)),
+      Seq(("q", "a", 1L), ("q", "c", 1L)), 2)
+    // terms: 1e6*1//1; ap_ppm = 1e6 // min(2,2) = 500000
+    assert(out("q") === (("q", 2L, 1L, 1000000L, Some(500000L))))
+  }
 }

@@ -120,13 +120,69 @@ object QueriesGraph {
        |ORDER BY np.cn DESC, np.ra_micro DESC, np.u, np.v
        |LIMIT $LinkK""".stripMargin
 
+  // ----------------------------------------------------------------- hits
+  // Kleinberg hubs/authorities on the DIRECTED customer→supplier
+  // purchase graph (2 rounds): hubs rank buyers by how much
+  // authoritative supply they reach, authorities rank suppliers by the
+  // hub mass pointing at them — the two-sided ranking one PageRank over
+  // the symmetrized graph cannot produce. Max-normalized (order-
+  // independent, sqrt-free) with float-quantized 2^48 fixed-point
+  // contribution sums — the q_pagerank parity idiom — so both score
+  // columns hash-compare bit-exactly. Scores here stay far above the
+  // 2^-25 float-integrality floor (Hits scaladoc): min nonzero auth is
+  // 1/max_indegree.
+  private val HitsIters = 2
+
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    graft.operators.Hits.run(edges, "src", "dst", HitsIters)
+  }
+
+  val qHitsSql: String = {
+    val fp = graft.operators.PageRank.FpScale
+    def fq(c: String) = s"CAST(CAST(CAST($c AS FLOAT) AS DOUBLE) * $fp AS BIGINT)"
+    def half(edgeFrom: String, edgeTo: String, in: String, inCol: String,
+        out: String, outCol: String) =
+      s"""${out}raw AS (SELECT n.node,
+         |    CAST(coalesce(c.s, 0) AS DOUBLE) / $fp AS raw
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.$edgeTo AS t, sum(${fq(s"i.$inCol")}) AS s
+         |    FROM e JOIN $in i ON e.$edgeFrom = i.node GROUP BY e.$edgeTo) c
+         |  ON n.node = c.t),
+         |${out}m AS (SELECT max(raw) AS m FROM ${out}raw),
+         |$out AS (SELECT node,
+         |    CASE WHEN m > 0.0 THEN raw / m ELSE 0.0 END AS $outCol
+         |  FROM ${out}raw CROSS JOIN ${out}m)""".stripMargin
+    val rounds = (1 to HitsIters).map { r =>
+      half("src", "dst", s"h${r - 1}", "hub", s"a$r", "auth") + ",\n" +
+        half("dst", "src", s"a$r", "auth", s"h$r", "hub")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM e
+       |          UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |$rounds
+       |SELECT h.node, h.hub, a.auth
+       |FROM h$HitsIters h JOIN a$HitsIters a USING (node)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_modularity" -> (qModularity _),
     "q_link_predict" -> (qLinkPredict _),
+    "q_hits" -> (qHits _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_modularity" -> qModularitySql,
     "q_link_predict" -> qLinkPredictSql,
+    "q_hits" -> qHitsSql,
   )
 }

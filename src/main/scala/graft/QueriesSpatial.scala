@@ -139,15 +139,42 @@ object QueriesSpatial {
        |FROM zz""".stripMargin
   }
 
+  // ------------------------------------------------------ point in polygon
+  // Geofence filter: customers whose synthesized coordinates fall
+  // inside a fixed pentagon, by the even–odd crossing rule as a pure
+  // codegen'd Column fold (functions.PointInPolygon) — the oracle runs
+  // the char-identical arithmetic emitted by the SAME object, so the
+  // crossing parity (including near-edge IEEE cases) matches
+  // bit-for-bit. The irregular concave pentagon exercises parity > 1.
+  private val FencePoly: Seq[(Double, Double)] = Seq(
+    (-15.2, -8.1), (11.4, -6.3), (2.2, 0.7), (13.6, 7.9), (-9.8, 8.3))
+
+  def qPointInPoly(s: SparkSession, dir: String): DataFrame =
+    probeSynth(s, dir)
+      .filter(graft.functions.PointInPolygon.contains(
+        col("plon"), col("plat"), FencePoly))
+      .select(col("c_custkey"), col("plat"), col("plon"))
+
+  val qPointInPolySql: String =
+    s"""WITH p AS (SELECT c_custkey,
+       |    CAST(c_custkey % 190 AS DOUBLE) / 10.0 - 9.5 AS plat,
+       |    CAST(c_custkey % 370 AS DOUBLE) / 10.0 - 18.5 AS plon
+       |  FROM customer)
+       |SELECT c_custkey, plat, plon FROM p
+       |WHERE ${graft.functions.PointInPolygon.sql("plon", "plat", FencePoly)}"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geo_nearest" -> (qGeoNearest _),
     "q_geo_radius" -> (qGeoRadius _),
     "q_geohash" -> (qGeohash _),
+    "q_point_in_poly" -> (qPointInPoly _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_geo_nearest" -> qGeoNearestSql,
     "q_geo_radius" -> qGeoRadiusSql,
     "q_geohash" -> qGeohashSql,
+    "q_point_in_poly" -> qPointInPolySql,
   )
 }

@@ -861,7 +861,48 @@ object QueriesStats {
       |  LEFT JOIN txc ON nk.k = txc.k LEFT JOIN tyc ON nk.k = tyc.k"""
       .stripMargin
 
+  // --------------------------------------------------------- theil-sen
+  // Robust slope of acctbal over suppkey per nation: the median of
+  // pairwise slopes by rank-SELECTION (lower median, deterministic
+  // (slope, id, id) tie order) — nothing is summed, so slope and
+  // median-residual intercept are engine-exact doubles. Same bounded-
+  // group pair-join contract as q_kendall.
+  def qTheilSen(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.theilSenByKey(t(s, dir, "supplier"),
+      "s_nationkey", "s_suppkey", "s_suppkey", "s_acctbal")
+
+  val qTheilSenSql: String =
+    """WITH base AS (SELECT s_nationkey AS k, s_suppkey AS id,
+      |    CAST(s_suppkey AS DOUBLE) AS x, CAST(s_acctbal AS DOUBLE) AS y
+      |  FROM supplier
+      |  WHERE s_suppkey IS NOT NULL AND s_acctbal IS NOT NULL),
+      |sl AS (SELECT a.k, (b.y - a.y) / (b.x - a.x) AS s,
+      |    a.id AS i1, b.id AS i2
+      |  FROM base a JOIN base b ON a.k = b.k AND a.id < b.id
+      |  WHERE a.x <> b.x),
+      |med AS (SELECT k, CAST(m AS BIGINT) AS n_pairs, s AS slope FROM (
+      |    SELECT k, s,
+      |      row_number() OVER (PARTITION BY k ORDER BY s, i1, i2) AS rn,
+      |      count(*) OVER (PARTITION BY k) AS m
+      |    FROM sl)
+      |  WHERE rn = (m + 1) // 2),
+      |res AS (SELECT base.k, n_pairs, slope, id,
+      |    y - slope * x AS r
+      |  FROM base JOIN med ON base.k = med.k),
+      |inter AS (SELECT k, n_pairs, slope, r AS intercept FROM (
+      |    SELECT k, n_pairs, slope, r,
+      |      row_number() OVER (PARTITION BY k ORDER BY r, id) AS rn,
+      |      count(*) OVER (PARTITION BY k) AS m
+      |    FROM res)
+      |  WHERE rn = (m + 1) // 2),
+      |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
+      |SELECT nk.k AS s_nationkey, n,
+      |  CAST(coalesce(inter.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  slope, intercept
+      |FROM nk LEFT JOIN inter ON nk.k = inter.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (qTheilSen _),
     "q_kappa" -> (qKappa _),
     "q_cramers_v" -> (qCramersV _),
     "q_kendall" -> (qKendall _),
@@ -886,6 +927,7 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_theil_sen" -> qTheilSenSql,
     "q_kappa" -> qKappaSql,
     "q_cramers_v" -> qCramersVSql,
     "q_kendall" -> qKendallSql,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs-and-authorities (Kleinberg 1999) by relational power
+  * iteration — the directional companion to [[PageRank]]: on a directed
+  * graph, a good HUB points at good authorities and a good AUTHORITY is
+  * pointed at by good hubs. The curation read: on a crawl link graph,
+  * authorities are the canonical sources worth keeping, hubs the index
+  * pages worth crawling from; on a bipartite buyer→seller graph the two
+  * scores rank the sides separately (one PageRank over the
+  * symmetrized graph cannot).
+  *
+  * Per round: auth(v) = Σ_{u→v} hub(u), then max-normalize; hub(u) =
+  * Σ_{u→v} auth(v), then max-normalize. MAX-normalization (not the
+  * textbook L2) is deliberate: max() is an order-INDEPENDENT reduction
+  * and needs no sqrt, so the whole iteration stays inside the repo's
+  * engine-exact contract — each per-edge contribution is float-
+  * quantized and summed as 2^48 fixed-point BIGINT (the PageRank
+  * parity idiom, see PageRank.scala scaladoc for the capacity
+  * argument), every division is one correctly-rounded IEEE op, and the
+  * scores hash-compare across engines. Max-normalized HITS converges
+  * to the same principal eigenvectors up to scale.
+  *
+  * Shape at scale: per round, two edge⋈score joins + two dst/src-keyed
+  * fixed-point aggregations (edges never widened, score tables are
+  * node-sized) and two one-row max aggregates joined back via explicit
+  * broadcast — the scalar never shuffles the score table. Zero-in-
+  * degree nodes get auth 0 (and symmetrically for hubs), as the
+  * definition demands.
+  */
+object Hits {
+
+  /** (node, hub, auth) after `iters` rounds from hub ≡ 1. Edges are
+    * directed (src, dst); duplicate rows act as parallel edges. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var scores = nodes.select(col("node"), lit(1.0).as("hub"),
+      lit(0.0).as("auth"))
+    var i = 0
+    while (i < iters) {
+      val auth = halfStep(e, scores.select(col("node"), col("hub")),
+        "src", "dst", "hub", "auth")
+      val hub = halfStep(e, auth, "dst", "src", "auth", "hub")
+      scores = hub.join(auth, Seq("node")).select(
+        col("node"), col("hub"), col("auth"))
+      i += 1
+    }
+    scores
+  }
+
+  /** One half-iteration: out(to) = maxnorm(Σ fq(in(from)) over edges
+    * from→to), as a (node, outName) table over ALL nodes. */
+  private def halfStep(e: DataFrame, in: DataFrame, fromCol: String,
+      toCol: String, inName: String, outName: String): DataFrame = {
+    val fp = PageRank.FpScale
+    val contribs = e
+      .join(in, e(fromCol) === in("node"))
+      .select(e(toCol).as("__to"),
+        (col(inName).cast("float").cast("double") * lit(fp))
+          .cast("long").as("__c"))
+      .groupBy(col("__to")).agg(sum(col("__c")).as("__s"))
+    val raw = in.select(col("node"))
+      .join(contribs, in("node") === contribs("__to"), "left")
+      .select(col("node"),
+        (coalesce(col("__s"), lit(0L)).cast("double") / lit(fp))
+          .as("__raw"))
+    val mx = raw.agg(max(col("__raw")).as("__mx"))
+    raw.crossJoin(broadcast(mx))
+      .select(col("node"),
+        when(col("__mx") > 0.0, col("__raw") / col("__mx"))
+          .otherwise(lit(0.0)).as(outName))
+  }
+}

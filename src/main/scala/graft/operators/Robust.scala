@@ -124,4 +124,68 @@ object Robust {
         (col("nc") - col("nd")).cast("double") / (sqrt(dx) * sqrt(dy)))
         .as("tau_b"))
   }
+
+  /** Per-key Theil–Sen robust slope (Theil 1950, Sen 1968): the median
+    * of all pairwise slopes (y₂−y₁)/(x₂−x₁), with the intercept as the
+    * median residual y − slope·x — the regression line a 29%-outlier
+    * contamination cannot move, vs OLS's zero breakdown
+    * (`Stats.trendByKey` is the efficient-but-fragile sibling).
+    *
+    * ENGINE-EXACT by SELECTION: every slope is one IEEE
+    * subtract/subtract/divide (correctly rounded, deterministic); the
+    * median is a rank-select — row `(m+1) div 2` of the (slope, id₁,
+    * id₂) sort, the LOWER median, no averaging — and the intercept is
+    * the same rank-select over per-point residuals computed from that
+    * slope. Nothing is ever summed, so there is no reduction-order
+    * hazard anywhere and a SQL oracle replays the result bit-for-bit.
+    *
+    * SCALE CONTRACT: same Θ(Σ n_k²) pair join as [[kendallByKey]] —
+    * bounded groups (panels/strata); subsample big keys upstream (the
+    * pairwise-slope median over a uniform subsample is the standard
+    * scalable estimator). Vertical pairs (x₁ = x₂) contribute no
+    * slope, per the definition.
+    *
+    * Output: key, n, n_pairs, slope, intercept (nulls when every pair
+    * is vertical). */
+  def theilSenByKey(df: DataFrame, keyCol: String, idCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(keyCol), col(idCol), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val a = base.select(col(keyCol), col(idCol).as("__i1"),
+      col("__x").as("__x1"), col("__y").as("__y1"))
+    val b = base.select(col(keyCol), col(idCol).as("__i2"),
+      col("__x").as("__x2"), col("__y").as("__y2"))
+    val slopes = a.join(b, Seq(keyCol))
+      .filter(col("__i1") < col("__i2") && col("__x1") =!= col("__x2"))
+      .select(col(keyCol),
+        ((col("__y2") - col("__y1")) / (col("__x2") - col("__x1")))
+          .as("__s"), col("__i1"), col("__i2"))
+    val wS = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s"), col("__i1"), col("__i2"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val med = slopes
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .filter(col("__rn") === expr("(__m + 1) div 2"))
+      .select(col(keyCol), col("__m").as("n_pairs"), col("__s").as("slope"))
+    val resid = base.join(med, Seq(keyCol))
+      .select(col(keyCol), col("n_pairs"), col("slope"), col(idCol),
+        (col("__y") - col("slope") * col("__x")).as("__r"))
+    val wR = Window.partitionBy(col(keyCol))
+      .orderBy(col("__r"), col(idCol))
+    val wRAll = Window.partitionBy(col(keyCol))
+    val inter = resid
+      .withColumn("__rn", row_number().over(wR))
+      .withColumn("__k", count(lit(1)).over(wRAll))
+      .filter(col("__rn") === expr("(__k + 1) div 2"))
+      .select(col(keyCol), col("n_pairs"), col("slope"),
+        col("__r").as("intercept"))
+    base.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .join(inter, Seq(keyCol), "left")
+      .select(col(keyCol), col("n"), coalesce(col("n_pairs"), lit(0L))
+        .as("n_pairs"), col("slope"), col("intercept"))
+  }
 }

@@ -106,6 +106,41 @@ class RobustSpec extends SparkSpec {
     assert(out("k")._6.isEmpty && out("k")._5 === 1L)
   }
 
+  private def theil(rows: Seq[(String, Long, Double, Double)]) =
+    Robust.theilSenByKey(rows.toDF("k", "id", "x", "y"), "k", "id", "x", "y")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("theil-sen: hand-computed lower-median slope and intercept") {
+    // slopes: (1,2)->2, (1,3)->0.5, (2,3)->-1; sorted -1, 0.5, 2
+    // lower median (rank 2) = 0.5; residuals y-0.5x = 0.5, 2, 0.5;
+    // (r, id) order: (0.5,1),(0.5,3),(2,2) -> rank 2 -> 0.5
+    val out = theil(Seq(("k", 1L, 1.0, 1.0), ("k", 2L, 2.0, 3.0),
+      ("k", 3L, 3.0, 2.0)))
+    assert(out("k") === ((3L, 3L, Some(0.5), Some(0.5))))
+  }
+
+  test("theil-sen: one wild outlier cannot move the line") {
+    // 9 points on y = 2x + 1 plus (100, -500): most pairwise slopes
+    // stay 2, so the median slope and median residual are untouched
+    val rows = (1 to 9).map(i => ("k", i.toLong, i.toDouble, 2.0 * i + 1)) :+
+      ("k", 10L, 100.0, -500.0)
+    val out = theil(rows)
+    assert(out("k")._3 === Some(2.0) && out("k")._4 === Some(1.0))
+  }
+
+  test("theil-sen: all-vertical pairs yield zero pairs, null slope") {
+    val out = theil(Seq(("k", 1L, 5.0, 1.0), ("k", 2L, 5.0, 9.0)))
+    assert(out("k") === ((2L, 0L, None, None)))
+  }
+
+  test("theil-sen: keys are isolated and counted independently") {
+    val out = theil(Seq(("a", 1L, 0.0, 0.0), ("a", 2L, 1.0, 3.0),
+      ("b", 1L, 0.0, 1.0), ("b", 2L, 2.0, 1.0)))
+    assert(out("a") === ((2L, 1L, Some(3.0), Some(0.0))))
+    assert(out("b") === ((2L, 1L, Some(0.0), Some(1.0))))
+  }
+
   test("kendall: single-row keys survive with zero pairs") {
     val out = kendall(Seq(("solo", 1L, 1.0, 2.0),
       ("duo", 1L, 1.0, 1.0), ("duo", 2L, 2.0, 5.0)))

@@ -778,6 +778,34 @@ object QueriesStats {
        |  END AS kappa
        |FROM base LEFT JOIN pe ON base.k = pe.k""".stripMargin
 
+  // ----------------------------------------------------------- mcnemar
+  // Marginal homogeneity of the q_kappa rater pair: does the deep-
+  // discount flag fire returned-lines asymmetrically? b/c are integer
+  // discordant counts off one pass; chi2 one fixed-shape double.
+  def qMcnemar(s: SparkSession, dir: String): DataFrame =
+    Stats.mcnemar(
+      t(s, dir, "lineitem").select(col("l_linestatus"),
+        when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("flag_a"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("flag_b")),
+      "l_linestatus", "flag_a", "flag_b")
+
+  val qMcnemarSql: String =
+    """WITH r AS (
+      |  SELECT l_linestatus AS k,
+      |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS b
+      |  FROM lineitem),
+      |agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS b,
+      |    CAST(count(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS c
+      |  FROM r GROUP BY 1)
+      |SELECT k AS l_linestatus, n, b, c,
+      |  CASE WHEN b + c > 0 THEN
+      |    CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+      |      / CAST(b + c AS DOUBLE)
+      |  END AS chi2
+      |FROM agg""".stripMargin
+
   // -------------------------------------------------------- cramers v
   // Association strength orderstatus↔orderpriority: per-cell χ²
   // contribution as ONE integral micro division of exact integer
@@ -903,6 +931,7 @@ object QueriesStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_theil_sen" -> (qTheilSen _),
+    "q_mcnemar" -> (qMcnemar _),
     "q_kappa" -> (qKappa _),
     "q_cramers_v" -> (qCramersV _),
     "q_kendall" -> (qKendall _),
@@ -928,6 +957,7 @@ object QueriesStats {
 
   val oracleSql: Map[String, String] = Map(
     "q_theil_sen" -> qTheilSenSql,
+    "q_mcnemar" -> qMcnemarSql,
     "q_kappa" -> qKappaSql,
     "q_cramers_v" -> qCramersVSql,
     "q_kendall" -> qKendallSql,

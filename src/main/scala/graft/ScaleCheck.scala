@@ -174,6 +174,27 @@ object ScaleCheck {
       graft.operators.ShortestPaths.fromSource(
         edgesBipartite(s, dir), "src", "dst", "c1", 4)
     },
+    "hits" -> { (s, dir) =>
+      // DIRECTED c->s half of the bipartite graph (the q_hits shape):
+      // per round two edge-join + fixed-point aggregate passes and two
+      // broadcast scalar maxes — node-sized tables, edges never widened
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      graft.operators.Hits.run(pairs, "src", "dst", 2)
+    },
+    "streaks" -> { (s, dir) =>
+      // distinct-grid window: the sort input is (user, day) cells, so
+      // 10x events with the same 30-day span grows the grid ~10x via
+      // the shifted user ids — linear is the bar
+      graft.operators.Streaks.dailyStreaks(
+        Tables.load(s, dir, "events"), "user_id", "ts")
+    },
     // prefix-gram ED-join: KNOWN super-linear on this corpus (hot-gram
     // buckets on zero-padded sequential names — the finding that led to
     // deletionPairs; see FuzzyJoin scaladoc). Kept measurable, excluded

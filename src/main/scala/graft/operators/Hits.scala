@@ -37,21 +37,35 @@ object Hits {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // pin the edge derivation once, and each half-generation as it is
+    // produced: every score table is referenced at least twice (the
+    // scalar max, the next half-step, the final join), so the lazy form
+    // re-executes subtree copies that MULTIPLY per round (measured:
+    // 23.9 s -> 4.3 s at sf0.1 for 2 rounds). localCheckpoint is the
+    // safe pin here — the only joins downstream of a checkpointed
+    // generation are the node-sized score joins and the explicitly
+    // broadcast scalar max, none of which need catalyst stats (the
+    // NOTES iterative-loop rule; PageRank precedent).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    var scores = nodes.select(col("node"), lit(1.0).as("hub"),
-      lit(0.0).as("auth"))
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+      .localCheckpoint()
+    var auth: DataFrame = null
     var i = 0
     while (i < iters) {
-      val auth = halfStep(e, scores.select(col("node"), col("hub")),
-        "src", "dst", "hub", "auth")
-      val hub = halfStep(e, auth, "dst", "src", "auth", "hub")
-      scores = hub.join(auth, Seq("node")).select(
-        col("node"), col("hub"), col("auth"))
+      val nextAuth = halfStep(e, hub, "src", "dst", "hub", "auth")
+        .localCheckpoint()
+      if (auth != null) graft.core.Checkpoints.releaseLocal(auth)
+      auth = nextAuth
+      val nextHub = halfStep(e, auth, "dst", "src", "auth", "hub")
+        .localCheckpoint()
+      graft.core.Checkpoints.releaseLocal(hub)
+      hub = nextHub
       i += 1
     }
-    scores
+    hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
   }
 
   /** One half-iteration: out(to) = maxnorm(Σ fq(in(from)) over edges

@@ -428,6 +428,33 @@ object Stats {
         when(peD < 1.0, (agreeD / n - peD) / (lit(1.0) - peD)).as("kappa"))
   }
 
+  /** McNemar's test (McNemar 1947) per key: did a paired binary
+    * labeler CHANGE relative to another — e.g. model-v2 vs model-v1 on
+    * the same rows, before/after a cleaning pass? Only the DISCORDANT
+    * cells matter: b = (a=1, b=0), c = (a=0, b=1), χ² = (b−c)²/(b+c),
+    * 1 df. The marginal-homogeneity companion to [[cohenKappa]]
+    * (agreement): kappa asks "do they agree", McNemar asks "do they
+    * disagree in one direction".
+    *
+    * Engine-exact: b and c are integer conditional counts off ONE
+    * aggregation pass; χ² is one fixed-shape double expression (null
+    * when b + c = 0 — no discordance, nothing to test). `aCol`/`bCol`
+    * must be 0/1 longs; null-labeled rows are excluded (pairwise
+    * complete). Output: key, n, b, c, chi2. */
+  def mcnemar(df: DataFrame, keyCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val agg = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n"),
+        count_if(col(aCol) === 1 && col(bCol) === 0).as("b"),
+        count_if(col(aCol) === 0 && col(bCol) === 1).as("c"))
+    val d = (col("b") - col("c")).cast("double")
+    agg.select(col(keyCol), col("n"), col("b"), col("c"),
+      when(col("b") + col("c") > 0,
+        d * d / (col("b") + col("c")).cast("double")).as("chi2"))
+  }
+
   /** Cramér's V (Cramér 1946): strength of association between two
     * categorical columns, the [0,1]-normalized companion of
     * [[chiSquareCells]] — V = sqrt(χ² / (n · (min(r,c) − 1))).

@@ -339,6 +339,23 @@ class StatsSpec extends SparkSpec {
     assert(out._5 === 1.0 && out._6 === 1.0 && out._7.isEmpty)
   }
 
+  test("mcnemar: hand-computed discordant cells") {
+    // pairs: (1,0)x6, (0,1)x2, (1,1)x5, (0,0)x3 -> b=6 c=2
+    // chi2 = 16/8 = 2.0
+    val rows = Seq.fill(6)(("k", 1L, 0L)) ++ Seq.fill(2)(("k", 0L, 1L)) ++
+      Seq.fill(5)(("k", 1L, 1L)) ++ Seq.fill(3)(("k", 0L, 0L))
+    val out = Stats.mcnemar(rows.toDF("k", "a", "b"), "k", "a", "b")
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    assert(out === (("k", 16L, 6L, 2L, Some(2.0))))
+  }
+
+  test("mcnemar: no discordance gives null chi2, not 0/0") {
+    val rows = Seq(("k", 1L, 1L), ("k", 0L, 0L))
+    val out = Stats.mcnemar(rows.toDF("k", "a", "b"), "k", "a", "b")
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    assert(out === (("k", 2L, 0L, 0L, None)))
+  }
+
   test("cramersV: perfect 2x2 association is V = 1 (zero cells counted)") {
     // only (a,x) and (b,y) observed; the two unobserved cells carry
     // E = 5 each -> chi2 = 20 = n, V = sqrt(20/(20*1)) = 1

@@ -397,6 +397,36 @@ object QueriesExtra {
       |  count(*) AS n
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  // -------------------------------------------------------- grouping sets
+  // Explicit GROUPING SETS (the third grouping surface next to q_cube /
+  // q_rollup): exactly the (flag, status), (flag), (priority-by-itself)
+  // sets — a shape neither CUBE nor ROLLUP produces (the mixed-dimension
+  // report a dashboard actually asks for). grouping_id disambiguates
+  // the null-as-ALL rows as usual; one pass, Expand + single aggregate.
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("o_orderpriority"))),
+        col("l_returnflag"), col("l_linestatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("g"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, o_orderpriority,
+      |  CAST(GROUPING(l_returnflag, l_linestatus, o_orderpriority)
+      |    AS BIGINT) AS g,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (o_orderpriority))""".stripMargin
+
   // ------------------------------------------------------ approx distinct
   // HLL++ sketch counting. The sketch estimate itself is engine-specific,
   // so the compared output carries the exact count plus an in-query bound
@@ -785,6 +815,7 @@ object QueriesExtra {
     "q_top_revenue" -> (qTopRevenue _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_profile" -> (qProfile _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_rolling_fp" -> (qRollingFp _),
@@ -813,6 +844,7 @@ object QueriesExtra {
     "q_top_revenue" -> qTopRevenueSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_profile" -> qProfileSql,
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_rolling_fp" -> qRollingFpSql,

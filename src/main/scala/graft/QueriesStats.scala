@@ -806,6 +806,93 @@ object QueriesStats {
       |  END AS chi2
       |FROM agg""".stripMargin
 
+  // ------------------------------------------------------ fleiss kappa
+  // Multi-rater agreement: treat each 4-line order as a subject rated
+  // by 4 "annotators" into quantity terciles, per orderkey-parity
+  // cohort — integer moments A/B, fixed-shape double κ; orders with a
+  // different line count exercise the exclusion path. The oracle
+  // replays counts, eligibility, and the exact double shapes.
+  private val FleissRaters = 4
+
+  def qFleissKappa(s: SparkSession, dir: String): DataFrame =
+    Stats.fleissKappa(
+      t(s, dir, "lineitem").select(
+        (col("l_orderkey") % 2).as("cohort"), col("l_orderkey"),
+        when(col("l_quantity") <= 17, "lo")
+          .when(col("l_quantity") <= 34, "mid").otherwise("hi").as("cat")),
+      "cohort", "l_orderkey", "cat", FleissRaters)
+
+  val qFleissKappaSql: String =
+    s"""WITH r AS (SELECT l_orderkey % 2 AS k, l_orderkey AS subj,
+       |    CASE WHEN l_quantity <= 17 THEN 'lo'
+       |         WHEN l_quantity <= 34 THEN 'mid' ELSE 'hi' END AS cat
+       |  FROM lineitem),
+       |cnt AS (SELECT k, subj, cat, count(*) AS nij FROM r GROUP BY 1, 2, 3),
+       |per AS (SELECT k, subj, sum(nij) AS rr, sum(nij * nij) AS sq
+       |  FROM cnt GROUP BY 1, 2),
+       |elig AS (SELECT k, subj, sq FROM per WHERE rr = $FleissRaters),
+       |exc AS (SELECT k,
+       |  CAST(count(*) FILTER (rr <> $FleissRaters) AS BIGINT) AS n_excluded
+       |  FROM per GROUP BY 1),
+       |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_subjects,
+       |  CAST(sum(sq) AS BIGINT) AS a_sum FROM elig GROUP BY 1),
+       |ct AS (SELECT c.k, c.cat, sum(c.nij) AS cj
+       |  FROM cnt c JOIN elig e ON c.k = e.k AND c.subj = e.subj
+       |  GROUP BY 1, 2),
+       |b AS (SELECT k, sum(cj::HUGEINT * cj) AS b_sum FROM ct GROUP BY 1),
+       |f AS (SELECT a.k, n_subjects, coalesce(exc.n_excluded, 0) AS n_excluded,
+       |  a_sum, CAST(b.b_sum AS DOUBLE) AS b_sum,
+       |  CAST(n_subjects AS DOUBLE) * $FleissRaters.0 AS nr
+       |  FROM a LEFT JOIN b ON a.k = b.k LEFT JOIN exc ON a.k = exc.k)
+       |SELECT k AS cohort, n_subjects,
+       |  CAST(n_excluded AS BIGINT) AS n_excluded, a_sum, b_sum,
+       |  (CAST(a_sum AS DOUBLE) - nr) / (nr * ${FleissRaters - 1}.0) AS p_bar,
+       |  b_sum / (nr * nr) AS p_e,
+       |  CASE WHEN b_sum / (nr * nr) < 1.0 THEN
+       |    ((CAST(a_sum AS DOUBLE) - nr) / (nr * ${FleissRaters - 1}.0)
+       |      - b_sum / (nr * nr)) / (1.0 - b_sum / (nr * nr))
+       |  END AS kappa
+       |FROM f""".stripMargin
+
+  // -------------------------------------------------- mantel-haenszel
+  // Confounder-safe pooled odds: deep-discount → returned-line odds
+  // ratio pooled over order-priority strata — per-stratum ad/n and
+  // bc/n as integral micro terms, integer sums, one final division.
+  def qMantelHaenszel(s: SparkSession, dir: String): DataFrame =
+    Stats.mantelHaenszel(
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          when(col("l_discount") >= 0.05, 1L).otherwise(0L).as("exposed"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("outcome")),
+      "o_orderpriority", "exposed", "outcome")
+
+  val qMantelHaenszelSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority AS st,
+      |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS e,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |cells AS (SELECT st, count(*) AS n,
+      |    count(*) FILTER (e = 1 AND o = 1) AS a,
+      |    count(*) FILTER (e = 1 AND o = 0) AS b,
+      |    count(*) FILTER (e = 0 AND o = 1) AS c,
+      |    count(*) FILTER (e = 0 AND o = 0) AS d
+      |  FROM r GROUP BY 1),
+      |terms AS (SELECT n,
+      |    CAST((1000000::HUGEINT * a * d) // n AS BIGINT) AS ad,
+      |    CAST((1000000::HUGEINT * b * c) // n AS BIGINT) AS bc
+      |  FROM cells),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |  CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(sum(ad) AS BIGINT) AS ad_micro,
+      |  CAST(sum(bc) AS BIGINT) AS bc_micro FROM terms)
+      |SELECT n_strata, n, ad_micro, bc_micro,
+      |  CASE WHEN bc_micro > 0 THEN
+      |    CAST(ad_micro AS DOUBLE) / CAST(bc_micro AS DOUBLE)
+      |  END AS or_mh
+      |FROM agg""".stripMargin
+
   // -------------------------------------------------------- cramers v
   // Association strength orderstatus↔orderpriority: per-cell χ²
   // contribution as ONE integral micro division of exact integer
@@ -932,6 +1019,8 @@ object QueriesStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_theil_sen" -> (qTheilSen _),
     "q_mcnemar" -> (qMcnemar _),
+    "q_fleiss_kappa" -> (qFleissKappa _),
+    "q_mantel_haenszel" -> (qMantelHaenszel _),
     "q_kappa" -> (qKappa _),
     "q_cramers_v" -> (qCramersV _),
     "q_kendall" -> (qKendall _),
@@ -958,6 +1047,8 @@ object QueriesStats {
   val oracleSql: Map[String, String] = Map(
     "q_theil_sen" -> qTheilSenSql,
     "q_mcnemar" -> qMcnemarSql,
+    "q_fleiss_kappa" -> qFleissKappaSql,
+    "q_mantel_haenszel" -> qMantelHaenszelSql,
     "q_kappa" -> qKappaSql,
     "q_cramers_v" -> qCramersVSql,
     "q_kendall" -> qKendallSql,

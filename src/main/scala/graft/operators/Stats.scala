@@ -455,6 +455,94 @@ object Stats {
         d * d / (col("b") + col("c")).cast("double")).as("chi2"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement for r > 2
+    * raters — the multi-annotator generalization of [[cohenKappa]]
+    * (label-quality gate for crowd-labeled training data).
+    *
+    * Input is the RATING TABLE (subject, category), one row per
+    * individual rating; `raters` is the required ratings-per-subject r.
+    * Subjects with a different rating count are EXCLUDED (the
+    * pairwise-complete convention — partial panels don't satisfy the
+    * fixed-r formula) and reported in `n_excluded`.
+    *
+    * All moments are integers: A = Σ_i Σ_j n_ij² (per-subject-category
+    * squared counts), B = Σ_j c_j² (squared category totals), N
+    * subjects; P̄ = (A − Nr)/(Nr(r−1)), P̄_e = B/(Nr)², κ one
+    * fixed-shape double over them. B is DECIMAL-widened (c_j² overflows
+    * a long near 3·10⁹ total ratings). Output one row per `keyCol`
+    * group: key, n_subjects, n_excluded, a_sum, b_sum, p_bar, p_e,
+    * kappa (null when P̄_e = 1). */
+  def fleissKappa(df: DataFrame, keyCol: String, subjectCol: String,
+      categoryCol: String, raters: Int): DataFrame = {
+    require(raters >= 2, s"raters must be >= 2, got $raters")
+    val cnt = df
+      .filter(col(subjectCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(keyCol), col(subjectCol), col(categoryCol))
+      .agg(count(lit(1)).as("__nij"))
+    val perSubject = cnt.groupBy(col(keyCol), col(subjectCol))
+      .agg(sum(col("__nij")).as("__r"),
+        sum(col("__nij") * col("__nij")).as("__sq"))
+    val eligible = perSubject.filter(col("__r") === raters)
+    val excluded = perSubject.groupBy(col(keyCol))
+      .agg(count_if(col("__r") =!= raters).as("n_excluded"))
+    val a = eligible.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_subjects"), sum(col("__sq")).as("a_sum"))
+    val catTot = cnt
+      .join(eligible.select(col(keyCol), col(subjectCol)),
+        Seq(keyCol, subjectCol), "left_semi")
+      .groupBy(col(keyCol), col(categoryCol))
+      .agg(sum(col("__nij")).as("__cj"))
+    val b = catTot.groupBy(col(keyCol))
+      .agg(sum(expr("CAST(__cj AS DECIMAL(38,0)) * __cj"))
+        .cast("decimal(38,0)").as("b_sum"))
+    val nr = col("n_subjects").cast("double") * lit(raters.toDouble)
+    val pBar = (col("a_sum").cast("double") - nr) /
+      (nr * lit((raters - 1).toDouble))
+    val pE = col("b_sum").cast("double") / (nr * nr)
+    a.join(b, Seq(keyCol), "left").join(excluded, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_subjects"),
+        coalesce(col("n_excluded"), lit(0L)).as("n_excluded"),
+        col("a_sum"), col("b_sum").cast("double").as("b_sum"),
+        pBar.as("p_bar"), pE.as("p_e"),
+        when(pE < 1.0, (pBar - pE) / (lit(1.0) - pE)).as("kappa"))
+  }
+
+  /** Mantel–Haenszel common odds ratio (Mantel & Haenszel 1959):
+    * exposure→outcome association POOLED ACROSS STRATA — the
+    * Simpson's-paradox-safe readout (a confounder that differs by
+    * stratum inverts naive pooled odds; MH weights each stratum's
+    * 2×2 by its own size). a/b/c/d are the per-stratum cells
+    * (exposed-outcome, exposed-no, unexposed-outcome, unexposed-no).
+    *
+    * OR_MH = Σ_i (aᵢdᵢ/nᵢ) / Σ_i (bᵢcᵢ/nᵢ): each stratum term is one
+    * integral division in MICRO units of DECIMAL-widened products, the
+    * two sums are integer (order-independent), the ratio one
+    * fixed-shape double. `exposureCol`/`outcomeCol` must be 0/1 longs;
+    * null-labeled rows excluded. Output one row: n_strata, n, ad_micro,
+    * bc_micro, or_mh (null when the denominator sum is 0). */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposureCol: String, outcomeCol: String): DataFrame = {
+    val cells = df
+      .filter(col(exposureCol).isNotNull && col(outcomeCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(
+        count(lit(1)).as("__n"),
+        count_if(col(exposureCol) === 1 && col(outcomeCol) === 1).as("__a"),
+        count_if(col(exposureCol) === 1 && col(outcomeCol) === 0).as("__b"),
+        count_if(col(exposureCol) === 0 && col(outcomeCol) === 1).as("__c"),
+        count_if(col(exposureCol) === 0 && col(outcomeCol) === 0).as("__d"))
+    val terms = cells
+      .withColumn("__ad", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __a * __d) div __n AS BIGINT)"))
+      .withColumn("__bc", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __b * __c) div __n AS BIGINT)"))
+    terms.agg(count(lit(1)).as("n_strata"), sum(col("__n")).as("n"),
+        sum(col("__ad")).as("ad_micro"), sum(col("__bc")).as("bc_micro"))
+      .select(col("n_strata"), col("n"), col("ad_micro"), col("bc_micro"),
+        when(col("bc_micro") > 0,
+          col("ad_micro").cast("double") / col("bc_micro").cast("double"))
+          .as("or_mh"))
+  }
+
   /** Cramér's V (Cramér 1946): strength of association between two
     * categorical columns, the [0,1]-normalized companion of
     * [[chiSquareCells]] — V = sqrt(χ² / (n · (min(r,c) − 1))).

@@ -356,6 +356,63 @@ class StatsSpec extends SparkSpec {
     assert(out === (("k", 2L, 0L, 0L, None)))
   }
 
+  test("fleissKappa: hand-computed two-subject panel") {
+    // S1: aaa (sq 9), S2: abb (sq 5) -> A=14, N=2, r=3, Nr=6
+    // P_bar = (14-6)/(6*2) = 2/3; c_a=4, c_b=2 -> B=20, P_e = 20/36
+    // kappa = (2/3 - 5/9)/(1 - 5/9) = 0.25
+    val rows = Seq(("k", 1L, "a"), ("k", 1L, "a"), ("k", 1L, "a"),
+      ("k", 2L, "a"), ("k", 2L, "b"), ("k", 2L, "b"))
+    val out = Stats.fleissKappa(rows.toDF("k", "s", "c"), "k", "s", "c", 3)
+      .as[(String, Long, Long, Long, Double, Double, Double,
+        Option[Double])].head()
+    assert((out._2, out._3, out._4, out._5) === ((2L, 0L, 14L, 20.0)))
+    assert(math.abs(out._6 - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(out._7 - 5.0 / 9.0) < 1e-15)
+    assert(math.abs(out._8.get - 0.25) < 1e-15)
+  }
+
+  test("fleissKappa: wrong-count subjects are excluded from ALL moments") {
+    // S3 has only 2 ratings: must not enter A, B, or n_subjects
+    val rows = Seq(("k", 1L, "a"), ("k", 1L, "a"), ("k", 1L, "a"),
+      ("k", 2L, "a"), ("k", 2L, "b"), ("k", 2L, "b"),
+      ("k", 3L, "b"), ("k", 3L, "b"))
+    val out = Stats.fleissKappa(rows.toDF("k", "s", "c"), "k", "s", "c", 3)
+      .as[(String, Long, Long, Long, Double, Double, Double,
+        Option[Double])].head()
+    assert((out._2, out._3, out._4, out._5) === ((2L, 1L, 14L, 20.0)))
+  }
+
+  test("fleissKappa: unanimous raters on one category is degenerate") {
+    // every rating identical -> P_e = 1 -> null kappa
+    val rows = Seq.fill(3)(("k", 1L, "x")) ++ Seq.fill(3)(("k", 2L, "x"))
+    val out = Stats.fleissKappa(rows.toDF("k", "s", "c"), "k", "s", "c", 3)
+      .as[(String, Long, Long, Long, Double, Double, Double,
+        Option[Double])].head()
+    assert(out._7 === 1.0 && out._8.isEmpty)
+  }
+
+  test("mantelHaenszel: hand-computed pooled odds over two strata") {
+    // s1: a=4 b=1 c=2 d=3 n=10 -> ad 1200000, bc 200000 (micro)
+    // s2: a=1 b=3 c=3 d=9 n=16 -> ad 562500, bc 562500
+    def cells(st: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, 1L, 1L)) ++ Seq.fill(b)((st, 1L, 0L)) ++
+      Seq.fill(c)((st, 0L, 1L)) ++ Seq.fill(d)((st, 0L, 0L))
+    val rows = cells("s1", 4, 1, 2, 3) ++ cells("s2", 1, 3, 3, 9)
+    val out = Stats.mantelHaenszel(rows.toDF("st", "e", "o"), "st", "e", "o")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(out._1 === 2L && out._2 === 26L)
+    assert(out._3 === 1762500L && out._4 === 762500L)
+    assert(out._5 === Some(1762500.0 / 762500.0))
+  }
+
+  test("mantelHaenszel: zero denominator sum gives null, not infinity") {
+    // no (exposed, no-outcome) and no (unexposed, outcome) cells
+    val rows = Seq(("s", 1L, 1L), ("s", 1L, 1L), ("s", 0L, 0L))
+    val out = Stats.mantelHaenszel(rows.toDF("st", "e", "o"), "st", "e", "o")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(out._4 === 0L && out._5.isEmpty)
+  }
+
   test("cramersV: perfect 2x2 association is V = 1 (zero cells counted)") {
     // only (a,x) and (b,y) observed; the two unobserved cells carry
     // E = 5 each -> chi2 = 20 = n, V = sqrt(20/(20*1)) = 1

@@ -125,6 +125,59 @@ object QueriesText {
 
 
 
+  // -------------------------------------------------------- lang-id kappa
+  // Corpus-QA composition: chance-corrected agreement between the
+  // n-gram lang-id heuristic and the labeled `lang` column, per source
+  // (Stats.cohenKappa over q_lang_id's prediction) — the "is my
+  // heuristic better than guessing the majority label" gate a curation
+  // pipeline reads before trusting heuristic language routing. The
+  // oracle composes the lang-id score SQL with the kappa margin
+  // algebra, so heuristic AND statistic replay together.
+  def qLangIdKappa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cohenKappa(
+      t(s, dir, "documents").select(col("source"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_label")),
+      "source", "lang_pred", "lang_label")
+
+  val qLangIdKappaSql: String = {
+    val scoreCols = TextFunctions.LangMarkers.map { case (lang, ms) =>
+      s"${sqlLangScore("p", ms)} AS s_$lang"
+    }.mkString(",\n        ")
+    val langs = TextFunctions.LangMarkers.map(_._1)
+    val greatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val arms = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH c AS (SELECT source, lang,
+       |        ' ' || ${sqlCollapse("lower(text)")} || ' ' AS p FROM documents),
+       |sc AS (SELECT source, lang, $scoreCols FROM c),
+       |mx AS (SELECT *, $greatest AS m FROM sc),
+       |rated AS (SELECT source AS k,
+       |    CASE WHEN m <= 0 THEN 'und' $arms END AS a, lang AS b
+       |  FROM mx WHERE lang IS NOT NULL),
+       |cells AS (SELECT k, a, b, count(*) AS c FROM rated GROUP BY 1, 2, 3),
+       |base AS (SELECT k, CAST(sum(c) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+       |  FROM cells GROUP BY 1),
+       |rt AS (SELECT k, a AS cat, sum(c) AS r FROM cells GROUP BY 1, 2),
+       |ct AS (SELECT k, b AS cat, sum(c) AS l FROM cells GROUP BY 1, 2),
+       |pe AS (SELECT rt.k, CAST(sum(rt.r * ct.l) AS BIGINT) AS pe_num
+       |  FROM rt JOIN ct ON rt.k = ct.k AND rt.cat = ct.cat GROUP BY 1)
+       |SELECT base.k AS source, n, agree,
+       |  CAST(coalesce(pe_num, 0) AS BIGINT) AS pe_num,
+       |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |  CAST(coalesce(pe_num, 0) AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+       |  CASE WHEN CAST(coalesce(pe_num, 0) AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+       |    (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - CAST(coalesce(pe_num, 0) AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |    / (1.0 - CAST(coalesce(pe_num, 0) AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |  END AS kappa
+       |FROM base LEFT JOIN pe ON base.k = pe.k""".stripMargin
+  }
+
   // Flesch reading-ease from three engine-portable regex counts (words,
   // sentence marks, vowel-group syllable proxy) and one fixed-shape
   // double formula — the readability member of the quality-signal
@@ -775,6 +828,7 @@ object QueriesText {
     "q_lexical_stats" -> (qLexicalStats _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
+    "q_langid_kappa" -> (qLangIdKappa _),
     "q_tfidf" -> (qTfidf _),
     "q_js_div" -> (qJsDiv _),
     "q_readability" -> (qReadability _),
@@ -798,6 +852,7 @@ object QueriesText {
     "q_lexical_stats" -> qLexicalStatsSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
+    "q_langid_kappa" -> qLangIdKappaSql,
     "q_tfidf" -> qTfidfSql,
     "q_js_div" -> qJsDivSql,
     "q_readability" -> qReadabilitySql,

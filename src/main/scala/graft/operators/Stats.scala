@@ -403,10 +403,15 @@ object Stats {
     */
   def cohenKappa(df: DataFrame, keyCol: String, aCol: String,
       bCol: String): DataFrame = {
+    // the cell frame is consumed by three aggregations (diagonal, row
+    // margins, column margins) — retain it so the corpus is scanned
+    // ONCE, not once per consumer (the Calibration per-bin-frame
+    // precedent; the cell table is |categories|²·keys — cache-trivial)
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(keyCol), col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__c"))
+      .persist()
     val base = cells.groupBy(col(keyCol)).agg(
       sum(col("__c")).as("n"),
       sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
@@ -569,10 +574,12 @@ object Stats {
     * n, r, c, chi2_micro, v (null when the table is degenerate —
     * a single row or column category). */
   def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // retained for the same three-consumer reason as cohenKappa's cells
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__obs"))
+      .persist()
     val rowT = cells.groupBy(col("__a")).agg(sum(col("__obs")).as("__r"))
     val colT = cells.groupBy(col("__b")).agg(sum(col("__obs")).as("__l"))
     val tot = cells.agg(sum(col("__obs")).as("__n"),

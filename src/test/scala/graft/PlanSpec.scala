@@ -772,4 +772,77 @@ class PlanSpec extends SparkSpec {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"fused eval must scan lineitem once, got $scans:\n$p")
   }
+
+  test("q_cum_hazard: risk windows over the per-time aggregate, no cross") {
+    val p = plan("q_cum_hazard")
+    assert(!p.contains("CartesianProduct"), s"cross join in plan:\n$p")
+    // the labels derivation legitimately scans events 4x (events, first
+    // view, conversion, ref-time — the q_km_risk baseline); the pin is
+    // that the hazard cumsum adds NO scan of its own
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 4, s"expected <= 4 events scans, got $scans:\n$p")
+  }
+
+  test("q_streaks: the window sorts the distinct-day grid, no join") {
+    val p = plan("q_streaks")
+    assert(!p.contains("Join"), s"streaks must not join:\n$p")
+  }
+
+  test("q_kappa and q_cramers_v re-aggregate the cell table, one scan") {
+    Seq("q_kappa", "q_cramers_v").foreach { q =>
+      val p = plan(q)
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q must scan its table once, got $scans:\n$p")
+      assert(!p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin") == false, s"$q cross:\n$p")
+    }
+  }
+
+  test("q_mcnemar and q_mantel_haenszel are one aggregate pass each") {
+    Seq("q_mcnemar").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q single scan, got $scans:\n$p")
+    }
+    // mantel-haenszel joins orders once for its strata, nothing else
+    val p = plan("q_mantel_haenszel")
+    val joins = "Join".r.findAllIn(p).length
+    assert(p.contains("Join") && joins <= 4, s"one strata join only:\n$p")
+  }
+
+  test("q_avg_precision windows <= k rows per query after the rank filter") {
+    val p = plan("q_avg_precision")
+    assert(!p.contains("CartesianProduct"), s"no cross in AP:\n$p")
+    // rank <= k is applied BEFORE the running-hit window (filter under
+    // the second Window operator in the plan)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_point_in_poly filters at the scan — no keyed exchange, no join") {
+    val p = plan("q_point_in_poly")
+    // the loader's round-robin repartition is the only exchange allowed;
+    // the geofence itself must never hash-partition or join
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"geofence must not shuffle on a key:\n$p")
+    assert(!p.contains("Join"), s"geofence must not join:\n$p")
+  }
+
+  test("q_fixed_width parse plan has no shuffle and no UDF") {
+    val p = plan("q_fixed_width")
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"),
+      s"fixed-width parse must stay map-side:\n$p")
+  }
+
+  test("q_grouping_sets is one Expand + one aggregate over the join") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must Expand:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"lineitem + orders, got $scans:\n$p")
+  }
+
+  test("q_hits: scalar maxes broadcast; score joins never loop") {
+    val p = plan("q_hits")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in HITS:\n$p")
+  }
 }

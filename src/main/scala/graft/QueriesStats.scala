@@ -806,6 +806,91 @@ object QueriesStats {
       |  END AS chi2
       |FROM agg""".stripMargin
 
+  // ------------------------------------------------------ trimmed mean
+  // 10%-each-side trimmed mean of extendedprice per returnflag: one
+  // per-key sort, decimal middle-sum, one double division — the robust
+  // location stat between median and mean.
+  private val TrimFrac = 0.1
+
+  def qTrimmedMean(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.trimmedMeanByKey(
+      t(s, dir, "lineitem").withColumn("tie",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))),
+      "l_returnflag", "l_extendedprice", "tie", TrimFrac)
+
+  val qTrimmedMeanSql: String =
+    s"""WITH r AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+       |    CAST(l_orderkey AS VARCHAR) || '-' ||
+       |      CAST(l_linenumber AS VARCHAR) AS tie
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |rk AS (SELECT k, v,
+       |    CAST(row_number() OVER (PARTITION BY k ORDER BY v, tie)
+       |      AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY k) AS n FROM r),
+       |cut AS (SELECT *,
+       |    CAST(floor(CAST(n AS DOUBLE) * $TrimFrac) AS BIGINT) AS kk
+       |  FROM rk),
+       |agg AS (SELECT k, CAST(max(n) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (rn > kk AND rn <= n - kk) AS BIGINT)
+       |      AS n_kept,
+       |    sum(CASE WHEN rn > kk AND rn <= n - kk
+       |      THEN CAST(v AS DECIMAL(18,2)) END) AS s
+       |  FROM cut GROUP BY 1)
+       |SELECT k AS l_returnflag, n, n_kept,
+       |  CASE WHEN n_kept > 0 THEN
+       |    CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS trimmed_mean
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------ robust trend
+  // Composition: Theil-Sen over the daily event-count series per
+  // event_type — the robust "events per day of growth" a dashboard
+  // quotes when one spiky day would wreck OLS. 30-point series ->
+  // ~435 pairs per key, comfortably inside the bounded-group contract.
+  def qRobustTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        dayofmonth(col("ts")).cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.Robust.theilSenByKey(
+      daily.withColumn("x", col("day").cast("double"))
+        .withColumn("y", col("cnt").cast("double")),
+      "event_type", "day", "x", "y")
+  }
+
+  val qRobustTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+      |    count(*) AS cnt
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |base AS (SELECT event_type AS k, day AS id,
+      |    CAST(day AS DOUBLE) AS x, CAST(cnt AS DOUBLE) AS y FROM daily),
+      |sl AS (SELECT a.k, (b.y - a.y) / (b.x - a.x) AS s,
+      |    a.id AS i1, b.id AS i2
+      |  FROM base a JOIN base b ON a.k = b.k AND a.id < b.id
+      |  WHERE a.x <> b.x),
+      |med AS (SELECT k, CAST(m AS BIGINT) AS n_pairs, s AS slope FROM (
+      |    SELECT k, s,
+      |      row_number() OVER (PARTITION BY k ORDER BY s, i1, i2) AS rn,
+      |      count(*) OVER (PARTITION BY k) AS m
+      |    FROM sl)
+      |  WHERE rn = (m + 1) // 2),
+      |res AS (SELECT base.k, n_pairs, slope, id,
+      |    y - slope * x AS r
+      |  FROM base JOIN med ON base.k = med.k),
+      |inter AS (SELECT k, n_pairs, slope, r AS intercept FROM (
+      |    SELECT k, n_pairs, slope, r,
+      |      row_number() OVER (PARTITION BY k ORDER BY r, id) AS rn,
+      |      count(*) OVER (PARTITION BY k) AS m
+      |    FROM res)
+      |  WHERE rn = (m + 1) // 2),
+      |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
+      |SELECT nk.k AS event_type, n,
+      |  CAST(coalesce(inter.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  slope, intercept
+      |FROM nk LEFT JOIN inter ON nk.k = inter.k""".stripMargin
+
   // ------------------------------------------------------ fleiss kappa
   // Multi-rater agreement: treat each 4-line order as a subject rated
   // by 4 "annotators" into quantity terciles, per orderkey-parity
@@ -1021,6 +1106,8 @@ object QueriesStats {
     "q_mcnemar" -> (qMcnemar _),
     "q_fleiss_kappa" -> (qFleissKappa _),
     "q_mantel_haenszel" -> (qMantelHaenszel _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_robust_trend" -> (qRobustTrend _),
     "q_kappa" -> (qKappa _),
     "q_cramers_v" -> (qCramersV _),
     "q_kendall" -> (qKendall _),
@@ -1049,6 +1136,8 @@ object QueriesStats {
     "q_mcnemar" -> qMcnemarSql,
     "q_fleiss_kappa" -> qFleissKappaSql,
     "q_mantel_haenszel" -> qMantelHaenszelSql,
+    "q_trimmed_mean" -> qTrimmedMeanSql,
+    "q_robust_trend" -> qRobustTrendSql,
     "q_kappa" -> qKappaSql,
     "q_cramers_v" -> qCramersVSql,
     "q_kendall" -> qKendallSql,

@@ -125,6 +125,43 @@ object Robust {
         .as("tau_b"))
   }
 
+  /** Per-key trimmed mean: the mean of the values BETWEEN the lower and
+    * upper `trimFrac` quantile ranks — the robust location estimate
+    * between the median (50% trim) and the mean (0%), standard for
+    * metric aggregation under heavy tails (latencies, spend).
+    *
+    * ENGINE-EXACT: ranks come from one per-key sort (ties broken by
+    * `tieCol` — deterministic), the cut k = floor(n·trimFrac) is the
+    * same correctly-rounded double floor in both engines, the kept
+    * values sum as DECIMAL(18,2) (order-independent), and the mean is
+    * one fixed-shape double division. Output: key, n, n_kept,
+    * trimmed_mean (null when the trim empties the key). */
+  def trimmedMeanByKey(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, trimFrac: Double): DataFrame = {
+    require(trimFrac >= 0.0 && trimFrac < 0.5,
+      s"trimFrac must be in [0, 0.5), got $trimFrac")
+    val wS = Window.partitionBy(col(keyCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(wS).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k",
+        floor(col("__n").cast("double") * lit(trimFrac)).cast("long"))
+    ranked
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        count_if(col("__rn") > col("__k") &&
+          col("__rn") <= col("__n") - col("__k")).as("n_kept"),
+        sum(when(col("__rn") > col("__k") &&
+            col("__rn") <= col("__n") - col("__k"),
+          col(valueCol).cast("decimal(18,2)"))).as("__s"))
+      .select(col(keyCol), col("n"), col("n_kept"),
+        when(col("n_kept") > 0,
+          col("__s").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"))
+  }
+
   /** Per-key Theil–Sen robust slope (Theil 1950, Sen 1968): the median
     * of all pairwise slopes (y₂−y₁)/(x₂−x₁), with the intercept as the
     * median residual y − slope·x — the regression line a 29%-outlier

@@ -106,6 +106,31 @@ class RobustSpec extends SparkSpec {
     assert(out("k")._6.isEmpty && out("k")._5 === 1L)
   }
 
+  private def trimmed(rows: Seq[(String, Long, Double)], frac: Double) =
+    Robust.trimmedMeanByKey(rows.toDF("k", "id", "v"), "k", "v", "id", frac)
+      .as[(String, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("trimmed mean: hand-computed 10% trim drops exactly one per side") {
+    // 10 values 1..9 + 1000; k = floor(10*0.1) = 1 -> keep ranks 2..9
+    // = {2..9} -> mean 5.5 (the outlier 1000 and the 1 are cut)
+    val rows = ((1 to 9).map(i => ("k", i.toLong, i.toDouble)) :+
+      ("k", 10L, 1000.0))
+    val out = trimmed(rows, 0.1)
+    assert(out("k") === ((10L, 8L, Some(5.5))))
+  }
+
+  test("trimmed mean: zero trim is the plain mean, decimal-exact") {
+    val rows = Seq(("k", 1L, 1.5), ("k", 2L, 2.5), ("k", 3L, 5.0))
+    assert(trimmed(rows, 0.0)("k") === ((3L, 3L, Some(3.0))))
+  }
+
+  test("trimmed mean: 49% trim of a 2-row key keeps both (floor)") {
+    // floor(2*0.49) = 0 -> nothing cut
+    val rows = Seq(("k", 1L, 1.0), ("k", 2L, 3.0))
+    assert(trimmed(rows, 0.49)("k") === ((2L, 2L, Some(2.0))))
+  }
+
   private def theil(rows: Seq[(String, Long, Double, Double)]) =
     Robust.theilSenByKey(rows.toDF("k", "id", "x", "y"), "k", "id", "x", "y")
       .as[(String, Long, Long, Option[Double], Option[Double])]

@@ -806,6 +806,44 @@ object QueriesStats {
       |  END AS chi2
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- psi
+  // Population Stability Index of the returned-lines price distribution
+  // against everything else over 10k-wide equal bins: add-one smoothed,
+  // each bin term waypoint-rounded into DECIMAL(20,12) (the q_js_div
+  // libm-ln treatment), decimal sum, one double at the end.
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      floor(col("l_extendedprice") / 10000.0).cast("long").as("bin"))
+    graft.operators.Divergence.psi(
+      li.filter(col("l_returnflag") === "R"),
+      li.filter(col("l_returnflag") =!= "R"), "bin")
+  }
+
+  val qPsiSql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin
+      |  FROM lineitem),
+      |ac AS (SELECT bin, count(*) AS ca FROM b
+      |  WHERE l_returnflag = 'R' AND bin IS NOT NULL GROUP BY 1),
+      |ec AS (SELECT bin, count(*) AS ce FROM b
+      |  WHERE l_returnflag <> 'R' AND bin IS NOT NULL GROUP BY 1),
+      |j AS (SELECT coalesce(ac.bin, ec.bin) AS bin,
+      |    coalesce(ca, 0) AS ca, coalesce(ce, 0) AS ce
+      |  FROM ac FULL JOIN ec ON ac.bin = ec.bin),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(ce) AS BIGINT) AS ne,
+      |  CAST(count(*) AS BIGINT) AS nb FROM j),
+      |terms AS (SELECT na, ne, nb,
+      |    CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + nb AS DOUBLE)
+      |        - CAST(ce + 1 AS DOUBLE) / CAST(ne + nb AS DOUBLE))
+      |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + nb AS DOUBLE))
+      |          / (CAST(ce + 1 AS DOUBLE) / CAST(ne + nb AS DOUBLE)))
+      |      AS DECIMAL(20,12)) AS t
+      |  FROM j CROSS JOIN tot)
+      |SELECT na AS n_actual, ne AS n_expected, nb AS n_bins,
+      |  CAST(sum(t) AS DOUBLE) AS psi
+      |FROM terms GROUP BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------ trimmed mean
   // 10%-each-side trimmed mean of extendedprice per returnflag: one
   // per-key sort, decimal middle-sum, one double division — the robust
@@ -1108,6 +1146,7 @@ object QueriesStats {
     "q_mantel_haenszel" -> (qMantelHaenszel _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_robust_trend" -> (qRobustTrend _),
+    "q_psi" -> (qPsi _),
     "q_kappa" -> (qKappa _),
     "q_cramers_v" -> (qCramersV _),
     "q_kendall" -> (qKendall _),
@@ -1138,6 +1177,7 @@ object QueriesStats {
     "q_mantel_haenszel" -> qMantelHaenszelSql,
     "q_trimmed_mean" -> qTrimmedMeanSql,
     "q_robust_trend" -> qRobustTrendSql,
+    "q_psi" -> qPsiSql,
     "q_kappa" -> qKappaSql,
     "q_cramers_v" -> qCramersVSql,
     "q_kendall" -> qKendallSql,

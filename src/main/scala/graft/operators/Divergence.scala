@@ -64,4 +64,45 @@ object Divergence {
         sum(col("contrib")).cast("double").as("js_div"))
       .withColumnRenamed("g", groupCol)
   }
+
+  /** Population Stability Index (the credit-scoring drift standard):
+    * PSI = Σ_bins (pₐ − pₑ)·ln(pₐ/pₑ) between an ACTUAL and an
+    * EXPECTED population over a shared pre-binned column — the
+    * monitoring readout for "has this feature's distribution moved
+    * since training?" (rule of thumb: < 0.1 stable, > 0.25 shifted).
+    *
+    * Bins with zero mass on either side get ADD-ONE smoothing
+    * ((c+1)/(N+B)) — PSI is undefined on empty cells and the standard
+    * practice is a floor; add-one is deterministic and engine-portable
+    * (no ε literal to disagree on). Same exactness contract as
+    * [[jsAgainstCorpus]]: probabilities are fixed-shape doubles from
+    * integer counts, each bin's term is waypoint-rounded into
+    * DECIMAL(20,12) (ln is libm), and the sum of decimals is
+    * order-independent.
+    *
+    * Plan: one count aggregate per population, a bin-keyed full outer
+    * join (bin-table-sized), broadcast scalar totals. Output one row:
+    * n_actual, n_expected, n_bins, psi. */
+  def psi(actual: DataFrame, expected: DataFrame,
+      binCol: String): DataFrame = {
+    def cnt(df: DataFrame, out: String) = df
+      .filter(col(binCol).isNotNull)
+      .groupBy(col(binCol).as("__b")).agg(count(lit(1)).as(out))
+    val joined = cnt(actual, "__ca")
+      .join(cnt(expected, "__ce"), Seq("__b"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__ce"))
+    val totals = joined.agg(sum(col("__ca")).as("__na"),
+      sum(col("__ce")).as("__ne"), count(lit(1)).as("__nb"))
+    val withT = joined.crossJoin(broadcast(totals))
+    val pa = (col("__ca") + lit(1L)).cast("double") /
+      (col("__na") + col("__nb")).cast("double")
+    val pe = (col("__ce") + lit(1L)).cast("double") /
+      (col("__ne") + col("__nb")).cast("double")
+    withT
+      .select(col("__na"), col("__ne"), col("__nb"),
+        ((pa - pe) * log(pa / pe)).cast("decimal(20,12)").as("__t"))
+      .groupBy(col("__na").as("n_actual"), col("__ne").as("n_expected"),
+        col("__nb").as("n_bins"))
+      .agg(sum(col("__t")).cast("double").as("psi"))
+  }
 }

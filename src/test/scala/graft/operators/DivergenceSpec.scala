@@ -42,4 +42,27 @@ class DivergenceSpec extends SparkSpec {
       s"drifted ${out("s3")} vs similar ${out("s2")}")
     assert(out("s2") >= 0.0 && out("s3") <= math.log(2.0) + 1e-9)
   }
+
+  private def runPsi(a: Seq[Long], e: Seq[Long]) =
+    Divergence.psi(a.toDF("bin"), e.toDF("bin"), "bin")
+      .as[(Long, Long, Long, Double)].head()
+
+  test("psi: hand-computed add-one smoothed two-bin case") {
+    // actual bin1 x3; expected bin1 x1, bin2 x1 -> na=3 ne=2 nb=2
+    // pa = (4/5, 1/5), pe = (2/4, 2/4)
+    // psi = 0.3*ln(1.6) - 0.3*ln(0.4) = 0.3*ln(4)
+    val out = runPsi(Seq(1L, 1L, 1L), Seq(1L, 2L))
+    assert((out._1, out._2, out._3) === ((3L, 2L, 2L)))
+    assert(math.abs(out._4 - 0.3 * math.log(4.0)) < 1e-9)
+  }
+
+  test("psi: identical populations score exactly zero") {
+    val pop = Seq(1L, 1L, 2L, 3L, 3L, 3L)
+    assert(runPsi(pop, pop)._4 === 0.0)
+  }
+
+  test("psi: a bin absent from one side is smoothed, never NaN/inf") {
+    val out = runPsi(Seq(1L, 1L, 1L, 1L), Seq(9L, 9L, 9L, 9L))
+    assert(!out._4.isNaN && !out._4.isInfinite && out._4 > 0.5)
+  }
 }

@@ -134,8 +134,17 @@ object Robust {
     * `tieCol` — deterministic), the cut k = floor(n·trimFrac) is the
     * same correctly-rounded double floor in both engines, the kept
     * values sum as DECIMAL(18,2) (order-independent), and the mean is
-    * one fixed-shape double division. Output: key, n, n_kept,
-    * trimmed_mean (null when the trim empties the key). */
+    * one fixed-shape double division.
+    *
+    * SCALE CONTRACT (the `Quantiles.exactQuantiles` family): the rank
+    * window sorts each key in ONE task — fine for many modest keys,
+    * a single-task corpus sort when keys are few and huge. At that
+    * shape, take the cut points from `Quantiles` sketch quantiles
+    * (KLL) instead and trim with a plain conditional aggregate —
+    * approximate cuts, exact mean, no per-key sort.
+    *
+    * Output: key, n, n_kept, trimmed_mean (null when the trim empties
+    * the key). */
   def trimmedMeanByKey(df: DataFrame, keyCol: String, valueCol: String,
       tieCol: String, trimFrac: Double): DataFrame = {
     require(trimFrac >= 0.0 && trimFrac < 0.5,

@@ -84,12 +84,28 @@ object Divergence {
     * join (bin-table-sized), broadcast scalar totals. Output one row:
     * n_actual, n_expected, n_bins, psi. */
   def psi(actual: DataFrame, expected: DataFrame,
-      binCol: String): DataFrame = {
-    def cnt(df: DataFrame, out: String) = df
-      .filter(col(binCol).isNotNull)
-      .groupBy(col(binCol).as("__b")).agg(count(lit(1)).as(out))
-    val joined = cnt(actual, "__ca")
-      .join(cnt(expected, "__ce"), Seq("__b"), "full_outer")
+      binCol: String): DataFrame =
+    psiFromCounts(binCounts(actual, binCol), binCounts(expected, binCol))
+
+  /** Per-bin count state for [[psiFromCounts]] — MERGEABLE (counter
+    * addition via [[mergeBinCounts]]), so a continuously-ingested
+    * stream keeps a live drift readout on the StateStream rails
+    * (the Calibration.binCounts pattern). */
+  def binCounts(df: DataFrame, binCol: String): DataFrame = df
+    .filter(col(binCol).isNotNull)
+    .groupBy(col(binCol).as("__b")).agg(count(lit(1)).as("n"))
+
+  /** Merge accumulated [[binCounts]] state rows: plain addition. */
+  def mergeBinCounts(state: DataFrame): DataFrame =
+    state.groupBy(col("__b")).agg(sum(col("n")).as("n"))
+
+  /** PSI from pre-aggregated per-bin counts — the batch [[psi]] and the
+    * streaming-state readout share this exact algebra. */
+  def psiFromCounts(actualCounts: DataFrame,
+      expectedCounts: DataFrame): DataFrame = {
+    val joined = actualCounts.select(col("__b"), col("n").as("__ca"))
+      .join(expectedCounts.select(col("__b"), col("n").as("__ce")),
+        Seq("__b"), "full_outer")
       .na.fill(0L, Seq("__ca", "__ce"))
     val totals = joined.agg(sum(col("__ca")).as("__na"),
       sum(col("__ce")).as("__ne"), count(lit(1)).as("__nb"))

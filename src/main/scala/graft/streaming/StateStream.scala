@@ -157,4 +157,12 @@ object StateStream {
     fold = b => graft.operators.Calibration.binCounts(
       b, scoreMicroCol, labelCol, bins),
     merge = s => graft.operators.Calibration.mergeBinCounts(s))
+
+  /** Per-bin count state for a LIVE drift monitor: merged state +
+    * a frozen expected-count table → `Divergence.psiFromCounts` — the
+    * "has the ingest distribution moved since training?" readout on
+    * the proven exactly-once rails, no row replay. */
+  def binCountModel(binCol: String): Model = Model(
+    fold = b => graft.operators.Divergence.binCounts(b, binCol),
+    merge = s => graft.operators.Divergence.mergeBinCounts(s))
 }

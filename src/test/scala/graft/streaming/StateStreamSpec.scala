@@ -147,6 +147,30 @@ class StateStreamSpec extends SparkSpec {
       s"$dir/state")) == direct)
   }
 
+  test("PSI drift state: streamed bin counts score bit-equal to batch, " +
+    "compaction-invariant") {
+    // actual = streamed event-value bins; expected = a frozen reference
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events",
+        parallelize = false)
+      .withColumn("bin", floor(col("value") / 10.0).cast("long"))
+    val expected = graft.operators.Divergence.binCounts(
+      ev.filter(col("event_id") % 2 === 0), "bin")
+      .localCheckpoint()
+    val model = StateStream.binCountModel("bin")
+    val dir = Files.createTempDirectory("graft_psi_stream").toString
+    ingestInThirds(ev, model, dir)
+    def score(counts: DataFrame) =
+      graft.operators.Divergence.psiFromCounts(counts, expected)
+        .as[(Long, Long, Long, Double)].head()
+    val direct = score(graft.operators.Divergence.binCounts(ev, "bin"))
+    assert(score(StateStream.current(spark, ev, model,
+      s"$dir/state")) === direct)
+    assert(direct._4 >= 0.0 && !direct._4.isNaN)
+    StateStream.compact(spark, ev, model, s"$dir/state")
+    assert(score(StateStream.current(spark, ev, model,
+      s"$dir/state")) === direct)
+  }
+
   test("a batch id behind the stored state refuses loudly") {
     val model = StateStream.thetaModel(Seq("event_type"), "user_id")
     val dir = Files.createTempDirectory("graft_guard_stream").toString

@@ -195,6 +195,23 @@ object ScaleCheck {
       graft.operators.Streaks.dailyStreaks(
         Tables.load(s, dir, "events"), "user_id", "ts")
     },
+    // the documented trimmed-mean hazard, MEASURED: the exact rank
+    // window over 3 giant keys sorts each key in ONE task, so 10x
+    // volume is a 10x single-task sort (kept measurable, excluded from
+    // the default sweep — the fuzzy_prefix precedent); the sketch path
+    // beside it is the 100 TB shape and must stay flat.
+    "trimmed_exact_fewkeys" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").withColumn("tie",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")))
+      graft.operators.Robust.trimmedMeanByKey(
+        li, "l_returnflag", "l_extendedprice", "tie", 0.1)
+    },
+    "trimmed_sketch" -> { (s, dir) =>
+      graft.operators.Robust.trimmedMeanSketch(
+        Tables.load(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", 0.1)
+    },
     // prefix-gram ED-join: KNOWN super-linear on this corpus (hot-gram
     // buckets on zero-padded sequential names — the finding that led to
     // deletionPairs; see FuzzyJoin scaladoc). Kept measurable, excluded
@@ -430,7 +447,8 @@ object ScaleCheck {
         val logN = math.log(copies.toDouble)
         val lines = heavies
           .filter(h => if (only.isEmpty)
-            h._1 != "fuzzy_prefix" && h._1 != "link_predict_uncapped"
+            h._1 != "fuzzy_prefix" && h._1 != "link_predict_uncapped" &&
+              h._1 != "trimmed_exact_fewkeys"
           else only(h._1))
           .map { case (name, mk) =>
             val tBase = time(spark, runs)(mk(spark, baseDir))

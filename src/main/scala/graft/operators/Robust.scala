@@ -171,6 +171,45 @@ object Robust {
           .as("trimmed_mean"))
   }
 
+  /** The 100 TB path for [[trimmedMeanByKey]]: cut points from ONE
+    * sketch aggregation (`percentile_approx` — mergeable, map-side
+    * combined, no per-key sort anywhere), then the mean of values
+    * inside [lo, hi] as a second conditional decimal aggregate. Two
+    * shuffle-light passes regardless of key cardinality or skew —
+    * exactly the shape the exact form's single-task-per-key window
+    * cannot deliver when keys are few and huge.
+    *
+    * The CUTS are approximate (rank error ~1/accuracy), the MEAN over
+    * the kept band is decimal-exact; values equal to a cut are kept on
+    * both ends (closed interval — the sketch returns data values, so
+    * boundary ties keep whole tie-groups, the winsorize convention).
+    * Not oracle-comparable (sketch internals are engine-specific); the
+    * spec pins it against [[trimmedMeanByKey]] on clean data instead.
+    * Output: key, n, n_kept, trimmed_mean. */
+  def trimmedMeanSketch(df: DataFrame, keyCol: String, valueCol: String,
+      trimFrac: Double, accuracy: Int = 10000): DataFrame = {
+    require(trimFrac >= 0.0 && trimFrac < 0.5,
+      s"trimFrac must be in [0, 0.5), got $trimFrac")
+    val cuts = Quantiles.approxQuantiles(
+        df.filter(col(valueCol).isNotNull), valueCol, Seq(keyCol),
+        Seq(trimFrac, 1.0 - trimFrac), accuracy)
+      .select(col(keyCol), col("qs").getItem(0).as("__lo"),
+        col("qs").getItem(1).as("__hi"))
+    df.filter(col(valueCol).isNotNull)
+      .join(cuts, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        count_if(col(valueCol) >= col("__lo") &&
+          col(valueCol) <= col("__hi")).as("n_kept"),
+        sum(when(col(valueCol) >= col("__lo") &&
+            col(valueCol) <= col("__hi"),
+          col(valueCol).cast("decimal(18,2)"))).as("__s"))
+      .select(col(keyCol), col("n"), col("n_kept"),
+        when(col("n_kept") > 0,
+          col("__s").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"))
+  }
+
   /** Per-key Theil–Sen robust slope (Theil 1950, Sen 1968): the median
     * of all pairwise slopes (y₂−y₁)/(x₂−x₁), with the intercept as the
     * median residual y − slope·x — the regression line a 29%-outlier

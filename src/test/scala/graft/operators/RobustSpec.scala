@@ -131,6 +131,29 @@ class RobustSpec extends SparkSpec {
     assert(trimmed(rows, 0.49)("k") === ((2L, 2L, Some(2.0))))
   }
 
+  test("trimmed mean sketch path tracks the exact form on clean data") {
+    val rows = (1 to 100).map(i => ("k", i.toLong, i.toDouble))
+    val exact = trimmed(rows, 0.1)("k")
+    val sk = Robust.trimmedMeanSketch(
+        rows.toDF("k", "id", "v"), "k", "v", 0.1)
+      .as[(String, Long, Long, Option[Double])].head()
+    assert(sk._2 === 100L)
+    // cuts are approximate (boundary ties keep whole groups): the kept
+    // band and mean must straddle the exact answer tightly
+    assert(math.abs(sk._3 - exact._2) <= 3L, s"kept ${sk._3}")
+    assert(math.abs(sk._4.get - exact._3.get) < 1.5,
+      s"sketch ${sk._4} vs exact ${exact._3}")
+  }
+
+  test("trimmed mean sketch path kills a gross outlier like the exact form") {
+    val rows = (1 to 99).map(i => ("k", i.toLong, i.toDouble)) :+
+      ("k", 100L, 1.0e6)
+    val sk = Robust.trimmedMeanSketch(
+        rows.toDF("k", "id", "v"), "k", "v", 0.1)
+      .as[(String, Long, Long, Option[Double])].head()
+    assert(sk._4.get < 100.0, s"outlier must be cut: ${sk._4}")
+  }
+
   private def theil(rows: Seq[(String, Long, Double, Double)]) =
     Robust.theilSenByKey(rows.toDF("k", "id", "x", "y"), "k", "id", "x", "y")
       .as[(String, Long, Long, Option[Double], Option[Double])]

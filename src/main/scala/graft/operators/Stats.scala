@@ -402,7 +402,9 @@ object Stats {
     * (Σ row_i·col_i), po, pe, kappa (null for the degenerate p_e = 1).
     */
   def cohenKappa(df: DataFrame, keyCol: String, aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
     // the cell frame is consumed by three aggregations (diagonal, row
     // margins, column margins) — retain it so the corpus is scanned
     // ONCE, not once per consumer (the Calibration per-bin-frame
@@ -411,7 +413,7 @@ object Stats {
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(keyCol), col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__c"))
-      .persist()
+    scope.retain(cells)
     val base = cells.groupBy(col(keyCol)).agg(
       sum(col("__c")).as("n"),
       sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
@@ -573,13 +575,15 @@ object Stats {
     * broadcast-sized aggregates of the cell table. Output one row:
     * n, r, c, chi2_micro, v (null when the table is degenerate —
     * a single row or column category). */
-  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
     // retained for the same three-consumer reason as cohenKappa's cells
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__obs"))
-      .persist()
+    scope.retain(cells)
     val rowT = cells.groupBy(col("__a")).agg(sum(col("__obs")).as("__r"))
     val colT = cells.groupBy(col("__b")).agg(sum(col("__obs")).as("__l"))
     val tot = cells.agg(sum(col("__obs")).as("__n"),

@@ -561,7 +561,57 @@ object QueriesFunnel {
        |FROM m""".stripMargin
   }
 
+  // --------------------------------------------------------- rolling trend
+  // Per-user trailing-7-day OLS slope of daily event counts: windowed
+  // decimal partials (one frame, one per-key sort) + the fixed-shape
+  // trendByKey formula per row — "is this user's activity locally
+  // rising, and how fast" next to q_trend's global slope and q_ewma's
+  // direction-free smoothing.
+  private val RollWindow = 7
+  private val RollMin = 3
+
+  def qRollingTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("day_idx",
+        datediff(col("day").cast("date"), lit("1970-01-01").cast("date")))
+    graft.operators.Stats.rollingTrend(daily, "user_id", "day",
+        "day_idx", "cnt", RollWindow, RollMin)
+      // DATE output on both sides (DuckDB's date_trunc('day') is a DATE)
+      .select(col("user_id"), col("day").cast("date").as("day"),
+        col("n_win"), col("slope"))
+  }
+
+  val qRollingTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |d2 AS (SELECT user_id, day,
+       |  CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+       |    AS DECIMAL(18,2)) AS x,
+       |  CAST(cnt AS DECIMAL(18,2)) AS y FROM daily),
+       |ws AS (SELECT user_id, day,
+       |  count(*) OVER w AS n,
+       |  sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+       |  sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+       |  FROM d2
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN ${RollWindow - 1} PRECEDING AND CURRENT ROW))
+       |SELECT user_id, CAST(day AS DATE) AS day, CAST(n AS BIGINT) AS n_win,
+       |  CASE WHEN n >= $RollMin
+       |    AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |  END AS slope
+       |FROM ws""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_trend" -> (qRollingTrend _),
     "q_ccf" -> (qCcf _),
     "q_acf" -> (qAcf _),
     "q_funnel" -> (qFunnel _),
@@ -579,6 +629,7 @@ object QueriesFunnel {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_rolling_trend" -> qRollingTrendSql,
     "q_ccf" -> qCcfSql,
     "q_acf" -> qAcfSql,
     "q_funnel" -> qFunnelSql,

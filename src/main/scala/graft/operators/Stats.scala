@@ -146,6 +146,43 @@ object Stats {
       when(denom > 0.0, (sy - slope * sx) / n).as("intercept"))
   }
 
+  /** Per-row ROLLING OLS trend: for every row, the slope of y on x over
+    * the trailing `window` rows of its key (ordered by `orderCol`) —
+    * the "is this metric locally rising?" readout next to the global
+    * [[trendByKey]] and the smoothing EWMA (a slope answers direction
+    * AND rate; an average answers neither).
+    *
+    * Same exactness contract as trendByKey, windowed: all five decimal
+    * partial sums ride ONE frame (rowsBetween(-(window-1), 0)) over one
+    * per-key sort, and the slope is the fixed-shape double formula per
+    * row — order-independent within the frame because decimal addition
+    * commutes. Rows with fewer than `minRows` trailing points emit a
+    * null slope (a 2-point "trend" is noise; callers pick the floor).
+    * Output: input columns + n_win + slope. */
+  def rollingTrend(df: DataFrame, keyCol: String, orderCol: String,
+      xCol: String, yCol: String, window: Int, minRows: Int = 3)
+      : DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minRows >= 2 && minRows <= window,
+      s"minRows must be in [2, window], got $minRows")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(window - 1), 0)
+    val n = count(lit(1)).over(w)
+    val sx = sum(d(col(xCol))).over(w)
+    val sy = sum(d(col(yCol))).over(w)
+    val sxy = sum(d(col(xCol)) * d(col(yCol))).over(w)
+    val sxx = sum(d(col(xCol)) * d(col(xCol))).over(w)
+    val nD = n.cast("double")
+    val denom = nD * sxx.cast("double") -
+      sx.cast("double") * sx.cast("double")
+    val slope = (nD * sxy.cast("double") -
+      sx.cast("double") * sy.cast("double")) / denom
+    df.withColumn("n_win", n)
+      .withColumn("slope",
+        when(n >= minRows && denom > 0.0, slope))
+  }
+
   /** Per-key Welch two-sample comparison (the A/B-test workhorse: unequal
     * variances, unequal n): rows in group `a` vs group `b` of `groupCol`,
     * compared on `valueCol` within each `keyCol`. Same exactness contract

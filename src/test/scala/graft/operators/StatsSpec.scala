@@ -339,6 +339,30 @@ class StatsSpec extends SparkSpec {
     assert(out._5 === 1.0 && out._6 === 1.0 && out._7.isEmpty)
   }
 
+  test("rollingTrend: exact slopes over a trailing frame") {
+    // y = 2x: every full frame has slope exactly 2; short frames null
+    val rows = (1 to 6).map(i => ("k", i.toLong, i.toDouble, 2.0 * i))
+    val out = Stats.rollingTrend(rows.toDF("k", "t", "x", "y"),
+        "k", "t", "x", "y", window = 3, minRows = 3)
+      .select("t", "n_win", "slope")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1L, None)) && out(2L) === ((2L, None)))
+    (3L to 6L).foreach(t => assert(out(t) === ((3L, Some(2.0))), s"t=$t"))
+  }
+
+  test("rollingTrend: the window is trailing — a level shift fades out") {
+    // y jumps at t=4; slope at t=6 sees only the flat tail
+    val ys = Seq(0.0, 0.0, 0.0, 10.0, 10.0, 10.0)
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      ("k", (i + 1).toLong, (i + 1).toDouble, y) }
+    val out = Stats.rollingTrend(rows.toDF("k", "t", "x", "y"),
+        "k", "t", "x", "y", window = 3, minRows = 3)
+      .select("t", "slope").as[(Long, Option[Double])].collect().toMap
+    assert(out(3L) === Some(0.0) && out(6L) === Some(0.0))
+    assert(out(4L).get > 0.0 && out(5L).get > 0.0)
+  }
+
   test("mcnemar: hand-computed discordant cells") {
     // pairs: (1,0)x6, (0,1)x2, (1,1)x5, (0,0)x3 -> b=6 c=2
     // chi2 = 16/8 = 2.0

@@ -517,15 +517,23 @@ object Stats {
     * group: key, n_subjects, n_excluded, a_sum, b_sum, p_bar, p_e,
     * kappa (null when P̄_e = 1). */
   def fleissKappa(df: DataFrame, keyCol: String, subjectCol: String,
-      categoryCol: String, raters: Int): DataFrame = {
+      categoryCol: String, raters: Int,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
     require(raters >= 2, s"raters must be >= 2, got $raters")
-    val cnt = df
+    // cnt feeds the per-subject moments AND the category totals;
+    // perSubject feeds eligibility AND exclusion counting. Without
+    // retention each consumer re-derives from the corpus (a measured
+    // 8 parquet scans in the query plan); both frames are
+    // subject-bounded (≈ input/r rows), far below corpus size.
+    val cnt = scope.retain(df
       .filter(col(subjectCol).isNotNull && col(categoryCol).isNotNull)
       .groupBy(col(keyCol), col(subjectCol), col(categoryCol))
-      .agg(count(lit(1)).as("__nij"))
-    val perSubject = cnt.groupBy(col(keyCol), col(subjectCol))
+      .agg(count(lit(1)).as("__nij")))
+    val perSubject = scope.retain(cnt
+      .groupBy(col(keyCol), col(subjectCol))
       .agg(sum(col("__nij")).as("__r"),
-        sum(col("__nij") * col("__nij")).as("__sq"))
+        sum(col("__nij") * col("__nij")).as("__sq")))
     val eligible = perSubject.filter(col("__r") === raters)
     val excluded = perSubject.groupBy(col(keyCol))
       .agg(count_if(col("__r") =!= raters).as("n_excluded"))

@@ -841,6 +841,14 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"lineitem + orders, got $scans:\n$p")
   }
 
+  test("q_fleiss_kappa consumers read the retained subject frames") {
+    val p = plan("q_fleiss_kappa")
+    // cnt and perSubject are CacheScope-retained: their multiple
+    // consumers must hit the cache, not re-derive from the corpus
+    assert(p.contains("InMemoryTableScan"),
+      s"fleiss frames must be cache-served:\n$p")
+  }
+
   test("q_hits: scalar maxes broadcast; score joins never loop") {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct"), s"no cartesian in HITS:\n$p")

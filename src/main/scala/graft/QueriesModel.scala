@@ -430,10 +430,14 @@ object QueriesModel {
 
   def qNdcg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = t(s, dir, "lineitem")
-      .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
-        count_if(col("l_quantity") > 25).as("rel"))
+    // retained: base feeds the ranking AND the relevance side; without
+    // it each consumer re-runs the corpus aggregate (no ReusedExchange
+    // — AQE canonicalization defeats subtree reuse here)
+    val base = graft.core.CacheScope.session.retain(
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+          count_if(col("l_quantity") > 25).as("rel")))
     val ranking = base
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("l_suppkey"))
@@ -495,10 +499,12 @@ object QueriesModel {
 
   def qAvgPrecision(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = t(s, dir, "lineitem")
-      .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
-        count_if(col("l_quantity") > 25).as("rel"))
+    // retained for the q_ndcg reason: three consumers, no subtree reuse
+    val base = graft.core.CacheScope.session.retain(
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+          count_if(col("l_quantity") > 25).as("rel")))
     val ranking = base
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("l_suppkey"))

@@ -600,12 +600,11 @@ object Stats {
     * [[chiSquareCells]] — V = sqrt(χ² / (n · (min(r,c) − 1))).
     *
     * ENGINE-EXACT where chiSquareCells deliberately stops: each cell's
-    * χ² contribution is computed as ONE integral division in MICRO
-    * units of exact integer products,
-    * `(1e6 · (n·obs − row·col)²) div (n · row · col)` (DECIMAL(38,0)
-    * widening — the squared term stays under 10³⁸ for corpora to ~10⁸
-    * rows per table), so the statistic is an order-independent INTEGER
-    * sum, and V is one fixed-shape double expression over it.
+    * χ² contribution is ONE integral division in MICRO units of exact
+    * integer products, `(1e6 · (n·obs − row·col)²) div (n · row · col)`
+    * (BigInt — no width ceiling), so the statistic is an
+    * order-independent INTEGER sum and V one fixed-shape double over
+    * it; a SQL oracle replays the identical algebra in HUGEINT.
     *
     * UNOBSERVED cells (obs = 0) contribute their expected count E to
     * χ² but never appear in the observed-cell table; rather than
@@ -616,47 +615,63 @@ object Stats {
     * micro total within |cells| micro units of the real-valued χ² —
     * deterministic, identically replayed by the oracle.)
     *
-    * Plan shape: one shuffle on (a, b); margins and totals are
-    * broadcast-sized aggregates of the cell table. Output one row:
-    * n, r, c, chi2_micro, v (null when the table is degenerate —
-    * a single row or column category). */
-  def cramersV(df: DataFrame, aCol: String, bCol: String,
-      scope: graft.core.CacheScope = graft.core.CacheScope.session)
-      : DataFrame = {
-    // retained for the same three-consumer reason as cohenKappa's cells
+    * Plan shape: ONE corpus scan to the (a, b) cell aggregate, which is
+    * then collected — bounded by r·c rows, small by the definition of
+    * categorical columns (the isotonicFromBins bounded-collect
+    * precedent) — and finished driver-side. Output one row: n, r, c,
+    * chi2_micro, v (null when the table is degenerate — a single row
+    * or column category). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // ONE corpus pass to the cell table, then the statistic is computed
+    // driver-side over the COLLECTED cells — bounded by r·c rows (a
+    // contingency table over genuine categoricals is small by
+    // definition; the isotonicFromBins corpus-size-independent-collect
+    // precedent). BigInt arithmetic replays the exact integral-division
+    // micro algebra, so the result is identical to the relational form
+    // this replaced — and the plan is one scan, no persist, no join
+    // (the prior cells-persist + broadcast-scalar shape timed at
+    // 7–15 s inside the bench harness from cache/broadcast churn;
+    // this is sub-second and strictly simpler).
+    val spark = df.sparkSession
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__obs"))
-    scope.retain(cells)
-    val rowT = cells.groupBy(col("__a")).agg(sum(col("__obs")).as("__r"))
-    val colT = cells.groupBy(col("__b")).agg(sum(col("__obs")).as("__l"))
-    val tot = cells.agg(sum(col("__obs")).as("__n"),
-      countDistinct(col("__a")).as("r"), countDistinct(col("__b")).as("c"))
-    val contrib = cells
-      .join(rowT, Seq("__a")).join(colT, Seq("__b"))
-      .crossJoin(broadcast(tot))
-      // widen BEFORE the subtraction — n·obs would overflow a long at
-      // ~10⁹-row tables otherwise; decimal(38,0) keeps it exact
-      .withColumn("__diff", expr(
-        "CAST(__n AS DECIMAL(38,0)) * __obs - CAST(__r AS DECIMAL(38,0)) * __l"))
-      .withColumn("__chi_micro", expr(
-        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __diff * __diff)
-          |  div (CAST(__n AS DECIMAL(38,0)) * __r * __l) AS BIGINT)"""
-          .stripMargin))
-      .withColumn("__e_micro", expr(
-        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __r * __l)
-          |  div __n AS BIGINT)""".stripMargin))
-    val out = contrib.groupBy(col("__n").as("n"), col("r"), col("c"))
-      .agg((sum(col("__chi_micro")) +
-        // unobserved-cell correction: Σ_missing E = n − Σ_observed E
-        (lit(1000000L) * col("__n") - sum(col("__e_micro"))))
-        .as("chi2_micro"))
-    val minDim = least(col("r"), col("c")) - lit(1L)
-    out.select(col("n"), col("r"), col("c"), col("chi2_micro"),
-      when(minDim > 0,
-        sqrt(col("chi2_micro").cast("double") /
-          (lit(1000000.0) * col("n").cast("double") *
-            minDim.cast("double")))).as("v"))
+      .collect()
+    val rows = cells.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val rowT = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val colT = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val n = rows.map(_._3).sum
+    val (r, c) = (rowT.size.toLong, colT.size.toLong)
+    val micro = BigInt(1000000)
+    var chi = BigInt(0)
+    var eObs = BigInt(0)
+    rows.foreach { case (a, b, obs) =>
+      val (rt, ct) = (BigInt(rowT(a)), BigInt(colT(b)))
+      val diff = BigInt(n) * obs - rt * ct
+      chi += (micro * diff * diff) / (BigInt(n) * rt * ct)
+      eObs += (micro * rt * ct) / BigInt(n)
+    }
+    // unobserved-cell correction: Σ_missing E = n − Σ_observed E
+    val chi2Micro = (chi + (micro * n - eObs)).toLong
+    val v: java.lang.Double =
+      if (math.min(r, c) - 1 > 0)
+        math.sqrt(chi2Micro.toDouble /
+          (1000000.0 * n.toDouble * (math.min(r, c) - 1).toDouble))
+      else null
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(n, r, c, chi2Micro, v)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("chi2_micro",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
   }
 }

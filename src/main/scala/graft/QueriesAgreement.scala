@@ -427,7 +427,36 @@ object QueriesAgreement {
       |FROM nk LEFT JOIN inter ON nk.k = inter.k""".stripMargin
 
 
+  // ------------------------------------------------------- weighted ess
+  // Quantity-weighted mean price per returnflag with Kish's effective
+  // sample size — the importance-weighting health check (ESS collapses
+  // toward 1 under weight concentration regardless of row count).
+  def qWeightedEss(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.weightedMeanEss(t(s, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice", "l_quantity")
+
+  val qWeightedEssSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag AS k, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sw,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_quantity AS DECIMAL(18,2))) AS sww,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))
+      |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS swx
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |    AND l_quantity > 0
+      |  GROUP BY 1)
+      |SELECT k AS l_returnflag, n,
+      |  CASE WHEN CAST(sw AS DOUBLE) > 0.0
+      |    THEN CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) END AS wmean,
+      |  CASE WHEN CAST(sww AS DOUBLE) > 0.0
+      |    THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+      |      / CAST(sww AS DOUBLE) END AS ess
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_ess" -> (qWeightedEss _),
     "q_kappa" -> (qKappa _),
     "q_mcnemar" -> (qMcnemar _),
     "q_psi" -> (qPsi _),
@@ -441,6 +470,7 @@ object QueriesAgreement {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_weighted_ess" -> qWeightedEssSql,
     "q_kappa" -> qKappaSql,
     "q_mcnemar" -> qMcnemarSql,
     "q_psi" -> qPsiSql,

@@ -171,6 +171,37 @@ object Robust {
           .as("trimmed_mean"))
   }
 
+  /** Per-key weighted mean with Kish's effective sample size (Kish
+    * 1965): ESS = (Σw)²/Σw² — the "how many equal-weight samples is
+    * this weighted estimate actually worth" number read next to every
+    * importance-weighted metric (DSIR weights, inverse-propensity
+    * scores, quality-weighted sampling): heavy weight concentration
+    * drives ESS toward 1 no matter how many rows went in.
+    *
+    * ENGINE-EXACT: Σw, Σw², Σwx accumulate as DECIMAL(18,2) products
+    * (order-independent); the mean and ESS are fixed-shape double
+    * divisions. Rows with null/non-positive weight or null value are
+    * excluded. One aggregation pass, no window, no join. Output: key,
+    * n, wmean, ess (null mean/ess when the key has no mass). */
+  def weightedMeanEss(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val dw = col(weightCol).cast("decimal(18,2)")
+    val dv = col(valueCol).cast("decimal(18,2)")
+    val agg = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n"),
+        sum(dw).as("sw"), sum(dw * dw).as("sww"),
+        sum(dw * dv).as("swx"))
+    val sw = col("sw").cast("double")
+    val sww = col("sww").cast("double")
+    val swx = col("swx").cast("double")
+    agg.select(col(keyCol), col("n"),
+      when(sw > 0.0, swx / sw).as("wmean"),
+      when(sww > 0.0, sw * sw / sww).as("ess"))
+  }
+
   /** The 100 TB path for [[trimmedMeanByKey]]: cut points from ONE
     * sketch aggregation (`percentile_approx` — mergeable, map-side
     * combined, no per-key sort anywhere), then the mean of values

@@ -131,6 +131,38 @@ class RobustSpec extends SparkSpec {
     assert(trimmed(rows, 0.49)("k") === ((2L, 2L, Some(2.0))))
   }
 
+  test("weightedMeanEss: hand-computed mean and Kish ESS") {
+    // weights 1,1,2 on values 10,20,40: wmean = (10+20+80)/4 = 27.5
+    // ESS = 16/6 = 2.666...; equal weights would give ESS = n = 3
+    val rows = Seq(("k", 10.0, 1.0), ("k", 20.0, 1.0), ("k", 40.0, 2.0))
+    val out = Robust.weightedMeanEss(rows.toDF("k", "v", "w"),
+        "k", "v", "w")
+      .as[(String, Long, Option[Double], Option[Double])].head()
+    assert(out._2 === 3L && out._3 === Some(27.5))
+    assert(math.abs(out._4.get - 16.0 / 6.0) < 1e-12)
+  }
+
+  test("weightedMeanEss: one dominating weight collapses ESS toward 1") {
+    val rows = (1 to 100).map(i => ("k", i.toDouble, 0.01)) :+
+      ("k", 5.0, 1000.0)
+    val out = Robust.weightedMeanEss(rows.toDF("k", "v", "w"),
+        "k", "v", "w")
+      .as[(String, Long, Option[Double], Option[Double])].head()
+    assert(out._2 === 101L && out._4.get < 1.01)
+    // the 100 tiny weights hold 1 of 1001 units of mass:
+    // wmean = (50.5 + 5000) / 1001 exactly
+    assert(out._3 === Some(5050.5 / 1001.0))
+  }
+
+  test("weightedMeanEss: non-positive weights and nulls are excluded") {
+    val rows = Seq(("k", Some(1.0), Some(2.0)), ("k", Some(9.0), Some(0.0)),
+      ("k", Some(9.0), None), ("k", None, Some(3.0)))
+    val out = Robust.weightedMeanEss(rows.toDF("k", "v", "w"),
+        "k", "v", "w")
+      .as[(String, Long, Option[Double], Option[Double])].head()
+    assert(out._2 === 1L && out._3 === Some(1.0))
+  }
+
   test("trimmed mean sketch path tracks the exact form on clean data") {
     val rows = (1 to 100).map(i => ("k", i.toLong, i.toDouble))
     val exact = trimmed(rows, 0.1)("k")

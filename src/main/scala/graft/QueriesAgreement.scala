@@ -455,7 +455,70 @@ object QueriesAgreement {
       |      / CAST(sww AS DOUBLE) END AS ess
       |FROM a""".stripMargin
 
+  // ------------------------------------------------- kendall (sampled)
+  // The U-statistic escape hatch measured against corpus-sized keys:
+  // per event_type (~2k rows/key at sf0.01 — a "huge" key for a
+  // quadratic pair join), hash-subsample rows at 5% (md5-bucket,
+  // engine-replayable) and run the EXACT tau-b machinery on the sample
+  // — pair work drops (rate)² = 400×. The oracle replays the identical
+  // sample decision (hex-fold of md5) and the identical pair algebra.
+  private val KendallSampleRate = 0.05
+  private val KendallKeep =
+    (KendallSampleRate * QueriesText.SampleBuckets).toLong
+
+  def qKendallSampled(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.kendallSampledByKey(
+      t(s, dir, "events"), "event_type", "event_id", "value", "user_id",
+      KendallSampleRate, QueriesText.SampleBuckets)
+
+  val qKendallSampledSql: String =
+    s"""WITH base AS (SELECT event_type AS k, event_id AS id,
+       |    value AS x, user_id AS y
+       |  FROM events
+       |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_id IS NOT NULL),
+       |nf AS (SELECT k, CAST(count(*) AS BIGINT) AS n_full
+       |  FROM base GROUP BY 1),
+       |sb AS (SELECT * FROM base
+       |  WHERE ${QueriesText.sqlHexFold("id")}
+       |    % ${QueriesText.SampleBuckets} < $KendallKeep),
+       |p AS (SELECT a.k,
+       |    CAST(count(*) FILTER ((a.x < b.x AND a.y < b.y)
+       |      OR (a.x > b.x AND a.y > b.y)) AS BIGINT) AS nc,
+       |    CAST(count(*) FILTER ((a.x < b.x AND a.y > b.y)
+       |      OR (a.x > b.x AND a.y < b.y)) AS BIGINT) AS nd
+       |  FROM sb a JOIN sb b ON a.k = b.k AND a.id < b.id
+       |  GROUP BY 1),
+       |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM sb GROUP BY 1),
+       |txc AS (SELECT k, CAST(sum((g * (g - 1)) // 2) AS BIGINT) AS tx
+       |  FROM (SELECT k, x, count(*) AS g FROM sb GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |tyc AS (SELECT k, CAST(sum((g * (g - 1)) // 2) AS BIGINT) AS ty
+       |  FROM (SELECT k, y, count(*) AS g FROM sb GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT nf.k AS event_type, n_full,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n,
+       |  CAST((coalesce(n, 0) * (coalesce(n, 0) - 1)) // 2 AS BIGINT)
+       |    AS n_pairs,
+       |  CAST(coalesce(nc, 0) AS BIGINT) AS nc,
+       |  CAST(coalesce(nd, 0) AS BIGINT) AS nd,
+       |  CAST(coalesce(tx, 0) AS BIGINT) AS tx,
+       |  CAST(coalesce(ty, 0) AS BIGINT) AS ty,
+       |  CASE WHEN CAST(n * (n - 1) AS DOUBLE) / 2.0 - CAST(tx AS DOUBLE)
+       |         > 0.0
+       |        AND CAST(n * (n - 1) AS DOUBLE) / 2.0 - CAST(ty AS DOUBLE)
+       |         > 0.0 THEN
+       |    CAST(coalesce(nc, 0) - coalesce(nd, 0) AS DOUBLE)
+       |    / (sqrt(CAST(n * (n - 1) AS DOUBLE) / 2.0 - CAST(tx AS DOUBLE))
+       |     * sqrt(CAST(n * (n - 1) AS DOUBLE) / 2.0 - CAST(ty AS DOUBLE)))
+       |  END AS tau_b
+       |FROM nf LEFT JOIN nk ON nf.k = nk.k
+       |  LEFT JOIN p ON nf.k = p.k
+       |  LEFT JOIN txc ON nf.k = txc.k
+       |  LEFT JOIN tyc ON nf.k = tyc.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kendall_sampled" -> (qKendallSampled _),
     "q_weighted_ess" -> (qWeightedEss _),
     "q_kappa" -> (qKappa _),
     "q_mcnemar" -> (qMcnemar _),
@@ -470,6 +533,7 @@ object QueriesAgreement {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_kendall_sampled" -> qKendallSampledSql,
     "q_weighted_ess" -> qWeightedEssSql,
     "q_kappa" -> qKappaSql,
     "q_mcnemar" -> qMcnemarSql,

@@ -593,7 +593,7 @@ object QueriesFunnel {
        |    AS DECIMAL(18,2)) AS x,
        |  CAST(cnt AS DECIMAL(18,2)) AS y FROM daily),
        |ws AS (SELECT user_id, day,
-       |  count(*) OVER w AS n,
+       |  count(x) OVER w AS n,
        |  sum(x) OVER w AS sx, sum(y) OVER w AS sy,
        |  sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
        |  FROM d2

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.similarity.CosineSearch
+
+/** Dev harness for the ANN quality/cost trade: recall@k of [[CosineSearch
+  * .ivfTopK]] against [[CosineSearch.bruteForceTopK]] over a query
+  * sample, swept across nProbe — the table that picks the 100 TB search
+  * parameters (scaladoc contract on ivfTopK: "measure the trade ...
+  * before settling 100 TB parameters"; this is that measurement,
+  * committed). Results land in NOTES.md next to the scalecheck rows.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.RecallProbe [k] [nQueries]
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = if (args.length > 0) args(0).toInt else 10
+    val nQueries = if (args.length > 1) args(1).toInt else 200
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val nVecs = e.count()
+    // deterministic query sample + the 16-centroid book the registry uses
+    val queries = e.filter(
+      graft.operators.Sampling.hashBucket(col("vec_id"), 10000) <
+        (nQueries.toDouble / nVecs.toDouble * 10000).ceil.toLong)
+    val centroids = e.filter(col("vec_id") < 16)
+    val exact = CosineSearch.bruteForceTopK(e, queries, "vec_id",
+      "embedding", k).localCheckpoint()
+    val nQ = queries.count()
+    println(s"corpus=$nVecs queries=$nQ k=$k centroids=16 dir=$sfDir")
+    Seq(1, 2, 4, 8).foreach { nProbe =>
+      val t0 = System.nanoTime()
+      val approx = CosineSearch.ivfTopK(e, centroids, queries,
+        "vec_id", "embedding", "vec_id", k, nProbe).localCheckpoint()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = CosineSearch.recallAtK(exact, approx)
+      println(f"""{"nProbe":$nProbe,"recall_at_$k":$recall%.4f,"search_sec":$sec%.3f}""")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -398,6 +398,43 @@ object ScaleCheck {
         graft.core.BloomIndex.build(s, s"$dir/lineitem.parquet",
             "l_orderkey", expectedItemsPerFile = 200000L)
           .write.format("noop").mode("overwrite").save()),
+    // incremental ANN index growth: a 5% batch scored against a
+    // MAINTAINED corpus assignment (prep builds + persists it, untimed)
+    // — the continuous-ingest path. Read next to ivf_rebuild below: the
+    // rebuild re-assigns the whole corpus per batch, the incremental
+    // form touches the corpus only through the bucket join, so at any
+    // scale the incremental row must be a small fraction of the rebuild
+    // row AND stay linear itself.
+    ("ivf_incremental",
+      (s, dir, scratch) => {
+        val e = Tables.load(s, dir, "embeddings")
+        graft.similarity.CosineSearch.ivfAssign(
+            e.filter(col("vec_id") % 20 =!= 0),
+            e.filter(col("vec_id") < 16),
+            "vec_id", "embedding", "vec_id")
+          .write.mode("overwrite").parquet(s"$scratch/assigned")
+      },
+      (s, dir, scratch) => {
+        val e = Tables.load(s, dir, "embeddings")
+        graft.similarity.CosineSearch.ivfNearDupPairsIncremental(
+            e.filter(col("vec_id") % 20 === 0),
+            s.read.parquet(s"$scratch/assigned"),
+            e.filter(col("vec_id") < 16),
+            "vec_id", "embedding", "vec_id", threshold = 0.35)
+          .write.format("noop").mode("overwrite").save()
+      }),
+    // the same batch handled by FULL REBUILD (re-assign corpus+batch,
+    // all pairs touching anything) — the baseline the incremental row
+    // is measured against.
+    ("ivf_rebuild",
+      (_, _, _) => (),
+      (s, dir, _) => {
+        val e = Tables.load(s, dir, "embeddings")
+        graft.similarity.CosineSearch.ivfNearDupPairs(
+            e, e.filter(col("vec_id") < 16),
+            "vec_id", "embedding", "vec_id", threshold = 0.35)
+          .write.format("noop").mode("overwrite").save()
+      }),
     // merge-on-read read path: 4 delta versions + a corpus-scale
     // equality-delete version (12.5% of rows by composite key), read
     // through the sequence-number anti-join. Prep (table build) is

@@ -47,7 +47,8 @@ object Calibration {
     * no rows contributes nothing to ECE by definition).
     *
     * `labelCol` must be 0/1; `scoreMicroCol` integral in [0, 1e6]
-    * (1e6 lands in the top bin via the `least` clamp). */
+    * (1e6 lands in the top bin via the `least` clamp; out-of-range
+    * scores raise instead of skewing the readout). */
   def reliability(df: DataFrame, scoreMicroCol: String, labelCol: String,
       bins: Int, scope: CacheScope = CacheScope.session): DataFrame =
     reliabilityFromCounts(binCounts(df, scoreMicroCol, labelCol, bins),
@@ -61,9 +62,18 @@ object Calibration {
   def binCounts(df: DataFrame, scoreMicroCol: String, labelCol: String,
       bins: Int): DataFrame =
     df.groupBy(
-        least(
-          expr(s"CAST($scoreMicroCol AS BIGINT) * $bins div ${Micro}L"),
-          lit((bins - 1).toLong))
+        // contract guard: score_micro ∈ [0, 1e6]. The `least` clamp puts
+        // exactly 1e6 in the top bin; anything OUTSIDE the range raises
+        // at scan time (raise_error is codegen'd, happy path unchanged)
+        // instead of minting negative/overflow bin ids that silently
+        // pollute the reliability table and ECE.
+        when(col(scoreMicroCol) < 0L || col(scoreMicroCol) > Micro,
+          raise_error(concat(
+            lit(s"binCounts: $scoreMicroCol out of [0, 1e6]: "),
+            col(scoreMicroCol).cast("string"))))
+          .otherwise(least(
+            expr(s"CAST($scoreMicroCol AS BIGINT) * $bins div ${Micro}L"),
+            lit((bins - 1).toLong)))
           .cast("int").as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col(labelCol).cast("long")).as("n_pos"),
@@ -165,10 +175,17 @@ object Calibration {
     * cal_* from its pooled block; cal_p is non-decreasing in bin.
     * Join back on the same bin expression to calibrate scores (see
     * [[calibrate]]). */
-  def isotonicFromBins(reliability: DataFrame): DataFrame = {
+  def isotonicFromBins(reliability: DataFrame,
+      maxBins: Int = graft.core.BoundedCollect.DefaultMaxCells)
+      : DataFrame = {
     val spark = reliability.sparkSession
-    val bins = reliability.select("bin", "n", "n_pos")
-      .collect()
+    // guarded collect: the bin table is ≤ `bins` rows by contract; the
+    // cap surfaces a caller passing a per-row frame instead of a
+    // reliability table (same guard family as Stats.cramersV).
+    val bins = graft.core.BoundedCollect.rows(
+        reliability.select("bin", "n", "n_pos"),
+        maxBins,
+        "isotonicFromBins reliability bins")
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     // PAV: pool while the previous block's rate EXCEEDS the next's

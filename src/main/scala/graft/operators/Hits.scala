@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * textbook L2) is deliberate: max() is an order-INDEPENDENT reduction
   * and needs no sqrt, so the whole iteration stays inside the repo's
   * engine-exact contract — each per-edge contribution is float-
-  * quantized and summed as 2^48 fixed-point BIGINT (the PageRank
-  * parity idiom, see PageRank.scala scaladoc for the capacity
-  * argument), every division is one correctly-rounded IEEE op, and the
+  * quantized to 2^48 fixed-point and summed as DECIMAL(38,0) (the
+  * PageRank parity idiom widened: unnormalized hub ≡ 1 totals grow
+  * with in-degree, so BIGINT's ~32k-contribution headroom is not
+  * enough on crawl-scale graphs; decimal holds ~3.5e23 per node,
+  * matching the oracle's HUGEINT), every division is one
+  * correctly-rounded IEEE op, and the
   * scores hash-compare across engines. Max-normalized HITS converges
   * to the same principal eigenvectors up to scale.
   *
@@ -73,16 +76,23 @@ object Hits {
   private def halfStep(e: DataFrame, in: DataFrame, fromCol: String,
       toCol: String, inName: String, outName: String): DataFrame = {
     val fp = PageRank.FpScale
+    // per-node totals sum as DECIMAL(38,0), not BIGINT: with hub ≡ 1 the
+    // round-1 auth total is in_degree·2^48 (unnormalized — PageRank's
+    // damped-mass ~32k-unit capacity argument does NOT apply), so a node
+    // with in-degree > ~32k would silently wrap a long. DECIMAL(38,0)
+    // holds ~3.5e23 contributions per node and is what the oracle's
+    // sum(BIGINT) already does (DuckDB widens to HUGEINT).
     val contribs = e
       .join(in, e(fromCol) === in("node"))
       .select(e(toCol).as("__to"),
         (col(inName).cast("float").cast("double") * lit(fp))
-          .cast("long").as("__c"))
+          .cast("long").cast("decimal(38,0)").as("__c"))
       .groupBy(col("__to")).agg(sum(col("__c")).as("__s"))
     val raw = in.select(col("node"))
       .join(contribs, in("node") === contribs("__to"), "left")
       .select(col("node"),
-        (coalesce(col("__s"), lit(0L)).cast("double") / lit(fp))
+        (coalesce(col("__s"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")).cast("double") / lit(fp))
           .as("__raw"))
     val mx = raw.agg(max(col("__raw")).as("__mx"))
     raw.crossJoin(broadcast(mx))

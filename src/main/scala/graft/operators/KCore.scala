@@ -67,10 +67,20 @@ object KCore {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val bad = badNodes(cur, k)
-      if (bad.isEmpty) done = true
-      else {
+      // pin the node-sized removal set: lazily, the SAME degree
+      // aggregate runs twice per round — once for the isEmpty probe and
+      // again inside removeNodes' anti-join subtree when the next
+      // generation materializes (~3 edge scans/round, measured). The
+      // eager checkpoint makes it one agg + one removal scan per round
+      // (the HITS half-generation precedent; bad is node-sized, cheap
+      // to hold and released as soon as the next generation is pinned).
+      val bad = badNodes(cur, k).localCheckpoint()
+      if (bad.isEmpty) {
+        graft.core.Checkpoints.releaseLocal(bad)
+        done = true
+      } else {
         val next = removeNodes(cur, bad).localCheckpoint()
+        graft.core.Checkpoints.releaseLocal(bad)
         graft.core.Checkpoints.releaseLocal(cur)
         cur = next
         iter += 1
@@ -111,10 +121,13 @@ object KCore {
       var iter = 0
       var done = false
       while (!done && iter < maxIter) {
-        val bad = badNodes(cur, k)
-        if (bad.isEmpty) done = true
-        else {
+        val bad = badNodes(cur, k).localCheckpoint()
+        if (bad.isEmpty) {
+          graft.core.Checkpoints.releaseLocal(bad)
+          done = true
+        } else {
           val next = removeNodes(cur, bad).localCheckpoint()
+          graft.core.Checkpoints.releaseLocal(bad)
           graft.core.Checkpoints.releaseLocal(cur)
           cur = next
           iter += 1

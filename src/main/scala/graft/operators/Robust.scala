@@ -125,6 +125,47 @@ object Robust {
         .as("tau_b"))
   }
 
+  /** The 100 TB path for [[kendallByKey]]: the documented U-statistic
+    * subsample escape hatch as CODE. τ_b is a U-statistic, so computing
+    * it exactly over a uniform row subsample of each key estimates the
+    * full-key τ_b unbiased — and turns the Θ(n_k²) pair join into
+    * Θ((rate·n_k)²), a 10⁴× pair reduction at rate 0.01.
+    *
+    * The subsample is [[Sampling.hashSample]] on `idCol` — per-ROW
+    * md5-bucket decisions, so the selection is deterministic across
+    * runs, partitionings, and engines (a SQL oracle replays it exactly;
+    * `df.sample`'s per-partition RNG could not). Everything downstream
+    * is [[kendallByKey]] verbatim: exact integer pair counts over the
+    * SAMPLED rows, one fixed-shape double.
+    *
+    * Output: key, n_full (pre-sample row count — the estimate's
+    * population), n, n_pairs (= n(n−1)/2, the pair count the estimate
+    * actually used), nc, nd, tx, ty, tau_b. Keys whose rows are all
+    * sampled away keep their n_full row with n = 0 and null tau_b
+    * (surface, don't drop). */
+  def kendallSampledByKey(df: DataFrame, keyCol: String, idCol: String,
+      xCol: String, yCol: String, rate: Double,
+      buckets: Int = 10000): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"rate must be in (0, 1], got $rate")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(idCol).isNotNull)
+    val nFull = base.groupBy(col(keyCol)).agg(count(lit(1)).as("n_full"))
+    val sampled = base.filter(Sampling.hashSample(col(idCol), rate, buckets))
+    val ns = coalesce(col("n"), lit(0L))
+    nFull.join(kendallByKey(sampled, keyCol, idCol, xCol, yCol),
+        Seq(keyCol), "left")
+      .select(col(keyCol), col("n_full"),
+        ns.as("n"),
+        // n(n−1) is even; shiftright is the exact integral halving
+        shiftright(ns * (ns - lit(1L)), 1).as("n_pairs"),
+        coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nd"), lit(0L)).as("nd"),
+        coalesce(col("tx"), lit(0L)).as("tx"),
+        coalesce(col("ty"), lit(0L)).as("ty"),
+        col("tau_b"))
+  }
+
   /** Per-key trimmed mean: the mean of the values BETWEEN the lower and
     * upper `trimFrac` quantile ranks — the robust location estimate
     * between the median (50% trim) and the mean (0%), standard for
@@ -240,6 +281,46 @@ object Robust {
           col("__s").cast("double") / col("n_kept").cast("double"))
           .as("trimmed_mean"))
   }
+
+  /** Dispatcher between [[trimmedMeanByKey]] (exact, one-task-per-key
+    * sort window) and [[trimmedMeanSketch]] (KLL cuts, no per-key sort)
+    * by the shape that actually breaks the exact form: the LARGEST
+    * key's row count. Below `maxExactKeyRows` every per-key sort fits
+    * one task comfortably and the exact form is both faster and
+    * oracle-comparable; above it, a single huge key degenerates the
+    * rank window into one straggler task sorting a corpus, and the
+    * sketch path's two shuffle-light aggregation passes are the only
+    * shape that survives 100× (the scale contract in both scaladocs,
+    * now enforced in code instead of left to the caller).
+    *
+    * The probe is ONE count aggregation (map-side combined, node-sized
+    * result, single-row collect) — noise next to either path. Returns
+    * (result, pathName) with pathName ∈ {"exact", "sketch"} so callers
+    * and specs can pin the decision; [[trimmedMeanAuto]] is the
+    * plain-DataFrame form. */
+  def trimmedMeanAutoWithPath(df: DataFrame, keyCol: String,
+      valueCol: String, tieCol: String, trimFrac: Double,
+      maxExactKeyRows: Long = 2000000L, accuracy: Int = 10000)
+      : (DataFrame, String) = {
+    require(maxExactKeyRows > 0, s"maxExactKeyRows must be > 0")
+    val biggest = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx")).collect()
+    val maxKey = if (biggest.isEmpty || biggest(0).isNullAt(0)) 0L
+      else biggest(0).getLong(0)
+    if (maxKey > maxExactKeyRows)
+      (trimmedMeanSketch(df, keyCol, valueCol, trimFrac, accuracy),
+        "sketch")
+    else (trimmedMeanByKey(df, keyCol, valueCol, tieCol, trimFrac),
+      "exact")
+  }
+
+  /** [[trimmedMeanAutoWithPath]] without the path tag. */
+  def trimmedMeanAuto(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, trimFrac: Double,
+      maxExactKeyRows: Long = 2000000L, accuracy: Int = 10000): DataFrame =
+    trimmedMeanAutoWithPath(df, keyCol, valueCol, tieCol, trimFrac,
+      maxExactKeyRows, accuracy)._1
 
   /** Per-key Theil–Sen robust slope (Theil 1950, Sen 1968): the median
     * of all pairwise slopes (y₂−y₁)/(x₂−x₁), with the intercept as the

@@ -156,8 +156,12 @@ object Stats {
     * partial sums ride ONE frame (rowsBetween(-(window-1), 0)) over one
     * per-key sort, and the slope is the fixed-shape double formula per
     * row — order-independent within the frame because decimal addition
-    * commutes. Rows with fewer than `minRows` trailing points emit a
-    * null slope (a 2-point "trend" is noise; callers pick the floor).
+    * commutes. Pairwise-complete like trendByKey: a row with null x OR
+    * null y contributes to NO partial (n_win included) — it occupies a
+    * frame slot but is invisible to the fit, so a null inside the
+    * trailing window cannot skew the slope. Rows with fewer than
+    * `minRows` complete trailing pairs emit a null slope (a 2-point
+    * "trend" is noise; callers pick the floor).
     * Output: input columns + n_win + slope. */
   def rollingTrend(df: DataFrame, keyCol: String, orderCol: String,
       xCol: String, yCol: String, window: Int, minRows: Int = 3)
@@ -168,11 +172,17 @@ object Stats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(orderCol))
       .rowsBetween(-(window - 1), 0)
-    val n = count(lit(1)).over(w)
-    val sx = sum(d(col(xCol))).over(w)
-    val sy = sum(d(col(yCol))).over(w)
-    val sxy = sum(d(col(xCol)) * d(col(yCol))).over(w)
-    val sxx = sum(d(col(xCol)) * d(col(xCol))).over(w)
+    // pairwise gating: null-x-or-null-y rows vanish from EVERY partial
+    // (sum skips nulls; count(gx) skips nulls) — the trendByKey filter,
+    // expressed per frame slot.
+    val pairOk = col(xCol).isNotNull && col(yCol).isNotNull
+    val gx = when(pairOk, d(col(xCol)))
+    val gy = when(pairOk, d(col(yCol)))
+    val n = count(gx).over(w)
+    val sx = sum(gx).over(w)
+    val sy = sum(gy).over(w)
+    val sxy = sum(gx * gy).over(w)
+    val sxx = sum(gx * gx).over(w)
     val nD = n.cast("double")
     val denom = nD * sxx.cast("double") -
       sx.cast("double") * sx.cast("double")
@@ -621,7 +631,9 @@ object Stats {
     * precedent) — and finished driver-side. Output one row: n, r, c,
     * chi2_micro, v (null when the table is degenerate — a single row
     * or column category). */
-  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+      maxCells: Int = graft.core.BoundedCollect.DefaultMaxCells)
+      : DataFrame = {
     // ONE corpus pass to the cell table, then the statistic is computed
     // driver-side over the COLLECTED cells — bounded by r·c rows (a
     // contingency table over genuine categoricals is small by
@@ -633,11 +645,15 @@ object Stats {
     // 7–15 s inside the bench harness from cache/broadcast churn;
     // this is sub-second and strictly simpler).
     val spark = df.sparkSession
-    val cells = df
-      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
-      .agg(count(lit(1)).as("__obs"))
-      .collect()
+    // guarded: limit(N+1)-collect caps driver memory structurally and
+    // fails fast when a high-cardinality column masquerades as a
+    // categorical, instead of OOMing the driver (VERDICT r11 item).
+    val cells = graft.core.BoundedCollect.rows(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+        .agg(count(lit(1)).as("__obs")),
+      maxCells,
+      "cramersV contingency cells (r*c)")
     val rows = cells.map(r => (r.get(0), r.get(1), r.getLong(2)))
     val rowT = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
     val colT = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }

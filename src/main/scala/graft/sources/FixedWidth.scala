@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.DataType
   * the producer counted characters; byte-counted legacy layouts should
   * be decoded to single-byte-safe charsets upstream, the XlsSource
   * codepage precedent). Values are right-padded with spaces on write;
-  * reads `trim` each window, map all-blank windows to NULL, then cast
+  * reads `rtrim` each window (ONLY the pad side — leading spaces are
+  * data and round-trip), map all-blank windows to NULL, then cast
   * — under ANSI-off, a window that fails its cast lands NULL (the
   * TRY_CAST convention shared with the DuckDB oracle).
   *
@@ -53,7 +54,9 @@ object FixedWidth {
   def parseLines(df: DataFrame, lineCol: String,
       layout: Seq[Field]): DataFrame = {
     val cols: Seq[Column] = offsets(layout).map { case (f, pos) =>
-      val window = trim(substring(col(lineCol), pos, f.width))
+      // rtrim, not trim: the writer right-pads, so ONLY the right-side
+      // pad is synthetic — leading spaces are data and must round-trip.
+      val window = rtrim(substring(col(lineCol), pos, f.width))
       val nulled = when(length(window) === 0, lit(null).cast("string"))
         .otherwise(window)
       (if (f.dataType == "string") nulled

@@ -28,6 +28,29 @@ class CalibrationSpec extends SparkSpec {
     assert(out.toSeq == Seq(9))
   }
 
+  test("binCounts: out-of-range score_micro raises, not a skewed bin") {
+    val bad = Seq((-5L, 0L), (500000L, 1L)).toDF("score_micro", "y")
+    def raisesRange(thunk: => Unit): Unit = {
+      val ex = intercept[Exception](thunk)
+      assert(ex.getMessage.contains("out of [0, 1e6]") ||
+        Option(ex.getCause).exists(_.getMessage.contains("out of [0, 1e6]")))
+    }
+    raisesRange(Calibration.binCounts(bad, "score_micro", "y", 10).collect())
+    val high = Seq((1000001L, 1L)).toDF("score_micro", "y")
+    raisesRange(Calibration.binCounts(high, "score_micro", "y", 10).collect())
+  }
+
+  test("isotonicFromBins: an unbounded frame fails fast at the cap") {
+    val notBins = (0 to 99).map(i => (i, 10L, 5L)).toDF("bin", "n", "n_pos")
+    val ex = intercept[IllegalArgumentException] {
+      Calibration.isotonicFromBins(notBins, maxBins = 50)
+    }
+    assert(ex.getMessage.contains("bounded-collect contract"))
+    // within the cap the PAV fit is unchanged
+    assert(Calibration.isotonicFromBins(notBins, maxBins = 100)
+      .count() === 100L)
+  }
+
   test("brier: hand-computed mean squared error") {
     val out = Calibration.brier(
         rows.toDF("score_micro", "y"), "score_micro", "y")

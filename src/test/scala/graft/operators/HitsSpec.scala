@@ -42,6 +42,18 @@ class HitsSpec extends SparkSpec {
     assert(out("s1")._2 === 1.0 && out("s2")._2 === 0.5)
   }
 
+  test("in-degree past the old BIGINT headroom does not wrap (ADVICE r11)") {
+    // 40,000 sources -> 1 sink: round-1 auth(sink) = 40000·2^48, which
+    // overflows a signed long (~32k·2^48) — the DECIMAL(38,0) widening
+    // must keep the sink the (only) authority at exactly 1.0 and every
+    // source at hub exactly 1.0 (all hubs equal after maxnorm).
+    val edges = (1 to 40000).map(i => (s"c$i", "sink"))
+    val out = run(edges, 1)
+    assert(out("sink") === ((0.0, 1.0)))
+    assert(out("c1") === ((1.0, 0.0)))
+    assert(out("c40000")._1 === 1.0)
+  }
+
   test("hub ranking separates sides where symmetrized PageRank cannot") {
     // c_big buys from every supplier; c_small from one. HITS must rank
     // c_big's hub strictly higher and keep all supplier hubs at 0.

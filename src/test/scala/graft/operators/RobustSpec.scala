@@ -227,4 +227,72 @@ class RobustSpec extends SparkSpec {
     assert(out("solo") === ((1L, 0L, 0L, 0L, 0L, None)))
     assert(out("duo")._6 === Some(1.0))
   }
+
+  test("kendallSampled at rate 1 reproduces the exact form per key") {
+    val rows = Seq(("k", 1L, 1.0, 1.0), ("k", 2L, 2.0, 1.0),
+      ("k", 3L, 2.0, 3.0), ("k", 4L, 3.0, 2.0),
+      ("j", 1L, 1.0, 10.0), ("j", 2L, 2.0, 20.0), ("j", 3L, 3.0, 15.0))
+    val exact = kendall(rows)
+    val out = Robust.kendallSampledByKey(rows.toDF("k", "id", "x", "y"),
+        "k", "id", "x", "y", rate = 1.0)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Double])]
+      .collect().map(r => r._1 ->
+        ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9))).toMap
+    for (k <- Seq("k", "j")) {
+      val (n, nc, nd, tx, ty, tau) = exact(k)
+      val s = out(k)
+      assert(s._1 === n && s._2 === n) // n_full == n at rate 1
+      assert(s._3 === n * (n - 1) / 2) // n_pairs
+      assert((s._4, s._5, s._6, s._7) === ((nc, nd, tx, ty)))
+      assert(s._8 === tau)
+    }
+  }
+
+  test("kendallSampled: subsample shrinks pairs; empty keys surface") {
+    // 200 rows in one key at 5%: the md5-bucket sample keeps SOME
+    // deterministic subset; n_full stays 200, pair count collapses
+    val rows = (1 to 200).map(i =>
+      ("big", i.toLong, i.toDouble, (i * 7 % 31).toDouble)) :+
+      ("tiny", 9999999L, 1.0, 1.0)
+    val out = Robust.kendallSampledByKey(rows.toDF("k", "id", "x", "y"),
+        "k", "id", "x", "y", rate = 0.05)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Double])]
+      .collect().map(r => r._1 ->
+        ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9))).toMap
+    val big = out("big")
+    assert(big._1 === 200L)
+    assert(big._2 < 60L, s"5% sample kept ${big._2} of 200")
+    assert(big._3 === big._2 * (big._2 - 1) / 2)
+    // determinism: the same call selects the same rows
+    val again = Robust.kendallSampledByKey(rows.toDF("k", "id", "x", "y"),
+        "k", "id", "x", "y", rate = 0.05)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(again("big") === big._2)
+    // a key whose rows are all sampled away keeps its n_full row
+    val tiny = out("tiny")
+    assert(tiny._1 === 1L && (tiny._2 === 0L || tiny._2 === 1L))
+    if (tiny._2 === 0L) assert(tiny._8.isEmpty)
+  }
+
+  test("trimmedMeanAuto dispatches by largest-key size, results match") {
+    val rows = (1 to 100).map(i => ("k", i.toLong, i.toDouble))
+    val df = rows.toDF("k", "id", "v")
+    val (exactDf, p1) = Robust.trimmedMeanAutoWithPath(
+      df, "k", "v", "id", 0.1, maxExactKeyRows = 1000L)
+    assert(p1 === "exact")
+    val exp = trimmed(rows, 0.1)("k")
+    val got = exactDf.as[(String, Long, Long, Option[Double])].head()
+    assert((got._2, got._3, got._4) === exp)
+    val (skDf, p2) = Robust.trimmedMeanAutoWithPath(
+      df, "k", "v", "id", 0.1, maxExactKeyRows = 10L)
+    assert(p2 === "sketch")
+    val sk = skDf.as[(String, Long, Long, Option[Double])].head()
+    val skDirect = Robust.trimmedMeanSketch(df, "k", "v", 0.1)
+      .as[(String, Long, Long, Option[Double])].head()
+    assert(sk === skDirect)
+  }
 }

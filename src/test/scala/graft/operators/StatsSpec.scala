@@ -363,6 +363,41 @@ class StatsSpec extends SparkSpec {
     assert(out(4L).get > 0.0 && out(5L).get > 0.0)
   }
 
+  test("rollingTrend: a null pair inside the frame is invisible to the fit") {
+    // t=1..4 on y = 2x, but t=3 has a null y: the t=4 frame (window 3)
+    // holds rows t=2..4 with only TWO complete pairs -> n_win = 2,
+    // below minRows=3 -> null slope (not a silently-wrong one); the
+    // t=5 frame (t=3..5) has 2 complete pairs too.
+    val rows = Seq(
+      ("k", 1L, Some(1.0), Some(2.0)), ("k", 2L, Some(2.0), Some(4.0)),
+      ("k", 3L, Some(3.0), None), ("k", 4L, Some(4.0), Some(8.0)),
+      ("k", 5L, Some(5.0), Some(10.0)))
+    val out = Stats.rollingTrend(rows.toDF("k", "t", "x", "y"),
+        "k", "t", "x", "y", window = 3, minRows = 3)
+      .select("t", "n_win", "slope")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(3L) === ((2L, None))) // frame t=1..3, pair t=3 missing
+    assert(out(4L) === ((2L, None))) // frame t=2..4
+    assert(out(5L) === ((2L, None))) // frame t=3..5
+    // with minRows=2 the two complete pairs fit exactly: slope 2
+    val loose = Stats.rollingTrend(rows.toDF("k", "t", "x", "y"),
+        "k", "t", "x", "y", window = 3, minRows = 2)
+      .select("t", "slope").as[(Long, Option[Double])].collect().toMap
+    assert(loose(4L) === Some(2.0) && loose(5L) === Some(2.0))
+  }
+
+  test("cramersV: high-cardinality input fails fast, not an OOM") {
+    val rows = (1 to 9).map(i => (s"a$i", s"b$i"))
+    val ex = intercept[IllegalArgumentException] {
+      Stats.cramersV(rows.toDF("a", "b"), "a", "b", maxCells = 4).collect()
+    }
+    assert(ex.getMessage.contains("bounded-collect contract"))
+    // at or under the cap the statistic still computes
+    assert(Stats.cramersV(rows.toDF("a", "b"), "a", "b", maxCells = 9)
+      .count() === 1L)
+  }
+
   test("mcnemar: hand-computed discordant cells") {
     // pairs: (1,0)x6, (0,1)x2, (1,1)x5, (0,0)x3 -> b=6 c=2
     // chi2 = 16/8 = 2.0

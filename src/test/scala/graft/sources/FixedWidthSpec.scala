@@ -48,6 +48,16 @@ class FixedWidthSpec extends SparkSpec {
     assert(parsed === "a  b")
   }
 
+  test("leading spaces are data and round-trip; only the pad is cut") {
+    // the writer right-pads, so the read must rtrim — a trim would eat
+    // the leading spaces of "  lead" (ADVICE r11)
+    val df = Seq((1L, "  lead", 0.0)).toDF("id", "name", "bal")
+    val parsed = FixedWidth.parseLines(
+      FixedWidth.formatLines(df, layout), "value", layout)
+      .select("name").as[String].head()
+    assert(parsed === "  lead")
+  }
+
   test("a value longer than its window raises instead of corrupting") {
     val df = Seq((1L, "elevenchars", 0.0)).toDF("id", "name", "bal")
     val e = intercept[Exception] {

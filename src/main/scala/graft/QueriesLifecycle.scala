@@ -544,6 +544,97 @@ object QueriesLifecycle {
        |    AS BIGINT) AS cum_hazard_micro
        |FROM f""".stripMargin
 
+  // --------------------------------------------------------- kaplan-meier
+  // The product-limit curve itself over the q_cum_hazard cohort —
+  // engine-exact through the PSI libm-waypoint idiom: per-time
+  // ln((n-d)/n) rounded through DECIMAL(20,12), cumulative DECIMAL
+  // window sum (order-independent), final exp waypointed the same way.
+  // The scaladoc's "KM is sequential float math" objection is answered
+  // in log space, not worked around.
+  def qKaplanMeier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.kaplanMeier(
+      qTimeToConvert(s, dir).select(col("duration_us"), col("converted")),
+      "duration_us", "converted", durationBucket = Some(LogRankBucketUs))
+
+  private val kmCtes: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |r AS (SELECT max(us) AS ref FROM e),
+       |fv AS (SELECT user_id, min(us) AS view_us FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |cv AS (
+       |  SELECT e.user_id, min(e.us) AS purchase_us
+       |  FROM e JOIN fv ON e.user_id = fv.user_id
+       |  WHERE e.event_type = 'purchase' AND e.us >= fv.view_us
+       |  GROUP BY 1),
+       |lab AS (
+       |  SELECT coalesce(cv.purchase_us - fv.view_us,
+       |      (SELECT ref FROM r) - fv.view_us) AS duration_us,
+       |    CAST(cv.purchase_us IS NOT NULL AS INT) AS converted
+       |  FROM fv LEFT JOIN cv ON fv.user_id = cv.user_id),
+       |bt AS (SELECT
+       |  floor(duration_us / $LogRankBucketUs) * $LogRankBucketUs AS t,
+       |  converted FROM lab),
+       |per AS (SELECT t, count(*) AS n_total,
+       |  sum(converted) AS d,
+       |  count(*) - sum(converted) AS censored FROM bt GROUP BY 1),
+       |w AS (SELECT t,
+       |  CAST(sum(n_total) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS n_at_risk,
+       |  CAST(d AS BIGINT) AS d, CAST(censored AS BIGINT) AS censored
+       |  FROM per),
+       |f AS (SELECT * FROM w WHERE d > 0),
+       |terms AS (SELECT t, n_at_risk, d, censored,
+       |  CASE WHEN n_at_risk > d THEN
+       |    CAST(ln(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+       |      AS DECIMAL(20,12)) END AS term,
+       |  CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS z
+       |  FROM f),
+       |acc AS (SELECT t, n_at_risk, d, censored,
+       |  sum(term) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS logs,
+       |  max(z) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS zeroed
+       |  FROM terms)""".stripMargin
+
+  val qKaplanMeierSql: String =
+    s"""$kmCtes
+       |SELECT t, n_at_risk, d, censored AS censored_at_t,
+       |  CASE WHEN zeroed = 1 THEN NULL
+       |       ELSE CAST(logs AS DOUBLE) END AS log_s,
+       |  CASE WHEN zeroed = 1 THEN 0.0
+       |       ELSE CAST(CAST(exp(CAST(logs AS DOUBLE)) AS DECIMAL(20,12))
+       |         AS DOUBLE) END AS s
+       |FROM acc""".stripMargin
+
+  // ------------------------------------------------------------------ rmst
+  // Restricted mean survival time to a 10-day horizon over the same KM
+  // curve: step-function integral, each rectangle rounded through
+  // DECIMAL(30,6) so the sum is order-independent.
+  private val RmstHorizonUs: Double = 10.0 * 24 * 3600 * 1000000L
+
+  def qRmst(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.rmst(qKaplanMeier(s, dir), RmstHorizonUs)
+
+  val qRmstSql: String =
+    s"""$kmCtes,
+       |km AS (SELECT t, n_at_risk, d,
+       |  CASE WHEN zeroed = 1 THEN 0.0
+       |       ELSE CAST(CAST(exp(CAST(logs AS DOUBLE)) AS DECIMAL(20,12))
+       |         AS DOUBLE) END AS s
+       |  FROM acc),
+       |steps AS (SELECT t, s,
+       |  coalesce(lead(t) OVER (ORDER BY t ASC), $RmstHorizonUs) AS nxt,
+       |  row_number() OVER (ORDER BY t ASC) AS rn
+       |  FROM km),
+       |areas AS (SELECT
+       |  CAST(greatest(least(nxt, $RmstHorizonUs), t) - t AS DOUBLE) * s
+       |    + CASE WHEN rn = 1
+       |        THEN CAST(least(t, $RmstHorizonUs) AS DOUBLE) * 1.0
+       |        ELSE 0.0 END AS a
+       |  FROM steps)
+       |SELECT CAST($RmstHorizonUs AS DOUBLE) AS horizon,
+       |  CAST(sum(CAST(a AS DECIMAL(30,6))) AS DOUBLE) AS rmst
+       |FROM areas""".stripMargin
+
   // --------------------------------------------------------------- streaks
   // Gaps-and-islands: per user, longest run of consecutive active DAYS,
   // streak count, total active days and the earliest longest-streak
@@ -576,6 +667,8 @@ object QueriesLifecycle {
 
   // ------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_rmst" -> (qRmst _),
     "q_cum_hazard" -> (qCumHazard _),
     "q_streaks" -> (qStreaks _),
     "q_scd2_history" -> (qScd2History _),
@@ -592,6 +685,8 @@ object QueriesLifecycle {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_kaplan_meier" -> qKaplanMeierSql,
+    "q_rmst" -> qRmstSql,
     "q_cum_hazard" -> qCumHazardSql,
     "q_streaks" -> qStreaksSql,
     "q_scd2_history" -> qScd2HistorySql,

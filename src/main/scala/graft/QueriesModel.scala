@@ -553,7 +553,79 @@ object QueriesModel {
        |  END AS ap_ppm
        |FROM g LEFT JOIN rt ON g.q = rt.q""".stripMargin
 
+  // ---------------------------------------------------- bradley-terry
+  // Pairwise-preference strengths over supplier head-to-heads: within
+  // each order, every supplier pair is one comparison won by the
+  // cheaper line (price tie -> lower suppkey, deterministic). Two MM
+  // rounds, every libm-free division waypointed through DECIMAL(20,12)
+  // (the PSI idiom), max-normalized per round (the HITS idiom); the
+  // oracle replays the fit as unrolled CTEs bit-for-bit.
+  private val BtIters = 2
+
+  def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+    val comps = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(
+        when(col("x.l_extendedprice") <= col("y.l_extendedprice"),
+          col("x.l_suppkey")).otherwise(col("y.l_suppkey")).as("winner"),
+        when(col("x.l_extendedprice") <= col("y.l_extendedprice"),
+          col("y.l_suppkey")).otherwise(col("x.l_suppkey")).as("loser"))
+    graft.operators.BradleyTerry.fit(comps, "winner", "loser", BtIters)
+  }
+
+  val qBradleyTerrySql: String = {
+    def round(prev: String, cur: String) =
+      s"""d$cur AS (SELECT p.i,
+         |    sum(CASE WHEN ti.theta + tj.theta > 0 THEN
+         |      CAST(CAST(p.n AS DOUBLE) / (ti.theta + tj.theta)
+         |        AS DECIMAL(20,12)) END) AS den
+         |  FROM pr p JOIN $prev ti ON p.i = ti.item
+         |            JOIN $prev tj ON p.j = tj.item
+         |  GROUP BY 1),
+         |r$cur AS (SELECT tt.item,
+         |    CAST(CASE WHEN coalesce(den, 0) > 0
+         |      THEN CAST(wins AS DOUBLE) / CAST(den AS DOUBLE)
+         |      ELSE 0.0 END AS DECIMAL(20,12)) AS th
+         |  FROM tt LEFT JOIN d$cur ON tt.item = d$cur.i),
+         |m$cur AS (SELECT max(th) AS mx FROM r$cur),
+         |t$cur AS (SELECT item,
+         |    CASE WHEN mx > 0 THEN
+         |      CAST(CAST(CAST(th AS DOUBLE) / CAST(mx AS DOUBLE)
+         |        AS DECIMAL(20,12)) AS DOUBLE)
+         |    ELSE 0.0 END AS theta
+         |  FROM r$cur CROSS JOIN m$cur)""".stripMargin
+    val rounds = (1 to BtIters).map(r => round(s"t${r - 1}", s"$r"))
+      .mkString(",\n")
+    s"""WITH rw AS (
+       |  SELECT CASE WHEN x.l_extendedprice <= y.l_extendedprice
+       |           THEN x.l_suppkey ELSE y.l_suppkey END AS w,
+       |         CASE WHEN x.l_extendedprice <= y.l_extendedprice
+       |           THEN y.l_suppkey ELSE x.l_suppkey END AS l
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey
+       |   AND x.l_suppkey < y.l_suppkey),
+       |gm AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM rw GROUP BY 1, 2),
+       |pr AS (SELECT a AS i, b AS j, n FROM gm
+       |  UNION ALL SELECT b, a, n FROM gm),
+       |wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+       |  FROM rw GROUP BY 1),
+       |tt AS (SELECT g.item, coalesce(wn.wins, 0) AS wins, g.games
+       |  FROM (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games
+       |        FROM pr GROUP BY 1) g
+       |  LEFT JOIN wn ON g.item = wn.item),
+       |t0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS theta FROM tt),
+       |$rounds
+       |SELECT tt.item AS item, tt.wins, tt.games, t$BtIters.theta
+       |FROM tt JOIN t$BtIters ON tt.item = t$BtIters.item""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bradley_terry" -> (qBradleyTerry _),
     "q_ndcg" -> (qNdcg _),
     "q_avg_precision" -> (qAvgPrecision _),
     "q_ridge_fit" -> (qRidgeFit _),
@@ -567,6 +639,7 @@ object QueriesModel {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_bradley_terry" -> qBradleyTerrySql,
     "q_ndcg" -> qNdcgSql,
     "q_avg_precision" -> qAvgPrecisionSql,
     "q_ridge_fit" -> qRidgeFitSql,

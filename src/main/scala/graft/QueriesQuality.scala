@@ -958,8 +958,53 @@ object QueriesQuality {
       |  FROM s JOIN e ON e.user_id = s.user_id AND e.i = s.i + 1)
       |SELECT user_id, event_id, v AS value, ewma FROM s""".stripMargin
 
+  // ---------------------------------------------------- quantile norm
+  // Cross-source quantile normalization of document lengths: each doc's
+  // n_chars maps to the POOLED length distribution's value at the doc's
+  // within-source quantile (q=100 grid) — all integer rank algebra, no
+  // doubles; the oracle replays the identical grid construction with
+  // generate_series.
+  private val QnGrid = 100
+
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.quantileNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", "doc_id", QnGrid)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("qn_pos"), col("qn"))
+
+  val qQuantileNormSql: String =
+    s"""WITH rows_ AS (SELECT doc_id, source, n_chars FROM documents
+       |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+       |dv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM rows_ GROUP BY 1),
+       |cum AS (SELECT v, c,
+       |  CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cm,
+       |  CAST(sum(c) OVER () AS BIGINT) AS n FROM dv),
+       |grid AS (SELECT
+       |  CAST(unnest(generate_series(
+       |    CAST(((cm - c) * $QnGrid) // n AS INT) + 1,
+       |    CAST((cm * $QnGrid) // n AS INT))) AS INT) AS qn_pos,
+       |  v AS qn
+       |  FROM cum
+       |  WHERE CAST((cm * $QnGrid) // n AS INT)
+       |    >= CAST(((cm - c) * $QnGrid) // n AS INT) + 1),
+       |rk AS (SELECT doc_id, source, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+       |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+       |  FROM rows_)
+       |SELECT doc_id, source, n_chars,
+       |  CAST((rn * $QnGrid + ns - 1) // ns AS INT) AS qn_pos, qn
+       |FROM rk JOIN grid
+       |  ON CAST((rn * $QnGrid + ns - 1) // ns AS INT) = grid.qn_pos"""
+      .stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm" -> (qQuantileNorm _),
     "q_session_capped" -> (qSessionCapped _),
     "q_debounce" -> (qDebounce _),
     "q_ewma" -> (qEwma _),
@@ -994,6 +1039,7 @@ object QueriesQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_quantile_norm" -> qQuantileNormSql,
     "q_session_capped" -> qSessionCappedSql,
     "q_debounce" -> qDebounceSql,
     "q_ewma" -> qEwmaSql,

@@ -103,13 +103,23 @@ object ScaleCheck {
     }.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     val e = load("embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
     replicate(e, copies, Map("vec_id" -> offset(e, "vec_id"))) { (d, k) =>
-      // cyclic rotation by k: same norm, same value distribution,
-      // decorrelated from every other copy (k < dim)
-      if (k == 0) d
-      else d.withColumn("embedding", concat(
-        slice(col("embedding"), k + 1, 10000),
-        slice(col("embedding"), 1, k)))
+      // cyclic rotation by k mod dim: same norm, same value
+      // distribution, decorrelated from every other copy — and for
+      // k >= dim (the 100x sweep exceeds dim=64) a SIGN FLIP extends
+      // the de-aliasing to 2·dim copies: a negated rotation has cosine
+      // −(rotation cosine) against every unflipped copy, so no
+      // cross-copy pair can clear a positive near-dup threshold.
+      val rot = k % dim
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 10000),
+          slice(col("embedding"), 1, rot))
+      val vec =
+        if (k / dim % 2 == 0) rotated
+        else transform(rotated, x => -x)
+      if (k == 0) d else d.withColumn("embedding", vec)
     }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     val docs = load("documents")

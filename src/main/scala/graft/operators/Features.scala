@@ -74,4 +74,61 @@ object Features {
             (col("__n") - 1).cast("double")))
       .drop("__s", "__n")
   }
+
+  /** Quantile normalization across sources: each row's value is
+    * replaced by the POOLED distribution's value at the row's
+    * within-source quantile — the batch-effect correction that makes
+    * quality/perplexity scores from different scorers or corpus shards
+    * comparable before mixing (the microarray normalization classic,
+    * Bolstad et al. 2003, generalized to unequal source sizes via a
+    * q-point grid).
+    *
+    * ENGINE-EXACT, integer end to end: the row's grid position is
+    * p = ⌈rank_s · q / n_s⌉ (per-source rank, deterministic `tieCol`
+    * order); grid point p holds the pooled value at global rank
+    * ⌈p · N / q⌉, derived WITHOUT a global row sort: one (value, count)
+    * aggregate, a cumulative-count window over the |distinct values|
+    * table, then each distinct value EMITS its covered grid positions
+    * p ∈ (cum_prev·q/N, cum·q/N] via an integer `sequence` — exactly q
+    * grid rows total, broadcast back onto the rows. No doubles anywhere;
+    * the output is a VALUE the pooled distribution actually contains.
+    *
+    * SCALE CONTRACT (the Survival.riskTable shape): the only global
+    * window runs over the DISTINCT-VALUE aggregate — small for discrete
+    * or pre-bucketed values; bucket continuous values upstream (or feed
+    * scores in micro units) exactly as `durationBucket` prescribes.
+    * Per-source rank windows partition by source. Output: input
+    * columns + `qn_pos` (grid position) + `qn` (normalized value). */
+  def quantileNormalize(df: DataFrame, sourceCol: String, valueCol: String,
+      tieCol: String, q: Int): DataFrame = {
+    require(q >= 1, s"need q >= 1, got $q")
+    val rows = df.filter(col(valueCol).isNotNull && col(sourceCol).isNotNull)
+    val wS = Window.partitionBy(col(sourceCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val wN = Window.partitionBy(col(sourceCol))
+    // pooled grid: value at global rank ceil(p*N/q) for p = 1..q
+    val dv = rows.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = dv
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    // positions covered by this value: p in (prev*q/N, cum*q/N]
+    val grid = cum
+      .withColumn("__plo",
+        expr(s"CAST(((__cum - __c) * $q) div __n AS INT) + 1"))
+      .withColumn("__phi", expr(s"CAST((__cum * $q) div __n AS INT)"))
+      .filter(col("__phi") >= col("__plo"))
+      .select(explode(sequence(col("__plo"), col("__phi"))).as("qn_pos"),
+        col("__v").as("qn"))
+    rows
+      .withColumn("__rn", row_number().over(wS).cast("long"))
+      .withColumn("__ns", count(lit(1)).over(wN))
+      .withColumn("qn_pos",
+        expr(s"CAST((__rn * $q + __ns - 1) div __ns AS INT)"))
+      .join(broadcast(grid), Seq("qn_pos"))
+      .drop("__rn", "__ns")
+  }
 }

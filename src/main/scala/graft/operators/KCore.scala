@@ -35,16 +35,19 @@ object KCore {
     * undirected edge list, each pair in either orientation; self-loops
     * and duplicate pairs are dropped before peeling so they can't
     * inflate a degree past the floor. */
-  /** Under-floor nodes of the current edge frame: one map-side-combined
-    * degree aggregate, output node-sized. */
+  /** Under-floor nodes of a CANONICAL (u < v, one row per edge) frame:
+    * both endpoints explode into one map-side-combined degree
+    * aggregate, output node-sized. Half the scan of the former
+    * both-orientations frame for the same partial-agg shuffle. */
   private[operators] def badNodes(cur: DataFrame, k: Int): DataFrame =
-    cur.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      .filter(col("d") < k).select(col("u"))
+    cur.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .filter(col("d") < k).select(col("n").as("u"))
 
   /** One simultaneous-peel round: drop every edge touching a removed
-    * node — two anti-joins of the edge frame against the node-sized
-    * removal set (equi-keyed; KCoreSpec pins that neither degenerates
-    * to a loop join). */
+    * node — two anti-joins of the canonical edge frame against the
+    * node-sized removal set (equi-keyed; KCoreSpec pins that neither
+    * degenerates to a loop join). */
   private[operators] def removeNodes(cur: DataFrame, bad: DataFrame): DataFrame =
     cur
       .join(bad, Seq("u"), "left_anti")
@@ -54,15 +57,19 @@ object KCore {
   def extract(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIter: Int = 100): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val und = edges
+    // CANONICAL edge frame (u < v), one row per edge: the peel loop
+    // scans and re-checkpoints this frame every round, so carrying both
+    // orientations (the previous design, solely to make the degree agg
+    // a single-column groupBy) paid 2x scan + 2x checkpoint bytes per
+    // round; the explode inside badNodes feeds the same map-side
+    // partial aggregation from half the input (measured at the 100x
+    // sweep — kcore was the round's bending row).
+    var cur = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
       .distinct()
-    var cur = und
-      .select(col("a").as("u"), col("b").as("v"))
-      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
     var iter = 0
     var done = false
@@ -86,8 +93,8 @@ object KCore {
         iter += 1
       }
     }
-    cur.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("degree"))
+    cur.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
   /** Coreness (degeneracy ordering value) per node: the largest k for
@@ -99,16 +106,15 @@ object KCore {
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
       maxK: Int, maxIter: Int = 100): DataFrame = {
     require(maxK >= 1, s"need maxK >= 1, got $maxK")
-    val und = edges
+    var cur = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
       .distinct()
-    var cur = und
-      .select(col("a").as("u"), col("b").as("v"))
-      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
+    def nodesOf(e: DataFrame): DataFrame =
+      e.select(explode(array(col("u"), col("v"))).as("u")).distinct()
     // coreness(v) = max k whose core still contains v: at each k the
     // nodes peeled AWAY get coreness k-1; survivors of the final core
     // get maxK. One node-sized frame per k, unioned lazily at the end.
@@ -116,7 +122,7 @@ object KCore {
     var k = 1
     while (k <= maxK && !cur.isEmpty) {
       // eager: `before` must survive the peel rounds releasing `cur`
-      val before = cur.select(col("u")).distinct().localCheckpoint()
+      val before = nodesOf(cur).localCheckpoint()
       // peel to the k-core
       var iter = 0
       var done = false
@@ -133,15 +139,14 @@ object KCore {
           iter += 1
         }
       }
-      val peeled = before.join(cur.select(col("u")).distinct(),
-        Seq("u"), "left_anti")
+      val peeled = before.join(nodesOf(cur), Seq("u"), "left_anti")
         .select(col("u").as("node"), lit((k - 1).toLong).as("coreness"))
         .localCheckpoint()
       graft.core.Checkpoints.releaseLocal(before)
       layers = peeled :: layers
       k += 1
     }
-    val finalCore = cur.select(col("u")).distinct()
+    val finalCore = nodesOf(cur)
       .select(col("u").as("node"), lit(maxK.toLong).as("coreness"))
     (finalCore :: layers).reduce(_ unionByName _)
       .filter(col("coreness") > 0L)

@@ -91,6 +91,77 @@ object Survival {
         col("cum_hazard_micro"))
   }
 
+  /** Kaplan–Meier product-limit survival curve (Kaplan & Meier 1958):
+    * S(t) = ∏_{s<=t} (1 − d_s/n_s) over the [[riskTable]] — the curve
+    * itself, completing the survival family next to the additive
+    * [[cumulativeHazard]].
+    *
+    * ENGINE-EXACT via the PSI/js_div libm-waypoint idiom: the float
+    * product is order-DEPENDENT, but its log is a sum — each per-time
+    * term ln((n−d)/n) is one correctly-rounded IEEE division followed
+    * by one libm ln ROUNDED THROUGH DECIMAL(20,12) (the waypoint both
+    * engines agree on), the cumulative log-survival is an
+    * order-independent DECIMAL window sum, and S(t) is one final
+    * exp(double) — itself waypointed through DECIMAL(20,12) so the
+    * last libm call cannot diverge across engines either. A time where
+    * d = n_at_risk drives S to exactly 0 (ln(0) is gated, not summed;
+    * a running flag zeroes every later step, per the definition).
+    *
+    * Same single-task-window / `durationBucket` contract as
+    * [[riskTable]]. Output: t, n_at_risk, d, censored_at_t,
+    * log_s (cumulative log-survival, double), s (survival after t). */
+  def kaplanMeier(labels: DataFrame, durationCol: String,
+      eventCol: String, durationBucket: Option[Double] = None): DataFrame = {
+    val rt = riskTable(labels, durationCol, eventCol, durationBucket)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rt
+      .withColumn("__term",
+        when(col("n_at_risk") > col("d"),
+          log((col("n_at_risk") - col("d")).cast("double") /
+            col("n_at_risk").cast("double")).cast("decimal(20,12)")))
+      .withColumn("__zeroed",
+        max(when(col("d") >= col("n_at_risk"), 1).otherwise(0)).over(wAsc))
+      .withColumn("__logs", sum(col("__term")).over(wAsc))
+      .select(col("t"), col("n_at_risk"), col("d"), col("censored_at_t"),
+        when(col("__zeroed") === 1, lit(null).cast("double"))
+          .otherwise(col("__logs").cast("double")).as("log_s"),
+        when(col("__zeroed") === 1, lit(0.0))
+          .otherwise(expr("CAST(CAST(exp(CAST(__logs AS DOUBLE)) " +
+            "AS DECIMAL(20,12)) AS DOUBLE)")).as("s"))
+  }
+
+  /** Restricted mean survival time (RMST): ∫₀^τ S(t) dt over the
+    * [[kaplanMeier]] step function — "average event-free time over the
+    * first τ units", the standard effect size when median survival is
+    * undefined. Exact given the KM steps: each rectangle is
+    * S(t_i) · (min(t_{i+1}, τ) − t_i) with S = 1 on [0, t_first) —
+    * every product is one double multiply of a waypointed S by an
+    * exact width, ROUNDED THROUGH DECIMAL(30,6) so the final sum is
+    * order-independent; τ must be ≥ 0. One-row output: horizon, rmst. */
+  def rmst(km: DataFrame, horizon: Double): DataFrame = {
+    require(horizon > 0, s"horizon must be > 0, got $horizon")
+    val wAsc = Window.orderBy(col("t").asc)
+    val steps = km
+      .withColumn("__next",
+        coalesce(lead(col("t"), 1).over(wAsc), lit(horizon)))
+    // rectangles: [0, t_1) at S=1 (the lag-coalesce on the FIRST row),
+    // then [t_i, t_{i+1}) at S(t_i); clamp every edge to [0, τ]
+    val first = steps
+      .withColumn("__area",
+        (greatest(least(col("__next"), lit(horizon)), col("t")) - col("t"))
+          .cast("double") * col("s"))
+      .withColumn("__head",
+        when(row_number().over(wAsc) === 1,
+          least(col("t"), lit(horizon)).cast("double") * lit(1.0))
+          .otherwise(lit(0.0)))
+    first.agg(
+        sum((col("__area") + col("__head")).cast("decimal(30,6)"))
+          .as("__r"))
+      .select(lit(horizon).as("horizon"),
+        col("__r").cast("double").as("rmst"))
+  }
+
   /** Two-sample log-rank test (Mantel 1966): does cohort `groupA`'s
     * survival differ from `groupB`'s? The standard readout over
     * experiment arms ("did the retention intervention delay churn?").

@@ -101,4 +101,42 @@ class FeaturesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._3).sum
     assert(m32 == m8)
   }
+
+  test("quantileNormalize: hand-computed grid and per-source mapping") {
+    // A = [1,2,3,4], B = [10,20]; pooled = 1,2,3,4,10,20 (N=6), q=4:
+    // grid p=1..4 -> pooled ranks ceil(p*6/4) = 2,3,5,6 -> 2,3,10,20
+    val rows = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L),
+      ("A", 4L, 4L), ("B", 5L, 10L), ("B", 6L, 20L))
+      .toDF("src", "id", "v")
+    val out = Features.quantileNormalize(rows, "src", "v", "id", 4)
+      .select("id", "qn_pos", "qn")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // A: rank r -> p = r; B: ranks 1,2 -> p = 2, 4
+    assert(out(1L) === ((1, 2L)) && out(2L) === ((2, 3L)))
+    assert(out(3L) === ((3, 10L)) && out(4L) === ((4, 20L)))
+    assert(out(5L) === ((2, 3L)) && out(6L) === ((4, 20L)))
+  }
+
+  test("quantileNormalize: identical sources map onto themselves") {
+    // one source: the map is the identity on values (p-th grid point
+    // IS the p-th order statistic when q = n)
+    val rows = (1 to 8).map(i => ("s", i.toLong, (i * 3).toLong))
+      .toDF("src", "id", "v")
+    val out = Features.quantileNormalize(rows, "src", "v", "id", 8)
+      .select("v", "qn").as[(Long, Long)].collect()
+    assert(out.forall(r => r._1 === r._2))
+  }
+
+  test("quantileNormalize: ties split deterministically by the tie col") {
+    val rows = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("b", 3L, 7L),
+      ("b", 4L, 7L)).toDF("src", "id", "v")
+    val out = Features.quantileNormalize(rows, "src", "v", "id", 2)
+      .select("id", "qn_pos").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2))
+    val again = Features.quantileNormalize(rows.repartition(5), "src",
+        "v", "id", 2)
+      .select("id", "qn_pos").as[(Long, Int)].collect().toMap
+    assert(again === out)
+  }
 }

@@ -138,4 +138,41 @@ class SurvivalSpec extends SparkSpec {
     assert(out._1 == 1L && out._2 == 1L && out._5 == 1000000L)
     assert(out._6 == 0L && out._7.isEmpty)
   }
+
+  test("kaplanMeier: hand-computed product-limit steps") {
+    // (1,e)(2,c)(3,e)(4,e)(5,c): S(1)=4/5, S(3)=4/5*2/3, S(4)=.../2
+    val labels = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0))
+      .toDF("dur", "ev")
+    val km = Survival.kaplanMeier(labels, "dur", "ev")
+      .select("t", "n_at_risk", "d", "s")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(km.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, 5L, 1L), (3L, 3L, 1L), (4L, 2L, 1L)))
+    val s = km.map(_._4)
+    assert(math.abs(s(0) - 0.8) < 1e-9)
+    assert(math.abs(s(1) - 0.8 * 2.0 / 3.0) < 1e-9)
+    assert(math.abs(s(2) - 0.8 * 2.0 / 3.0 / 2.0) < 1e-9)
+  }
+
+  test("kaplanMeier: exhausted risk set zeroes the curve from there on") {
+    // t=2 kills everyone at risk: S(2) = 0 exactly, log_s null
+    val labels = Seq((1L, 1), (2L, 1), (2L, 1)).toDF("dur", "ev")
+    val km = Survival.kaplanMeier(labels, "dur", "ev")
+      .select("t", "s", "log_s")
+      .as[(Long, Double, Option[Double])].collect().sortBy(_._1)
+    assert(math.abs(km(0)._2 - 2.0 / 3.0) < 1e-9)
+    assert(km(1)._2 === 0.0 && km(1)._3.isEmpty)
+  }
+
+  test("rmst: step-function integral with head rectangle and horizon clamp") {
+    val labels = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0))
+      .toDF("dur", "ev")
+    val km = Survival.kaplanMeier(labels, "dur", "ev")
+    // [0,1)*1 + [1,3)*0.8 + [3,4)*0.5333 + [4,6)*0.26667 = 3.66667
+    val r6 = Survival.rmst(km, 6.0).select("rmst").as[Double].head()
+    assert(math.abs(r6 - (1.0 + 1.6 + 0.8 * 2 / 3 + 2 * 0.8 / 3)) < 1e-5)
+    // horizon before the first event: the whole integral is S=1
+    val rHalf = Survival.rmst(km, 0.5).select("rmst").as[Double].head()
+    assert(math.abs(rHalf - 0.5) < 1e-9)
+  }
 }

@@ -246,8 +246,17 @@ object ScaleCheck {
       graft.dedup.ConnectedComponents.labels(pairs, "id_a", "id_b")
     },
     "semdedup" -> { (s, dir) =>
+      // K follows the IVF √N convention (the SemDedup/CosineSearch
+      // scale contract): a FIXED centroid count under growing volume
+      // makes the |bucket|² pair join quadratic BY CONFIGURATION, not
+      // by operator design — measured at the 100x sweep (exponent
+      // 0.840 with K frozen at 16). Deterministic pick: every
+      // ⌊N/√N⌋-th vec_id.
       val e = Tables.load(s, dir, "embeddings")
-      graft.similarity.SemDedup.verdicts(e, e.filter(col("vec_id") < 16),
+      val n = e.count()
+      val mod = math.max(1L, math.sqrt(n.toDouble).toLong)
+      graft.similarity.SemDedup.verdicts(
+        e, e.filter(col("vec_id") % mod === 0),
         "vec_id", "embedding", "vec_id", 0.35)
     },
     "dedup_minhash" -> { (s, dir) =>

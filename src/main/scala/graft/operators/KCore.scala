@@ -10,17 +10,19 @@ import org.apache.spark.sql.functions._
   * floor that bounds [[Triangles]]-style wedge fan-out when applied
   * first.
   *
-  * Simultaneous peeling, one round per generation: compute degrees,
-  * drop every node under the floor, repeat until no node falls. Per
-  * round that is ONE degree aggregation (map-side partial) + two
-  * anti-joins of the edge table against the (node-sized, not
-  * edge-sized) removal set — never an explicit subgraph enumeration.
-  * The edge frame shrinks monotonically and each generation is eagerly
-  * localCheckpoint'd with its predecessor released
-  * ([[graft.core.Checkpoints]]), the same fixpoint pattern as
-  * [[ShortestPaths]] / ConnectedComponents. Round count is bounded by
-  * the peeling depth (5 on the sf0.01 co-order graph at k=80; O(n)
-  * pathological chains are cut by `maxIter`).
+  * Simultaneous peeling with INCREMENTAL degree maintenance: the full
+  * degree aggregate runs once; each round then reads its removal set
+  * off the node-sized degree table (no edge scan to probe), updates
+  * degrees by the decrement counts of edges incident to the removed
+  * nodes (ONE read-only scan of the edge frame, node-sized shuffles),
+  * and re-materializes the shrunk edge frame only every few rounds.
+  * The naive form — re-aggregate degrees and re-checkpoint the frame
+  * every round — was measured super-linear at the 100x sweep
+  * (exponent 0.893: R sorts + R materializations of an edge-sized
+  * frame); this shape pays the big-frame write R/CompactEvery times
+  * and never sorts it. Round count is bounded by the peeling depth
+  * (5 on the sf0.01 co-order graph at k=80; O(n) pathological chains
+  * are cut by `maxIter`).
   *
   * Outputs are exact integers — bit-portable by construction. The
   * q_kcore oracle replays the identical simultaneous-peel rounds as an
@@ -54,16 +56,19 @@ object KCore {
       .join(bad.select(col("u").as("v")), Seq("v"), "left_anti")
       .select(col("u"), col("v"))
 
+  /** Peel rounds between edge-frame compactions: each round in between
+    * touches the big frame with ONE read-only scan (the decrement
+    * join); only every COMPACT_EVERY rounds is the shrunk frame
+    * re-materialized. The 100x sweep showed per-round re-checkpointing
+    * of the edge frame was kcore's scaling killer (exponent 0.893). */
+  private val CompactEvery = 3
+
   def extract(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIter: Int = 100): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    // CANONICAL edge frame (u < v), one row per edge: the peel loop
-    // scans and re-checkpoints this frame every round, so carrying both
-    // orientations (the previous design, solely to make the degree agg
-    // a single-column groupBy) paid 2x scan + 2x checkpoint bytes per
-    // round; the explode inside badNodes feeds the same map-side
-    // partial aggregation from half the input (measured at the 100x
-    // sweep — kcore was the round's bending row).
+    val spark = edges.sparkSession
+    // CANONICAL edge frame (u < v), one row per edge (half the bytes of
+    // the former both-orientations frame), pinned once per compaction.
     var cur = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -71,30 +76,68 @@ object KCore {
         greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint()
+    // INCREMENTAL DEGREES: the full degree aggregate runs ONCE; each
+    // peel round then (a) reads this round's removals off the
+    // node-sized degree table — no edge scan for the probe at all —
+    // and (b) updates degrees by the decrement counts of edges
+    // incident to the removed set: one scan of the (lazily filtered)
+    // edge frame, node-sized shuffles, NO sort and NO re-checkpoint of
+    // the big frame. Removals accumulate in a node-sized set; the big
+    // frame is compacted against it only every CompactEvery rounds, so
+    // the lazy anti-join chain stays depth-1 and the frame's
+    // materialization cost is paid R/CompactEvery times, not R.
+    var deg = cur.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    // removal sets since the last compaction: each `bad` is a TRIVIAL
+    // filter over its round's checkpointed degree table — never
+    // checkpointed itself (one less job per round); the superseded
+    // degree frames are therefore kept alive on `spent` until the
+    // compaction that folds their removal sets into the big frame.
+    var badFrames = List.empty[DataFrame]
+    var spent = List.empty[DataFrame]
     var iter = 0
     var done = false
+    def liveEdges: DataFrame =
+      badFrames.foldLeft(cur)((e, b) => removeNodes(e, b))
     while (!done && iter < maxIter) {
-      // pin the node-sized removal set: lazily, the SAME degree
-      // aggregate runs twice per round — once for the isEmpty probe and
-      // again inside removeNodes' anti-join subtree when the next
-      // generation materializes (~3 edge scans/round, measured). The
-      // eager checkpoint makes it one agg + one removal scan per round
-      // (the HITS half-generation precedent; bad is node-sized, cheap
-      // to hold and released as soon as the next generation is pinned).
-      val bad = badNodes(cur, k).localCheckpoint()
+      val bad = deg.filter(col("d") < k).select(col("node").as("u"))
       if (bad.isEmpty) {
-        graft.core.Checkpoints.releaseLocal(bad)
         done = true
       } else {
-        val next = removeNodes(cur, bad).localCheckpoint()
-        graft.core.Checkpoints.releaseLocal(bad)
-        graft.core.Checkpoints.releaseLocal(cur)
-        cur = next
+        // decrement counts: one scan of the live frame, both endpoint
+        // directions in one pass (explode), removal set broadcast-sized
+        val dec = liveEdges
+          .select(explode(array(
+            struct(col("u").as("n"), col("v").as("o")),
+            struct(col("v").as("n"), col("u").as("o")))).as("e"))
+          .select(col("e.n").as("node"), col("e.o").as("o"))
+          .join(bad.select(col("u").as("o")), Seq("o"))
+          .groupBy(col("node")).agg(count(lit(1)).as("__dec"))
+        val nextDeg = deg
+          .join(bad.select(col("u").as("node")), Seq("node"), "left_anti")
+          .join(dec, Seq("node"), "left")
+          .select(col("node"),
+            (col("d") - coalesce(col("__dec"), lit(0L))).as("d"))
+          .localCheckpoint()
+        spent = deg :: spent
+        deg = nextDeg
+        badFrames = bad :: badFrames
+        if (badFrames.size >= CompactEvery) {
+          val nextCur = liveEdges.localCheckpoint()
+          graft.core.Checkpoints.releaseLocal(cur)
+          spent.foreach(graft.core.Checkpoints.releaseLocal)
+          spent = Nil
+          badFrames = Nil
+          cur = nextCur
+        }
         iter += 1
       }
     }
-    cur.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    spent.foreach(graft.core.Checkpoints.releaseLocal)
+    // deg IS (node, degree) of the surviving subgraph — maintained
+    // exactly, so no closing edge scan is needed.
+    deg.select(col("node"), col("d").as("degree"))
   }
 
   /** Coreness (degeneracy ordering value) per node: the largest k for

@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical inference over GROUPS — the k-sample companions of the
+  * two-sample family in [[Stats]] (Welch, Mann-Whitney, KS): rank
+  * ANOVA (Kruskal-Wallis), spread equality (Brown-Forsythe), matched
+  * binary treatments (Cochran's Q), internal consistency (Cronbach's
+  * alpha), and variance decomposition (one-way intraclass
+  * correlation). Reference analogue: fastETL ships pandas QA probes
+  * (`custom_functions.py`) that eyeball per-group distributions; these
+  * operators are the distributed, testable versions of that QA intent.
+  *
+  * Engine-exactness contract (the [[Stats.mannWhitneyByKey]] /
+  * [[Stats.mantelHaenszel]] discipline): every corpus-sized reduction
+  * is an INTEGER sum — doubled mid-ranks, micro-unit integral
+  * divisions (`(1e6·x²) div n` on DECIMAL(38,0)), value micro-units
+  * from the DECIMAL(18,2) quantization — so partial-aggregation order
+  * can never change a bit; only the closing, fixed-shape scalar
+  * formulas are doubles, replayed verbatim by a DuckDB oracle in
+  * HUGEINT + DOUBLE.
+  *
+  * Scale shape: each operator is one corpus scan to a grouped
+  * aggregate (plus, for the rank tests, one distinct-value-sized
+  * window) — no joins on corpus-sized frames, no driver collects.
+  */
+object Inference {
+
+  private def d(c: Column) = c.cast("decimal(18,2)")
+  private def i38(c: Column) = c.cast("decimal(38,0)")
+
+  /** Exact integral floor-division of a non-negative decimal by a
+    * positive integral column, STAYING IN DECIMAL. Spark's `div`
+    * operator returns BIGINT and silently wraps once the quotient
+    * passes 2^63 (the [[Stats.mantelHaenszel]] micro terms fit a long;
+    * squared rank/moment sums at ×1e6 do not) — so subtract the
+    * remainder first, making the division exact, and keep (38,0).
+    * DuckDB replays with HUGEINT `//` (identical on non-negative
+    * operands). */
+  private def microDiv(num: Column, den: Column): Column =
+    ((num - num % den) / den).cast("decimal(38,0)")
+
+  /** Kruskal-Wallis H (rank one-way ANOVA) per key over ALL observed
+    * groups: did ANY group's value distribution shift? The k-sample
+    * generalization of [[Stats.mannWhitneyByKey]], sharing its doubled
+    * mid-rank machinery: for the c ties at a value with `cum` values
+    * strictly below, 2·midrank = 2·cum + c + 1 (integer), so each
+    * group's doubled rank sum R2_g is an exact decimal integer.
+    *
+    * H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1); the cross-group sum is
+    * made order-independent by quantizing each group's term to MICRO
+    * units with one integral division, (1e6·R2_g²) div (4·n_g), and
+    * summing integers. Tie correction: H' = H / (1 − Σ(c³−c)/(N³−N)),
+    * with Σ(c³−c) accumulated exactly as Σ_rows (c²−1)·c_g (summing
+    * per-group rows weighted by their counts reconstructs the
+    * per-distinct-value total without a second distinct pass).
+    *
+    * Work: one corpus groupBy to the (key, value, group) count table;
+    * two windows over it (per-(key,value) total + cumulative-below,
+    * both distinct-value sized); one (key, group) aggregate; one key
+    * aggregate. Output: key, n_groups, n, h, h_adj (h_adj null when
+    * all values tie; h null when n < 2 or fewer than 2 groups). */
+  def kruskalWallisByKey(df: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val perVG = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol), col(groupCol))
+      .agg(count(lit(1)).as("cg"))
+    val wv = Window.partitionBy(col(keyCol), col(valueCol))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum strictly below = inclusive-of-peers running total − this
+    // value's pooled count (RANGE frame keeps peers together, so the
+    // subtraction is exact whatever the within-value row order).
+    val cum = perVG
+      .withColumn("c", sum(col("cg")).over(wv))
+      .withColumn("cum", sum(col("cg")).over(wc) - col("c"))
+    val aggG = cum.groupBy(col(keyCol), col(groupCol)).agg(
+      sum(col("cg")).as("n_g"),
+      sum(i38(col("cg")) * (i38(col("cum")) * 2 + i38(col("c")) + 1))
+        .as("r2"),
+      sum((i38(col("c")) * i38(col("c")) - 1) * i38(col("cg"))).as("tiep"))
+    val term = microDiv(lit(1000000).cast("decimal(38,0)") *
+      col("r2") * col("r2"), col("n_g") * 4)
+    val fin = aggG.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(term).as("s_micro"),
+      sum(col("tiep")).as("ties"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) * col("s_micro").cast("double") / lit(1000000.0) /
+      (nD * (nD + lit(1.0))) - lit(3.0) * (nD + lit(1.0))
+    val corrFac = lit(1.0) -
+      col("ties").cast("double") / (nD * nD * nD - nD)
+    val ok = col("n_groups") >= 2 && col("n") >= 2
+    fin.select(col(keyCol), col("n_groups"), col("n"),
+      when(ok, h).as("h"),
+      when(ok && corrFac > 0.0, h / corrFac).as("h_adj"))
+  }
+
+  /** Brown-Forsythe test (Levene with group MEDIAN centers) per key:
+    * are the groups' SPREADS equal? The robust variance-equality
+    * companion of [[kruskalWallisByKey]] (which sees location, not
+    * scale). W = ((N−k)/(k−1)) · Σ n_j(z̄_j − z̄)² / ΣΣ(z_ij − z̄_j)²
+    * over z_ij = |x_ij − median_j|.
+    *
+    * Exactness: values quantize to micro units through DECIMAL(18,2);
+    * the doubled group median 2·m_j (interpolated exact `percentile`
+    * — the average of two integers, always x.0 or x.5, doubles to an
+    * integer) makes every z2_ij = |2x − 2m_j| an exact long, so the
+    * per-group sums S_j = Σz2 and Q_j = Σz2² are exact integers. The
+    * cross-group Σ S_j²/n_j is quantized per group with one micro
+    * integral division and summed as integers (the
+    * [[kruskalWallisByKey]] trick); W's quadratic forms are
+    * scale-invariant, so the doubling cancels.
+    *
+    * Work: one corpus groupBy for the medians (group-count sized,
+    * broadcast back), one corpus aggregate for the moments, one key
+    * aggregate. Output: key, n_groups, n, w (null when k < 2, N ≤ k,
+    * or the within-group spread is 0). */
+  def brownForsytheByKey(df: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(keyCol), col(groupCol),
+        (d(col(valueCol)) * 100).cast("long").as("vm"))
+    val med = base.groupBy(col(keyCol), col(groupCol))
+      .agg((expr("percentile(vm, 0.5)") * 2).cast("long").as("m2"))
+    val z = base.join(broadcast(med), Seq(keyCol, groupCol))
+      .select(col(keyCol), col(groupCol),
+        abs(col("vm") * 2 - col("m2")).as("z2"))
+    val aggG = z.groupBy(col(keyCol), col(groupCol)).agg(
+      count(lit(1)).as("n_g"),
+      sum(i38(col("z2"))).as("s"),
+      sum(i38(col("z2")) * i38(col("z2"))).as("q"))
+    val term = microDiv(lit(1000000).cast("decimal(38,0)") *
+      col("s") * col("s"), col("n_g"))
+    val fin = aggG.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(term).as("a_micro"),
+      sum(col("s")).as("ss"),
+      sum(col("q")).as("qq"))
+    val nD = col("n").cast("double")
+    val kD = col("n_groups").cast("double")
+    val aD = col("a_micro").cast("double") / lit(1000000.0)
+    val num = aD - col("ss").cast("double") * col("ss").cast("double") / nD
+    val den = col("qq").cast("double") - aD
+    val w = (nD - kD) / (kD - lit(1.0)) * num / den
+    fin.select(col(keyCol), col("n_groups"), col("n"),
+      when(col("n_groups") >= 2 && col("n") > col("n_groups") && den > 0.0,
+        w).as("w"))
+  }
+
+  /** Cochran's Q (Cochran 1950): did the success RATE differ across k
+    * matched binary treatments on the same subjects? The k-treatment
+    * generalization of [[Stats.mcnemar]] (k = 2 reduces to it).
+    * `flagCols` are 0/1 columns, one per treatment, already aligned
+    * per subject row (the caller pivots; a missing treatment is a 0 —
+    * Cochran's complete-design assumption).
+    *
+    * Q = (k−1)·(k·ΣC_j² − T²) / (k·ΣR_i − ΣR_i²) with C_j the
+    * treatment totals, R_i the per-subject totals, T = ΣR_i. Every
+    * term is an exact integer sum (ΣC_j² is a k-term literal over the
+    * aggregate row, not a data-order reduction); Q is one fixed-shape
+    * double. Output one row: n_subjects, t, q (null when the
+    * denominator is 0 — all subjects all-0 or all-1). */
+  def cochranQ(df: DataFrame, flagCols: Seq[String]): DataFrame = {
+    require(flagCols.size >= 2, "cochranQ needs >= 2 treatment columns")
+    val k = flagCols.size
+    val r = flagCols.map(c => col(c).cast("long")).reduce(_ + _)
+    val aggCols =
+      flagCols.map(c => sum(col(c).cast("long")).as(s"c_$c")) ++ Seq(
+        count(lit(1)).as("n_subjects"),
+        sum(r).as("t"),
+        sum(i38(r) * i38(r)).as("r2"))
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val sumC2 = flagCols
+      .map(c => i38(col(s"c_$c")) * i38(col(s"c_$c")))
+      .reduce(_ + _)
+    val num = (lit(k.toLong - 1) *
+      (lit(k.toLong) * sumC2 - i38(col("t")) * i38(col("t"))))
+      .cast("double")
+    val den = (lit(k.toLong) * i38(col("t")) - i38(col("r2")))
+      .cast("double")
+    agg.select(col("n_subjects"), col("t").cast("long").as("t"),
+      when(den > 0.0, num / den).as("q"))
+  }
+
+  /** Cronbach's alpha per key: internal consistency of k item columns
+    * — do the items measure one underlying quantity? α = k/(k−1) ·
+    * (1 − Σ_i var_i / var_total) with var_total the variance of the
+    * per-row item sum.
+    *
+    * Exactness: every variance shares the denominator n(n−1), so α
+    * reduces to k/(k−1) · (Δ_tot − Σ_i Δ_i)/Δ_tot over the EXACT
+    * DECIMAL numerators Δ = n·Σx² − (Σx)² — items cross-covary, so
+    * Σvar_i/var_tot ≈ 1 and the naive double form would amplify a
+    * single decimal→double conversion ulp by ~1/α; keeping the
+    * subtraction in decimal removes the cancellation entirely. The
+    * moments accumulate in INTEGER hundredth units (values ×100, their
+    * squares in hundredth²) as DECIMAL(38,0) — so the Δs, their k-term
+    * sum, and the closing subtraction are all exact integers, and the
+    * two doubles fed to the final division are conversions of THE SAME
+    * integers in both engines (DuckDB replays in HUGEINT). One corpus
+    * scan, one grouped aggregate; rows with any null item are dropped
+    * (listwise, the classical convention). Output: key, n, alpha (null
+    * when n < 2 or var_total = 0). */
+  def cronbachAlpha(df: DataFrame, keyCol: String,
+      itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, "cronbachAlpha needs >= 2 item columns")
+    val k = itemCols.size
+    def cents(c: Column) = (d(c) * 100).cast("long")
+    val rowSum = itemCols.map(c => cents(col(c))).reduce(_ + _)
+    val aggCols = itemCols.flatMap { c =>
+      Seq(sum(i38(cents(col(c)))).as(s"sx_$c"),
+        sum(i38(cents(col(c))) * i38(cents(col(c)))).as(s"sxx_$c"))
+    } ++ Seq(count(lit(1)).as("n"),
+      sum(i38(rowSum)).as("sx_tot"),
+      sum(i38(rowSum) * i38(rowSum)).as("sxx_tot"))
+    val agg = df.na.drop(itemCols).groupBy(col(keyCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // Δ = n·Σx² − (Σx)² in hundredth² units — exact integers; the
+    // k-term Σ_i Δ_i is a literal fold over one aggregate row.
+    def delta(sx: Column, sxx: Column) = i38(col("n")) * sxx - sx * sx
+    val sumDelta = itemCols
+      .map(c => delta(col(s"sx_$c"), col(s"sxx_$c")))
+      .reduce(_ + _)
+    val totDelta = delta(col("sx_tot"), col("sxx_tot"))
+    val alpha = lit(k.toDouble) / lit(k.toDouble - 1.0) *
+      ((totDelta - sumDelta).cast("double") / totDelta.cast("double"))
+    agg.select(col(keyCol), col("n"),
+      when(col("n") >= 2 && totDelta > 0, alpha).as("alpha"))
+  }
+
+  /** One-way random-effects intraclass correlation ICC(1,1) (Shrout &
+    * Fleiss 1979; unbalanced groups per Searle): how much of the
+    * value's variance lives BETWEEN groups? The variance-decomposition
+    * readout behind "is this column keyed by that one" QA probes.
+    *
+    * ANOVA identities over micro-unit integers (DECIMAL(18,2)·100):
+    * MSB = (Σ_g S_g²/n_g − T²/N)/(J−1), MSW = (ΣX² − Σ_g S_g²/n_g)/
+    * (N−J), n₀ = (N − Σn_g²/N)/(J−1), ICC = (MSB−MSW)/(MSB+(n₀−1)MSW).
+    * The cross-group Σ S_g²/n_g quantizes per group with one micro
+    * integral division (order-independent integer sum — the
+    * [[kruskalWallisByKey]] discipline). MSB/MSW are reported in
+    * squared VALUE units (the ×100 hundredth-unit quantization squares
+    * to 1e4, divided back in the fixed-shape formulas); ICC is
+    * scale-free.
+    *
+    * Work: one corpus groupBy to the per-group moments, one global
+    * aggregate. Output one row: n, j, msb, msw, icc (null when J < 2
+    * or N ≤ J or the denominator is 0). */
+  def iccOneWay(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), (d(col(valueCol)) * 100).cast("long").as("vm"))
+    val perG = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_g"),
+      sum(i38(col("vm"))).as("s"),
+      sum(i38(col("vm")) * i38(col("vm"))).as("q"))
+    val term = microDiv(lit(1000000).cast("decimal(38,0)") *
+      col("s") * col("s"), col("n_g"))
+    val fin = perG.agg(
+      count(lit(1)).as("j"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(term).as("a_micro"),
+      sum(col("s")).as("t_sum"),
+      sum(col("q")).as("q_sum"),
+      sum(i38(col("n_g")) * i38(col("n_g"))).as("n2_sum"))
+    val nD = col("n").cast("double")
+    val jD = col("j").cast("double")
+    val aD = col("a_micro").cast("double") / lit(1000000.0)
+    val tD = col("t_sum").cast("double")
+    // hundredth-units → value units: values entered at ×100, so the
+    // squared-scale mean squares divide by 100² = 1e4. ICC is a ratio —
+    // scaling cancels there.
+    val msb = (aD - tD * tD / nD) / (jD - lit(1.0)) / lit(1.0e4)
+    val msw = (col("q_sum").cast("double") - aD) / (nD - jD) / lit(1.0e4)
+    val n0 = (nD - col("n2_sum").cast("double") / nD) / (jD - lit(1.0))
+    val den = msb + (n0 - lit(1.0)) * msw
+    val ok = col("j") >= 2 && col("n") > col("j")
+    fin.select(col("n"), col("j"),
+      when(ok, msb).as("msb"), when(ok, msw).as("msw"),
+      when(ok && den > 0.0, (msb - msw) / den).as("icc"))
+  }
+}

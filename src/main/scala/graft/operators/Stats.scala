@@ -690,4 +690,43 @@ object Stats {
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.DoubleType))))
   }
+
+  /** Per-key Theil T index (Theil 1967): entropy-based inequality of a
+    * POSITIVE value — 0 for perfect equality, ln(n) at maximal
+    * concentration. The decomposable companion of [[giniByKey]] (Theil
+    * splits exactly into within/between-group terms; Gini does not).
+    *
+    * T = Σ xᵢ·ln(xᵢ) / (N·μ) − ln(μ), computed over the PER-DISTINCT-
+    * VALUE count table (the [[ksStatistic]] collapse): each distinct
+    * micro value contributes c·vm·ln(vm) quantized through
+    * DECIMAL(30,6) — so the corpus-sized reduction is an exact decimal
+    * sum (order-independent), the ln() calls are one per DISTINCT
+    * value, and the unit of vm cancels in the closing fixed-shape
+    * double formula (ln vm − ln μ̂ = ln(vm/μ̂), both in micro units).
+    * For heavy continuous domains, pre-bin upstream — the same
+    * bounded-distinct contract as [[ksStatistic]].
+    *
+    * Output: key, n, theil (null when n = 0; non-positive values are
+    * excluded — Theil is defined on positive quantities). */
+  def theilIndexByKey(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val vm = (d(col(valueCol)) * 100).cast("long")
+    val perValue = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(keyCol), vm.as("vm"))
+      .filter(col("vm") > 0) // sub-half-micro values would hit ln(0)
+      .groupBy(col(keyCol), col("vm"))
+      .agg(count(lit(1)).as("c"))
+    val term = (col("c").cast("double") * col("vm").cast("double") *
+      log(col("vm").cast("double"))).cast("decimal(30,6)")
+    val agg = perValue.groupBy(col(keyCol)).agg(
+      sum(col("c")).as("n"),
+      sum(col("vm").cast("decimal(38,0)") * col("c")).as("s"),
+      sum(term).as("xlx"))
+    val nD = col("n").cast("double")
+    val mu = col("s").cast("double") / nD
+    val theil = col("xlx").cast("double") / (nD * mu) - log(mu)
+    agg.select(col(keyCol), col("n").cast("long").as("n"),
+      when(col("n") > 0, theil).as("theil"))
+  }
 }

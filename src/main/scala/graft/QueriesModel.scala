@@ -624,7 +624,108 @@ object QueriesModel {
        |FROM tt JOIN t$BtIters ON tt.item = t$BtIters.item""".stripMargin
   }
 
+  // ------------------------------------------------------- logit_irls
+  // Oracle-hashed logistic regression: P(returnflag = 'R' | discount,
+  // tax) by 3 relational IRLS rounds on the 11×9×2 discrete-feature
+  // grid. The oracle UNROLLS the iterations as CTE chains — every
+  // weight and working product passes the same DECIMAL quantization,
+  // so the fit is bit-identical across engines (the counterpart of the
+  // deliberately non-hashable LinearModel.logisticFit).
+  def qLogitIrls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearModel.logisticIrlsGrid(
+      t(s, dir, "lineitem")
+        .withColumn("y", (col("l_returnflag") === "R").cast("long")),
+      "y", "l_discount", "l_tax", iters = 3)
+
+  private def det3Sql(a: String, b: String, c: String,
+      p: String, q: String, r: String,
+      x: String, y: String, z: String): String =
+    s"$a * ($q * $z - $r * $y) - $b * ($p * $z - $r * $x)" +
+      s" + $c * ($p * $y - $q * $x)"
+
+  val qLogitIrlsSql: String = {
+    // integer-unit rescaling: cents carry 1e-2 per feature factor,
+    // w16 1e-16, wz12 1e-12 (mirrors logisticIrlsGrid's dv()).
+    val scales = Seq("sww" -> "1.0e16", "swx1" -> "1.0e18",
+      "swx2" -> "1.0e18", "swx11" -> "1.0e20", "swx12" -> "1.0e20",
+      "swx22" -> "1.0e20", "swz" -> "1.0e12", "swzx1" -> "1.0e14",
+      "swzx2" -> "1.0e14")
+    // engine-neutral big-integer → double: exact hi/lo split at 2^53
+    // then a fixed-shape double reconstruction (mirrors
+    // logisticIrlsGrid's dv() — see its comment on int128→double ulp
+    // divergence), then the exact power-of-ten unit division.
+    val d = scales.map { case (m, p) =>
+      val sgn = s"(CASE WHEN $m < 0 THEN -1.0 WHEN $m = 0 THEN 0.0" +
+        " ELSE 1.0 END)"
+      val hi = s"CAST(abs($m) // 9007199254740992 AS DOUBLE)"
+      val lo = s"CAST(abs($m) % 9007199254740992 AS DOUBLE)"
+      m -> s"(($sgn * ($hi * 9007199254740992.0 + $lo)) / $p)"
+    }.toMap
+    val (sww, swx1, swx2) = (d("sww"), d("swx1"), d("swx2"))
+    val (swx11, swx12, swx22) = (d("swx11"), d("swx12"), d("swx22"))
+    val (swz, swzx1, swzx2) = (d("swz"), d("swzx1"), d("swzx2"))
+    val iters = (1 to 3).map { k =>
+      val prev = if (k == 1) "b0i" else s"b${k - 1}"
+      s"""it$k AS (SELECT g.cnt, g.x1c, g.x2c, g.y,
+         |    greatest(least(b.b0
+         |      + b.b1 * (CAST(g.x1c AS DOUBLE) / 100.0)
+         |      + b.b2 * (CAST(g.x2c AS DOUBLE) / 100.0),
+         |      25.0), -25.0) AS etac
+         |  FROM grid g CROSS JOIN $prev b),
+         |mu$k AS (SELECT *, greatest(least(
+         |    CAST(floor((1.0 / (1.0 + exp(-etac))) * 1.0e8) AS BIGINT),
+         |    99999999), 1) AS mu8 FROM it$k),
+         |w$k AS (SELECT *, mu8 * (100000000 - mu8) AS w16 FROM mu$k),
+         |z$k AS (SELECT *, CAST(floor(
+         |    (CAST(w16 AS DOUBLE) / 1.0e16) * (etac
+         |      + (CAST(y AS DOUBLE) - CAST(mu8 AS DOUBLE) / 1.0e8)
+         |        / (CAST(w16 AS DOUBLE) / 1.0e16)) * 1.0e12)
+         |    AS BIGINT) AS wz12 FROM w$k),
+         |a$k AS (SELECT
+         |    sum(CAST(cnt AS HUGEINT) * w16) AS sww,
+         |    sum(CAST(cnt AS HUGEINT) * x1c * w16) AS swx1,
+         |    sum(CAST(cnt AS HUGEINT) * x2c * w16) AS swx2,
+         |    sum(CAST(cnt AS HUGEINT) * x1c * x1c * w16) AS swx11,
+         |    sum(CAST(cnt AS HUGEINT) * x1c * x2c * w16) AS swx12,
+         |    sum(CAST(cnt AS HUGEINT) * x2c * x2c * w16) AS swx22,
+         |    sum(CAST(cnt AS HUGEINT) * wz12) AS swz,
+         |    sum(CAST(cnt AS HUGEINT) * x1c * wz12) AS swzx1,
+         |    sum(CAST(cnt AS HUGEINT) * x2c * wz12) AS swzx2
+         |  FROM z$k),
+         |b$k AS (SELECT
+         |    CASE WHEN det <> 0.0 THEN det0 / det END AS b0,
+         |    CASE WHEN det <> 0.0 THEN det1 / det END AS b1,
+         |    CASE WHEN det <> 0.0 THEN det2 / det END AS b2
+         |  FROM (SELECT
+         |    ${det3Sql(sww, swx1, swx2, swx1, swx11, swx12,
+                        swx2, swx12, swx22)} AS det,
+         |    ${det3Sql(swz, swx1, swx2, swzx1, swx11, swx12,
+                        swzx2, swx12, swx22)} AS det0,
+         |    ${det3Sql(sww, swz, swx2, swx1, swzx1, swx12,
+                        swx2, swzx2, swx22)} AS det1,
+         |    ${det3Sql(sww, swx1, swz, swx1, swx11, swzx1,
+                        swx2, swx12, swzx2)} AS det2
+         |  FROM a$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH grid AS (
+       |  SELECT
+       |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1c,
+       |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2c,
+       |    CAST(l_returnflag = 'R' AS BIGINT) AS y,
+       |    count(*) AS cnt
+       |  FROM lineitem
+       |  WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+       |    AND l_tax IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |b0i AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |$iters
+       |SELECT n, b0, b1, b2
+       |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid)
+       |CROSS JOIN b3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_logit_irls" -> (qLogitIrls _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_ndcg" -> (qNdcg _),
     "q_avg_precision" -> (qAvgPrecision _),
@@ -639,6 +740,7 @@ object QueriesModel {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_logit_irls" -> qLogitIrlsSql,
     "q_bradley_terry" -> qBradleyTerrySql,
     "q_ndcg" -> qNdcgSql,
     "q_avg_precision" -> qAvgPrecisionSql,

@@ -298,6 +298,121 @@ object LinearModel {
     Some(beta.toSeq)
   }
 
+  /** Logistic regression by IRLS over the DISCRETE-FEATURE GRID —
+    * the oracle-hashable counterpart of [[logisticFit]]: where that
+    * fit aggregates row-order double sums (engine-specific by design),
+    * this one collapses the corpus to its distinct (x1, x2, y) cells
+    * FIRST (one corpus pass; the features must be categorical/
+    * discretized — bin upstream, the [[Stats.ksStatistic]] contract),
+    * then runs `iters` fully RELATIONAL Newton steps on the cell
+    * table in PURE INTEGER/DOUBLE arithmetic: per-cell μ quantizes
+    * through floor(μ·1e8) — an exact IEEE op on a bit-identical
+    * double, never a double→decimal CAST, whose toString-vs-binary
+    * rounding differs between Spark and DuckDB at ~1e-4 odds per cast
+    * (measured: the decimal-cast form of this operator missed
+    * bit-equality by one quantization flip). The weight
+    * w = μ₈·(1e8−μ₈) and working product floor(w·z·1e12) are exact
+    * integers, the weighted moments exact DECIMAL(38,0) integer sums
+    * (order-independent), and the Cramer solve is the [[ridgeByKey]]
+    * fixed-shape double tree over moments rescaled by exact
+    * power-of-ten divisions — so a DuckDB oracle replays the unrolled
+    * iteration bit-for-bit.
+    *
+    * η clamps to ±25 before exp, and μ₈ to [1, 1e8−1], keeping w
+    * nonzero (the standard IRLS step-halving concern does not arise
+    * on a clamped, grid-sized system). β enters each round as a
+    * broadcast one-row frame; nothing ever collects. Features enter
+    * as exact cents (DECIMAL(18,2)·100 → long); coefficients are
+    * reported on the ORIGINAL feature scale.
+    *
+    * Output one row: n, then b0/b1/b2 after the LAST iteration (null
+    * if any round's normal matrix was singular). */
+  def logisticIrlsGrid(df: DataFrame, yCol: String, x1Col: String,
+      x2Col: String, iters: Int = 3,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8], got $iters")
+    val spark = df.sparkSession
+    def i38(c: Column) = c.cast("decimal(38,0)")
+    val grid = scope.retain(df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .groupBy((d(col(x1Col)) * 100).cast("long").as("x1c"),
+        (d(col(x2Col)) * 100).cast("long").as("x2c"),
+        col(yCol).cast("long").as("y"))
+      .agg(count(lit(1)).as("cnt")))
+    var beta = spark.range(1).select(lit(0.0).as("b0"),
+      lit(0.0).as("b1"), lit(0.0).as("b2"))
+    for (_ <- 1 to iters) {
+      val it = grid.crossJoin(broadcast(beta))
+      val eta = col("b0") +
+        col("b1") * (col("x1c").cast("double") / lit(100.0)) +
+        col("b2") * (col("x2c").cast("double") / lit(100.0))
+      val etac = greatest(least(eta, lit(25.0)), lit(-25.0))
+      val mu = lit(1.0) / (lit(1.0) + exp(-etac))
+      val scored = it
+        .withColumn("etac", etac)
+        .withColumn("mu8",
+          greatest(least(floor(mu * lit(1.0e8)), lit(99999999L)),
+            lit(1L)))
+        .withColumn("w16", col("mu8") * (lit(100000000L) - col("mu8")))
+        .withColumn("wz12", floor(
+          (col("w16").cast("double") / lit(1.0e16)) *
+            (col("etac") + (col("y").cast("double") -
+              col("mu8").cast("double") / lit(1.0e8)) /
+              (col("w16").cast("double") / lit(1.0e16))) * lit(1.0e12)))
+      val agg = scored.agg(
+        sum(i38(col("cnt")) * col("w16")).as("sww"),
+        sum(i38(col("cnt")) * col("x1c") * col("w16")).as("swx1"),
+        sum(i38(col("cnt")) * col("x2c") * col("w16")).as("swx2"),
+        sum(i38(col("cnt")) * col("x1c") * col("x1c") * col("w16"))
+          .as("swx11"),
+        sum(i38(col("cnt")) * col("x1c") * col("x2c") * col("w16"))
+          .as("swx12"),
+        sum(i38(col("cnt")) * col("x2c") * col("x2c") * col("w16"))
+          .as("swx22"),
+        sum(i38(col("cnt")) * col("wz12")).as("swz"),
+        sum(i38(col("cnt")) * col("x1c") * col("wz12")).as("swzx1"),
+        sum(i38(col("cnt")) * col("x2c") * col("wz12")).as("swzx2"))
+      // integer sums → true-unit moments. The sums exceed 2^53, where
+      // engines' big-integer→double conversions disagree in the last
+      // ulp (DuckDB converts int128 via per-limb floating math; Java
+      // rounds correctly) — so the conversion is made engine-neutral
+      // by an exact integer split m = sign·(hi·2^53 + lo) followed by
+      // a FIXED-SHAPE double reconstruction (two IEEE roundings, bit
+      // identical everywhere), then the exact power-of-ten unit
+      // division.
+      def dv(name: String, pow: Double) = {
+        val p = lit(9007199254740992L) // 2^53
+        val a = abs(col(name))
+        val hi = ((a - a % p) / p).cast("double") // ≤ ~1e11: exact
+        val lo = (a % p).cast("double") // < 2^53: exact
+        (signum(col(name).cast("double")) *
+          (hi * lit(9007199254740992.0) + lo)) / lit(pow)
+      }
+      val (sww, swx1, swx2) =
+        (dv("sww", 1.0e16), dv("swx1", 1.0e18), dv("swx2", 1.0e18))
+      val (swx11, swx12, swx22) = (dv("swx11", 1.0e20),
+        dv("swx12", 1.0e20), dv("swx22", 1.0e20))
+      val (swz, swzx1, swzx2) =
+        (dv("swz", 1.0e12), dv("swzx1", 1.0e14), dv("swzx2", 1.0e14))
+      val det = det3(sww, swx1, swx2,
+        swx1, swx11, swx12, swx2, swx12, swx22)
+      val det0 = det3(swz, swx1, swx2,
+        swzx1, swx11, swx12, swzx2, swx12, swx22)
+      val det1 = det3(sww, swz, swx2,
+        swx1, swzx1, swx12, swx2, swzx2, swx22)
+      val det2 = det3(sww, swx1, swz,
+        swx1, swx11, swzx1, swx2, swx12, swzx2)
+      beta = agg.select(
+        when(det =!= 0.0, det0 / det).as("b0"),
+        when(det =!= 0.0, det1 / det).as("b1"),
+        when(det =!= 0.0, det2 / det).as("b2"))
+    }
+    grid.agg(sum(col("cnt")).cast("long").as("n"))
+      .crossJoin(broadcast(beta))
+  }
+
   /** σ(β·x) as a pure map expression — the corpus-filtering side of
     * [[logisticFit]]. β is broadcast by value (it's d+1 doubles). */
   def logisticScore(df: DataFrame, beta: Seq[Double], xCols: Seq[String],

@@ -43,8 +43,20 @@ object NaiveBayes {
     * [[classify]]. */
   def model(docs: DataFrame, labelCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
-    val base = docs.filter(col(labelCol).isNotNull)
-    val tok = toks(base, Seq(labelCol), textCol)
+    val base = docs.filter(col(labelCol).isNotNull &&
+      col(textCol).isNotNull)
+    modelFromTokens(base, toks(base, Seq(labelCol), textCol),
+      labelCol)
+  }
+
+  /** Model from an ALREADY-TOKENIZED frame — the one-tokenization path
+    * [[classify]] uses so train and score share a single (cached)
+    * explode of the corpus instead of re-scanning it. `docs` supplies
+    * only the pruned document counts for the priors. */
+  private def modelFromTokens(docs: DataFrame, tokAll: DataFrame,
+      labelCol: String): (DataFrame, DataFrame) = {
+    val base = docs
+    val tok = tokAll.filter(col(labelCol).isNotNull)
     val classTok = tok.groupBy(col(labelCol), col("__w"))
       .agg(count(lit(1)).as("__c"))
     val classTot = classTok.groupBy(col(labelCol))
@@ -80,11 +92,19 @@ object NaiveBayes {
     * Ties break toward the LARGER label (exact-decimal struct max —
     * deterministic, oracle-replayable). */
   def classify(docs: DataFrame, idCol: String, labelCol: String,
-      textCol: String): DataFrame = {
-    val (grid, priors) = model(docs, labelCol, textCol)
+      textCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    // ONE tokenization of the corpus, cached: the training counts and
+    // the scoring join both read it (the plan otherwise re-explodes
+    // the text for every derived aggregate — 7 corpus scans at sf, a
+    // non-starter at 100 TB).
+    val tok = scope.retain(toks(docs, Seq(idCol, labelCol), textCol))
+    val (grid, priors) = modelFromTokens(
+      docs.filter(col(labelCol).isNotNull && col(textCol).isNotNull),
+      tok, labelCol)
     val gridL = grid.withColumnRenamed(labelCol, "__label")
     val priorsL = priors.withColumnRenamed(labelCol, "__label")
-    val tok = toks(docs, Seq(idCol, labelCol), textCol)
     val scored = tok
       .join(gridL.select(col("token"), col("__label"), col("lp")),
         tok("__w") === gridL("token"))

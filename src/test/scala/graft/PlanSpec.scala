@@ -857,4 +857,61 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct"), s"no cartesian in HITS:\n$p")
   }
+
+  test("q_kruskal: one scan, no join, both rank windows share one " +
+      "day exchange") {
+    val p = plan("q_kruskal")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one events scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"no join in kruskal:\n$p")
+    // the (day,value) window piggybacks on the day partitioning: the
+    // only keyed exchanges are the count-agg and the day repartition
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 2, s"two keyed exchanges, got $keyed:\n$p")
+  }
+
+  test("q_brown_forsythe broadcasts the group-median table back") {
+    val p = plan("q_brown_forsythe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"median join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_hampel: one scan, one keyed window exchange, no join") {
+    val p = plan("q_hampel")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("q_seq_mine: lead chain is one window exchange, no self-join") {
+    val p = plan("q_seq_mine")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("q_naive_bayes: one cached tokenization; vocabulary join is " +
+      "never broadcast-forced") {
+    val p = plan("q_naive_bayes")
+    // the exploded token frame is CacheScope-retained and serves both
+    // training counts and the scoring join
+    assert(p.contains("InMemoryTableScan"),
+      s"token frame must be cache-served:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // only the bounded sides carry broadcast hints: class totals, the
+    // one-row vocab count, the one-row doc total, and the priors
+    val analyzed = SparkEntry.queries("q_naive_bayes")(spark, dir)
+      .queryExecution.analyzed.toString
+    val hints = "(?m)ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints == 4, s"4 bounded broadcast hints, got $hints")
+  }
+
+  test("q_logit_irls: grid cached once; crossed betas are one-row " +
+      "broadcasts, never a cartesian") {
+    val p = plan("q_logit_irls")
+    assert(p.contains("InMemoryTableScan"),
+      s"grid must be cache-served across iterations:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"grid derives from at most one live scan:\n$p")
+  }
 }

@@ -186,6 +186,45 @@ object QueriesInference {
       |    END AS alpha
       |FROM v""".stripMargin
 
+  // ------------------------------------------------- cochran_armitage
+  // Does the return rate trend with order quantity? Ordered-exposure
+  // dose-response z over one integer-moment aggregate.
+  def qCochranArmitage(s: SparkSession, dir: String): DataFrame =
+    Inference.cochranArmitage(
+      t(s, dir, "lineitem")
+        .withColumn("ret", (col("l_returnflag") === "R").cast("long")),
+      "l_quantity", "ret")
+
+  val qCochranArmitageSql: String =
+    """WITH src AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS s,
+      |    CAST(l_returnflag = 'R' AS BIGINT) AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+      |a AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS r,
+      |        sum(CAST(s AS HUGEINT) * y) AS ssy,
+      |        sum(CAST(s AS HUGEINT)) AS ss,
+      |        sum(CAST(s AS HUGEINT) * s) AS sss
+      |      FROM src)
+      |SELECT n, r,
+      |  CASE WHEN r > 0 AND r < n
+      |      AND (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sss AS DOUBLE)
+      |           - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+      |             / CAST(n AS DOUBLE)) > 0.0
+      |    THEN (CAST(ssy AS DOUBLE)
+      |        - CAST(ss AS DOUBLE) * CAST(r AS DOUBLE)
+      |          / CAST(n AS DOUBLE))
+      |      / sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sss AS DOUBLE)
+      |           - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+      |             / CAST(n AS DOUBLE)))
+      |    END AS z
+      |FROM a""".stripMargin
+
   // -------------------------------------------------------------- icc
   // How much of order totalprice variance is BETWEEN customers?
   // One-way random-effects ICC(1,1), unbalanced Searle n0.
@@ -234,6 +273,7 @@ object QueriesInference {
     "q_kruskal" -> (qKruskal _),
     "q_brown_forsythe" -> (qBrownForsythe _),
     "q_cochran_q" -> (qCochranQ _),
+    "q_cochran_armitage" -> (qCochranArmitage _),
     "q_cronbach" -> (qCronbach _),
     "q_icc" -> (qIcc _))
 
@@ -241,6 +281,7 @@ object QueriesInference {
     "q_kruskal" -> qKruskalSql,
     "q_brown_forsythe" -> qBrownForsytheSql,
     "q_cochran_q" -> qCochranQSql,
+    "q_cochran_armitage" -> qCochranArmitageSql,
     "q_cronbach" -> qCronbachSql,
     "q_icc" -> qIccSql)
 }

@@ -434,6 +434,59 @@ object QueriesScale {
        |SELECT node, rank FROM r$PrIters""".stripMargin
   }
 
+  // ------------------------------------------------------------------ ppr
+  // Personalized PageRank from two seed customers on the same bipartite
+  // graph — restart mass returns to the seeds, so scores read as
+  // "proximity to c1/c7". Same 2^48 fixed-point round replay as
+  // q_pagerank, with the seeded restart CASE in both engines.
+  private val PprSeeds = Seq("c1", "c7")
+
+  def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.PageRank.personalized(edges, "src", "dst",
+      PprSeeds, PrIters, PrDamping)
+      .filter(col("rank") > 0.0) // visited neighborhood only
+  }
+
+  val qPprSql: String = {
+    val base = 1.0 - PrDamping
+    val fp = graft.operators.PageRank.FpScale
+    val seedList = PprSeeds.map(x => s"'$x'").mkString(", ")
+    def round(prev: String, out: String) =
+      s"""$out AS (SELECT n.node,
+         |    (CASE WHEN n.node IN ($seedList) THEN $base ELSE 0.0 END)
+         |      + $PrDamping *
+         |      (CAST(coalesce(c.s, 0) AS DOUBLE) / $fp) AS rank,
+         |    n.outdeg
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.dst, sum(CAST(CAST(CAST(rank / CAST(outdeg AS DOUBLE)
+         |        AS FLOAT) AS DOUBLE) * $fp AS BIGINT)) AS s
+         |    FROM e JOIN $prev r ON e.src = r.node GROUP BY e.dst) c
+         |  ON n.node = c.dst)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |      UNION ALL SELECT b, a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node,
+       |         CAST(CASE WHEN node IN ($seedList) THEN 1.0 ELSE 0.0 END
+       |           AS DOUBLE) AS rank, outdeg
+       |       FROM nodes LEFT JOIN deg ON node = src),
+       |${(1 to PrIters).map(i => round(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT node, rank FROM r$PrIters WHERE rank > 0.0""".stripMargin
+  }
+
   // ------------------------------------------------------------------ bfs
   // Single-source BFS hop distances on the same customer↔supplier
   // bipartite graph PageRank walks: frontier-iteration on the Spark
@@ -1060,6 +1113,7 @@ object QueriesScale {
     "q_packing" -> (qPacking _),
     "q_mixture" -> (qMixture _),
     "q_pagerank" -> (qPageRank _),
+    "q_ppr" -> (qPpr _),
     "q_bfs" -> (qBfs _),
     "q_triangles" -> (qTriangles _),
     "q_assortativity" -> (qAssortativity _),
@@ -1094,6 +1148,7 @@ object QueriesScale {
     "q_packing" -> qPackingSql,
     "q_mixture" -> qMixtureSql,
     "q_pagerank" -> qPageRankSql,
+    "q_ppr" -> qPprSql,
     "q_bfs" -> qBfsSql,
     "q_triangles" -> qTrianglesSql,
     "q_assortativity" -> qAssortativitySql,

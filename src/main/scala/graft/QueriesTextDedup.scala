@@ -396,6 +396,43 @@ object QueriesTextDedup {
        |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
 
+  // ------------------------------------------------------ knn label vote
+  // kNN classification: each probe vector takes the majority label of
+  // its 5 exact nearest neighbors (ties → smallest label). The oracle
+  // reuses the decimal-quantized dot-product idiom and replays the
+  // deterministic (votes DESC, label ASC) argmax.
+  def qKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.similarity.KnnClassify.predictBruteForce(
+      e, e.filter(col("vec_id") < 50), "vec_id", "embedding", "label", 5)
+  }
+
+  val qKnnLabelSql: String =
+    s"""WITH $normCte,
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS dot,
+       |    any_value(q.norm_sq) AS qn, any_value(c.norm_sq) AS cn
+       |  FROM n q JOIN n c ON q.vec_id < 50 AND q.vec_id <> c.vec_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY q.vec_id, c.vec_id),
+       |scored AS (
+       |  SELECT query_id, nn_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos_sim
+       |  FROM pairs),
+       |topk AS (SELECT query_id, nn_id FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
+       |  FROM scored) WHERE rank <= 5),
+       |votes AS (
+       |  SELECT t.query_id, e.label AS pred_label, count(*) AS votes
+       |  FROM topk t JOIN embeddings e ON e.vec_id = t.nn_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, pred_label, votes FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY votes DESC, pred_label ASC) AS rn
+       |  FROM votes) WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------- IVF search
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -522,6 +559,7 @@ object QueriesTextDedup {
     "q_rrf" -> (qRrf _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_embed_topk" -> (qEmbedTopk _),
+    "q_knn_label" -> (qKnnLabel _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_split_leakfree" -> (qSplitLeakfree _),
   )
@@ -542,6 +580,7 @@ object QueriesTextDedup {
     "q_rrf" -> qRrfSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_embed_topk" -> qEmbedTopkSql,
+    "q_knn_label" -> qKnnLabelSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
   )

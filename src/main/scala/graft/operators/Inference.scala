@@ -235,6 +235,41 @@ object Inference {
       when(col("n") >= 2 && totDelta > 0, alpha).as("alpha"))
   }
 
+  /** Cochran-Armitage trend test (Armitage 1955): does a BINARY
+    * outcome rate rise or fall monotonically with an ORDERED exposure
+    * score? The dose-response companion of [[Stats.chiSquareCells]]
+    * (which sees association but not direction/order). Scores enter as
+    * exact hundredth-unit integers; z is scale-invariant in the score,
+    * so the quantization unit cancels.
+    *
+    * z = (Σsy − Σs·R/N) / sqrt(R/N · (1 − R/N) · (Σs² − (Σs)²/N))
+    * over exact integer moments (Σsy, Σs, Σs², R, N) from ONE corpus
+    * aggregate — no grouping, no window, no join; the closing formula
+    * is fixed-shape doubles. `outcomeCol` must be 0/1. Output one row:
+    * n, r, z (null when the outcome or the score is constant). */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+      outcomeCol: String): DataFrame = {
+    val s = (d(col(scoreCol)) * 100).cast("long")
+    val y = col(outcomeCol).cast("long")
+    val agg = df
+      .filter(col(scoreCol).isNotNull && col(outcomeCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(y).cast("long").as("r"),
+        sum(i38(s) * y).as("ssy"),
+        sum(i38(s)).as("ss"),
+        sum(i38(s) * i38(s)).as("sss"))
+    val nD = col("n").cast("double")
+    val rD = col("r").cast("double")
+    val p = rD / nD
+    val t = col("ssy").cast("double") - col("ss").cast("double") * rD / nD
+    val v = p * (lit(1.0) - p) *
+      (col("sss").cast("double") -
+        col("ss").cast("double") * col("ss").cast("double") / nD)
+    agg.select(col("n"), col("r"),
+      when(col("r") > 0 && col("r") < col("n") && v > 0.0,
+        t / sqrt(v)).as("z"))
+  }
+
   /** One-way random-effects intraclass correlation ICC(1,1) (Shrout &
     * Fleiss 1979; unbalanced groups per Searle): how much of the
     * value's variance lives BETWEEN groups? The variance-decomposition

@@ -63,8 +63,28 @@ object PageRank {
     iterate(edges, srcCol, dstCol, maxIters, damping, Some(tolerance))
   }
 
+  /** Personalized PageRank (random walk with restart): the restart
+    * mass (1−d) returns to the SEED SET instead of spreading uniformly
+    * — "what is close to these nodes", the seeded-relevance primitive
+    * behind related-item expansion and seeded corpus discovery. Ranks
+    * init to 1 on seeds / 0 elsewhere and each round applies
+    * rank' = (1−d)·1[seed] + d·Σ contribs with the same 2^48
+    * fixed-point contribution quantization as [[run]] — so the SQL
+    * oracle replays rounds bit-for-bit. Scores are proportional to
+    * the restart-walk visit distribution over |S| seeds (unnormalized,
+    * like [[run]]'s convention). */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], iters: Int, damping: Double = 0.85)
+      : DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(seeds.nonEmpty, "personalized PageRank needs >= 1 seed")
+    iterate(edges, srcCol, dstCol, iters, damping, tolerance = None,
+      seeds = Some(seeds))
+  }
+
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double, tolerance: Option[Double]): DataFrame = {
+      iters: Int, damping: Double, tolerance: Option[Double],
+      seeds: Option[Seq[String]] = None): DataFrame = {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
     // the edge table is read every round (plus nodes/deg below) — pin it
@@ -77,14 +97,19 @@ object PageRank {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // rank table carries outdeg (NULL for dangling nodes) so the
     // per-round contribution join needs no third table
+    val init = seeds match {
+      case None => lit(1.0)
+      case Some(s) =>
+        when(col("node").isin(s: _*), lit(1.0)).otherwise(lit(0.0))
+    }
     var rank = nodes
       .join(deg, nodes("node") === deg("src"), "left")
-      .select(col("node"), lit(1.0).as("rank"), col("outdeg"))
+      .select(col("node"), init.as("rank"), col("outdeg"))
       .localCheckpoint()
     var i = 0
     var converged = false
     while (i < iters && !converged) {
-      val next = step(e, rank, damping)
+      val next = step(e, rank, damping, seeds)
         .localCheckpoint() // eager: materialized before the release below
       // the L1 delta reads two ALREADY-CHECKPOINTED node-sized tables —
       // no recomputation, one co-partitioned join + scalar aggregate
@@ -105,9 +130,11 @@ object PageRank {
   /** 2^48 — the fixed-point scale shared with the SQL oracle. */
   private[graft] val FpScale: Double = 281474976710656.0
 
-  /** One power-iteration round over the (node, rank, outdeg) table. */
-  private def step(e: DataFrame, rank: DataFrame,
-      damping: Double): DataFrame = {
+  /** One power-iteration round over the (node, rank, outdeg) table.
+    * With `seeds`, the restart term (1−d) lands only on the seed set
+    * (personalized walk); otherwise uniformly (classic PageRank). */
+  private def step(e: DataFrame, rank: DataFrame, damping: Double,
+      seeds: Option[Seq[String]] = None): DataFrame = {
     val contribs = e
       .join(rank, e("src") === rank("node"))
       .select(col("dst"),
@@ -115,9 +142,14 @@ object PageRank {
           .cast("float").cast("double") * lit(FpScale))
           .cast("long").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    val restart = seeds match {
+      case None => lit(1.0 - damping)
+      case Some(s) => when(col("node").isin(s: _*),
+        lit(1.0 - damping)).otherwise(lit(0.0))
+    }
     rank.join(contribs, rank("node") === contribs("dst"), "left")
       .select(col("node"),
-        (lit(1.0 - damping) + lit(damping) *
+        (restart + lit(damping) *
           (coalesce(col("s"), lit(0L)).cast("double") / lit(FpScale)))
           .as("rank"),
         col("outdeg"))

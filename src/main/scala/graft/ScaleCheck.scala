@@ -330,6 +330,43 @@ object ScaleCheck {
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       graft.operators.GraphMetrics.linkPredictTopK(edges, "src", "dst", 50)
     },
+    "naive_bayes" -> { (s, dir) =>
+      // one cached tokenization + vocab-keyed joins (the q_naive_bayes
+      // shape): token volume grows linearly with documents; the
+      // vocab×classes grid grows sub-linearly (shared vocabulary)
+      graft.operators.NaiveBayes.classify(
+        Tables.load(s, dir, "documents"), "doc_id", "lang", "text")
+    },
+    "seq_mine" -> { (s, dir) =>
+      // one per-user window lead chain + a |types|^3-keyed aggregate —
+      // the distinct-user count makes the final aggregate 2-exchange
+      graft.operators.SeqMine.topSequences(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", len = 3, minUsers = 2L)
+    },
+    "kruskal" -> { (s, dir) =>
+      // distinct-value window per day key: scaled copies multiply the
+      // per-day distinct-value table; near-linear (n log n sort) is
+      // the bar
+      graft.operators.Inference.kruskalWallisByKey(
+        Tables.load(s, dir, "events")
+          .withColumn("day", col("ts").cast("date")),
+        "day", "event_type", "value")
+    },
+    "hampel" -> { (s, dir) =>
+      // bounded ±3 frame per user: one keyed window exchange, per-row
+      // work constant — linear is the bar
+      graft.operators.Hampel.filter(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", halfWindow = 3)
+    },
+    "logit_irls" -> { (s, dir) =>
+      // 3 corpus-independent Newton rounds on the cached cell grid:
+      // the only volume-scaled work is the one grid-collapse scan
+      graft.operators.LinearModel.logisticIrlsGrid(
+        Tables.load(s, dir, "lineitem")
+          .withColumn("y", (col("l_returnflag") === "R").cast("long")),
+        "y", "l_discount", "l_tax", iters = 3)
+    },
     "interval_subtract" -> { (s, dir) =>
       // the coverage sweep: (key, ts) collapse + five window passes over
       // one sort (the q_interval_subtract shape)

@@ -235,6 +235,79 @@ object Inference {
       when(col("n") >= 2 && totDelta > 0, alpha).as("alpha"))
   }
 
+  /** Friedman test (Friedman 1937): within-subject rank ANOVA — did
+    * any of k matched treatments shift the CONTINUOUS outcome, with
+    * every subject serving as its own block? The rank companion of
+    * [[cochranQ]] (binary) and the blocked companion of
+    * [[kruskalWallisByKey]] (independent groups).
+    *
+    * Blocks: one cell per (subject, treatment) — duplicate rows
+    * collapse by exact decimal SUM; subjects missing any treatment are
+    * dropped (complete-block design), their count surfaced. Doubled
+    * mid-ranks within each block come from the rank identity
+    * 2·mid = rank_asc + (k+1) − rank_desc (both min-rank — the
+    * [[Stats.spearmanByKey]] trick), so the per-treatment rank totals
+    * R2_j and Σ_j R2_j² are exact integers; blocks are balanced by
+    * construction, so no per-group division is needed anywhere.
+    * χ²_F = 12/(n·k·(k+1)) · Σ R_j² − 3n(k+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(n·k·(k²−1)).
+    *
+    * Work: one corpus groupBy to the (subject, treatment) cells, two
+    * subject-keyed window ranks over ONE exchange, a treatment
+    * aggregate, one final row. Output: n_subjects, n_excluded, k,
+    * chi2, chi2_adj (null when k < 2, n = 0, or all ranks tie). */
+  def friedman(df: DataFrame, subjectCol: String, treatmentCol: String,
+      valueCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the cell table feeds the k probe, the exclusion count, and the
+    // rank pass — retained so the corpus is scanned once
+    val cells = scope.retain(df
+      .filter(col(subjectCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(subjectCol).as("subj"), col(treatmentCol).as("trt"))
+      .agg(sum(d(col(valueCol))).as("v")))
+    // bounded driver scalars by contract: k = |treatments| (small by
+    // the design's definition), plus the pre-exclusion subject count
+    val k = cells.select(col("trt")).distinct().count()
+    val perSubj = Window.partitionBy(col("subj"))
+    val complete = cells
+      .withColumn("__kc", count(lit(1)).over(perSubj))
+      .filter(col("__kc") === k)
+    val excluded = cells.select(col("subj")).distinct().count()
+    val wAsc = perSubj.orderBy(col("v").asc)
+    val wDesc = perSubj.orderBy(col("v").desc)
+    val wTie = Window.partitionBy(col("subj"), col("v"))
+    val ranked = complete
+      .withColumn("r2",
+        rank().over(wAsc) + lit(k + 1) - rank().over(wDesc))
+      .withColumn("c", count(lit(1)).over(wTie))
+    val perTrt = ranked.groupBy(col("trt"))
+      .agg(sum(i38(col("r2"))).as("r2sum"),
+        sum((i38(col("c")) * i38(col("c")) - 1)).as("tiep"),
+        count(lit(1)).as("n"))
+    val fin = perTrt.agg(
+      count(lit(1)).as("k"),
+      max(col("n")).cast("long").as("n_subjects"),
+      sum(i38(col("r2sum")) * i38(col("r2sum"))).as("r2sq"),
+      sum(col("tiep")).as("ties"))
+    val nD = col("n_subjects").cast("double")
+    val kD = col("k").cast("double")
+    // Σ R_j² = Σ (R2_j/2)² = r2sq / 4
+    val chi2 = lit(12.0) * (col("r2sq").cast("double") / lit(4.0)) /
+      (nD * kD * (kD + lit(1.0))) -
+      lit(3.0) * nD * (kD + lit(1.0))
+    val corr = lit(1.0) - col("ties").cast("double") /
+      (nD * kD * (kD * kD - lit(1.0)))
+    val ok = col("k") >= 2 && col("n_subjects") > 0
+    fin.select(col("n_subjects"),
+      (lit(excluded) - col("n_subjects")).cast("long").as("n_excluded"),
+      col("k"),
+      when(ok, chi2).as("chi2"),
+      when(ok && corr > 0.0, chi2 / corr).as("chi2_adj"))
+  }
+
   /** Cochran-Armitage trend test (Armitage 1955): does a BINARY
     * outcome rate rise or fall monotonically with an ORDERED exposure
     * score? The dose-response companion of [[Stats.chiSquareCells]]

@@ -307,10 +307,12 @@ object LinearModel {
     * then runs `iters` fully RELATIONAL Newton steps on the cell
     * table in PURE INTEGER/DOUBLE arithmetic: per-cell μ quantizes
     * through floor(μ·1e8) — an exact IEEE op on a bit-identical
-    * double, never a double→decimal CAST, whose toString-vs-binary
-    * rounding differs between Spark and DuckDB at ~1e-4 odds per cast
-    * (measured: the decimal-cast form of this operator missed
-    * bit-equality by one quantization flip). The weight
+    * double, never a double→decimal CAST (Spark rounds via
+    * Double.toString's shortest repr, DuckDB via the binary value — a
+    * residual straddle risk the floor form removes entirely; the
+    * measured miss of the decimal-cast form of this operator traced to
+    * fractional-scale DECIMAL→double conversions, fixed below). The
+    * weight
     * w = μ₈·(1e8−μ₈) and working product floor(w·z·1e12) are exact
     * integers, the weighted moments exact DECIMAL(38,0) integer sums
     * (order-independent), and the Cramer solve is the [[ridgeByKey]]

@@ -724,8 +724,90 @@ object QueriesModel {
        |CROSS JOIN b3""".stripMargin
   }
 
+  // ------------------------------------------------------- huber_irls
+  // Robust price-on-(quantity, discount) fit: the Huber weight
+  // saturates outlier residuals at delta, so the slope reads the bulk
+  // of the data. Libm-free — the oracle unrolls 4 IRLS rounds over the
+  // raw rows with the same floor(w*1e8) quantization.
+  private val HuberDelta = 20000.0
+  private val HuberIters = 4
+
+  def qHuberIrls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearModel.huberIrls(t(s, dir, "lineitem"),
+      "l_extendedprice", "l_quantity", "l_discount",
+      HuberDelta, HuberIters)
+
+  val qHuberIrlsSql: String = {
+    val scales = Seq("sww" -> "1.0e8", "swx1" -> "1.0e10",
+      "swx2" -> "1.0e10", "swx11" -> "1.0e12", "swx12" -> "1.0e12",
+      "swx22" -> "1.0e12", "swy" -> "1.0e10", "swx1y" -> "1.0e12",
+      "swx2y" -> "1.0e12")
+    val d = scales.map { case (m, p) =>
+      val sgn = s"(CASE WHEN $m < 0 THEN -1.0 WHEN $m = 0 THEN 0.0" +
+        " ELSE 1.0 END)"
+      val hi = s"CAST(abs($m) // 9007199254740992 AS DOUBLE)"
+      val lo = s"CAST(abs($m) % 9007199254740992 AS DOUBLE)"
+      m -> s"(($sgn * ($hi * 9007199254740992.0 + $lo)) / $p)"
+    }.toMap
+    val (sww, swx1, swx2) = (d("sww"), d("swx1"), d("swx2"))
+    val (swx11, swx12, swx22) = (d("swx11"), d("swx12"), d("swx22"))
+    val (swy, swx1y, swx2y) = (d("swy"), d("swx1y"), d("swx2y"))
+    val iters = (1 to HuberIters).map { k =>
+      val prev = if (k == 1) "b0i" else s"b${k - 1}"
+      s"""it$k AS (SELECT g.yc, g.x1c, g.x2c,
+         |    CAST(g.yc AS DOUBLE) / 100.0 - (b.b0
+         |      + b.b1 * (CAST(g.x1c AS DOUBLE) / 100.0)
+         |      + b.b2 * (CAST(g.x2c AS DOUBLE) / 100.0)) AS r
+         |  FROM rows g CROSS JOIN $prev b),
+         |w$k AS (SELECT *, CAST(floor(
+         |    (CASE WHEN abs(r) <= $HuberDelta THEN 1.0
+         |          ELSE $HuberDelta / abs(r) END) * 1.0e8)
+         |    AS BIGINT) AS w8 FROM it$k),
+         |a$k AS (SELECT
+         |    sum(CAST(w8 AS HUGEINT)) AS sww,
+         |    sum(CAST(w8 AS HUGEINT) * x1c) AS swx1,
+         |    sum(CAST(w8 AS HUGEINT) * x2c) AS swx2,
+         |    sum(CAST(w8 AS HUGEINT) * x1c * x1c) AS swx11,
+         |    sum(CAST(w8 AS HUGEINT) * x1c * x2c) AS swx12,
+         |    sum(CAST(w8 AS HUGEINT) * x2c * x2c) AS swx22,
+         |    sum(CAST(w8 AS HUGEINT) * yc) AS swy,
+         |    sum(CAST(w8 AS HUGEINT) * x1c * yc) AS swx1y,
+         |    sum(CAST(w8 AS HUGEINT) * x2c * yc) AS swx2y
+         |  FROM w$k),
+         |b$k AS (SELECT
+         |    CASE WHEN det <> 0.0 THEN det0 / det END AS b0,
+         |    CASE WHEN det <> 0.0 THEN det1 / det END AS b1,
+         |    CASE WHEN det <> 0.0 THEN det2 / det END AS b2
+         |  FROM (SELECT
+         |    ${det3Sql(sww, swx1, swx2, swx1, swx11, swx12,
+                        swx2, swx12, swx22)} AS det,
+         |    ${det3Sql(swy, swx1, swx2, swx1y, swx11, swx12,
+                        swx2y, swx12, swx22)} AS det0,
+         |    ${det3Sql(sww, swy, swx2, swx1, swx1y, swx12,
+                        swx2, swx2y, swx22)} AS det1,
+         |    ${det3Sql(sww, swx1, swy, swx1, swx11, swx1y,
+                        swx2, swx12, swx2y)} AS det2
+         |  FROM a$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rows AS (
+       |  SELECT
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS yc,
+       |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1c,
+       |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2c
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND l_discount IS NOT NULL),
+       |b0i AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |$iters
+       |SELECT n, b0, b1, b2
+       |FROM (SELECT count(*) AS n FROM rows)
+       |CROSS JOIN b$HuberIters""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_logit_irls" -> (qLogitIrls _),
+    "q_huber_irls" -> (qHuberIrls _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_ndcg" -> (qNdcg _),
     "q_avg_precision" -> (qAvgPrecision _),
@@ -741,6 +823,7 @@ object QueriesModel {
 
   def oracleSql: Map[String, String] = Map(
     "q_logit_irls" -> qLogitIrlsSql,
+    "q_huber_irls" -> qHuberIrlsSql,
     "q_bradley_terry" -> qBradleyTerrySql,
     "q_ndcg" -> qNdcgSql,
     "q_avg_precision" -> qAvgPrecisionSql,

@@ -122,6 +122,24 @@ object LinearModel {
     col(prefix + "s22").cast("double"), col(prefix + "s1y").cast("double"),
     col(prefix + "s2y").cast("double"), col(prefix + "syy").cast("double"))
 
+  /** Engine-neutral big-integer→double with a unit rescale: integer
+    * moment sums exceed 2^53, where engines' conversions disagree in
+    * the last ulp (DuckDB converts int128 via per-limb floating math;
+    * Java/Spark round correctly) — so split m = sign·(hi·2^53 + lo)
+    * with EXACT integer ops, reconstruct with a fixed-shape double
+    * expression (two IEEE roundings, bit-identical everywhere), then
+    * divide by the exact power-of-ten unit. Shared by every
+    * integer-quantized fit ([[logisticIrlsGrid]], [[huberIrls]]). */
+  private[operators] def intMomentToDouble(c: Column, pow: Double)
+      : Column = {
+    val p = lit(9007199254740992L) // 2^53
+    val a = abs(c)
+    val hi = ((a - a % p) / p).cast("double") // quotient well < 2^53
+    val lo = (a % p).cast("double") // < 2^53: exact
+    (signum(c.cast("double")) *
+      (hi * lit(9007199254740992.0) + lo)) / lit(pow)
+  }
+
   private def det3(a: Column, b: Column, c: Column,
       p: Column, q: Column, r: Column,
       x: Column, y: Column, z: Column): Column =
@@ -376,22 +394,9 @@ object LinearModel {
         sum(i38(col("cnt")) * col("wz12")).as("swz"),
         sum(i38(col("cnt")) * col("x1c") * col("wz12")).as("swzx1"),
         sum(i38(col("cnt")) * col("x2c") * col("wz12")).as("swzx2"))
-      // integer sums → true-unit moments. The sums exceed 2^53, where
-      // engines' big-integer→double conversions disagree in the last
-      // ulp (DuckDB converts int128 via per-limb floating math; Java
-      // rounds correctly) — so the conversion is made engine-neutral
-      // by an exact integer split m = sign·(hi·2^53 + lo) followed by
-      // a FIXED-SHAPE double reconstruction (two IEEE roundings, bit
-      // identical everywhere), then the exact power-of-ten unit
-      // division.
-      def dv(name: String, pow: Double) = {
-        val p = lit(9007199254740992L) // 2^53
-        val a = abs(col(name))
-        val hi = ((a - a % p) / p).cast("double") // ≤ ~1e11: exact
-        val lo = (a % p).cast("double") // < 2^53: exact
-        (signum(col(name).cast("double")) *
-          (hi * lit(9007199254740992.0) + lo)) / lit(pow)
-      }
+      // integer sums → true-unit moments, via the engine-neutral
+      // conversion below.
+      def dv(name: String, pow: Double) = intMomentToDouble(col(name), pow)
       val (sww, swx1, swx2) =
         (dv("sww", 1.0e16), dv("swx1", 1.0e18), dv("swx2", 1.0e18))
       val (swx11, swx12, swx22) = (dv("swx11", 1.0e20),
@@ -412,6 +417,90 @@ object LinearModel {
         when(det =!= 0.0, det2 / det).as("b2"))
     }
     grid.agg(sum(col("cnt")).cast("long").as("n"))
+      .crossJoin(broadcast(beta))
+  }
+
+  /** Huber robust regression by IRLS — least squares whose influence
+    * function saturates at `delta`, so a fat-tailed y (prices, dwell
+    * times, token counts) cannot let a few outliers steer the fit the
+    * way OLS ([[ridgeByKey]]) does, while staying fully efficient on
+    * the inliers (the advantage over [[Robust]]'s Theil-Sen, which
+    * ignores magnitudes entirely).
+    *
+    * ORACLE-HASHED like [[logisticIrlsGrid]], and simpler: the Huber
+    * weight w = min(1, δ/|r|) needs NO libm call, so the rounds run
+    * over RAW ROWS (no grid collapse required). Values enter as exact
+    * cents; each round's weight quantizes via floor(w·1e8) (pure IEEE
+    * — bit-identical everywhere), the weighted moments are exact
+    * DECIMAL(38,0) integer sums, conversions go through
+    * [[intMomentToDouble]]'s 2^53 split, and the Cramer solve is the
+    * shared fixed-shape tree. β starts at 0 — the first round is then
+    * a bounded-influence LS, and `iters` ≈ 4–6 reaches IRLS's usual
+    * fixed point on well-conditioned data.
+    *
+    * Scale shape: `iters` corpus scans of a cached 4-column cent
+    * projection, each a map-side-combined aggregate to ONE row — no
+    * join, no window, no collect. Output one row: n, b0, b1, b2 (null
+    * if any round's normal matrix was singular). */
+  def huberIrls(df: DataFrame, yCol: String, x1Col: String,
+      x2Col: String, delta: Double, iters: Int = 4,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8], got $iters")
+    require(delta > 0.0, s"delta must be > 0, got $delta")
+    val spark = df.sparkSession
+    def i38(c: Column) = c.cast("decimal(38,0)")
+    val rows = scope.retain(df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select((d(col(yCol)) * 100).cast("long").as("yc"),
+        (d(col(x1Col)) * 100).cast("long").as("x1c"),
+        (d(col(x2Col)) * 100).cast("long").as("x2c")))
+    var beta = spark.range(1).select(lit(0.0).as("b0"),
+      lit(0.0).as("b1"), lit(0.0).as("b2"))
+    for (_ <- 1 to iters) {
+      val it = rows.crossJoin(broadcast(beta))
+      val yD = col("yc").cast("double") / lit(100.0)
+      val r = yD - (col("b0") +
+        col("b1") * (col("x1c").cast("double") / lit(100.0)) +
+        col("b2") * (col("x2c").cast("double") / lit(100.0)))
+      // w = min(1, δ/|r|): comparisons and one division — libm-free
+      val w = when(abs(r) <= lit(delta), lit(1.0))
+        .otherwise(lit(delta) / abs(r))
+      val scored = it.withColumn("w8", floor(w * lit(1.0e8)))
+      val agg = scored.agg(
+        count(lit(1)).as("n"),
+        sum(i38(col("w8"))).as("sww"),
+        sum(i38(col("w8")) * col("x1c")).as("swx1"),
+        sum(i38(col("w8")) * col("x2c")).as("swx2"),
+        sum(i38(col("w8")) * col("x1c") * col("x1c")).as("swx11"),
+        sum(i38(col("w8")) * col("x1c") * col("x2c")).as("swx12"),
+        sum(i38(col("w8")) * col("x2c") * col("x2c")).as("swx22"),
+        sum(i38(col("w8")) * col("yc")).as("swy"),
+        sum(i38(col("w8")) * col("x1c") * col("yc")).as("swx1y"),
+        sum(i38(col("w8")) * col("x2c") * col("yc")).as("swx2y"))
+      def dv(name: String, pow: Double) =
+        intMomentToDouble(col(name), pow)
+      val (sww, swx1, swx2) =
+        (dv("sww", 1.0e8), dv("swx1", 1.0e10), dv("swx2", 1.0e10))
+      val (swx11, swx12, swx22) = (dv("swx11", 1.0e12),
+        dv("swx12", 1.0e12), dv("swx22", 1.0e12))
+      val (swy, swx1y, swx2y) =
+        (dv("swy", 1.0e10), dv("swx1y", 1.0e12), dv("swx2y", 1.0e12))
+      val det = det3(sww, swx1, swx2,
+        swx1, swx11, swx12, swx2, swx12, swx22)
+      val det0 = det3(swy, swx1, swx2,
+        swx1y, swx11, swx12, swx2y, swx12, swx22)
+      val det1 = det3(sww, swy, swx2,
+        swx1, swx1y, swx12, swx2, swx2y, swx22)
+      val det2 = det3(sww, swx1, swy,
+        swx1, swx11, swx1y, swx2, swx12, swx2y)
+      beta = agg.select(
+        when(det =!= 0.0, det0 / det).as("b0"),
+        when(det =!= 0.0, det1 / det).as("b1"),
+        when(det =!= 0.0, det2 / det).as("b2"))
+    }
+    rows.agg(count(lit(1)).cast("long").as("n"))
       .crossJoin(broadcast(beta))
   }
 

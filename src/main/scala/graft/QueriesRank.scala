@@ -153,12 +153,106 @@ object QueriesRank {
       |    THEN chi2 / corr END AS chi2_adj
       |FROM m""".stripMargin
 
+  // -------------------------------------------------------- hellinger
+  // Hellinger distance of returned-lines price bins vs the rest — the
+  // bounded, symmetric companion of q_psi over the same 10k-wide bins.
+  // sqrt is IEEE-correctly-rounded (unlike exp/ln), so the per-bin
+  // terms carry no libm caveat at all.
+  def qHellinger(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      floor(col("l_extendedprice") / 10000.0).cast("long").as("bin"))
+    graft.operators.Divergence.hellinger(
+      li.filter(col("l_returnflag") === "R"),
+      li.filter(col("l_returnflag") =!= "R"), "bin")
+  }
+
+  val qHellingerSql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin
+      |  FROM lineitem),
+      |ac AS (SELECT bin, count(*) AS ca FROM b
+      |  WHERE l_returnflag = 'R' AND bin IS NOT NULL GROUP BY 1),
+      |ec AS (SELECT bin, count(*) AS ce FROM b
+      |  WHERE l_returnflag <> 'R' AND bin IS NOT NULL GROUP BY 1),
+      |j AS (SELECT coalesce(ac.bin, ec.bin) AS bin,
+      |    coalesce(ca, 0) AS ca, coalesce(ce, 0) AS ce
+      |  FROM ac FULL JOIN ec ON ac.bin = ec.bin),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(ce) AS BIGINT) AS ne,
+      |  CAST(count(*) AS BIGINT) AS nb FROM j),
+      |terms AS (SELECT na, ne, nb,
+      |    CAST(sqrt((CAST(ca + 1 AS DOUBLE) / CAST(na + nb AS DOUBLE))
+      |        * (CAST(ce + 1 AS DOUBLE) / CAST(ne + nb AS DOUBLE)))
+      |      AS DECIMAL(20,12)) AS t
+      |  FROM j CROSS JOIN tot)
+      |SELECT na AS n_actual, ne AS n_expected, nb AS n_bins,
+      |  sqrt(greatest(1.0 - CAST(sum(t) AS DOUBLE), 0.0)) AS hellinger
+      |FROM terms GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------ stump
+  // Best single quantity threshold separating returned lines: weighted
+  // Gini argmin by exact integer scores (micro integral divisions).
+  def qStump(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DecisionStump.bestSplit(
+      t(s, dir, "lineitem")
+        .withColumn("ret", (col("l_returnflag") === "R").cast("long")),
+      "l_quantity", "ret")
+
+  val qStumpSql: String = {
+    val hiLo = {
+      val m = "score"
+      val hi = s"CAST(abs($m) // 9007199254740992 AS DOUBLE)"
+      val lo = s"CAST(abs($m) % 9007199254740992 AS DOUBLE)"
+      // score is non-negative by construction — sign split elided
+      s"(($hi * 9007199254740992.0 + $lo) / 1.0e12)"
+    }
+    s"""WITH src AS (
+       |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS vm,
+       |    CAST(l_returnflag = 'R' AS BIGINT) AS y
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+       |pv AS (SELECT vm, CAST(sum(y) AS BIGINT) AS pos, count(*) AS n
+       |       FROM src GROUP BY 1),
+       |cum AS (SELECT vm, pos, n,
+       |    sum(pos) OVER (ORDER BY vm
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posL,
+       |    sum(n) OVER (ORDER BY vm
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nL
+       |  FROM pv),
+       |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS posT,
+       |    CAST(sum(n) AS BIGINT) AS nT FROM pv),
+       |sc AS (SELECT vm, nL, posL, nT, posT, nT - nL AS nR,
+       |    nL - posL AS negL, posT - posL AS posR,
+       |    (nT - nL) - (posT - posL) AS negR
+       |  FROM cum CROSS JOIN tot WHERE nT - nL > 0),
+       |scored AS (SELECT *,
+       |    (CAST(1000000000000 AS HUGEINT)
+       |       * (CAST(posL AS HUGEINT) * posL
+       |          + CAST(negL AS HUGEINT) * negL)) // nL
+       |    + (CAST(1000000000000 AS HUGEINT)
+       |       * (CAST(posR AS HUGEINT) * posR
+       |          + CAST(negR AS HUGEINT) * negR)) // nR AS score
+       |  FROM sc)
+       |SELECT CAST(vm AS DOUBLE) / 100.0 AS threshold, nT AS n,
+       |  CAST(nL AS BIGINT) AS n_left, CAST(posL AS BIGINT) AS pos_left,
+       |  CAST(posR AS BIGINT) AS pos_right,
+       |  1.0 - $hiLo / CAST(nT AS DOUBLE) AS gini_weighted
+       |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, vm ASC)
+       |        AS rn
+       |      FROM scored) WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hellinger" -> (qHellinger _),
+    "q_stump" -> (qStump _),
     "q_textrank" -> (qTextrank _),
     "q_nearest_centroid" -> (qNearestCentroid _),
     "q_friedman" -> (qFriedman _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_hellinger" -> qHellingerSql,
+    "q_stump" -> qStumpSql,
     "q_textrank" -> qTextrankSql,
     "q_nearest_centroid" -> qNearestCentroidSql,
     "q_friedman" -> qFriedmanSql)

@@ -87,6 +87,12 @@ object Divergence {
       binCol: String): DataFrame =
     psiFromCounts(binCounts(actual, binCol), binCounts(expected, binCol))
 
+  /** Row-level convenience for [[hellingerFromCounts]]. */
+  def hellinger(actual: DataFrame, expected: DataFrame,
+      binCol: String): DataFrame =
+    hellingerFromCounts(binCounts(actual, binCol),
+      binCounts(expected, binCol))
+
   /** Per-bin count state for [[psiFromCounts]] — MERGEABLE (counter
     * addition via [[mergeBinCounts]]), so a continuously-ingested
     * stream keeps a live drift readout on the StateStream rails
@@ -120,5 +126,39 @@ object Divergence {
       .groupBy(col("__na").as("n_actual"), col("__ne").as("n_expected"),
         col("__nb").as("n_bins"))
       .agg(sum(col("__t")).cast("double").as("psi"))
+  }
+
+  /** Hellinger distance between two binned distributions:
+    * H = sqrt(1 − Σ √(p·q)) — the bounded-[0,1], symmetric,
+    * triangle-inequality-obeying companion of [[psiFromCounts]] (PSI
+    * is unbounded and blows up on empty bins; H is stable there).
+    *
+    * Determinism note: unlike exp/ln, IEEE-754 REQUIRES sqrt to be
+    * correctly rounded, so per-bin √(p·q) is bit-identical across
+    * engines with no libm caveat; each term still rounds through
+    * DECIMAL(20,12) so the cross-bin sum is order-independent.
+    * Same full-outer bin join + add-one smoothing as PSI (the
+    * smoothing keeps the Bhattacharyya coefficient's Σ over the
+    * union of observed bins a true probability mass). */
+  def hellingerFromCounts(actualCounts: DataFrame,
+      expectedCounts: DataFrame): DataFrame = {
+    val joined = actualCounts.select(col("__b"), col("n").as("__ca"))
+      .join(expectedCounts.select(col("__b"), col("n").as("__ce")),
+        Seq("__b"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__ce"))
+    val totals = joined.agg(sum(col("__ca")).as("__na"),
+      sum(col("__ce")).as("__ne"), count(lit(1)).as("__nb"))
+    val withT = joined.crossJoin(broadcast(totals))
+    val pa = (col("__ca") + lit(1L)).cast("double") /
+      (col("__na") + col("__nb")).cast("double")
+    val pe = (col("__ce") + lit(1L)).cast("double") /
+      (col("__ne") + col("__nb")).cast("double")
+    withT
+      .select(col("__na"), col("__ne"), col("__nb"),
+        sqrt(pa * pe).cast("decimal(20,12)").as("__t"))
+      .groupBy(col("__na").as("n_actual"), col("__ne").as("n_expected"),
+        col("__nb").as("n_bins"))
+      .agg(sqrt(greatest(lit(1.0) -
+        sum(col("__t")).cast("double"), lit(0.0))).as("hellinger"))
   }
 }

@@ -39,7 +39,7 @@ object Inference {
     * remainder first, making the division exact, and keep (38,0).
     * DuckDB replays with HUGEINT `//` (identical on non-negative
     * operands). */
-  private def microDiv(num: Column, den: Column): Column =
+  private[operators] def microDiv(num: Column, den: Column): Column =
     ((num - num % den) / den).cast("decimal(38,0)")
 
   /** Kruskal-Wallis H (rank one-way ANOVA) per key over ALL observed

@@ -805,9 +805,112 @@ object QueriesModel {
        |CROSS JOIN b$HuberIters""".stripMargin
   }
 
+  // ------------------------------------------------------------- chow
+  // Did the price-on-(quantity, discount) relationship change across
+  // mid-1997? Two segment fits + the pooled fit from ONE moment pass;
+  // the only cross-row double reduction is a commutative 2-term sum.
+  def qChow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearModel.chowTest(
+      t(s, dir, "lineitem")
+        .withColumn("seg", expr("l_shipdate < TIMESTAMP '1997-07-01'")),
+      "seg", "l_extendedprice", "l_quantity", "l_discount")
+
+  val qChowSql: String = {
+    def det(a: String, b: String, c: String, p: String, q: String,
+        r: String, x: String, y: String, z: String) =
+      s"$a * ($q * $z - $r * $y) - $b * ($p * $z - $r * $x)" +
+        s" + $c * ($p * $y - $q * $x)"
+    def sse(pre: String) = {
+      def m(s: String) = s"$pre$s"
+      s"""${m("syy")} - 2.0 * (${m("b0")} * ${m("sy")} + ${m("b1")} * ${m("s1y")} + ${m("b2")} * ${m("s2y")})
+         | + (${m("b0")} * (${m("nd")} * ${m("b0")} + ${m("s1")} * ${m("b1")} + ${m("s2")} * ${m("b2")})
+         | + ${m("b1")} * (${m("s1")} * ${m("b0")} + ${m("s11")} * ${m("b1")} + ${m("s12")} * ${m("b2")})
+         | + ${m("b2")} * (${m("s2")} * ${m("b0")} + ${m("s12")} * ${m("b1")} + ${m("s22")} * ${m("b2")}))"""
+        .stripMargin.replace("\n", "")
+    }
+    def dets(pre: String) = Seq(
+      s"${pre}det" -> det(s"${pre}nd", s"${pre}s1", s"${pre}s2",
+        s"${pre}s1", s"${pre}s11", s"${pre}s12",
+        s"${pre}s2", s"${pre}s12", s"${pre}s22"),
+      s"${pre}det0" -> det(s"${pre}sy", s"${pre}s1", s"${pre}s2",
+        s"${pre}s1y", s"${pre}s11", s"${pre}s12",
+        s"${pre}s2y", s"${pre}s12", s"${pre}s22"),
+      s"${pre}det1" -> det(s"${pre}nd", s"${pre}sy", s"${pre}s2",
+        s"${pre}s1", s"${pre}s1y", s"${pre}s12",
+        s"${pre}s2", s"${pre}s2y", s"${pre}s22"),
+      s"${pre}det2" -> det(s"${pre}nd", s"${pre}s1", s"${pre}sy",
+        s"${pre}s1", s"${pre}s11", s"${pre}s1y",
+        s"${pre}s2", s"${pre}s12", s"${pre}s2y"))
+      .map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+    s"""WITH a AS (
+       |  SELECT (l_shipdate < TIMESTAMP '1997-07-01') AS seg,
+       |    count(*) AS n,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+       |    sum(CAST(l_discount AS DECIMAL(18,2))) AS s2,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_quantity AS DECIMAL(18,2))) AS s11,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2))) AS s12,
+       |    sum(CAST(l_discount AS DECIMAL(18,2)) *
+       |        CAST(l_discount AS DECIMAL(18,2))) AS s22,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS s1y,
+       |    sum(CAST(l_discount AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS s2y,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND l_discount IS NOT NULL
+       |  GROUP BY 1),
+       |g AS (SELECT *,
+       |  sum(n) OVER () AS gn, sum(s1) OVER () AS gs1,
+       |  sum(s2) OVER () AS gs2, sum(sy) OVER () AS gsy,
+       |  sum(s11) OVER () AS gs11, sum(s12) OVER () AS gs12,
+       |  sum(s22) OVER () AS gs22, sum(s1y) OVER () AS gs1y,
+       |  sum(s2y) OVER () AS gs2y, sum(syy) OVER () AS gsyy FROM a),
+       |l AS (SELECT n,
+       |  CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+       |  CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+       |  CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+       |  CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+       |  CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
+       |  CAST(gn AS DOUBLE) AS pnd, CAST(gs1 AS DOUBLE) AS ps1,
+       |  CAST(gs2 AS DOUBLE) AS ps2, CAST(gsy AS DOUBLE) AS psy,
+       |  CAST(gs11 AS DOUBLE) AS ps11, CAST(gs12 AS DOUBLE) AS ps12,
+       |  CAST(gs22 AS DOUBLE) AS ps22, CAST(gs1y AS DOUBLE) AS ps1y,
+       |  CAST(gs2y AS DOUBLE) AS ps2y, CAST(gsyy AS DOUBLE) AS psyy
+       |  FROM g),
+       |d AS (SELECT *,
+       |    ${dets("")},
+       |    ${dets("p")}
+       |  FROM l),
+       |c AS (SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2,
+       |    pdet0/pdet AS pb0, pdet1/pdet AS pb1, pdet2/pdet AS pb2
+       |  FROM d),
+       |e AS (SELECT n, det, pdet,
+       |    ${sse("")} AS sse_s,
+       |    ${sse("p").replace("pnd", "pnd")} AS sse_p
+       |  FROM c),
+       |fin AS (SELECT count(*) AS n_segments, CAST(sum(n) AS BIGINT) AS n,
+       |    sum(CASE WHEN det <> 0.0 THEN sse_s END) AS sse_segments,
+       |    min(CASE WHEN det <> 0.0 THEN 1 ELSE 0 END) AS ok,
+       |    max(CASE WHEN pdet <> 0.0 THEN sse_p END) AS sse_pooled
+       |  FROM e)
+       |SELECT n, n_segments, sse_pooled, sse_segments,
+       |  CASE WHEN n_segments = 2 AND ok = 1
+       |      AND sse_pooled IS NOT NULL AND n > 6
+       |      AND sse_segments > 0.0 THEN
+       |    ((sse_pooled - sse_segments) / 3.0)
+       |      / (sse_segments / (CAST(n AS DOUBLE) - 6.0)) END AS f
+       |FROM fin""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_logit_irls" -> (qLogitIrls _),
     "q_huber_irls" -> (qHuberIrls _),
+    "q_chow" -> (qChow _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_ndcg" -> (qNdcg _),
     "q_avg_precision" -> (qAvgPrecision _),
@@ -824,6 +927,7 @@ object QueriesModel {
   def oracleSql: Map[String, String] = Map(
     "q_logit_irls" -> qLogitIrlsSql,
     "q_huber_irls" -> qHuberIrlsSql,
+    "q_chow" -> qChowSql,
     "q_bradley_terry" -> qBradleyTerrySql,
     "q_ndcg" -> qNdcgSql,
     "q_avg_precision" -> qAvgPrecisionSql,

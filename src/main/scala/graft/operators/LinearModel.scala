@@ -316,6 +316,56 @@ object LinearModel {
     Some(beta.toSeq)
   }
 
+  /** Chow test (Chow 1960): did the regression RELATIONSHIP change
+    * between two segments (before/after a deploy, old/new source)?
+    * F = [(SSE_pooled − ΣSSE_seg)/k] / [ΣSSE_seg/(n − 2k)] with k = 3
+    * parameters — the structural-break companion of [[ridgeByKey]]
+    * (which sees one fit) and of Stats' DiD (which sees means, not
+    * slopes).
+    *
+    * ONE corpus pass: the per-segment moment rows ([[momentAgg]]) plus
+    * an unpartitioned 2-row window give both segment fits AND the
+    * pooled fit (pooled moments = segment sums — exact decimal
+    * addition), each solved by the shared fixed-shape Cramer tree with
+    * SSEs as the expanded quadratic form. The only cross-row double
+    * reduction is a TWO-term sum (IEEE addition is commutative, so
+    * 2-row aggregation order cannot change it). `segCol` must take
+    * exactly two values — enforced in the output guard, not assumed.
+    *
+    * Output one row: n, n_segments, sse_pooled, sse_segments, f (null
+    * unless exactly 2 nonsingular segments, a nonsingular pooled fit,
+    * n > 2k, and a positive within-segment SSE). */
+  def chowTest(df: DataFrame, segCol: String, yCol: String,
+      x1Col: String, x2Col: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val per = momentAgg(df, segCol, yCol, x1Col, x2Col)
+    val withTot = MomentNames.foldLeft(per) { (acc, m) =>
+      acc.withColumn(s"g_$m", sum(col(m)).over(w))
+    }
+    val seg = moments2("")
+    val glob = moments2("g_")
+    val (detS, b0s, b1s, b2s) = cramer2(seg, 0.0)
+    val (detG, g0, g1, g2) = cramer2(glob, 0.0)
+    val sseSeg = sse2(seg, b0s, b1s, b2s)
+    val sseP = sse2(glob, g0, g1, g2)
+    val agg = withTot.agg(
+      count(lit(1)).as("n_segments"),
+      sum(col("n")).cast("long").as("n"),
+      sum(when(detS =!= 0.0, sseSeg)).as("sse_segments"),
+      min(when(detS =!= 0.0, lit(1)).otherwise(lit(0))).as("__ok"),
+      max(when(detG =!= 0.0, sseP)).as("sse_pooled"))
+    val k = lit(3.0)
+    val nD = col("n").cast("double")
+    val f = ((col("sse_pooled") - col("sse_segments")) / k) /
+      (col("sse_segments") / (nD - lit(6.0)))
+    agg.select(col("n"), col("n_segments"),
+      col("sse_pooled"), col("sse_segments"),
+      when(col("n_segments") === 2 && col("__ok") === 1 &&
+        col("sse_pooled").isNotNull && col("n") > 6 &&
+        col("sse_segments") > 0.0, f).as("f"))
+  }
+
   /** Logistic regression by IRLS over the DISCRETE-FEATURE GRID —
     * the oracle-hashable counterpart of [[logisticFit]]: where that
     * fit aggregates row-order double sums (engine-specific by design),

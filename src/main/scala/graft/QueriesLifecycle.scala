@@ -595,6 +595,112 @@ object QueriesLifecycle {
        |  max(z) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS zeroed
        |  FROM terms)""".stripMargin
 
+  // -------------------------------------------------------------- cox
+  // Cox proportional hazards on the same time-to-convert cohort:
+  // hazard ratio of users who CLICKED before their first view vs the
+  // rest — the log-rank family's regression step. 3 Newton rounds,
+  // one quantized exp(beta) per round, unrolled by the oracle.
+  private val CoxIters = 3
+
+  def qCox(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val labels = qTimeToConvert(s, dir)
+    val clickers = ev.filter(col("event_type") === "click")
+      .join(labels.select(col("user_id"), col("view_us")), Seq("user_id"))
+      .filter(col("us") < col("view_us"))
+      .select(col("user_id")).distinct()
+      .withColumn("__pre_click", lit(1L))
+    val withX = labels.join(clickers, Seq("user_id"), "left")
+      .withColumn("x", coalesce(col("__pre_click"), lit(0L)))
+    graft.operators.Survival.coxBinary(withX, "duration_us",
+      "converted", "x", CoxIters, Some(LogRankBucketUs))
+  }
+
+  val qCoxSql: String = {
+    val rounds = (1 to CoxIters).map { k =>
+      val prev = if (k == 1) "cb0" else s"cb${k - 1}"
+      s"""ck$k AS (SELECT beta,
+         |    floor(exp(beta) * 1.0e12) / 1.0e12 AS eb FROM $prev),
+         |cr$k AS (SELECT beta, d,
+         |    eb * CAST(rn1 AS DOUBLE)
+         |      / (CAST(rn - rn1 AS DOUBLE) + eb * CAST(rn1 AS DOUBLE))
+         |      AS r
+         |  FROM crisk CROSS JOIN ck$k),
+         |ca$k AS (SELECT beta,
+         |    sum(CAST(floor(CAST(d AS DOUBLE) * r * 1.0e9) AS BIGINT))
+         |      AS su,
+         |    sum(CAST(floor(CAST(d AS DOUBLE) * (r - r * r) * 1.0e9)
+         |      AS BIGINT)) AS si
+         |  FROM cr$k GROUP BY beta),
+         |cb$k AS (SELECT CASE WHEN CAST(si AS DOUBLE) / 1.0e9 > 0.0
+         |    THEN beta + ((CAST(t.d1 AS DOUBLE) * 1.0e9
+         |        - CAST(su AS DOUBLE)) / 1.0e9)
+         |      / (CAST(si AS DOUBLE) / 1.0e9) END AS beta
+         |  FROM ca$k CROSS JOIN ctot t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |r AS (SELECT max(us) AS ref FROM e),
+       |fv AS (SELECT user_id, min(us) AS view_us FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |cv AS (
+       |  SELECT e.user_id, min(e.us) AS purchase_us
+       |  FROM e JOIN fv ON e.user_id = fv.user_id
+       |  WHERE e.event_type = 'purchase' AND e.us >= fv.view_us
+       |  GROUP BY 1),
+       |lab AS (
+       |  SELECT fv.user_id, fv.view_us,
+       |    coalesce(cv.purchase_us - fv.view_us,
+       |      (SELECT ref FROM r) - fv.view_us) AS duration_us,
+       |    CAST(cv.purchase_us IS NOT NULL AS INT) AS converted
+       |  FROM fv LEFT JOIN cv ON fv.user_id = cv.user_id),
+       |xs AS (SELECT DISTINCT e.user_id FROM e
+       |       JOIN fv ON e.user_id = fv.user_id
+       |       WHERE e.event_type = 'click' AND e.us < fv.view_us),
+       |lx AS (SELECT lab.duration_us, lab.converted,
+       |    CAST(xs.user_id IS NOT NULL AS BIGINT) AS x
+       |  FROM lab LEFT JOIN xs ON lab.user_id = xs.user_id),
+       |cbt AS (SELECT
+       |    floor(duration_us / $LogRankBucketUs) * $LogRankBucketUs AS t,
+       |    converted, x FROM lx),
+       |cper AS (SELECT t, count(*) AS n,
+       |    count(*) FILTER (x = 1) AS n1,
+       |    count(*) FILTER (converted = 1) AS d,
+       |    count(*) FILTER (converted = 1 AND x = 1) AS d1
+       |  FROM cbt GROUP BY 1),
+       |crisk AS (SELECT t, d, rn, rn1 FROM (
+       |    SELECT t, d,
+       |      sum(n) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+       |        AS rn,
+       |      sum(n1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+       |        AS rn1
+       |    FROM cper) WHERE d > 0),
+       |ctot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS d,
+       |    CAST(sum(d1) AS BIGINT) AS d1 FROM cper),
+       |cb0 AS (SELECT 0.0 AS beta),
+       |$rounds,
+       |ckf AS (SELECT beta, floor(exp(beta) * 1.0e12) / 1.0e12 AS eb
+       |        FROM cb$CoxIters),
+       |crf AS (SELECT beta, d,
+       |    eb * CAST(rn1 AS DOUBLE)
+       |      / (CAST(rn - rn1 AS DOUBLE) + eb * CAST(rn1 AS DOUBLE))
+       |      AS r
+       |  FROM crisk CROSS JOIN ckf),
+       |caf AS (SELECT beta,
+       |    sum(CAST(floor(CAST(d AS DOUBLE) * r * 1.0e9) AS BIGINT))
+       |      AS su,
+       |    sum(CAST(floor(CAST(d AS DOUBLE) * (r - r * r) * 1.0e9)
+       |      AS BIGINT)) AS si
+       |  FROM crf GROUP BY beta)
+       |SELECT t.n, t.d, t.d1, beta,
+       |  floor(exp(beta) * 1.0e12) / 1.0e12 AS hr,
+       |  CASE WHEN CAST(si AS DOUBLE) / 1.0e9 > 0.0
+       |    THEN 1.0 / sqrt(CAST(si AS DOUBLE) / 1.0e9) END AS se
+       |FROM caf CROSS JOIN ctot t""".stripMargin
+  }
+
   val qKaplanMeierSql: String =
     s"""$kmCtes
        |SELECT t, n_at_risk, d, censored AS censored_at_t,
@@ -668,6 +774,7 @@ object QueriesLifecycle {
   // ------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_cox" -> (qCox _),
     "q_rmst" -> (qRmst _),
     "q_cum_hazard" -> (qCumHazard _),
     "q_streaks" -> (qStreaks _),
@@ -686,6 +793,7 @@ object QueriesLifecycle {
 
   def oracleSql: Map[String, String] = Map(
     "q_kaplan_meier" -> qKaplanMeierSql,
+    "q_cox" -> qCoxSql,
     "q_rmst" -> qRmstSql,
     "q_cum_hazard" -> qCumHazardSql,
     "q_streaks" -> qStreaksSql,

@@ -59,6 +59,97 @@ object Survival {
       .select(col("t"), col("n_at_risk"), col("d"), col("censored_at_t"))
   }
 
+  /** Cox proportional-hazards fit for ONE BINARY covariate (Cox 1972;
+    * Breslow tie handling over bucketed durations): the hazard-ratio
+    * question — "does group x = 1 convert/churn FASTER, adjusting for
+    * the shared time profile?" — answered by Newton iterations on the
+    * partial likelihood. The regression companion of [[logRank]]
+    * (whose statistic is exactly this model's score test at β = 0):
+    * log-rank says WHETHER the groups differ, Cox says BY HOW MUCH
+    * (hazard ratio e^β) with a standard error.
+    *
+    * With a binary covariate the risk-set sums collapse to INTEGER
+    * at-risk counts (n₁(t), n₀(t) — suffix sums over the per-time
+    * aggregate), so each Newton round needs exactly ONE libm call,
+    * exp(β), which quantizes through floor(e^β·1e12)/1e12; every
+    * per-event-time score/information term then quantizes via
+    * floor(·1e9) (pure IEEE on identical doubles — the
+    * [[graft.operators.LinearModel.logisticIrlsGrid]] discipline), the
+    * cross-time reductions are exact integer sums, and the update
+    * β' = β + U/I is fixed-shape. A DuckDB oracle replays the unrolled
+    * rounds bit-for-bit.
+    *
+    * Scale shape: one corpus pass to the per-time counts, two suffix
+    * windows over the distinct-duration table (bin continuous
+    * durations — the [[riskTable]] contract), then `iters` rounds over
+    * that SMALL cached table; the corpus is never rescanned. Output
+    * one row: n, d, d1, beta, hr (= quantized e^β), se (1/√I at the
+    * final β); null fit when the information is 0 (x constant or no
+    * mixed-risk event time). */
+  def coxBinary(labels: DataFrame, durationCol: String,
+      eventCol: String, xCol: String, iters: Int = 3,
+      durationBucket: Option[Double] = None,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8], got $iters")
+    val spark = labels.sparkSession
+    val t = durationBucket match {
+      case Some(b) =>
+        require(b > 0, s"durationBucket must be positive, got $b")
+        floor(col(durationCol) / lit(b)) * lit(b)
+      case None => col(durationCol)
+    }
+    val perTime = labels
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(xCol).isNotNull)
+      .groupBy(t.as("t")).agg(
+        count(lit(1)).as("n"),
+        count_if(col(xCol) === 1).as("n1"),
+        count_if(col(eventCol) === 1).as("d"),
+        count_if(col(eventCol) === 1 && col(xCol) === 1).as("d1"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = scope.retain(perTime
+      .withColumn("rn", sum(col("n")).over(w))
+      .withColumn("rn1", sum(col("n1")).over(w))
+      .filter(col("d") > 0)
+      .select(col("t"), col("d"), col("rn"), col("rn1")))
+    val totals = perTime.agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(col("d")).cast("long").as("d"),
+      sum(col("d1")).cast("long").as("d1"))
+    var beta = spark.range(1).select(lit(0.0).as("beta"))
+    def round(b: DataFrame): DataFrame = {
+      val it = risk.crossJoin(broadcast(b))
+      val eb = floor(exp(col("beta")) * lit(1.0e12)) / lit(1.0e12)
+      val r = eb * col("rn1").cast("double") /
+        ((col("rn") - col("rn1")).cast("double") +
+          eb * col("rn1").cast("double"))
+      it.withColumn("__r", r)
+        .select(col("beta"),
+          floor(col("d").cast("double") * col("__r") * lit(1.0e9))
+            .as("__u"),
+          floor(col("d").cast("double") *
+            (col("__r") - col("__r") * col("__r")) * lit(1.0e9))
+            .as("__i"))
+        .groupBy(col("beta"))
+        .agg(sum(col("__u")).as("su"), sum(col("__i")).as("si"))
+    }
+    for (_ <- 1 to iters) {
+      val agg = round(beta).crossJoin(broadcast(totals))
+      val uD = (col("d1").cast("double") * lit(1.0e9) -
+        col("su").cast("double")) / lit(1.0e9)
+      val iD = col("si").cast("double") / lit(1.0e9)
+      beta = agg.select(
+        when(iD > 0.0, col("beta") + uD / iD).as("beta"))
+    }
+    val fin = round(beta).crossJoin(broadcast(totals))
+    val iD = col("si").cast("double") / lit(1.0e9)
+    fin.select(col("n"), col("d"), col("d1"), col("beta"),
+      (floor(exp(col("beta")) * lit(1.0e12)) / lit(1.0e12)).as("hr"),
+      when(iD > 0.0, lit(1.0) / sqrt(iD)).as("se"))
+  }
+
   /** Nelson–Aalen cumulative-hazard table (Nelson 1972, Aalen 1978):
     * the risk table extended with the per-time hazard increment
     * `h(t) = d/n_at_risk` and its running sum `H(t) = Σ_{s<=t} h(s)` —

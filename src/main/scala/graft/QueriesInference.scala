@@ -269,7 +269,104 @@ object QueriesInference {
       |    THEN (msb - msw) / (msb + (n0 - 1.0) * msw) END AS icc
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------------ anova
+  // Classic one-way F: does mean event value differ across the five
+  // event types? Same micro-unit moment engine as q_icc, so the two
+  // variance readouts can never disagree.
+  def qAnova(s: SparkSession, dir: String): DataFrame =
+    Inference.oneWayAnovaF(t(s, dir, "events"), "event_type", "value")
+
+  val qAnovaSql: String =
+    """WITH src AS (
+      |  SELECT event_type AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |pg AS (SELECT g, count(*) AS n_g, sum(CAST(vm AS HUGEINT)) AS s,
+      |        sum(CAST(vm AS HUGEINT) * vm) AS q
+      |      FROM src GROUP BY 1),
+      |tm AS (SELECT n_g, s, q,
+      |        (CAST(1000000 AS HUGEINT) * s * s) // n_g AS term
+      |      FROM pg),
+      |f AS (SELECT count(*) AS j, CAST(sum(n_g) AS BIGINT) AS n,
+      |        sum(term) AS a_micro, sum(s) AS t_sum, sum(q) AS q_sum
+      |      FROM tm),
+      |m AS (SELECT n, j,
+      |        (CAST(a_micro AS DOUBLE) / 1000000.0
+      |          - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE)
+      |            / CAST(n AS DOUBLE))
+      |          / (CAST(j AS DOUBLE) - 1.0) / 10000.0 AS msb,
+      |        (CAST(q_sum AS DOUBLE)
+      |          - CAST(a_micro AS DOUBLE) / 1000000.0)
+      |          / (CAST(n AS DOUBLE) - CAST(j AS DOUBLE))
+      |          / 10000.0 AS msw
+      |      FROM f)
+      |SELECT n, j, CAST(j - 1 AS BIGINT) AS df1,
+      |  CAST(n - j AS BIGINT) AS df2,
+      |  CASE WHEN j >= 2 AND n > j THEN msb END AS msb,
+      |  CASE WHEN j >= 2 AND n > j THEN msw END AS msw,
+      |  CASE WHEN j >= 2 AND n > j AND msw > 0.0
+      |    THEN msb / msw END AS f
+      |FROM m""".stripMargin
+
+  // -------------------------------------------------------------- ad2
+  // Anderson-Darling two-sample on click vs purchase values — the
+  // tail-weighted companion of q_ks over the same pooled-distinct
+  // machinery; inner terms are exact micro integral divisions.
+  def qAd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.andersonDarling2(t(s, dir, "events"),
+      "event_type", "click", "purchase", "value")
+
+  val qAd2Sql: String = {
+    def hiLo(m: String, pow: String) = {
+      val hi = s"CAST(abs($m) // 9007199254740992 AS DOUBLE)"
+      val lo = s"CAST(abs($m) % 9007199254740992 AS DOUBLE)"
+      val sgn = s"(CASE WHEN $m < 0 THEN -1.0 WHEN $m = 0 THEN 0.0" +
+        " ELSE 1.0 END)"
+      s"(($sgn * ($hi * 9007199254740992.0 + $lo)) / $pow)"
+    }
+    s"""WITH src AS (
+       |  SELECT event_type, value AS v FROM events
+       |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+       |pv AS (SELECT v,
+       |    count(*) FILTER (event_type = 'click') AS ca,
+       |    count(*) FILTER (event_type = 'purchase') AS cb
+       |  FROM src GROUP BY 1),
+       |cum AS (SELECT v, ca, cb,
+       |    sum(ca) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |    sum(cb) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+       |  FROM pv),
+       |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+       |base AS (SELECT *, na + nb AS nn, cuma + cumb AS bb, ca + cb AS l
+       |  FROM cum CROSS JOIN tot
+       |  WHERE cuma + cumb < na + nb),
+       |terms AS (SELECT na, nb,
+       |    (CAST(1000000 AS HUGEINT) * l *
+       |      ((CAST(nn AS HUGEINT) * cuma - CAST(na AS HUGEINT) * bb)
+       |       * (CAST(nn AS HUGEINT) * cuma - CAST(na AS HUGEINT) * bb)))
+       |      // (bb * (nn - bb)) AS ta,
+       |    (CAST(1000000 AS HUGEINT) * l *
+       |      ((CAST(nn AS HUGEINT) * cumb - CAST(nb AS HUGEINT) * bb)
+       |       * (CAST(nn AS HUGEINT) * cumb - CAST(nb AS HUGEINT) * bb)))
+       |      // (bb * (nn - bb)) AS tb
+       |  FROM base),
+       |agg AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+       |    CAST(max(nb) AS BIGINT) AS n_b,
+       |    sum(ta) AS sa, sum(tb) AS sb FROM terms)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    (${hiLo("sa", "1.0e6")} / CAST(n_a AS DOUBLE)
+       |     + ${hiLo("sb", "1.0e6")} / CAST(n_b AS DOUBLE))
+       |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) END AS a2
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova" -> (qAnova _),
+    "q_ad2" -> (qAd2 _),
     "q_kruskal" -> (qKruskal _),
     "q_brown_forsythe" -> (qBrownForsythe _),
     "q_cochran_q" -> (qCochranQ _),
@@ -278,6 +375,8 @@ object QueriesInference {
     "q_icc" -> (qIcc _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_anova" -> qAnovaSql,
+    "q_ad2" -> qAd2Sql,
     "q_kruskal" -> qKruskalSql,
     "q_brown_forsythe" -> qBrownForsytheSql,
     "q_cochran_q" -> qCochranQSql,

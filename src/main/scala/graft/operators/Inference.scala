@@ -363,22 +363,7 @@ object Inference {
     * or N ≤ J or the denominator is 0). */
   def iccOneWay(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val base = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol), (d(col(valueCol)) * 100).cast("long").as("vm"))
-    val perG = base.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("n_g"),
-      sum(i38(col("vm"))).as("s"),
-      sum(i38(col("vm")) * i38(col("vm"))).as("q"))
-    val term = microDiv(lit(1000000).cast("decimal(38,0)") *
-      col("s") * col("s"), col("n_g"))
-    val fin = perG.agg(
-      count(lit(1)).as("j"),
-      sum(col("n_g")).cast("long").as("n"),
-      sum(term).as("a_micro"),
-      sum(col("s")).as("t_sum"),
-      sum(col("q")).as("q_sum"),
-      sum(i38(col("n_g")) * i38(col("n_g"))).as("n2_sum"))
+    val fin = groupMomentRow(df, groupCol, valueCol)
     val nD = col("n").cast("double")
     val jD = col("j").cast("double")
     val aD = col("a_micro").cast("double") / lit(1000000.0)
@@ -394,5 +379,52 @@ object Inference {
     fin.select(col("n"), col("j"),
       when(ok, msb).as("msb"), when(ok, msw).as("msw"),
       when(ok && den > 0.0, (msb - msw) / den).as("icc"))
+  }
+
+  /** One-way ANOVA F test: does the value's MEAN differ across groups?
+    * The parametric companion of [[kruskalWallisByKey]] (which tests
+    * rank distributions) and the F half of [[iccOneWay]]'s variance
+    * decomposition — same one-row micro-unit moment engine
+    * ([[groupMomentRow]]), so the two readouts are guaranteed
+    * consistent. Output one row: n, j, df1 (= j−1), df2 (= n−j), msb,
+    * msw, f (null when j < 2, n ≤ j, or MSW = 0). */
+  def oneWayAnovaF(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val fin = groupMomentRow(df, groupCol, valueCol)
+    val nD = col("n").cast("double")
+    val jD = col("j").cast("double")
+    val aD = col("a_micro").cast("double") / lit(1000000.0)
+    val tD = col("t_sum").cast("double")
+    val msb = (aD - tD * tD / nD) / (jD - lit(1.0)) / lit(1.0e4)
+    val msw = (col("q_sum").cast("double") - aD) / (nD - jD) / lit(1.0e4)
+    val ok = col("j") >= 2 && col("n") > col("j")
+    fin.select(col("n"), col("j"),
+      (col("j") - 1).cast("long").as("df1"),
+      (col("n") - col("j")).cast("long").as("df2"),
+      when(ok, msb).as("msb"), when(ok, msw).as("msw"),
+      when(ok && msw > 0.0, msb / msw).as("f"))
+  }
+
+  /** The shared one-row group-moment engine behind [[iccOneWay]] and
+    * [[oneWayAnovaF]]: per-group micro-unit sums, the order-independent
+    * Σ S_g²/n_g micro division, and the group-size moments. */
+  private def groupMomentRow(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), (d(col(valueCol)) * 100).cast("long").as("vm"))
+    val perG = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_g"),
+      sum(i38(col("vm"))).as("s"),
+      sum(i38(col("vm")) * i38(col("vm"))).as("q"))
+    val term = microDiv(lit(1000000).cast("decimal(38,0)") *
+      col("s") * col("s"), col("n_g"))
+    perG.agg(
+      count(lit(1)).as("j"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(term).as("a_micro"),
+      sum(col("s")).as("t_sum"),
+      sum(col("q")).as("q_sum"),
+      sum(i38(col("n_g")) * i38(col("n_g"))).as("n2_sum"))
   }
 }

@@ -275,6 +275,66 @@ object Stats {
       .agg(max(col("__d")).as("ks"))
   }
 
+  /** Two-sample Anderson-Darling statistic (Pettitt 1976; Scholz &
+    * Stephens 1987 tie-adjusted k-sample form, k = 2, no continuity
+    * correction): the tail-sensitive companion of [[ksStatistic]] —
+    * KS sees only the single largest ECDF gap, A² integrates the
+    * squared gap with 1/(F(1−F)) weighting, so distributional drift in
+    * the TAILS (exactly where quality-score and price distributions
+    * go wrong) surfaces much earlier.
+    *
+    * A² = (1/N)·Σ_{i∈{a,b}} (1/n_i)·Σ_{j: B_j<N}
+    *        l_j·(N·M_ij − n_i·B_j)²/(B_j·(N−B_j))
+    * over the DISTINCT pooled values (l = pooled multiplicity, B =
+    * pooled cumulative, M_i = sample-i cumulative). Every inner term
+    * is one micro integral division of exact integers
+    * ([[Inference.microDiv]]), the sums are order-independent
+    * integers converted through the 2^53 hi/lo split, and the closing
+    * combination is fixed-shape. Width contract: 1e6·l·(N·M − n·B)²
+    * must fit DECIMAL(38) — pooled n up to ~1e6; beyond that, pre-bin
+    * (the [[ksStatistic]] distinct-value contract applies anyway).
+    * Output one row: n_a, n_b, a2. */
+  def andersonDarling2(df: DataFrame, groupCol: String, a: String,
+      b: String, valueCol: String): DataFrame = {
+    val i38 = (c: Column) => c.cast("decimal(38,0)")
+    val perValue = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(a, b))
+      .groupBy(col(valueCol))
+      .agg(count_if(col(groupCol) === a).as("ca"),
+        count_if(col(groupCol) === b).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = perValue
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val totals = perValue.agg(sum(col("ca")).cast("long").as("na"),
+      sum(col("cb")).cast("long").as("nb"))
+    val base = cum.crossJoin(broadcast(totals))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("bb", col("cuma") + col("cumb"))
+      .withColumn("l", col("ca") + col("cb"))
+      .filter(col("bb") < col("nn"))
+    def side(cumC: String, nC: String) = {
+      val dev = i38(col("nn")) * col(cumC) - i38(col(nC)) * col("bb")
+      Inference.microDiv(
+        lit(1000000).cast("decimal(38,0)") * col("l") * (dev * dev),
+        col("bb") * (col("nn") - col("bb")))
+    }
+    val agg = base.agg(
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      sum(side("cuma", "na")).as("sa"),
+      sum(side("cumb", "nb")).as("sb"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val a2 = (LinearModel.intMomentToDouble(col("sa"), 1.0e6) / naD +
+      LinearModel.intMomentToDouble(col("sb"), 1.0e6) / nbD) /
+      (naD + nbD)
+    agg.select(col("n_a").cast("long").as("n_a"),
+      col("n_b").cast("long").as("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, a2).as("a2"))
+  }
+
   /** Per-key Gini concentration of a NON-NEGATIVE value (token counts,
     * revenue, document lengths): `G = 2·Σ i·x_(i) / (n·Σx) - (n+1)/n`
     * over the ascending-sorted values — 0 for perfect equality, →1 for

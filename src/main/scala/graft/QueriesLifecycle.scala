@@ -595,6 +595,114 @@ object QueriesLifecycle {
        |  max(z) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS zeroed
        |  FROM terms)""".stripMargin
 
+  // ---------------------------------------------------- cum_incidence
+  // Competing risks on the view cohort: first PURCHASE races first
+  // ERROR; Aalen-Johansen CIFs for both causes (naive 1−KM per cause
+  // would overstate both). Tie at the same microsecond → purchase
+  // (explicit CASE — least()'s null semantics differ across engines).
+  def qCumIncidence(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val ref = ev.agg(max(col("us")).as("ref"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    def firstOf(et: String, out: String) =
+      ev.filter(col("event_type") === et)
+        .join(fv, Seq("user_id"))
+        .filter(col("us") >= col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as(out))
+    val labels = fv
+      .join(firstOf("purchase", "p_us"), Seq("user_id"), "left")
+      .join(firstOf("error", "e_us"), Seq("user_id"), "left")
+      .crossJoin(broadcast(ref))
+      .select(
+        when(col("p_us").isNotNull &&
+            (col("e_us").isNull || col("p_us") <= col("e_us")),
+          col("p_us") - col("view_us"))
+          .when(col("e_us").isNotNull, col("e_us") - col("view_us"))
+          .otherwise(col("ref") - col("view_us")).as("duration_us"),
+        when(col("p_us").isNotNull &&
+            (col("e_us").isNull || col("p_us") <= col("e_us")), lit(1))
+          .when(col("e_us").isNotNull, lit(2))
+          .otherwise(lit(0)).as("cause"))
+    graft.operators.Survival.cumulativeIncidence(labels,
+      "duration_us", "cause", Some(LogRankBucketUs))
+  }
+
+  val qCumIncidenceSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |r AS (SELECT max(us) AS ref FROM e),
+       |fv AS (SELECT user_id, min(us) AS view_us FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |fp AS (SELECT e.user_id, min(e.us) AS p_us
+       |       FROM e JOIN fv ON e.user_id = fv.user_id
+       |       WHERE e.event_type = 'purchase' AND e.us >= fv.view_us
+       |       GROUP BY 1),
+       |fe AS (SELECT e.user_id, min(e.us) AS e_us
+       |       FROM e JOIN fv ON e.user_id = fv.user_id
+       |       WHERE e.event_type = 'error' AND e.us >= fv.view_us
+       |       GROUP BY 1),
+       |lab AS (SELECT
+       |    CASE WHEN fp.p_us IS NOT NULL
+       |          AND (fe.e_us IS NULL OR fp.p_us <= fe.e_us)
+       |      THEN fp.p_us - fv.view_us
+       |      WHEN fe.e_us IS NOT NULL THEN fe.e_us - fv.view_us
+       |      ELSE (SELECT ref FROM r) - fv.view_us END AS duration_us,
+       |    CASE WHEN fp.p_us IS NOT NULL
+       |          AND (fe.e_us IS NULL OR fp.p_us <= fe.e_us) THEN 1
+       |      WHEN fe.e_us IS NOT NULL THEN 2 ELSE 0 END AS cause
+       |  FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+       |  LEFT JOIN fe ON fv.user_id = fe.user_id),
+       |bt AS (SELECT
+       |    floor(duration_us / $LogRankBucketUs) * $LogRankBucketUs AS t,
+       |    cause FROM lab),
+       |per AS (SELECT t, count(*) AS nt,
+       |    count(*) FILTER (cause = 1) AS d1,
+       |    count(*) FILTER (cause = 2) AS d2
+       |  FROM bt GROUP BY 1),
+       |w AS (SELECT t,
+       |    CAST(sum(nt) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS n_at_risk,
+       |    CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       |    CAST(d1 + d2 AS BIGINT) AS d
+       |  FROM per),
+       |f AS (SELECT * FROM w WHERE d > 0),
+       |lg AS (SELECT *,
+       |    CASE WHEN n_at_risk > d THEN
+       |      CAST(ln(CAST(n_at_risk - d AS DOUBLE)
+       |          / CAST(n_at_risk AS DOUBLE)) AS DECIMAL(20,12)) END
+       |      AS logterm,
+       |    CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS z
+       |  FROM f),
+       |sp AS (SELECT *,
+       |    coalesce(max(z) OVER (ORDER BY t ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS zprev,
+       |    coalesce(sum(logterm) OVER (ORDER BY t ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      CAST(0 AS DECIMAL(20,12))) AS logprev
+       |  FROM lg),
+       |sv AS (SELECT *,
+       |    CASE WHEN zprev = 1 THEN 0.0
+       |      ELSE CAST(CAST(exp(CAST(logprev AS DOUBLE))
+       |        AS DECIMAL(20,12)) AS DOUBLE) END AS sprev
+       |  FROM sp),
+       |inc AS (SELECT t, n_at_risk, d1, d2,
+       |    CAST(sprev * (CAST(d1 AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+       |      AS DECIMAL(20,12)) AS i1,
+       |    CAST(sprev * (CAST(d2 AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+       |      AS DECIMAL(20,12)) AS i2
+       |  FROM sv)
+       |SELECT t, n_at_risk, d1, d2,
+       |  CAST(sum(i1) OVER (ORDER BY t ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS cif1,
+       |  CAST(sum(i2) OVER (ORDER BY t ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS cif2
+       |FROM inc""".stripMargin
+
   // -------------------------------------------------------------- cox
   // Cox proportional hazards on the same time-to-convert cohort:
   // hazard ratio of users who CLICKED before their first view vs the
@@ -775,6 +883,7 @@ object QueriesLifecycle {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_cox" -> (qCox _),
+    "q_cum_incidence" -> (qCumIncidence _),
     "q_rmst" -> (qRmst _),
     "q_cum_hazard" -> (qCumHazard _),
     "q_streaks" -> (qStreaks _),
@@ -794,6 +903,7 @@ object QueriesLifecycle {
   def oracleSql: Map[String, String] = Map(
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_cox" -> qCoxSql,
+    "q_cum_incidence" -> qCumIncidenceSql,
     "q_rmst" -> qRmstSql,
     "q_cum_hazard" -> qCumHazardSql,
     "q_streaks" -> qStreaksSql,

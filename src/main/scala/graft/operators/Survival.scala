@@ -59,6 +59,84 @@ object Survival {
       .select(col("t"), col("n_at_risk"), col("d"), col("censored_at_t"))
   }
 
+  /** Aalen-Johansen cumulative incidence for TWO COMPETING RISKS
+    * (Aalen & Johansen 1978): when two absorbing outcomes race (first
+    * purchase vs first abandonment; dedup-merged vs quarantined), the
+    * naive per-cause 1−KM overstates both probabilities — the correct
+    * per-cause curve is CIF_k(t) = Σ_{tᵢ≤t} S(tᵢ⁻)·d_k(tᵢ)/n(tᵢ),
+    * with S the ALL-CAUSE survival. `causeCol`: 0 = censored, 1, 2.
+    *
+    * Engine-exactness is the [[kaplanMeier]] log-space discipline
+    * extended one step: the all-cause ln((n−d)/n) terms waypoint
+    * through DECIMAL(20,12) and sum in an EXCLUSIVE window (S at t⁻),
+    * S(t⁻) re-enters through the exp waypoint, each cause's increment
+    * S(t⁻)·d_k/n quantizes to DECIMAL(20,12), and both CIF curves are
+    * order-independent decimal window sums. After a time with d = n
+    * the risk set is exhausted: S(t⁻) pins to 0 from the NEXT event
+    * time on (the KM `zeroed` latch), so later increments are exact
+    * zeros rather than ln(0) artifacts.
+    *
+    * Same distinct-duration window contract as [[riskTable]] (bin
+    * continuous durations). Output per event time: t, n_at_risk, d1,
+    * d2, cif1, cif2. */
+  def cumulativeIncidence(labels: DataFrame, durationCol: String,
+      causeCol: String, durationBucket: Option[Double] = None)
+      : DataFrame = {
+    val t = durationBucket match {
+      case Some(b) =>
+        require(b > 0, s"durationBucket must be positive, got $b")
+        floor(col(durationCol) / lit(b)) * lit(b)
+      case None => col(durationCol)
+    }
+    val perTime = labels
+      .filter(col(durationCol).isNotNull && col(causeCol).isNotNull)
+      .groupBy(t.as("t")).agg(
+        count(lit(1)).as("__n_total"),
+        count_if(col(causeCol) === 1).as("d1"),
+        count_if(col(causeCol) === 2).as("d2"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = perTime
+      .withColumn("n_at_risk", sum(col("__n_total")).over(wRisk))
+      .withColumn("d", col("d1") + col("d2"))
+      .filter(col("d") > 0)
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("n_at_risk").cast("double")
+    val withLog = risk
+      .withColumn("__logterm",
+        when(col("n_at_risk") > col("d"),
+          log((col("n_at_risk") - col("d")).cast("double") / nD)
+            .cast("decimal(20,12)")))
+      .withColumn("__z",
+        when(col("d") >= col("n_at_risk"), lit(1)).otherwise(lit(0)))
+    val withS = withLog
+      .withColumn("__zprev",
+        coalesce(max(col("__z")).over(wPrev), lit(0)))
+      .withColumn("__logprev",
+        coalesce(sum(col("__logterm")).over(wPrev),
+          lit(0).cast("decimal(20,12)")))
+      .withColumn("__sprev",
+        when(col("__zprev") === 1, lit(0.0))
+          .otherwise(
+            exp(col("__logprev").cast("double")).cast("decimal(20,12)")
+              .cast("double")))
+    val inc = (dk: String) =>
+      (col("__sprev") * (col(dk).cast("double") / nD))
+        .cast("decimal(20,12)")
+    withS
+      .withColumn("__i1", inc("d1"))
+      .withColumn("__i2", inc("d2"))
+      .withColumn("cif1",
+        sum(col("__i1")).over(wCum).cast("double"))
+      .withColumn("cif2",
+        sum(col("__i2")).over(wCum).cast("double"))
+      .select(col("t"), col("n_at_risk"), col("d1").cast("long").as("d1"),
+        col("d2").cast("long").as("d2"), col("cif1"), col("cif2"))
+  }
+
   /** Cox proportional-hazards fit for ONE BINARY covariate (Cox 1972;
     * Breslow tie handling over bucketed durations): the hazard-ratio
     * question — "does group x = 1 convert/churn FASTER, adjusting for

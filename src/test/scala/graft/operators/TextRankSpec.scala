@@ -11,8 +11,8 @@ class TextRankSpec extends SparkSpec {
       "data quality", "data pipeline", "data model", "data lake",
       "quality pipeline", "unique data").toDF("text")
     val out = TextRank.keywords(docs, "text", iters = 4, topK = 10)
-      .select("token", "pos").as[(String, Int)].collect().toMap
-    assert(out("data") === 1, s"hub must rank first: $out")
+      .select("token", "pos").as[(String, Long)].collect().toMap
+    assert(out("data") === 1L, s"hub must rank first: $out")
     assert(out("unique") > out("quality"))
   }
 
@@ -29,7 +29,7 @@ class TextRankSpec extends SparkSpec {
     // token tie-break must order them alphabetically
     val docs = Seq("a b", "c d").toDF("text")
     val out = TextRank.keywords(docs, "text", iters = 3, topK = 3)
-      .select("pos", "token").as[(Int, String)].collect().sortBy(_._1)
+      .select("pos", "token").as[(Long, String)].collect().sortBy(_._1)
     assert(out.map(_._2).toSeq === Seq("a", "b", "c"))
   }
 }

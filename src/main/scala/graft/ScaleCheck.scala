@@ -367,6 +367,36 @@ object ScaleCheck {
           .withColumn("y", (col("l_returnflag") === "R").cast("long")),
         "y", "l_discount", "l_tax", iters = 3)
     },
+    "huber_irls" -> { (s, dir) =>
+      // 4 corpus scans of a cached cent projection, each a map-side
+      // aggregate to one row — linear in volume by construction
+      graft.operators.LinearModel.huberIrls(
+        Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_discount",
+        delta = 20000.0, iters = 4)
+    },
+    "cox" -> { (s, dir) =>
+      // one corpus pass to the per-time table; Newton rounds run on
+      // the cached distinct-duration frame — volume-independent
+      val ev = Tables.load(s, dir, "events").select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id"))
+        .filter(col("us") >= col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      val ref = ev.agg(max(col("us")).as("ref"))
+      val labels = fv.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(ref))
+        .select(
+          coalesce(col("p_us") - col("view_us"),
+            col("ref") - col("view_us")).as("dur"),
+          col("p_us").isNotNull.cast("int").as("ev"),
+          (col("user_id") % 2).cast("long").as("x"))
+      graft.operators.Survival.coxBinary(labels, "dur", "ev", "x",
+        iters = 3, durationBucket = Some(3.6e9))
+    },
     "interval_subtract" -> { (s, dir) =>
       // the coverage sweep: (key, ts) collapse + five window passes over
       // one sort (the q_interval_subtract shape)

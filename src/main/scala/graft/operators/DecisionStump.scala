@@ -29,16 +29,19 @@ object DecisionStump {
   private def d(c: Column) = c.cast("decimal(18,2)")
   private def i38(c: Column) = c.cast("decimal(38,0)")
 
-  def bestSplit(df: DataFrame, featureCol: String,
-      labelCol: String): DataFrame = {
+  def bestSplit(df: DataFrame, featureCol: String, labelCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
     val vm = (d(col(featureCol)) * 100).cast("long")
     val y = col(labelCol).cast("long")
-    val perValue = df
+    // retained: the cumulative window AND the totals row both read it
+    // — otherwise the corpus is scanned twice
+    val perValue = scope.retain(df
       .filter(col(featureCol).isNotNull && col(labelCol).isNotNull)
       .select(vm.as("vm"), y.as("y"))
       .groupBy(col("vm"))
       .agg(sum(col("y")).cast("long").as("pos"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n")))
     val w = Window.orderBy(col("vm"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = perValue

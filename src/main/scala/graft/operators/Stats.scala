@@ -295,13 +295,16 @@ object Stats {
     * (the [[ksStatistic]] distinct-value contract applies anyway).
     * Output one row: n_a, n_b, a2. */
   def andersonDarling2(df: DataFrame, groupCol: String, a: String,
-      b: String, valueCol: String): DataFrame = {
+      b: String, valueCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
     val i38 = (c: Column) => c.cast("decimal(38,0)")
-    val perValue = df
+    // retained: the cumulative window and the totals row both read it
+    val perValue = scope.retain(df
       .filter(col(valueCol).isNotNull && col(groupCol).isin(a, b))
       .groupBy(col(valueCol))
       .agg(count_if(col(groupCol) === a).as("ca"),
-        count_if(col(groupCol) === b).as("cb"))
+        count_if(col(groupCol) === b).as("cb")))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

@@ -177,14 +177,18 @@ object Survival {
         floor(col(durationCol) / lit(b)) * lit(b)
       case None => col(durationCol)
     }
-    val perTime = labels
+    // the per-time table feeds BOTH the risk suffix windows and the
+    // totals row, and every Newton round reads them — retained, so the
+    // corpus-side cohort derivation runs once (the PlanSpec pin caught
+    // the uncached form re-deriving it per round: 35 scans)
+    val perTime = scope.retain(labels
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
         col(xCol).isNotNull)
       .groupBy(t.as("t")).agg(
         count(lit(1)).as("n"),
         count_if(col(xCol) === 1).as("n1"),
         count_if(col(eventCol) === 1).as("d"),
-        count_if(col(eventCol) === 1 && col(xCol) === 1).as("d1"))
+        count_if(col(eventCol) === 1 && col(xCol) === 1).as("d1")))
     val w = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val risk = scope.retain(perTime

@@ -905,6 +905,46 @@ class PlanSpec extends SparkSpec {
     assert(hints == 4, s"4 bounded broadcast hints, got $hints")
   }
 
+  test("q_huber_irls: cent projection cached; each round reads the " +
+      "cache, never the corpus") {
+    val p = plan("q_huber_irls")
+    assert(p.contains("InMemoryTableScan"), s"rows must be cached:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"one live scan at most, got $scans:\n$p")
+  }
+
+  test("q_cox: per-time risk table cached across Newton rounds") {
+    val p = plan("q_cox")
+    assert(p.contains("InMemoryTableScan"),
+      s"risk table must be cache-served:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // cohort derivation reads events a bounded number of times inside
+    // the cached per-time plan — ITERATIONS must not add scans (the
+    // uncached form re-derived the cohort per round: 35 scans)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 8, s"iteration-independent scan count, got $scans")
+  }
+
+  test("q_stump and q_chow are single-scan aggregate plans") {
+    Seq("q_stump", "q_chow").foreach { q =>
+      val p = plan(q)
+      // stump's per-value table is cache-served into both consumers
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(scans <= 1, s"$q: one scan at most, got $scans")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_anova, q_ad2, q_cum_incidence: no join on corpus-sized " +
+      "frames, no cartesian") {
+    Seq("q_anova", "q_ad2", "q_cum_incidence").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q must not SMJ:\n$p")
+    }
+  }
+
   test("q_logit_irls: grid cached once; crossed betas are one-row " +
       "broadcasts, never a cartesian") {
     val p = plan("q_logit_irls")

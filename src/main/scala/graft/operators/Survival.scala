@@ -37,17 +37,42 @@ object Survival {
     * bins durations to `floor(d / bucket) * bucket` first — REQUIRED at
     * scale for continuous durations (see the class contract). */
   def riskTable(labels: DataFrame, durationCol: String,
-      eventCol: String, durationBucket: Option[Double] = None): DataFrame = {
+      eventCol: String, durationBucket: Option[Double] = None): DataFrame =
+    riskTableFromCounts(
+      perTimeCounts(labels, durationCol, eventCol, durationBucket))
+
+  /** MERGEABLE per-time counter state: (t, __n_total, d,
+    * censored_at_t) — plain counter addition merges batches
+    * ([[mergePerTimeCounts]]), so a continuously-ingested cohort keeps
+    * its full survival machinery live on the StateStream rails without
+    * replaying label rows: [[riskTableFromCounts]] /
+    * [[kaplanMeierFromCounts]] read the merged state. */
+  def perTimeCounts(labels: DataFrame, durationCol: String,
+      eventCol: String, durationBucket: Option[Double] = None)
+      : DataFrame = {
     val t = durationBucket match {
       case Some(b) =>
         require(b > 0, s"durationBucket must be positive, got $b")
         floor(col(durationCol) / lit(b)) * lit(b)
       case None => col(durationCol)
     }
-    val perTime = labels.groupBy(t.as("t")).agg(
-      count(lit(1)).as("__n_total"),
-      count_if(col(eventCol) === 1).as("d"),
-      count_if(col(eventCol) === 0).as("censored_at_t"))
+    labels
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(t.as("t")).agg(
+        count(lit(1)).as("__n_total"),
+        count_if(col(eventCol) === 1).as("d"),
+        count_if(col(eventCol) === 0).as("censored_at_t"))
+  }
+
+  /** Merge accumulated [[perTimeCounts]] state rows: counter sums. */
+  def mergePerTimeCounts(state: DataFrame): DataFrame =
+    state.groupBy(col("t")).agg(
+      sum(col("__n_total")).cast("long").as("__n_total"),
+      sum(col("d")).cast("long").as("d"),
+      sum(col("censored_at_t")).cast("long").as("censored_at_t"))
+
+  /** Risk table over an (already merged) per-time counter state. */
+  def riskTableFromCounts(perTime: DataFrame): DataFrame = {
     // risk set = reverse running count over the per-time aggregate; the
     // global (un-partitioned) window is deliberate — its input is one
     // row per distinct duration, already reduced by the groupBy above.
@@ -284,8 +309,18 @@ object Survival {
     * [[riskTable]]. Output: t, n_at_risk, d, censored_at_t,
     * log_s (cumulative log-survival, double), s (survival after t). */
   def kaplanMeier(labels: DataFrame, durationCol: String,
-      eventCol: String, durationBucket: Option[Double] = None): DataFrame = {
-    val rt = riskTable(labels, durationCol, eventCol, durationBucket)
+      eventCol: String, durationBucket: Option[Double] = None): DataFrame =
+    kaplanMeierFromRisk(
+      riskTable(labels, durationCol, eventCol, durationBucket))
+
+  /** KM over a merged [[perTimeCounts]] state — the live-curve path:
+    * identical bits to [[kaplanMeier]] over the same label multiset,
+    * because counter addition commutes with the per-time aggregation
+    * (spec-pinned batch-split equivalence). */
+  def kaplanMeierFromCounts(perTime: DataFrame): DataFrame =
+    kaplanMeierFromRisk(riskTableFromCounts(perTime))
+
+  private def kaplanMeierFromRisk(rt: DataFrame): DataFrame = {
     val wAsc = Window.orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rt

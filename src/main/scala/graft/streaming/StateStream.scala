@@ -158,6 +158,19 @@ object StateStream {
       b, scoreMicroCol, labelCol, bins),
     merge = s => graft.operators.Calibration.mergeBinCounts(s))
 
+  /** Ready-made model: per-time SURVIVAL counter state
+    * ([[graft.operators.Survival.perTimeCounts]]) — counter addition
+    * merges batches, so a continuously-ingested cohort keeps a live
+    * risk table / Kaplan-Meier curve
+    * ([[graft.operators.Survival.kaplanMeierFromCounts]]) without
+    * replaying label rows; batch-split state reproduces the
+    * whole-data curve bit-for-bit (spec-pinned). */
+  def survivalModel(durationCol: String, eventCol: String,
+      durationBucket: Option[Double] = None): Model = Model(
+    fold = b => graft.operators.Survival.perTimeCounts(
+      b, durationCol, eventCol, durationBucket),
+    merge = s => graft.operators.Survival.mergePerTimeCounts(s))
+
   /** Per-bin count state for a LIVE drift monitor: merged state +
     * a frozen expected-count table → `Divergence.psiFromCounts` — the
     * "has the ingest distribution moved since training?" readout on

@@ -19,8 +19,10 @@ object QueriesNb {
   def qNaiveBayes(s: SparkSession, dir: String): DataFrame =
     NaiveBayes.classify(t(s, dir, "documents"), "doc_id", "lang", "text")
 
-  val qNaiveBayesSql: String =
-    """WITH base AS (
+  /** The NB classification CTE chain ending in `rk` (rn = 1 rows are
+    * the predictions) — shared with the q_gate_pipeline composite. */
+  private[graft] val nbCtes: String =
+    """base AS (
       |  SELECT doc_id, lang,
       |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS sl
       |  FROM documents WHERE text IS NOT NULL),
@@ -55,14 +57,82 @@ object QueriesNb {
       |rk AS (SELECT doc_id, lang, cand, nt, score,
       |         row_number() OVER (PARTITION BY doc_id
       |           ORDER BY score DESC, cand DESC) AS rn
-      |       FROM sp)
-      |SELECT doc_id, lang, cand AS pred, CAST(score AS DOUBLE) AS score,
-      |  CAST(nt AS BIGINT) AS n_tokens
-      |FROM rk WHERE rn = 1""".stripMargin
+      |       FROM sp)""".stripMargin
+
+  val qNaiveBayesSql: String =
+    s"""WITH $nbCtes
+       |SELECT doc_id, lang, cand AS pred, CAST(score AS DOUBLE) AS score,
+       |  CAST(nt AS BIGINT) AS n_tokens
+       |FROM rk WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------- gate_pipeline
+  // Composite ingest-gate: the NB lang router flags documents whose
+  // predicted language disagrees with the label, and the decision
+  // stump asks whether DOCUMENT LENGTH predicts that disagreement —
+  // "are router errors a short-document problem?", a real curation
+  // triage readout chaining two already-oracled stages bit-exactly.
+  def qGatePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nb = graft.operators.NaiveBayes.classify(
+      docs, "doc_id", "lang", "text")
+    val flagged = nb
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("mismatch", (col("pred") =!= col("lang")).cast("long"))
+    graft.operators.DecisionStump.bestSplit(flagged, "n_chars",
+      "mismatch")
+  }
+
+  val qGatePipelineSql: String = {
+    val hiLo = {
+      val m = "score"
+      val hi = s"CAST(abs($m) // 9007199254740992 AS DOUBLE)"
+      val lo = s"CAST(abs($m) % 9007199254740992 AS DOUBLE)"
+      s"(($hi * 9007199254740992.0 + $lo) / 1.0e12)"
+    }
+    s"""WITH $nbCtes,
+       |pred AS (SELECT doc_id, lang, cand AS pred FROM rk WHERE rn = 1),
+       |gsrc AS (SELECT
+       |    CAST(CAST(d.n_chars AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm,
+       |    CAST(p.pred <> p.lang AS BIGINT) AS y
+       |  FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+       |  WHERE d.n_chars IS NOT NULL
+       |    AND CAST(p.pred <> p.lang AS BIGINT) IS NOT NULL),
+       |gpv AS (SELECT vm, CAST(sum(y) AS BIGINT) AS pos, count(*) AS n
+       |        FROM gsrc GROUP BY 1),
+       |gcum AS (SELECT vm, pos, n,
+       |    sum(pos) OVER (ORDER BY vm
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posL,
+       |    sum(n) OVER (ORDER BY vm
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nL
+       |  FROM gpv),
+       |gtot AS (SELECT CAST(sum(pos) AS BIGINT) AS posT,
+       |    CAST(sum(n) AS BIGINT) AS nT FROM gpv),
+       |gsc AS (SELECT vm, nL, posL, nT, posT, nT - nL AS nR,
+       |    nL - posL AS negL, posT - posL AS posR,
+       |    (nT - nL) - (posT - posL) AS negR
+       |  FROM gcum CROSS JOIN gtot WHERE nT - nL > 0),
+       |gscored AS (SELECT *,
+       |    (CAST(1000000000000 AS HUGEINT)
+       |       * (CAST(posL AS HUGEINT) * posL
+       |          + CAST(negL AS HUGEINT) * negL)) // nL
+       |    + (CAST(1000000000000 AS HUGEINT)
+       |       * (CAST(posR AS HUGEINT) * posR
+       |          + CAST(negR AS HUGEINT) * negR)) // nR AS score
+       |  FROM gsc)
+       |SELECT CAST(vm AS DOUBLE) / 100.0 AS threshold, nT AS n,
+       |  CAST(nL AS BIGINT) AS n_left, CAST(posL AS BIGINT) AS pos_left,
+       |  CAST(posR AS BIGINT) AS pos_right,
+       |  1.0 - $hiLo / CAST(nT AS DOUBLE) AS gini_weighted
+       |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, vm ASC)
+       |        AS rn
+       |      FROM gscored) WHERE rn = 1""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_naive_bayes" -> (qNaiveBayes _))
+    "q_naive_bayes" -> (qNaiveBayes _),
+    "q_gate_pipeline" -> (qGatePipeline _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_naive_bayes" -> qNaiveBayesSql)
+    "q_naive_bayes" -> qNaiveBayesSql,
+    "q_gate_pipeline" -> qGatePipelineSql)
 }

@@ -25,6 +25,24 @@ class HellingerSpec extends SparkSpec {
     assert(r > 0.8, s"disjoint → near 1, got $r")
   }
 
+  test("hellinger over merged binCount state equals the batch readout") {
+    // the same mergeable state family PSI rides: fold two halves,
+    // merge, and the readout must be bit-identical to one-shot
+    val full = bins((1L, 12), (2L, 30), (3L, 8))
+    val h1 = bins((1L, 5), (2L, 14), (3L, 8))
+    val h2 = bins((1L, 7), (2L, 16))
+    val expected = bins((1L, 20), (2L, 20), (3L, 20))
+    val merged = Divergence.mergeBinCounts(
+      Divergence.binCounts(h1, "bin")
+        .union(Divergence.binCounts(h2, "bin")))
+    val fromState = Divergence.hellingerFromCounts(merged,
+      Divergence.binCounts(expected, "bin"))
+      .select("hellinger").as[Double].head()
+    val oneShot = Divergence.hellinger(full, expected, "bin")
+      .select("hellinger").as[Double].head()
+    assert(fromState === oneShot)
+  }
+
   test("symmetry: H(a,b) == H(b,a)") {
     val a = bins((1L, 30), (2L, 10))
     val b = bins((1L, 10), (2L, 30))

@@ -809,6 +809,24 @@ object QueriesLifecycle {
        |FROM caf CROSS JOIN ctot t""".stripMargin
   }
 
+  // --------------------------------------------------------- km_state
+  // The STATE-PATH Kaplan-Meier: the cohort folds into two per-time
+  // counter batches, the merged state feeds kaplanMeierFromCounts, and
+  // the driver gate pins the result equal to the row-path curve (the
+  // q_ridge_state precedent — fit-from-state ≡ fit-from-rows). The
+  // oracle is the row-path SQL verbatim: bit-equality IS the claim.
+  def qKmState(s: SparkSession, dir: String): DataFrame = {
+    val labels = qTimeToConvert(s, dir)
+      .select(col("user_id"), col("duration_us"), col("converted"))
+    val half1 = labels.filter(col("user_id") % 2 === 0)
+    val half2 = labels.filter(col("user_id") % 2 =!= 0)
+    def fold(df: DataFrame) = graft.operators.Survival.perTimeCounts(
+      df, "duration_us", "converted", Some(LogRankBucketUs))
+    val state = graft.operators.Survival.mergePerTimeCounts(
+      fold(half1).union(fold(half2)))
+    graft.operators.Survival.kaplanMeierFromCounts(state)
+  }
+
   val qKaplanMeierSql: String =
     s"""$kmCtes
        |SELECT t, n_at_risk, d, censored AS censored_at_t,
@@ -882,6 +900,7 @@ object QueriesLifecycle {
   // ------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_km_state" -> (qKmState _),
     "q_cox" -> (qCox _),
     "q_cum_incidence" -> (qCumIncidence _),
     "q_rmst" -> (qRmst _),
@@ -902,6 +921,7 @@ object QueriesLifecycle {
 
   def oracleSql: Map[String, String] = Map(
     "q_kaplan_meier" -> qKaplanMeierSql,
+    "q_km_state" -> qKaplanMeierSql,
     "q_cox" -> qCoxSql,
     "q_cum_incidence" -> qCumIncidenceSql,
     "q_rmst" -> qRmstSql,

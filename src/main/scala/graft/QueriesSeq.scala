@@ -94,12 +94,54 @@ object QueriesSeq {
       |      - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END AS theil
       |FROM a""".stripMargin
 
+  // ----------------------------------------------------------- gumbel
+  // Tail risk of the daily PEAK event value: Gumbel method-of-moments
+  // over the 30 daily maxima + the 20-day return level. Every constant
+  // (γ, √6/π, the return quantile) enters both engines as the same
+  // double literal — zero runtime libm.
+  private val GumbelReturnPeriod = 20
+
+  def qGumbel(s: SparkSession, dir: String): DataFrame =
+    Stats.gumbelFit(
+      t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+      "day", "value", GumbelReturnPeriod)
+
+  val qGumbelSql: String = {
+    val c = Stats.GumbelSqrt6OverPi
+    val g = Stats.EulerGamma
+    val q = -math.log(-math.log(1.0 - 1.0 / GumbelReturnPeriod))
+    s"""WITH mx AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    max(CAST(value AS DECIMAL(18,2))) AS m
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1),
+       |a AS (SELECT count(*) AS n_blocks, sum(m) AS sx,
+       |    sum(m * m) AS sxx FROM mx),
+       |f AS (SELECT n_blocks,
+       |    CAST(sx AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean,
+       |    (CAST(n_blocks AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      / (CAST(n_blocks AS DOUBLE)
+       |         * (CAST(n_blocks AS DOUBLE) - 1.0)) AS vs
+       |  FROM a),
+       |m AS (SELECT n_blocks, mean, vs, sqrt(vs) * $c AS beta FROM f)
+       |SELECT n_blocks, mean AS mean_max,
+       |  CASE WHEN n_blocks >= 2 AND vs > 0.0
+       |    THEN mean - $g * beta END AS mu,
+       |  CASE WHEN n_blocks >= 2 AND vs > 0.0 THEN beta END AS beta,
+       |  CASE WHEN n_blocks >= 2 AND vs > 0.0
+       |    THEN (mean - $g * beta) + beta * $q END AS return_level
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gumbel" -> (qGumbel _),
     "q_seq_mine" -> (qSeqMine _),
     "q_hampel" -> (qHampel _),
     "q_theil" -> (qTheil _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_gumbel" -> qGumbelSql,
     "q_seq_mine" -> qSeqMineSql,
     "q_hampel" -> qHampelSql,
     "q_theil" -> qTheilSql)

@@ -754,6 +754,50 @@ object Stats {
           org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Gumbel extreme-value fit by method of moments over BLOCK MAXIMA
+    * (Gumbel 1958): "how bad does the worst-per-block get, and what is
+    * the T-block return level?" — the tail-risk readout behind latency
+    * ceilings, worst-document sizes, daily peak loads. β̂ = s·√6/π,
+    * μ̂ = x̄ − γ·β̂ (Euler–Mascheroni γ), and the T-block return level
+    * x_T = μ̂ − β̂·ln(−ln(1 − 1/T)).
+    *
+    * Exactness: block maxima are exact decimal maxes, their moments
+    * exact decimal sums (one grouped pass + one row), and every
+    * constant (γ, √6/π, the return-quantile ln(−ln(·))) enters BOTH
+    * engines as the same precomputed double literal — no runtime libm
+    * call anywhere, so the fit is bit-exact by construction. Output
+    * one row: n_blocks, mean_max, mu, beta, return_level (null when
+    * fewer than 2 blocks or zero variance). */
+  def gumbelFit(df: DataFrame, blockCol: String, valueCol: String,
+      returnPeriod: Int = 20): DataFrame = {
+    require(returnPeriod >= 2, s"returnPeriod >= 2, got $returnPeriod")
+    val maxima = df
+      .filter(col(valueCol).isNotNull && col(blockCol).isNotNull)
+      .groupBy(col(blockCol)).agg(max(d(col(valueCol))).as("__m"))
+    val agg = maxima.agg(count(lit(1)).as("n_blocks"),
+      sum(col("__m")).as("sx"),
+      sum(col("__m") * col("__m")).as("sxx"))
+    val nD = col("n_blocks").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val varS = (nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) /
+      (nD * (nD - lit(1.0)))
+    val beta = sqrt(varS) * lit(GumbelSqrt6OverPi)
+    val mu = mean - lit(EulerGamma) * beta
+    val q = -math.log(-math.log(1.0 - 1.0 / returnPeriod))
+    val ok = col("n_blocks") >= 2 && varS > 0.0
+    agg.select(col("n_blocks"), mean.as("mean_max"),
+      when(ok, mu).as("mu"), when(ok, beta).as("beta"),
+      when(ok, mu + beta * lit(q)).as("return_level"))
+  }
+
+  /** √6/π and γ as shared double literals — both engines must see the
+    * SAME constants (a runtime sqrt/π would be fine, but literals keep
+    * the oracle a copy-paste of the number). */
+  private[graft] val GumbelSqrt6OverPi: Double =
+    math.sqrt(6.0) / math.Pi
+  private[graft] val EulerGamma: Double = 0.5772156649015329
+
   /** Per-key Theil T index (Theil 1967): entropy-based inequality of a
     * POSITIVE value — 0 for perfect equality, ln(n) at maximal
     * concentration. The decomposable companion of [[giniByKey]] (Theil

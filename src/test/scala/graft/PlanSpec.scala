@@ -945,6 +945,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_gumbel is a single-scan two-aggregate plan") {
+    val p = plan("q_gumbel")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("q_km_state: the state union stays a counter merge, no " +
+      "cartesian, no corpus-sized join") {
+    val p = plan("q_km_state")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"plan:\n$p")
+  }
+
   test("q_logit_irls: grid cached once; crossed betas are one-row " +
       "broadcasts, never a cartesian") {
     val p = plan("q_logit_irls")

@@ -1,0 +1,458 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bootstrap, CorpusLaws, Dbscan, EffectSize,
+  InfoTheory, NgramLm}
+
+/** Round-12 third-sitting query group: distribution shape and effect
+  * sizes (Jarque–Bera, Cohen's d / Hedges' g, Cliff's delta),
+  * randomization inference (paired sign-flip permutation),
+  * information-theoretic dependence and diversity (mutual information,
+  * Simpson/Shannon), corpus laws (Zipf fit), Kneser–Ney smoothing, and
+  * grid-bucketed DBSCAN. Every oracle replays the operator's integral
+  * micro-unit algebra in HUGEINT and its closing scalar formulas in
+  * identically-shaped DOUBLE expressions (the [[QueriesInference]]
+  * discipline). */
+object QueriesInfo {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB 2^53 hi/lo split — the SQL mirror of
+    * [[graft.operators.LinearModel.intMomentToDouble]]. */
+  private def hiLo(m: String, pow: String = "1.0") = {
+    val hi = s"CAST(abs($m) // 9007199254740992 AS DOUBLE)"
+    val lo = s"CAST(abs($m) % 9007199254740992 AS DOUBLE)"
+    val sgn = s"(CASE WHEN $m < 0 THEN -1.0 WHEN $m = 0 THEN 0.0" +
+      " ELSE 1.0 END)"
+    s"(($sgn * ($hi * 9007199254740992.0 + $lo)) / $pow)"
+  }
+
+  /** CAST(floor(1e6·ln(num/den)) AS BIGINT) over hi/lo-split integral
+    * operands — the SQL mirror of InfoTheory.lnMicro. */
+  private def sqlLnMicro(num: String, den: String) =
+    s"CAST(floor(ln(${hiLo(num)} / ${hiLo(den)}) * 1000000.0) AS BIGINT)"
+
+  // ------------------------------------------------------ jarque_bera
+  // Is each event type's value distribution normal enough for the
+  // z-based monitors downstream? Skew/kurtosis/JB from exact integral
+  // power sums in cents; the oracle replays the raw→central moment
+  // algebra and the fixed-shape closing formulas.
+  def qJarqueBera(s: SparkSession, dir: String): DataFrame =
+    EffectSize.jarqueBeraByKey(t(s, dir, "events"), "event_type", "value")
+
+  val qJarqueBeraSql: String =
+    s"""WITH src AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm
+       |  FROM events WHERE value IS NOT NULL),
+       |ag AS (SELECT event_type, count(*) AS n,
+       |    sum(CAST(vm AS HUGEINT)) AS s1,
+       |    sum(CAST(vm AS HUGEINT) * vm) AS s2,
+       |    sum(CAST(vm AS HUGEINT) * vm * vm) AS s3,
+       |    sum(CAST(vm AS HUGEINT) * vm * vm * vm) AS s4
+       |  FROM src GROUP BY 1),
+       |r AS (SELECT event_type, n,
+       |    ${hiLo("s1")} / CAST(n AS DOUBLE) AS m1,
+       |    ${hiLo("s2")} / CAST(n AS DOUBLE) AS r2,
+       |    ${hiLo("s3")} / CAST(n AS DOUBLE) AS r3,
+       |    ${hiLo("s4")} / CAST(n AS DOUBLE) AS r4
+       |  FROM ag),
+       |c AS (SELECT event_type, n,
+       |    r2 - m1 * m1 AS m2,
+       |    r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+       |    r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+       |       - 3.0 * m1 * m1 * m1 * m1 AS m4
+       |  FROM r),
+       |k AS (SELECT event_type, n, m2,
+       |    m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt
+       |  FROM c)
+       |SELECT event_type, n,
+       |  CASE WHEN n >= 2 AND m2 > 0.0 THEN skew END AS skew,
+       |  CASE WHEN n >= 2 AND m2 > 0.0 THEN kurt END AS kurt,
+       |  CASE WHEN n >= 2 AND m2 > 0.0 THEN
+       |    CAST(n AS DOUBLE) / 6.0 *
+       |      (skew * skew + 0.25 * (kurt - 3.0) * (kurt - 3.0))
+       |  END AS jb
+       |FROM k""".stripMargin
+
+  // --------------------------------------------------------- cohens_d
+  // HOW MUCH do click and view values differ per day (q_welch answers
+  // whether they differ at all)? Pooled-SD standardized difference +
+  // the Hedges small-sample correction, all from one conditional pass.
+  def qCohensD(s: SparkSession, dir: String): DataFrame =
+    EffectSize.cohensDByKey(
+      t(s, dir, "events").withColumn("day",
+        date_format(col("ts"), "yyyy-MM-dd")),
+      "day", "event_type", "click", "view", "value")
+
+  val qCohensDSql: String =
+    s"""WITH src AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS g,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+       |ag AS (SELECT day,
+       |    count(*) FILTER (g = 'click') AS na,
+       |    sum(CAST(vm AS HUGEINT)) FILTER (g = 'click') AS sa,
+       |    sum(CAST(vm AS HUGEINT) * vm) FILTER (g = 'click') AS qa,
+       |    count(*) FILTER (g = 'view') AS nb,
+       |    sum(CAST(vm AS HUGEINT)) FILTER (g = 'view') AS sb,
+       |    sum(CAST(vm AS HUGEINT) * vm) FILTER (g = 'view') AS qb
+       |  FROM src GROUP BY 1),
+       |v AS (SELECT day, na, nb, sa, sb,
+       |    (CAST(na AS DOUBLE) * ${hiLo("qa")}
+       |      - ${hiLo("sa")} * ${hiLo("sa")})
+       |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS va,
+       |    (CAST(nb AS DOUBLE) * ${hiLo("qb")}
+       |      - ${hiLo("sb")} * ${hiLo("sb")})
+       |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+       |  FROM ag),
+       |p AS (SELECT day, na, nb, sa, sb,
+       |    ((CAST(na AS DOUBLE) - 1.0) * va
+       |      + (CAST(nb AS DOUBLE) - 1.0) * vb)
+       |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS sp2
+       |  FROM v),
+       |e AS (SELECT day, na, nb, sa, sb, sp2,
+       |    (${hiLo("sa")} / CAST(na AS DOUBLE)
+       |      - ${hiLo("sb")} / CAST(nb AS DOUBLE)) / sqrt(sp2) AS d
+       |  FROM p)
+       |SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  ${hiLo("sa")} / CAST(na AS DOUBLE) / 100.0 AS mean_a,
+       |  ${hiLo("sb")} / CAST(nb AS DOUBLE) / 100.0 AS mean_b,
+       |  CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0.0 THEN d END AS d,
+       |  CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0.0 THEN
+       |    d * (1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE)
+       |      + CAST(nb AS DOUBLE)) - 9.0))
+       |  END AS g
+       |FROM e""".stripMargin
+
+  // ----------------------------------------------------- cliffs_delta
+  // The ordinal effect size on the same frame: P(click > view) −
+  // P(click < view), exact from the doubled-mid-rank U.
+  def qCliffsDelta(s: SparkSession, dir: String): DataFrame =
+    EffectSize.cliffsDeltaByKey(
+      t(s, dir, "events").withColumn("day",
+        date_format(col("ts"), "yyyy-MM-dd")),
+      "day", "event_type", "click", "view", "value")
+
+  val qCliffsDeltaSql: String =
+    """WITH pv AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, value AS v,
+      |    count(*) FILTER (event_type = 'click') AS ca,
+      |    count(*) FILTER (event_type = 'view') AS cb
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT day, ca, cb,
+      |    COALESCE(sum(ca + cb) OVER (PARTITION BY day ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM pv),
+      |agg AS (
+      |  SELECT day, CAST(sum(ca) AS BIGINT) AS n_a,
+      |    CAST(sum(cb) AS BIGINT) AS n_b,
+      |    sum(CAST(ca AS HUGEINT) *
+      |        (CAST(cum AS HUGEINT) * 2 + CAST(ca + cb AS HUGEINT) + 1))
+      |      AS r2a
+      |  FROM cum GROUP BY 1)
+      |SELECT day, n_a, n_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    2.0 * (CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT)
+      |             + 1) AS DOUBLE) / 2.0)
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0
+      |  END AS delta
+      |FROM agg""".stripMargin
+
+  // -------------------------------------------------------- perm_test
+  // Did per-user spend shift between the two halves of the month? The
+  // Fisher randomization answer: sign-flip the paired difference 64
+  // times by md5 parity; every replicate statistic is an exact integer
+  // sum, so the oracle's replicate table matches bit for bit.
+  private val PermReps = 64
+  private val PermSplit = "2024-01-16"
+
+  def qPermTest(s: SparkSession, dir: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(18,2)")
+    val diffs = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < lit(PermSplit).cast("timestamp"),
+        d18(col("value"))).otherwise(-d18(col("value")))).as("diff"))
+    Bootstrap.pairedSignPermutation(diffs, "user_id", "diff", PermReps)
+  }
+
+  val qPermTestSql: String = {
+    def hexFold(sub: String) =
+      s"list_reduce(list_transform(regexp_split_to_array($sub, ''), " +
+        s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    val h = hexFold("substr(md5(CAST(id AS VARCHAR) || ':' " +
+      "|| CAST(rep AS VARCHAR)), 1, 8)")
+    s"""WITH pairs AS (
+       |  SELECT user_id AS id,
+       |    CAST(CAST(sum(CASE WHEN ts < TIMESTAMP '$PermSplit'
+       |        THEN CAST(value AS DECIMAL(18,2))
+       |        ELSE -CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+       |      * 100 AS BIGINT) AS dm
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |obs AS (SELECT count(*) AS n_pairs,
+       |    sum(CAST(dm AS HUGEINT)) AS tobs FROM pairs),
+       |seeds AS (SELECT unnest([${(0 until PermReps).mkString(", ")}])
+       |    AS rep),
+       |reps AS (SELECT rep,
+       |    sum(CAST(dm * (CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END)
+       |      AS HUGEINT)) AS tr
+       |  FROM pairs CROSS JOIN seeds GROUP BY 1),
+       |ex AS (SELECT sum(CASE WHEN abs(tr) >= abs(tobs) THEN 1 ELSE 0
+       |    END) AS n_extreme FROM reps CROSS JOIN obs)
+       |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  ${hiLo("tobs")} / 100.0 AS t_obs,
+       |  CAST($PermReps AS INT) AS r,
+       |  CAST(n_extreme AS BIGINT) AS n_extreme,
+       |  (CAST(n_extreme AS DOUBLE) + 1.0) / ${PermReps + 1}.0 AS p_value
+       |FROM obs CROSS JOIN ex""".stripMargin
+  }
+
+  // ------------------------------------------------------ mutual_info
+  // How much does a document's language tell you about its source?
+  // MI/NMI over the (lang, source) contingency cells with micro-nat
+  // floor-quantized ln waypoints — the corpus-composition dependence
+  // readout next to q_cramers_v's association strength.
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame =
+    InfoTheory.mutualInfo(t(s, dir, "documents"), "lang", "source")
+
+  val qMutualInfoSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang AS x, source AS y, count(*) AS cxy
+       |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |marg AS (SELECT x, y, cxy,
+       |    sum(cxy) OVER (PARTITION BY x) AS cx,
+       |    sum(cxy) OVER (PARTITION BY y) AS cy,
+       |    sum(cxy) OVER () AS n
+       |  FROM cells),
+       |ag AS (SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS n_cells,
+       |    sum(CAST(cxy AS HUGEINT) * ${sqlLnMicro(
+              "CAST(cxy AS HUGEINT) * n", "CAST(cx AS HUGEINT) * cy")})
+       |      AS smi,
+       |    sum(CAST(cxy AS HUGEINT) * ${sqlLnMicro("cx", "1")}) AS sex,
+       |    sum(CAST(cxy AS HUGEINT) * ${sqlLnMicro("cy", "1")}) AS sey
+       |  FROM marg),
+       |h AS (SELECT n, n_cells,
+       |    ln(CAST(n AS DOUBLE)) - ${hiLo("sex")}
+       |      / (CAST(n AS DOUBLE) * 1000000.0) AS h_x,
+       |    ln(CAST(n AS DOUBLE)) - ${hiLo("sey")}
+       |      / (CAST(n AS DOUBLE) * 1000000.0) AS h_y,
+       |    ${hiLo("smi")} / (CAST(n AS DOUBLE) * 1000000.0) AS mi
+       |  FROM ag)
+       |SELECT n, n_cells, h_x, h_y, mi,
+       |  CASE WHEN h_x > 0.0 AND h_y > 0.0 THEN mi / sqrt(h_x * h_y)
+       |  END AS nmi
+       |FROM h""".stripMargin
+
+  // -------------------------------------------------------- diversity
+  // Language diversity per source: richness, exact Simpson (two draws
+  // match), Shannon via the same micro-nat waypoints. The e^H effective
+  // species count stays operator-side (closing exp is libm territory —
+  // the q_ngram_lm avg_logprob rule).
+  def qDiversity(s: SparkSession, dir: String): DataFrame =
+    InfoTheory.diversityByKey(t(s, dir, "documents"), "source", "lang")
+      .drop("eff_species")
+
+  val qDiversitySql: String =
+    s"""WITH c AS (
+       |  SELECT source, lang, count(*) AS c FROM documents
+       |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+       |ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+       |    count(*) AS richness,
+       |    sum(CAST(c AS HUGEINT) * (c - 1)) AS smatch,
+       |    sum(CAST(c AS HUGEINT) * ${sqlLnMicro("c", "1")}) AS slnc
+       |  FROM c GROUP BY 1),
+       |f AS (SELECT source, n, richness,
+       |    ${hiLo("smatch")} / (CAST(n AS DOUBLE)
+       |      * (CAST(n AS DOUBLE) - 1.0)) AS lambda,
+       |    ln(CAST(n AS DOUBLE)) - ${hiLo("slnc")}
+       |      / (CAST(n AS DOUBLE) * 1000000.0) AS shannon
+       |  FROM ag)
+       |SELECT source, n, richness,
+       |  CASE WHEN n >= 2 THEN lambda END AS simpson,
+       |  CASE WHEN n >= 2 THEN 1.0 - lambda END AS gini_simpson,
+       |  shannon
+       |FROM f""".stripMargin
+
+  // ------------------------------------------------------------- zipf
+  // Does the corpus obey Zipf's law? OLS of ln(freq) on ln(rank) over
+  // the top-500 vocabulary — the one-number template/boilerplate drift
+  // alarm. Rank window is vocab-bounded; the corpus never sorts.
+  private val ZipfTopV = 500
+
+  def qZipf(s: SparkSession, dir: String): DataFrame =
+    CorpusLaws.zipfFit(t(s, dir, "documents"), "text", ZipfTopV)
+
+  val qZipfSql: String = {
+    def lnm(c: String) =
+      s"CAST(floor(ln(CAST($c AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(
+       |    ${QueriesText.sqlCollapse("lower(text)")}, ' ')) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> ''
+       |      GROUP BY 1),
+       |rk AS (SELECT tok, c,
+       |    row_number() OVER (ORDER BY c DESC, tok) AS rank FROM c),
+       |top AS (SELECT ${lnm("rank")} AS x, ${lnm("c")} AS y
+       |        FROM rk WHERE rank <= $ZipfTopV),
+       |mo AS (SELECT count(*) AS v_used,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM top),
+       |tot AS (SELECT count(*) AS vocab,
+       |    CAST(sum(CAST(c AS HUGEINT)) AS BIGINT) AS n_tokens FROM c),
+       |s AS (SELECT vocab, n_tokens, v_used, sx, sy,
+       |    CAST(v_used AS DOUBLE) * ${hiLo("sxx")}
+       |      - ${hiLo("sx")} * ${hiLo("sx")} AS denom,
+       |    (CAST(v_used AS DOUBLE) * ${hiLo("sxy")}
+       |      - ${hiLo("sx")} * ${hiLo("sy")})
+       |      / (CAST(v_used AS DOUBLE) * ${hiLo("sxx")}
+       |         - ${hiLo("sx")} * ${hiLo("sx")}) AS slope
+       |  FROM tot CROSS JOIN mo)
+       |SELECT vocab, n_tokens, v_used,
+       |  CASE WHEN v_used >= 2 AND denom > 0.0 THEN slope END AS slope,
+       |  CASE WHEN v_used >= 2 AND denom > 0.0 THEN
+       |    ((${hiLo("sy")} - slope * ${hiLo("sx")})
+       |      / CAST(v_used AS DOUBLE)) / 1000000.0
+       |  END AS intercept
+       |FROM s""".stripMargin
+  }
+
+  // ------------------------------------------------------ kneser_ney
+  // KN-smoothed bigram self-scoring: the continuation-count smoother
+  // scored as exact integer micro-prob sums per document (logprob
+  // stays off the compared projection — the q_ngram_lm rule).
+  def qKneserNey(s: SparkSession, dir: String): DataFrame =
+    NgramLm.kneserNeySelfScore(t(s, dir, "documents"), "doc_id", "text")
+
+  val qKneserNeySql: String =
+    s"""WITH c AS (SELECT doc_id,
+       |    ${QueriesText.sqlCollapse("lower(text)")} AS sl
+       |  FROM documents),
+       |bg AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+       |    unnest(list_transform(range(1, len(a)), i -> a[i+1])) AS w2
+       |  FROM (SELECT doc_id, string_split(sl, ' ') AS a FROM c)),
+       |m AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |    count(*) AS r1 FROM m GROUP BY 1),
+       |lft AS (SELECT w2, count(*) AS l2 FROM m GROUP BY 1),
+       |ty AS (SELECT count(*) AS t FROM m),
+       |sc AS (SELECT doc_id,
+       |    CAST(floor(((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+       |      + 0.75 * CAST(r1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+       |        * (CAST(l2 AS DOUBLE) / CAST(t AS DOUBLE)))
+       |      * 1000000000.0) AS BIGINT) AS pm
+       |  FROM bg JOIN m USING (w1, w2) JOIN ctx USING (w1)
+       |    JOIN lft USING (w2) CROSS JOIN ty)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(pm) AS BIGINT) AS sum_p_micro
+       |FROM sc GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- dbscan
+  // Density clustering of a deterministic md5 point scatter: grid-
+  // bucketed neighbor screen, exact integer distance tests, min-label
+  // border rule, star-contraction closure. The oracle replays the
+  // identical scatter, the 3x3 cell screen, and the transitive closure
+  // with a recursive CTE — hash agreement pins core flags, neighbor
+  // counts, AND the full cluster labeling.
+  private val DbscanSpan = 4096000000L // micro-units: a 4096^2 square
+  private val DbscanEps = 35000000L // eps = 35 units
+  private val DbscanMinPts = 4
+
+  def qDbscan(s: SparkSession, dir: String): DataFrame = {
+    def u32(tag: String): Column =
+      conv(substring(md5(concat(col("event_id").cast("string"),
+        lit(tag))), 1, 8), 16, 10).cast("long")
+    val pts = t(s, dir, "events").select(col("event_id"),
+      (u32(":x") % DbscanSpan).as("xm"),
+      (u32(":y") % DbscanSpan).as("ym"))
+    Dbscan.cluster(pts, "event_id", "xm", "ym", DbscanEps, DbscanMinPts)
+      .withColumnRenamed("pid", "event_id")
+  }
+
+  val qDbscanSql: String = {
+    def hexFold(sub: String) =
+      s"list_reduce(list_transform(regexp_split_to_array($sub, ''), " +
+        s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    def coord(tag: String) =
+      hexFold(s"substr(md5(CAST(event_id AS VARCHAR) || '$tag'), 1, 8)") +
+        s" % $DbscanSpan"
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT event_id AS pid,
+       |    ${coord(":x")} AS xm,
+       |    ${coord(":y")} AS ym
+       |  FROM events),
+       |cl AS (SELECT pid, xm, ym,
+       |    xm // $DbscanEps AS cx, ym // $DbscanEps AS cy FROM pts),
+       |pairs AS (
+       |  SELECT a.pid AS pid, b.pid AS qid
+       |  FROM cl a JOIN cl b
+       |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       |   AND CAST(a.xm - b.xm AS HUGEINT) * (a.xm - b.xm)
+       |     + CAST(a.ym - b.ym AS HUGEINT) * (a.ym - b.ym)
+       |       <= CAST($DbscanEps AS HUGEINT) * $DbscanEps),
+       |flags AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_neighbors,
+       |    count(*) >= $DbscanMinPts AS is_core
+       |  FROM pairs GROUP BY 1),
+       |core AS (SELECT pid FROM flags WHERE is_core),
+       |ce AS (SELECT p.pid, p.qid FROM pairs p
+       |  JOIN core c1 ON c1.pid = p.pid
+       |  JOIN core c2 ON c2.pid = p.qid),
+       |edges AS (SELECT pid AS src, qid AS dst FROM ce
+       |          UNION SELECT qid, pid FROM ce),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e
+       |    JOIN reach ON reach.node = e.dst),
+       |clab AS (SELECT node AS pid, MIN(r) AS cluster_id
+       |         FROM reach GROUP BY 1),
+       |blab AS (SELECT p.pid, MIN(l.cluster_id) AS border_cluster
+       |  FROM pairs p JOIN flags f ON f.pid = p.pid AND NOT f.is_core
+       |  JOIN clab l ON l.pid = p.qid
+       |  GROUP BY 1)
+       |SELECT f.pid AS event_id, f.n_neighbors, f.is_core,
+       |  COALESCE(c.cluster_id, b.border_cluster) AS cluster_id
+       |FROM flags f LEFT JOIN clab c ON c.pid = f.pid
+       |LEFT JOIN blab b ON b.pid = f.pid""".stripMargin
+  }
+
+  // ---------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jarque_bera" -> (qJarqueBera _),
+    "q_cohens_d" -> (qCohensD _),
+    "q_cliffs_delta" -> (qCliffsDelta _),
+    "q_perm_test" -> (qPermTest _),
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_diversity" -> (qDiversity _),
+    "q_zipf" -> (qZipf _),
+    "q_kneser_ney" -> (qKneserNey _),
+    "q_dbscan" -> (qDbscan _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_jarque_bera" -> qJarqueBeraSql,
+    "q_cohens_d" -> qCohensDSql,
+    "q_cliffs_delta" -> qCliffsDeltaSql,
+    "q_perm_test" -> qPermTestSql,
+    "q_mutual_info" -> qMutualInfoSql,
+    "q_diversity" -> qDiversitySql,
+    "q_zipf" -> qZipfSql,
+    "q_kneser_ney" -> qKneserNeySql,
+    "q_dbscan" -> qDbscanSql,
+  )
+}

@@ -198,7 +198,7 @@ object SparkEntry {
     "q_exclusion_delete" -> (qExclusionDelete _),
     "q_dedup_keep_first" -> (qDedupKeepFirst _),
     "q_mapping_join" -> (qMappingJoin _),
-  ) ++ QueriesClean.queries ++ QueriesText.queries ++ QueriesTextDedup.queries ++ QueriesTextObjectives.queries ++ QueriesOps.queries ++ QueriesExtra.queries ++ QueriesEvents.queries ++ QueriesLifecycle.queries ++ QueriesFunnel.queries ++ QueriesScale.queries ++ QueriesOverlap.queries ++ QueriesSpatial.queries ++ QueriesProjection.queries ++ QueriesMatch.queries ++ QueriesStats.queries ++ QueriesAgreement.queries ++ QueriesInference.queries ++ QueriesSeq.queries ++ QueriesNb.queries ++ QueriesRank.queries ++ QueriesQuality.queries ++ QueriesRelational.queries ++ QueriesWeb.queries ++ QueriesPrivacy.queries ++ QueriesModel.queries ++ QueriesGraph.queries
+  ) ++ QueriesClean.queries ++ QueriesText.queries ++ QueriesTextDedup.queries ++ QueriesTextObjectives.queries ++ QueriesOps.queries ++ QueriesExtra.queries ++ QueriesEvents.queries ++ QueriesLifecycle.queries ++ QueriesFunnel.queries ++ QueriesScale.queries ++ QueriesOverlap.queries ++ QueriesSpatial.queries ++ QueriesProjection.queries ++ QueriesMatch.queries ++ QueriesStats.queries ++ QueriesAgreement.queries ++ QueriesInference.queries ++ QueriesSeq.queries ++ QueriesNb.queries ++ QueriesRank.queries ++ QueriesQuality.queries ++ QueriesRelational.queries ++ QueriesWeb.queries ++ QueriesPrivacy.queries ++ QueriesModel.queries ++ QueriesGraph.queries ++ QueriesInfo.queries
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -210,5 +210,5 @@ object SparkEntry {
     "q_exclusion_delete" -> qExclusionDeleteSql,
     "q_dedup_keep_first" -> qDedupKeepFirstSql,
     "q_mapping_join" -> qMappingJoinSql,
-  ) ++ QueriesClean.oracleSql ++ QueriesText.oracleSql ++ QueriesTextDedup.oracleSql ++ QueriesTextObjectives.oracleSql ++ QueriesOps.oracleSql ++ QueriesExtra.oracleSql ++ QueriesEvents.oracleSql ++ QueriesLifecycle.oracleSql ++ QueriesFunnel.oracleSql ++ QueriesScale.oracleSql ++ QueriesOverlap.oracleSql ++ QueriesSpatial.oracleSql ++ QueriesProjection.oracleSql ++ QueriesMatch.oracleSql ++ QueriesStats.oracleSql ++ QueriesAgreement.oracleSql ++ QueriesInference.oracleSql ++ QueriesSeq.oracleSql ++ QueriesNb.oracleSql ++ QueriesRank.oracleSql ++ QueriesQuality.oracleSql ++ QueriesRelational.oracleSql ++ QueriesWeb.oracleSql ++ QueriesPrivacy.oracleSql ++ QueriesModel.oracleSql ++ QueriesGraph.oracleSql
+  ) ++ QueriesClean.oracleSql ++ QueriesText.oracleSql ++ QueriesTextDedup.oracleSql ++ QueriesTextObjectives.oracleSql ++ QueriesOps.oracleSql ++ QueriesExtra.oracleSql ++ QueriesEvents.oracleSql ++ QueriesLifecycle.oracleSql ++ QueriesFunnel.oracleSql ++ QueriesScale.oracleSql ++ QueriesOverlap.oracleSql ++ QueriesSpatial.oracleSql ++ QueriesProjection.oracleSql ++ QueriesMatch.oracleSql ++ QueriesStats.oracleSql ++ QueriesAgreement.oracleSql ++ QueriesInference.oracleSql ++ QueriesSeq.oracleSql ++ QueriesNb.oracleSql ++ QueriesRank.oracleSql ++ QueriesQuality.oracleSql ++ QueriesRelational.oracleSql ++ QueriesWeb.oracleSql ++ QueriesPrivacy.oracleSql ++ QueriesModel.oracleSql ++ QueriesGraph.oracleSql ++ QueriesInfo.oracleSql
 }

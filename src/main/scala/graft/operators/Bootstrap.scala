@@ -127,4 +127,60 @@ object Bootstrap {
     joined.select((groupCols.map(col) :+ col("n") :+ col("mean_val") :+
       col("se_boot") :+ col("r_used")): _*)
   }
+
+  /** Paired sign-flip permutation test (Fisher randomization on matched
+    * pairs): is the mean paired difference zero? Under H₀ each pair's
+    * difference is symmetric around 0, so every sign assignment is
+    * equally likely — replicate r flips the sign of pair `id` by the
+    * parity of the same md5 32-bit hash the Poisson bootstrap draws
+    * from, and p = (1 + #{r : |T_r| ≥ |T_obs|}) / (R + 1) (the
+    * add-one Monte-Carlo estimator, never exactly 0).
+    *
+    * EXACT end to end: differences quantize to cents, every replicate
+    * statistic T_r = Σ ±d_i is an integral DECIMAL(38,0) sum, and the
+    * extremity comparison |T_r| ≥ |T_obs| is an integer compare — no
+    * float enters until the closing p division. Rows with a null id or
+    * null difference are dropped (a null id has no deterministic sign
+    * in any replicate — the [[EpochShuffle]] rule).
+    *
+    * Scale shape: one corpus pass for T_obs, one R-fold explode pass
+    * collapsed by partial aggregation to R rows before the exchange
+    * (the [[replicateMeans]] shape); the replicate table then reduces
+    * against the broadcast observed statistic. Output (one row):
+    * n_pairs, t_obs, r, n_extreme, p_value. */
+  def pairedSignPermutation(df: DataFrame, idCol: String,
+      diffCol: String, replicates: Int,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    require(replicates >= 2, s"need >= 2 replicates, got $replicates")
+    // the pair table feeds T_obs AND the replicate explode — retained so
+    // the source scan + quantization runs once, not per consumer
+    val pairs = scope.retain(df
+      .filter(col(idCol).isNotNull && col(diffCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        (col(diffCol).cast("decimal(18,2)") * 100).cast("long").as("__dm")))
+    val obs = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__dm").cast("decimal(38,0)")).as("__tobs"))
+    val reps = pairs
+      .select(col("*"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("rep"))
+      .withColumn("__sgn",
+        when(hash32(col("__id"), col("rep")) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)))
+      .groupBy(col("rep"))
+      .agg(sum((col("__dm") * col("__sgn")).cast("decimal(38,0)"))
+        .as("__tr"))
+    val extreme = reps.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(col("__tr")) >= abs(col("__tobs")), 1L)
+        .otherwise(0L)).as("n_extreme"))
+    obs.crossJoin(broadcast(extreme))
+      .select(col("n_pairs"),
+        (LinearModel.intMomentToDouble(col("__tobs"), 1.0) / lit(100.0))
+          .as("t_obs"),
+        lit(replicates).as("r"),
+        col("n_extreme"),
+        ((col("n_extreme").cast("double") + lit(1.0)) /
+          lit(replicates + 1.0)).as("p_value"))
+  }
 }

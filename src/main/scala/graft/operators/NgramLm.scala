@@ -114,4 +114,54 @@ object NgramLm {
     val m = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     scoreBigrams(docBg, m, addK, scope)
   }
+
+  /** Interpolated Kneser–Ney self-scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's benchmark smoother) with the standard fixed
+    * discount d = 0.75: each bigram scores
+    * P(w2|w1) = (c12 − d)/c1 + d·N₁₊(w1·)/c1 · N₁₊(·w2)/T — the
+    * discounted MLE interpolated with the CONTINUATION probability
+    * (how many distinct contexts w2 follows, not how often), the
+    * insight that makes KN the right smoother for natural text.
+    *
+    * Engine-exact by construction: all five model statistics (c12, c1,
+    * N₁₊(w1·) right-type count, N₁₊(·w2) left-type count, T total
+    * bigram types) are exact integer counts; d = 0.75 is a binary
+    * fraction, so every per-bigram double op is correctly rounded on
+    * identical inputs, and the per-document reduction sums
+    * floor(1e9·P) as exact integers — logprobs are deliberately NOT
+    * summed (libm ln per bigram would break the hash contract; the
+    * micro-prob sum carries the same ranking signal).
+    *
+    * Self-scoring means every scored bigram was seen (c12 ≥ 1), so the
+    * discounted term needs no max(·,0) clamp. Work: the retained
+    * bigram stream aggregates once to the model, which is itself
+    * retained to feed its four consumers (probe join, context agg,
+    * left-type agg, T) — two corpus-shaped shuffles total, vocab-sized
+    * joins after. Output: doc_id, n_bigrams, sum_p_micro. */
+  def kneserNeySelfScore(docs: DataFrame, idCol: String, textCol: String,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val docBg = scope.retain(docs
+      .select(col(idCol).as("doc_id"),
+        explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2")))
+    val m = scope.retain(
+      docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val ctx = m.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("r1"))
+    val left = m.groupBy(col("w2")).agg(count(lit(1)).as("l2"))
+    val types = m.agg(count(lit(1)).as("t"))
+    val p =
+      (col("c12").cast("double") - lit(0.75)) / col("c1").cast("double") +
+        lit(0.75) * col("r1").cast("double") / col("c1").cast("double") *
+          (col("l2").cast("double") / col("t").cast("double"))
+    docBg
+      .join(m, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(left, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("p_micro", floor(p * lit(1e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_micro")).as("sum_p_micro"))
+  }
 }

@@ -967,4 +967,58 @@ class PlanSpec extends SparkSpec {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     assert(scans <= 1, s"grid derives from at most one live scan:\n$p")
   }
+
+  test("q_jarque_bera and q_cohens_d are single-scan single-aggregate " +
+      "plans (no join, no window)") {
+    Seq("q_jarque_bera", "q_cohens_d").foreach { q =>
+      val p = plan(q)
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(scans == 1 && !p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
+  test("q_mutual_info reduces one scan through bounded-cell windows, " +
+      "no corpus-sized join") {
+    val p = plan("q_mutual_info")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one documents scan expected, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"plan:\n$p")
+  }
+
+  test("q_perm_test: the pair table is cache-served to T_obs and the " +
+      "replicate explode; the scalar joins stay broadcasts") {
+    val p = plan("q_perm_test")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryTableScan"),
+      s"pair quantization must run once ($scans scans):\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"one-row obs/extreme frames must broadcast:\n$p")
+  }
+
+  test("q_zipf tokenizes the corpus once; the rank window is " +
+      "vocab-bounded, never a corpus sort") {
+    val p = plan("q_zipf")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryTableScan"),
+      s"vocab table must be cache-served ($scans scans):\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_kneser_ney: bigram stream and model are cache-served; the " +
+      "model joins are never cartesian") {
+    val p = plan("q_kneser_ney")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryTableScan"),
+      s"tokenize+model must run once ($scans scans):\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_dbscan: the neighbor screen is an equi-join on cells — no " +
+      "cartesian, no nested loop") {
+    val p = plan("q_dbscan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
 }

@@ -431,8 +431,138 @@ object QueriesInfo {
        |LEFT JOIN blab b ON b.pid = f.pid""".stripMargin
   }
 
+  // ----------------------------------------------------- poisson_irls
+  // Rate model: purchases per user as a function of (click, view)
+  // activity buckets — the count-outcome companion of q_logit_irls,
+  // same unrolled-IRLS oracle discipline (grid collapse, floor
+  // waypoints, hi/lo moment splits, Cramer solve), with the Poisson
+  // simplification that y enters the working response linearly so the
+  // grid needs no y dimension.
+  private val PoissonIters = 3
+
+  private def poissonPerUser(s: SparkSession, dir: String): DataFrame = {
+    def bucket(et: String) = {
+      val c = count_if(col("event_type") === et)
+      ((c - c % 5) / 5).cast("long")
+    }
+    t(s, dir, "events").groupBy(col("user_id")).agg(
+      count_if(col("event_type") === "purchase").as("y"),
+      bucket("click").as("x1"),
+      bucket("view").as("x2"))
+  }
+
+  def qPoissonIrls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearModel.poissonIrlsGrid(
+      poissonPerUser(s, dir), "y", "x1", "x2", PoissonIters)
+
+  val qPoissonIrlsSql: String = {
+    def det3Sql(a: String, b: String, c: String,
+        p: String, q: String, r: String,
+        x: String, y: String, z: String): String =
+      s"$a * ($q * $z - $r * $y) - $b * ($p * $z - $r * $x)" +
+        s" + $c * ($p * $y - $q * $x)"
+    val scales = Seq("sww" -> "1.0e8", "swx1" -> "1.0e10",
+      "swx2" -> "1.0e10", "swx11" -> "1.0e12", "swx12" -> "1.0e12",
+      "swx22" -> "1.0e12", "swz" -> "1.0e9", "swzx1" -> "1.0e11",
+      "swzx2" -> "1.0e11")
+    val d = scales.map { case (m, p) => m -> hiLo(m, p) }.toMap
+    val (sww, swx1, swx2) = (d("sww"), d("swx1"), d("swx2"))
+    val (swx11, swx12, swx22) = (d("swx11"), d("swx12"), d("swx22"))
+    val (swz, swzx1, swzx2) = (d("swz"), d("swzx1"), d("swzx2"))
+    val iters = (1 to PoissonIters).map { k =>
+      val prev = if (k == 1) "b0i" else s"b${k - 1}"
+      s"""it$k AS (SELECT g.cnt, g.sy, g.x1c, g.x2c,
+         |    greatest(least(b.b0
+         |      + b.b1 * (CAST(g.x1c AS DOUBLE) / 100.0)
+         |      + b.b2 * (CAST(g.x2c AS DOUBLE) / 100.0),
+         |      10.0), -25.0) AS etac
+         |  FROM grid g CROSS JOIN $prev b),
+         |mu$k AS (SELECT *, greatest(
+         |    CAST(floor(exp(etac) * 1.0e8) AS BIGINT), 1) AS mu8
+         |  FROM it$k),
+         |z$k AS (SELECT *, CAST(floor(
+         |    (CAST(cnt AS DOUBLE) * (CAST(mu8 AS DOUBLE) / 1.0e8)
+         |      * (etac - 1.0) + CAST(sy AS DOUBLE)) * 1.0e9)
+         |    AS BIGINT) AS wz9 FROM mu$k),
+         |a$k AS (SELECT
+         |    sum(CAST(cnt AS HUGEINT) * mu8) AS sww,
+         |    sum(CAST(cnt AS HUGEINT) * mu8 * x1c) AS swx1,
+         |    sum(CAST(cnt AS HUGEINT) * mu8 * x2c) AS swx2,
+         |    sum(CAST(cnt AS HUGEINT) * mu8 * x1c * x1c) AS swx11,
+         |    sum(CAST(cnt AS HUGEINT) * mu8 * x1c * x2c) AS swx12,
+         |    sum(CAST(cnt AS HUGEINT) * mu8 * x2c * x2c) AS swx22,
+         |    sum(CAST(wz9 AS HUGEINT)) AS swz,
+         |    sum(CAST(wz9 AS HUGEINT) * x1c) AS swzx1,
+         |    sum(CAST(wz9 AS HUGEINT) * x2c) AS swzx2
+         |  FROM z$k),
+         |b$k AS (SELECT
+         |    CASE WHEN det <> 0.0 THEN det0 / det END AS b0,
+         |    CASE WHEN det <> 0.0 THEN det1 / det END AS b1,
+         |    CASE WHEN det <> 0.0 THEN det2 / det END AS b2
+         |  FROM (SELECT
+         |    ${det3Sql(sww, swx1, swx2, swx1, swx11, swx12,
+                        swx2, swx12, swx22)} AS det,
+         |    ${det3Sql(swz, swx1, swx2, swzx1, swx11, swx12,
+                        swzx2, swx12, swx22)} AS det0,
+         |    ${det3Sql(sww, swz, swx2, swx1, swzx1, swx12,
+                        swx2, swzx2, swx22)} AS det1,
+         |    ${det3Sql(sww, swx1, swz, swx1, swx11, swzx1,
+                        swx2, swx12, swzx2)} AS det2
+         |  FROM a$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    count(*) FILTER (event_type = 'purchase') AS y,
+       |    (count(*) FILTER (event_type = 'click')
+       |      - count(*) FILTER (event_type = 'click') % 5) // 5 AS x1,
+       |    (count(*) FILTER (event_type = 'view')
+       |      - count(*) FILTER (event_type = 'view') % 5) // 5 AS x2
+       |  FROM events GROUP BY 1),
+       |grid AS (
+       |  SELECT
+       |    CAST(CAST(x1 AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1c,
+       |    CAST(CAST(x2 AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2c,
+       |    count(*) AS cnt, CAST(sum(y) AS BIGINT) AS sy
+       |  FROM per_user GROUP BY 1, 2),
+       |b0i AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |$iters
+       |SELECT n, b0, b1, b2
+       |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid)
+       |CROSS JOIN b$PoissonIters""".stripMargin
+  }
+
+  // ------------------------------------------------------ good_turing
+  // Frequency-of-frequencies with simple Good-Turing adjusted counts
+  // and the r = 1 unseen-mass estimate — the smoothing table the
+  // Kneser-Ney discount abstracts; exact integer counts, two bounded
+  // windows, fixed-shape closing ratios.
+  def qGoodTuring(s: SparkSession, dir: String): DataFrame =
+    CorpusLaws.goodTuring(t(s, dir, "documents"), "text")
+
+  val qGoodTuringSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(
+       |    ${QueriesText.sqlCollapse("lower(text)")}, ' ')) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> ''
+       |      GROUP BY 1),
+       |fof AS (SELECT c AS r, count(*) AS n_r FROM c GROUP BY 1),
+       |t AS (SELECT r, n_r,
+       |    lead(r, 1) OVER (ORDER BY r) AS rn,
+       |    lead(n_r, 1) OVER (ORDER BY r) AS nn,
+       |    sum(CAST(r AS HUGEINT) * n_r) OVER () AS n
+       |  FROM fof)
+       |SELECT r, n_r,
+       |  CASE WHEN rn = r + 1 THEN
+       |    CAST(r + 1 AS DOUBLE) * CAST(nn AS DOUBLE)
+       |      / CAST(n_r AS DOUBLE) END AS r_star,
+       |  ${hiLo("CAST(r AS HUGEINT) * n_r")} / ${hiLo("n")} AS mass
+       |FROM t""".stripMargin
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_poisson_irls" -> (qPoissonIrls _),
+    "q_good_turing" -> (qGoodTuring _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_cohens_d" -> (qCohensD _),
     "q_cliffs_delta" -> (qCliffsDelta _),
@@ -445,6 +575,8 @@ object QueriesInfo {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_poisson_irls" -> qPoissonIrlsSql,
+    "q_good_turing" -> qGoodTuringSql,
     "q_jarque_bera" -> qJarqueBeraSql,
     "q_cohens_d" -> qCohensDSql,
     "q_cliffs_delta" -> qCliffsDeltaSql,

@@ -32,6 +32,15 @@ object CorpusLaws {
   private def lnMicro(c: Column): Column =
     floor(log(c.cast("double")) * lit(1e6)).cast("long")
 
+  /** (tok, c) corpus token counts over the normalized whitespace
+    * tokenization — one scan, map-side combined. */
+  private def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(TextFunctions.normalize(col(textCol)), " "))
+        .as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
   /** Zipf fit over the top-`topV` vocabulary: regress ln(freq) on
     * ln(rank) (rank by freq desc, token asc — total order, engine
     * independent). Returns one row: vocab (full distinct-token count),
@@ -49,11 +58,7 @@ object CorpusLaws {
     require(topV >= 2, s"topV must be >= 2, got $topV")
     // the vocab table feeds the rank fit AND the corpus totals —
     // retained so the corpus tokenize+count pass runs once
-    val counts = scope.retain(docs
-      .select(explode(split(TextFunctions.normalize(col(textCol)), " "))
-        .as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val counts = scope.retain(tokenCounts(docs, textCol))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("tok"))
     val top = counts
@@ -85,5 +90,36 @@ object CorpusLaws {
         col("v_used"),
         when(col("v_used") >= 2 && denom > 0.0, slope).as("slope"),
         when(col("v_used") >= 2 && denom > 0.0, intercept).as("intercept"))
+  }
+
+  /** Simple Good–Turing frequency-of-frequencies (Good 1953; the
+    * smoothing table behind KN-style discounts and the classic
+    * unseen-mass estimate): for each observed token frequency r, the
+    * type count N_r, the adjusted count r* = (r+1)·N_{r+1}/N_r (null
+    * at gaps/tail, where simple GT is undefined and callers switch to
+    * the Zipf-smoothed fit), and the corpus mass share r·N_r/N. Row
+    * r = 1's mass IS the leave-one-out unseen-mass estimate P₀.
+    *
+    * All inputs to the closing double formulas are exact integer
+    * counts; the frequency-of-frequency table is bounded by the
+    * distinct-frequency count (≤ O(√tokens)), so its windows never see
+    * corpus-sized frames. Output: r, n_r, r_star, mass. */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val fof = tokenCounts(docs, textCol)
+      .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val wNext = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val t = fof
+      .withColumn("rn", lead(col("r"), 1).over(wNext))
+      .withColumn("nn", lead(col("n_r"), 1).over(wNext))
+      .withColumn("n", sum(i38(col("r")) * col("n_r")).over(wAll))
+    t.select(col("r"), col("n_r"),
+      when(col("rn") === col("r") + 1,
+        (col("r") + 1).cast("double") * col("nn").cast("double") /
+          col("n_r").cast("double")).as("r_star"),
+      // r·N_r and N can pass 2^53 on a 10^12-token corpus — both ride
+      // the engine-neutral hi/lo split before the double division
+      (dv(i38(col("r")) * col("n_r")) / dv(col("n"))).as("mass"))
   }
 }

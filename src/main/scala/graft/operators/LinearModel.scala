@@ -606,4 +606,95 @@ object LinearModel {
           col("b2") * col(x2Col).cast("double"))
       .drop("b0", "b1", "b2")
   }
+
+  /** Poisson (log-link) regression by IRLS over the discrete-feature
+    * grid — count outcomes (events per user, tokens per doc, defects
+    * per batch) where [[logisticIrlsGrid]]'s 0/1 target and
+    * [[ridgeByKey]]'s unbounded-Gaussian target are both wrong models.
+    * Same oracle-hashable construction as the logistic form, ONE grid
+    * simplification: the Poisson working response is LINEAR in y
+    * (w·z = μ·(η−1) + y per row), so the grid collapses to distinct
+    * (x1, x2) cells carrying (count, Σy) — no y dimension, a strictly
+    * smaller cell table.
+    *
+    * Per round on the cached grid: η clamps to [−25, 10] (rate cap
+    * e^10 ≈ 2.2e4 — a contract bound, not a fit bound), μ quantizes
+    * via floor(exp(η)·1e8) (floor-on-double, the portable waypoint;
+    * exp runs once per bounded grid cell), the per-cell working sum
+    * quantizes via floor(·1e9) — 1e9 rather than the logistic 1e12
+    * buys 2^63 headroom on cnt·μ-heavy cells (contract: per-cell
+    * cnt·μ·|η−1|·1e9 < 2^63) — weighted moments sum in DECIMAL(38,0),
+    * conversions pass [[intMomentToDouble]]'s 2^53 split, and the
+    * Cramer solve is the shared fixed-shape tree. β enters each round
+    * as a broadcast one-row frame; nothing collects.
+    *
+    * Output one row: n, b0, b1, b2 (null if any round's normal matrix
+    * was singular). */
+  def poissonIrlsGrid(df: DataFrame, yCol: String, x1Col: String,
+      x2Col: String, iters: Int = 3,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8], got $iters")
+    val spark = df.sparkSession
+    def i38(c: Column) = c.cast("decimal(38,0)")
+    val grid = scope.retain(df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .groupBy((d(col(x1Col)) * 100).cast("long").as("x1c"),
+        (d(col(x2Col)) * 100).cast("long").as("x2c"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(yCol).cast("long")).as("sy")))
+    var beta = spark.range(1).select(lit(0.0).as("b0"),
+      lit(0.0).as("b1"), lit(0.0).as("b2"))
+    for (_ <- 1 to iters) {
+      val it = grid.crossJoin(broadcast(beta))
+      val eta = col("b0") +
+        col("b1") * (col("x1c").cast("double") / lit(100.0)) +
+        col("b2") * (col("x2c").cast("double") / lit(100.0))
+      val etac = greatest(least(eta, lit(10.0)), lit(-25.0))
+      val scored = it
+        .withColumn("etac", etac)
+        .withColumn("mu8",
+          greatest(floor(exp(col("etac")) * lit(1.0e8)), lit(1L)))
+        .withColumn("wz9", floor(
+          (col("cnt").cast("double") *
+            (col("mu8").cast("double") / lit(1.0e8)) *
+            (col("etac") - lit(1.0)) + col("sy").cast("double")) *
+            lit(1.0e9)))
+      val agg = scored.agg(
+        sum(i38(col("cnt")) * col("mu8")).as("sww"),
+        sum(i38(col("cnt")) * col("mu8") * col("x1c")).as("swx1"),
+        sum(i38(col("cnt")) * col("mu8") * col("x2c")).as("swx2"),
+        sum(i38(col("cnt")) * col("mu8") * col("x1c") * col("x1c"))
+          .as("swx11"),
+        sum(i38(col("cnt")) * col("mu8") * col("x1c") * col("x2c"))
+          .as("swx12"),
+        sum(i38(col("cnt")) * col("mu8") * col("x2c") * col("x2c"))
+          .as("swx22"),
+        sum(i38(col("wz9"))).as("swz"),
+        sum(i38(col("wz9")) * col("x1c")).as("swzx1"),
+        sum(i38(col("wz9")) * col("x2c")).as("swzx2"))
+      def dv(name: String, pow: Double) = intMomentToDouble(col(name), pow)
+      val (sww, swx1, swx2) =
+        (dv("sww", 1.0e8), dv("swx1", 1.0e10), dv("swx2", 1.0e10))
+      val (swx11, swx12, swx22) = (dv("swx11", 1.0e12),
+        dv("swx12", 1.0e12), dv("swx22", 1.0e12))
+      val (swz, swzx1, swzx2) =
+        (dv("swz", 1.0e9), dv("swzx1", 1.0e11), dv("swzx2", 1.0e11))
+      val det = det3(sww, swx1, swx2,
+        swx1, swx11, swx12, swx2, swx12, swx22)
+      val det0 = det3(swz, swx1, swx2,
+        swzx1, swx11, swx12, swzx2, swx12, swx22)
+      val det1 = det3(sww, swz, swx2,
+        swx1, swzx1, swx12, swx2, swzx2, swx22)
+      val det2 = det3(sww, swx1, swz,
+        swx1, swx11, swzx1, swx2, swx12, swzx2)
+      beta = agg.select(
+        when(det =!= 0.0, det0 / det).as("b0"),
+        when(det =!= 0.0, det1 / det).as("b1"),
+        when(det =!= 0.0, det2 / det).as("b2"))
+    }
+    grid.agg(sum(col("cnt")).cast("long").as("n"))
+      .crossJoin(broadcast(beta))
+  }
 }

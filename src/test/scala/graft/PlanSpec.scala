@@ -1021,4 +1021,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
+
+  test("q_poisson_irls: grid cached once across Newton rounds, no " +
+      "cartesian, at most one live scan") {
+    val p = plan("q_poisson_irls")
+    assert(p.contains("InMemoryTableScan"),
+      s"grid must be cache-served across iterations:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"grid derives from at most one live scan:\n$p")
+  }
+
+  test("q_good_turing is a single-scan pipeline over bounded windows") {
+    val p = plan("q_good_turing")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
 }

@@ -367,17 +367,26 @@ object QueriesInfo {
   // identical scatter, the 3x3 cell screen, and the transitive closure
   // with a recursive CTE — hash agreement pins core flags, neighbor
   // counts, AND the full cluster labeling.
-  private val DbscanSpan = 4096000000L // micro-units: a 4096^2 square
-  private val DbscanEps = 35000000L // eps = 35 units
+  private val DbscanEps = 35000000L // eps = 35 units of the 4096 square
   private val DbscanMinPts = 4
 
   def qDbscan(s: SparkSession, dir: String): DataFrame = {
     def u32(tag: String): Column =
       conv(substring(md5(concat(col("event_id").cast("string"),
         lit(tag))), 1, 8), 16, 10).cast("long")
+    // constant-density scatter: the square's side grows with sqrt(N)
+    // (at the sf0.01 oracle scale, span = the base 4096-unit square),
+    // so expected neighbors per point stay ~2.3 at EVERY sf — a fixed
+    // span would densify quadratically and percolate into one giant
+    // component by configuration, not by operator design. The 44-bit
+    // widened hash covers spans past 2^32.
+    val n = t(s, dir, "events").count()
+    val span = (4096000000.0 * math.sqrt(n / 10000.0)).toLong
+    def coord(hiTag: String, loTag: String) =
+      (u32(hiTag) * 4096L + u32(loTag) % 4096L) % span
     val pts = t(s, dir, "events").select(col("event_id"),
-      (u32(":x") % DbscanSpan).as("xm"),
-      (u32(":y") % DbscanSpan).as("ym"))
+      coord(":x", ":xl").as("xm"),
+      coord(":y", ":yl").as("ym"))
     Dbscan.cluster(pts, "event_id", "xm", "ym", DbscanEps, DbscanMinPts)
       .withColumnRenamed("pid", "event_id")
   }
@@ -387,14 +396,18 @@ object QueriesInfo {
       s"list_reduce(list_transform(regexp_split_to_array($sub, ''), " +
         s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
         "(a, x) -> a * 16 + x)"
-    def coord(tag: String) =
-      hexFold(s"substr(md5(CAST(event_id AS VARCHAR) || '$tag'), 1, 8)") +
-        s" % $DbscanSpan"
-    s"""WITH RECURSIVE pts AS (
+    def h32(tag: String) =
+      hexFold(s"substr(md5(CAST(event_id AS VARCHAR) || '$tag'), 1, 8)")
+    def coord(hiTag: String, loTag: String) =
+      s"((${h32(hiTag)}) * 4096 + (${h32(loTag)}) % 4096) % span"
+    s"""WITH RECURSIVE sp AS (
+       |  SELECT CAST(floor(4096000000.0 * sqrt(count(*) / 10000.0))
+       |    AS BIGINT) AS span FROM events),
+       |pts AS (
        |  SELECT event_id AS pid,
-       |    ${coord(":x")} AS xm,
-       |    ${coord(":y")} AS ym
-       |  FROM events),
+       |    ${coord(":x", ":xl")} AS xm,
+       |    ${coord(":y", ":yl")} AS ym
+       |  FROM events CROSS JOIN sp),
        |cl AS (SELECT pid, xm, ym,
        |    xm // $DbscanEps AS cx, ym // $DbscanEps AS cy FROM pts),
        |pairs AS (
@@ -559,8 +572,107 @@ object QueriesInfo {
        |  ${hiLo("CAST(r AS HUGEINT) * n_r")} / ${hiLo("n")} AS mass
        |FROM t""".stripMargin
 
+  // ------------------------------------------------------ periodogram
+  // Does any event type's daily value series carry a rhythm? Spectral
+  // power at candidate periods over the 30-day window — trig factors
+  // floor-quantized on the bounded t-mod-P domain, integer sums, one
+  // scan. The known seeding of the testdata has no planted cycle, so
+  // the readout doubles as a flatness baseline.
+  private val PeriodogramPeriods = Seq(2, 3, 4, 5, 6, 7, 10, 15)
+
+  def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("t"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+    graft.operators.Spectral.periodogram(daily, "event_type", "t", "x",
+      PeriodogramPeriods)
+  }
+
+  val qPeriodogramSql: String = {
+    val tau = 2.0 * math.Pi
+    def trig(f: String) =
+      s"CAST(floor($f($tau * CAST(t % period AS DOUBLE) " +
+        "/ CAST(period AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS x
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |ex AS (SELECT event_type, t,
+       |    CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm,
+       |    unnest([${PeriodogramPeriods.mkString(", ")}]) AS period
+       |  FROM daily),
+       |tr AS (SELECT event_type, period, vm,
+       |    ${trig("cos")} AS c6, ${trig("sin")} AS s6
+       |  FROM ex),
+       |ag AS (SELECT event_type, period, count(*) AS n,
+       |    sum(CAST(vm AS HUGEINT) * c6) AS sc,
+       |    sum(CAST(vm AS HUGEINT) * s6) AS ss
+       |  FROM tr GROUP BY 1, 2)
+       |SELECT event_type, period, n,
+       |  (${hiLo("sc")} / 1.0e8 / CAST(n AS DOUBLE))
+       |    * (${hiLo("sc")} / 1.0e8 / CAST(n AS DOUBLE))
+       |  + (${hiLo("ss")} / 1.0e8 / CAST(n AS DOUBLE))
+       |    * (${hiLo("ss")} / 1.0e8 / CAST(n AS DOUBLE)) AS power
+       |FROM ag""".stripMargin
+  }
+
+  // -------------------------------------------------------- closeness
+  // Landmark harmonic closeness on the customer-supplier co-order
+  // graph: 8 deterministic landmarks, one multi-source BFS loop,
+  // reciprocals as exact integral divisions. The oracle BFSes the same
+  // graph with a recursive (seed, node) CTE — an independent algorithm,
+  // the q_bfs discipline widened to k sources.
+  private val ClosenessLandmarks = 8
+  private val ClosenessHops = 6
+
+  def qCloseness(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val landmarks = pairs.select(col("a")).distinct()
+      .orderBy(col("a")).limit(ClosenessLandmarks)
+    graft.operators.ShortestPaths.harmonicCloseness(
+      edges, "src", "dst", landmarks, "a", ClosenessHops)
+  }
+
+  val qClosenessSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |      UNION ALL SELECT b, a FROM pairs),
+       |seeds AS (SELECT a AS seed FROM (SELECT DISTINCT a FROM pairs)
+       |          ORDER BY a LIMIT $ClosenessLandmarks),
+       |bfs(seed, node, dist) AS (
+       |  SELECT seed, seed, CAST(0 AS BIGINT) FROM seeds
+       |  UNION
+       |  SELECT bfs.seed, e.dst, bfs.dist + 1
+       |  FROM bfs JOIN e ON e.src = bfs.node
+       |  WHERE bfs.dist < $ClosenessHops),
+       |md AS (SELECT seed, node, min(dist) AS dist FROM bfs
+       |       GROUP BY 1, 2),
+       |f AS (SELECT node, count(*) AS n_landmarks,
+       |    sum((1000000000000 - 1000000000000 % dist) // dist) AS h_micro
+       |  FROM md WHERE dist > 0 GROUP BY 1)
+       |SELECT node, n_landmarks, CAST(h_micro AS BIGINT) AS h_micro,
+       |  CAST(h_micro AS DOUBLE) / 1.0e12 AS harmonic
+       |FROM f""".stripMargin
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_periodogram" -> (qPeriodogram _),
+    "q_closeness" -> (qCloseness _),
     "q_poisson_irls" -> (qPoissonIrls _),
     "q_good_turing" -> (qGoodTuring _),
     "q_jarque_bera" -> (qJarqueBera _),
@@ -575,6 +687,8 @@ object QueriesInfo {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_periodogram" -> qPeriodogramSql,
+    "q_closeness" -> qClosenessSql,
     "q_poisson_irls" -> qPoissonIrlsSql,
     "q_good_turing" -> qGoodTuringSql,
     "q_jarque_bera" -> qJarqueBeraSql,

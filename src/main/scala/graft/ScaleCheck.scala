@@ -411,26 +411,11 @@ object ScaleCheck {
         "l_partkey", "a", "b")
     },
     "dbscan" -> { (s, dir) =>
-      // grid DBSCAN at CONSTANT density (the semdedup-K precedent:
-      // point density is a model property — a fixed scatter area under
-      // growing volume densifies the neighbor join quadratically BY
-      // CONFIGURATION, not by plan). The square's side grows with
-      // sqrt(N), so expected neighbors per point stay ~constant and
-      // linear-in-volume is the bar for the cell screen + CC closure.
-      val ev = Tables.load(s, dir, "events")
-      val n = ev.count()
-      val span = (4096000000L * math.sqrt(n / 100000.0)).toLong
-      def u32(tag: String) =
-        conv(substring(md5(concat(col("event_id").cast("string"),
-          lit(tag))), 1, 8), 16, 10).cast("long")
-      val h = conv(substring(md5(concat(col("event_id").cast("string"),
-        lit(":hi"))), 1, 8), 16, 10).cast("long")
-      // widen the 32-bit hash to cover spans past 2^32: hi bits scale
-      val pts = ev.select(col("event_id"),
-        ((u32(":x") * 4096L + h % 4096L) % span).as("xm"),
-        ((u32(":y") * 4096L + u32(":y2") % 4096L) % span).as("ym"))
-      graft.operators.Dbscan.cluster(pts, "event_id", "xm", "ym",
-        35000000L, 4)
+      // the q_dbscan shape verbatim: constant-density scatter (span
+      // grows with sqrt(N) — the semdedup-K precedent: a fixed area
+      // under growing volume densifies the neighbor join quadratically
+      // BY CONFIGURATION), cell screen + CC closure; linear is the bar
+      QueriesInfo.qDbscan(s, dir)
     },
     "kneser_ney" -> { (s, dir) =>
       // bigram model + 3 vocab-keyed score joins (the q_kneser_ney

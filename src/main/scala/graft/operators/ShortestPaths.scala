@@ -69,4 +69,71 @@ object ShortestPaths {
     graft.core.Checkpoints.releaseLocal(e)
     out
   }
+
+  /** Multi-source BFS: (seed, node, dist) for every node reachable from
+    * any source within `maxHops` — the landmark-distance primitive
+    * behind sampled closeness centrality and reachability audits. Same
+    * frontier loop as [[fromSource]] with a composite (seed, node)
+    * state, so k landmarks cost ONE loop of k-wide frontiers, not k
+    * sequential BFS runs: per round one edge-keyed join + one anti-join
+    * against the (k·nodes)-bounded distance table. */
+  def fromSources(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
+    val seed = sources
+      .select(col(sourceCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frames = List(seed)
+    var frontier = seed
+    var hop = 0
+    var done = maxHops == 0
+    while (!done) {
+      val seen = frames.map(_.select("seed", "node"))
+        .reduce(_ unionByName _)
+      val next = frontier.join(e, col("node") === col("__src"))
+        .select(col("seed"), col("__dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+        .join(seen, Seq("seed", "node"), "left_anti")
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      hop += 1
+      val exhausted = next.isEmpty
+      if (!exhausted) { frames = next :: frames; frontier = next }
+      done = exhausted || hop >= maxHops
+    }
+    val out = frames.reduce(_ unionByName _)
+    graft.core.Checkpoints.releaseLocal(e)
+    out
+  }
+
+  /** Landmark harmonic closeness (Boldi & Vigna 2014's centrality
+    * axioms favor the harmonic form: unreachable pairs contribute 0
+    * instead of poisoning the mean): for each node, Σ 1/d(s, node)
+    * over the landmark set — the k-seed approximation of closeness
+    * whose exact form needs all-pairs distances. Reciprocals quantize
+    * through the EXACT integral division (10¹² div d), so the per-node
+    * sum is an exact integer and the readout engine-portable; the
+    * closing division is one double op (contract: k·10¹² < 2⁵³, i.e.
+    * k ≤ ~9000 landmarks).
+    *
+    * Output: node, n_landmarks (reaching it, self excluded), h_micro
+    * (exact), harmonic. */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+      landmarks: DataFrame, landmarkCol: String, maxHops: Int)
+      : DataFrame = {
+    val d = fromSources(edges, srcCol, dstCol, landmarks, landmarkCol,
+        maxHops)
+      .filter(col("dist") > 0)
+    val recip =
+      ((lit(1000000000000L) - lit(1000000000000L) % col("dist")) /
+        col("dist")).cast("long")
+    d.groupBy(col("node")).agg(
+        count(lit(1)).as("n_landmarks"),
+        sum(recip).as("h_micro"))
+      .select(col("node"), col("n_landmarks"), col("h_micro"),
+        (col("h_micro").cast("double") / lit(1.0e12)).as("harmonic"))
+  }
 }

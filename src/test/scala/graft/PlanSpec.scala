@@ -1037,4 +1037,18 @@ class PlanSpec extends SparkSpec {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
   }
+
+  test("q_periodogram is a single-scan double-aggregate — the period " +
+      "explode never joins") {
+    val p = plan("q_periodogram")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("q_closeness: the BFS closure reads checkpointed frames, no " +
+      "cartesian anywhere") {
+    val p = plan("q_closeness")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
 }

@@ -669,8 +669,165 @@ object QueriesInfo {
        |  CAST(h_micro AS DOUBLE) / 1.0e12 AS harmonic
        |FROM f""".stripMargin
 
+  // ----------------------------------------------------------- grubbs
+  // Single-outlier screen per event type: G = max|x − mean|/sd,
+  // closed-form from (n, Σx, Σx², min, max) — no deviation pass.
+  def qGrubbs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.grubbsByKey(
+      t(s, dir, "events"), "event_type", "value")
+
+  val qGrubbsSql: String =
+    s"""WITH src AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm
+       |  FROM events WHERE value IS NOT NULL),
+       |ag AS (SELECT event_type, count(*) AS n,
+       |    sum(CAST(vm AS HUGEINT)) AS s,
+       |    sum(CAST(vm AS HUGEINT) * vm) AS q,
+       |    min(vm) AS mn, max(vm) AS mx
+       |  FROM src GROUP BY 1),
+       |m AS (SELECT event_type, n, mn, mx,
+       |    ${hiLo("s")} / CAST(n AS DOUBLE) AS mean,
+       |    sqrt((CAST(n AS DOUBLE) * ${hiLo("q")}
+       |        - ${hiLo("s")} * ${hiLo("s")})
+       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+       |  FROM ag)
+       |SELECT event_type, n,
+       |  CASE WHEN n >= 3 AND sd > 0.0 THEN
+       |    greatest(CAST(mx AS DOUBLE) - mean, mean - CAST(mn AS DOUBLE))
+       |      / sd END AS g,
+       |  CASE WHEN n >= 3 AND sd > 0.0 THEN
+       |    CAST(CASE WHEN CAST(mx AS DOUBLE) - mean
+       |           >= mean - CAST(mn AS DOUBLE) THEN mx ELSE mn END
+       |      AS DOUBLE) / 100.0 END AS outlier_value
+       |FROM m""".stripMargin
+
+  // --------------------------------------------------------- bartlett
+  // Parametric variance homogeneity across event types per day — the
+  // sharp-edged companion of q_brown_forsythe (sensitive to
+  // non-normality BY DESIGN; read the two together). Cross-group sums
+  // ride integral/decimal waypoints.
+  def qBartlett(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.bartlettByKey(
+      t(s, dir, "events").withColumn("day",
+        date_format(col("ts"), "yyyy-MM-dd")),
+      "day", "event_type", "value")
+
+  val qBartlettSql: String =
+    s"""WITH src AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS g,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+       |pg AS (SELECT day, g, count(*) AS ng,
+       |    sum(CAST(vm AS HUGEINT)) AS s,
+       |    sum(CAST(vm AS HUGEINT) * vm) AS q
+       |  FROM src GROUP BY 1, 2),
+       |t AS (SELECT day, ng,
+       |    (CAST(ng AS HUGEINT) * q - s * s) AS num
+       |  FROM pg),
+       |wp AS (SELECT day, ng,
+       |    (num * 1000000 - (num * 1000000) % ng) // ng AS ss_micro
+       |  FROM t),
+       |sc AS (SELECT day, ng, ss_micro,
+       |    CASE WHEN ng >= 2 AND ss_micro > 0 THEN
+       |      CAST((CAST(ng AS DOUBLE) - 1.0) * ln(
+       |        ${hiLo("ss_micro")} / 1.0e6
+       |          / (CAST(ng AS DOUBLE) - 1.0)) AS DECIMAL(30,6))
+       |    END AS ln_term,
+       |    CASE WHEN ng >= 2 THEN
+       |      (1000000000000 - 1000000000000 % (ng - 1)) // (ng - 1)
+       |    END AS recip
+       |  FROM wp),
+       |ag AS (SELECT day, count(*) AS n_groups,
+       |    CAST(sum(ng) AS BIGINT) AS n,
+       |    min(ng) AS min_ng, min(ss_micro) AS min_ss,
+       |    sum(ss_micro) AS ss_all, sum(ln_term) AS ln_sum,
+       |    sum(recip) AS recip_sum
+       |  FROM sc GROUP BY 1),
+       |f AS (SELECT day, n_groups, n, min_ng, min_ss,
+       |    (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE))
+       |      * ln(${hiLo("ss_all")} / 1.0e6
+       |        / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))
+       |      - CAST(ln_sum AS DOUBLE) AS numer,
+       |    1.0 + (CAST(recip_sum AS DOUBLE) / 1.0e12
+       |        - 1.0 / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))
+       |      / (3.0 * (CAST(n_groups AS DOUBLE) - 1.0)) AS c
+       |  FROM ag)
+       |SELECT day, n_groups, n,
+       |  CASE WHEN n_groups >= 2 AND min_ng >= 2 AND min_ss > 0
+       |    THEN numer / c END AS k2
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------- durbin_watson
+  // Is the daily-value trend line hiding autocorrelated residuals?
+  // OLS per event type over the day index, then DW over the
+  // floor-quantized residual series — exact quadratic sums.
+  def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("t"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+    graft.operators.Diagnostics.durbinWatsonByKey(
+      daily, "event_type", "t", "t", "x")
+  }
+
+  val qDurbinWatsonSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS x
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |base AS (SELECT event_type, t,
+       |    CAST(CAST(t AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+       |    CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+       |  FROM daily),
+       |mom AS (SELECT event_type, count(*) AS n,
+       |    sum(CAST(xc AS HUGEINT)) AS sx, sum(CAST(yc AS HUGEINT)) AS sy,
+       |    sum(CAST(xc AS HUGEINT) * yc) AS sxy,
+       |    sum(CAST(xc AS HUGEINT) * xc) AS sxx
+       |  FROM base GROUP BY 1),
+       |coef AS (SELECT event_type, n,
+       |    CASE WHEN CAST(n AS DOUBLE) * ${hiLo("sxx")}
+       |        - ${hiLo("sx")} * ${hiLo("sx")} > 0.0 THEN
+       |      (${hiLo("sy")} - ((CAST(n AS DOUBLE) * ${hiLo("sxy")}
+       |          - ${hiLo("sx")} * ${hiLo("sy")})
+       |        / (CAST(n AS DOUBLE) * ${hiLo("sxx")}
+       |          - ${hiLo("sx")} * ${hiLo("sx")}))
+       |        * ${hiLo("sx")}) / CAST(n AS DOUBLE) / 100.0 END AS b0,
+       |    CASE WHEN CAST(n AS DOUBLE) * ${hiLo("sxx")}
+       |        - ${hiLo("sx")} * ${hiLo("sx")} > 0.0 THEN
+       |      (CAST(n AS DOUBLE) * ${hiLo("sxy")}
+       |          - ${hiLo("sx")} * ${hiLo("sy")})
+       |        / (CAST(n AS DOUBLE) * ${hiLo("sxx")}
+       |          - ${hiLo("sx")} * ${hiLo("sx")}) END AS b1
+       |  FROM mom),
+       |res AS (SELECT b.event_type, b.t, c.n, c.b0, c.b1,
+       |    CAST(floor((CAST(b.yc AS DOUBLE) / 100.0
+       |      - (c.b0 + c.b1 * (CAST(b.xc AS DOUBLE) / 100.0)))
+       |      * 1.0e6) AS BIGINT) AS e6
+       |  FROM base b JOIN coef c USING (event_type)),
+       |lagged AS (SELECT event_type, n, b0, b1, e6,
+       |    lag(e6, 1) OVER (PARTITION BY event_type ORDER BY t) AS p6
+       |  FROM res),
+       |ag AS (SELECT event_type, max(n) AS n,
+       |    max(b0) AS b0, max(b1) AS b1,
+       |    sum(CASE WHEN p6 IS NOT NULL THEN
+       |      CAST(e6 - p6 AS HUGEINT) * (e6 - p6) END) AS dnum,
+       |    sum(CAST(e6 AS HUGEINT) * e6) AS dden
+       |  FROM lagged GROUP BY 1)
+       |SELECT event_type, n, b0, b1,
+       |  CASE WHEN n >= 3 AND b0 IS NOT NULL AND dden > 0 THEN
+       |    ${hiLo("dnum")} / ${hiLo("dden")} END AS dw
+       |FROM ag""".stripMargin
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grubbs" -> (qGrubbs _),
+    "q_bartlett" -> (qBartlett _),
+    "q_durbin_watson" -> (qDurbinWatson _),
     "q_periodogram" -> (qPeriodogram _),
     "q_closeness" -> (qCloseness _),
     "q_poisson_irls" -> (qPoissonIrls _),
@@ -687,6 +844,9 @@ object QueriesInfo {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_grubbs" -> qGrubbsSql,
+    "q_bartlett" -> qBartlettSql,
+    "q_durbin_watson" -> qDurbinWatsonSql,
     "q_periodogram" -> qPeriodogramSql,
     "q_closeness" -> qClosenessSql,
     "q_poisson_irls" -> qPoissonIrlsSql,

@@ -1051,4 +1051,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
+
+  test("q_grubbs and q_bartlett are single-scan aggregate pipelines") {
+    Seq("q_grubbs", "q_bartlett").foreach { q =>
+      val p = plan(q)
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+      assert(scans == 1 && !p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
+  test("q_durbin_watson: the cent projection is cache-served to the " +
+      "moment pass and the residual join; no cartesian") {
+    val p = plan("q_durbin_watson")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryTableScan"),
+      s"base must derive once ($scans scans):\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
 }

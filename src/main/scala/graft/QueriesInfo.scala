@@ -823,8 +823,125 @@ object QueriesInfo {
        |    ${hiLo("dnum")} / ${hiLo("dden")} END AS dw
        |FROM ag""".stripMargin
 
+  // ------------------------------------------------------------- sprt
+  // Retrospective Wald SPRT per event type: would a sequential monitor
+  // of the "value > 50" conversion rate have stopped early, and when?
+  // All increments/thresholds are driver-computed micro-nat integer
+  // literals shared verbatim with the oracle; the walk is an exact
+  // integer cumulative sum.
+  private val SprtDesign = graft.operators.SequentialTest.Design(
+    p0 = 0.30, p1 = 0.35, alpha = 0.05, beta = 0.05)
+  private val SprtThreshold = 50.0
+
+  def qSprt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequentialTest.sprt(
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("conv", (col("value") > SprtThreshold).cast("long")),
+      "event_type", Seq("ts", "event_id"), "conv", SprtDesign)
+
+  val qSprtSql: String = {
+    val d = SprtDesign
+    s"""WITH src AS (
+       |  SELECT event_type, ts, event_id,
+       |    CASE WHEN value > $SprtThreshold THEN ${d.winMicro}
+       |         ELSE ${d.loseMicro} END AS inc
+       |  FROM events WHERE value IS NOT NULL),
+       |walk AS (SELECT event_type,
+       |    sum(inc) OVER (PARTITION BY event_type
+       |      ORDER BY ts, event_id) AS llr,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ts, event_id) AS i
+       |  FROM src),
+       |crossed AS (SELECT event_type, llr, i,
+       |    CASE WHEN llr >= ${d.upperMicro} THEN 'h1'
+       |         WHEN llr <= ${d.lowerMicro} THEN 'h0' END AS crs
+       |  FROM walk),
+       |ag AS (SELECT event_type, count(*) AS n,
+       |    max(struct_pack(i := i, llr := llr)) AS lst,
+       |    min(CASE WHEN crs IS NOT NULL
+       |        THEN struct_pack(i := i, crs := crs) END) AS fst
+       |  FROM crossed GROUP BY 1)
+       |SELECT event_type, n,
+       |  CAST(lst.llr AS DOUBLE) / 1.0e6 AS llr_final,
+       |  COALESCE(fst.crs, 'continue') AS decision,
+       |  fst.i AS n_decide
+       |FROM ag""".stripMargin
+  }
+
+  // ----------------------------------------------------------- anova2
+  // Two-way ANOVA: does value level shift by event type, by week, and
+  // by their interaction? Exact micro-division sums of squares over
+  // the bounded (type, week) cell table.
+  def qAnova2(s: SparkSession, dir: String): DataFrame = {
+    val t7 = datediff(col("ts").cast("date"),
+      lit("2024-01-01").cast("date"))
+    graft.operators.Inference.twoWayAnova(
+      t(s, dir, "events")
+        .withColumn("week", ((t7 - t7 % 7) / 7).cast("long")),
+      "event_type", "week", "value")
+  }
+
+  val qAnova2Sql: String = {
+    def md(num: String, den: String) = s"(($num) - ($num) % ($den)) // ($den)"
+    def sq(s: String, n: String) =
+      md(s"CAST(1000000 AS HUGEINT) * $s * $s", n)
+    s"""WITH src AS (
+       |  SELECT event_type AS a,
+       |    (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+       |      - date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+       |      // 7 AS b,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vm
+       |  FROM events WHERE value IS NOT NULL),
+       |cells AS (SELECT a, b, count(*) AS n_ab,
+       |    sum(CAST(vm AS HUGEINT)) AS s_ab,
+       |    sum(CAST(vm AS HUGEINT) * vm) AS q_ab
+       |  FROM src GROUP BY 1, 2),
+       |ca AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n, count(*) AS n_cells,
+       |    sum(s_ab) AS s, sum(q_ab) AS q,
+       |    sum(${sq("s_ab", "n_ab")}) AS t_cells
+       |  FROM cells),
+       |ma AS (SELECT count(*) AS a_levels,
+       |    sum(${sq("s_a", "n_a")}) AS t_a
+       |  FROM (SELECT a, sum(s_ab) AS s_a, sum(n_ab) AS n_a
+       |        FROM cells GROUP BY 1)),
+       |mb AS (SELECT count(*) AS b_levels,
+       |    sum(${sq("s_b", "n_b")}) AS t_b
+       |  FROM (SELECT b, sum(s_ab) AS s_b, sum(n_ab) AS n_b
+       |        FROM cells GROUP BY 1)),
+       |j AS (SELECT * FROM ca CROSS JOIN ma CROSS JOIN mb),
+       |k AS (SELECT *,
+       |    ${md("CAST(1000000 AS HUGEINT) * s * s", "n")} AS t2
+       |  FROM j),
+       |f AS (SELECT n, a_levels, b_levels, n_cells,
+       |    ${hiLo("t_a", "1.0e6")} - ${hiLo("t2", "1.0e6")} AS ss_a,
+       |    ${hiLo("t_b", "1.0e6")} - ${hiLo("t2", "1.0e6")} AS ss_b,
+       |    ${hiLo("t_cells", "1.0e6")} - ${hiLo("t2", "1.0e6")}
+       |      AS ss_cells,
+       |    ${hiLo("q", "1.0")} - ${hiLo("t2", "1.0e6")} AS ss_tot
+       |  FROM k),
+       |g AS (SELECT n, a_levels, b_levels, n_cells,
+       |    ss_a, ss_b, ss_cells - ss_a - ss_b AS ss_ab,
+       |    ss_tot - ss_cells AS ss_e,
+       |    CAST(a_levels AS DOUBLE) - 1.0 AS df_a,
+       |    CAST(b_levels AS DOUBLE) - 1.0 AS df_b,
+       |    CAST(n_cells AS DOUBLE) - CAST(a_levels AS DOUBLE)
+       |      - CAST(b_levels AS DOUBLE) + 1.0 AS df_ab,
+       |    CAST(n AS DOUBLE) - CAST(n_cells AS DOUBLE) AS df_e
+       |  FROM f)
+       |SELECT n, a_levels, b_levels, n_cells,
+       |  CASE WHEN df_a > 0.0 AND df_e > 0.0 AND ss_e / df_e > 0.0
+       |    THEN (ss_a / df_a) / (ss_e / df_e) END AS f_a,
+       |  CASE WHEN df_b > 0.0 AND df_e > 0.0 AND ss_e / df_e > 0.0
+       |    THEN (ss_b / df_b) / (ss_e / df_e) END AS f_b,
+       |  CASE WHEN df_ab > 0.0 AND df_e > 0.0 AND ss_e / df_e > 0.0
+       |    THEN (ss_ab / df_ab) / (ss_e / df_e) END AS f_ab
+       |FROM g""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sprt" -> (qSprt _),
+    "q_anova2" -> (qAnova2 _),
     "q_grubbs" -> (qGrubbs _),
     "q_bartlett" -> (qBartlett _),
     "q_durbin_watson" -> (qDurbinWatson _),
@@ -844,6 +961,8 @@ object QueriesInfo {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sprt" -> qSprtSql,
+    "q_anova2" -> qAnova2Sql,
     "q_grubbs" -> qGrubbsSql,
     "q_bartlett" -> qBartlettSql,
     "q_durbin_watson" -> qDurbinWatsonSql,

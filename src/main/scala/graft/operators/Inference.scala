@@ -405,6 +405,84 @@ object Inference {
       when(ok && msw > 0.0, msb / msw).as("f"))
   }
 
+  /** Two-way ANOVA F statistics over the factors (aCol, bCol): the
+    * main-effect and interaction readout ("does the event type's value
+    * level differ, does the week differ, and does the type×week
+    * pattern shift?"). Sums of squares come from the per-cell count
+    * table via the same exact machinery as [[oneWayAnovaF]]: every
+    * Σ S²/n term is an integral micro division (order-independent
+    * DECIMAL sums), SS_AB = SS_cells − SS_A − SS_B and
+    * SS_E = SS_tot − SS_cells by exact integer subtraction, and only
+    * the closing F ratios are doubles (through the 2^53 hi/lo split).
+    *
+    * The decomposition is the classical unadjusted one — exact for
+    * balanced designs; on unbalanced data the main effects are the
+    * marginal (unweighted-by-other-factor) sums, the standard
+    * sequential reading. Interaction df uses the OBSERVED cell count:
+    * df_ab = cells − a − b + 1, df_e = n − cells.
+    *
+    * Output one row: n, a_levels, b_levels, n_cells, f_a, f_b, f_ab
+    * (each null when its df ≤ 0 or MS_E ≤ 0). */
+  def twoWayAnova(df: DataFrame, aCol: String, bCol: String,
+      valueCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    val base = df
+      .filter(col(valueCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"),
+        (d(col(valueCol)) * 100).cast("long").as("vm"))
+    // ONE corpus pass to the bounded cell table; the three margin
+    // reductions below all read it from cache
+    val cells = scope.retain(base.groupBy(col("__a"), col("__b")).agg(
+      count(lit(1)).as("n_ab"),
+      sum(i38(col("vm"))).as("s_ab"),
+      sum(i38(col("vm")) * col("vm")).as("q_ab")))
+    def sqTerm(s: Column, n: Column) =
+      microDiv(lit(1000000).cast("decimal(38,0)") * s * s, i38(n))
+    val cellAgg = cells.agg(
+      sum(col("n_ab")).cast("long").as("n"),
+      count(lit(1)).as("n_cells"),
+      sum(col("s_ab")).as("s"),
+      sum(col("q_ab")).as("q"),
+      sum(sqTerm(col("s_ab"), col("n_ab"))).as("t_cells"))
+    val margA = cells.groupBy(col("__a"))
+      .agg(sum(col("s_ab")).as("s_a"), sum(col("n_ab")).as("n_a"))
+      .agg(count(lit(1)).as("a_levels"),
+        sum(sqTerm(col("s_a"), col("n_a"))).as("t_a"))
+    val margB = cells.groupBy(col("__b"))
+      .agg(sum(col("s_ab")).as("s_b"), sum(col("n_ab")).as("n_b"))
+      .agg(count(lit(1)).as("b_levels"),
+        sum(sqTerm(col("s_b"), col("n_b"))).as("t_b"))
+    val agg = cellAgg.crossJoin(broadcast(margA))
+      .crossJoin(broadcast(margB))
+    def dvp(c: Column) = LinearModel.intMomentToDouble(c, 1.0e6)
+    def dv1(c: Column) = LinearModel.intMomentToDouble(c, 1.0)
+    val t2 = microDiv(lit(1000000).cast("decimal(38,0)") *
+      col("s") * col("s"), i38(col("n")))
+    val ssA = dvp(col("t_a")) - dvp(t2)
+    val ssB = dvp(col("t_b")) - dvp(t2)
+    val ssCells = dvp(col("t_cells")) - dvp(t2)
+    val ssTot = dv1(col("q")) - dvp(t2)
+    val ssAb = ssCells - ssA - ssB
+    val ssE = ssTot - ssCells
+    val nD = col("n").cast("double")
+    val aD = col("a_levels").cast("double")
+    val bD = col("b_levels").cast("double")
+    val cD = col("n_cells").cast("double")
+    val dfA = aD - lit(1.0)
+    val dfB = bD - lit(1.0)
+    val dfAb = cD - aD - bD + lit(1.0)
+    val dfE = nD - cD
+    val msE = ssE / dfE
+    def f(ss: Column, dfx: Column) =
+      when(dfx > 0.0 && dfE > 0.0 && msE > 0.0, (ss / dfx) / msE)
+    agg.select(col("n"), col("a_levels"), col("b_levels"),
+      col("n_cells"),
+      f(ssA, dfA).as("f_a"), f(ssB, dfB).as("f_b"),
+      f(ssAb, dfAb).as("f_ab"))
+  }
+
   /** The shared one-row group-moment engine behind [[iccOneWay]] and
     * [[oneWayAnovaF]]: per-group micro-unit sums, the order-independent
     * Σ S_g²/n_g micro division, and the group-size moments. */

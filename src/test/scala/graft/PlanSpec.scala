@@ -1060,6 +1060,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_sprt is one keyed window pass plus one aggregate — no join") {
+    val p = plan("q_sprt")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("q_anova2: cell table cached once; margin one-row frames " +
+      "broadcast back — no SMJ, at most one live scan") {
+    val p = plan("q_anova2")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryTableScan"),
+      s"cell table must be cache-served ($scans scans):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("q_durbin_watson: the cent projection is cache-served to the " +
       "moment pass and the residual join; no cartesian") {
     val p = plan("q_durbin_watson")

@@ -938,8 +938,81 @@ object QueriesInfo {
        |FROM g""".stripMargin
   }
 
+  // ------------------------------------------------------ betweenness
+  // Who brokers the customer-supplier co-order graph? Brandes
+  // dependency accumulation from the same 8 landmarks as q_closeness:
+  // exact DECIMAL path counts forward, micro-quantized δ backward. The
+  // oracle unrolls both phases layer by layer (the logit-IRLS unroll
+  // discipline applied to a graph fixpoint).
+  private val BetweennessHops = 4
+
+  def qBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val landmarks = pairs.select(col("a")).distinct()
+      .orderBy(col("a")).limit(ClosenessLandmarks)
+    graft.operators.Betweenness.sampled(
+      edges, "src", "dst", landmarks, "a", BetweennessHops)
+  }
+
+  val qBetweennessSql: String = {
+    val H = BetweennessHops
+    val forward = (1 to H).map { k =>
+      s"""l$k AS (SELECT c.seed, c.node, sum(c.sigma) AS sigma
+         |  FROM (SELECT l.seed, e.dst AS node, l.sigma
+         |        FROM l${k - 1} l JOIN e ON e.src = l.node) c
+         |  LEFT JOIN s${k - 1} p ON p.seed = c.seed AND p.node = c.node
+         |  WHERE p.seed IS NULL
+         |  GROUP BY 1, 2),
+         |s$k AS (SELECT seed, node FROM s${k - 1}
+         |        UNION ALL SELECT seed, node FROM l$k)""".stripMargin
+    }.mkString(",\n")
+    val backward = ((H - 1) to 0 by -1).map { d =>
+      s"""c$d AS (SELECT l.seed, l.node,
+         |    sum(CAST(floor((${hiLo("l.sigma")} / ${hiLo("v.sigma")})
+         |      * (1.0e6 + ${hiLo("v.delta")})) AS HUGEINT)) AS dsum
+         |  FROM l$d l JOIN e ON e.src = l.node
+         |  JOIN d${d + 1} v ON v.seed = l.seed AND v.node = e.dst
+         |  GROUP BY 1, 2),
+         |d$d AS (SELECT l.seed, l.node, l.sigma,
+         |    COALESCE(c.dsum, CAST(0 AS HUGEINT)) AS delta
+         |  FROM l$d l LEFT JOIN c$d c
+         |    ON c.seed = l.seed AND c.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    val unionDeltas = (1 to H)
+      .map(d => s"SELECT node, delta FROM d$d").mkString("\n  UNION ALL ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |      UNION ALL SELECT b, a FROM pairs),
+       |seeds AS (SELECT a AS seed FROM (SELECT DISTINCT a FROM pairs)
+       |          ORDER BY a LIMIT $ClosenessLandmarks),
+       |l0 AS (SELECT seed, seed AS node, CAST(1 AS HUGEINT) AS sigma
+       |       FROM seeds),
+       |s0 AS (SELECT seed, node FROM l0),
+       |$forward,
+       |d$H AS (SELECT seed, node, sigma, CAST(0 AS HUGEINT) AS delta
+       |        FROM l$H),
+       |$backward,
+       |acc AS ($unionDeltas)
+       |SELECT node, CAST(bcm AS BIGINT) AS bc_micro,
+       |  ${hiLo("bcm")} / 1.0e6 AS bc
+       |FROM (SELECT node, sum(delta) AS bcm FROM acc GROUP BY 1)
+       |WHERE bcm > 0""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_betweenness" -> (qBetweenness _),
     "q_sprt" -> (qSprt _),
     "q_anova2" -> (qAnova2 _),
     "q_grubbs" -> (qGrubbs _),
@@ -961,6 +1034,7 @@ object QueriesInfo {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_betweenness" -> qBetweennessSql,
     "q_sprt" -> qSprtSql,
     "q_anova2" -> qAnova2Sql,
     "q_grubbs" -> qGrubbsSql,

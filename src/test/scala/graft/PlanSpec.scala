@@ -1060,6 +1060,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_betweenness: layer joins stay equi-joins on checkpointed " +
+      "frames — no cartesian, no nested loop") {
+    val p = plan("q_betweenness")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("q_sprt is one keyed window pass plus one aggregate — no join") {
     val p = plan("q_sprt")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length

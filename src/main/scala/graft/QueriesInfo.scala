@@ -1010,8 +1010,141 @@ object QueriesInfo {
        |WHERE bcm > 0""".stripMargin
   }
 
+  // ---------------------------------------------------------- linkage
+  // Fellegi-Sunter scoring over blocked customer candidate pairs:
+  // m/u counted from the labeled set (same-nation as ground truth),
+  // per-field ln weights floor-quantized once, every pair score an
+  // exact integer micro sum.
+  private val LinkageFields = Seq("f_dec", "f_sign", "f_bucket")
+
+  def qLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val pairs = graft.core.CacheScope.session.retain(
+      c.as("x").filter(col("c_custkey") % 50 === 1)
+        .join(c.as("y"),
+          col("x.c_mktsegment") === col("y.c_mktsegment") &&
+            col("x.c_custkey") =!= col("y.c_custkey"))
+        .select(col("x.c_custkey").as("a"), col("y.c_custkey").as("b"),
+          (col("x.c_custkey") % 10 === col("y.c_custkey") % 10)
+            .as("f_dec"),
+          ((col("x.c_acctbal") >= 0) === (col("y.c_acctbal") >= 0))
+            .as("f_sign"),
+          (floor(col("x.c_acctbal") / lit(1000.0)) ===
+            floor(col("y.c_acctbal") / lit(1000.0))).as("f_bucket"),
+          (col("x.c_nationkey") === col("y.c_nationkey")).as("is_match")))
+    val w = graft.operators.RecordLinkage.fieldWeights(
+      pairs, "is_match", LinkageFields)
+    graft.operators.RecordLinkage.score(pairs, w, LinkageFields)
+      .select(col("a"), col("b"), col("f_dec"), col("f_sign"),
+        col("f_bucket"), col("is_match"), col("score_micro"),
+        col("score"))
+  }
+
+  val qLinkageSql: String = {
+    def wPair(f: String) = {
+      val m = s"((CAST(am_$f AS DOUBLE) + 1.0) / (CAST(nm AS DOUBLE) + 2.0))"
+      val u = s"((CAST(au_$f AS DOUBLE) + 1.0) / (CAST(nu AS DOUBLE) + 2.0))"
+      s"""CAST(floor(ln($m / $u) * 1000000.0) AS BIGINT) AS wa_$f,
+         |    CAST(floor(ln((1.0 - $m) / (1.0 - $u)) * 1000000.0)
+         |      AS BIGINT) AS wd_$f""".stripMargin
+    }
+    val cntCols = LinkageFields.map(f =>
+      s"""count(*) FILTER (is_match AND $f) AS am_$f,
+         |    count(*) FILTER (NOT is_match AND $f) AS au_$f""".stripMargin)
+      .mkString(",\n    ")
+    val scoreSum = LinkageFields.map(f =>
+      s"(CASE WHEN $f THEN wa_$f ELSE wd_$f END)").mkString(" + ")
+    s"""WITH pairs AS (
+       |  SELECT x.c_custkey AS a, y.c_custkey AS b,
+       |    x.c_custkey % 10 = y.c_custkey % 10 AS f_dec,
+       |    (x.c_acctbal >= 0) = (y.c_acctbal >= 0) AS f_sign,
+       |    floor(x.c_acctbal / 1000.0) = floor(y.c_acctbal / 1000.0)
+       |      AS f_bucket,
+       |    x.c_nationkey = y.c_nationkey AS is_match
+       |  FROM customer x JOIN customer y
+       |    ON x.c_mktsegment = y.c_mktsegment
+       |   AND x.c_custkey <> y.c_custkey
+       |  WHERE x.c_custkey % 50 = 1),
+       |cnt AS (SELECT
+       |    count(*) FILTER (is_match) AS nm,
+       |    count(*) FILTER (NOT is_match) AS nu,
+       |    $cntCols
+       |  FROM pairs),
+       |w AS (SELECT
+       |    ${LinkageFields.map(wPair).mkString(",\n    ")}
+       |  FROM cnt)
+       |SELECT a, b, f_dec, f_sign, f_bucket, is_match,
+       |  $scoreSum AS score_micro,
+       |  CAST($scoreSum AS DOUBLE) / 1.0e6 AS score
+       |FROM pairs CROSS JOIN w""".stripMargin
+  }
+
+  // ------------------------------------------------------- curriculum
+  // Difficulty-ordered training curriculum: syllables-per-word buckets
+  // (easy first), deterministic hash shuffle WITHIN each bucket, and a
+  // (bucket, shard, pos) layout so consumers stream buckets in order
+  // with parallel shards — no global sort anywhere.
+  private val CurriculumShards = 16
+
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val txt = graft.functions.TextFunctions.normalize(col("text"))
+    val words = size(regexp_extract_all(txt, lit("[a-z0-9']+"), lit(0)))
+      .cast("long")
+    val syllables = size(regexp_extract_all(txt, lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), words.as("w"), syllables.as("syl"))
+      .filter(col("w") > 0)
+    // spw% = (100·syl) div w, bucketed by 20 points — all exact ints
+    val spw = ((col("syl") * 100 - (col("syl") * 100) % col("w")) /
+      col("w")).cast("long")
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":cur"))), 1, 12), 16, 10).cast("long")
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    base
+      .withColumn("bucket", ((spw - spw % 20) / 20).cast("long"))
+      .withColumn("h", h)
+      .withColumn("shard", (col("h") % CurriculumShards).cast("int"))
+      .withColumn("pos", row_number().over(wdw).cast("long"))
+      .select(col("doc_id"), col("bucket"), col("shard"), col("pos"))
+  }
+
+  val qCurriculumSql: String = {
+    def hexFold(sub: String) =
+      s"list_reduce(list_transform(regexp_split_to_array($sub, ''), " +
+        s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+        "(a, x) -> a * 16 + x)"
+    val h = hexFold(
+      "substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 12)")
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(
+       |      ${QueriesText.sqlCollapse("text")}), '[a-z0-9'']+'))
+       |      AS BIGINT) AS w,
+       |    CAST(len(regexp_extract_all(lower(
+       |      ${QueriesText.sqlCollapse("text")}), '[aeiouy]+'))
+       |      AS BIGINT) AS syl
+       |  FROM documents),
+       |b AS (SELECT doc_id,
+       |    ((syl * 100 - (syl * 100) % w) // w
+       |      - ((syl * 100 - (syl * 100) % w) // w) % 20) // 20
+       |      AS bucket,
+       |    $h AS h
+       |  FROM c WHERE w > 0),
+       |sh AS (SELECT doc_id, bucket, h,
+       |    CAST(h % $CurriculumShards AS INT) AS shard FROM b)
+       |SELECT doc_id, bucket, shard,
+       |  CAST(row_number() OVER (PARTITION BY bucket, shard
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM sh""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_linkage" -> (qLinkage _),
+    "q_curriculum" -> (qCurriculum _),
     "q_betweenness" -> (qBetweenness _),
     "q_sprt" -> (qSprt _),
     "q_anova2" -> (qAnova2 _),
@@ -1034,6 +1167,8 @@ object QueriesInfo {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_linkage" -> qLinkageSql,
+    "q_curriculum" -> qCurriculumSql,
     "q_betweenness" -> qBetweennessSql,
     "q_sprt" -> qSprtSql,
     "q_anova2" -> qAnova2Sql,

@@ -1060,6 +1060,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_linkage: the candidate-pair table is cache-served to weight " +
+      "estimation and scoring; the weight frame broadcasts") {
+    val p = plan("q_linkage")
+    assert(p.contains("InMemoryTableScan"),
+      s"pairs must derive once:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_curriculum is a single-scan window layout — no join, no " +
+      "global sort") {
+    val p = plan("q_curriculum")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
+
   test("q_betweenness: layer joins stay equi-joins on checkpointed " +
       "frames — no cartesian, no nested loop") {
     val p = plan("q_betweenness")

@@ -1079,6 +1079,103 @@ object QueriesInfo {
        |FROM pairs CROSS JOIN w""".stripMargin
   }
 
+  // ------------------------------------------------------ er_pipeline
+  // The COMPLETE entity-resolution decision pipeline: deletion-screen
+  // candidates (within one name edit) -> Fellegi-Sunter attribute
+  // scoring (weights counted on the candidates themselves) -> positive
+  // evidence gates the match edges -> star-contraction clusters -> one
+  // keeper per entity by balance. Every stage is an already-oracled
+  // mechanism; the composite pins that they compose bit-exactly.
+  private val ErKeyCap = 2000
+  private val ErFields = Seq("f_seg", "f_buck")
+
+  def qErPipeline(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_custkey") < ErKeyCap)
+    val raw = graft.operators.FuzzyJoin.deletionPairs(
+      cust.select(col("c_custkey").as("id"), col("c_name").as("s")),
+      "id", "s", maxDist = 1)
+    def attrs(side: String) = cust.select(
+      col("c_custkey").as(s"id_$side"),
+      col("c_mktsegment").as(s"seg_$side"),
+      floor(col("c_acctbal") / lit(1000.0)).as(s"bk_$side"),
+      col("c_nationkey").as(s"n_$side"))
+    val pairs = graft.core.CacheScope.session.retain(raw
+      .join(attrs("a"), Seq("id_a")).join(attrs("b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("seg_a") === col("seg_b")).as("f_seg"),
+        (col("bk_a") === col("bk_b")).as("f_buck"),
+        (col("n_a") === col("n_b")).as("is_match")))
+    val w = graft.operators.RecordLinkage.fieldWeights(
+      pairs, "is_match", ErFields)
+    val edges = graft.operators.RecordLinkage.score(pairs, w, ErFields)
+      .filter(col("score_micro") > 0)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.dedup.ConnectedComponents
+      .labels(edges, "id_a", "id_b")
+      .select(col("id"), col("cluster_id"))
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id"))
+      .orderBy(col("c_acctbal").desc, col("id"))
+    cust.select(col("c_custkey").as("id"), col("c_acctbal"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("keep", row_number().over(wKeep) === 1)
+      .select(col("id"), col("entity_id"), col("keep"))
+  }
+
+  val qErPipelineSql: String = {
+    def wPair(f: String) = {
+      val m = s"((CAST(am_$f AS DOUBLE) + 1.0) / (CAST(nm AS DOUBLE) + 2.0))"
+      val u = s"((CAST(au_$f AS DOUBLE) + 1.0) / (CAST(nu AS DOUBLE) + 2.0))"
+      s"""CAST(floor(ln($m / $u) * 1000000.0) AS BIGINT) AS wa_$f,
+         |    CAST(floor(ln((1.0 - $m) / (1.0 - $u)) * 1000000.0)
+         |      AS BIGINT) AS wd_$f""".stripMargin
+    }
+    val cntCols = ErFields.map(f =>
+      s"""count(*) FILTER (is_match AND $f) AS am_$f,
+         |    count(*) FILTER (NOT is_match AND $f) AS au_$f""".stripMargin)
+      .mkString(",\n    ")
+    val scoreSum = ErFields.map(f =>
+      s"(CASE WHEN $f THEN wa_$f ELSE wd_$f END)").mkString(" + ")
+    s"""WITH RECURSIVE cand AS (
+       |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |    a.c_mktsegment = b.c_mktsegment AS f_seg,
+       |    floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+       |      AS f_buck,
+       |    a.c_nationkey = b.c_nationkey AS is_match
+       |  FROM customer a JOIN customer b
+       |    ON a.c_custkey < b.c_custkey
+       |   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+       |  WHERE a.c_custkey < $ErKeyCap AND b.c_custkey < $ErKeyCap
+       |    AND levenshtein(a.c_name, b.c_name) <= 1),
+       |cnt AS (SELECT
+       |    count(*) FILTER (is_match) AS nm,
+       |    count(*) FILTER (NOT is_match) AS nu,
+       |    $cntCols
+       |  FROM cand),
+       |w AS (SELECT
+       |    ${ErFields.map(wPair).mkString(",\n    ")}
+       |  FROM cnt),
+       |scored AS (SELECT id_a, id_b, $scoreSum AS sm
+       |  FROM cand CROSS JOIN w),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM scored WHERE sm > 0
+       |          UNION SELECT id_b, id_a FROM scored WHERE sm > 0),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e
+       |    JOIN reach ON reach.node = e.dst),
+       |labels AS (SELECT node AS id, MIN(r) AS cluster_id FROM reach
+       |           GROUP BY node)
+       |SELECT c.c_custkey AS id,
+       |  COALESCE(l.cluster_id, c.c_custkey) AS entity_id,
+       |  (row_number() OVER (
+       |     PARTITION BY COALESCE(l.cluster_id, c.c_custkey)
+       |     ORDER BY c.c_acctbal DESC, c.c_custkey) = 1) AS keep
+       |FROM customer c LEFT JOIN labels l ON l.id = c.c_custkey
+       |WHERE c.c_custkey < $ErKeyCap""".stripMargin
+  }
+
   // ------------------------------------------------------- curriculum
   // Difficulty-ordered training curriculum: syllables-per-word buckets
   // (easy first), deterministic hash shuffle WITHIN each bucket, and a
@@ -1144,6 +1241,7 @@ object QueriesInfo {
   // ---------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_linkage" -> (qLinkage _),
+    "q_er_pipeline" -> (qErPipeline _),
     "q_curriculum" -> (qCurriculum _),
     "q_betweenness" -> (qBetweenness _),
     "q_sprt" -> (qSprt _),
@@ -1168,6 +1266,7 @@ object QueriesInfo {
 
   val oracleSql: Map[String, String] = Map(
     "q_linkage" -> qLinkageSql,
+    "q_er_pipeline" -> qErPipelineSql,
     "q_curriculum" -> qCurriculumSql,
     "q_betweenness" -> qBetweennessSql,
     "q_sprt" -> qSprtSql,

@@ -1068,6 +1068,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("q_er_pipeline: the output plan reads one customer scan plus " +
+      "checkpointed cluster labels — no cartesian, no nested loop") {
+    // the candidate/scoring stages run EAGERLY inside the CC fixpoint
+    // (their cache lives and dies there); the final plan must be just
+    // the keeper window over customer ⋈ checkpointed labels
+    val p = plan("q_er_pipeline")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"one customer scan expected, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("q_curriculum is a single-scan window layout — no join, no " +
       "global sort") {
     val p = plan("q_curriculum")

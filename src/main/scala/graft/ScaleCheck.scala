@@ -423,6 +423,17 @@ object ScaleCheck {
       // stay vocab-bounded under copy replication
       graft.operators.NgramLm.kneserNeySelfScore(
         Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+    "closeness" -> { (s, dir) =>
+      // k-landmark BFS: the frontier stays copy-0-sized under disjoint
+      // copies, so the scaled term is the per-round edge-keyed shuffle
+      // over the 10x edge table — linear is the bar
+      QueriesInfo.qCloseness(s, dir)
+    },
+    "betweenness" -> { (s, dir) =>
+      // forward sigma + backward delta over the same layer frames: two
+      // edge-shuffles per depth; same copy-disjoint argument
+      QueriesInfo.qBetweenness(s, dir)
     })
 
   private def time(spark: SparkSession, runs: Int)

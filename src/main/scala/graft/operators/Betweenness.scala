@@ -39,8 +39,13 @@ object Betweenness {
       landmarks: DataFrame, landmarkCol: String, maxHops: Int)
       : DataFrame = {
     require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
+    // src-hash pre-partition + persist (the fromSources treatment):
+    // forward AND backward phases join e once per layer — with the
+    // HashPartitioning retained, only the node-sized layer side
+    // shuffles each round
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint()
+      .repartition(col("__src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = landmarks
       .select(col(landmarkCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"),
@@ -101,7 +106,8 @@ object Betweenness {
         seed.select(col("node"), lit(0L).cast("decimal(38,0)").as("delta"))
           .limit(0)
       else acc.reduce(_ unionByName _)
-    graft.core.Checkpoints.releaseLocal(e)
+    e.unpersist(blocking = false) // every layer/delta frame is an
+    // eager checkpoint; nothing downstream re-reads e
     out.groupBy(col("node"))
       .agg(sum(col("delta")).as("__bcm"))
       .filter(col("__bcm") > 0)

@@ -80,8 +80,14 @@ object ShortestPaths {
   def fromSources(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"need maxHops >= 0, got $maxHops")
+    // src-hash pre-partition + PERSIST (not checkpoint — checkpointing
+    // erases the partitioning, the fromSource lesson): every round's
+    // frontier join then reuses the edge table's HashPartitioning and
+    // only the (small) frontier side shuffles — k rounds cost ONE edge
+    // shuffle instead of k (measured below on the 10x sweep).
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .localCheckpoint()
+      .repartition(col("__src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = sources
       .select(col(sourceCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
@@ -104,8 +110,10 @@ object ShortestPaths {
       if (!exhausted) { frames = next :: frames; frontier = next }
       done = exhausted || hop >= maxHops
     }
+    // every frame is already an eager checkpoint — the union never
+    // re-reads e, so the cache can drop immediately
     val out = frames.reduce(_ unionByName _)
-    graft.core.Checkpoints.releaseLocal(e)
+    e.unpersist(blocking = false)
     out
   }
 

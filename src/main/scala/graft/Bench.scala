@@ -86,6 +86,13 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
+          // drive the ContextCleaner: localCheckpoint blocks from the
+          // graph-fixpoint queries are NOT table cache (clearCache
+          // misses them) and only release after their RDDs are GC'd —
+          // without this, block-manager pressure from a heavy query
+          // taxes every LATER query (measured: a diffuse ~1.3x drift
+          // across the registry that standalone probes don't show)
+          System.gc()
           dt
         }
         // a failed query must be visible in the output, not reported as a

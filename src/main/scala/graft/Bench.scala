@@ -25,6 +25,24 @@ object Bench {
       try src.mkString.trim finally src.close()
     } catch { case _: Throwable => "" }
 
+  /** Cumulative JVM GC wall time (ms) across all collectors — the
+    * per-query delta separates "this query allocates/pressures the
+    * heap" from "this query's plan is slow". */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
+  /** Bytes currently held by the block manager (cache + localCheckpoint
+    * blocks) — the direct readout of the checkpoint-block pressure that
+    * caused the r12 diffuse drift, so the NEXT drift episode is
+    * adjudicated from the artifact instead of standalone reruns. */
+  private def storedBytes(spark: SparkSession): Long =
+    try spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum
+    catch { case _: Throwable => -1L }
+
   /** Fixed-work calibration: a constant in-memory aggregation whose cost
     * depends only on host conditions (CPU contention, thermal state),
     * never on the code under test. Min of 3 — the same estimator the
@@ -74,9 +92,16 @@ object Bench {
     // long-running 100 TB job experiences. Two runs proved insufficient —
     // a GC-pressure episode can span both back-to-back runs of one query
     // and misattribute multi-second costs to it.
+    // per-query diagnostics (last pass wins): GC ms spent across the
+    // query's runs and block-manager bytes left stored AFTER its
+    // clearCache+GC — a nonzero tail here is exactly the leaked-block
+    // signature behind the r12 diffuse drift
+    val diag = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+
     def timePass(runs: Int): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         var failed = false
+        val gc0 = gcMillis()
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -95,6 +120,7 @@ object Bench {
           System.gc()
           dt
         }
+        diag(name) = (gcMillis() - gc0, storedBytes(spark))
         // a failed query must be visible in the output, not reported as a
         // suspiciously-fast success
         name -> (if (failed) -1.0 else times.min)
@@ -127,6 +153,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val dg = diag.map { case (k, (gc, st)) =>
+      "\"" + k + "\":{\"gc_ms\":" + gc + ",\"stored_mb\":" +
+        (if (st < 0) -1 else st / (1024 * 1024)) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // after_sec is the reading that decided `drift`; final_sec (emitted
     // only after a repair pass) is the post-repair re-measurement
@@ -137,7 +167,7 @@ object Bench {
       s""""drift":$drift,"recalibrated":$recalibrated$finalField},""" +
       s""""loadavg":{"before":"$loadBefore","after":"$loadAfter"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$host}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diag":$dg,"sf":"$sfDir",$host}"""
     println(line)
     // The driver preserves only a TAIL of this stdout in BENCH_r{N}.json
     // (long runs truncate, hiding the alphabet's first half from the

@@ -199,6 +199,99 @@ object QueriesExtra {
       |      ORDER BY c_norm - 2*dot, cid) AS rn
       |  FROM dots) WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------------- IVF-PQ re-rank
+  // The production ANN serving layout composed end-to-end: coarse IVF
+  // probe (nProbe buckets) -> PQ asymmetric-distance shortlist -> exact
+  // re-rank of the shortlist only. The ADC lookup table is the
+  // DECIMAL-exact subspace dot and codes come from encodeExact, so the
+  // shortlist CUT — the composite's only approximate-order stage — is
+  // bit-identical across engines and the whole pipeline hash-checks.
+  private val IvfPqProbe = 2
+  private val IvfPqShortlist = 32
+  private val IvfPqK = 10
+
+  def qIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cb = graft.similarity.ProductQuantizer.initCodebooks(
+      e, "vec_id", "embedding", dims = 64, m = 8, ksub = 4, seed = 13L)
+    graft.similarity.ProductQuantizer.ivfPqRerankTopK(
+      e, e.filter(col("vec_id") < 16), cb,
+      e.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", "vec_id", dims = 64, m = 8,
+      nProbe = IvfPqProbe, shortlist = IvfPqShortlist, k = IvfPqK)
+  }
+
+  val qIvfpqTopkSql: String =
+    s"""WITH $normCte,
+       |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm_sq AS c_norm_sq
+       |          FROM n WHERE vec_id < 16),
+       |asg_scored AS (
+       |  SELECT v.vec_id, c.centroid_id,
+       |    CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(v.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(c.c_norm_sq) AS DOUBLE))) AS c_sim
+       |  FROM n v CROSS JOIN cents c CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY v.vec_id, c.centroid_id),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+       |    FROM asg_scored) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+       |    FROM asg_scored WHERE vec_id % 100 = 0) WHERE rn <= $IvfPqProbe),
+       |picked AS (
+       |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR) || ':13') AS r
+       |  FROM embeddings ORDER BY r, vec_id LIMIT 4),
+       |cbk AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cid,
+       |    embedding AS c
+       |  FROM picked),
+       |sub AS (SELECT CAST(s.s AS INT) AS subspace, c.cid, c.c
+       |  FROM cbk c CROSS JOIN range(0, 8) s(s)),
+       |dots AS (
+       |  SELECT v.vec_id, sc.subspace, sc.cid,
+       |    CAST(SUM(CAST(CAST(v.embedding[sc.subspace*8 + i] AS DOUBLE)
+       |      * CAST(sc.c[sc.subspace*8 + i] AS DOUBLE) AS DECIMAL(20,12)))
+       |      AS DECIMAL(30,12)) AS dot,
+       |    CAST(SUM(CAST(CAST(sc.c[sc.subspace*8 + i] AS DOUBLE)
+       |      * CAST(sc.c[sc.subspace*8 + i] AS DOUBLE) AS DECIMAL(20,12)))
+       |      AS DECIMAL(30,12)) AS c_norm
+       |  FROM embeddings v CROSS JOIN sub sc CROSS JOIN range(1, 9) t(i)
+       |  GROUP BY v.vec_id, sc.subspace, sc.cid),
+       |codes AS (SELECT vec_id, subspace, cid AS code FROM (
+       |  SELECT vec_id, subspace, cid,
+       |    row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY c_norm - 2*dot, cid) AS rn
+       |  FROM dots) WHERE rn = 1),
+       |adc AS (
+       |  SELECT p.query_id, a.vec_id AS nn_id, SUM(d.dot) AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.centroid_id = p.centroid_id
+       |    AND a.vec_id <> p.query_id
+       |  JOIN codes k ON k.vec_id = a.vec_id
+       |  JOIN dots d ON d.vec_id = p.query_id
+       |    AND d.subspace = k.subspace AND d.cid = k.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, nn_id FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc DESC, nn_id) AS rn
+       |  FROM adc) WHERE rn <= $IvfPqShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.nn_id,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE)
+       |      / (sqrt(CAST(any_value(q.norm_sq) AS DOUBLE)) * sqrt(CAST(any_value(c.norm_sq) AS DOUBLE))) AS cos_sim
+       |  FROM short s
+       |  JOIN n q ON q.vec_id = s.query_id
+       |  JOIN n c ON c.vec_id = s.nn_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY s.query_id, s.nn_id)
+       |SELECT query_id, rank, nn_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
+       |  FROM rer) WHERE rank <= $IvfPqK""".stripMargin
+
   // ------------------------------------------------------ hyperplane LSH
   // Signed-random-projection LSH (the LSH-bucketed ANN variant): seeded
   // hyperplanes shipped as literals into BOTH the Spark plan and the
@@ -828,6 +921,7 @@ object QueriesExtra {
     "q_rare_tokens" -> (qRareTokens _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_pq_encode" -> (qPqEncode _),
+    "q_ivfpq_topk" -> (qIvfpqTopk _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -857,5 +951,6 @@ object QueriesExtra {
     "q_rare_tokens" -> qRareTokensSql,
     "q_embed_quant" -> qEmbedQuantSql,
     "q_pq_encode" -> qPqEncodeSql,
+    "q_ivfpq_topk" -> qIvfpqTopkSql,
   )
 }

@@ -139,7 +139,7 @@ object QueriesInfo {
       "day", "event_type", "click", "view", "value")
 
   val qCliffsDeltaSql: String =
-    """WITH pv AS (
+    s"""WITH pv AS (
       |  SELECT strftime(ts, '%Y-%m-%d') AS day, value AS v,
       |    count(*) FILTER (event_type = 'click') AS ca,
       |    count(*) FILTER (event_type = 'view') AS cb
@@ -157,14 +157,17 @@ object QueriesInfo {
       |    sum(CAST(ca AS HUGEINT) *
       |        (CAST(cum AS HUGEINT) * 2 + CAST(ca + cb AS HUGEINT) + 1))
       |      AS r2a
-      |  FROM cum GROUP BY 1)
+      |  FROM cum GROUP BY 1),
+      |uu AS (
+      |  SELECT day, n_a, n_b,
+      |    r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS u2
+      |  FROM agg)
       |SELECT day, n_a, n_b,
       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
-      |    2.0 * (CAST(r2a - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT)
-      |             + 1) AS DOUBLE) / 2.0)
+      |    2.0 * ${hiLo("u2", "2.0")}
       |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0
       |  END AS delta
-      |FROM agg""".stripMargin
+      |FROM uu""".stripMargin
 
   // -------------------------------------------------------- perm_test
   // Did per-user spend shift between the two halves of the month? The
@@ -731,9 +734,9 @@ object QueriesInfo {
        |  FROM t),
        |sc AS (SELECT day, ng, ss_micro,
        |    CASE WHEN ng >= 2 AND ss_micro > 0 THEN
-       |      CAST((CAST(ng AS DOUBLE) - 1.0) * ln(
+       |      CAST(floor(((CAST(ng AS DOUBLE) - 1.0) * ln(
        |        ${hiLo("ss_micro")} / 1.0e6
-       |          / (CAST(ng AS DOUBLE) - 1.0)) AS DECIMAL(30,6))
+       |          / (CAST(ng AS DOUBLE) - 1.0))) * 1000000.0) AS BIGINT)
        |    END AS ln_term,
        |    CASE WHEN ng >= 2 THEN
        |      (1000000000000 - 1000000000000 % (ng - 1)) // (ng - 1)
@@ -749,7 +752,7 @@ object QueriesInfo {
        |    (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE))
        |      * ln(${hiLo("ss_all")} / 1.0e6
        |        / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))
-       |      - CAST(ln_sum AS DOUBLE) AS numer,
+       |      - CAST(ln_sum AS DOUBLE) / 1.0e6 AS numer,
        |    1.0 + (CAST(recip_sum AS DOUBLE) / 1.0e12
        |        - 1.0 / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))
        |      / (3.0 * (CAST(n_groups AS DOUBLE) - 1.0)) AS c

@@ -155,7 +155,83 @@ object ScaleCheck {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** The q_er_pipeline composite without the registry's oracle-size
+    * key cap, cut at `stage`: 1 = deletion candidates + attributes,
+    * 2 = + Fellegi-Sunter scoring, 3 = + CC clusters, 4 = full
+    * (keeper window). Stage timing isolates which link of the chain
+    * owns the scaled cost. */
+  private def erPipelineFull(s: SparkSession, dir: String, stage: Int)
+      : DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val raw = graft.operators.FuzzyJoin.deletionPairs(
+      cust.select(col("c_custkey").as("id"), col("c_name").as("s")),
+      "id", "s", maxDist = 1)
+    def attrs(side: String) = cust.select(
+      col("c_custkey").as(s"id_$side"),
+      col("c_mktsegment").as(s"seg_$side"),
+      floor(col("c_acctbal") / lit(1000.0)).as(s"bk_$side"),
+      col("c_nationkey").as(s"n_$side"))
+    val fields = Seq("f_seg", "f_buck")
+    val pairs = graft.core.CacheScope.session.retain(raw
+      .join(attrs("a"), Seq("id_a")).join(attrs("b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("seg_a") === col("seg_b")).as("f_seg"),
+        (col("bk_a") === col("bk_b")).as("f_buck"),
+        (col("n_a") === col("n_b")).as("is_match")))
+    if (stage <= 1) return pairs
+    val w = graft.operators.RecordLinkage.fieldWeights(
+      pairs, "is_match", fields)
+    val edges = graft.operators.RecordLinkage.score(pairs, w, fields)
+      .filter(col("score_micro") > 0)
+      .select(col("id_a"), col("id_b"))
+    if (stage <= 2) return edges
+    val labels = graft.dedup.ConnectedComponents
+      .labels(edges, "id_a", "id_b")
+      .select(col("id"), col("cluster_id"))
+    if (stage <= 3) return labels
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id"))
+      .orderBy(col("c_acctbal").desc, col("id"))
+    cust.select(col("c_custkey").as("id"), col("c_acctbal"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("keep", row_number().over(wKeep) === 1)
+      .select(col("id"), col("entity_id"), col("keep"))
+  }
+
+  /** High-diameter fixture: the dense events.user_id domain chained
+    * u ↔ u+1 — a 1500-node PATH per disjoint copy (diameter 1499),
+    * the opposite regime from the social-shaped co-order graphs
+    * (diameter ~6). Depth-dependent BFS costs show up here or
+    * nowhere: with the running-seen-frame fix the per-hop anti-join
+    * scans ONE frame, so 40 hops cost 40 frame scans, not 820. */
+  private def chainEdges(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.load(s, dir, "events")
+      .select(col("user_id")).distinct()
+    val fwd = u.as("a").join(u.as("b"),
+        col("a.user_id") + 1 === col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def chainLandmarks(s: SparkSession, dir: String): DataFrame =
+    // 3 landmarks per copy at u ≡ 250 (mod 500): copy offsets are
+    // multiples of 10000, so the per-copy landmark count — and with it
+    // the per-copy frontier width — is scale-invariant; linear is the bar
+    Tables.load(s, dir, "events").select(col("user_id")).distinct()
+      .filter(col("user_id") % 500 === 250)
+
   private def heavies: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "closeness_chain" -> { (s, dir) =>
+      graft.operators.ShortestPaths.harmonicCloseness(
+        chainEdges(s, dir), "src", "dst",
+        chainLandmarks(s, dir), "user_id", maxHops = 40)
+    },
+    "betweenness_chain" -> { (s, dir) =>
+      graft.operators.Betweenness.sampled(
+        chainEdges(s, dir), "src", "dst",
+        chainLandmarks(s, dir), "user_id", maxHops = 40)
+    },
     "triangles" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
@@ -222,6 +298,20 @@ object ScaleCheck {
         Tables.load(s, dir, "lineitem"), "l_returnflag",
         "l_extendedprice", 0.1)
     },
+    // the AUTO path end-to-end over the production skew shape (3 giant
+    // keys): the probe + whichever path it dispatches. At the sf0.1
+    // base the largest key (~300k rows) sits under the
+    // maxExactKeyRows=2e6 default -> EXACT; the 100x sweep crosses the
+    // threshold (~30M rows/key) -> SKETCH. The row therefore measures
+    // the cutover the dispatcher exists for — exact where it is
+    // cheaper, never a corpus-sized single-task sort at scale.
+    "trimmed_auto" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").withColumn("tie",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")))
+      graft.operators.Robust.trimmedMeanAuto(
+        li, "l_returnflag", "l_extendedprice", "tie", 0.1)
+    },
     // prefix-gram ED-join: KNOWN super-linear on this corpus (hot-gram
     // buckets on zero-padded sequential names — the finding that led to
     // deletionPairs; see FuzzyJoin scaladoc). Kept measurable, excluded
@@ -245,6 +335,27 @@ object ScaleCheck {
         base, "id", "s", maxDist = 1)
       graft.dedup.ConnectedComponents.labels(pairs, "id_a", "id_b")
     },
+    // stage splits for the two rows above (named-only, excluded from
+    // the default sweep): which stage owns the scaled cost — the
+    // variant explode, the md5-bucket candidate join, or (for
+    // entity_groups) the CC contraction on top.
+    "fuzzy_del_variants" -> { (s, dir) =>
+      graft.operators.FuzzyJoin.deletionVariants(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("s")),
+        "id", "s", maxDist = 1)
+    },
+    "er_pipeline" -> { (s, dir) =>
+      // the q_er_pipeline composite UNCAPPED (the registry caps
+      // custkey < 2000 for oracle size; scaling must see the whole
+      // table): deletion candidates -> FS weights counted on the
+      // candidates -> evidence-gated edges -> CC clusters -> keeper
+      erPipelineFull(s, dir, stage = 4)
+    },
+    // named-only stage splits: candidates / +scoring / +clusters
+    "er_stage_cands" -> ((s, dir) => erPipelineFull(s, dir, stage = 1)),
+    "er_stage_score" -> ((s, dir) => erPipelineFull(s, dir, stage = 2)),
+    "er_stage_cc" -> ((s, dir) => erPipelineFull(s, dir, stage = 3)),
     "semdedup" -> { (s, dir) =>
       // K follows the IVF √N convention (the SemDedup/CosineSearch
       // scale contract): a FIXED centroid count under growing volume
@@ -593,11 +704,15 @@ object ScaleCheck {
         val runs = if (args.length > 4) args(4).toInt else 2
         val only = args.drop(5).toSet // optional op names to (re)run
         val logN = math.log(copies.toDouble)
+        // named-only rows: anti-baselines kept for the record
+        // (fuzzy_prefix, link_predict_uncapped, trimmed_exact_fewkeys)
+        // and stage-split diagnostics (er_stage_*, fuzzy_del_variants)
+        val namedOnly = Set("fuzzy_prefix", "link_predict_uncapped",
+          "trimmed_exact_fewkeys", "fuzzy_del_variants",
+          "er_stage_cands", "er_stage_score", "er_stage_cc")
         val lines = heavies
-          .filter(h => if (only.isEmpty)
-            h._1 != "fuzzy_prefix" && h._1 != "link_predict_uncapped" &&
-              h._1 != "trimmed_exact_fewkeys"
-          else only(h._1))
+          .filter(h =>
+            if (only.isEmpty) !namedOnly(h._1) else only(h._1))
           .map { case (name, mk) =>
             val tBase = time(spark, runs)(mk(spark, baseDir))
             val tBig = time(spark, runs)(mk(spark, outDir))

@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   * bc(v) = Σ_seeds δ_s(v) over non-seed depths — the RAW sampled sum
   * (callers normalize by k or (k·(n−1)(n−2)) as their convention
   * demands). Contract: δ_micro stays below 2^63 while
-  * nodes·1e6 < 2^63 — document-scale safe to ~9e12 nodes. */
+  * nodes·1e6 < 2^63 — document-scale safe to ~9e12 nodes; the long
+  * cast of the accumulated sum is GUARDED (raise_error past 2^62, a
+  * full bit of headroom before the wrap), never silent.
+  *
+  * Horizon-truncation bias: when `maxHops` cuts the BFS before the
+  * true eccentricity, the deepest retained layer seeds δ = 0 — paths
+  * that continue past the horizon contribute nothing, so bc is biased
+  * LOW for nodes whose shortest-path trees extend near/past maxHops.
+  * Size maxHops to the graph's effective diameter (social graphs
+  * saturate by ~6; chains need maxHops ≈ length). */
 object Betweenness {
 
   private def i38(c: Column) = c.cast("decimal(38,0)")
@@ -51,14 +60,19 @@ object Betweenness {
       .select(col("seed"), col("seed").as("node"),
         lit(1L).cast("decimal(38,0)").as("sigma"))
       .localCheckpoint()
-    // forward: one frame per BFS layer, each carrying exact path counts
+    // forward: one frame per BFS layer, each carrying exact path
+    // counts. The visited set is ONE running (seed, node) frame,
+    // re-checkpointed per hop (the ShortestPaths.fromSources
+    // treatment): round d anti-joins one frame — O(depth) cumulative
+    // layer scans, not the O(depth²) lazy re-union of all prior layers.
+    val nPart = edges.sparkSession
+      .conf.get("spark.sql.shuffle.partitions").toInt
+    var seen = seed.select("seed", "node").localCheckpoint()
     var layers = Vector(seed)
     var frontier = seed
     var hop = 0
     var done = false
     while (!done && hop < maxHops) {
-      val seen = layers.map(_.select("seed", "node"))
-        .reduce(_ unionByName _)
       val next = frontier.join(e, col("node") === col("__src"))
         .select(col("seed"), col("__dst").as("node"), col("sigma"))
         .join(seen, Seq("seed", "node"), "left_anti")
@@ -67,8 +81,16 @@ object Betweenness {
         .localCheckpoint()
       hop += 1
       done = next.isEmpty
-      if (!done) { layers = layers :+ next; frontier = next }
+      if (!done) {
+        layers = layers :+ next
+        frontier = next
+        val prev = seen
+        seen = prev.unionByName(next.select("seed", "node"))
+          .coalesce(nPart).localCheckpoint()
+        graft.core.Checkpoints.releaseLocal(prev)
+      }
     }
+    graft.core.Checkpoints.releaseLocal(seen)
     // backward: delta in exact micro units, deepest layer first
     val depth = layers.size - 1
     var deltas = Vector.fill[DataFrame](layers.size)(null)
@@ -108,11 +130,17 @@ object Betweenness {
       else acc.reduce(_ unionByName _)
     e.unpersist(blocking = false) // every layer/delta frame is an
     // eager checkpoint; nothing downstream re-reads e
+    // 2^62 guard: a DECIMAL sum past long range would otherwise WRAP in
+    // the cast (non-ANSI) — fail loudly, the contract is in the scaladoc
+    val safeMax = lit("4611686018427387904").cast("decimal(38,0)")
     out.groupBy(col("node"))
       .agg(sum(col("delta")).as("__bcm"))
       .filter(col("__bcm") > 0)
       .select(col("node"),
-        col("__bcm").cast("long").as("bc_micro"),
+        when(col("__bcm") > safeMax, raise_error(concat(
+            lit("betweenness bc_micro exceeds 2^62: "),
+            col("__bcm").cast("string"))))
+          .otherwise(col("__bcm").cast("long")).as("bc_micro"),
         (dv(col("__bcm")) / lit(1.0e6)).as("bc"))
   }
 }

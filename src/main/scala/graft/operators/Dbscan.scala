@@ -46,7 +46,15 @@ object Dbscan {
       yMicroCol: String, epsMicro: Long, minPts: Int,
       scope: CacheScope = CacheScope.session): DataFrame = {
     require(epsMicro > 0, s"epsMicro must be positive, got $epsMicro")
-    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    // overflow guard for the integer-native contract: d2 is computed in
+    // LONG on pairs that survive the 3×3 cell screen, where each axis
+    // separation is < 2·eps, so d2 < 8·eps² — eps ≤ 2^30−1 keeps that
+    // under 2^63 (and the driver-side eps² well inside Long). Beyond
+    // this bound the squared terms would wrap SILENTLY (non-ANSI);
+    // callers with coarser units must rescale their micro quantum.
+    require(epsMicro <= 1073741823L,
+      s"epsMicro must be <= 2^30-1 (long-exact d2 bound), got $epsMicro")
+    require(minPts >= 1, s"minPts >= 1 required, got $minPts")
     val pts = scope.retain(df
       .filter(col(idCol).isNotNull &&
         col(xMicroCol).isNotNull && col(yMicroCol).isNotNull)

@@ -12,10 +12,9 @@ import org.apache.spark.sql.functions._
   *
   * Engine-exactness: the usual contract — cents quantization, integer
   * moment sums in DECIMAL(38,0), per-group ln/reciprocal terms
-  * quantized to integral or DECIMAL(30,6) waypoints BEFORE any
-  * cross-group sum (a raw double sum over groups would be
-  * order-dependent), closing formulas fixed-shape doubles through the
-  * 2^53 hi/lo split.
+  * quantized to integral waypoints BEFORE any cross-group sum (a raw
+  * double sum over groups would be order-dependent), closing formulas
+  * fixed-shape doubles through the 2^53 hi/lo split.
   */
 object Diagnostics {
 
@@ -58,9 +57,10 @@ object Diagnostics {
     * `groupCol`: K² = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with
     * C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)). Cross-group sums ride
     * waypoints: each group's (nᵢ−1)·Sᵢ² passes the exact integral
-    * micro-division (1e6·(nq−s²)) div n, its ln term quantizes to
-    * DECIMAL(30,6) (the theil rule), and 1/(nᵢ−1) quantizes to the
-    * exact integral division 1e12 div (nᵢ−1) — so every reduction is
+    * micro-division (1e6·(nq−s²)) div n, its ln term quantizes via
+    * floor(1e6·term) to a long (the lnMicro convention), and 1/(nᵢ−1)
+    * quantizes to the exact integral division 1e12 div (nᵢ−1) — so
+    * every reduction is
     * order-independent and only the closing K² shape is live doubles.
     * Variances stay in cents² — the unit cancels exactly between the
     * pooled and per-group ln terms because Σ(nᵢ−1) = N−k.
@@ -84,8 +84,13 @@ object Diagnostics {
       col("ng")).cast("decimal(38,0)")
     val sg2 = dv(ssMicro) / lit(1.0e6) /
       (col("ng").cast("double") - lit(1.0))
-    val lnTerm = ((col("ng").cast("double") - lit(1.0)) * log(sg2))
-      .cast("decimal(30,6)")
+    // floor(1e6·term): pure IEEE floor on an identically-shaped double,
+    // bit-identical across engines — the lnMicro convention (a
+    // double→DECIMAL cast here would straddle Spark's shortest-repr
+    // rounding vs DuckDB's binary-value rounding, the InfoTheory
+    // catalogued non-portable path)
+    val lnTerm = floor(((col("ng").cast("double") - lit(1.0)) * log(sg2))
+      * lit(1.0e6)).cast("long")
     val recip = ((lit(1000000000000L) -
       lit(1000000000000L) % (col("ng") - 1)) / (col("ng") - 1))
       .cast("long")
@@ -109,7 +114,8 @@ object Diagnostics {
     val c = lit(1.0) +
       (col("recip_sum").cast("double") / lit(1.0e12) - lit(1.0) / dfree) /
         (lit(3.0) * (kD - lit(1.0)))
-    val k2 = (dfree * log(sp2) - col("ln_sum").cast("double")) / c
+    val k2 = (dfree * log(sp2) -
+      col("ln_sum").cast("double") / lit(1.0e6)) / c
     val ok = col("n_groups") >= 2 && col("min_ng") >= 2 &&
       col("min_ss") > 0
     agg.select(col(keyCol), col("n_groups"), col("n").cast("long").as("n"),

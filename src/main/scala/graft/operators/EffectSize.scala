@@ -128,8 +128,9 @@ object EffectSize {
     *
     * Work: one corpus groupBy to the per-(key, value) count table, one
     * distinct-value-sized window, one key aggregate — U and n_a·n_b
-    * stay exact integers (≤ 10^14 for n ≤ 10^7: inside double's 2^53)
-    * so the closing division is one correctly-rounded op.
+    * stay exact integers, and the doubled-U difference reaches double
+    * through the 2^53 hi/lo split, so the readout is engine-portable
+    * at any key size (not just below ~10^7 rows per key).
     *
     * Output: key, n_a, n_b, delta (null when either group is empty). */
   def cliffsDeltaByKey(df: DataFrame, keyCol: String, groupCol: String,
@@ -151,9 +152,13 @@ object EffectSize {
         (i28(col("cum")) * 2 + i28(col("ca") + col("cb")) + 1)).as("r2a"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
-    // U from the doubled rank sum: (r2a − n_a(n_a+1)) / 2, exact
-    val u = (col("r2a") - i28(col("n_a")) * (i28(col("n_a")) + 1))
-      .cast("double") / lit(2.0)
+    // U from the doubled rank sum: (r2a − n_a(n_a+1)) / 2 — through the
+    // 2^53 hi/lo split, not a raw DECIMAL→double cast: past 2^53 (keys
+    // above ~10^7 rows) Spark's BigDecimal rounding and DuckDB's
+    // int128→double can disagree in the last ulp, while the split is
+    // the same fixed double shape on both engines
+    val u = LinearModel.intMomentToDouble(
+      col("r2a") - i28(col("n_a")) * (i28(col("n_a")) + 1), 2.0)
     val delta = lit(2.0) * u / (na * nb) - lit(1.0)
     agg.select(col(keyCol), col("n_a"), col("n_b"),
       when(col("n_a") > 0 && col("n_b") > 0, delta).as("delta"))

@@ -49,12 +49,20 @@ object ShortestPaths {
     // distance table is never re-materialized each round (that rewrite
     // cost O(rounds × nodes) and dominated the frontier work itself)
     val seed = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    // ONE running `seen` frame, re-checkpointed per hop (coalesced so
+    // its partition count stays bounded instead of growing by one
+    // union leg per hop): round d anti-joins ONE frame, so a
+    // diameter-D graph costs O(D) cumulative frame scans — the lazy
+    // union of all prior layers it replaces rescanned every earlier
+    // layer each round, O(D²) on deep (chain/road-network) graphs.
+    // The superseded generation's blocks release immediately.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var seen = seed.select("node").localCheckpoint()
     var frames = List(seed)
     var frontier = seed
     var hop = 0
     var done = maxHops == 0
     while (!done) {
-      val seen = frames.map(_.select("node")).reduce(_ unionByName _)
       val next = frontier.join(e, col("node") === col("__src"))
         .select(col("__dst").as("node"), (col("dist") + 1L).as("dist"))
         .join(seen, Seq("node"), "left_anti")
@@ -62,11 +70,19 @@ object ShortestPaths {
         .localCheckpoint() // eager — each hop's frame materializes once
       hop += 1
       val exhausted = next.isEmpty
-      if (!exhausted) { frames = next :: frames; frontier = next }
+      if (!exhausted) {
+        frames = next :: frames
+        frontier = next
+        val prev = seen
+        seen = prev.unionByName(next.select("node"))
+          .coalesce(nPart).localCheckpoint()
+        graft.core.Checkpoints.releaseLocal(prev)
+      }
       done = exhausted || hop >= maxHops
     }
     val out = frames.reduce(_ unionByName _)
     graft.core.Checkpoints.releaseLocal(e)
+    graft.core.Checkpoints.releaseLocal(seen)
     out
   }
 
@@ -92,13 +108,17 @@ object ShortestPaths {
       .select(col(sourceCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
       .localCheckpoint()
+    // running (seed, node) `seen` frame, re-checkpointed per hop — one
+    // anti-join input per round, O(D) cumulative frame scans instead of
+    // the O(D²) lazy re-union of all prior layers (see fromSource)
+    val nPart = edges.sparkSession
+      .conf.get("spark.sql.shuffle.partitions").toInt
+    var seen = seed.select("seed", "node").localCheckpoint()
     var frames = List(seed)
     var frontier = seed
     var hop = 0
     var done = maxHops == 0
     while (!done) {
-      val seen = frames.map(_.select("seed", "node"))
-        .reduce(_ unionByName _)
       val next = frontier.join(e, col("node") === col("__src"))
         .select(col("seed"), col("__dst").as("node"),
           (col("dist") + 1L).as("dist"))
@@ -107,13 +127,21 @@ object ShortestPaths {
         .localCheckpoint()
       hop += 1
       val exhausted = next.isEmpty
-      if (!exhausted) { frames = next :: frames; frontier = next }
+      if (!exhausted) {
+        frames = next :: frames
+        frontier = next
+        val prev = seen
+        seen = prev.unionByName(next.select("seed", "node"))
+          .coalesce(nPart).localCheckpoint()
+        graft.core.Checkpoints.releaseLocal(prev)
+      }
       done = exhausted || hop >= maxHops
     }
     // every frame is already an eager checkpoint — the union never
     // re-reads e, so the cache can drop immediately
     val out = frames.reduce(_ unionByName _)
     e.unpersist(blocking = false)
+    graft.core.Checkpoints.releaseLocal(seen)
     out
   }
 

@@ -274,4 +274,94 @@ object ProductQuantizer {
       .select(col("query_id"), col("nn_id"), adcSum(m).as("adc_score"))
     rankTopK(scored, k)
   }
+
+  /** IVF probe → PQ-ADC shortlist → EXACT re-rank: the standard
+    * 100 TB ANN serving layout with all three levers composed. Each
+    * query probes its `nProbe` nearest coarse buckets
+    * ([[CosineSearch.ivfAssign]] multi-assignment), candidates there
+    * are cut to `shortlist` per query by asymmetric-distance lookups,
+    * and only the shortlist pays the exact `dims`-wide scoring — per
+    * query the exact work drops from |corpus| to `shortlist` vectors
+    * while the ADC pass costs m lookups per candidate.
+    *
+    * Unlike [[ivfAdcTopK]] (float LUT, measurement-only), the LUT here
+    * is the DECIMAL-exact subspace dot ([[CosineSearch.dotDecimal]])
+    * and codes come from [[encodeExact]], so the ADC ordering — and
+    * with it the shortlist cut — is bit-identical across engines and
+    * the WHOLE composite is oracle-comparable. Queries need not be
+    * part of the corpus. Output: (query_id, rank, nn_id, cos_sim),
+    * rank ≤ k by exact cosine desc, nn_id tiebreak. */
+  def ivfPqRerankTopK(vecs: DataFrame, coarseCentroids: DataFrame,
+      codebooks: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroidIdCol: String, dims: Int, m: Int,
+      nProbe: Int, shortlist: Int, k: Int,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val w = dims / m
+    // corpus index: coarse bucket + exact PQ codes, one retained pass
+    val indexed = scope.retain(
+      CosineSearch.ivfAssign(vecs, coarseCentroids, idCol, vecCol,
+          centroidIdCol)
+        .select(col(idCol), col("centroid_id"))
+        .join(encodeExact(vecs, idCol, vecCol, codebooks, dims, m),
+          Seq(idCol))
+        .select(col("centroid_id"), col(idCol).as("nn_id"), col("codes")))
+    // query probes: nProbe nearest coarse buckets, one row per probe
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol))
+    val probes = CosineSearch.ivfAssign(qv, coarseCentroids, "query_id",
+      vecCol, centroidIdCol, nAssign = nProbe)
+    // decimal LUT per (query, probe): subspace-centroid dots, exact
+    val cbDec = broadcast(codebooks.agg(collect_list(struct(
+      col("subspace"), col("cid"), col("centroid").as("c_vec"))).as("cb")))
+    val luts = probes.crossJoin(cbDec)
+      .select(col("query_id"), col("centroid_id"),
+        map_from_arrays(
+          transform(col("cb"), e => struct(
+            e.getField("subspace").as("s"), e.getField("cid").as("c"))),
+          transform(col("cb"), e => CosineSearch.dotDecimal(
+            subvec(col(vecCol), e.getField("subspace"), w),
+            e.getField("c_vec")))).as("lut"))
+    // exact-decimal ADC fold (a corpus vector lives in exactly one
+    // bucket, so multi-probe cannot duplicate a (query, nn) candidate).
+    // Scale discipline: a naive decimal fold widens precision each add
+    // until Spark TRIMS the scale (38,12)+(30,12) → (38,11), silently
+    // rounding the 12th digit and breaking oracle ordering parity — so
+    // each entry narrows to (20,12) (subspace dots are O(1); 8 integer
+    // digits is orders of magnitude of headroom) and each partial sum
+    // re-casts to (25,12): every step preserves scale 12 exactly, so
+    // the fold equals DuckDB's SUM(DECIMAL) bit for bit.
+    val adc = aggregate(sequence(lit(0), lit(m - 1)),
+      lit(0).cast("decimal(25,12)"),
+      (acc, s) => (acc + element_at(col("lut"),
+        struct(s.cast("int").as("s"),
+          element_at(col("codes"), s + 1).as("c")))
+        .cast("decimal(20,12)")).cast("decimal(25,12)"))
+    val wSh = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("nn_id"))
+    val short = broadcast(luts).join(indexed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), adc.as("__adc"))
+      .withColumn("__r", row_number().over(wSh))
+      .filter(col("__r") <= shortlist)
+      .select(col("query_id"), col("nn_id"))
+    // exact re-rank: only the shortlist pays the dims-wide scoring
+    val vn = CosineSearch.withNormSq(vecs, vecCol)
+      .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+        col("norm_sq").as("nn_norm_sq"))
+    val qn = CosineSearch.withNormSq(qv, vecCol)
+      .select(col("query_id"), col(vecCol).as("q_vec"),
+        col("norm_sq").as("q_norm_sq"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    short.join(broadcast(qn), Seq("query_id")).join(vn, Seq("nn_id"))
+      .withColumn("cos_sim",
+        CosineSearch.cosine(CosineSearch.dotDecimal(
+          col("q_vec"), col("nn_vec")),
+          col("q_norm_sq"), col("nn_norm_sq")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cos_sim"))
+  }
 }

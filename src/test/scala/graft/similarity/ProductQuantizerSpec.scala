@@ -155,4 +155,42 @@ class ProductQuantizerSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     got.foreach { case (q, n, s) => assert(s == adcAll((q, n))) }
   }
+
+  test("IVF-PQ re-rank degenerates to exact brute force at full width") {
+    // nProbe = |centroids| and shortlist = |corpus| remove both
+    // approximations, so the exact re-rank must reproduce
+    // bruteForceTopK bit for bit — pins probe fan-out, ADC shortlist
+    // plumbing, and the re-rank ordering in one equivalence.
+    val coarse = e.filter(col("vec_id") < 8)
+    val codebooks = ProductQuantizer.initCodebooks(e, "vec_id",
+      "embedding", dims, m = 8, ksub = 4, seed = 13L)
+    val queries = e.filter(col("vec_id") % 37 === 0)
+    val n = e.count().toInt
+    val full = ProductQuantizer.ivfPqRerankTopK(e, coarse, codebooks,
+        queries, "vec_id", "embedding", "vec_id", dims, m = 8,
+        nProbe = 8, shortlist = n, k = 5)
+      .select("query_id", "rank", "nn_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val exact = CosineSearch.bruteForceTopK(e, queries, "vec_id",
+        "embedding", 5)
+      .select("query_id", "rank", "nn_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(full.nonEmpty)
+    assert(full.toSeq == exact.toSeq)
+
+    // production width (nProbe=2, shortlist=32) stays a valid top-k:
+    // k rows per query, ranks 1..k, descending exact cosine
+    val prod = ProductQuantizer.ivfPqRerankTopK(e, coarse, codebooks,
+        queries, "vec_id", "embedding", "vec_id", dims, m = 8,
+        nProbe = 2, shortlist = 32, k = 5)
+      .select("query_id", "rank", "nn_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = prod.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.reverse.toSeq)
+    }
+  }
 }

@@ -51,6 +51,25 @@ object RecallProbe {
       println(f"""{"nProbe":$nProbe,"recall_at_$k":$recall%.4f,"search_sec":$sec%.3f}""")
       spark.catalog.clearCache()
     }
+
+    // IVF-PQ re-rank (the q_ivfpq_topk layout): recall vs (nProbe,
+    // shortlist) — the two knobs of the production composite. The PQ
+    // codebook is the registry's deterministic md5-sample init
+    // (ksub=4, m=8): recall here is the FLOOR the trained codebook
+    // only improves on.
+    val codebooks = graft.similarity.ProductQuantizer.initCodebooks(
+      e, "vec_id", "embedding", dims = 64, m = 8, ksub = 4, seed = 13L)
+    for (nProbe <- Seq(1, 2, 4); shortlist <- Seq(k, 2 * k, 4 * k, 8 * k)) {
+      val t0 = System.nanoTime()
+      val approx = graft.similarity.ProductQuantizer.ivfPqRerankTopK(
+        e, centroids, codebooks, queries, "vec_id", "embedding",
+        "vec_id", dims = 64, m = 8, nProbe, shortlist, k)
+        .localCheckpoint()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = CosineSearch.recallAtK(exact, approx)
+      println(f"""{"mode":"ivfpq","nProbe":$nProbe,"shortlist":$shortlist,"recall_at_$k":$recall%.4f,"search_sec":$sec%.3f}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

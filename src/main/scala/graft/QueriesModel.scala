@@ -353,6 +353,58 @@ object QueriesModel {
     graft.operators.Calibration.reliability(
       scored(s, dir), "score_micro", "y", CalBins)
 
+  // -------------------------------------------------- isotonic calibration
+  // The reliability bins fitted to the best monotone curve in score
+  // order — PAVA through the exact nano-quantized minimax
+  // (operators.Isotonic), keyed by ship year so seven independent fits
+  // run in one plan. The oracle replays prefix sums, the (i,j) block
+  // grid, the reverse running min, and the closing max — all integer.
+  def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val sm = col("l_quantity").cast("long") * 20000L
+    val prod = sm * CalBins
+    val bins = t(s, dir, "lineitem").select(
+        year(col("l_shipdate")).cast("long").as("yr"),
+        least(((prod - prod % 1000000L) / 1000000L).cast("long"),
+          lit((CalBins - 1).toLong)).as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("yr"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    graft.operators.Isotonic.fit(bins, "yr", "bin", "n_pos", "n")
+      .withColumnRenamed("bin", "bin_id")
+  }
+
+  val qIsotonicSql: String =
+    s"""WITH src AS (
+       |  SELECT year(l_shipdate) AS yr,
+       |    least((CAST(l_quantity AS BIGINT) * 20000 * $CalBins) // 1000000,
+       |          ${CalBins - 1}) AS bin,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT yr, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM src GROUP BY 1, 2),
+       |c AS (
+       |  SELECT yr, bin, n, n_pos,
+       |    sum(n_pos) OVER (PARTITION BY yr ORDER BY bin) AS cs,
+       |    sum(n) OVER (PARTITION BY yr ORDER BY bin) AS cw
+       |  FROM b),
+       |p AS (
+       |  SELECT l.yr, l.bin AS i, h.bin AS j,
+       |    ((h.cs - (l.cs - l.n_pos)) * 1000000000)
+       |      // (h.cw - (l.cw - l.n)) AS a
+       |  FROM c l JOIN c h ON l.yr = h.yr AND l.bin <= h.bin),
+       |m AS (
+       |  SELECT yr, i, j,
+       |    min(a) OVER (PARTITION BY yr, i ORDER BY j
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mn
+       |  FROM p),
+       |f AS (
+       |  SELECT yr, j AS bin, CAST(max(mn) AS BIGINT) AS fitted_nano
+       |  FROM m GROUP BY 1, 2)
+       |SELECT b.yr, b.bin AS bin_id, b.n_pos, b.n, f.fitted_nano,
+       |  CAST(f.fitted_nano AS DOUBLE) / 1.0e9 AS fitted
+       |FROM b JOIN f ON b.yr = f.yr AND b.bin = f.bin""".stripMargin
+
   val qCalibrationSql: String =
     s"""WITH $sqlScored,
        |b AS (
@@ -921,6 +973,7 @@ object QueriesModel {
     "q_label_prop" -> (qLabelProp _),
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
+    "q_isotonic" -> (qIsotonic _),
     "q_confusion" -> (qConfusion _),
   )
 
@@ -938,6 +991,7 @@ object QueriesModel {
     "q_label_prop" -> qLabelPropSql,
     "q_auc" -> qAucSql,
     "q_calibration" -> qCalibrationSql,
+    "q_isotonic" -> qIsotonicSql,
     "q_confusion" -> qConfusionSql,
   )
 }

@@ -370,6 +370,63 @@ object QueriesQuality {
        |    AS last_touch_ts
        |FROM w WHERE event_type = 'purchase'""".stripMargin
 
+  // ---------------------------------------------------------- page-hinkley
+  // Page-Hinkley upward-shift detection per event type — the
+  // self-centering companion to q_cusum below: deviations accumulate
+  // against the RUNNING mean (no second pass over the key, no fixed
+  // target), ph = mh − running min(mh), alarm past λ. Every quantity
+  // is an exact integer micro sum (toward-zero integral division —
+  // the rounding both engines share); oracle replays rank, running
+  // sums, and both running extrema in one window chain.
+  private val PhDelta = 0.5
+  private val PhLambda = 500.0
+
+  def qPageHinkley(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ChangeDetect.pageHinkley(
+      t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("ts"), col("value")),
+      "event_type", "ts", "event_id", "value", PhDelta, PhLambda)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("ph_micro"), col("ph"), col("is_change"))
+
+  val qPageHinkleySql: String = {
+    val deltaMicro = math.round(PhDelta * 1e6)
+    val lambdaMicro = math.round(PhLambda * 1e6)
+    s"""WITH src AS (
+       |  SELECT event_id, event_type, ts, value,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE value IS NOT NULL),
+       |w AS (
+       |  SELECT event_id, event_type, value, cents,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |    sum(cents) OVER (PARTITION BY event_type
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runc
+       |  FROM src),
+       |inc AS (
+       |  SELECT event_id, event_type, value, rn,
+       |    ((CAST(rn AS HUGEINT) * cents - CAST(runc AS HUGEINT))
+       |      * 10000) // rn - $deltaMicro AS inc
+       |  FROM w),
+       |mh AS (
+       |  SELECT event_id, event_type, value, rn,
+       |    sum(inc) OVER (PARTITION BY event_type ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mh
+       |  FROM inc)
+       |SELECT event_id, event_type, value,
+       |  CAST(mh - min(mh) OVER (PARTITION BY event_type ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS ph_micro,
+       |  CAST(mh - min(mh) OVER (PARTITION BY event_type ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS DOUBLE) / 1.0e6 AS ph,
+       |  (mh - min(mh) OVER (PARTITION BY event_type ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |    > $lambdaMicro AS is_change
+       |FROM mh""".stripMargin
+  }
+
   // ---------------------------------------------------------------- cusum
   // CUSUM drift per event type over event time — integer-cents
   // arithmetic end to end (see ChangeDetect), one double division at
@@ -1026,6 +1083,7 @@ object QueriesQuality {
     "q_sketch_users" -> (qSketchUsers _),
     "q_attribution" -> (qAttribution _),
     "q_cusum" -> (qCusum _),
+    "q_page_hinkley" -> (qPageHinkley _),
     "q_quarantine" -> (qQuarantine _),
     "q_wmedian" -> (qWmedian _),
     "q_assoc" -> (qAssoc _),
@@ -1061,6 +1119,7 @@ object QueriesQuality {
     "q_sketch_users" -> qSketchUsersSql,
     "q_attribution" -> qAttributionSql,
     "q_cusum" -> qCusumSql,
+    "q_page_hinkley" -> qPageHinkleySql,
     "q_quarantine" -> qQuarantineSql,
     "q_wmedian" -> qWmedianSql,
     "q_assoc" -> qAssocSql,

@@ -819,6 +819,94 @@ object QueriesText {
        |    AS entropy_bits
        |FROM co GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------- tokenizer fertility
+  // Per-language tokenizer fertility (BPE-ish tokens per whitespace
+  // word) and compression (bytes per token) — the standard readout for
+  // "how expensive is this language under this tokenizer" when
+  // balancing a multilingual training mixture. All counts are exact
+  // integer sums; the two ratios are single double divisions.
+  // The whitespace class is written out explicitly ([^ \t\n\r]+) so
+  // Java regex (Spark) and RE2 (DuckDB) agree on every code point —
+  // \S straddles \x0B between the two engines.
+  private val FertilityBpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  private val FertilityWord = "[^ \\t\\n\\r]+"
+
+  def qFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(expr(s"regexp_extract_all(text, '$FertilityBpe', 0)"))
+          .cast("long").as("tk"),
+        size(expr(s"regexp_extract_all(text, '$FertilityWord', 0)"))
+          .cast("long").as("wd"),
+        octet_length(col("text")).cast("long").as("bt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wd")).as("n_words"),
+        sum(col("tk")).as("n_tokens"),
+        sum(col("bt")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_bytes"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+          .as("bytes_per_token"))
+
+  val qFertilitySql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    len(regexp_extract_all(text, '$FertilityBpe')) AS tk,
+       |    len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS wd,
+       |    octet_length(CAST(text AS BLOB)) AS bt
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(wd) AS BIGINT) AS n_words,
+       |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+       |  CAST(sum(bt) AS BIGINT) AS n_bytes,
+       |  CAST(sum(tk) AS DOUBLE) / CAST(sum(wd) AS DOUBLE) AS fertility,
+       |  CAST(sum(bt) AS DOUBLE) / CAST(sum(tk) AS DOUBLE)
+       |    AS bytes_per_token
+       |FROM d GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- mojibake
+  // Encoding-anomaly screen (operators.EncodingScreen): replacement
+  // chars, stray controls, UTF-8-as-Latin-1/cp1252 digraphs. Known
+  // positives are synthesized deterministically (every 13th doc gets
+  // one U+FFFD, one BEL, and two mojibake digraphs appended on BOTH
+  // sides) so the screen is exercised on non-zero counts, not an
+  // all-clean corpus. The digraph class is generated from shared code
+  // points — \uXXXX for Java regex, \x{XXXX} for RE2.
+  def qMojibake(s: SparkSession, dir: String): DataFrame = {
+    val token = " \uFFFD\u00C3\u00A9\u00E2\u20AC\u2122\u0007"
+    val dirty = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(token)))
+        .otherwise(col("text")).as("text"))
+    graft.operators.EncodingScreen.screen(dirty, "doc_id", "text")
+  }
+
+  val qMojibakeSql: String = {
+    val tok = "' ' || chr(65533) || chr(195) || chr(169) || chr(226)" +
+      " || chr(8364) || chr(8482) || chr(7)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || $tok ELSE text END
+       |      AS text
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) - length(translate(text, chr(65533), ''))
+       |      AS BIGINT) AS n_replacement,
+       |    CAST(len(regexp_extract_all(text,
+       |      '${graft.operators.EncodingScreen.ctrlPattern}'))
+       |      AS BIGINT) AS n_ctrl,
+       |    CAST(len(regexp_extract_all(text,
+       |      '${graft.operators.EncodingScreen.mojiPatternRe2}'))
+       |      AS BIGINT) AS n_moji
+       |  FROM d)
+       |SELECT doc_id, n_replacement, n_ctrl, n_moji,
+       |  (n_replacement > 0 OR n_ctrl > 0 OR n_moji > 0) AS is_suspect
+       |FROM c""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   // (the dedup-prep and denoising-objective families live in
   // QueriesTextDedup / QueriesTextObjectives)
@@ -826,6 +914,8 @@ object QueriesText {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_char_entropy" -> (qCharEntropy _),
     "q_lexical_stats" -> (qLexicalStats _),
+    "q_fertility" -> (qFertility _),
+    "q_mojibake" -> (qMojibake _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_langid_kappa" -> (qLangIdKappa _),
@@ -850,6 +940,8 @@ object QueriesText {
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_char_entropy" -> qCharEntropySql,
     "q_lexical_stats" -> qLexicalStatsSql,
+    "q_fertility" -> qFertilitySql,
+    "q_mojibake" -> qMojibakeSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_langid_kappa" -> qLangIdKappaSql,

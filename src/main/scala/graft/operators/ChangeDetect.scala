@@ -47,4 +47,51 @@ object ChangeDetect {
       .withColumn("is_change", abs(col("cusum")) > threshold)
       .drop("__tot", "__n")
   }
+
+  /** Page-Hinkley upward-shift detection per key (Page 1954; the
+    * streaming-drift form surveyed in Gama et al. 2014): each
+    * observation's deviation from the RUNNING mean accumulates,
+    *
+    *   mh_i = Σ_{j≤i} (x_j − mean_j − δ),  ph_i = mh_i − min_{j≤i} mh_j,
+    *
+    * alarm where ph_i > λ — the self-centering companion to [[cusum]]
+    * (which deviates from the key's FIXED whole-series mean): PH needs
+    * no second pass over the key, reacts to shifts against the
+    * pre-shift history only, and is the standard drift trigger for
+    * "did this metric step up mid-stream".
+    *
+    * Exactness: cents quantization first, then each rational deviation
+    * (i·x_i − R_i)/i quantizes to micro value units through the exact
+    * remainder-subtract integral division — TOWARD-ZERO rounding,
+    * which both Spark (`%` follows the dividend) and DuckDB (`//`
+    * truncates) implement identically — so mh/ph are exact integer
+    * micro sums and the readout is engine-portable bit for bit. The
+    * i·x_i product rides DECIMAL(38,0) (a long would wrap past
+    * ~10^18.5 cent-rows).
+    *
+    * Cost: ONE per-key sort-shuffle — the rank, running cents sum,
+    * running mh sum, and running min all share the same window sort;
+    * there is no totals join (unlike cusum, PH is strictly prefix-
+    * computable). δ and λ arrive in value units. */
+  def pageHinkley(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, delta: Double,
+      lambda: Double): DataFrame = {
+    val deltaMicro = math.round(delta * 1e6)
+    val lambdaMicro = math.round(lambda * 1e6)
+    val i38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cents = (col(valueCol).cast("decimal(18,2)") * lit(100)).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rn = row_number().over(w).cast("long")
+    // (i·x_i − R_i)/i cents → ×1e4 → micro value units, toward zero
+    val num = (i38(rn) * cents - i38(sum(cents).over(run))) * 10000L
+    val dev = ((num - num % rn) / rn).cast("decimal(38,0)").cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__inc", dev - lit(deltaMicro))
+      .withColumn("__mh", sum(col("__inc")).over(run))
+      .withColumn("ph_micro", col("__mh") - min(col("__mh")).over(run))
+      .withColumn("ph", col("ph_micro").cast("double") / lit(1.0e6))
+      .withColumn("is_change", col("ph_micro") > lambdaMicro)
+      .drop("__inc", "__mh")
+  }
 }

@@ -40,12 +40,19 @@ object Isotonic {
     * fitted_nano (exact long), fitted (double) — fitted is
     * non-decreasing in pos within every key. */
   def fit(df: DataFrame, keyCol: String, posCol: String,
-      ynumCol: String, weightCol: String): DataFrame = {
+      ynumCol: String, weightCol: String,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    // the bin table is typically an AGGREGATE of a corpus-scale scan —
+    // retained once so the i-side, j-side, and closing join all read
+    // the cache instead of re-running the upstream scan three times
+    val base = scope.retain(df
+      .filter(col(weightCol) > 0 && col(ynumCol).isNotNull)
+      .select(col(keyCol), col(posCol), col(ynumCol), col(weightCol)))
     val wCum = Window.partitionBy(col(keyCol)).orderBy(col(posCol))
     // inclusive prefix sums; the i-side subtracts its own bin back out
     // so block (i..j) reads as one exclusive-start difference
-    val cum = df
-      .filter(col(weightCol) > 0 && col(ynumCol).isNotNull)
+    val cum = base
       .select(col(keyCol), col(posCol),
         i38(col(ynumCol)).as("__y"), i38(col(weightCol)).as("__w"))
       .withColumn("__cs", sum(col("__y")).over(wCum))
@@ -74,7 +81,7 @@ object Isotonic {
     val fit = m.groupBy(col(keyCol), col("__j"))
       .agg(max(col("__m")).as("fitted_nano"))
       .select(col(keyCol), col("__j").as(posCol), col("fitted_nano"))
-    df.join(fit, Seq(keyCol, posCol))
+    base.join(fit, Seq(keyCol, posCol))
       .select(col(keyCol), col(posCol), col(ynumCol), col(weightCol),
         col("fitted_nano"),
         (col("fitted_nano").cast("double") / lit(1.0e9)).as("fitted"))

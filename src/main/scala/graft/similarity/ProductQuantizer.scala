@@ -300,20 +300,32 @@ object ProductQuantizer {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val w = dims / m
-    // corpus index: coarse bucket + exact PQ codes, one retained pass
-    val indexed = scope.retain(
-      CosineSearch.ivfAssign(vecs, coarseCentroids, idCol, vecCol,
-          centroidIdCol)
-        .select(col(idCol), col("centroid_id"))
-        .join(encodeExact(vecs, idCol, vecCol, codebooks, dims, m),
-          Seq(idCol))
-        .select(col("centroid_id"), col(idCol).as("nn_id"), col("codes")))
-    // query probes: nProbe nearest coarse buckets, one row per probe
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol))
-    val probes = CosineSearch.ivfAssign(qv, coarseCentroids, "query_id",
-      vecCol, centroidIdCol, nAssign = nProbe)
+    // ONE retained norm-augmented corpus pass feeds the coarse
+    // assignment, the PQ encode, AND the exact re-rank side — without
+    // it the plan scans the corpus three times (ivfAssign skips its
+    // own withNormSq when the column is already present)
+    val vbase = scope.retain(CosineSearch.withNormSq(vecs, vecCol))
+    // the bounded side-frames retain too: the coarse book feeds BOTH
+    // assignment passes and the codebook feeds encode AND the LUTs —
+    // without the cache each consumer re-runs the upstream derivation
+    // (for trained/sampled books, a corpus scan each)
+    val coarse = scope.retain(coarseCentroids)
+    val cbs = scope.retain(codebooks)
+    // corpus index: coarse bucket + exact PQ codes
+    val indexed = CosineSearch.ivfAssign(vbase, coarse, idCol,
+        vecCol, centroidIdCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(encodeExact(vbase, idCol, vecCol, cbs, dims, m),
+        Seq(idCol))
+      .select(col("centroid_id"), col(idCol).as("nn_id"), col("codes"))
+    // query probes: nProbe nearest coarse buckets, one row per probe —
+    // the retained query pass likewise serves probes, LUTs, and re-rank
+    val qbase = scope.retain(CosineSearch.withNormSq(
+      queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol))
+    val probes = CosineSearch.ivfAssign(qbase, coarse,
+      "query_id", vecCol, centroidIdCol, nAssign = nProbe)
     // decimal LUT per (query, probe): subspace-centroid dots, exact
-    val cbDec = broadcast(codebooks.agg(collect_list(struct(
+    val cbDec = broadcast(cbs.agg(collect_list(struct(
       col("subspace"), col("cid"), col("centroid").as("c_vec"))).as("cb")))
     val luts = probes.crossJoin(cbDec)
       .select(col("query_id"), col("centroid_id"),
@@ -347,12 +359,10 @@ object ProductQuantizer {
       .filter(col("__r") <= shortlist)
       .select(col("query_id"), col("nn_id"))
     // exact re-rank: only the shortlist pays the dims-wide scoring
-    val vn = CosineSearch.withNormSq(vecs, vecCol)
-      .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-        col("norm_sq").as("nn_norm_sq"))
-    val qn = CosineSearch.withNormSq(qv, vecCol)
-      .select(col("query_id"), col(vecCol).as("q_vec"),
-        col("norm_sq").as("q_norm_sq"))
+    val vn = vbase.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      col("norm_sq").as("nn_norm_sq"))
+    val qn = qbase.select(col("query_id"), col(vecCol).as("q_vec"),
+      col("norm_sq").as("q_norm_sq"))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
     short.join(broadcast(qn), Seq("query_id")).join(vn, Seq("nn_id"))

@@ -1117,4 +1117,33 @@ class PlanSpec extends SparkSpec {
       s"base must derive once ($scans scans):\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
+
+  test("q_page_hinkley is one keyed window pass — single scan, no join") {
+    val p = plan("q_page_hinkley")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("q_isotonic: the bin table is cache-served to both pair sides " +
+      "and the closing join — one corpus scan, no cartesian") {
+    val p = plan("q_isotonic")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1 && p.contains("InMemoryTableScan"),
+      s"bins must derive once ($scans scans):\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_ivfpq_topk: the retained passes bound the reads — corpus, " +
+      "queries, coarse book, codebook sample scan once each") {
+    val p = plan("q_ivfpq_topk")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    // four distinct bounded reads (corpus norm pass / filtered query
+    // subset / 16-row coarse book / 4-row codebook sample); every
+    // other consumer — assignment, encode, probes, LUTs, re-rank —
+    // reads the caches
+    assert(scans <= 4 && p.contains("InMemoryTableScan"),
+      s"expected <=4 source reads, cache-served reuse ($scans scans):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"all joins are broadcast/bucket-sized here:\n$p")
+  }
 }

@@ -370,6 +370,67 @@ object QueriesQuality {
        |    AS last_touch_ts
        |FROM w WHERE event_type = 'purchase'""".stripMargin
 
+  // ------------------------------------------------------------- decompose
+  // Classical additive seasonal decomposition of the daily value sums
+  // per event type (period 7, centered ±3 rolling trend): calendar
+  // structure vs trend vs noise, so a weekly rhythm can't masquerade
+  // as drift in the cusum/page-hinkley screens beside it. Every mean
+  // is an exact toward-zero integral division at micro scale; the
+  // oracle replays the rolling window, both phase aggregates, and the
+  // re-centering.
+  def qDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events").filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("pos"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    graft.operators.Decompose.additive(
+      daily, "event_type", "pos", "v", period = 7, halfWin = 3)
+  }
+
+  val qDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS pos,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type, pos, v,
+      |    CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    count(*) OVER w AS wn,
+      |    sum(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS ws
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY pos
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t AS (
+      |  SELECT event_type, pos, v, c,
+      |    CASE WHEN wn = 7
+      |      THEN (CAST(ws AS HUGEINT) * 10000) // wn END AS trend_micro
+      |  FROM b),
+      |d AS (
+      |  SELECT event_type, pos % 7 AS ph,
+      |    CAST(c AS HUGEINT) * 10000 - trend_micro AS dd
+      |  FROM t WHERE trend_micro IS NOT NULL),
+      |p AS (SELECT event_type, ph, sum(dd) // count(*) AS pm
+      |  FROM d GROUP BY 1, 2),
+      |a AS (SELECT event_type, sum(pm) // count(*) AS adj
+      |  FROM p GROUP BY 1),
+      |se AS (
+      |  SELECT p.event_type, p.ph,
+      |    CAST(p.pm - a.adj AS BIGINT) AS seasonal_micro
+      |  FROM p JOIN a ON p.event_type = a.event_type)
+      |SELECT t.event_type, t.pos, t.v AS v,
+      |  CAST(t.trend_micro AS BIGINT) AS trend_micro,
+      |  se.seasonal_micro,
+      |  CAST(CAST(t.c AS HUGEINT) * 10000 - t.trend_micro
+      |    - se.seasonal_micro AS BIGINT) AS resid_micro,
+      |  CAST(t.trend_micro AS DOUBLE) / 1.0e6 AS trend,
+      |  CAST(se.seasonal_micro AS DOUBLE) / 1.0e6 AS seasonal,
+      |  CAST(CAST(t.c AS HUGEINT) * 10000 - t.trend_micro
+      |    - se.seasonal_micro AS DOUBLE) / 1.0e6 AS resid
+      |FROM t LEFT JOIN se
+      |  ON t.event_type = se.event_type AND t.pos % 7 = se.ph""".stripMargin
+
   // ---------------------------------------------------------- page-hinkley
   // Page-Hinkley upward-shift detection per event type — the
   // self-centering companion to q_cusum below: deviations accumulate
@@ -1084,6 +1145,7 @@ object QueriesQuality {
     "q_attribution" -> (qAttribution _),
     "q_cusum" -> (qCusum _),
     "q_page_hinkley" -> (qPageHinkley _),
+    "q_decompose" -> (qDecompose _),
     "q_quarantine" -> (qQuarantine _),
     "q_wmedian" -> (qWmedian _),
     "q_assoc" -> (qAssoc _),
@@ -1120,6 +1182,7 @@ object QueriesQuality {
     "q_attribution" -> qAttributionSql,
     "q_cusum" -> qCusumSql,
     "q_page_hinkley" -> qPageHinkleySql,
+    "q_decompose" -> qDecomposeSql,
     "q_quarantine" -> qQuarantineSql,
     "q_wmedian" -> qWmedianSql,
     "q_assoc" -> qAssocSql,

@@ -1135,6 +1135,10 @@ class PlanSpec extends SparkSpec {
 
   test("q_ivfpq_topk: the retained passes bound the reads — corpus, " +
       "queries, coarse book, codebook sample scan once each") {
+    // the fragment-dedup that turns repeated reads into
+    // InMemoryTableScans depends on the CacheManager's state — start
+    // from a clean slate so the count is suite-order-independent
+    spark.catalog.clearCache()
     val p = plan("q_ivfpq_topk")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     // four distinct bounded reads (corpus norm pass / filtered query

@@ -222,6 +222,16 @@ object ScaleCheck {
       .filter(col("user_id") % 500 === 250)
 
   private def heavies: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "isotonic" -> { (s, dir) =>
+      // the corpus-scale work is the bin aggregate; the fit runs on a
+      // (keys x bins)-bounded grid — linear in scan volume is the bar
+      QueriesModel.qIsotonic(s, dir)
+    },
+    "decompose" -> { (s, dir) =>
+      // same shape: daily-grid aggregate + one window per key + a
+      // broadcast phase join; key count grows with the shifted copies
+      QueriesQuality.qDecompose(s, dir)
+    },
     "closeness_chain" -> { (s, dir) =>
       graft.operators.ShortestPaths.harmonicCloseness(
         chainEdges(s, dir), "src", "dst",

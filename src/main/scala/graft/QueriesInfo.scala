@@ -1008,7 +1008,8 @@ object QueriesInfo {
        |$backward,
        |acc AS ($unionDeltas)
        |SELECT node, CAST(bcm AS BIGINT) AS bc_micro,
-       |  ${hiLo("bcm")} / 1.0e6 AS bc
+       |  ${hiLo("bcm")} / 1.0e6 AS bc,
+       |  (SELECT count(*) FROM l$H) > 0 AS hit_max_hops
        |FROM (SELECT node, sum(delta) AS bcm FROM acc GROUP BY 1)
        |WHERE bcm > 0""".stripMargin
   }

@@ -42,8 +42,11 @@ object Betweenness {
   private def i38(c: Column) = c.cast("decimal(38,0)")
   private def dv(c: Column) = LinearModel.intMomentToDouble(c, 1.0)
 
-  /** (node, bc_micro, bc) for every node with positive sampled
-    * dependency; seeds' own-source dependency excluded per Brandes. */
+  /** (node, bc_micro, bc, hit_max_hops) for every node with positive
+    * sampled dependency; seeds' own-source dependency excluded per
+    * Brandes. `hit_max_hops` (constant per run) is true when the hop
+    * budget cut a live frontier — the caller-visible form of the
+    * horizon-truncation bias above. */
   def sampled(edges: DataFrame, srcCol: String, dstCol: String,
       landmarks: DataFrame, landmarkCol: String, maxHops: Int)
       : DataFrame = {
@@ -88,8 +91,17 @@ object Betweenness {
         seen = prev.unionByName(next.select("seed", "node"))
           .coalesce(nPart).localCheckpoint()
         graft.core.Checkpoints.releaseLocal(prev)
+      } else {
+        // release the terminal empty generation's checkpoint blocks
+        graft.core.Checkpoints.releaseLocal(next)
       }
     }
+    // saturation indicator: the loop stopped at the hop budget with a
+    // live frontier — deeper layers exist that seeded no dependency, so
+    // bc is biased LOW (the scaladoc horizon-truncation caveat, now a
+    // readable output instead of prose). false = the frontier exhausted
+    // itself inside the budget and the sampled accumulation is complete.
+    val hitMaxHops = !done
     graft.core.Checkpoints.releaseLocal(seen)
     // backward: delta in exact micro units, deepest layer first
     val depth = layers.size - 1
@@ -141,6 +153,7 @@ object Betweenness {
             lit("betweenness bc_micro exceeds 2^62: "),
             col("__bcm").cast("string"))))
           .otherwise(col("__bcm").cast("long")).as("bc_micro"),
-        (dv(col("__bcm")) / lit(1.0e6)).as("bc"))
+        (dv(col("__bcm")) / lit(1.0e6)).as("bc"),
+        lit(hitMaxHops).as("hit_max_hops"))
   }
 }

@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * Exactness: every block mean is a rational (exact integer numerator
   * sum over exact positive weight sum); each quantizes through the
-  * exact integral division floor(1e9·num ÷ den), so the MIN/MAX
+  * exact integral division trunc(1e9·num ÷ den) — the remainder-
+  * subtract idiom truncates TOWARD ZERO (both engines' `%` follows the
+  * dividend sign), which equals floor for ynum ≥ 0 — so the MIN/MAX
   * reductions are plain long comparisons and the whole fit is
   * engine-portable bit for bit. Fitted values are the nano-quantized
   * minimax — within 1e-9 of the real-valued fit, deterministically.
-  * Contract: ynum ≥ 0 and weight > 0 (the remainder-subtract idiom is
-  * floor only for non-negative numerators); shift-encode signed data.
+  * Contract: weight > 0; ynum of either sign is engine-portable, but
+  * the quantization direction flips at zero (toward-zero, not floor) —
+  * shift-encode signed data when a uniform floor matters.
   *
   * Shape at 100 TB: the corpus-scale work is whatever aggregation
   * BUILDS the bin table (callers bound bins per key by construction —

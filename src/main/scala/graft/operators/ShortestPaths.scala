@@ -77,6 +77,10 @@ object ShortestPaths {
         seen = prev.unionByName(next.select("node"))
           .coalesce(nPart).localCheckpoint()
         graft.core.Checkpoints.releaseLocal(prev)
+      } else {
+        // the terminal empty generation is still a checkpointed RDD —
+        // release it too (the release-eagerly discipline)
+        graft.core.Checkpoints.releaseLocal(next)
       }
       done = exhausted || hop >= maxHops
     }
@@ -134,6 +138,9 @@ object ShortestPaths {
         seen = prev.unionByName(next.select("seed", "node"))
           .coalesce(nPart).localCheckpoint()
         graft.core.Checkpoints.releaseLocal(prev)
+      } else {
+        // release the terminal empty generation's checkpoint blocks
+        graft.core.Checkpoints.releaseLocal(next)
       }
       done = exhausted || hop >= maxHops
     }

@@ -42,6 +42,20 @@ class BetweennessSpec extends SparkSpec {
     assert(out === Map("b" -> 1000000L))
   }
 
+  test("hit_max_hops flags horizon truncation vs exhaustion") {
+    val edges = undirected(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    def flags(hops: Int) = Betweenness
+      .sampled(edges, "src", "dst", Seq("a").toDF("s"), "s", hops)
+      .select("hit_max_hops").distinct().collect().map(_.getBoolean(0))
+    // hop budget 2 cuts a live frontier (d, e unreached) — biased
+    assert(flags(2).toSeq === Seq(true))
+    // budget 6 > eccentricity 4: frontier exhausts itself — complete
+    assert(flags(6).toSeq === Seq(false))
+    // budget exactly the eccentricity: layer 4 is non-empty when the
+    // loop stops, so the flag is conservatively true (MAY be biased)
+    assert(flags(4).toSeq === Seq(true))
+  }
+
   test("deterministic under repartitioning") {
     val edges = undirected((1 to 60).map(i =>
       (s"n${i % 13}", s"n${(i * 7) % 13}")).filter(p => p._1 != p._2): _*)

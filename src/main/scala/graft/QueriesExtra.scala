@@ -206,22 +206,82 @@ object QueriesExtra {
   // DECIMAL-exact subspace dot and codes come from encodeExact, so the
   // shortlist CUT — the composite's only approximate-order stage — is
   // bit-identical across engines and the whole pipeline hash-checks.
+  // The codebooks are TRAINED (ProductQuantizer.trainExact: md5-sample
+  // init + engine-exact Lloyd rounds through the micro waypoint) — the
+  // oracle unrolls the rounds as CTE chains (the logit-IRLS discipline),
+  // so the production configuration is the trained one, not the
+  // untrained-init recall floor the r13 probe measured.
+  // Geometry picked from the committed RecallProbe sweep (NOTES r14):
+  // trained m=32/ksub=16 reaches the plain-IVF recall CEILING at every
+  // probed nProbe (.1667/.2990/.4919 = IVF's own numbers at nProbe
+  // 1/2/4 — the re-rank shortlist recovers everything the bucket holds),
+  // vs the r13 untrained m=8/ksub=4 floor of .054-.234. Shortlist 40 is
+  // the measured saturation point at nProbe 2.
   private val IvfPqProbe = 2
-  private val IvfPqShortlist = 32
+  private val IvfPqShortlist = 40
   private val IvfPqK = 10
+  private[graft] val IvfPqTrainIters = 2
+  private[graft] val IvfPqM = 32
+  private[graft] val IvfPqKsub = 16
+  private val IvfPqW = 64 / IvfPqM
 
   def qIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cb = graft.similarity.ProductQuantizer.initCodebooks(
-      e, "vec_id", "embedding", dims = 64, m = 8, ksub = 4, seed = 13L)
+    val cb = graft.similarity.ProductQuantizer.trainExact(
+      e, "vec_id", "embedding", dims = 64, m = IvfPqM, ksub = IvfPqKsub,
+      iters = IvfPqTrainIters, seed = 13L)
     graft.similarity.ProductQuantizer.ivfPqRerankTopK(
       e, e.filter(col("vec_id") < 16), cb,
       e.filter(col("vec_id") % 100 === 0),
-      "vec_id", "embedding", "vec_id", dims = 64, m = 8,
+      "vec_id", "embedding", "vec_id", dims = 64, m = IvfPqM,
       nProbe = IvfPqProbe, shortlist = IvfPqShortlist, k = IvfPqK)
   }
 
-  val qIvfpqTopkSql: String =
+  // one engine-exact Lloyd assignment pass: per-(vec, subspace) decimal
+  // dot + centroid norm against centroid-value rows cv(subspace,cid,pos,v)
+  private def pqDotsCte(name: String, cv: String): String =
+    s"""$name AS (
+       |  SELECT e.vec_id, c.subspace, c.cid,
+       |    CAST(SUM(CAST(CAST(e.embedding[c.subspace*$IvfPqW + c.pos] AS DOUBLE)
+       |      * c.v AS DECIMAL(20,12))) AS DECIMAL(30,12)) AS dot,
+       |    CAST(SUM(CAST(c.v * c.v AS DECIMAL(20,12)))
+       |      AS DECIMAL(30,12)) AS c_norm
+       |  FROM embeddings e CROSS JOIN $cv c
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  private def pqCodesCte(name: String, dots: String): String =
+    s"""$name AS (SELECT vec_id, subspace, cid AS code FROM (
+       |  SELECT vec_id, subspace, cid,
+       |    row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY c_norm - 2*dot, cid) AS rn
+       |  FROM $dots) WHERE rn = 1)""".stripMargin
+
+  val qIvfpqTopkSql: String = {
+    // trainExact replay, one round per CTE block: assign (tdots/tcodes),
+    // then the micro-waypoint mean update — per element the canonical
+    // DECIMAL(20,12) value scaled to an exact 1e12 integer (two ×1e6
+    // steps, mirroring the Spark side's 38-digit-cap discipline), per
+    // group trunc(num12 ÷ n·1e6) by remainder-subtract, re-entering
+    // float space as CAST(micro/1e6 AS REAL).
+    val rounds = (0 until IvfPqTrainIters).map { r =>
+      s"""${pqDotsCte(s"tdots$r", s"cv$r")},
+         |${pqCodesCte(s"tcodes$r", s"tdots$r")},
+         |upd$r AS (
+         |  SELECT k.subspace, k.code AS cid, CAST(t.i AS INT) AS pos,
+         |    SUM(CAST(CAST(CAST(CAST(CAST(e.embedding[k.subspace*$IvfPqW + t.i]
+         |      AS DOUBLE) AS DECIMAL(20,12)) * 1000000 AS DECIMAL(28,12))
+         |      * 1000000 AS BIGINT) AS HUGEINT)) AS num12,
+         |    COUNT(*) AS n
+         |  FROM tcodes$r k JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN range(1, ${IvfPqW + 1}) t(i)
+         |  GROUP BY 1, 2, 3),
+         |cv${r + 1} AS (
+         |  SELECT subspace, cid, pos,
+         |    CAST(CAST(CAST(CAST((num12 - num12 % (n*1000000))
+         |      // (n*1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS REAL)
+         |      AS DOUBLE) AS v
+         |  FROM upd$r)""".stripMargin
+    }.mkString(",\n")
     s"""WITH $normCte,
        |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec, norm_sq AS c_norm_sq
        |          FROM n WHERE vec_id < 16),
@@ -243,28 +303,18 @@ object QueriesExtra {
        |    FROM asg_scored WHERE vec_id % 100 = 0) WHERE rn <= $IvfPqProbe),
        |picked AS (
        |  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR) || ':13') AS r
-       |  FROM embeddings ORDER BY r, vec_id LIMIT 4),
+       |  FROM embeddings ORDER BY r, vec_id LIMIT $IvfPqKsub),
        |cbk AS (
        |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INT) AS cid,
        |    embedding AS c
        |  FROM picked),
-       |sub AS (SELECT CAST(s.s AS INT) AS subspace, c.cid, c.c
-       |  FROM cbk c CROSS JOIN range(0, 8) s(s)),
-       |dots AS (
-       |  SELECT v.vec_id, sc.subspace, sc.cid,
-       |    CAST(SUM(CAST(CAST(v.embedding[sc.subspace*8 + i] AS DOUBLE)
-       |      * CAST(sc.c[sc.subspace*8 + i] AS DOUBLE) AS DECIMAL(20,12)))
-       |      AS DECIMAL(30,12)) AS dot,
-       |    CAST(SUM(CAST(CAST(sc.c[sc.subspace*8 + i] AS DOUBLE)
-       |      * CAST(sc.c[sc.subspace*8 + i] AS DOUBLE) AS DECIMAL(20,12)))
-       |      AS DECIMAL(30,12)) AS c_norm
-       |  FROM embeddings v CROSS JOIN sub sc CROSS JOIN range(1, 9) t(i)
-       |  GROUP BY v.vec_id, sc.subspace, sc.cid),
-       |codes AS (SELECT vec_id, subspace, cid AS code FROM (
-       |  SELECT vec_id, subspace, cid,
-       |    row_number() OVER (PARTITION BY vec_id, subspace
-       |      ORDER BY c_norm - 2*dot, cid) AS rn
-       |  FROM dots) WHERE rn = 1),
+       |cv0 AS (SELECT CAST(s.s AS INT) AS subspace, c.cid,
+       |    CAST(t.i AS INT) AS pos, CAST(c.c[s.s*$IvfPqW + t.i] AS DOUBLE) AS v
+       |  FROM cbk c CROSS JOIN range(0, $IvfPqM) s(s)
+       |  CROSS JOIN range(1, ${IvfPqW + 1}) t(i)),
+       |$rounds,
+       |${pqDotsCte("dots", s"cv$IvfPqTrainIters")},
+       |${pqCodesCte("codes", "dots")},
        |adc AS (
        |  SELECT p.query_id, a.vec_id AS nn_id, SUM(d.dot) AS adc
        |  FROM probes p
@@ -291,6 +341,7 @@ object QueriesExtra {
        |  SELECT *, row_number() OVER
        |    (PARTITION BY query_id ORDER BY cos_sim DESC, nn_id) AS rank
        |  FROM rer) WHERE rank <= $IvfPqK""".stripMargin
+  }
 
   // ------------------------------------------------------ hyperplane LSH
   // Signed-random-projection LSH (the LSH-bucketed ANN variant): seeded

@@ -53,21 +53,39 @@ object RecallProbe {
     }
 
     // IVF-PQ re-rank (the q_ivfpq_topk layout): recall vs (nProbe,
-    // shortlist) — the two knobs of the production composite. The PQ
-    // codebook is the registry's deterministic md5-sample init
-    // (ksub=4, m=8): recall here is the FLOOR the trained codebook
-    // only improves on.
-    val codebooks = graft.similarity.ProductQuantizer.initCodebooks(
-      e, "vec_id", "embedding", dims = 64, m = 8, ksub = 4, seed = 13L)
-    for (nProbe <- Seq(1, 2, 4); shortlist <- Seq(k, 2 * k, 4 * k, 8 * k)) {
+    // shortlist) — the two knobs of the production composite — for BOTH
+    // codebook states: the md5-sample init (the r13 floor) and the
+    // PRODUCTION trainExact books the registry ships (engine-exact
+    // Lloyd rounds, same iters as q_ivfpq_topk).
+    // PQ geometry override for dev sweeps: SPARK_GRAFT_PQ="m,ksub,iters"
+    // (defaults to the registry's production configuration)
+    val (pqM, pqKsub, pqIters) = sys.env.get("SPARK_GRAFT_PQ") match {
+      case Some(s) =>
+        val p = s.split(",").map(_.trim.toInt)
+        (p(0), p(1), p(2))
+      case None => (QueriesExtra.IvfPqM, QueriesExtra.IvfPqKsub,
+        QueriesExtra.IvfPqTrainIters)
+    }
+    val initBooks = graft.similarity.ProductQuantizer.initCodebooks(
+      e, "vec_id", "embedding", dims = 64, m = pqM, ksub = pqKsub,
+      seed = 13L)
+    val trainedBooks = graft.similarity.ProductQuantizer.trainExact(
+      e, "vec_id", "embedding", dims = 64, m = pqM, ksub = pqKsub,
+      iters = pqIters, seed = 13L)
+    for {
+      (mode, codebooks) <- Seq("ivfpq_init" -> initBooks,
+        "ivfpq_trained" -> trainedBooks)
+      nProbe <- Seq(1, 2, 4)
+      shortlist <- Seq(k, 2 * k, 4 * k, 8 * k)
+    } {
       val t0 = System.nanoTime()
       val approx = graft.similarity.ProductQuantizer.ivfPqRerankTopK(
         e, centroids, codebooks, queries, "vec_id", "embedding",
-        "vec_id", dims = 64, m = 8, nProbe, shortlist, k)
+        "vec_id", dims = 64, m = pqM, nProbe, shortlist, k)
         .localCheckpoint()
       val sec = (System.nanoTime() - t0) / 1e9
       val recall = CosineSearch.recallAtK(exact, approx)
-      println(f"""{"mode":"ivfpq","nProbe":$nProbe,"shortlist":$shortlist,"recall_at_$k":$recall%.4f,"search_sec":$sec%.3f}""")
+      println(f"""{"mode":"$mode%s","m":$pqM,"ksub":$pqKsub,"iters":$pqIters,"nProbe":$nProbe,"shortlist":$shortlist,"recall_at_$k":$recall%.4f,"search_sec":$sec%.3f}""")
       spark.catalog.clearCache()
     }
     spark.stop()

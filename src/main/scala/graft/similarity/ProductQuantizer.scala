@@ -80,9 +80,14 @@ object ProductQuantizer {
     * and therefore the chosen codes — are bit-identical on any engine
     * (the dotDecimal-vs-float_dot split, see [[CosineSearch]]): the
     * oracle-parity path behind `q_pq_encode`. Slower than [[encode]];
-    * use it to certify a deployment, not in the training loop. */
+    * use it to certify a deployment, not in a float training loop. */
   def encodeExact(vecs: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
+      codebooks: DataFrame, dims: Int, m: Int): DataFrame =
+    encodeExactWith(vecs, idCol, vecCol, codebooks, dims, m)
+      .select(col(idCol), col("codes"))
+
+  private def encodeExactWith(vecs: DataFrame, idCol: String,
+      vecCol: String, codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
     val w = dims / m
     val cbDec = broadcast(codebooks.agg(collect_list(struct(
@@ -97,7 +102,7 @@ object ProductQuantizer {
             subvec(col(vecCol), s, w), e.getField("c_vec"))).as("score"),
           e.getField("cid").as("cid")))).getField("cid")
     vecs.crossJoin(cbDec)
-      .select(col(idCol),
+      .select(col(idCol), col(vecCol),
         transform(sequence(lit(0), lit(m - 1)), s => codeDec(s)).as("codes"))
   }
 
@@ -156,6 +161,81 @@ object ProductQuantizer {
       .localCheckpoint()
     (1 to iters).foreach { _ =>
       val next = pqStep(v, idCol, vecCol, cb, dims, m)
+        .localCheckpoint() // eager: materialized before the release below
+      graft.core.Checkpoints.releaseLocal(cb)
+      cb = next
+    }
+    cb
+  }
+
+  /** One ENGINE-EXACT Lloyd round: [[encodeExact]] assignment (decimal
+    * argmin — bit-stable), then the per-(subspace, code, dimension)
+    * mean quantized through the micro waypoint
+    * `trunc(1e6 · Σ canon(x) ÷ n)`, where canon is the double →
+    * DECIMAL(20,12) canonicalization every oracle query uses and the
+    * trunc is the remainder-subtract exact integral division
+    * (toward-zero on both engines for signed sums). The quantized mean
+    * re-enters float space as `CAST(micro/1e6 AS FLOAT)` — a two-step
+    * IEEE rounding that is deterministic given the integer, so the NEXT
+    * round's decimal dots see bit-identical centroids on any engine.
+    * Same m × ksub output shape as [[pqStep]]; codes that lose every
+    * member disappear (standard Lloyd degeneracy).
+    *
+    * Shuffle shape: the corpus pass is the in-row encode crossJoin, the
+    * update is one (subspace, code, pos) hash aggregation with map-side
+    * combine — identical cost class to [[pqStep]]. Mass contract: the
+    * per-group canonical sum must fit DECIMAL(30,0) micro-units, i.e.
+    * Σ|x|·1e12 < 1e30 per (subspace, code, pos) — beyond astronomically
+    * safe; train on a sample when the corpus itself is 100 TB (standard
+    * PQ practice: codebooks converge on ~1e6 vectors). */
+  def pqStepExact(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide by m ($m)")
+    val w = dims / m
+    val micro6 = lit(1000000L).cast("decimal(7,0)")
+    // per-element exact scaled integer: canon(x)·1e12 as a long — two
+    // ×1e6 decimal multiplies keep every intermediate precision ≤ 38
+    // (a single ×1e12 literal would overflow Spark's 38-digit cap and
+    // silently round)
+    val x12 = ((col("x").cast("double").cast("decimal(20,12)") * micro6)
+      * micro6).cast("long").cast("decimal(20,0)")
+    val sums = encodeExactWith(vecs, idCol, vecCol, codebooks, dims, m)
+      .select(col(vecCol), posexplode(col("codes")).as(Seq("subspace", "cid")))
+      .select(col("subspace"), col("cid"),
+        posexplode(subvec(col(vecCol), col("subspace"), w)).as(Seq("pos", "x")))
+      .groupBy(col("subspace"), col("cid"), col("pos"))
+      .agg(sum(x12).as("num12"), count(lit(1)).as("n"))
+    // trunc(num12 / (n·1e6)) = trunc(1e6 · mean): exact integral
+    // division (quotient is exact, so the decimal division's rounding
+    // has nothing to round)
+    val den = col("n").cast("decimal(19,0)") * micro6
+    val micro = ((col("num12") - col("num12") % den) / den)
+      .cast("decimal(38,0)").cast("long")
+    sums
+      .select(col("subspace"), col("cid"), col("pos"),
+        (micro.cast("double") / lit(1.0e6)).cast("float").as("cval"))
+      .groupBy(col("subspace"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cval")))),
+        p => p.getField("cval")).as("centroid"))
+      .select(col("subspace").cast("int"), col("cid"), col("centroid"))
+  }
+
+  /** Engine-exact training: [[initCodebooks]] + `iters` rounds of
+    * [[pqStepExact]] — the PRODUCTION codebook path. Every step is
+    * replayable in plain SQL (the `q_ivfpq_topk` oracle unrolls it),
+    * so a trained deployment is certifiable bit for bit, and recall is
+    * the trained figure rather than the md5-init floor (RecallProbe
+    * prints both). */
+  def trainExact(vecs: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int, seed: Long = 42L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val v = scope.retain(vecs.select(col(idCol), col(vecCol)))
+    var cb = initCodebooks(v, idCol, vecCol, dims, m, ksub, seed)
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val next = pqStepExact(v, idCol, vecCol, cb, dims, m)
         .localCheckpoint() // eager: materialized before the release below
       graft.core.Checkpoints.releaseLocal(cb)
       cb = next

@@ -156,6 +156,56 @@ class ProductQuantizerSpec extends SparkSpec {
     got.foreach { case (q, n, s) => assert(s == adcAll((q, n))) }
   }
 
+  test("pqStepExact quantizes block means through the micro waypoint") {
+    // hand-checked: canonical(0.15f) = 0.150000005960, canonical(0.2f)
+    // = 0.200000002980 -> num12 = 350000008940, trunc(/2e6) = 175000
+    // -> 0.175f; dim 2: 0.250000000000 + 0.400000005960 -> 325000 ->
+    // 0.325f. The negative vector pins toward-zero truncation.
+    val vecs = Seq(
+      (1L, Array(0.15f, 0.25f)), (2L, Array(0.2f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val cb0 = Seq((0, 0, Array(0f, 0f))).toDF("subspace", "cid", "centroid")
+    val out = ProductQuantizer.pqStepExact(vecs, "vec_id", "embedding",
+        cb0, dims = 2, m = 1)
+      .select("subspace", "cid", "centroid")
+      .as[(Int, Int, Array[Float])].collect()
+    assert(out.length == 1)
+    assert(out.head._3.toSeq == Seq(0.175f, 0.325f))
+
+    val neg = Seq((1L, Array(-0.15f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val outNeg = ProductQuantizer.pqStepExact(neg, "vec_id", "embedding",
+        cb0, dims = 2, m = 1)
+      .select("centroid").as[Array[Float]].collect()
+    // canonical(-0.15f) = -0.150000005960 -> trunc = -150000 -> -0.15f
+    assert(outNeg.head.toSeq == Seq(-0.15f, -0.25f))
+  }
+
+  test("trainExact is layout-independent and descends the objective") {
+    def books(df: org.apache.spark.sql.DataFrame) =
+      ProductQuantizer.trainExact(df, "vec_id", "embedding",
+          dims, m = 8, ksub = 4, iters = 2, seed = 13L)
+        .orderBy("subspace", "cid")
+        .as[(Int, Int, Array[Float])].collect()
+        .map { case (s, c, v) => (s, c, v.toSeq) }
+    val a = books(e)
+    val b = books(e.repartition(7))
+    assert(a.toSeq == b.toSeq,
+      "trainExact diverged under repartitioning — the micro waypoint leaked")
+
+    def surrogate(iters: Int): Double = {
+      val cb = ProductQuantizer.trainExact(e, "vec_id", "embedding",
+        dims, m = 8, ksub = 4, iters = iters, seed = 13L)
+      ProductQuantizer.inertiaSurrogate(e, "vec_id", "embedding",
+        cb, dims, m = 8)
+    }
+    val s0 = surrogate(0)
+    val s2 = surrogate(2)
+    info(f"exact-train surrogate: init $s0%.5f, 2 rounds $s2%.5f")
+    // micro quantization (1e-6 per element) cannot mask Lloyd descent
+    assert(s2 < s0, s"exact training never improved the objective: $s0 -> $s2")
+  }
+
   test("IVF-PQ re-rank degenerates to exact brute force at full width") {
     // nProbe = |centroids| and shortlist = |corpus| remove both
     // approximations, so the exact re-rank must reproduce

@@ -358,7 +358,7 @@ object QueriesFunnel {
 
   // ----------------------------------------------------- seasonal decomp
   // Classical additive decomposition of each event type's daily volume
-  // (operators.SeasonalDecompose): centered MA(7) trend, per-weekday
+  // (operators.Decompose.additiveIntegral): centered MA(7) trend, per-weekday
   // seasonal index, residual. Scaled-integer discipline end to end —
   // every reported double is ONE division of exact integers, so the
   // hash compare needs no decimal rounding. Day rendered as a string
@@ -367,7 +367,7 @@ object QueriesFunnel {
     val daily = t(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    graft.operators.SeasonalDecompose.additive(
+    graft.operators.Decompose.additiveIntegral(
       daily, Seq("event_type"), "day", "n", Season,
       pmod(datediff(col("day"), lit("1970-01-01")), lit(Season)))
       .select(col("event_type"),

@@ -384,7 +384,7 @@ object QueriesQuality {
         datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
           .cast("long").as("pos"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
-    graft.operators.Decompose.additive(
+    graft.operators.Decompose.additiveMicro(
       daily, "event_type", "pos", "v", period = 7, halfWin = 3)
   }
 

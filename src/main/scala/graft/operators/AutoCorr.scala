@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Per-key autocorrelation table: the serial-dependence diagnostic a
   * pipeline reads before trusting i.i.d.-assuming statistics (bootstrap
   * SEs, Welch tests) on time-ordered metrics, and the standard
-  * seasonality probe next to `SeasonalDecompose` (a spike at lag 7 on
+  * seasonality probe next to `Decompose` (a spike at lag 7 on
   * daily data = weekly cycle).
   *
   * Definition (documented variant): ACF at lag l is the PEARSON

@@ -115,11 +115,22 @@ object FuzzyJoin {
     * strings; the prefix path remains better for long texts where n is
     * large and grams are diverse.
     *
-    * Exactness: candidates are a superset (deletion distance lower-
-    * bounds edit distance within the same length band) and the banded
-    * levenshtein verify keeps only true pairs — equivalence with
-    * [[editDistancePairs]] is spec-pinned. d ∈ {1, 2}. Output:
-    * (id_a, id_b, dist), id_a < id_b; NULL strings never match. */
+    * d = 1 runs the POSITION-KEYED refinement ([[positionedPairs1]]):
+    * keying each deletion variant by its deletion position makes the
+    * screen EXACT — same-position variants equal ⟺ the strings differ
+    * by one substitution; a depth-1 variant equal to the other string
+    * itself ⟺ one indel — so the candidate set IS the answer set and
+    * zero false pairs reach the verify expression. On low-entropy keys
+    * the unpositioned join's dominant cost is exactly the ed-2
+    * shift-pair mass (delete position i in one string, j≠i in the
+    * other, e.g. digit rotations through runs of zeros), which the
+    * position key structurally excludes.
+    *
+    * Exactness: candidates are a superset (d=1: exactly the answer
+    * set) and the banded levenshtein verify keeps only true pairs —
+    * equivalence with [[editDistancePairs]] is spec-pinned.
+    * d ∈ {1, 2}. Output: (id_a, id_b, dist), id_a < id_b; NULL strings
+    * never match. */
   def deletionPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, scope: CacheScope = CacheScope.session): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
@@ -128,19 +139,25 @@ object FuzzyJoin {
       .filter(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .withColumn("__len", length(col("__s"))))
-    // md5 keys: fixed-width shuffle rows regardless of string length
-    val keyed = base.select(col("__id"), col("__len"),
-      explode(neighborhood(maxDist)).as("__v"))
-      .select(col("__id"), col("__len"), md5(col("__v")).as("__k"))
-    val cands = keyed.select(col("__id").as("id_a"),
-        col("__len").as("__la"), col("__k"))
-      .join(keyed.select(col("__id").as("id_b"), col("__len").as("__lb"),
-        col("__k")), Seq("__k"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(col("__la") - col("__lb")) <= maxDist)
-      .select(col("id_a"), col("id_b"))
-      .distinct() // verify each surviving pair once
+    val cands =
+      if (maxDist == 1) {
+        val (k0, k1) = positionedKeys(base)
+        positionedPairs1(k0, k1, k0, k1, selfPairs = true)
+      } else {
+        // md5 keys: fixed-width shuffle rows regardless of string length
+        val keyed = base.select(col("__id"), col("__len"),
+          explode(neighborhood(maxDist)).as("__v"))
+          .select(col("__id"), col("__len"), md5(col("__v")).as("__k"))
+        keyed.select(col("__id").as("id_a"),
+            col("__len").as("__la"), col("__k"))
+          .join(keyed.select(col("__id").as("id_b"),
+            col("__len").as("__lb"), col("__k")), Seq("__k"))
+          .filter(col("id_a") < col("id_b") &&
+            abs(col("__la") - col("__lb")) <= maxDist)
+          .select(col("id_a"), col("id_b"))
+      }
     cands
+      .distinct() // verify each surviving pair once
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")),
         Seq("id_a"))
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")),
@@ -149,6 +166,66 @@ object FuzzyJoin {
       .filter(col("__dist") =!= -1)
       .select(col("id_a"), col("id_b"),
         col("__dist").cast("long").as("dist"))
+  }
+
+  /** Depth-0 (the string itself) and position-keyed depth-1 deletion
+    * rows for one side: (__id, __len, __k) and (__id, __len, __i, __k). */
+  private def positionedKeys(base: DataFrame): (DataFrame, DataFrame) = {
+    val k0 = base.select(col("__id"), col("__len"), md5(col("__s")).as("__k"))
+    val k1 = base
+      .select(col("__id"), col("__len"),
+        posexplode(deletions(col("__s"))).as(Seq("__i", "__v")))
+      .select(col("__id"), col("__len"), col("__i"), md5(col("__v")).as("__k"))
+    (k0, k1)
+  }
+
+  /** The exact d=1 candidate legs over position-keyed variants — every
+    * emitted pair is a true ed ≤ 1 pair (modulo md5 collisions, which
+    * the verify would catch):
+    *  - SUB leg: depth-1 ⋈ depth-1 on (variant, position), equal
+    *    lengths — deleting the SAME position from both yields equality
+    *    iff the strings agree everywhere else (one substitution, or
+    *    identical strings).
+    *  - INDEL legs: depth-1 of the longer side ⋈ depth-0 of the
+    *    shorter — the shorter string IS a deletion variant of the
+    *    longer iff they are one insertion/deletion apart.
+    *  - DUP leg: depth-0 ⋈ depth-0 — identical strings (dist 0),
+    *    needed because empty strings have no deletions.
+    * `selfPairs` orients output as id_a < id_b (self-join); otherwise
+    * pairs keep (left, right) roles and all four directions emit. */
+  private def positionedPairs1(l0: DataFrame, l1: DataFrame,
+      r0: DataFrame, r1: DataFrame, selfPairs: Boolean): DataFrame = {
+    def side(df: DataFrame, suf: String, cols: String*) =
+      df.select((Seq("__id", "__len") ++ cols)
+        .map(c => col(c).as(s"${c}_$suf")): _*)
+    def pair(a: Column, b: Column) =
+      if (selfPairs) Seq(least(a, b).as("id_a"), greatest(a, b).as("id_b"))
+      else Seq(a.as("id_a"), b.as("id_b"))
+    val sub = l1.select(col("__id").as("id_a"), col("__len").as("__la"),
+        col("__i"), col("__k"))
+      .join(r1.select(col("__id").as("id_b"), col("__len").as("__lb"),
+        col("__i"), col("__k")), Seq("__k", "__i"))
+      .filter(col("__la") === col("__lb") &&
+        (if (selfPairs) col("id_a") < col("id_b") else lit(true)))
+      .select(col("id_a"), col("id_b"))
+    val delL = side(l1, "a", "__k")
+      .join(side(r0, "b", "__k"),
+        col("__k_a") === col("__k_b") &&
+          col("__len_a") === col("__len_b") + 1)
+      .select(pair(col("__id_a"), col("__id_b")): _*)
+    val delR = side(l0, "a", "__k")
+      .join(side(r1, "b", "__k"),
+        col("__k_a") === col("__k_b") &&
+          col("__len_b") === col("__len_a") + 1)
+      .select(pair(col("__id_a"), col("__id_b")): _*)
+    val dup = side(l0, "a", "__k")
+      .join(side(r0, "b", "__k"), col("__k_a") === col("__k_b") &&
+        (if (selfPairs) col("__id_a") < col("__id_b") else lit(true)))
+      .select(pair(col("__id_a"), col("__id_b")): _*)
+    if (selfPairs)
+      // the two indel directions are mirrors of one join — emit one
+      sub.union(delL).union(dup)
+    else sub.union(delL).union(delR).union(dup)
   }
 
   /** ≤`maxDist`-deletion neighborhood of `__s` (incl. the string
@@ -251,23 +328,30 @@ object FuzzyJoin {
       scope: CacheScope): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"deletion neighborhoods are practical for d in {1, 2}, got $maxDist")
-    def keyedSide(df: DataFrame, idCol: String, idAs: String)
-        : (DataFrame, DataFrame) = {
-      val base = scope.retain(df
-        .filter(col(strCol).isNotNull)
-        .select(col(idCol).as("__id"), col(strCol).as("__s"))
-        .withColumn("__len", length(col("__s"))))
-      val keyed = base.select(col("__id").as(idAs),
-        col("__len").as(s"__len_$idAs"),
-        explode(neighborhood(maxDist)).as("__v"))
-        .select(col(idAs), col(s"__len_$idAs"), md5(col("__v")).as("__k"))
-      (base, keyed)
-    }
-    val (lBase, lKeyed) = keyedSide(left, leftId, "id_l")
-    val (rBase, rKeyed) = keyedSide(right, rightId, "id_r")
-    lKeyed.join(rKeyed, Seq("__k"))
-      .filter(abs(col("__len_id_l") - col("__len_id_r")) <= maxDist)
-      .select(col("id_l"), col("id_r"))
+    def sideBase(df: DataFrame, idCol: String) = scope.retain(df
+      .filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__len", length(col("__s"))))
+    val lBase = sideBase(left, leftId)
+    val rBase = sideBase(right, rightId)
+    val cands =
+      if (maxDist == 1) {
+        // position-keyed exact legs (see deletionPairs): (id_a, id_b)
+        // carry the (left, right) roles here
+        val (l0, l1) = positionedKeys(lBase)
+        val (r0, r1) = positionedKeys(rBase)
+        positionedPairs1(l0, l1, r0, r1, selfPairs = false)
+          .select(col("id_a").as("id_l"), col("id_b").as("id_r"))
+      } else {
+        def keyed(base: DataFrame, idAs: String) = base
+          .select(col("__id").as(idAs), col("__len").as(s"__len_$idAs"),
+            explode(neighborhood(maxDist)).as("__v"))
+          .select(col(idAs), col(s"__len_$idAs"), md5(col("__v")).as("__k"))
+        keyed(lBase, "id_l").join(keyed(rBase, "id_r"), Seq("__k"))
+          .filter(abs(col("__len_id_l") - col("__len_id_r")) <= maxDist)
+          .select(col("id_l"), col("id_r"))
+      }
+    cands
       .distinct()
       .join(lBase.select(col("__id").as("id_l"), col("__s").as("__sl")),
         Seq("id_l"))

@@ -4,13 +4,13 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-class SeasonalDecomposeSpec extends SparkSpec {
+class DecomposeIntegralSpec extends SparkSpec {
   import spark.implicits._
 
   private val pos7 = pmod(col("t"), lit(7))
 
   private def decomp(rows: Seq[(String, Long, Long)], period: Int) =
-    SeasonalDecompose.additive(
+    Decompose.additiveIntegral(
       rows.toDF("k", "t", "v"), Seq("k"), "t", "v", period,
       pmod(col("t"), lit(period)))
 
@@ -80,7 +80,7 @@ class SeasonalDecomposeSpec extends SparkSpec {
   test("non-integral value columns are rejected") {
     val df = Seq(("a", 1L, 1.5)).toDF("k", "t", "v")
     val ex = intercept[IllegalArgumentException] {
-      SeasonalDecompose.additive(df, Seq("k"), "t", "v", 7, pos7)
+      Decompose.additiveIntegral(df, Seq("k"), "t", "v", 7, pos7)
     }
     assert(ex.getMessage.contains("integral"))
   }

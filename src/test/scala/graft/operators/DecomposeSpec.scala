@@ -16,7 +16,7 @@ class DecomposeSpec extends SparkSpec {
     // must equal the pattern, residual must be 0
     val pat = Array(3.0, -1.0, 2.0, -4.0, 0.0, 1.0, -1.0)
     val df = series(p => 100.0 + pat((p % 7).toInt), 28)
-    val got = Decompose.additive(df, "k", "pos", "v", 7, 3)
+    val got = Decompose.additiveMicro(df, "k", "pos", "v", 7, 3)
       .filter(col("trend").isNotNull)
       .select("pos", "trend", "seasonal", "resid")
       .as[(Long, Double, Double, Double)].collect()
@@ -30,7 +30,7 @@ class DecomposeSpec extends SparkSpec {
 
   test("the decomposition reconstructs the value exactly (interior)") {
     val df = series(p => 50.0 + 2.5 * p + (p * 37 % 11).toDouble, 30)
-    val got = Decompose.additive(df, "k", "pos", "v", 7, 3)
+    val got = Decompose.additiveMicro(df, "k", "pos", "v", 7, 3)
       .filter(col("trend_micro").isNotNull)
       .select(col("v"), col("trend_micro"), col("seasonal_micro"),
         col("resid_micro"))
@@ -44,7 +44,7 @@ class DecomposeSpec extends SparkSpec {
 
   test("seasonal components re-center to ~0 over one period") {
     val df = series(p => 10.0 * ((p * 13) % 7).toDouble + 0.5 * p, 35)
-    val seas = Decompose.additive(df, "k", "pos", "v", 7, 3)
+    val seas = Decompose.additiveMicro(df, "k", "pos", "v", 7, 3)
       .filter(col("pos") < 7).select("seasonal_micro")
       .as[Long].collect()
     assert(seas.length == 7)
@@ -54,7 +54,7 @@ class DecomposeSpec extends SparkSpec {
 
   test("a series shorter than the window survives with null components") {
     val df = series(p => p.toDouble, 4)
-    val got = Decompose.additive(df, "k", "pos", "v", 7, 3)
+    val got = Decompose.additiveMicro(df, "k", "pos", "v", 7, 3)
       .select("pos", "trend_micro").as[(Long, Option[Long])].collect()
     assert(got.length == 4)
     assert(got.forall(_._2.isEmpty))

@@ -488,6 +488,101 @@ object QueriesQuality {
        |FROM mh""".stripMargin
   }
 
+  // -------------------------------------------------------- drift pipeline
+  // The end-to-end drift GATE (ChangeDetect.pageHinkleyDeseasonalized):
+  // seasonal-decompose the daily value sums (the q_decompose grid),
+  // then Page-Hinkley on the RESIDUAL alone — weekly rhythm can never
+  // fire the detector, only a genuine step against the deseasonalized
+  // history. The oracle replays the decompose CTE chain, the
+  // toward-zero cents truncation of the residual, and the PH window
+  // recursion in one integer-exact pipeline (the q_gate_pipeline
+  // composite precedent).
+  private val DriftDelta = 0.5
+  private val DriftLambda = 200.0
+
+  def qDriftPipeline(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events").filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("pos"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    graft.operators.ChangeDetect.pageHinkleyDeseasonalized(
+      daily, "event_type", "pos", "v", period = 7, halfWin = 3,
+      delta = DriftDelta, lambda = DriftLambda)
+  }
+
+  val qDriftPipelineSql: String = {
+    val deltaMicro = math.round(DriftDelta * 100.0 * 1e6)
+    val lambdaMicro = math.round(DriftLambda * 100.0 * 1e6)
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS pos,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |b AS (
+       |  SELECT event_type, pos, v,
+       |    CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+       |    count(*) OVER w AS wn,
+       |    sum(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS ws
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY pos
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |t AS (
+       |  SELECT event_type, pos, v, c,
+       |    CASE WHEN wn = 7
+       |      THEN (CAST(ws AS HUGEINT) * 10000) // wn END AS trend_micro
+       |  FROM b),
+       |d AS (
+       |  SELECT event_type, pos % 7 AS ph,
+       |    CAST(c AS HUGEINT) * 10000 - trend_micro AS dd
+       |  FROM t WHERE trend_micro IS NOT NULL),
+       |p AS (SELECT event_type, ph, sum(dd) // count(*) AS pm
+       |  FROM d GROUP BY 1, 2),
+       |a AS (SELECT event_type, sum(pm) // count(*) AS adj
+       |  FROM p GROUP BY 1),
+       |se AS (
+       |  SELECT p.event_type, p.ph,
+       |    CAST(p.pm - a.adj AS BIGINT) AS seasonal_micro
+       |  FROM p JOIN a ON p.event_type = a.event_type),
+       |r AS (
+       |  SELECT t.event_type, t.pos, t.v,
+       |    CAST(CAST(t.c AS HUGEINT) * 10000 - t.trend_micro
+       |      - se.seasonal_micro AS BIGINT) AS resid_micro
+       |  FROM t JOIN se
+       |    ON t.event_type = se.event_type AND t.pos % 7 = se.ph
+       |  WHERE t.trend_micro IS NOT NULL),
+       |rc AS (
+       |  SELECT event_type, pos, v, resid_micro,
+       |    ((resid_micro - resid_micro % 10000) // 10000) * 100 AS cents
+       |  FROM r),
+       |w2 AS (
+       |  SELECT event_type, pos, v, resid_micro, cents,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY pos) AS BIGINT) AS rn,
+       |    sum(cents) OVER (PARTITION BY event_type ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runc
+       |  FROM rc),
+       |inc AS (
+       |  SELECT event_type, pos, v, resid_micro, rn,
+       |    ((CAST(rn AS HUGEINT) * cents - CAST(runc AS HUGEINT))
+       |      * 10000) // rn - $deltaMicro AS inc
+       |  FROM w2),
+       |mh AS (
+       |  SELECT event_type, pos, v, resid_micro, rn,
+       |    sum(inc) OVER (PARTITION BY event_type ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mh
+       |  FROM inc)
+       |SELECT event_type, pos, v,
+       |  CAST(resid_micro AS DOUBLE) / 1.0e6 AS resid,
+       |  CAST(mh - min(mh) OVER (PARTITION BY event_type ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS DOUBLE) / 1.0e8 AS ph,
+       |  (mh - min(mh) OVER (PARTITION BY event_type ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |    > $lambdaMicro AS is_change
+       |FROM mh""".stripMargin
+  }
+
   // ---------------------------------------------------------------- cusum
   // CUSUM drift per event type over event time — integer-cents
   // arithmetic end to end (see ChangeDetect), one double division at
@@ -1145,6 +1240,7 @@ object QueriesQuality {
     "q_attribution" -> (qAttribution _),
     "q_cusum" -> (qCusum _),
     "q_page_hinkley" -> (qPageHinkley _),
+    "q_drift_pipeline" -> (qDriftPipeline _),
     "q_decompose" -> (qDecompose _),
     "q_quarantine" -> (qQuarantine _),
     "q_wmedian" -> (qWmedian _),
@@ -1182,6 +1278,7 @@ object QueriesQuality {
     "q_attribution" -> qAttributionSql,
     "q_cusum" -> qCusumSql,
     "q_page_hinkley" -> qPageHinkleySql,
+    "q_drift_pipeline" -> qDriftPipelineSql,
     "q_decompose" -> qDecomposeSql,
     "q_quarantine" -> qQuarantineSql,
     "q_wmedian" -> qWmedianSql,

@@ -94,4 +94,54 @@ object ChangeDetect {
       .withColumn("is_change", col("ph_micro") > lambdaMicro)
       .drop("__inc", "__mh")
   }
+
+  /** Page-Hinkley on the DESEASONALIZED residual — the end-to-end drift
+    * gate: [[Decompose.additiveMicro]] first splits the series into
+    * calendar structure vs trend vs noise, then [[pageHinkley]] runs on
+    * the residual alone, so a weekly rhythm (or any period-`period`
+    * pattern) can NEVER fire the detector — only a genuine level step
+    * against the deseasonalized history can. Raw-series PH fires on
+    * every strong seasonal swing; this is the production form
+    * (spec-demonstrated: rhythm-only series stays silent, an injected
+    * step alarms).
+    *
+    * Exactness chain: cents quantization (decompose) → exact micro
+    * residual → TOWARD-ZERO truncation back to cents (the rounding
+    * both engines share — one derived-cent of quantization, far below
+    * any useful δ) → the integer-exact PH recursion in cent units.
+    * Every reported number is exact-integer-derived, so the whole
+    * composite hash-matches a SQL replay.
+    *
+    * `delta`/`lambda` arrive in VALUE units (internally ×100 to cents).
+    * Rows where the decompose window is truncated (null residual: the
+    * series edges) are excluded from the PH pass — the detector sees
+    * the interior only. Output: key, pos, value, resid, ph (value
+    * units), is_change.
+    *
+    * Cost: the decompose passes plus ONE more per-key window sort over
+    * the (keys × grid)-bounded residual table — callers aggregate the
+    * corpus to the (key, pos) grid first, so nothing here is
+    * corpus-scale. */
+  def pageHinkleyDeseasonalized(df: DataFrame, keyCol: String,
+      posCol: String, valueCol: String, period: Int, halfWin: Int,
+      delta: Double, lambda: Double,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : DataFrame = {
+    val dec = Decompose.additiveMicro(df, keyCol, posCol, valueCol,
+      period, halfWin, scope)
+    val rm = col("resid_micro").cast("decimal(38,0)")
+    val residCents = ((rm - rm % 10000L) / 10000L)
+      .cast("decimal(38,0)").cast("long")
+    val resid = dec.filter(col("resid_micro").isNotNull)
+      .select(col(keyCol), col(posCol), col(valueCol),
+        col("resid_micro"),
+        residCents.cast("double").as("__rc"))
+    pageHinkley(resid, keyCol, posCol, posCol, "__rc",
+        delta * 100.0, lambda * 100.0)
+      .select(col(keyCol), col(posCol), col(valueCol),
+        (col("resid_micro").cast("double") / lit(1.0e6)).as("resid"),
+        // ph_micro is micro-of-cents -> 1e-8 of a value unit
+        (col("ph_micro").cast("double") / lit(1.0e8)).as("ph"),
+        col("is_change"))
+  }
 }

@@ -178,4 +178,22 @@ object StateStream {
   def binCountModel(binCol: String): Model = Model(
     fold = b => graft.operators.Divergence.binCounts(b, binCol),
     merge = s => graft.operators.Divergence.mergeBinCounts(s))
+
+  /** Per-key integer-CENTS value sums + row counts — the grid state
+    * behind the LIVE deseasonalized drift gate: keys = (metric key,
+    * period tick), counter addition is the merge, and the merged
+    * current view feeds
+    * [[graft.operators.ChangeDetect.pageHinkleyDeseasonalized]]
+    * (decompose → Page-Hinkley on the residual) at any time without
+    * replaying rows. Cents quantization keeps batch-split state
+    * bit-equal to the whole-data grid (spec-pinned: kill/resume
+    * reproduces the uninterrupted readout exactly). */
+  def keyedCentsModel(keys: Seq[String], valueCol: String): Model = Model(
+    fold = b => b.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sum((col(valueCol).cast("decimal(18,2)") * lit(100))
+        .cast("long")).as("cents_sum"),
+        count(lit(1)).as("n")),
+    merge = s => s.groupBy(keys.map(col): _*)
+      .agg(sum(col("cents_sum")).as("cents_sum"), sum(col("n")).as("n")))
 }

@@ -232,6 +232,20 @@ object ScaleCheck {
       // broadcast phase join; key count grows with the shifted copies
       QueriesQuality.qDecompose(s, dir)
     },
+    "page_hinkley" -> { (s, dir) =>
+      // ONE per-key window sort carries rank, running sum, running min
+      // (no totals join) — linear in scan volume is the bar
+      QueriesQuality.qPageHinkley(s, dir)
+    },
+    "mojibake" -> { (s, dir) =>
+      // pure per-document expression scan — embarrassingly parallel
+      QueriesText.qMojibake(s, dir)
+    },
+    "fertility" -> { (s, dir) =>
+      // token-count aggregate over the documents scan; the readout
+      // grid is bounded — flat-to-linear is the bar
+      QueriesText.qFertility(s, dir)
+    },
     "closeness_chain" -> { (s, dir) =>
       graft.operators.ShortestPaths.harmonicCloseness(
         chainEdges(s, dir), "src", "dst",

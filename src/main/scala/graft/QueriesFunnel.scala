@@ -503,6 +503,111 @@ object QueriesFunnel {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------------------ ljung-box
+  // Ljung-Box whiteness test of each user's daily event-count series
+  // at lags 1..3 (AutoCorr.ljungBox): classical global-mean ACF
+  // estimator via the n²-scaled integer expansion (no mean ever
+  // materialized), one double division per lag, terms added in
+  // explicit ascending-lag left-associative order — the whole χ²
+  // statistic is a fixed-shape double over exact integers.
+  private val LbMaxLag = 3
+
+  def qLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.AutoCorr.ljungBox(daily, "user_id", "day", "cnt",
+      LbMaxLag)
+  }
+
+  val qLjungBoxSql: String = {
+    val lagCols = (1 to LbMaxLag).map(l =>
+      s"lag(x, $l) OVER (PARTITION BY user_id ORDER BY day) AS x$l")
+      .mkString(",\n  ")
+    val perLag = (1 to LbMaxLag).map(l =>
+      s"""sum(CASE WHEN x$l IS NOT NULL THEN CAST(x AS HUGEINT) * x$l END) AS sxy$l,
+         |    sum(CASE WHEN x$l IS NOT NULL THEN x END) AS sy$l,
+         |    sum(CASE WHEN x$l IS NOT NULL THEN x$l END) AS sxl$l""".stripMargin)
+      .mkString(",\n    ")
+    val den = "(CAST(n AS HUGEINT) * n * ss - CAST(n AS HUGEINT) * t * t)"
+    val terms = (1 to LbMaxLag).map { k =>
+      val num = s"(CAST(n AS HUGEINT) * n * sxy$k" +
+        s" - CAST(n AS HUGEINT) * t * (CAST(sy$k AS HUGEINT) + sxl$k)" +
+        s" + CAST(n - $k AS HUGEINT) * t * t)"
+      s"((CAST($num AS DOUBLE) / CAST($den AS DOUBLE))" +
+        s" * (CAST($num AS DOUBLE) / CAST($den AS DOUBLE)))" +
+        s" / (CAST(n AS DOUBLE) - $k.0)"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |q AS (SELECT user_id, day,
+       |    CAST(CAST(cnt AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+       |  FROM daily),
+       |l AS (SELECT user_id, x,
+       |  $lagCols
+       |  FROM q),
+       |m AS (
+       |  SELECT user_id, count(*) AS n, sum(x) AS t,
+       |    sum(CAST(x AS HUGEINT) * x) AS ss,
+       |    $perLag
+       |  FROM l GROUP BY 1)
+       |SELECT user_id, n,
+       |  CASE WHEN n > $LbMaxLag AND CAST($den AS DOUBLE) > 0.0 THEN
+       |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($terms)
+       |  END AS q_stat
+       |FROM m""".stripMargin
+  }
+
+  // --------------------------------------------------------- mann-kendall
+  // Mann-Kendall monotone-trend test of each event type's daily volume
+  // (TrendTest.mannKendall): S over sign pairs, tie-corrected 18·Var(S)
+  // as an exact integer, continuity-corrected z — the hypothesis-test
+  // companion to q_robust_trend's Theil-Sen slope on the same grid.
+  def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.TrendTest.mannKendall(daily, "event_type", "day", "cnt")
+  }
+
+  val qMannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, day,
+      |    CAST(CAST(cnt AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM daily),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b2.c > a.c THEN 1
+      |      WHEN b2.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM b a JOIN b b2
+      |    ON a.event_type = b2.event_type AND a.day < b2.day
+      |  GROUP BY 1),
+      |g AS (SELECT event_type, c, count(*) AS t FROM b GROUP BY 1, 2),
+      |ties AS (
+      |  SELECT event_type,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie,
+      |    CAST(sum(t) AS BIGINT) AS n
+      |  FROM g GROUP BY 1),
+      |v AS (
+      |  SELECT ties.event_type, n, COALESCE(s.s_stat, 0) AS s_stat,
+      |    n * (n - 1) * (2 * n + 5) - tie AS var18
+      |  FROM ties LEFT JOIN s ON ties.event_type = s.event_type)
+      |SELECT event_type, n, s_stat, var18,
+      |  CASE WHEN n >= 2 AND var18 > 0 THEN
+      |    CASE WHEN s_stat > 0
+      |      THEN (CAST(s_stat AS DOUBLE) - 1.0)
+      |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |    WHEN s_stat < 0
+      |      THEN (CAST(s_stat AS DOUBLE) + 1.0)
+      |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END
+      |  END AS z
+      |FROM v""".stripMargin
+
   // ------------------------------------------------------------------ ccf
   // Per-event-type lead–lag: does daily event VOLUME predict daily
   // DISTINCT USERS l days ahead? Cross-correlation at lags 0..3
@@ -614,6 +719,8 @@ object QueriesFunnel {
     "q_rolling_trend" -> (qRollingTrend _),
     "q_ccf" -> (qCcf _),
     "q_acf" -> (qAcf _),
+    "q_ljung_box" -> (qLjungBox _),
+    "q_mann_kendall" -> (qMannKendall _),
     "q_funnel" -> (qFunnel _),
     "q_transitions" -> (qTransitions _),
     "q_anomaly" -> (qAnomaly _),
@@ -632,6 +739,8 @@ object QueriesFunnel {
     "q_rolling_trend" -> qRollingTrendSql,
     "q_ccf" -> qCcfSql,
     "q_acf" -> qAcfSql,
+    "q_ljung_box" -> qLjungBoxSql,
+    "q_mann_kendall" -> qMannKendallSql,
     "q_funnel" -> qFunnelSql,
     "q_transitions" -> qTransitionsSql,
     "q_anomaly" -> qAnomalySql,

@@ -695,7 +695,10 @@ object QueriesModel {
     s"$a * ($q * $z - $r * $y) - $b * ($p * $z - $r * $x)" +
       s" + $c * ($p * $y - $q * $x)"
 
-  val qLogitIrlsSql: String = {
+  /** The logistic-IRLS CTE chain over a `grid(x1c, x2c, y, cnt)` CTE —
+    * b0i through b$iters, reusable by every query that fits a logistic
+    * on a discrete feature grid (q_logit_irls, q_psm). */
+  private def irlsChainSql(iters: Int): String = {
     // integer-unit rescaling: cents carry 1e-2 per feature factor,
     // w16 1e-16, wz12 1e-12 (mirrors logisticIrlsGrid's dv()).
     val scales = Seq("sww" -> "1.0e16", "swx1" -> "1.0e18",
@@ -716,7 +719,7 @@ object QueriesModel {
     val (sww, swx1, swx2) = (d("sww"), d("swx1"), d("swx2"))
     val (swx11, swx12, swx22) = (d("swx11"), d("swx12"), d("swx22"))
     val (swz, swzx1, swzx2) = (d("swz"), d("swzx1"), d("swzx2"))
-    val iters = (1 to 3).map { k =>
+    val chain = (1 to iters).map { k =>
       val prev = if (k == 1) "b0i" else s"b${k - 1}"
       s"""it$k AS (SELECT g.cnt, g.x1c, g.x2c, g.y,
          |    greatest(least(b.b0
@@ -759,6 +762,11 @@ object QueriesModel {
                         swx2, swx12, swzx2)} AS det2
          |  FROM a$k))""".stripMargin
     }.mkString(",\n")
+    s"""b0i AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+       |$chain""".stripMargin
+  }
+
+  val qLogitIrlsSql: String =
     s"""WITH grid AS (
        |  SELECT
        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1c,
@@ -769,12 +777,10 @@ object QueriesModel {
        |  WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
        |    AND l_tax IS NOT NULL
        |  GROUP BY 1, 2, 3),
-       |b0i AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
-       |$iters
+       |${irlsChainSql(3)}
        |SELECT n, b0, b1, b2
        |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid)
        |CROSS JOIN b3""".stripMargin
-  }
 
   // ------------------------------------------------------- huber_irls
   // Robust price-on-(quantity, discount) fit: the Huber weight
@@ -959,8 +965,109 @@ object QueriesModel {
        |FROM fin""".stripMargin
   }
 
+  // ------------------------------------------------------------------ psm
+  // Propensity-score matching end to end (the causal family's third
+  // leg beside q_did/q_cuped): per-user treatment = "more errors than
+  // signups", covariates = capped activity volume/spread, propensity
+  // linear index from the SAME 3-round relational IRLS as
+  // q_logit_irls (the chain SQL is shared), floor-quantized to micro;
+  // PropensityMatch.nearestByScore then 1:1-matches treated to nearest
+  // control within a caliper via the banded-bucket join (no global
+  // sort), and matched pairs carry the outcome difference. Every
+  // matching decision is integer arithmetic over the quantized index,
+  // so the full composite hash-checks.
+  private val PsmCaliper = 50000L // 0.05 linear-index units, in micro
+
+  def qPsm(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        (count(when(col("event_type") === "error", 1)) >
+          count(when(col("event_type") === "signup", 1)))
+          .cast("long").as("treat"),
+        sum((coalesce(col("value"), lit(0.0)).cast("decimal(18,2)") * 100)
+          .cast("long")).as("y_cents"))
+      .select(col("user_id"),
+        least(col("n_ev"), lit(99L)).cast("double").as("x1"),
+        least(col("n_days"), lit(30L)).cast("double").as("x2"),
+        col("treat"), col("y_cents"))
+    val u = graft.core.CacheScope.session.retain(users)
+    val beta = graft.operators.LinearModel.logisticIrlsGrid(
+      u, "treat", "x1", "x2", iters = 3)
+    def cts(c: String) = (col(c).cast("decimal(18,2)") * 100).cast("long")
+    val eta = col("b0") +
+      col("b1") * (col("__x1c").cast("double") / lit(100.0)) +
+      col("b2") * (col("__x2c").cast("double") / lit(100.0))
+    val sc = graft.core.CacheScope.session.retain(
+      u.crossJoin(broadcast(beta.select(col("b0"), col("b1"), col("b2"))))
+        .withColumn("__x1c", cts("x1")).withColumn("__x2c", cts("x2"))
+        .withColumn("eta_micro", floor(eta * lit(1.0e6)).cast("long"))
+        .select(col("user_id"), col("treat"), col("eta_micro"),
+          col("y_cents")))
+    graft.operators.PropensityMatch.nearestByScore(
+        sc, "user_id", "treat", "eta_micro", PsmCaliper)
+      .join(sc.select(col("user_id").as("id_t"), col("y_cents").as("__yt")),
+        Seq("id_t"))
+      .join(sc.select(col("user_id").as("id_c"), col("y_cents").as("__yc")),
+        Seq("id_c"))
+      .select(col("id_t").as("user_t"), col("id_c").as("user_c"),
+        col("score_t"), col("score_c"), col("dist"),
+        (col("__yt") - col("__yc")).as("dy_cents"))
+  }
+
+  val qPsmSql: String = {
+    val cal = PsmCaliper
+    def etaSql(a: String) =
+      s"""CAST(floor((b.b0
+         |    + b.b1 * (CAST(CAST(CAST($a.x1 AS DECIMAL(18,2)) * 100
+         |        AS BIGINT) AS DOUBLE) / 100.0)
+         |    + b.b2 * (CAST(CAST(CAST($a.x2 AS DECIMAL(18,2)) * 100
+         |        AS BIGINT) AS DOUBLE) / 100.0)) * 1.0e6) AS BIGINT)""".stripMargin
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    CAST(count(*) AS BIGINT) AS n_ev,
+       |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       |    CAST(count(*) FILTER (event_type = 'error') >
+       |         count(*) FILTER (event_type = 'signup') AS BIGINT) AS treat,
+       |    CAST(sum(CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS y_cents
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |u AS (SELECT user_id,
+       |    CAST(least(n_ev, 99) AS DOUBLE) AS x1,
+       |    CAST(least(n_days, 30) AS DOUBLE) AS x2, treat, y_cents
+       |  FROM users),
+       |grid AS (
+       |  SELECT CAST(CAST(x1 AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1c,
+       |    CAST(CAST(x2 AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2c,
+       |    treat AS y, count(*) AS cnt
+       |  FROM u GROUP BY 1, 2, 3),
+       |${irlsChainSql(3)},
+       |sc AS (SELECT u.user_id, u.treat, u.y_cents,
+       |    ${etaSql("u")} AS eta
+       |  FROM u CROSS JOIN b3 b),
+       |tr AS (SELECT user_id AS id_t, eta AS score_t, y_cents AS yt,
+       |    (eta - ((eta % $cal + $cal) % $cal)) // $cal AS bk
+       |  FROM sc WHERE treat = 1),
+       |ct AS (SELECT user_id AS id_c, eta AS score_c, y_cents AS yc,
+       |    (eta - ((eta % $cal + $cal) % $cal)) // $cal AS bk
+       |  FROM sc WHERE treat = 0),
+       |cand AS (
+       |  SELECT t.id_t, c.id_c, t.score_t, c.score_c,
+       |    abs(t.score_t - c.score_c) AS dist, t.yt, c.yc
+       |  FROM tr t JOIN ct c ON c.bk BETWEEN t.bk - 1 AND t.bk + 1
+       |  WHERE abs(t.score_t - c.score_c) <= $cal),
+       |best AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id_t
+       |    ORDER BY dist, id_c) AS rn FROM cand) WHERE rn = 1)
+       |SELECT id_t AS user_t, id_c AS user_c, score_t, score_c, dist,
+       |  yt - yc AS dy_cents
+       |FROM best""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_logit_irls" -> (qLogitIrls _),
+    "q_psm" -> (qPsm _),
     "q_huber_irls" -> (qHuberIrls _),
     "q_chow" -> (qChow _),
     "q_bradley_terry" -> (qBradleyTerry _),
@@ -979,6 +1086,7 @@ object QueriesModel {
 
   def oracleSql: Map[String, String] = Map(
     "q_logit_irls" -> qLogitIrlsSql,
+    "q_psm" -> qPsmSql,
     "q_huber_irls" -> qHuberIrlsSql,
     "q_chow" -> qChowSql,
     "q_bradley_terry" -> qBradleyTerrySql,

@@ -54,7 +54,12 @@ object ConnectedComponents {
     * pinning the O(log n) round bound. */
   private[graft] def labelsWithRounds(edges: DataFrame, aCol: String,
       bCol: String, maxIter: Int = 50): (DataFrame, Int) = {
+    // ONE materialization of the upstream pair pipeline: allNodes and
+    // the canonical edge set both derive from these blocks — two
+    // separate checkpoints here would execute the (often expensive:
+    // fuzzy-join candidates, minhash bands) input lineage twice
     val raw = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint()
     // isolated-after-self-loop-drop nodes still get a (self) label
     val allNodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id")))
@@ -66,6 +71,7 @@ object ConnectedComponents {
         least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint()
+    graft.core.Checkpoints.releaseLocal(raw) // both consumers are cut
     var eCount = e.count()
     var iter = 0
     var converged = eCount == 0L
@@ -97,6 +103,9 @@ object ConnectedComponents {
       // both sides are distinct canonical sets: equal count + empty
       // difference <=> equal sets <=> fixpoint (a star per component)
       converged = nextCount == eCount && next.except(e).isEmpty
+      // the superseded generation's blocks release immediately (the
+      // convergence check above was its last reader)
+      graft.core.Checkpoints.releaseLocal(e)
       e = next
       eCount = nextCount
       iter += 1

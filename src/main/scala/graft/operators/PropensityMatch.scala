@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Propensity-score matching (Rosenbaum & Rubin 1983) — the causal
+  * companion to [[graft.QueriesQuality]]'s DiD/CUPED family: each
+  * TREATED unit matches its nearest CONTROL by a scalar score
+  * (typically the propensity or its linear index) within a caliper,
+  * 1:1 with replacement; the matched-pair outcome differences estimate
+  * the ATT.
+  *
+  * Relational shape — NO global sort-window: scores band into
+  * caliper-width buckets, treated rows probe their own and the two
+  * adjacent buckets (any control within the caliper must lie there),
+  * and a bounded per-treated argmin picks the match. One shuffle join
+  * keyed by bucket + one aggregate — scales like every other banded
+  * screen in this repo ([[graft.functions.GeoFunctions]]' 3×3 grid,
+  * [[FuzzyJoin]]'s variant buckets). Skew caveat: a score region
+  * denser than ~|controls within 2·caliper| per treated inflates the
+  * candidate fan-out — narrow the caliper (it is the fan-out bound,
+  * not just a quality knob).
+  *
+  * Exactness: scores arrive as exact integer MICRO values (quantize
+  * upstream: floor(1e6·score) of a deterministic double is
+  * deterministic); bucketing is exact floor division via pmod;
+  * distances and the (dist, control-id) argmin are pure integer
+  * comparisons — engine-portable bit for bit. Contract:
+  * |score| ≤ 2^53 (the bucket quotient's exact-double range).
+  *
+  * Tie-break: smallest distance, then smallest control id —
+  * deterministic and global (not sequence-dependent). */
+object PropensityMatch {
+
+  /** 1:1 nearest-control-with-replacement matches. Input: one row per
+    * unit with a boolean/int `treatCol` (non-zero = treated) and a LONG
+    * `scoreCol`. Output: (id_t, id_c, score_t, score_c, dist), one row
+    * per treated unit with a control within `caliper`; unmatched
+    * treated units are absent. */
+  def nearestByScore(df: DataFrame, idCol: String, treatCol: String,
+      scoreCol: String, caliper: Long): DataFrame = {
+    require(caliper >= 1L, s"caliper must be >= 1 micro, got $caliper")
+    val s = col(scoreCol)
+    // exact floor division for signed scores: (s - pmod(s, c)) / c
+    val bucket = ((s - pmod(s, lit(caliper))) / lit(caliper)).cast("long")
+    val base = df.filter(s.isNotNull)
+      .select(col(idCol), col(treatCol).cast("boolean").as("__tr"),
+        s.as("__sc"), bucket.as("__b"))
+    val treated = base.filter(col("__tr"))
+      .select(col(idCol).as("id_t"), col("__sc").as("score_t"),
+        explode(array(col("__b") - 1L, col("__b"), col("__b") + 1L))
+          .as("__b"))
+    val controls = base.filter(!col("__tr"))
+      .select(col(idCol).as("id_c"), col("__sc").as("score_c"), col("__b"))
+    treated.join(controls, Seq("__b"))
+      .filter(abs(col("score_t") - col("score_c")) <= caliper)
+      .groupBy(col("id_t"))
+      .agg(min(struct(
+        abs(col("score_t") - col("score_c")).as("dist"),
+        col("id_c"), col("score_c"),
+        col("score_t"))).as("__best"))
+      .select(col("id_t"), col("__best.id_c").as("id_c"),
+        col("__best.score_t").as("score_t"),
+        col("__best.score_c").as("score_c"),
+        col("__best.dist").as("dist"))
+  }
+}

@@ -560,6 +560,76 @@ object QueriesFunnel {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------------------------ rbo
+  // Rank-biased overlap between two top-10 user rankings per event
+  // type — by volume vs by spend (RankOverlap.rboTruncated): the
+  // top-weighted agreement gate (geometric weights make top-rank
+  // disagreement cost more than tail disagreement — the readout
+  // Kendall/Spearman flatten). Weights are exact 1e12-scaled integers
+  // shared verbatim with the oracle; every depth term is an exact
+  // integral division, one closing double division.
+  private val RboK = 10
+  private val RboP = 0.9
+
+  def qRbo(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val pu = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum((coalesce(col("value"), lit(0.0)).cast("decimal(18,2)") * 100)
+          .cast("long")).as("vc"))
+    val wA = w.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    val wB = w.partitionBy(col("event_type"))
+      .orderBy(col("vc").desc, col("user_id"))
+    val ra = pu.select(col("event_type"), col("user_id"),
+        row_number().over(wA).as("rank")).filter(col("rank") <= RboK)
+    val rb = pu.select(col("event_type"), col("user_id"),
+        row_number().over(wB).as("rank")).filter(col("rank") <= RboK)
+    graft.operators.RankOverlap.rboTruncated(
+      ra, rb, "event_type", "user_id", "rank", RboK, RboP)
+  }
+
+  val qRboSql: String = {
+    val ws = graft.operators.RankOverlap.weights12(RboK, RboP)
+    val wArm = ws.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    s"""WITH pu AS (
+       |  SELECT event_type, user_id, count(*) AS cnt,
+       |    CAST(sum(CAST(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS vc
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |ra AS (SELECT event_type, user_id, rn FROM (
+       |  SELECT event_type, user_id, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn
+       |  FROM pu) WHERE rn <= $RboK),
+       |rb AS (SELECT event_type, user_id, rn FROM (
+       |  SELECT event_type, user_id, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY vc DESC, user_id) AS rn
+       |  FROM pu) WHERE rn <= $RboK),
+       |m AS (SELECT ra.event_type, greatest(ra.rn, rb.rn) AS mm
+       |  FROM ra JOIN rb ON ra.event_type = rb.event_type
+       |    AND ra.user_id = rb.user_id
+       |  WHERE greatest(ra.rn, rb.rn) <= $RboK),
+       |keys AS (SELECT DISTINCT event_type FROM (
+       |  SELECT event_type FROM ra UNION ALL SELECT event_type FROM rb)),
+       |grid AS (SELECT k.event_type, CAST(d.d AS BIGINT) AS d
+       |  FROM keys k CROSS JOIN range(1, ${RboK + 1}) d(d)),
+       |ov AS (SELECT g.event_type, g.d,
+       |    CAST(sum(CASE WHEN m.mm <= g.d THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ov
+       |  FROM grid g LEFT JOIN m ON m.event_type = g.event_type
+       |  GROUP BY 1, 2),
+       |tt AS (SELECT event_type,
+       |    (CAST(w AS HUGEINT) * ov - (CAST(w AS HUGEINT) * ov) % d)
+       |      // d AS t
+       |  FROM (SELECT event_type, d, ov,
+       |    CASE d $wArm END AS w FROM ov))
+       |SELECT event_type, CAST(sum(t) AS BIGINT) AS rbo_p12,
+       |  CAST(sum(t) AS DOUBLE) / 1.0e12 * ${1.0 - RboP} AS rbo
+       |FROM tt GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------- mann-kendall
   // Mann-Kendall monotone-trend test of each event type's daily volume
   // (TrendTest.mannKendall): S over sign pairs, tie-corrected 18·Var(S)
@@ -721,6 +791,7 @@ object QueriesFunnel {
     "q_acf" -> (qAcf _),
     "q_ljung_box" -> (qLjungBox _),
     "q_mann_kendall" -> (qMannKendall _),
+    "q_rbo" -> (qRbo _),
     "q_funnel" -> (qFunnel _),
     "q_transitions" -> (qTransitions _),
     "q_anomaly" -> (qAnomaly _),
@@ -741,6 +812,7 @@ object QueriesFunnel {
     "q_acf" -> qAcfSql,
     "q_ljung_box" -> qLjungBoxSql,
     "q_mann_kendall" -> qMannKendallSql,
+    "q_rbo" -> qRboSql,
     "q_funnel" -> qFunnelSql,
     "q_transitions" -> qTransitionsSql,
     "q_anomaly" -> qAnomalySql,

@@ -560,6 +560,53 @@ object QueriesFunnel {
        |FROM m""".stripMargin
   }
 
+  // --------------------------------------------------------- seq patterns
+  // Frequent ordered event sequences up to depth 3 with gaps allowed
+  // (SequenceMining.frequentSequences — PrefixSpan restricted to the
+  // alphabet-bounded case): "which journeys actually happen", beside
+  // q_transitions' adjacent-only matrix and q_assoc's unordered
+  // itemsets. Supports are exact user counts; the greedy earliest
+  // witness makes depth-3 existence one bounded join.
+  private val SeqMinSupport = 0.2
+
+  def qSeqPatterns(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequenceMining.frequentSequences(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      SeqMinSupport)
+
+  val qSeqPatternsSql: String =
+    s"""WITH pos AS (
+       |  SELECT user_id AS u, event_type AS t,
+       |    CAST(row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS BIGINT) AS p
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |nu AS (SELECT count(DISTINCT u) AS nu FROM pos),
+       |fl AS (SELECT u, t, min(p) AS f, max(p) AS l FROM pos
+       |  GROUP BY 1, 2),
+       |l1 AS (SELECT t AS p1, CAST(NULL AS VARCHAR) AS p2,
+       |    CAST(NULL AS VARCHAR) AS p3, 1 AS level, count(*) AS n_users
+       |  FROM fl GROUP BY 1),
+       |pp AS (SELECT a.u, a.t AS p1, b.t AS p2, a.f AS fa
+       |  FROM fl a JOIN fl b ON a.u = b.u AND b.l > a.f),
+       |l2 AS (SELECT p1, p2, CAST(NULL AS VARCHAR) AS p3, 2 AS level,
+       |    count(*) AS n_users
+       |  FROM pp GROUP BY 1, 2),
+       |wit AS (SELECT q.u, q.p1, q.p2, min(s.p) AS w
+       |  FROM pp q JOIN pos s ON s.u = q.u AND s.t = q.p2 AND s.p > q.fa
+       |  GROUP BY 1, 2, 3),
+       |l3 AS (SELECT w.p1, w.p2, c.t AS p3, 3 AS level,
+       |    count(*) AS n_users
+       |  FROM wit w JOIN fl c ON c.u = w.u AND c.l > w.w
+       |  GROUP BY 1, 2, 3),
+       |uni AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+       |  UNION ALL SELECT * FROM l3)
+       |SELECT p1, p2, p3, level, n_users,
+       |  CAST(n_users AS DOUBLE) / CAST(nu AS DOUBLE) AS support
+       |FROM uni CROSS JOIN nu
+       |WHERE CAST(n_users AS DOUBLE) / CAST(nu AS DOUBLE)
+       |  >= $SeqMinSupport""".stripMargin
+
   // ------------------------------------------------------------------ rbo
   // Rank-biased overlap between two top-10 user rankings per event
   // type — by volume vs by spend (RankOverlap.rboTruncated): the
@@ -792,6 +839,7 @@ object QueriesFunnel {
     "q_ljung_box" -> (qLjungBox _),
     "q_mann_kendall" -> (qMannKendall _),
     "q_rbo" -> (qRbo _),
+    "q_seq_patterns" -> (qSeqPatterns _),
     "q_funnel" -> (qFunnel _),
     "q_transitions" -> (qTransitions _),
     "q_anomaly" -> (qAnomaly _),
@@ -813,6 +861,7 @@ object QueriesFunnel {
     "q_ljung_box" -> qLjungBoxSql,
     "q_mann_kendall" -> qMannKendallSql,
     "q_rbo" -> qRboSql,
+    "q_seq_patterns" -> qSeqPatternsSql,
     "q_funnel" -> qFunnelSql,
     "q_transitions" -> qTransitionsSql,
     "q_anomaly" -> qAnomalySql,

@@ -246,6 +246,27 @@ object ScaleCheck {
       // grid is bounded — flat-to-linear is the bar
       QueriesText.qFertility(s, dir)
     },
+    "drift_pipeline" -> { (s, dir) =>
+      // decompose (grid windows) + PH on the residual: the corpus-scale
+      // work is the daily aggregate; everything after runs on the
+      // (keys x days) grid — flat-to-linear is the bar
+      QueriesQuality.qDriftPipeline(s, dir)
+    },
+    "psm" -> { (s, dir) =>
+      // per-user aggregate + IRLS on the bounded grid + caliper-bucket
+      // match join: linear in users is the bar
+      QueriesModel.qPsm(s, dir)
+    },
+    "seq_patterns" -> { (s, dir) =>
+      // one per-user window sort + alphabet-bounded joins + one
+      // stream-sized witness join — linear in events is the bar
+      QueriesFunnel.qSeqPatterns(s, dir)
+    },
+    "mann_kendall" -> { (s, dir) =>
+      // the (key x days)^2 pair join runs on the bounded daily grid;
+      // key count grows with copies — linear is the bar
+      QueriesFunnel.qMannKendall(s, dir)
+    },
     "closeness_chain" -> { (s, dir) =>
       graft.operators.ShortestPaths.harmonicCloseness(
         chainEdges(s, dir), "src", "dst",

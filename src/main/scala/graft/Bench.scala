@@ -94,7 +94,7 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
 
     def newSession(): SparkSession = {
-      val s = SparkSession.builder()
+      val b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
@@ -103,7 +103,15 @@ object Bench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      // diagnosis knob (config A/B on a subset run): extra session confs
+      // as "k=v;k=v" — never set in a graded pass; adopted configs are
+      // hardcoded above with their justification in OPTIMIZATION notes
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+        .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          b.config(k, v)
+        })
+      val s = b.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
     }

@@ -509,8 +509,14 @@ object QueriesTextDedup {
   // at corpus scale (the ANN family's q_rank_metric, applied to dedup).
   // Integer counts; two fixed-shape ratios; one-row scalar output.
   def qLshQuality(s: SparkSession, dir: String): DataFrame = {
-    val exact = qDedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
-    val cand = qDedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
+    // both pair sets feed TWO consumers each (their count and the hit
+    // semi-join) — retain them or the expensive screens (n-gram shingle
+    // join, minhash band join) execute twice (guide §5: persist exactly
+    // the reused intermediates; measured 8.8 s -> see OPTIMIZATION_r14)
+    val exact = graft.core.CacheScope.session.retain(
+      qDedupNgram(s, dir).select(col("doc_a"), col("doc_b")))
+    val cand = graft.core.CacheScope.session.retain(
+      qDedupMinhash(s, dir).select(col("doc_a"), col("doc_b")))
     val nE = exact.agg(count(lit(1)).as("n_exact"))
     val nC = cand.agg(count(lit(1)).as("n_cand"))
     val nH = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")

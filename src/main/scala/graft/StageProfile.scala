@@ -23,7 +23,7 @@ object StageProfile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "2").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,7 +32,13 @@ object StageProfile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B knob: extra session confs as "k=v;k=v" (dev-only)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]

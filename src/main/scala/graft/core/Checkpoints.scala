@@ -22,4 +22,45 @@ object Checkpoints {
     df.queryExecution.optimizedPlan.collect {
       case l: LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Pin a loop frame's partition count before it is checkpointed,
+    * WHEN it is known to be small (row count from the previous
+    * generation — fixpoint loops already track it for their
+    * convergence probes).
+    *
+    * Why: AQE sizes post-shuffle partitions by map-output BYTES
+    * (advisory/minPartitionSize), but the loop frames of the fixpoint
+    * operators are byte-tiny and FAN OUT on the next round's join
+    * (frontier ⋈ high-degree adjacency, star contraction, dependency
+    * back-propagation) — a few MB of frame can carry seconds of probe
+    * work per row group. A localCheckpoint then BAKES the coalesced
+    * 1–2 partition layout into the RDD, and the next round's
+    * broadcast-join probe runs on one core (measured: 5.7 s + 4.8 s +
+    * 3.0 s single-task stages inside one q_betweenness run,
+    * OPTIMIZATION_r14.md). Re-spreading rows by the frame's own keys
+    * restores probe parallelism for one extra exchange whose payload
+    * is, by the branch condition, at most `maxRows` small rows.
+    *
+    * Scale-adaptive by construction: above `maxRows` (default 4M —
+    * hundreds of MB at typical loop-frame widths, where AQE's
+    * byte-based sizing already yields ample partitions) the frame is
+    * returned untouched, so a 100 TB run never pays an extra shuffle
+    * for this. `prevRows < 0` (unknown) also skips the pin. */
+  /** Row ceiling for [[pinSmall]] (and for call sites choosing between
+    * a pin and the bounded-partition `coalesce` fallback): ~4M rows of
+    * a narrow loop frame is low hundreds of MB — above it AQE's
+    * byte-based sizing already produces ample partitions and an extra
+    * exchange would be a real cost at scale. */
+  val PinMaxRows: Long = 4000000L
+
+  def pinSmall(df: DataFrame, prevRows: Long, keys: Seq[String],
+      maxRows: Long = PinMaxRows): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (prevRows >= 0 && prevRows <= maxRows)
+      // numPartitions given explicitly => REPARTITION_BY_NUM origin,
+      // which AQE never re-coalesces; the checkpoint then preserves
+      // HashPartitioning(keys, n) for downstream equi-joins
+      df.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
+    else df
+  }
 }

@@ -65,7 +65,12 @@ object ConnectedComponents {
       .union(raw.select(col("v").as("id")))
       .distinct()
       .localCheckpoint()
-    // canonical big->small orientation, self-loops dropped
+    // canonical big->small orientation, self-loops dropped.
+    // (A pin-on-small at this checkpoint was tried and REVERTED: unlike
+    // the BFS layer frames, every star round's first consumer is an
+    // aggregation whose own ENSURE exchange restores parallelism, so
+    // the pin's extra per-round exchange was pure overhead — measured
+    // +0.8–5 s across the CC-composite queries, OPTIMIZATION_r14.md.)
     var e = raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))

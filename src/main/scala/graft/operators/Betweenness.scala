@@ -70,26 +70,52 @@ object Betweenness {
     // layer scans, not the O(depth²) lazy re-union of all prior layers.
     val nPart = edges.sparkSession
       .conf.get("spark.sql.shuffle.partitions").toInt
-    var seen = seed.select("seed", "node").localCheckpoint()
+    import graft.core.Checkpoints.{pinSmall, PinMaxRows}
+    // per-layer row counts: the convergence probe (count == 0 replaces
+    // isEmpty — same one job over the materialized blocks) doubles as
+    // the size signal for the pin-on-small checkpoints (see
+    // Checkpoints.pinSmall: AQE coalesces these byte-tiny frames to 1
+    // partition and the checkpoint bakes that in; the backward phase's
+    // broadcast-probe fan-out then ran single-task, measured 5.7 s a
+    // stage in plans/r14/q_betweenness_before)
+    val seedRows = seed.count()
+    var seen = pinSmall(seed.select("seed", "node"), seedRows,
+      Seq("seed", "node")).localCheckpoint()
+    var seenRows = seedRows
     var layers = Vector(seed)
+    var layerRows = Vector(seedRows)
     var frontier = seed
     var hop = 0
     var done = false
     while (!done && hop < maxHops) {
-      val next = frontier.join(e, col("node") === col("__src"))
-        .select(col("seed"), col("__dst").as("node"), col("sigma"))
-        .join(seen, Seq("seed", "node"), "left_anti")
-        .groupBy(col("seed"), col("node"))
-        .agg(sum(col("sigma")).as("sigma"))
+      // σ-sum BEFORE the anti join (guide §2.3 — aggregate, then
+      // shuffle less): partial map-side sums compress the per-
+      // predecessor fan-out, and the anti join removes whole
+      // (seed, node) groups, so summing first is exactly equivalent.
+      // With `seen` pinned, its checkpoint carries
+      // HashPartitioning((seed, node), nPart) and the anti join
+      // re-shuffles NOTHING on the seen side.
+      val next = pinSmall(
+        frontier.join(e, col("node") === col("__src"))
+          .select(col("seed"), col("__dst").as("node"), col("sigma"))
+          .groupBy(col("seed"), col("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .join(seen, Seq("seed", "node"), "left_anti"),
+        layerRows.last, Seq("seed", "node"))
         .localCheckpoint()
       hop += 1
-      done = next.isEmpty
+      val cnt = next.count()
+      done = cnt == 0
       if (!done) {
         layers = layers :+ next
+        layerRows = layerRows :+ cnt
         frontier = next
         val prev = seen
-        seen = prev.unionByName(next.select("seed", "node"))
-          .coalesce(nPart).localCheckpoint()
+        seenRows += cnt
+        val grown = prev.unionByName(next.select("seed", "node"))
+        seen = (if (seenRows <= PinMaxRows)
+            pinSmall(grown, seenRows, Seq("seed", "node"))
+          else grown.coalesce(nPart)).localCheckpoint()
         graft.core.Checkpoints.releaseLocal(prev)
       } else {
         // release the terminal empty generation's checkpoint blocks
@@ -103,11 +129,17 @@ object Betweenness {
     // itself inside the budget and the sampled accumulation is complete.
     val hitMaxHops = !done
     graft.core.Checkpoints.releaseLocal(seen)
-    // backward: delta in exact micro units, deepest layer first
+    // backward: delta in exact micro units, deepest layer first. Every
+    // delta frame is pinned by its (known) layer count before the
+    // checkpoint: the contrib join below probes TWO broadcast hash
+    // tables per row (e's adjacency fan-out, then succ) from this
+    // frame's scan, so its partition count IS the phase's parallelism
     val depth = layers.size - 1
     var deltas = Vector.fill[DataFrame](layers.size)(null)
     deltas = deltas.updated(depth,
-      layers(depth).withColumn("delta", lit(0L).cast("decimal(38,0)"))
+      pinSmall(layers(depth)
+          .withColumn("delta", lit(0L).cast("decimal(38,0)")),
+        layerRows(depth), Seq("seed", "node"))
         .localCheckpoint())
     for (d <- (depth - 1) to 0 by -1) {
       val succ = deltas(d + 1).select(col("seed").as("__s2"),
@@ -124,11 +156,12 @@ object Betweenness {
             (lit(1.0e6) + dv(col("__dv")))).as("__c"))
         .groupBy(col("seed"), col("node"))
         .agg(sum(i38(col("__c"))).as("__dsum"))
-      val withDelta = layers(d)
-        .join(contrib, Seq("seed", "node"), "left")
-        .select(col("seed"), col("node"), col("sigma"),
-          coalesce(col("__dsum"), lit(0L).cast("decimal(38,0)"))
-            .as("delta"))
+      val withDelta = pinSmall(layers(d)
+          .join(contrib, Seq("seed", "node"), "left")
+          .select(col("seed"), col("node"), col("sigma"),
+            coalesce(col("__dsum"), lit(0L).cast("decimal(38,0)"))
+              .as("delta")),
+        layerRows(d), Seq("seed", "node"))
         .localCheckpoint()
       deltas = deltas.updated(d, withDelta)
     }

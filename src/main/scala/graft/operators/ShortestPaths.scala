@@ -57,16 +57,26 @@ object ShortestPaths {
     // layer each round, O(D²) on deep (chain/road-network) graphs.
     // The superseded generation's blocks release immediately.
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // (pin-on-small was tried here and REVERTED: the single-source
+    // loop's frames have no fan-out-probe consumer — the backward-
+    // phase/broadcast-probe shape that makes the pin pay in
+    // fromSources/Betweenness — so its extra per-hop exchange read as
+    // a consistent ~1–2 s regression on q_bfs; OPTIMIZATION_r14.md)
     var seen = seed.select("node").localCheckpoint()
     var frames = List(seed)
     var frontier = seed
     var hop = 0
     var done = maxHops == 0
     while (!done) {
+      // aggregate BEFORE the anti join (guide §2.3): the expansion fans
+      // out by in-degree, so grouping first dedupes map-side (partial
+      // agg) and the anti join then filters one row per (node) instead
+      // of one per predecessor — identical output, the anti join drops
+      // whole key groups either way
       val next = frontier.join(e, col("node") === col("__src"))
         .select(col("__dst").as("node"), (col("dist") + 1L).as("dist"))
-        .join(seen, Seq("node"), "left_anti")
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .join(seen, Seq("node"), "left_anti")
         .localCheckpoint() // eager — each hop's frame materializes once
       hop += 1
       val exhausted = next.isEmpty
@@ -117,26 +127,43 @@ object ShortestPaths {
     // the O(D²) lazy re-union of all prior layers (see fromSource)
     val nPart = edges.sparkSession
       .conf.get("spark.sql.shuffle.partitions").toInt
-    var seen = seed.select("seed", "node").localCheckpoint()
+    import graft.core.Checkpoints.{pinSmall, PinMaxRows}
+    // counts: convergence probe + pin-on-small size signal (fromSource)
+    val seedRows = seed.count()
+    var seen = pinSmall(seed.select("seed", "node"), seedRows,
+      Seq("seed", "node")).localCheckpoint()
+    var seenRows = seedRows
+    var lastRows = seedRows
     var frames = List(seed)
     var frontier = seed
     var hop = 0
     var done = maxHops == 0
     while (!done) {
-      val next = frontier.join(e, col("node") === col("__src"))
-        .select(col("seed"), col("__dst").as("node"),
-          (col("dist") + 1L).as("dist"))
-        .join(seen, Seq("seed", "node"), "left_anti")
-        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+      // agg before anti (see fromSource): dedupe the in-degree fan-out
+      // map-side before anything shuffles; the anti join filters whole
+      // (seed, node) groups, so the order swap cannot change the
+      // result. Pinned `seen` => no seen-side shuffle in the anti join.
+      val next = pinSmall(
+        frontier.join(e, col("node") === col("__src"))
+          .select(col("seed"), col("__dst").as("node"),
+            (col("dist") + 1L).as("dist"))
+          .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+          .join(seen, Seq("seed", "node"), "left_anti"),
+        lastRows, Seq("seed", "node"))
         .localCheckpoint()
       hop += 1
-      val exhausted = next.isEmpty
+      val cnt = next.count()
+      val exhausted = cnt == 0
       if (!exhausted) {
         frames = next :: frames
         frontier = next
+        lastRows = cnt
+        seenRows += cnt
         val prev = seen
-        seen = prev.unionByName(next.select("seed", "node"))
-          .coalesce(nPart).localCheckpoint()
+        val grown = prev.unionByName(next.select("seed", "node"))
+        seen = (if (seenRows <= PinMaxRows)
+            pinSmall(grown, seenRows, Seq("seed", "node"))
+          else grown.coalesce(nPart)).localCheckpoint()
         graft.core.Checkpoints.releaseLocal(prev)
       } else {
         // release the terminal empty generation's checkpoint blocks

@@ -105,11 +105,18 @@ object Bench {
         .config("spark.ui.enabled", "false")
       // diagnosis knob (config A/B on a subset run): extra session confs
       // as "k=v;k=v" — never set in a graded pass; adopted configs are
-      // hardcoded above with their justification in OPTIMIZATION notes
+      // hardcoded above with their justification in OPTIMIZATION notes.
+      // Entries without '=' are rejected loudly and every injected conf
+      // is logged, so a contaminated run is detectable from its output.
       sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
         .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-          val Array(k, v) = kv.split("=", 2)
-          b.config(k, v)
+          kv.split("=", 2) match {
+            case Array(k, v) =>
+              System.err.println(s"[bench] EXTRA_CONF injected: $k=$v")
+              b.config(k, v)
+            case _ => sys.error(
+              s"SPARK_GRAFT_EXTRA_CONF entry lacks '=': '$kv'")
+          }
         })
       val s = b.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
@@ -256,7 +263,17 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // stdout carries the CONTRACT LINE ONLY, per-query seconds rounded
+    // to 3 decimals — the driver preserves/parses a bounded stdout tail
+    // (every BENCH_r*.json back to r09 shows `parsed: null` because the
+    // old line, diag included, was tens of KB and truncated mid-line).
+    // The full-precision table plus diag/gc/calibration detail goes to
+    // the per-core-count file artifact, so multi-config driver runs
+    // (32c then 8c) can no longer clobber each other's tables.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val dg = diag.map { case (k, entries) =>
       "\"" + k + "\":[" + entries.map { case (pass, gc, st) =>
@@ -277,18 +294,20 @@ object Bench {
       s""""drift":$drift,"recalibrated":$recalibrated$finalField},""" +
       s""""loadavg":{"before":"$loadBefore","after":"$loadAfter"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diag":$dg,"gc_rerun":$rr,"sf":"$sfDir",$host}"""
-    println(line)
-    // The driver preserves only a TAIL of this stdout in BENCH_r{N}.json
-    // (long runs truncate, hiding the alphabet's first half from the
-    // judge) — so also persist the complete table as a repo artifact.
-    // Diagnostic subset runs (SPARK_GRAFT_ONLY) never clobber it.
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"diag":$dg,"gc_rerun":$rr,"sf":"$sfDir","cpus":$cpus,$host}"""
+    // Persist the complete table as a repo artifact keyed on the core
+    // count. Diagnostic subset runs (SPARK_GRAFT_ONLY) never clobber it.
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_full.json"), line + "\n")
+        java.nio.file.Paths.get(s"bench_full_c$cpus.json"), fullLine + "\n")
       catch { case e: Throwable =>
-        System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+        System.err.println(s"[bench] bench_full_c$cpus.json write failed: ${e.getMessage}")
       }
+    // the contract line goes LAST so a bounded stdout tail captures as
+    // much of it as possible
+    println(line)
     spark.stop()
   }
 }

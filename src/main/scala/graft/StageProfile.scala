@@ -32,11 +32,17 @@ object StageProfile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
-    // A/B knob: extra session confs as "k=v;k=v" (dev-only)
+    // A/B knob: extra session confs as "k=v;k=v" (dev-only); malformed
+    // entries fail loudly and injected confs are logged (ADVICE r14)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
       .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            System.err.println(s"[profile] EXTRA_CONF injected: $k=$v")
+            builder.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry lacks '=': '$kv'")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,11 +76,26 @@ object StageProfile {
         spark.catalog.clearCache()
         System.gc()
       }
-      stages.clear(); jobs = 0
+      // drain the bus BEFORE clearing so a prior query's late events
+      // can't bleed into this query's table, and clear under the
+      // listener's own lock (ADVICE r14); poll-until-stable stands in
+      // for the private[spark] listenerBus.waitUntilEmpty
+      def drain(): Unit = {
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 5000) {
+          val n = listener.synchronized { stages.size + jobs }
+          if (n == last) stable += 1 else { stable = 0; last = n }
+          Thread.sleep(100); waited += 100
+        }
+      }
+      drain()
+      listener.synchronized { stages.clear(); jobs = 0 }
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e6
-      Thread.sleep(500) // let the listener bus drain
+      drain() // let the listener bus drain before reading the table
       println(f"===== $name wall=${wall}%.0f ms jobs=$jobs stages=${stages.size} =====")
       val rows = stages.sortBy(-_.wallMs).take(40)
       println(f"${"stage"}%6s ${"wall_ms"}%8s ${"task_ms"}%8s ${"tasks"}%6s " +

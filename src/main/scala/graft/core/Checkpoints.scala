@@ -23,6 +23,13 @@ object Checkpoints {
       case l: LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Row ceiling for [[pinSmall]] (and for call sites choosing between
+    * a pin and the bounded-partition `coalesce` fallback): ~4M rows of
+    * a narrow loop frame is low hundreds of MB — above it AQE's
+    * byte-based sizing already produces ample partitions and an extra
+    * exchange would be a real cost at scale. */
+  val PinMaxRows: Long = 4000000L
+
   /** Pin a loop frame's partition count before it is checkpointed,
     * WHEN it is known to be small (row count from the previous
     * generation — fixpoint loops already track it for their
@@ -45,14 +52,16 @@ object Checkpoints {
     * hundreds of MB at typical loop-frame widths, where AQE's
     * byte-based sizing already yields ample partitions) the frame is
     * returned untouched, so a 100 TB run never pays an extra shuffle
-    * for this. `prevRows < 0` (unknown) also skips the pin. */
-  /** Row ceiling for [[pinSmall]] (and for call sites choosing between
-    * a pin and the bounded-partition `coalesce` fallback): ~4M rows of
-    * a narrow loop frame is low hundreds of MB — above it AQE's
-    * byte-based sizing already produces ample partitions and an extra
-    * exchange would be a real cost at scale. */
-  val PinMaxRows: Long = 4000000L
-
+    * for this. `prevRows < 0` (unknown) also skips the pin.
+    *
+    * Sizing caveat (ADVICE r14): `prevRows` is the PREVIOUS
+    * generation's count, so one high-fan-out round can briefly pin a
+    * frame that grew past `maxRows`, and a shrink round below the
+    * ceiling skips one useful pin. Loop frames of the current call
+    * sites (frontier/delta/seen tables) change size gradually per hop,
+    * so the one-generation lag is at most one mis-sized round; call
+    * sites that fan out by orders of magnitude per round should count
+    * first and pin retroactively instead. */
   def pinSmall(df: DataFrame, prevRows: Long, keys: Seq[String],
       maxRows: Long = PinMaxRows): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

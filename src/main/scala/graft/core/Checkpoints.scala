@@ -72,4 +72,25 @@ object Checkpoints {
       df.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
     else df
   }
+
+  /** Broadcast-on-small, the join-side companion to [[pinSmall]]: mark
+    * `df` for broadcast when a MEASURED row count proves it small.
+    *
+    * Why: the iterative operators join their (node/item-sized) state
+    * frames against a much larger edge/pair frame every round, but a
+    * localCheckpoint'd generation is a LogicalRDD with no catalyst
+    * stats, so the planner falls back to a sort-merge join that
+    * re-shuffles the BIG side each round (measured on q_hits: the edge
+    * table's 7.6 MB shuffle written and read once per half-step,
+    * StageProfile r15). The loops already track exact row counts for
+    * their convergence probes; a count at or under `maxRows` (node-sized
+    * rows — tens of MB hashed at the 4M default) makes the broadcast
+    * provably safe, and the big side is then never exchanged at all
+    * (guide §3.1). Above the ceiling, or with an unknown count (< 0),
+    * the frame is returned untouched and the shuffle plan stands. */
+  def broadcastSmall(df: DataFrame, rows: Long,
+      maxRows: Long = PinMaxRows): DataFrame =
+    if (rows >= 0 && rows <= maxRows)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
 }

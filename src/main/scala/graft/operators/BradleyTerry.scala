@@ -39,10 +39,17 @@ object BradleyTerry {
   def fit(comparisons: DataFrame, winnerCol: String, loserCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // comparison projection checkpointed ONCE: `games` and `wins` both
+    // aggregate it, and each used to re-execute the (often expensive)
+    // upstream derivation — the bench's lineitem self-join ran twice,
+    // once under the pairs checkpoint and once under totals (two ~9.5 MB
+    // map passes, StageProfile r15). One materialization, both
+    // aggregates read the blocks; released as soon as both are pinned.
     val raw = comparisons.select(col(winnerCol).as("__w"),
       col(loserCol).as("__l"))
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l"))
+      .localCheckpoint()
     // symmetric per-pair game counts (both orientations — each round's
     // sum over opponents is then ONE groupBy on the i side), node-sized
     // win/game totals; all integer aggregates, pinned once.
@@ -61,6 +68,15 @@ object BradleyTerry {
       .join(wins, Seq("item"), "left")
       .na.fill(0L, Seq("wins"))
       .localCheckpoint()
+    graft.core.Checkpoints.releaseLocal(raw) // pairs + totals are pinned
+    // item count, measured once off the pinned totals: every theta
+    // generation is exactly item-sized, so this licenses
+    // broadcast-on-small for the per-round θ joins below — without it
+    // the checkpointed (stats-less) theta forced sort-merge joins that
+    // re-shuffled the pair table every round (10.4 MB written + read per
+    // round, StageProfile r15; guide §3.1/§2.4)
+    val nItems = totals.count()
+    import graft.core.Checkpoints.broadcastSmall
     var theta = totals.select(col("item"), lit(1.0).as("theta"))
       .localCheckpoint()
     var r = 0
@@ -68,7 +84,8 @@ object BradleyTerry {
       val ti = theta.select(col("item").as("i"), col("theta").as("__ti"))
       val tj = theta.select(col("item").as("j"), col("theta").as("__tj"))
       val denom = pairs
-        .join(ti, Seq("i")).join(tj, Seq("j"))
+        .join(broadcastSmall(ti, nItems), Seq("i"))
+        .join(broadcastSmall(tj, nItems), Seq("j"))
         .select(col("i"),
           // gate θ_i+θ_j = 0 (two zero-win items with shared games):
           // the pair contributes nothing — no engine-divergent inf/NaN
@@ -77,7 +94,8 @@ object BradleyTerry {
             .as("__term"))
         .groupBy(col("i")).agg(sum(col("__term")).as("__den"))
       val rawTheta = totals
-        .join(denom, totals("item") === denom("i"), "left")
+        .join(broadcastSmall(denom, nItems),
+          totals("item") === denom("i"), "left")
         .select(col("item"),
           wp(when(coalesce(col("__den"), wp(lit(0))) > 0,
             col("wins").cast("double") / col("__den").cast("double"))
@@ -94,7 +112,7 @@ object BradleyTerry {
       theta = next
       r += 1
     }
-    totals.join(theta, Seq("item"))
+    totals.join(broadcastSmall(theta, nItems), Seq("item"))
       .select(col("item"), col("wins"), col("games"), col("theta"))
   }
 }

@@ -55,26 +55,40 @@ object Hits {
       .union(e.select(col("dst").as("node"))).distinct()
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
       .localCheckpoint()
+    // one count over the checkpointed blocks: every score table of this
+    // run is exactly node-sized, so this single measurement licenses
+    // broadcast-on-small for ALL the per-round score joins (see
+    // halfStep) — a checkpointed generation has no catalyst stats, and
+    // the static fallback was a sort-merge join that re-shuffled the
+    // edge table once per half-step (7.6 MB written + read ×4,
+    // StageProfile r15; guide §3.1/§2.4)
+    val nNodes = hub.count()
     var auth: DataFrame = null
     var i = 0
     while (i < iters) {
-      val nextAuth = halfStep(e, hub, "src", "dst", "hub", "auth")
+      val nextAuth = halfStep(e, hub, "src", "dst", "hub", "auth", nNodes)
         .localCheckpoint()
       if (auth != null) graft.core.Checkpoints.releaseLocal(auth)
       auth = nextAuth
-      val nextHub = halfStep(e, auth, "dst", "src", "auth", "hub")
+      val nextHub = halfStep(e, auth, "dst", "src", "auth", "hub", nNodes)
         .localCheckpoint()
       graft.core.Checkpoints.releaseLocal(hub)
       hub = nextHub
       i += 1
     }
-    hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
+    hub.join(graft.core.Checkpoints.broadcastSmall(auth, nNodes),
+        Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
   }
 
   /** One half-iteration: out(to) = maxnorm(Σ fq(in(from)) over edges
-    * from→to), as a (node, outName) table over ALL nodes. */
+    * from→to), as a (node, outName) table over ALL nodes. `nNodes` is
+    * the measured node count — `in` and the per-node contribution table
+    * are both exactly node-sized, so it gates their broadcast. */
   private def halfStep(e: DataFrame, in: DataFrame, fromCol: String,
-      toCol: String, inName: String, outName: String): DataFrame = {
+      toCol: String, inName: String, outName: String,
+      nNodes: Long): DataFrame = {
+    import graft.core.Checkpoints.broadcastSmall
     val fp = PageRank.FpScale
     // per-node totals sum as DECIMAL(38,0), not BIGINT: with hub ≡ 1 the
     // round-1 auth total is in_degree·2^48 (unnormalized — PageRank's
@@ -82,14 +96,21 @@ object Hits {
     // with in-degree > ~32k would silently wrap a long. DECIMAL(38,0)
     // holds ~3.5e23 contributions per node and is what the oracle's
     // sum(BIGINT) already does (DuckDB widens to HUGEINT).
+    // broadcast-on-small both node-sized sides: the edge frame then
+    // never exchanges — the contribution pass is one scan of e's
+    // checkpoint blocks probing a broadcast hash table, and the
+    // realignment left join builds on the (node-sized) aggregate.
+    // Decimal sums are order-independent, so the join-strategy change
+    // cannot move a bit.
     val contribs = e
-      .join(in, e(fromCol) === in("node"))
+      .join(broadcastSmall(in, nNodes), e(fromCol) === in("node"))
       .select(e(toCol).as("__to"),
         (col(inName).cast("float").cast("double") * lit(fp))
           .cast("long").cast("decimal(38,0)").as("__c"))
       .groupBy(col("__to")).agg(sum(col("__c")).as("__s"))
     val raw = in.select(col("node"))
-      .join(contribs, in("node") === contribs("__to"), "left")
+      .join(broadcastSmall(contribs, nNodes),
+        in("node") === contribs("__to"), "left")
       .select(col("node"),
         (coalesce(col("__s"), lit(java.math.BigDecimal.ZERO)
           .cast("decimal(38,0)")).cast("double") / lit(fp))

@@ -27,17 +27,23 @@ object LabelProp {
 
   /** One synchronous round: per node, the most-frequent in-neighbour
     * label, smallest-label tie-break; nodes without in-edges keep
-    * their current label. Exposed for plan pinning. */
-  private[operators] def round(edges: DataFrame, labels: DataFrame)
-      : DataFrame = {
+    * their current label. Exposed for plan pinning. `nNodes` (the
+    * measured node count, < 0 for unknown) gates broadcast-on-small
+    * for both node-sized join sides — a checkpointed label generation
+    * has no catalyst stats, so the static fallback is a sort-merge
+    * join that exchanges the EDGE side every round (guide §3.1). */
+  private[operators] def round(edges: DataFrame, labels: DataFrame,
+      nNodes: Long = -1L): DataFrame = {
+    import graft.core.Checkpoints.broadcastSmall
     val upd = edges
-      .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+      .join(broadcastSmall(labels.withColumnRenamed("node", "dst"), nNodes),
+        Seq("dst"))
       .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
       .groupBy(col("src"))
       .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
         .as("best"))
       .select(col("src").as("node"), col("best.l").as("new_label"))
-    labels.join(upd, Seq("node"), "left")
+    labels.join(broadcastSmall(upd, nNodes), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("new_label"), col("label")).as("label"))
   }
@@ -56,16 +62,31 @@ object LabelProp {
     // (materialization jobs dominate 3 cheap rounds) but cuts the 10x
     // run 20.6 -> 14.5 s — the recompute multiplier is what matters at
     // corpus scale (the q_triangles precedent).
+    // dst-keyed REPARTITION_BY_NUM before the persist: the upstream
+    // derivation's AQE-coalesced tail left the cache in 1–3 partitions,
+    // so every round's edge-side work ran near-serial (2.5 s + 2.0 s +
+    // 1.2 s single-task map stages, StageProfile r15). Pinning by the
+    // round join's key restores scan parallelism AND, when the label
+    // side is too big to broadcast, lets the per-round sort-merge join
+    // reuse the cached partitioning instead of re-exchanging the edge
+    // frame (the ShortestPaths.fromSources treatment, guide §2.4).
+    val nPart = edges.sparkSession
+      .conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(nPart, col("dst"))
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // one count over the checkpointed blocks: every label generation is
+    // exactly node-sized, so this single measurement licenses the
+    // broadcast-on-small round joins (Checkpoints.broadcastSmall)
+    val nNodes = labels.count()
     var i = 0
     while (i < rounds) {
-      val next = round(e, labels).localCheckpoint()
+      val next = round(e, labels, nNodes).localCheckpoint()
       graft.core.Checkpoints.releaseLocal(labels)
       labels = next
       i += 1
